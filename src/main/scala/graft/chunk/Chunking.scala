@@ -1,0 +1,96 @@
+package graft.chunk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Chunking operators — the reference's table-generating surface
+  * (SURVEY.md §2.9; /root/reference/src/managers/chunking_manager.py).
+  *
+  * Two tiers:
+  *   - SQL-expressible chunkers (fixed-stride C2 surrogate, markdown
+  *     header split C1) built from `sequence`/`transform`/`substring` /
+  *     `posexplode` so they stay declarative, distribute trivially
+  *     (one row in, N rows out, no shuffle), and can be DuckDB-verified.
+  *   - the faithful boundary-aware recursive splitter, implemented as a
+  *     pure Scala function applied via Dataset.flatMap
+  *     (see [[RecursiveSplitter]]), property-tested instead of
+  *     oracle-checked.
+  */
+object Chunking {
+
+  /** C2 surrogate: fixed-stride chunking with overlap
+    * (chunking_manager.py:67-70; size/overlap from config.json:36-37 —
+    * scaled down so the testdata's short docs produce multiple chunks).
+    * Emits (chunk_idx, chunk_text) pairs per input row via a single
+    * generator expression — no shuffle, no driver involvement.
+    */
+  def fixedStrideChunks(text: Column, size: Int, overlap: Int): Column = {
+    require(overlap < size, "overlap must be < size")
+    val stride = size - overlap
+    transform(
+      sequence(lit(0), greatest(length(text) - 1, lit(0)), lit(stride)),
+      start => substring(text, (start + 1).cast("int"), lit(size))
+    )
+  }
+
+  /** Chunk-level frame: doc_id, chunk_idx, chunk text, chunk length. */
+  def chunkTable(docs: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame = {
+    val norm = TextFunctions.normalize(col("text"))
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(fixedStrideChunks(norm, size, overlap)).as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+      )
+  }
+
+  /** §7.2 flagship slice: normalize → chunk → per-doc stats.
+    * Map-side only until the final partial+final hash aggregate. */
+  def chunkStats(docs: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame =
+    chunkTable(docs, size, overlap)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("sum_chars"),
+        max(col("chunk_len")).as("max_chunk"),
+      )
+      .orderBy(col("doc_id"))
+
+  /** C1: markdown header split. RE2 (the oracle's regex engine) has no
+    * lookahead, so instead of split-on-`(?=^#)` both engines mark header
+    * starts with a  sentinel and split on it — identical arrays on
+    * both sides (chunking_manager.py:63-66).
+    */
+  def headerChunks(text: Column, maxLevel: Int = 4): Column = {
+    val marked = regexp_replace(text, s"(?m)^(#{1,$maxLevel} )", "\u0001$1")
+    filter(split(marked, "\u0001"), c => length(c) > 0)
+  }
+
+  /** Header level (0 = preamble chunk without a heading). */
+  def headerLevel(chunk: Column): Column =
+    length(regexp_extract(chunk, "^(#{1,6}) ", 1)).cast("long")
+
+  /** Heading text of a chunk ("" for preamble). */
+  def headerTitle(chunk: Column): Column =
+    regexp_extract(chunk, "^#{1,6} ([^\n]*)", 1)
+
+  /** C5-style annotation on the chunk table: per-doc chunk index and
+    * token count (chunking_manager.py:159-176). Uses posexplode's
+    * position — no window shuffle needed. */
+  def annotatedHeaderChunks(docs: DataFrame, maxLevel: Int = 4): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(headerChunks(TextFunctions.normalize(col("text")), maxLevel)).as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        headerLevel(col("chunk")).as("header_level"),
+        headerTitle(col("chunk")).as("header_title"),
+        TextFunctions.tokenCount(col("chunk")).as("n_tokens"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+      )
+}

@@ -1,0 +1,329 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Exact._
+import graft.Tables
+
+/** General relational query surface (SURVEY.md §2.3–§2.7, §7.1
+  * `graft.relational`) demonstrated over the TPC-H-ish star schema.
+  *
+  * Scale notes (the 100 TB design stance):
+  *  - dimension tables (region/nation/supplier/part/customer) are always
+  *    the build side and explicitly `broadcast()` — no shuffle of the
+  *    fact table for dimension enrichment;
+  *  - fact⋈fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    aggregate partially map-side before the exchange;
+  *  - every query ends in a deterministic ORDER BY so results are
+  *    hash-stable (floats additionally go through [[graft.Exact]]).
+  */
+object Relational {
+
+  /** Q1-style pricing summary: scan-heavy, group-by-low-cardinality.
+    * Partial aggregation makes the shuffle O(#groups), not O(rows). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_extendedprice")).as("avg_price"),
+        exactAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def pricingSummarySql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+           ${sqlSum("l_quantity")} AS sum_qty,
+           ${sqlSum("l_extendedprice")} AS sum_base_price,
+           ${sqlSum("l_extendedprice*(1-l_discount)", 4)} AS sum_disc_price,
+           ${sqlSum("l_extendedprice*(1-l_discount)*(1+l_tax)", 6)} AS sum_charge,
+           ${sqlAvg("l_quantity")} AS avg_qty,
+           ${sqlAvg("l_extendedprice")} AS avg_price,
+           ${sqlAvg("l_discount")} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** Q3-style: who are the highest-revenue open orders. customer is a
+    * broadcast dimension; orders⋈lineitem is the one real shuffle. */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .select(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("o_orderdate_us"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def topRevenueOrdersSql: String = s"""
+    SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+           ${sqlSum("l_extendedprice*(1-l_discount)", 4)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** Q5-style: revenue by nation inside one region — the full snowflake
+    * join path. All dimensions broadcast; lineitem never repartitions
+    * except for the final tiny group-by. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"),
+      )
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  def regionRevenueSql: String = s"""
+    SELECT r_name, n_name,
+           ${sqlSum("l_extendedprice*(1-l_discount)", 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name"""
+
+  /** Left-anti join (SURVEY.md §2.3 ABSENT + U3): customers that never
+    * ordered, counted per market segment. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_custkey"))
+      .orderBy(col("c_mktsegment"))
+
+  def customersWithoutOrdersSql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Left-semi join: orders that contain at least one high-quantity
+    * line, counted per priority. */
+  def ordersWithBigLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(
+        Tables.lineitem(spark, dir).filter(col("l_quantity") >= 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  def ordersWithBigLinesSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Broadcast-dimension enrichment: part-brand revenue. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        exactSum(col("l_extendedprice"), 2).as("revenue"),
+        exactSum(col("l_quantity")).as("qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+      )
+      .orderBy(col("p_brand"))
+
+  def brandRevenueSql: String = s"""
+    SELECT p_brand, ${sqlSum("l_extendedprice")} AS revenue,
+           ${sqlSum("l_quantity")} AS qty,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** ROLLUP aggregation (SURVEY.md §2.4 ABSENT→built-in). Null group
+    * keys are mapped to 'ALL' so both engines agree textually. */
+  def rollupReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  def rollupReturnsSql: String = s"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus"""
+
+  /** CUBE aggregation over order status × priority. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  def cubeOrdersSql: String = s"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority"""
+
+  /** Distinct aggregation per segment. */
+  def segmentCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        exactAvg(col("o_totalprice")).as("avg_price"),
+      )
+      .orderBy(col("c_mktsegment"))
+
+  def segmentCustomersSql: String = s"""
+    SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders, ${sqlAvg("o_totalprice")} AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // --- window functions (SURVEY.md §2.5 W1–W4 patterns) ---
+
+  /** W1 pattern (running max / running sum): per-customer running order
+    * total in (date, key) order. Frame is totally ordered → the
+    * sequential fold is deterministic on both engines. */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 10 === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total"),
+        max(col("o_totalprice")).over(w).as("running_max"),
+      )
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def runningCustomerSpendSql: String = """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           MAX(o_totalprice)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
+    FROM orders WHERE o_custkey % 10 = 0
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** W2 pattern (lead ranges): day gaps between consecutive orders per
+    * customer — the page-anchor range construction shape. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 20 === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).cast("long").as("days_to_next"),
+      )
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def orderGapsSql: String = """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', CAST(o_orderdate AS DATE),
+                     CAST(LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE)) AS days_to_next
+    FROM orders WHERE o_custkey % 20 = 0
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** W3/W4 pattern (row_number top-N per group): top-3 orders per
+    * customer by price, deterministic tie-break on key. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  def topOrdersPerCustomerSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  /** Global top-k (TakeOrderedAndProject): the distributed top-k plan —
+    * per-partition heaps, then a k-row merge on the driver. */
+  def topLineitems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  def topLineitemsSql: String = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+    FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"""
+
+  /** Set operations (SURVEY.md §2.7): customers with open orders minus
+    * customers with failed... (EXCEPT = distinct anti). */
+  def setOpsCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.except(done).orderBy(col("o_custkey"))
+  }
+
+  def setOpsCustkeysSql: String = """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey"""
+
+  /** INTERSECT: customers active in both halves of the order history. */
+  def intersectCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val early = o.filter(col("o_orderdate") < lit("1997-01-01")).select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= lit("1997-01-01")).select(col("o_custkey"))
+    early.intersect(late).orderBy(col("o_custkey"))
+  }
+
+  def intersectCustkeysSql: String = """
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    ORDER BY o_custkey"""
+}

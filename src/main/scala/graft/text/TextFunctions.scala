@@ -1,0 +1,135 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-normalization and text-analysis expressions.
+  *
+  * The normalization chain re-expresses the reference's Markdown cleanup
+  * (/root/reference/src/managers/markdown_manager.py:52-69 — SURVEY.md
+  * §2.8 F1–F8) as pure built-in `Column` transforms, so the whole chain
+  * stays inside whole-stage codegen: no UDFs, no per-row JVM↔interpreter
+  * hops, and Catalyst can pipeline it with the parquet scan.
+  *
+  * The analysis block (language-ID, quality scoring, token counting,
+  * fingerprinting) is the training-data-pipeline surface: every score is
+  * a deterministic closed-form expression so a DuckDB oracle can verify
+  * it bit-for-bit.
+  */
+object TextFunctions {
+
+  // --- normalization chain (reference markdown_manager.py:52-69) ---
+
+  /** F1: drop lines that contain a bracketed ellipsis `[...]`
+    * (markdown_manager.py:55). */
+  def dropEllipsisLines(c: Column): Column =
+    regexp_replace(c, "(?m)^.*\\[\\.+\\].*$\\n?", "")
+
+  /** F3: CRLF → LF (markdown_manager.py:59). */
+  def normalizeNewlines(c: Column): Column = regexp_replace(c, "\r\n", "\n")
+
+  /** F4: collapse runs of spaces/tabs (markdown_manager.py:61). */
+  def collapseSpaces(c: Column): Column = regexp_replace(c, "[ \\t]+", " ")
+
+  /** F5: cap consecutive blank lines at two (markdown_manager.py:63-64). */
+  def capBlankLines(c: Column): Column = regexp_replace(c, "\n{3,}", "\n\n")
+
+  /** F6: strip soft hyphens U+00AD (markdown_manager.py:66). */
+  def stripSoftHyphen(c: Column): Column = translate(c, "­", "")
+
+  /** F7: de-hyphenate words split across line breaks
+    * (markdown_manager.py:67-68). */
+  def dehyphenate(c: Column): Column =
+    regexp_replace(c, "(\\w)[-‐‑−]\n(\\w)", "$1$2")
+
+  /** F8: trim (markdown_manager.py:69). */
+  def trimText(c: Column): Column = trim(c)
+
+  /** The full normalization pipeline in reference order (F1,F3–F8).
+    * NFKC (F2) is applied separately via [[graft.functions.Nfkc]] since
+    * it needs a custom expression. */
+  def normalize(c: Column): Column =
+    trimText(dehyphenate(stripSoftHyphen(capBlankLines(collapseSpaces(
+      normalizeNewlines(dropEllipsisLines(c)))))))
+
+  /** F9: alt-text sanitize (image_manager.py:22-33): collapse whitespace,
+    * strip markdown link chars, default to "image". */
+  def sanitizeAltText(c: Column): Column = {
+    val cleaned = trim(regexp_replace(regexp_replace(c, "\\s+", " "), "[\\[\\]()]", ""))
+    coalesce(nullif(cleaned, lit("")), lit("image"))
+  }
+
+  // --- tokenization ---
+
+  /** Whitespace tokens of already-normalized text. */
+  def tokens(c: Column): Column = split(trimText(c), "\\s+")
+
+  /** Token count (whitespace tokenization), BIGINT for oracle parity. */
+  def tokenCount(c: Column): Column =
+    when(length(trimText(c)) === 0, lit(0L))
+      .otherwise(size(tokens(c)).cast("long"))
+
+  /** BPE-ish subword proxy: counts alternating letter/digit/punct runs,
+    * the usual pre-tokenization regex shape. */
+  def bpeishTokenCount(c: Column): Column =
+    when(length(trimText(c)) === 0, lit(0L))
+      .otherwise(size(split(trimText(c), "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")).cast("long"))
+
+  // --- language identification (n-gram/stopword heuristic) ---
+
+  /** Stopword alternations per language; scores are per-language counts
+    * of stopword hits. Deterministic and entirely regex-based, so the
+    * DuckDB oracle can reproduce it with regexp_extract_all. */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|was|for|with|that)\\b",
+    "es" -> "\\b(el|la|los|las|de|que|y|en|un|una)\\b",
+    "de" -> "\\b(der|die|das|und|nicht|ist|zu|ein|eine|mit)\\b",
+    "fr" -> "\\b(le|la|les|des|et|est|dans|que|une|pour)\\b",
+  )
+
+  /** Per-language stopword hit count. */
+  def langScore(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast("long")
+
+  /** Predicted language: argmax of stopword hit counts with a stable
+    * tie-break on language code; "und" (undetermined) when no stopword
+    * matches at all. */
+  def langId(c: Column): Column = {
+    val scored = langStopwords.map { case (code, pat) =>
+      struct((-langScore(c, pat)).as("negScore"), lit(code).as("code"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("negScore") === 0, lit("und"))
+      .otherwise(best.getField("code"))
+  }
+
+  // --- quality scoring ---
+
+  /** Ratio of non-alphanumeric-non-space chars to total chars. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[^a-zA-Z0-9\\s]")).cast("double") / length(c))
+
+  /** Ratio of English stopword tokens to all tokens. */
+  def stopwordRatio(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(langScore(c, langStopwords.head._2).cast("double") / tokenCount(c))
+
+  /** Mean token length: exact integer ratio → deterministic double. */
+  def avgTokenLen(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("\\S")).cast("double") / tokenCount(c))
+
+  // --- fingerprinting ---
+
+  /** Canonical document fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5. Exact-dedup key (SURVEY.md §7.3 step 5). */
+  def fingerprint(c: Column): Column =
+    md5(to_binary(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")), lit("utf-8")))
+
+  /** First 15 hex digits of md5 as a positive int64 — the portable hash
+    * used by minhash/simhash so the DuckDB oracle (CAST('0x…' AS BIGINT))
+    * agrees bit-for-bit with Spark's `conv`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,118 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextFunctions
+
+/** BM25 sparse lexical scoring (SURVEY.md §2.11 R3; reference uses
+  * Qdrant/bm25 FastEmbed — index_manager.py:115,120-122) and hybrid
+  * dense+sparse fusion (R4).
+  *
+  * Classic two-stage aggregation, fully relational:
+  *   1. tokenize + explode → per-(doc, term) TF;
+  *   2. per-term DF + corpus stats (N, avgdl) — tiny aggregates,
+  *      broadcast back;
+  *   3. score = IDF · TF·(k1+1) / (TF + k1·(1−b+b·dl/avgdl)) summed over
+  *      query terms.
+  * At scale the only shuffle is the (doc,term) group-by; DF/avgdl are
+  * scalar/broadcast joins. Lucene-style IDF: ln(1+(N−df+0.5)/(df+0.5)).
+  * Scores rounded to 6 decimals for cross-engine hash stability.
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-(doc_id, term) term frequencies + document length. */
+  def termFreqs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+    toks.groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 top-k for a fixed multi-term query. */
+  def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int = 15): DataFrame = {
+    val tf = termFreqs(spark, dir).filter(col("term").isin(queryTerms: _*))
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokenCount(lower(col("text"))).as("dl"))
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("score_term",
+        col("idf") * (col("tf") * (lit(K1) + 1)) /
+          (col("tf") + lit(K1) * (lit(1) - lit(B) + lit(B) * col("dl") / col("avgdl"))))
+    scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("score_term")), 6).as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25TopKSql(queryTerms: Seq[String], k: Int = 15): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    tf AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+    grouped AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf FROM tf
+      WHERE term IN ($termList) GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS total_dl FROM toks),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM grouped GROUP BY term),
+    scored AS (
+      SELECT g.doc_id,
+             ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0)) *
+             (g.tf * (${K1}e0 + 1)) /
+             (g.tf + ${K1}e0 * (1e0 - ${B}e0 + ${B}e0 * g.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs))) AS score_term
+      FROM grouped g JOIN df d ON g.term = d.term CROSS JOIN stats s)
+    SELECT doc_id, ROUND(SUM(score_term), 6) AS score, COUNT(*) AS n_terms_hit
+    FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  /** R4: hybrid retrieval via reciprocal-rank fusion of BM25 (sparse)
+    * and cosine (dense) rankings, joined on doc_id = vec_id.
+    * RRF(d) = Σ 1/(60 + rank_i(d)) — rank-based, so float noise in the
+    * underlying scores never reaches the fused result. */
+  def hybridRrf(spark: SparkSession, dir: String, queryTerms: Seq[String],
+      queryVecId: Long = 0, k: Int = 10, poolSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25TopK(spark, dir, queryTerms, poolSize)
+      .withColumn("rank_sparse", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_sparse"))
+    val dense = VectorOps.cosineTopK(spark, dir, queryVecId, poolSize)
+      .withColumn("rank_dense", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_sparse")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0))).as("rrf"))
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def hybridRrfSql(queryTerms: Seq[String], queryVecId: Long = 0, k: Int = 10, poolSize: Int = 100): String = s"""
+    WITH sparse AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_sparse
+      FROM (${Bm25.bm25TopKSql(queryTerms, poolSize)}) s),
+    dense AS (
+      SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rank_dense
+      FROM (${VectorOps.cosineTopKSql(queryVecId, poolSize)}) d)
+    SELECT COALESCE(sparse.doc_id, dense.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0e0 / (60 + rank_sparse), 0.0e0) +
+                 COALESCE(1.0e0 / (60 + rank_dense), 0.0e0), 6) AS rrf
+    FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT $k"""
+}

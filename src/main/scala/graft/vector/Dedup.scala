@@ -1,0 +1,165 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextFunctions
+
+/** Document deduplication operators — the north-star training-data
+  * pipeline surface: exact, MinHash+LSH banding, SimHash, and n-gram
+  * Jaccard. All hashes are md5-derived so the DuckDB oracle reproduces
+  * them bit-for-bit (Spark's murmur `hash()` is engine-private; md5 is
+  * portable).
+  *
+  * Scale design: every variant reduces to groupBy/equi-join on a hash or
+  * band key — never an unbucketed O(n²) comparison. MinHash banding is
+  * the canonical web-scale near-dup pipeline (shingle → minhash → band →
+  * bucket-join); at 100 TB each stage is a map + one shuffle on the band
+  * key, and candidate verification touches only same-band pairs.
+  */
+object Dedup {
+
+  /** Exact dedup via canonical fingerprint (lower/strip/collapse + md5):
+    * groups of identical documents, keeping the minimum doc_id as the
+    * canonical representative. */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
+  def exactDupGroupsSql: String = """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp"""
+
+  /** Word 3-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** One MinHash signature: the lexicographic minimum of
+    * md5(salt || shingle) over all shingles — a valid min-wise hash per
+    * salt, and portable to the oracle as MIN(md5(...)). */
+  def minhashSig(shingleCol: Column, salt: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$salt|"), s))))
+
+  /** MinHash + LSH banding: `numHashes` signatures in bands of
+    * `bandSize`; docs sharing any band key are near-dup candidates.
+    * Emits candidate pairs (id_a < id_b, band). */
+  def minhashCandidatePairs(spark: SparkSession, dir: String,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    val numBands = numHashes / bandSize
+    val sigs = (0 until numHashes).map(i => minhashSig(col("sh"), i).as(s"h$i"))
+    val withSigs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        shingles(TextFunctions.tokens(lower(col("text")))).as("sh"))
+      .select(col("doc_id") +: sigs: _*)
+    val bands = (0 until numBands).map { b =>
+      val parts = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
+      withSigs.select(col("doc_id"), lit(b.toLong).as("band"),
+        concat_ws("|", parts: _*).as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("doc_id").as("id_a"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("band"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"), col("band"))
+  }
+
+  def minhashCandidatePairsSql(numHashes: Int = 8, bandSize: Int = 2): String = {
+    val numBands = numHashes / bandSize
+    val sigExprs = (0 until numHashes).map(i =>
+      s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i").mkString(", ")
+    val bandSelects = (0 until numBands).map { b =>
+      val key = (0 until bandSize).map(j => s"h${b * bandSize + j}").mkString(" || '|' || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, $key AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS sh
+      FROM toks),
+    sigs AS (SELECT doc_id, $sigExprs FROM sh),
+    bands AS ($bandSelects)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  }
+
+  /** SimHash (16-bit) per document: bit j is the sign of the sum over
+    * tokens of ±1 according to bit j of the token's portable md5 hash.
+    * Near-dup docs land on nearby/equal simhashes. */
+  def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), TextFunctions.md5Long(col("tok")).as("h"))
+    val bitSums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def simhashSql(bits: Int = 16): String = {
+    val bitSums = (0 until bits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val assemble = (0 until bits).map(j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+    bitsums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
+    SELECT doc_id, ($assemble) AS simhash FROM bitsums ORDER BY doc_id"""
+  }
+
+  /** n-gram Jaccard similarity for MinHash candidate pairs only (the
+    * verify stage of the dedup pipeline): |A∩B| / |A∪B| over distinct
+    * 3-gram shingles. Exact integer ratio → deterministic double. */
+  def jaccardOnCandidates(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
+    val cand = minhashCandidatePairs(spark, dir)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          .divide(size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def jaccardOnCandidatesSql(threshold: Double = 0.5): String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS sh
+      FROM toks),
+    cand AS (SELECT DISTINCT id_a, id_b FROM (${minhashCandidatePairsSql().replace("ORDER BY 1, 2, 3", "")}) c)
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold
+    ORDER BY id_a, id_b"""
+}

@@ -1,0 +1,151 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Vector similarity operators (SURVEY.md §2.11 R1/R2 +
+  * the north-star ANN/dedup surface) over `embeddings(vec_id,
+  * embedding ARRAY<FLOAT>, label)`.
+  *
+  * All scoring is higher-order-function arithmetic (`zip_with` +
+  * `aggregate`), i.e. codegen-friendly Catalyst expressions — no UDFs.
+  * Arrays are cast to double BEFORE any arithmetic so the element-wise
+  * products and the sequential left-fold sum are bit-identical to the
+  * DuckDB oracle's `list_dot_product(CAST(… AS DOUBLE[]), …)`.
+  *
+  * Scale stance: brute-force top-k is the *baseline* (a single scan +
+  * TakeOrderedAndProject — embarrassingly parallel, no shuffle); the
+  * 100 TB path is [[signLshBucket]] bucketing, which turns the all-pairs
+  * problem into per-bucket joins (shuffle keyed on a 1-byte bucket id).
+  */
+object VectorOps {
+
+  /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE> (exact widening). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product as a sequential left fold — matches DuckDB's
+    * list_dot_product evaluation order, so doubles agree exactly
+    * (reference semantics: index_manager.py:187-190, IndexFlatIP). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (R1; index_manager.py:111 Distance.COSINE). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared euclidean distance (R2; Distance.EUCLID / IndexFlatL2 —
+    * FAISS also returns *squared* L2 for flat indexes). */
+  def l2Squared(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Axis-aligned sign-LSH bucket id from the first `bits` vector
+    * components: bit i = sign(v[i]). A coordinate-hyperplane LSH — the
+    * scale path for ANN/near-dup (bucket-join instead of cross-join). */
+  def signLshBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits)
+      .map(i => when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Query row: the embedding of a fixed vec_id, crossed (broadcast,
+    * 1 row) against the whole table. */
+  private def queryVec(spark: SparkSession, dir: String, id: Long): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === id)
+      .select(asDouble(col("embedding")).as("qvec"))
+
+  /** R1: brute-force cosine top-k against a fixed query vector.
+    * Single scan; TakeOrderedAndProject does distributed top-k.
+    * Scores are rounded to 6 decimals for hash stability and ties
+    * broken on vec_id. */
+  def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 20): DataFrame =
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(asDouble(col("embedding")), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
+  def cosineTopKSql(queryId: Long = 0, k: Int = 20): String = s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = $queryId)
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
+                 (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(qvec, qvec))), 6) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id LIMIT $k"""
+
+  /** R2: brute-force squared-L2 top-k (ascending). */
+  def l2TopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 20): DataFrame =
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
+      .select(col("vec_id"), round(l2Squared(asDouble(col("embedding")), col("qvec")), 6).as("dist2"))
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(k)
+
+  def l2TopKSql(queryId: Long = 0, k: Int = 20): String = s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = $queryId)
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(generate_series(1, len(qvec)),
+                 i -> (CAST(embedding[i] AS DOUBLE) - qvec[i]) * (CAST(embedding[i] AS DOUBLE) - qvec[i]))), 6) AS dist2
+    FROM embeddings, q
+    ORDER BY dist2, vec_id LIMIT $k"""
+
+  /** ANN via sign-LSH: candidates = same bucket as the query, then exact
+    * cosine re-rank within the bucket. At 100 TB this is a bucket-pruned
+    * scan (partition by bucket) instead of a full sweep. */
+  def annLshTopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 10, bits: Int = 8): DataFrame = {
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qvec"), signLshBucket(col("embedding"), bits).as("qbucket"))
+    Tables.embeddings(spark, dir)
+      .withColumn("bucket", signLshBucket(col("embedding"), bits))
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("bucket"),
+        round(cosine(asDouble(col("embedding")), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def annLshTopKSql(queryId: Long = 0, k: Int = 10, bits: Int = 8): String = s"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_sum(list_transform(generate_series(1, $bits),
+                      i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END))::BIGINT AS bucket
+      FROM embeddings),
+    q AS (SELECT v AS qvec, bucket AS qbucket FROM b WHERE vec_id = $queryId)
+    SELECT vec_id, bucket,
+           ROUND(list_dot_product(v, qvec) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+    FROM b, q WHERE bucket = qbucket
+    ORDER BY score DESC, vec_id LIMIT $k"""
+
+  /** Embedding near-duplicate pairs: bucket by sign-LSH, exact cosine
+    * within buckets, keep pairs above threshold. The bucket equi-join is
+    * the scale move — no O(n²) cross join ever materializes. */
+  def embeddingDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9, bits: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        signLshBucket(col("embedding"), bits).as("bucket"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def embeddingDupPairsSql(threshold: Double = 0.9, bits: Int = 8): String = s"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_sum(list_transform(generate_series(1, $bits),
+                      i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END))::BIGINT AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, c.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND(list_dot_product(a.v, c.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) >= $threshold
+    ORDER BY id_a, id_b"""
+}
