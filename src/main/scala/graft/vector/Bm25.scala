@@ -26,6 +26,7 @@ object Bm25 {
   /** Per-(doc_id, term) term frequencies + document length. */
   def termFreqs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark))
       .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
     toks.groupBy(col("doc_id"), col("term"), col("dl"))

@@ -51,28 +51,47 @@ object Dedup {
 
   /** MinHash + LSH banding: `numHashes` signatures in bands of
     * `bandSize`; docs sharing any band key are near-dup candidates.
-    * Emits candidate pairs (id_a < id_b, band). */
+    * Emits candidate pairs (id_a < id_b, band).
+    *
+    * Single-pass plan: signatures are computed ONCE per document
+    * (one projection), bands come from one posexplode (not N union
+    * branches), and pairs are generated inside each band bucket via
+    * groupBy + collect_list instead of a self-join — so the expensive
+    * md5 stage is never re-evaluated. One shuffle on the band key.
+    * At petabyte scale a bucket-size cap would bound the in-group pair
+    * expansion (a giant bucket means the band is degenerate anyway). */
   def minhashCandidatePairs(spark: SparkSession, dir: String,
       numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     val numBands = numHashes / bandSize
     val sigs = (0 until numHashes).map(i => minhashSig(col("sh"), i).as(s"h$i"))
-    val withSigs = Tables.documents(spark, dir)
+    val withSigs = graft.Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark))
       .select(col("doc_id"),
         shingles(TextFunctions.tokens(lower(col("text")))).as("sh"))
       .select(col("doc_id") +: sigs: _*)
-    val bands = (0 until numBands).map { b =>
+    val bandStructs = (0 until numBands).map { b =>
       val parts = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
-      withSigs.select(col("doc_id"), lit(b.toLong).as("band"),
-        concat_ws("|", parts: _*).as("band_key"))
-    }.reduce(_ unionByName _)
-    val a = bands.select(col("doc_id").as("id_a"), col("band"), col("band_key"))
-    val b = bands.select(col("doc_id").as("id_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("band"))
+      struct(lit(b.toLong).as("band"), concat_ws("|", parts: _*).as("band_key"))
+    }
+    val bands = withSigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    bands
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("band"), explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("band"))
       .distinct()
       .orderBy(col("id_a"), col("id_b"), col("band"))
   }
+
+  /** All ordered pairs (ids(i), ids(j)), i<j, of a sorted array —
+    * flatten of a nested transform; pure codegen, no UDF. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
 
   def minhashCandidatePairsSql(numHashes: Int = 8, bandSize: Int = 2): String = {
     val numBands = numHashes / bandSize
@@ -102,6 +121,7 @@ object Dedup {
     * Near-dup docs land on nearby/equal simhashes. */
   def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
     val toks = Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark))
       .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
       .select(col("doc_id"), TextFunctions.md5Long(col("tok")).as("h"))
     val bitSums = (0 until bits).map(j =>
@@ -132,6 +152,7 @@ object Dedup {
     * 3-gram shingles. Exact integer ratio → deterministic double. */
   def jaccardOnCandidates(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark))
       .select(col("doc_id"),
         array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
     val cand = minhashCandidatePairs(spark, dir)
