@@ -79,6 +79,17 @@ object SparkEntry {
     "geom_page_union" -> ((s, d) => Geometry.pageBboxUnion(s, d)),
     "geom_overlap_pairs" -> ((s, d) => Geometry.overlapPairs(s, d)),
     "geom_figure_ids" -> ((s, d) => Geometry.figureIds(s, d)),
+    // --- date/stat/sketch aggregates (§2.4, §2.8) ---
+    "agg_monthly_orders" -> ((s, d) => Relational.monthlyOrders(s, d)),
+    "agg_stats_corr" -> ((s, d) => Relational.statsSummary(s, d)),
+    "agg_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(s, d)),
+    // --- faithful recursive chunker (§2.9 C2, custom Generator) ---
+    "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
+    // --- rect-merge fixpoint (§2.4 A7, flatMapGroups) ---
+    "geom_rect_merge" -> ((s, d) => graft.geom.RectMerge.mergedFigures(s, d)),
+    // --- multimodal columns (§2.10 / north star) ---
+    "mm_decode_features" -> ((s, d) => graft.multimodal.Multimodal.decodeFeatures(s, d)),
+    "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.sampleFrames(s, d)),
     // --- event-time windows (§2.12) ---
     "events_tumbling" -> ((s, d) => EventWindows.tumbling(s, d)),
     "events_sliding" -> ((s, d) => EventWindows.sliding(s, d)),
@@ -127,6 +138,12 @@ object SparkEntry {
     "geom_page_union" -> Geometry.pageBboxUnionSql,
     "geom_overlap_pairs" -> Geometry.overlapPairsSql,
     "geom_figure_ids" -> Geometry.figureIdsSql,
+    "agg_monthly_orders" -> Relational.monthlyOrdersSql,
+    "agg_stats_corr" -> Relational.statsSummarySql,
+    // agg_approx_distinct, chunk_recursive, geom_rect_merge: engine-side
+    // sketches / iterative fixpoints — rows-only check + ScalaTest.
+    "mm_decode_features" -> graft.multimodal.Multimodal.decodeFeaturesSql,
+    "mm_frame_sample" -> graft.multimodal.Multimodal.sampleFramesSql(),
     "events_tumbling" -> EventWindows.tumblingSql,
     "events_sliding" -> EventWindows.slidingSql,
     "events_session" -> EventWindows.sessionsSql,
@@ -227,6 +244,20 @@ object SparkEntry {
                 ELSE CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) / n_tokens END AS avg_token_len
     FROM base ORDER BY doc_id"""
   }
+
+  /** Faithful recursive chunker through the [[graft.functions.ChunkSplit]]
+    * Generator: per-doc chunk rows with packing metadata. Rows-only
+    * check (packing isn't ANSI-SQL-expressible); invariants are
+    * property-tested in RecursiveSplitterSpec. */
+  private def chunkRecursiveQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.functions.ChunkSplit.chunk_split(TextFunctions.normalize(col("text")), 200, 50))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
 
   private def chunkTableQuery(s: SparkSession, d: String): DataFrame =
     Chunking.chunkTable(Tables.documents(s, d))

@@ -313,6 +313,53 @@ object Relational {
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     ORDER BY o_custkey"""
 
+  /** Date functions (SURVEY.md §2.8 "date: ABSENT → engine built-ins"):
+    * monthly order volume. */
+  def monthlyOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("total"))
+      .orderBy(col("month"))
+
+  def monthlyOrdersSql: String = s"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
+  /** Statistical aggregates: correlation / stddev (rounded — Welford vs
+    * naive accumulation differ in the last ulps across engines). */
+  def statsSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_discount"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy(col("l_returnflag"))
+
+  def statsSummarySql: String = """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(stddev_samp(l_discount), 6) AS sd_discount,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** HLL++ sketch cardinality (SURVEY.md §2.4 ABSENT→built-in
+    * approx_count_distinct). Engine-specific sketch ⇒ no cross-engine
+    * oracle; the driver records a rows-only check and ApproxSpec bounds
+    * the relative error against the exact count. */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+      )
+      .orderBy(col("l_returnflag"))
+
   /** INTERSECT: customers active in both halves of the order history. */
   def intersectCustkeys(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

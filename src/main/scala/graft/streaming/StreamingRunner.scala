@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** True Structured Streaming execution of the event-window operators
+  * (SURVEY.md §2.12). The same aggregation expressions as
+  * [[EventWindows]] run under `readStream` with a watermark, proving
+  * the batch operators are streaming-safe. Used by StreamingSpec (the
+  * driver's oracle gate runs the batch forms; streams have no DuckDB
+  * analog).
+  */
+object StreamingRunner {
+
+  /** events schema as readStream needs it declared up front; ts arrives
+    * as nanos-long (see [[graft.Tables.events]]) and is converted. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Run the tumbling-window aggregation as a real stream over the
+    * events parquet (file-source), watermarked, into a memory sink;
+    * returns the materialized result. */
+  def runTumblingStream(spark: SparkSession, dir: String, queryName: String = "graft_stream"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Exact.exactSum(col("value")).as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

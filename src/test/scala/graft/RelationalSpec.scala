@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entry() flagship returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query returns a non-empty schema and runs at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+    }
+  }
+
+  test("every oracle key has a matching query key") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("dimension joins broadcast (q5 plan contains broadcast exchanges)") {
+    val df = relational.Relational.regionRevenue(spark, sf)
+    df.count() // materialize so AQE finalizes the plan
+    def find(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case other => other +: other.children.flatMap(find)
+    }
+    val nodes = find(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "expected at least one broadcast exchange for dimension tables")
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val rows = relational.Relational.approxDistinctParts(spark, sf)
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (_, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.10)
+    }
+  }
+
+  test("incremental skip excludes exactly the done keys (P7)") {
+    val discovered = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val done = Seq(2L, 4L).toDF("k")
+    val left = meta.Upsert.incrementalSkip(discovered, done, "k")
+      .as[Long].collect().sorted
+    assert(left.sameElements(Array(1L, 3L)))
+  }
+}
