@@ -59,6 +59,9 @@ object SparkEntry {
     "chunk_stats" -> ((s, d) => Chunking.chunkStats(Tables.documents(s, d))),
     "chunk_table" -> ((s, d) => chunkTableQuery(s, d)),
     "chunk_headers" -> ((s, d) => Chunking.annotatedHeaderChunks(Tables.documents(s, d))),
+    "text_first_long_line" -> ((s, d) => firstLongLineQuery(s, d)),
+    "chunk_header_paths" -> ((s, d) => headerPathsQuery(s, d)),
+    "join_range_buckets" -> ((s, d) => rangeBucketsQuery(s, d)),
     // --- dedup (north star) ---
     "dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
@@ -119,6 +122,9 @@ object SparkEntry {
     "text_tokens" -> textTokensSql,
     "text_lang_id" -> textLangIdSql,
     "text_quality" -> textQualitySql,
+    "text_first_long_line" -> firstLongLineSql,
+    "chunk_header_paths" -> headerPathsSql,
+    "join_range_buckets" -> rangeBucketsSql,
     "chunk_stats" -> chunkStatsSql,
     "chunk_table" -> chunkTableSql,
     "chunk_headers" -> chunkHeadersSql,
@@ -160,14 +166,16 @@ object SparkEntry {
       length(TextFunctions.normalize(col("text"))).cast("long").as("norm_len"),
     ).orderBy(col("doc_id"))
 
-  private val normalizeSqlExpr: String =
-    // F1,F3–F8 chain in DuckDB-regex form (RE2): same order as
-    // TextFunctions.normalize.
+  /** F1,F3–F8 chain in DuckDB-regex form (RE2), applied to `inner` —
+    * same order as TextFunctions.normalize. */
+  private def normalizeSqlOn(inner: String): String =
     """trim(regexp_replace(translate(regexp_replace(regexp_replace(
-      |regexp_replace(regexp_replace(text, '(?m)^.*\[\.+\].*$\n?', '', 'g'),
+      |regexp_replace(regexp_replace(INNER_, '(?m)^.*\[\.+\].*$\n?', '', 'g'),
       |'\r\n', '\n', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', '\n\n', 'g'),
       |chr(173), ''), '(\w)[-‐‑−]\n(\w)', '\1\2', 'g'))"""
-      .stripMargin.replace("\n", " ")
+      .stripMargin.replace("\n", " ").replace("INNER_", inner)
+
+  private val normalizeSqlExpr: String = normalizeSqlOn("text")
 
   private def textNormalizeSql: String = s"""
     SELECT doc_id, md5($normalizeSqlExpr) AS norm_md5,
@@ -258,6 +266,109 @@ object SparkEntry {
         md5(col("chunk").cast("binary")).as("chunk_md5"),
         length(col("chunk")).cast("long").as("chunk_len"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Shared synthetic line/heading structure: the single-line testdata
+    * docs get a newline every 8 words (MarkdownOps.synthesizeLines) and
+    * lines opening with spark/window/merge/stream are promoted to
+    * H1–H4 — identical regex pipeline in the oracle. */
+  private def markdownize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val synth = graft.text.MarkdownOps.synthesizeLines(c)
+    val h = Seq("spark" -> "# ", "window" -> "## ", "merge" -> "### ", "stream" -> "#### ")
+    h.foldLeft(synth) { case (acc, (word, prefix)) =>
+      regexp_replace(acc, s"(?m)^($word )", s"$prefix$$1")
+    }
+  }
+
+  private val markdownizeSqlExpr: String = {
+    val synth = """regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g')"""
+    Seq("spark" -> "# ", "window" -> "## ", "merge" -> "### ", "stream" -> "#### ")
+      .foldLeft(synth) { case (acc, (word, prefix)) =>
+        s"regexp_replace($acc, '(?m)^($word )', '$prefix\\1', 'g')"
+      }
+  }
+
+  /** O4: first long line per document over the synthesized line frame. */
+  private def firstLongLineQuery(s: SparkSession, d: String): DataFrame = {
+    val lines = graft.text.MarkdownOps.lineFrame(
+      Tables.documents(s, d).select(col("doc_id"), markdownize(col("text")).as("md")),
+      "md", Seq("doc_id"))
+    graft.text.MarkdownOps.firstLongLine(lines, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def firstLongLineSql: String = s"""
+    WITH md AS (SELECT doc_id, $markdownizeSqlExpr AS m FROM documents),
+    lines AS (
+      SELECT doc_id, u.l AS line, CAST(u.i - 1 AS BIGINT) AS lineno
+      FROM md, LATERAL (SELECT unnest(string_split(m, chr(10))) AS l,
+                               generate_subscripts(string_split(m, chr(10)), 1) AS i) u)
+    SELECT doc_id, MIN(lineno) AS first_long_lineno,
+           substr(arg_min(line, lineno), 1, 200) AS first_long_line
+    FROM lines WHERE length(line) >= 50
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** C1 metadata: hierarchical header path per chunk. */
+  private def headerPathsQuery(s: SparkSession, d: String): DataFrame = {
+    val chunks = Chunking.annotatedHeaderChunks(
+      Tables.documents(s, d).select(col("doc_id"), markdownize(col("text")).as("text")))
+    Chunking.headerPaths(chunks)
+  }
+
+  private def headerPathsSql: String = {
+    val levels = (1 to 4).map { l =>
+      s"""CASE WHEN enc$l IS NOT NULL AND (lower$l IS NULL OR CAST(substr(enc$l, 1, 12) AS BIGINT) > lower$l)
+               THEN substr(enc$l, 14) ELSE '' END AS h$l"""
+    }.mkString(", ")
+    val encs = (1 to 4).map { l =>
+      s"""MAX(CASE WHEN header_level = $l THEN printf('%012d|', chunk_idx) || header_title END)
+            OVER (PARTITION BY doc_id ORDER BY chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS enc$l,
+          MAX(CASE WHEN header_level < $l AND header_level > 0 THEN chunk_idx END)
+            OVER (PARTITION BY doc_id ORDER BY chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lower$l"""
+    }.mkString(", ")
+    s"""
+    WITH md AS (SELECT doc_id, ${normalizeSqlOn(markdownizeSqlExpr)} AS t FROM documents WHERE length(text) > 0),
+    marked AS (
+      SELECT doc_id, regexp_replace(t, '(?m)^(#{1,4} )', chr(1) || '\\1', 'g') AS m FROM md),
+    chunks AS (
+      SELECT doc_id, u.c AS chunk, u.i AS raw_idx
+      FROM marked, LATERAL (SELECT unnest(string_split(m, chr(1))) AS c,
+                                   generate_subscripts(string_split(m, chr(1)), 1) AS i) u
+      WHERE length(u.c) > 0),
+    idxed AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1 AS BIGINT) AS chunk_idx,
+             CAST(length(regexp_extract(chunk, '^(#{1,6}) ', 1)) AS BIGINT) AS header_level,
+             regexp_extract(chunk, '^#{1,6} ([^\n]*)', 1) AS header_title
+      FROM chunks),
+    encoded AS (SELECT doc_id, chunk_idx, $encs FROM idxed)
+    SELECT doc_id, chunk_idx, $levels
+    FROM encoded ORDER BY doc_id, chunk_idx"""
+  }
+
+  /** J3b interval-containment join: orders bucketed into price ranges
+    * via a broadcast range join against a generated bounds table. */
+  private def rangeBucketsQuery(s: SparkSession, d: String): DataFrame = {
+    val bounds = s.range(0, 12).select(
+      col("id").as("bucket"),
+      (col("id") * 50000.0).as("lo"),
+      ((col("id") + 1) * 50000.0).as("hi"))
+    Tables.orders(s, d)
+      .join(broadcast(bounds), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("bucket"), col("lo"))
+      .agg(count(lit(1)).as("n_orders"), graft.Exact.exactSum(col("o_totalprice")).as("total"))
+      .select(col("bucket"), col("lo"), col("n_orders"), col("total"))
+      .orderBy(col("bucket"))
+  }
+
+  private def rangeBucketsSql: String = s"""
+    WITH bounds AS (
+      SELECT i AS bucket, i * 50000.0e0 AS lo, (i + 1) * 50000.0e0 AS hi
+      FROM (SELECT unnest(generate_series(0, 11)) AS i))
+    SELECT bucket, lo, COUNT(*) AS n_orders, ${graft.Exact.sqlSum("o_totalprice")} AS total
+    FROM orders JOIN bounds ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY bucket, lo ORDER BY bucket"""
 
   private def chunkTableQuery(s: SparkSession, d: String): DataFrame =
     Chunking.chunkTable(Tables.documents(s, d))

@@ -78,6 +78,33 @@ object Chunking {
   def headerTitle(chunk: Column): Column =
     regexp_extract(chunk, "^#{1,6} ([^\n]*)", 1)
 
+  /** C1 hierarchical header-path metadata (the reference's
+    * headers-as-metadata semantic, chunking_manager.py:160-164): for
+    * every chunk, the ACTIVE heading at each level 1..maxLevel — a
+    * heading is active if no lower-numbered heading appeared after it.
+    * Pure window algebra: per level, the latest (chunk_idx, title) is
+    * tracked as a max over a zero-padded sortable encoding (portable to
+    * the DuckDB oracle, where struct-max isn't), and invalidation
+    * compares positions. */
+  def headerPaths(chunks: DataFrame, maxLevel: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPaths = (1 to maxLevel).foldLeft(chunks) { (df, l) =>
+      val enc = max(when(col("header_level") === l,
+        concat(format_string("%012d|", col("chunk_idx")), col("header_title")))).over(w)
+      val lowerPos = max(when(col("header_level") < l && col("header_level") > 0,
+        col("chunk_idx"))).over(w)
+      val pos = substring(enc, 1, 12).cast("long")
+      df.withColumn(s"h$l",
+        when(enc.isNotNull && (lowerPos.isNull || pos > lowerPos),
+          substring(enc, 14, 1000000)).otherwise(lit("")))
+    }
+    withPaths.select(
+      (Seq(col("doc_id"), col("chunk_idx")) ++ (1 to maxLevel).map(l => col(s"h$l"))): _*)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** C5-style annotation on the chunk table: per-doc chunk index and
     * token count (chunking_manager.py:159-176). Uses posexplode's
     * position — no window shuffle needed. */
