@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SQL registration for the custom Catalyst functions, so
+  * `spark.sql("SELECT nfkc(text), chunk_split(text, 200, 50) ...")`
+  * works alongside the Column API (SURVEY.md §2.13: FunctionRegistry
+  * exposure of the engine's extensions).
+  *
+  * Two paths:
+  *  - [[GraftFunctions.register]] on a live session;
+  *  - [[GraftExtensions]] via `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`) at session build time.
+  */
+object GraftFunctions {
+
+  private def entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("nfkc"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc"),
+      (exprs: Seq[Expression]) => NfkcNormalize(exprs.head)),
+    (FunctionIdentifier("chunk_split"),
+      new ExpressionInfo(classOf[ChunkSplit].getName, "chunk_split"),
+      (exprs: Seq[Expression]) => ChunkSplit(
+        exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())),
+  )
+
+  /** Register on a live session's function registry. */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, ident, info, builder)
+    }
+}
+
+/** Session-extensions installer for the same functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("nfkc"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc"),
+      (exprs: Seq[Expression]) => NfkcNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("chunk_split"),
+      new ExpressionInfo(classOf[ChunkSplit].getName, "chunk_split"),
+      (exprs: Seq[Expression]) => ChunkSplit(
+        exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+  }
+}

@@ -55,7 +55,11 @@ object EventWindows {
 
   /** Session windows with a 30-minute inactivity gap, per user.
     * Spark: `session_window`; oracle: classic gaps-and-islands
-    * (lag + running flag sum). Session end = last event + gap. */
+    * (lag + running flag sum). Session end = last event + gap.
+    * Boundary semantics (verified empirically): Spark MERGES an event
+    * that lands exactly `gap` after the previous one (start == prev
+    * session end is inclusive), so the oracle opens a new session only
+    * when the lag is STRICTLY greater than the gap. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -71,7 +75,7 @@ object EventWindows {
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                       >= 1800000000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       > 1800000000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     numbered AS (
