@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunking
+import graft.text.TextFunctions
+import graft.vector.{Dedup, VectorOps}
+
+/** High-level ETL pipeline API — the user-facing equivalent of the
+  * reference's `ETLProcessor.perform_etl` (etl_processor.py:171-207):
+  * scan → normalize → chunk → annotate → fingerprint → index build, as
+  * one lazy DataFrame DAG instead of a per-file Python loop
+  * (SURVEY.md §3.1 "Spark engine equivalent").
+  *
+  * Config mirrors the reference's config tree (config/manager.py +
+  * config.json): chunk size/overlap, header levels, dedup, distance.
+  */
+object Pipeline {
+
+  /** Mirrors config.json:33-41 (scaled to the testdata's short docs). */
+  final case class EtlConfig(
+      chunkSize: Int = 200,
+      chunkOverlap: Int = 50,
+      headerLevels: Int = 4,
+      minhashHashes: Int = 8,
+      minhashBandSize: Int = 2,
+      distance: String = "cosine", // | "euclid" (index_manager.py:111)
+  )
+
+  /** Chunks table: (doc_id, chunk_idx, chunk, n_tokens, fingerprint) —
+    * the reference's per-document chunk list with ChunkMetadata
+    * (chunking_manager.py:159-176), fully columnar. */
+  def buildChunks(spark: SparkSession, dir: String, cfg: EtlConfig = EtlConfig()): DataFrame =
+    Chunking.chunkTable(Tables.documents(spark, dir), cfg.chunkSize, cfg.chunkOverlap)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        TextFunctions.tokenCount(col("chunk")).as("n_tokens"),
+        TextFunctions.fingerprint(col("chunk")).as("fingerprint"))
+
+  /** Index-point table (FIXTURES.md index_point shape): chunk text +
+    * dense vector (joined from embeddings on doc_id) + metadata —
+    * what the reference pushes into Qdrant/FAISS
+    * (index_manager.py:110-127), as a partitionable parquet-ready
+    * DataFrame. */
+  def buildIndex(spark: SparkSession, dir: String, cfg: EtlConfig = EtlConfig()): DataFrame = {
+    val chunks = buildChunks(spark, dir, cfg)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    chunks
+      .join(emb, Seq("doc_id"), "left")
+      .select(
+        concat_ws("_", col("doc_id"), col("chunk_idx")).as("id"),
+        col("chunk").as("text"),
+        col("embedding").as("dense"),
+        struct(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("fingerprint")).as("metadata"))
+  }
+
+  /** Upsert a batch of re-processed documents into an existing index —
+    * the reference's delete-then-add (J2, index_manager.py:347-368). */
+  def upsertIndex(existing: DataFrame, updates: DataFrame): DataFrame =
+    graft.meta.Upsert.upsert(existing, updates, "id")
+
+  /** Dedup report over the corpus: exact groups + near-dup candidates,
+    * the cleanup pass a training-data pipeline runs before indexing. */
+  def dedupReport(spark: SparkSession, dir: String, cfg: EtlConfig = EtlConfig()): DataFrame = {
+    val exact = Dedup.exactDupGroups(spark, dir)
+      .select(lit("exact").as("kind"), col("keep_doc_id").as("id_a"),
+        col("n_docs").cast("long").as("weight"))
+    val near = Dedup.minhashCandidatePairs(spark, dir, cfg.minhashHashes, cfg.minhashBandSize)
+      .groupBy(col("id_a")).agg(countDistinct(col("id_b")).as("weight"))
+      .select(lit("near").as("kind"), col("id_a"), col("weight"))
+    exact.unionByName(near).orderBy(col("kind"), col("id_a"))
+  }
+
+  /** Retrieval over the built index: brute-force or LSH-pruned top-k
+    * (distance per config — index_manager.py:111). */
+  def search(spark: SparkSession, dir: String, queryId: Long, k: Int,
+      cfg: EtlConfig = EtlConfig()): DataFrame =
+    cfg.distance match {
+      case "euclid" => VectorOps.l2TopK(spark, dir, queryId, k)
+      case _ => VectorOps.cosineTopK(spark, dir, queryId, k)
+    }
+}

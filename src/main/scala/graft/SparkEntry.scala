@@ -62,6 +62,7 @@ object SparkEntry {
     "text_first_long_line" -> ((s, d) => firstLongLineQuery(s, d)),
     "chunk_header_paths" -> ((s, d) => headerPathsQuery(s, d)),
     "join_range_buckets" -> ((s, d) => rangeBucketsQuery(s, d)),
+    "text_figure_splice" -> ((s, d) => figureSpliceQuery(s, d)),
     // --- dedup (north star) ---
     "dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
+    "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d)),
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
@@ -125,6 +127,7 @@ object SparkEntry {
     "text_first_long_line" -> firstLongLineSql,
     "chunk_header_paths" -> headerPathsSql,
     "join_range_buckets" -> rangeBucketsSql,
+    "text_figure_splice" -> figureSpliceSql,
     "chunk_stats" -> chunkStatsSql,
     "chunk_table" -> chunkTableSql,
     "chunk_headers" -> chunkHeadersSql,
@@ -135,6 +138,7 @@ object SparkEntry {
     "vec_cosine_topk" -> VectorOps.cosineTopKSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
+    "vec_ivf_topk" -> VectorOps.ivfTopKSql(),
     "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(),
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
@@ -346,6 +350,56 @@ object SparkEntry {
     SELECT doc_id, chunk_idx, $levels
     FROM encoded ORDER BY doc_id, chunk_idx"""
   }
+
+  /** O2: splice figure markers into documents at their content-break
+    * offsets — the reference's back-to-front string splice as an
+    * order-insensitive relational rewrite. */
+  private def figureSpliceQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), markdownize(col("text")).as("md"))
+    val lines = graft.text.MarkdownOps.lineFrame(docs, "md", Seq("doc_id"))
+    val breaks = graft.text.MarkdownOps.contentBreaks(lines, Seq("doc_id"))
+      .select(col("doc_id"), col("line_offset"))
+    graft.text.MarkdownOps.spliceAt(docs, "md", "doc_id", breaks, "line_offset", "<!-- FIG -->")
+      .select(col("doc_id"), md5(col("spliced").cast("binary")).as("spliced_md5"),
+        length(col("spliced")).cast("long").as("spliced_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def figureSpliceSql: String = s"""
+    WITH md AS (SELECT doc_id, $markdownizeSqlExpr AS m FROM documents),
+    lines AS (
+      SELECT doc_id, u.l AS line, CAST(u.i - 1 AS BIGINT) AS lineno
+      FROM md, LATERAL (SELECT unnest(string_split(m, chr(10))) AS l,
+                               generate_subscripts(string_split(m, chr(10)), 1) AS i) u),
+    offs AS (
+      SELECT doc_id, lineno,
+             COALESCE(SUM(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY lineno
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_offset,
+             line
+      FROM lines),
+    fenced AS (
+      SELECT *, COALESCE(SUM(CASE WHEN trim(line) LIKE '```%' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY lineno
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fences_before
+      FROM offs),
+    breaks AS (
+      SELECT doc_id, line_offset FROM fenced
+      WHERE (trim(line) = '' OR regexp_matches(trim(line), '^(-{3,}|\\*{3,}|_{3,})$$')
+         OR regexp_matches(line, '^#{1,6} ')) AND fences_before % 2 = 0),
+    segs AS (
+      SELECT b.doc_id, b.line_offset, m.m,
+             substr(m.m, CAST(COALESCE(LAG(b.line_offset) OVER (PARTITION BY b.doc_id ORDER BY b.line_offset), 0) + 1 AS INT),
+                    CAST(b.line_offset - COALESCE(LAG(b.line_offset) OVER (PARTITION BY b.doc_id ORDER BY b.line_offset), 0) AS INT))
+             || '<!-- FIG -->' AS seg
+      FROM breaks b JOIN md m ON b.doc_id = m.doc_id),
+    spliced AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY line_offset) ||
+             substr(ANY_VALUE(m), CAST(MAX(line_offset) + 1 AS INT)) AS s
+      FROM segs GROUP BY doc_id)
+    SELECT d.doc_id, md5(COALESCE(sp.s, d.m)) AS spliced_md5,
+           CAST(length(COALESCE(sp.s, d.m)) AS BIGINT) AS spliced_len
+    FROM md d LEFT JOIN spliced sp ON d.doc_id = sp.doc_id
+    ORDER BY d.doc_id"""
 
   /** J3b interval-containment join: orders bucketed into price ranges
     * via a broadcast range join against a generated bounds table. */

@@ -76,6 +76,39 @@ object MarkdownOps {
       .select(keys :+ col("lineno") :+ col("line_offset"): _*)
   }
 
+  /** O2: offset splice as an order-insensitive relational rewrite
+    * (SURVEY.md §4 — replaces the reference's back-to-front sequential
+    * string splice, markdown_conversion_manager.py:201-204). Each
+    * insertion offset becomes a segment [prev_offset, offset) via lag;
+    * segments + insert markers are reassembled with an ordered
+    * aggregate. No sequential dependency, so the parallel plan is free
+    * to compute segments anywhere. */
+  def spliceAt(docs: DataFrame, textCol: String, keyCol: String,
+      offsets: DataFrame, offsetCol: String, insert: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(offsetCol))
+    val segs = offsets
+      .join(docs.select(col(keyCol), col(textCol)), Seq(keyCol))
+      .withColumn("prev_off", coalesce(lag(col(offsetCol), 1).over(w), lit(0L)))
+      .select(col(keyCol), col(offsetCol), col(textCol),
+        concat(
+          col(textCol).substr((col("prev_off") + 1).cast("int"),
+            (col(offsetCol) - col("prev_off")).cast("int")),
+          lit(insert)).as("seg"))
+    val spliced = segs
+      .groupBy(col(keyCol), col(textCol))
+      .agg(
+        concat_ws("", transform(
+          sort_array(collect_list(struct(col(offsetCol).as("o"), col("seg").as("s")))),
+          x => x.getField("s"))).as("head"),
+        max(col(offsetCol)).as("last_off"))
+      .select(col(keyCol),
+        concat(col("head"),
+          col(textCol).substr((col("last_off") + 1).cast("int"), lit(1000000))).as("spliced"))
+    docs.select(col(keyCol), col(textCol))
+      .join(spliced, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("spliced"), col(textCol)).as("spliced"))
+  }
+
   /** Synthetic multi-line rendering of the single-line testdata docs:
     * every 8th space becomes a newline (same regex both engines), so
     * line operators have real line structure to chew on. */

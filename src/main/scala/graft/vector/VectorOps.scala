@@ -119,6 +119,71 @@ object VectorOps {
     FROM b, q WHERE bucket = qbucket
     ORDER BY score DESC, vec_id LIMIT $k"""
 
+  /** IVF-style ANN (the other scale path besides LSH): a deterministic
+    * one-step inverted-file index. Centroids = the first `nlist`
+    * vectors by vec_id (a deterministic seeding; a production build
+    * would k-means these — the query/partition shape is identical);
+    * every vector is assigned to its nearest centroid (its "list");
+    * a query probes the `nprobe` centroids nearest to it and scans only
+    * those lists, then exact-cosine re-ranks. At 100 TB the table is
+    * partitioned by list id, so a query touches nprobe/nlist of the
+    * data. Assignment = argmin L2 over a broadcast centroid set. */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("list_id"), col("v").as("cv"))
+    // nearest-centroid assignment via min over (dist, list_id) structs
+    def nearestLists(vcol: Column, n: Int): Column = {
+      val scored = array_sort(aggListExpr(vcol))
+      slice(transform(scored, s => s.getField("list_id")), 1, n)
+    }
+    // helper: array of (dist2 rounded for determinism, list_id)
+    def aggListExpr(vcol: Column): Column =
+      transform(
+        col("centroid_arr"),
+        c => struct(
+          round(l2Squared(vcol, c.getField("cv")), 9).as("dist2"),
+          c.getField("list_id").as("list_id")))
+    val centroidArr = centroids
+      .agg(sort_array(collect_list(struct(col("list_id"), col("cv")))).as("centroid_arr"))
+    val assigned = emb.crossJoin(broadcast(centroidArr))
+      .withColumn("list_id", element_at(nearestLists(col("v"), 1), 1))
+      .select(col("vec_id"), col("v"), col("list_id"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(centroidArr))
+      .select(col("v").as("qvec"), explode(nearestLists(col("v"), nprobe)).as("list_id"))
+    assigned.join(broadcast(q), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        round(cosine(col("v"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfTopKSql(queryId: Long = 0, k: Int = 10, nlist: Int = 16, nprobe: Int = 4): String = s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS list_id, v AS cv FROM emb WHERE vec_id < $nlist),
+    dists AS (
+      SELECT e.vec_id, e.v, c.list_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.v)),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 9) AS dist2
+      FROM emb e CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT vec_id, v, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, list_id) AS rn
+        FROM dists) t WHERE rn = 1),
+    qprobe AS (
+      SELECT d.list_id, d.v AS qvec FROM dists d
+      WHERE d.vec_id = $queryId
+      ORDER BY d.dist2, d.list_id LIMIT $nprobe)
+    SELECT a.vec_id, a.list_id,
+           ROUND(list_dot_product(a.v, q.qvec) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
+    FROM assigned a JOIN qprobe q ON a.list_id = q.list_id
+    ORDER BY score DESC, a.vec_id LIMIT $k"""
+
   /** Embedding near-duplicate pairs: bucket by sign-LSH, exact cosine
     * within buckets, keep pairs above threshold. The bucket equi-join is
     * the scale move — no O(n²) cross join ever materializes. */

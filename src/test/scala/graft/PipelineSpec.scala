@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline API (§3.1 lifecycle as one DAG). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("buildIndex produces index_point-shaped rows for every chunk") {
+    val idx = Pipeline.buildIndex(spark, sf)
+    assert(idx.columns.toSeq == Seq("id", "text", "dense", "metadata"))
+    val nChunks = Pipeline.buildChunks(spark, sf).count()
+    assert(idx.count() == nChunks)
+    // ids unique
+    assert(idx.select("id").distinct().count() == nChunks)
+    // every doc_id < 500 has an embedding joined
+    assert(idx.filter(col("metadata.doc_id") < 500 && col("dense").isNull).count() == 0)
+  }
+
+  test("upsertIndex: reprocessing a document replaces its chunks exactly once") {
+    val idx = Pipeline.buildIndex(spark, sf)
+    val updates = idx.filter(col("metadata.doc_id") === 1)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    val once = Pipeline.upsertIndex(idx, updates)
+    assert(once.count() == idx.count())
+    val twice = Pipeline.upsertIndex(once, updates)
+    assert(twice.count() == idx.count())
+    val doc1 = twice.filter(col("metadata.doc_id") === 1).select("text").as[String].collect()
+    assert(doc1.forall(_.endsWith(" v2")))
+  }
+
+  test("search dispatches on configured distance") {
+    val cos = Pipeline.search(spark, sf, 0, 5)
+    val l2 = Pipeline.search(spark, sf, 0, 5, Pipeline.EtlConfig(distance = "euclid"))
+    assert(cos.columns.contains("score") && l2.columns.contains("dist2"))
+    assert(cos.count() == 5 && l2.count() == 5)
+    // self-match first in both
+    assert(cos.head().getLong(0) == 0L && l2.head().getLong(0) == 0L)
+  }
+
+  test("dedupReport flags the exact-dup groups found by fingerprinting") {
+    val rep = Pipeline.dedupReport(spark, sf)
+    assert(rep.columns.toSeq == Seq("kind", "id_a", "weight"))
+    rep.count() // materializes both branches
+  }
+}
