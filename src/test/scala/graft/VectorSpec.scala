@@ -35,9 +35,10 @@ class VectorSpec extends SparkSpec {
       (3L, "completely different words entirely unrelated content here now"),
     ).toDF("doc_id", "text")
     docs.createOrReplaceTempView("x")
-    val sigs = (0 until 8).map(i => Dedup.minhashSig(col("sh"), i).as(s"h$i"))
+    val sigs = (0 until 8).map(i => Dedup.minhashSig(col("hs"), i).as(s"h$i"))
     val s = docs.select(col("doc_id"),
       Dedup.shingles(graft.text.TextFunctions.tokens(lower(col("text")))).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), x => md5(x)).as("hs"))
       .select(col("doc_id") +: sigs: _*)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
     assert(s(1L) == s(2L))
