@@ -37,9 +37,11 @@ object GraftFunctions {
     }
 }
 
-/** Session-extensions installer for the same functions. */
+/** Session-extensions installer: the custom functions + the NFKC
+  * idempotence optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => NfkcIdempotence)
     ext.injectFunction((FunctionIdentifier("nfkc"),
       new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc"),
       (exprs: Seq[Expression]) => NfkcNormalize(exprs.head)))

@@ -24,6 +24,46 @@ object StreamingRunner {
     StructField("props", StringType),
   ))
 
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state (§2.12 `flatMapGroupsWithState`): per-user
+    * running totals maintained in GroupState across micro-batches —
+    * the arbitrary-state API the session/window builtins don't cover.
+    * Emits the updated totals for each user seen in a batch. */
+  def runStatefulTotals(spark: SparkSession, dir: String, queryName: String = "graft_state"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+    def update(uid: Long, batch: Iterator[UserEvent],
+        state: GroupState[UserTotals]): Iterator[UserTotals] = {
+      val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+      val events = batch.toSeq
+      val next = UserTotals(uid,
+        prev.n_events + events.size,
+        prev.total_value + events.map(_.value).sum)
+      state.update(next)
+      Iterator.single(next)
+    }
+    val q = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the tumbling-window aggregation as a real stream over the
     * events parquet (file-source), watermarked, into a memory sink;
     * returns the materialized result. */
