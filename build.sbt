@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GC: throughput collector with a bounded nursery. G1's young gen
+  // scales with -Xmx and every allocation wave walks cold pages —
+  // measured 2x slower bench at -Xmx48g vs -Xmx8g on this box.
+  // ParallelGC + 2g nursery is heap-size-insensitive here
+  // (24-26s bench total at both 8g and 48g).
+  "-XX:MaxNewSize=2g",
+  "-XX:+UseParallelGC",
 )
