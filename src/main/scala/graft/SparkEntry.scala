@@ -88,6 +88,10 @@ object SparkEntry {
     "agg_monthly_orders" -> ((s, d) => Relational.monthlyOrders(s, d)),
     "agg_stats_corr" -> ((s, d) => Relational.statsSummary(s, d)),
     "agg_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(s, d)),
+    "agg_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
+    "agg_pivot_returns" -> ((s, d) => Relational.pivotReturns(s, d)),
+    "agg_unpivot_balances" -> ((s, d) => Relational.unpivotBalances(s, d)),
+    "agg_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     // --- faithful recursive chunker (§2.9 C2, custom Generator) ---
     "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
     // --- rect-merge fixpoint (§2.4 A7, flatMapGroups) ---
@@ -150,6 +154,10 @@ object SparkEntry {
     "geom_figure_ids" -> Geometry.figureIdsSql,
     "agg_monthly_orders" -> Relational.monthlyOrdersSql,
     "agg_stats_corr" -> Relational.statsSummarySql,
+    "agg_grouping_sets" -> Relational.groupingSetsSql,
+    "agg_pivot_returns" -> Relational.pivotReturnsSql,
+    "agg_unpivot_balances" -> Relational.unpivotBalancesSql,
+    "agg_percentiles" -> Relational.percentilesSql,
     // agg_approx_distinct, chunk_recursive, geom_rect_merge: engine-side
     // sketches / iterative fixpoints — rows-only check + ScalaTest.
     "mm_decode_features" -> graft.multimodal.Multimodal.decodeFeaturesSql,

@@ -347,6 +347,81 @@ object Relational {
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** GROUPING SETS (beyond rollup/cube: arbitrary set list) via the
+    * SQL surface over a registered view. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             COUNT(*) AS n,
+             ${sqlSum("l_quantity")} AS sum_qty
+      FROM lineitem_v
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY returnflag, linestatus""")
+  }
+
+  def groupingSetsSql: String = s"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY returnflag, linestatus"""
+
+  /** PIVOT: returnflag × linestatus quantity matrix with an explicit
+    * (deterministic) pivot-value list. Oracle = manual conditional
+    * aggregation, the relational algebra PIVOT sugar expands to. */
+  def pivotReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(exactSum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  def pivotReturnsSql: String = s"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** UNPIVOT/melt: wide → long over customer/supplier balances. */
+  def unpivotBalances(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_acct"),
+        (col("c_acctbal") * 2).as("bal_double"))
+      .unpivot(Array(col("key")), Array(col("bal_acct"), col("bal_double")),
+        "measure", "value")
+      .filter(col("key") % 50 === 0)
+      .orderBy(col("key"), col("measure"))
+
+  def unpivotBalancesSql: String = """
+    SELECT c_custkey AS key, 'bal_acct' AS measure, c_acctbal AS value
+    FROM customer WHERE c_custkey % 50 = 0
+    UNION ALL
+    SELECT c_custkey AS key, 'bal_double' AS measure, c_acctbal * 2 AS value
+    FROM customer WHERE c_custkey % 50 = 0
+    ORDER BY key, measure"""
+
+  /** Exact percentiles (linear interpolation — identical formula both
+    * engines; rounded defensively). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  def percentilesSql: String = """
+    SELECT o_orderstatus,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** HLL++ sketch cardinality (SURVEY.md §2.4 ABSENT→built-in
     * approx_count_distinct). Engine-specific sketch ⇒ no cross-engine
     * oracle; the driver records a rows-only check and ApproxSpec bounds
