@@ -63,6 +63,8 @@ object SparkEntry {
     "chunk_header_paths" -> ((s, d) => headerPathsQuery(s, d)),
     "join_range_buckets" -> ((s, d) => rangeBucketsQuery(s, d)),
     "text_figure_splice" -> ((s, d) => figureSpliceQuery(s, d)),
+    "text_rolling_hash" -> ((s, d) => rollingHashQuery(s, d)),
+    "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     // --- dedup (north star) ---
     "dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
@@ -132,6 +134,8 @@ object SparkEntry {
     "chunk_header_paths" -> headerPathsSql,
     "join_range_buckets" -> rangeBucketsSql,
     "text_figure_splice" -> figureSpliceSql,
+    "text_rolling_hash" -> rollingHashSql,
+    "sample_stratified" -> stratifiedSampleSql,
     "chunk_stats" -> chunkStatsSql,
     "chunk_table" -> chunkTableSql,
     "chunk_headers" -> chunkHeadersSql,
@@ -408,6 +412,52 @@ object SparkEntry {
            CAST(length(COALESCE(sp.s, d.m)) AS BIGINT) AS spliced_len
     FROM md d LEFT JOIN spliced sp ON d.doc_id = sp.doc_id
     ORDER BY d.doc_id"""
+
+  /** Rolling-hash document fingerprints: whole-doc polynomial hash +
+    * winnowing-style k-gram minimum. */
+  private def rollingHashQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .transform(graft.Parallelism.ensure(s))
+      .select(col("doc_id"),
+        TextFunctions.rollingHash(col("text")).as("doc_hash"),
+        TextFunctions.kgramMinFingerprint(col("text")).as("kgram_min"))
+      .orderBy(col("doc_id"))
+
+  private def rollingHashSql: String = """
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, GREATEST(length(text), 1)),
+                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS doc_hash,
+           list_min(list_transform(generate_series(1, GREATEST(length(text) - 7, 1)),
+                    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 7),
+                         j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+                         (acc, x) -> (acc * 31 + x) % 2147483647))) AS kgram_min
+    FROM documents ORDER BY doc_id"""
+
+  /** Deterministic hash-based sampling + split assignment — the
+    * reproducible train/valid/test partitioning a training-data
+    * pipeline needs (content-addressed, seed-stable, no RNG state). */
+  private def stratifiedSampleQuery(s: SparkSession, d: String): DataFrame = {
+    val bucket = TextFunctions.md5Long(concat(lit("seed42|"), col("doc_id"))) % 100
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private def stratifiedSampleSql: String = """
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CAST('0x' || substr(md5('seed42|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** J3b interval-containment join: orders bucketed into price ranges
     * via a broadcast range join against a generated bounds table. */

@@ -132,4 +132,29 @@ object TextFunctions {
     * agrees bit-for-bit with Spark's `conv`. */
   def md5Long(c: Column): Column =
     conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast("long")
+
+  /** Polynomial rolling hash of the whole text (Rabin-Karp base-31 mod
+    * 2^31-1): a left fold over code points — identical sequential
+    * evaluation in the oracle's list_reduce. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), greatest(length(c), lit(1))),
+        i => ascii(c.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 2147483647L)
+
+  /** k-gram rolling fingerprints (the document-fingerprinting
+    * primitive): hash of every k-char window; summarized by the window
+    * minimum — the winnowing-style representative fingerprint. */
+  def kgramMinFingerprint(c: Column, k: Int = 8): Column = {
+    val n = length(c)
+    val hashes = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => aggregate(
+        transform(sequence(lit(0), lit(k - 1)),
+          j => ascii(c.substr((i + j).cast("int"), lit(1))).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 2147483647L))
+    array_min(hashes)
+  }
 }
