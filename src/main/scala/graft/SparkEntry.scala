@@ -101,6 +101,7 @@ object SparkEntry {
     // --- multimodal columns (§2.10 / north star) ---
     "mm_decode_features" -> ((s, d) => graft.multimodal.Multimodal.decodeFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.sampleFrames(s, d)),
+    "mm_resize_fit" -> ((s, d) => graft.multimodal.Multimodal.resizeFit(s, d)),
     // --- event-time windows (§2.12) ---
     "events_tumbling" -> ((s, d) => EventWindows.tumbling(s, d)),
     "events_sliding" -> ((s, d) => EventWindows.sliding(s, d)),
@@ -166,6 +167,7 @@ object SparkEntry {
     // sketches / iterative fixpoints — rows-only check + ScalaTest.
     "mm_decode_features" -> graft.multimodal.Multimodal.decodeFeaturesSql,
     "mm_frame_sample" -> graft.multimodal.Multimodal.sampleFramesSql(),
+    "mm_resize_fit" -> graft.multimodal.Multimodal.resizeFitSql(),
     "events_tumbling" -> EventWindows.tumblingSql,
     "events_sliding" -> EventWindows.slidingSql,
     "events_session" -> EventWindows.sessionsSql,

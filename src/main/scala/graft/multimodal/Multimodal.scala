@@ -86,6 +86,44 @@ object Multimodal {
            CAST(length(text) // 100 + 1 AS BIGINT) AS n_frames
     FROM documents ORDER BY doc_id"""
 
+  /** Resize stage (STUB — real pixel resampling needs a codec): given
+    * decoded (width, height) metadata, compute the aspect-preserving
+    * fit into a target box and the scale factor — the metadata half of
+    * an image-resize operator, as exact integer/rational arithmetic so
+    * it oracle-checks. A real resize would add a mapPartitions stage
+    * transforming the payload with these parameters. */
+  def resizeFit(spark: SparkSession, dir: String, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    val feats = decodeFeatures(spark, dir)
+      // stub dims can be 0 (n_bytes % 640 == 0); clamp to 1 like a
+      // real decoder would reject empty frames
+      .select(col("doc_id"), col("format"),
+        greatest(col("width"), lit(1L)).as("w"),
+        greatest(col("height"), lit(1L)).as("h"))
+    feats.select(
+      col("doc_id"), col("format"), col("w"), col("h"),
+      least(lit(maxW) / col("w"), lit(maxH) / col("h"), lit(1.0)).as("scale"))
+      .select(col("doc_id"), col("format"), col("w"), col("h"),
+        floor(col("w") * col("scale")).cast("long").as("out_w"),
+        floor(col("h") * col("scale")).cast("long").as("out_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  def resizeFitSql(maxW: Int = 256, maxH: Int = 256): String = s"""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+             GREATEST(CAST(length(text) % 640 AS BIGINT), 1) AS w,
+             GREATEST(CAST((length(text) * 7) % 480 AS BIGINT), 1) AS h
+      FROM documents),
+    scaled AS (
+      SELECT doc_id, format, w, h,
+             LEAST(CAST($maxW AS DOUBLE) / w, CAST($maxH AS DOUBLE) / h, 1.0e0) AS scale
+      FROM feats)
+    SELECT doc_id, format, w, h,
+           CAST(FLOOR(w * scale) AS BIGINT) AS out_w,
+           CAST(FLOOR(h * scale) AS BIGINT) AS out_h
+    FROM scaled ORDER BY doc_id"""
+
   /** Frame sampling for "video" payloads: explode the payload into
     * fixed-size frame slices (every k-th frame kept) — the shape of a
     * video frame-sampling stage, as pure relational explode. */
