@@ -1,0 +1,82 @@
+package graft.geom
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation
+  * — the 100 TB path for the A7 rect-merge (SURVEY.md §2.4: "at scale:
+  * iterative self-join on overlap predicate + min(component_id)
+  * propagation until fixpoint"). [[RectMerge]] handles the real
+  * per-page case (tiny independent groups); this operator is for when
+  * a single group's edge set no longer fits one task.
+  *
+  * Each round: every node takes the min label over itself and its
+  * neighbors (one join + one aggregate, both on the node key);
+  * convergence when no label changes. Rounds = graph diameter in the
+  * worst case; each round is shuffle-bound, not memory-bound. The
+  * driver-side loop holds only a changed-count, never data.
+  */
+object ConnectedComponents {
+
+  /** edges: (src, dst) undirected. Returns (node, component) where
+    * component = min node id reachable. */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("component", col("node")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Component-merged rects over the synthetic figure frame: overlap
+    * edges per (doc, page), components via propagation, then the A6
+    * union aggregate per component — the relational equivalent of
+    * RectMerge for one round of closure (components of the ORIGINAL
+    * overlap graph; RectMerge additionally re-tests merged rects). */
+  def componentRects(spark: SparkSession, dir: String, tol: Double = 40.0): DataFrame = {
+    val r = Geometry.syntheticRects(spark, dir)
+      .withColumn("node", col("doc") * 1000000L + col("page") * 10000L + col("fig_key") % 10000L)
+    val a = r.select(col("doc"), col("page"), col("node").as("src"),
+      col("x0").as("ax0"), col("y0").as("ay0"), col("x1").as("ax1"), col("y1").as("ay1"))
+    val b = r.select(col("doc"), col("page"), col("node").as("dst"),
+      col("x0").as("bx0"), col("y0").as("by0"), col("x1").as("bx1"), col("y1").as("by1"))
+    val edges = a.join(b, Seq("doc", "page"))
+      .filter(col("src") < col("dst"))
+      .filter(Geometry.overlaps(col("ax0"), col("ay0"), col("ax1"), col("ay1"),
+        col("bx0"), col("by0"), col("bx1"), col("by1"), tol))
+      .select(col("src"), col("dst"))
+    val comps = labelPropagation(spark, edges)
+      .withColumnRenamed("node", "comp_node")
+    r.join(comps, col("node") === col("comp_node"), "left")
+      .select(col("doc"), col("page"),
+        coalesce(col("component"), col("node")).as("component"),
+        col("x0"), col("y0"), col("x1"), col("y1"))
+      .groupBy(col("doc"), col("page"), col("component"))
+      .agg(min(col("x0")).as("ux0"), min(col("y0")).as("uy0"),
+        max(col("x1")).as("ux1"), max(col("y1")).as("uy1"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("doc"), col("page"), col("component"))
+  }
+}
