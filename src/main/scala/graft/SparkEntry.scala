@@ -48,6 +48,7 @@ object SparkEntry {
     "win_lead_order_gaps" -> ((s, d) => Relational.orderGaps(s, d)),
     "win_topn_per_customer" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "sort_topk_lineitems" -> ((s, d) => Relational.topLineitems(s, d)),
+    "sort_zorder_parts" -> ((s, d) => Relational.zorderParts(s, d)),
     "setop_except_custkeys" -> ((s, d) => Relational.setOpsCustkeys(s, d)),
     "setop_intersect_custkeys" -> ((s, d) => Relational.intersectCustkeys(s, d)),
     // --- text layer (§2.8 F1–F9, north-star text analysis) ---
@@ -125,6 +126,7 @@ object SparkEntry {
     "win_lead_order_gaps" -> Relational.orderGapsSql,
     "win_topn_per_customer" -> Relational.topOrdersPerCustomerSql,
     "sort_topk_lineitems" -> Relational.topLineitemsSql,
+    "sort_zorder_parts" -> Relational.zorderPartsSql,
     "setop_except_custkeys" -> Relational.setOpsCustkeysSql,
     "setop_intersect_custkeys" -> Relational.intersectCustkeysSql,
     "text_normalize" -> textNormalizeSql,

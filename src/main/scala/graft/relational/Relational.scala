@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Exact._
@@ -434,6 +434,43 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"),
       )
       .orderBy(col("l_returnflag"))
+
+  /** Z-order curve value for two bounded integer dimensions — the
+    * multi-dimensional clustering key for data-skipping layouts: rows
+    * sorted/range-partitioned by z-value keep both dimensions locally
+    * clustered, so parquet row-group min/max stats prune on EITHER
+    * predicate. Pure bit-interleave arithmetic (portable to the
+    * oracle). */
+  def zorderValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      val xbit = shiftright(x, i).bitwiseAND(1).cast("long") * (1L << (2 * i))
+      val ybit = shiftright(y, i).bitwiseAND(1).cast("long") * (1L << (2 * i + 1))
+      xbit + ybit
+    }.reduce(_ + _)
+
+  /** Parts clustered by z-order of (size, price bucket): the layout a
+    * 100 TB table would be written in to serve both size- and
+    * price-range scans. */
+  def zorderParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("long").as("size"),
+        floor(col("p_retailprice") / lit(100)).cast("long").as("price_bucket"))
+      .withColumn("zval", zorderValue(col("size"), col("price_bucket"), 6))
+      .orderBy(col("zval"), col("p_partkey"))
+      .limit(100)
+
+  def zorderPartsSql: String = {
+    val z = (0 until 6).map { i =>
+      s"((size >> $i) & 1) * ${1L << (2 * i)} + ((price_bucket >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""
+    WITH p AS (
+      SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+             CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket
+      FROM part)
+    SELECT p_partkey, size, price_bucket, CAST($z AS BIGINT) AS zval
+    FROM p ORDER BY zval, p_partkey LIMIT 100"""
+  }
 
   /** INTERSECT: customers active in both halves of the order history. */
   def intersectCustkeys(spark: SparkSession, dir: String): DataFrame = {
