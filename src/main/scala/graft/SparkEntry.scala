@@ -51,6 +51,8 @@ object SparkEntry {
     "sort_zorder_parts" -> ((s, d) => Relational.zorderParts(s, d)),
     "setop_except_custkeys" -> ((s, d) => Relational.setOpsCustkeys(s, d)),
     "setop_intersect_custkeys" -> ((s, d) => Relational.intersectCustkeys(s, d)),
+    "sub_correlated_orders" -> ((s, d) => Relational.ordersAboveCustomerAvg(s, d)),
+    "sub_scalar_rich_idle" -> ((s, d) => Relational.richIdleCustomers(s, d)),
     // --- text layer (§2.8 F1–F9, north-star text analysis) ---
     "text_normalize" -> ((s, d) => textNormalize(s, d)),
     "text_tokens" -> ((s, d) => textTokens(s, d)),
@@ -129,6 +131,8 @@ object SparkEntry {
     "sort_zorder_parts" -> Relational.zorderPartsSql,
     "setop_except_custkeys" -> Relational.setOpsCustkeysSql,
     "setop_intersect_custkeys" -> Relational.intersectCustkeysSql,
+    "sub_correlated_orders" -> Relational.ordersAboveCustomerAvgSql,
+    "sub_scalar_rich_idle" -> Relational.richIdleCustomersSql,
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,
     "text_lang_id" -> textLangIdSql,

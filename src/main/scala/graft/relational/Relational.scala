@@ -435,6 +435,56 @@ object Relational {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Correlated scalar subquery (Catalyst decorrelates it into an
+    * aggregate + join — SURVEY.md §4 "subquery decorrelation"): orders
+    * priced above 1.5× their customer's average order. */
+  def ordersAboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(s"""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_v o
+      WHERE o_totalprice > 1.5 * (
+        SELECT ${Exactish("o_totalprice")} / COUNT(*)
+        FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_custkey, o_orderkey""")
+  }
+
+  private def Exactish(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def ordersAboveCustomerAvgSql: String = s"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT ${Exactish("o_totalprice")} / COUNT(*)
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** Q22-style: well-funded customers (balance above the positive-
+    * balance average, an uncorrelated scalar subquery) with no orders
+    * (anti-join), counted per nation prefix. */
+  def richIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v2")
+    spark.sql(s"""
+      SELECT c_nationkey, COUNT(*) AS n_customers,
+             ${Exactish("c_acctbal")} AS total_bal
+      FROM customer_v c
+      WHERE c_acctbal > (SELECT ${Exactish("c_acctbal")} / COUNT(*)
+                         FROM customer_v WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders_v2 WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
+  def richIdleCustomersSql: String = s"""
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           ${Exactish("c_acctbal")} AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT ${Exactish("c_acctbal")} / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   /** Z-order curve value for two bounded integer dimensions — the
     * multi-dimensional clustering key for data-skipping layouts: rows
     * sorted/range-partitioned by z-value keep both dimensions locally
