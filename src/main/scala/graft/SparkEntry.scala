@@ -68,6 +68,7 @@ object SparkEntry {
     "text_figure_splice" -> ((s, d) => figureSpliceQuery(s, d)),
     "text_rolling_hash" -> ((s, d) => rollingHashQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
+    "chunk_cdc" -> ((s, d) => cdcChunksQuery(s, d)),
     // --- dedup (north star) ---
     "dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "text_figure_splice" -> figureSpliceSql,
     "text_rolling_hash" -> rollingHashSql,
     "sample_stratified" -> stratifiedSampleSql,
+    "chunk_cdc" -> cdcChunksSql,
     "chunk_stats" -> chunkStatsSql,
     "chunk_table" -> chunkTableSql,
     "chunk_headers" -> chunkHeadersSql,
@@ -441,6 +443,44 @@ object SparkEntry {
                          j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
                          (acc, x) -> (acc * 31 + x) % 2147483647))) AS kgram_min
     FROM documents ORDER BY doc_id"""
+
+  /** Content-defined chunking over the corpus: chunk table keyed by
+    * rolling-hash boundaries (shift-resistant dedup chunking). */
+  private def cdcChunksQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .transform(graft.Parallelism.ensure(s))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(Chunking.cdcChunks(col("text"))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private def cdcChunksSql: String = """
+    WITH hashes AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_filter(generate_series(1, GREATEST(length(text) - 7, 1)),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(0, 7),
+                        j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+                      (acc, x) -> (acc * 31 + x) % 2147483647) % 64 = 0) AS bounds
+      FROM documents WHERE length(text) > 0),
+    spans AS (
+      SELECT doc_id, text,
+             list_sort(list_distinct(list_append(
+               list_transform(bounds, b -> CAST(b + 7 AS BIGINT)), CAST(n AS BIGINT)))) AS ends
+      FROM hashes),
+    chunks AS (
+      SELECT doc_id,
+             CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+             substr(text,
+                    CAST(CASE WHEN u.i = 1 THEN 0 ELSE ends[u.i - 1] END + 1 AS INT),
+                    CAST(ends[u.i] - (CASE WHEN u.i = 1 THEN 0 ELSE ends[u.i - 1] END) AS INT)) AS chunk
+      FROM spans, LATERAL (SELECT unnest(generate_series(1, len(ends))) AS i) u)
+    SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
+           CAST(length(chunk) AS BIGINT) AS chunk_len
+    FROM chunks ORDER BY doc_id, chunk_idx"""
 
   /** Deterministic hash-based sampling + split assignment — the
     * reproducible train/valid/test partitioning a training-data

@@ -78,6 +78,33 @@ object Chunking {
   def headerTitle(chunk: Column): Column =
     regexp_extract(chunk, "^#{1,6} ([^\n]*)", 1)
 
+  /** Content-defined chunking (CDC): boundaries where the k-gram
+    * rolling hash ≡ 0 (mod divisor) — the shift-resistant chunking used
+    * for dedup-friendly storage (an insertion only remints the chunks
+    * it touches, unlike fixed-stride). Boundary positions come from the
+    * same Rabin-Karp window hash as text_rolling_hash; chunks are the
+    * substrings between consecutive boundaries. Pure higher-order
+    * expressions, oracle-expressible. */
+  def cdcChunks(text: Column, k: Int = 8, divisor: Int = 64): Column = {
+    val n = length(text)
+    val hashAt = (i: Column) => aggregate(
+      transform(sequence(lit(0), lit(k - 1)),
+        j => ascii(text.substr((i + j).cast("int"), lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 2147483647L)
+    // candidate boundary AFTER position i+k-1 when window hash divides
+    val bounds = filter(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => hashAt(i) % divisor === 0)
+    // chunk spans: [prev_end+1, boundary+k-1], final chunk to n
+    val ends = array_sort(array_distinct(
+      concat(transform(bounds, b => b + (k - 1)), array(n.cast("long")))))
+    val starts = concat(array(lit(0L)),
+      slice(ends, lit(1), greatest(size(ends) - 1, lit(0))))
+    zip_with(starts, ends,
+      (start, end) => text.substr((start + 1).cast("int"), (end - start).cast("int")))
+  }
+
   /** C1 hierarchical header-path metadata (the reference's
     * headers-as-metadata semantic, chunking_manager.py:160-164): for
     * every chunk, the ACTIVE heading at each level 1..maxLevel — a

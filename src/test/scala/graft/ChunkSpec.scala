@@ -45,6 +45,24 @@ class ChunkSpec extends SparkSpec {
     assert(viaGen.map(_._2) == direct.indices.map(_.toLong))
   }
 
+  test("CDC chunks reconstruct the text and resist prefix shifts") {
+    // aperiodic deterministic text so window hashes vary enough for
+    // boundaries to occur (a short periodic string can have no
+    // boundary-hash at all)
+    val text = (1 to 300).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    def chunksOf(t: String): Seq[String] =
+      Seq(t).toDF("text").select(Chunking.cdcChunks(col("text")))
+        .as[Seq[String]].head()
+    val base = chunksOf(text)
+    assert(base.mkString == text)
+    // insert a prefix: fixed-stride would shift EVERY chunk; CDC must
+    // leave the tail chunks (past the first re-synced boundary) intact
+    val shifted = chunksOf("INSERTED PREFIX " + text)
+    assert(shifted.mkString == "INSERTED PREFIX " + text)
+    val common = base.toSet.intersect(shifted.toSet)
+    assert(common.nonEmpty, "no shared chunks after prefix insertion — not content-defined")
+  }
+
   test("ChunkSplit generator emits nothing for null text") {
     val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
       .select(chunk_split(col("text"), 100, 20)).count()
