@@ -79,6 +79,7 @@ object SparkEntry {
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
+    "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearch(s, d)),
     "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d)),
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),

@@ -64,6 +64,37 @@ object StreamingRunner {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join (§2.12): views joined to the clicks
+    * that follow them within 30 minutes for the same user — both sides
+    * watermarked so state is bounded. Same join predicate as the batch
+    * form in StreamingSpec's parity assertion. */
+  def runStreamStreamJoin(spark: SparkSession, dir: String, queryName: String = "graft_ssj"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(kind: String, alias: String) = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === kind)
+      .select(col("user_id").as(s"${alias}_user"), col("event_id").as(s"${alias}_id"),
+        col("ts").as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = side("view", "v").join(side("click", "c"),
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("v_id"), col("c_id"),
+        unix_micros(col("v_ts")).as("v_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the tumbling-window aggregation as a real stream over the
     * events parquet (file-source), watermarked, into a memory sink;
     * returns the materialized result. */

@@ -1,0 +1,101 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Lloyd's k-means over embedding vectors — the trained stage of an
+  * IVF index (VectorOps.ivfTopK seeds deterministically; this refines
+  * the centroids). Built for the cluster execution model:
+  *   - centroids are O(k·dim) — always broadcast, never shuffled;
+  *   - assignment is a map-side broadcast join over the full table;
+  *   - the update step is one (cluster, dim) aggregate — partial
+  *     map-side combine makes the shuffle O(k·dim), not O(rows);
+  *   - the driver loop holds only the iteration counter; centroid
+  *     DataFrames are re-broadcast each round.
+  * Determinism: centroid components are rounded to 9 dp every round, so
+  * runs are bit-reproducible regardless of aggregation order having
+  * produced 1-ulp differences.
+  */
+object KMeans {
+
+  /** Squared-L2 nearest-centroid id from a broadcast centroid array
+    * column (array of struct(list_id, cv)). */
+  private def nearestCentroid(v: Column): Column = {
+    val scored = array_sort(transform(
+      col("centroid_arr"),
+      c => struct(
+        round(VectorOps.l2Squared(v, c.getField("cv")), 9).as("dist2"),
+        c.getField("list_id").as("list_id"))))
+    element_at(scored, 1).getField("list_id")
+  }
+
+  private def centroidArr(centroids: DataFrame): DataFrame =
+    centroids.agg(sort_array(collect_list(struct(col("list_id"), col("cv")))).as("centroid_arr"))
+
+  /** Train centroids: deterministic seed (first k by vec_id) + `iters`
+    * Lloyd rounds. Returns (list_id, cv). */
+  def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("list_id"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = emb
+        .crossJoin(broadcast(centroidArr(centroids)))
+        .withColumn("list_id", nearestCentroid(col("v")))
+        .select(col("list_id"), col("v"))
+      val means = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("list_id"), col("dim"))
+        .agg(round(avg(col("x")), 9).as("m"))
+        .groupBy(col("list_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      // empty clusters keep their previous centroid
+      centroids = centroids.select(col("list_id"), col("cv").as("old_cv"))
+        .join(means, Seq("list_id"), "left")
+        .select(col("list_id"), coalesce(col("cv"), col("old_cv")).as("cv"))
+    }
+    centroids
+  }
+
+  /** Mean within-cluster squared distance (inertia) of an assignment —
+    * the convergence metric. */
+  def inertia(emb: DataFrame, centroids: DataFrame): Double = {
+    val arr = centroidArr(centroids)
+    emb.crossJoin(broadcast(arr))
+      .select(element_at(array_sort(transform(
+        col("centroid_arr"),
+        c => round(VectorOps.l2Squared(col("v"), c.getField("cv")), 9))), 1).as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+  }
+
+  /** IVF search with trained centroids: probe the nprobe nearest lists,
+    * exact cosine re-rank inside them. */
+  def ivfSearch(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val centroids = fit(spark, emb, nlist, iters)
+    val arr = centroidArr(centroids)
+    def probeLists(v: Column, n: Int): Column = {
+      val scored = array_sort(transform(
+        col("centroid_arr"),
+        c => struct(
+          round(VectorOps.l2Squared(v, c.getField("cv")), 9).as("dist2"),
+          c.getField("list_id").as("list_id"))))
+      slice(transform(scored, s => s.getField("list_id")), 1, n)
+    }
+    val assigned = emb.crossJoin(broadcast(arr))
+      .withColumn("list_id", nearestCentroid(col("v")))
+      .select(col("vec_id"), col("v"), col("list_id"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(arr))
+      .select(col("v").as("qvec"), explode(probeLists(col("v"), nprobe)).as("list_id"))
+    assigned.join(broadcast(q), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        round(VectorOps.cosine(col("v"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+}
