@@ -51,6 +51,8 @@ object SparkEntry {
     "sort_zorder_parts" -> ((s, d) => Relational.zorderParts(s, d)),
     "setop_except_custkeys" -> ((s, d) => Relational.setOpsCustkeys(s, d)),
     "setop_intersect_custkeys" -> ((s, d) => Relational.intersectCustkeys(s, d)),
+    "q7_nation_trade" -> ((s, d) => Relational.nationTradeVolume(s, d)),
+    "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
     "sub_correlated_orders" -> ((s, d) => Relational.ordersAboveCustomerAvg(s, d)),
     "sub_scalar_rich_idle" -> ((s, d) => Relational.richIdleCustomers(s, d)),
     // --- text layer (§2.8 F1–F9, north-star text analysis) ---
@@ -133,6 +135,8 @@ object SparkEntry {
     "sort_zorder_parts" -> Relational.zorderPartsSql,
     "setop_except_custkeys" -> Relational.setOpsCustkeysSql,
     "setop_intersect_custkeys" -> Relational.intersectCustkeysSql,
+    "q7_nation_trade" -> Relational.nationTradeVolumeSql,
+    "q10_returned_revenue" -> Relational.returnedItemRevenueSql,
     "sub_correlated_orders" -> Relational.ordersAboveCustomerAvgSql,
     "sub_scalar_rich_idle" -> Relational.richIdleCustomersSql,
     "text_normalize" -> textNormalizeSql,

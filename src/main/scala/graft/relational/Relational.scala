@@ -435,6 +435,67 @@ object Relational {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Q7-style: shipping volume between two nations by year — the
+    * classic two-sided dimension filter + date extraction. */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("c_nk"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.select(col("c_custkey"), col("cust_nation"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp.select(col("s_suppkey"), col("supp_nation"))), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("volume"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  def nationTradeVolumeSql: String = s"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           ${sqlSum("l_extendedprice*(1-l_discount)", 4)} AS volume,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10
+    ORDER BY 1, 2, 3"""
+
+  /** Q10-style: revenue lost to returned items per customer, top 20. */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("lost_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  def returnedItemRevenueSql: String = s"""
+    SELECT c_custkey, c_name, c_mktsegment,
+           ${sqlSum("l_extendedprice*(1-l_discount)", 4)} AS lost_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey LIMIT 20"""
+
   /** Correlated scalar subquery (Catalyst decorrelates it into an
     * aggregate + join — SURVEY.md §4 "subquery decorrelation"): orders
     * priced above 1.5× their customer's average order. */

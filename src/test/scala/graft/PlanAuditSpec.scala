@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression guards (PLANS.md made executable): the
+  * optimizations the 100 TB design depends on must stay in the plans. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executedPlanString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+  private def simpleString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter pushed into the parquet scan") {
+    val s = simpleString(relational.Relational.pricingSummary(spark, sf))
+    assert(s.contains("PushedFilters") && s.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: only needed lineitem columns read (pruning)") {
+    val s = simpleString(relational.Relational.pricingSummary(spark, sf))
+    assert(!s.contains("l_comment") && !s.contains("l_partkey"),
+      "scan should not read unused columns")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject") {
+    val s = simpleString(relational.Relational.topLineitems(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"))
+  }
+
+  test("cosine top-k plans without any shuffle exchange") {
+    val s = simpleString(vector.VectorOps.cosineTopK(spark, sf))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "brute-force scoring must not shuffle the embeddings table")
+  }
+
+  test("q5 keeps all dimensions broadcast at execution time") {
+    val s = executedPlanString(relational.Relational.regionRevenue(spark, sf))
+    assert(s.contains("BroadcastHashJoin"))
+    assert(!s.contains("SortMergeJoin"), "dimensions must not sort-merge")
+  }
+
+  test("normalization chain stays in one codegen stage with the scan") {
+    val df = Tables.documents(spark, sf)
+      .select(functions.Nfkc.nfkc(text.TextFunctions.normalize(
+        org.apache.spark.sql.functions.col("text"))))
+    val s = simpleString(df)
+    // '*(n)' prefixes mark WholeStageCodegen stages in toString; the
+    // whole expression chain must sit in stage 1 with the scan, with no
+    // exchange in between
+    assert(s.contains("*(1) Project"))
+    assert(!s.contains("Exchange"))
+  }
+}
