@@ -20,9 +20,9 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanos long (legacy conf) and convert
-    * to a microsecond timestamp (the testdata's ts values are µs-aligned
-    * so the ns→µs division is exact). */
+    * reader rejects; read it as a nanos long (legacy conf) and TRUNCATE
+    * to a microsecond timestamp — the same ns→µs truncation DuckDB's
+    * epoch_us applies, so both engines see identical values. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
