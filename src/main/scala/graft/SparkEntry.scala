@@ -71,6 +71,10 @@ object SparkEntry {
     "text_rolling_hash" -> ((s, d) => rollingHashQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "chunk_cdc" -> ((s, d) => cdcChunksQuery(s, d)),
+    "text_bpe_subwords" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.BpeTokenizer.subwordCounts(s, docs, graft.text.BpeTokenizer.train(s, docs, 50))
+    }),
     // --- dedup (north star) ---
     "dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),

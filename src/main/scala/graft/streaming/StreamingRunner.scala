@@ -64,6 +64,32 @@ object StreamingRunner {
     spark.table(queryName)
   }
 
+  /** Streaming dropDuplicates with watermark (§2.12): exactly-once by
+    * (user_id, event_type, minute) inside the watermark horizon — the
+    * streaming form of EventWindows.dedupWithinWatermark (which keeps
+    * min event_id; streaming keeps first-arrival, so parity is on the
+    * KEY SET, not the representative). */
+  def runStreamingDedup(spark: SparkSession, dir: String, queryName: String = "graft_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val deduped = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("minute_us", unix_micros(col("ts")) - unix_micros(col("ts")) % 60000000L)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type", "minute_us")
+      .select(col("user_id"), col("event_type"), col("minute_us"))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream interval join (§2.12): views joined to the clicks
     * that follow them within 30 minutes for the same user — both sides
     * watermarked so state is bounded. Same join predicate as the batch

@@ -20,6 +20,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dropDuplicates-with-watermark yields the batch key set") {
+    import spark.implicits._
+    val streamed = streaming.StreamingRunner
+      .runStreamingDedup(spark, sf, "graft_dedup_spec")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = streaming.EventWindows.dedupWithinWatermark(spark, sf)
+      .select("user_id", "event_type", "minute_us")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join equals the batch join") {
     import spark.implicits._
     val streamed = streaming.StreamingRunner
