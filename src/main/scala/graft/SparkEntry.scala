@@ -71,6 +71,7 @@ object SparkEntry {
     "text_rolling_hash" -> ((s, d) => rollingHashQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "chunk_cdc" -> ((s, d) => cdcChunksQuery(s, d)),
+    "text_page_anchors" -> ((s, d) => pageAnchorsQuery(s, d)),
     "text_bpe_subwords" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.text.BpeTokenizer.subwordCounts(s, docs, graft.text.BpeTokenizer.train(s, docs, 50))
@@ -154,6 +155,7 @@ object SparkEntry {
     "text_rolling_hash" -> rollingHashSql,
     "sample_stratified" -> stratifiedSampleSql,
     "chunk_cdc" -> cdcChunksSql,
+    "text_page_anchors" -> pageAnchorsSql,
     "chunk_stats" -> chunkStatsSql,
     "chunk_table" -> chunkTableSql,
     "chunk_headers" -> chunkHeadersSql,
@@ -452,6 +454,50 @@ object SparkEntry {
                          j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
                          (acc, x) -> (acc * 31 + x) % 2147483647))) AS kgram_min
     FROM documents ORDER BY doc_id"""
+
+  /** Page-anchor map over the markdownized corpus (F10/F11/W1/W2
+    * composite — SURVEY.md §1's page-anchor table). */
+  private def pageAnchorsQuery(s: SparkSession, d: String): DataFrame =
+    graft.text.MarkdownOps.pageAnchors(
+      Tables.documents(s, d).select(col("doc_id"), markdownize(col("text")).as("md")),
+      "doc_id", "md")
+
+  private def pageAnchorsSql: String = s"""
+    WITH md AS (SELECT doc_id, $markdownizeSqlExpr AS m FROM documents),
+    lines AS (
+      SELECT doc_id, u.l AS line, CAST(u.i - 1 AS BIGINT) AS lineno
+      FROM md, LATERAL (SELECT unnest(string_split(m, chr(10))) AS l,
+                               generate_subscripts(string_split(m, chr(10)), 1) AS i) u),
+    paged AS (
+      SELECT doc_id, line, lineno,
+             CAST(LEAST(FLOOR(lineno / CEIL(COUNT(*) OVER (PARTITION BY doc_id) / 4)), 3) AS BIGINT) + 1 AS page
+      FROM lines),
+    firsts AS (
+      SELECT doc_id, page,
+             array_to_string(list_slice(string_split_regex(trim(arg_min(line, lineno)), '\\s+'), 1, 5), ' ') AS snippet
+      FROM paged GROUP BY doc_id, page),
+    searched AS (
+      SELECT f.doc_id, f.page,
+             CASE WHEN length(f.snippet) > 0
+                  THEN NULLIF(strpos(m.m, f.snippet), 0) - 1 END AS found,
+             length(m.m) AS text_len
+      FROM firsts f JOIN md m ON f.doc_id = m.doc_id),
+    carried AS (
+      SELECT doc_id, page, text_len,
+             LAST_VALUE(found IGNORE NULLS) OVER
+               (PARTITION BY doc_id ORDER BY page
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM searched),
+    mono AS (
+      SELECT doc_id, page, text_len,
+             CAST(MAX(COALESCE(c, 0)) OVER
+               (PARTITION BY doc_id ORDER BY page
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS anchor
+      FROM carried)
+    SELECT doc_id, page, anchor,
+           COALESCE(LEAD(anchor, 1) OVER (PARTITION BY doc_id ORDER BY page),
+                    CAST(text_len AS BIGINT)) AS range_end
+    FROM mono ORDER BY doc_id, page"""
 
   /** Content-defined chunking over the corpus: chunk table keyed by
     * rolling-hash boundaries (shift-resistant dedup chunking). */

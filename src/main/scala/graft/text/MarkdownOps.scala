@@ -76,6 +76,63 @@ object MarkdownOps {
       .select(keys :+ col("lineno") :+ col("line_offset"): _*)
   }
 
+  /** The page-anchor pipeline (SURVEY.md §1 "page-anchor map" +
+    * §2.8 F10/F11 + §2.5 W1/W2) — the reference's costliest stage
+    * (markdown_manager.py:196-250) as one relational program:
+    *   1. pages are assigned (here: contiguous line blocks of the
+    *      synthesized markdown — the testdata has no real PDF pages);
+    *   2. each page's anchor snippet is its first line's first
+    *      `snippetTokens` tokens (F10 builds a regex from these; with
+    *      plain text a literal search is exact);
+    *   3. the snippet is searched in the full document text (F11's
+    *      `rx.search`); misses carry the previous anchor forward
+    *      (last non-null over page order);
+    *   4. anchors are forced monotone by a running max (W1,
+    *      markdown_manager.py:245-249);
+    *   5. each page's character range ends at the next page's anchor
+    *      (W2, lead), defaulting to the text length.
+    */
+  def pageAnchors(docs: DataFrame, keyCol: String, textCol: String,
+      pagesPerDoc: Int = 4, snippetTokens: Int = 5): DataFrame = {
+    val keyed = lineFrame(docs, textCol, Seq(keyCol))
+    val withPages = keyed
+      .withColumn("n_lines", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("page",
+        least(
+          floor(col("lineno") / ceil(col("n_lines") / lit(pagesPerDoc))),
+          lit(pagesPerDoc - 1)).cast("long") + 1)
+    val firstLines = withPages
+      .groupBy(col(keyCol), col("page"))
+      .agg(min_by(col("line"), col("lineno")).as("first_line"))
+      .withColumn("snippet",
+        concat_ws(" ", slice(split(trim(col("first_line")), "\\s+"), 1, snippetTokens)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("page"))
+    firstLines
+      .join(docs.select(col(keyCol), col(textCol).as("__text")), Seq(keyCol))
+      .withColumn("found",
+        when(length(col("snippet")) > 0,
+          nullif(locate_col(col("snippet"), col("__text")), lit(0)) - 1))
+      .withColumn("carried",
+        last(col("found"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("anchor",
+        greatest(
+          max(coalesce(col("carried"), lit(0L)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0L)).cast("long"))
+      .withColumn("range_end",
+        lead(col("anchor"), 1).over(w))
+      .select(col(keyCol), col("page"),
+        col("anchor"),
+        coalesce(col("range_end"), length(col("__text")).cast("long")).as("range_end"))
+      .orderBy(col(keyCol), col("page"))
+  }
+
+  /** `locate` with column haystack (functions.locate wants a literal
+    * needle; the expression form takes columns). */
+  private def locate_col(needle: Column, hay: Column): Column =
+    call_function("locate", needle, hay)
+
   /** O2: offset splice as an order-insensitive relational rewrite
     * (SURVEY.md §4 — replaces the reference's back-to-front sequential
     * string splice, markdown_conversion_manager.py:201-204). Each
