@@ -53,6 +53,7 @@ object SparkEntry {
     "setop_intersect_custkeys" -> ((s, d) => Relational.intersectCustkeys(s, d)),
     "q7_nation_trade" -> ((s, d) => Relational.nationTradeVolume(s, d)),
     "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
+    "q18_large_volume" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
     "sub_correlated_orders" -> ((s, d) => Relational.ordersAboveCustomerAvg(s, d)),
     "sub_scalar_rich_idle" -> ((s, d) => Relational.richIdleCustomers(s, d)),
     // --- text layer (§2.8 F1–F9, north-star text analysis) ---
@@ -142,6 +143,7 @@ object SparkEntry {
     "setop_intersect_custkeys" -> Relational.intersectCustkeysSql,
     "q7_nation_trade" -> Relational.nationTradeVolumeSql,
     "q10_returned_revenue" -> Relational.returnedItemRevenueSql,
+    "q18_large_volume" -> Relational.largeVolumeCustomersSql,
     "sub_correlated_orders" -> Relational.ordersAboveCustomerAvgSql,
     "sub_scalar_rich_idle" -> Relational.richIdleCustomersSql,
     "text_normalize" -> textNormalizeSql,

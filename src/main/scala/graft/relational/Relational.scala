@@ -435,6 +435,33 @@ object Relational {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Q18-style: large-volume customers — HAVING over a fact join
+    * aggregate, then enrich and re-aggregate. */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(exactSum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    Tables.orders(spark, dir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("o_orderdate_us"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(30)
+  }
+
+  def largeVolumeCustomersSql: String = s"""
+    WITH big AS (
+      SELECT l_orderkey, ${sqlSum("l_quantity")} AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING ${sqlSum("l_quantity")} > 150)
+    SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+           o_totalprice, total_qty
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 30"""
+
   /** Q7-style: shipping volume between two nations by year — the
     * classic two-sided dimension filter + date extraction. */
   def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {

@@ -30,6 +30,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only queries (no oracle): assert spark output exists and has rows
+    all_dirs = {d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}")}
+    for name in sorted(all_dirs - set(oracle)):
+        files = glob.glob(f"{OUT}/{name}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        if n > 0:
+            print(f"PASS {name} (rows-only, {n} rows)"); n_pass += 1
+        else:
+            print(f"FAIL {name}: rows-only query returned no rows"); n_fail += 1
     for name, sql in sorted(oracle.items()):
         pdir = f"{OUT}/{name}"
         files = glob.glob(f"{pdir}/*.parquet")
