@@ -239,8 +239,8 @@ object SparkEntry {
     FROM documents ORDER BY doc_id"""
 
   private def textLangId(s: SparkSession, d: String): DataFrame = {
-    val scores = TextFunctions.langStopwords.map { case (code, pat) =>
-      TextFunctions.langScore(lower(col("text")), pat).as(s"score_$code")
+    val scores = TextFunctions.langStopwords.map { case (code, words) =>
+      TextFunctions.langScore(lower(col("text")), words).as(s"score_$code")
     }
     Tables.documents(s, d).select(
       col("doc_id") +: TextFunctions.langId(lower(col("text"))).as("pred_lang") +: scores: _*)
@@ -248,8 +248,9 @@ object SparkEntry {
   }
 
   private def textLangIdSql: String = {
-    val scoreExprs = TextFunctions.langStopwords.map { case (code, pat) =>
-      s"len(regexp_extract_all(lower(text), '$pat')) AS score_$code"
+    val scoreExprs = TextFunctions.langStopwords.map { case (code, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ($set))) AS score_$code"
     }.mkString(", ")
     // argmax with ties broken by language code ascending; all-zero → 'und'
     s"""
@@ -275,7 +276,7 @@ object SparkEntry {
     ).orderBy(col("doc_id"))
 
   private def textQualitySql: String = {
-    val enPat = TextFunctions.langStopwords.head._2
+    val enSet = TextFunctions.langStopwords.head._2.map(w => s"'$w'").mkString(", ")
     s"""
     WITH base AS (
       SELECT doc_id, text, length(text) AS n_chars_obs,
@@ -286,7 +287,8 @@ object SparkEntry {
            CASE WHEN n_chars_obs = 0 THEN 0.0e0
                 ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / n_chars_obs END AS punct_ratio,
            CASE WHEN n_tokens = 0 THEN 0.0e0
-                ELSE CAST(len(regexp_extract_all(lower(text), '$enPat')) AS DOUBLE) / n_tokens END AS stopword_ratio,
+                ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x IN ($enSet))) AS DOUBLE) / n_tokens END AS stopword_ratio,
            CASE WHEN n_tokens = 0 THEN 0.0e0
                 ELSE CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) / n_tokens END AS avg_token_len
     FROM base ORDER BY doc_id"""
@@ -449,11 +451,11 @@ object SparkEntry {
   private def rollingHashSql: String = """
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, GREATEST(length(text), 1)),
-                       i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                       i -> CAST(GREATEST(ord(substr(text, CAST(i AS INT), 1)), 0) AS BIGINT))),
                        (acc, x) -> (acc * 31 + x) % 2147483647) AS doc_hash,
            list_min(list_transform(generate_series(1, GREATEST(length(text) - 7, 1)),
                     i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 7),
-                         j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+                         j -> CAST(GREATEST(ord(substr(text, CAST(i + j AS INT), 1)), 0) AS BIGINT))),
                          (acc, x) -> (acc * 31 + x) % 2147483647))) AS kgram_min
     FROM documents ORDER BY doc_id"""
 
@@ -520,7 +522,7 @@ object SparkEntry {
              list_filter(generate_series(1, GREATEST(length(text) - 7, 1)),
                i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
                       list_transform(generate_series(0, 7),
-                        j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+                        j -> CAST(GREATEST(ord(substr(text, CAST(i + j AS INT), 1)), 0) AS BIGINT))),
                       (acc, x) -> (acc * 31 + x) % 2147483647) % 64 = 0) AS bounds
       FROM documents WHERE length(text) > 0),
     spans AS (

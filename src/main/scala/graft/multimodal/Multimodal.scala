@@ -79,11 +79,11 @@ object Multimodal {
   def decodeFeaturesSql: String = """
     SELECT doc_id,
            CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
-           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS checksum,
-           CAST(length(text) % 640 AS BIGINT) AS width,
-           CAST((length(text) * 7) % 480 AS BIGINT) AS height,
-           CAST(length(text) // 100 + 1 AS BIGINT) AS n_frames
+           CAST(strlen(text) % 640 AS BIGINT) AS width,
+           CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
+           CAST(strlen(text) // 100 + 1 AS BIGINT) AS n_frames
     FROM documents ORDER BY doc_id"""
 
   /** Resize stage (STUB — real pixel resampling needs a codec): given
@@ -112,8 +112,8 @@ object Multimodal {
     WITH feats AS (
       SELECT doc_id,
              CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
-             GREATEST(CAST(length(text) % 640 AS BIGINT), 1) AS w,
-             GREATEST(CAST((length(text) * 7) % 480 AS BIGINT), 1) AS h
+             GREATEST(CAST(strlen(text) % 640 AS BIGINT), 1) AS w,
+             GREATEST(CAST((strlen(text) * 7) % 480 AS BIGINT), 1) AS h
       FROM documents),
     scaled AS (
       SELECT doc_id, format, w, h,

@@ -77,26 +77,29 @@ object TextFunctions {
 
   // --- language identification (n-gram/stopword heuristic) ---
 
-  /** Stopword alternations per language; scores are per-language counts
-    * of stopword hits. Deterministic and entirely regex-based, so the
-    * DuckDB oracle can reproduce it with regexp_extract_all. */
-  val langStopwords: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|and|of|to|in|is|was|for|with|that)\\b",
-    "es" -> "\\b(el|la|los|las|de|que|y|en|un|una)\\b",
-    "de" -> "\\b(der|die|das|und|nicht|ist|zu|ein|eine|mit)\\b",
-    "fr" -> "\\b(le|la|les|des|et|est|dans|que|une|pour)\\b",
+  /** Stopword lists per language. Scoring counts TOKENS in the set —
+    * deliberately not regex-\b-based: Java and RE2 disagree about word
+    * boundaries adjacent to non-ASCII letters (e.g. Java does not match
+    * `\ble\b` inside "ﬁle", RE2 does), so token-set membership is the
+    * portable formulation. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "for", "with", "that"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "zu", "ein", "eine", "mit"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "dans", "que", "une", "pour"),
   )
 
-  /** Per-language stopword hit count. */
-  def langScore(c: Column, pattern: String): Column =
-    regexp_count(c, lit(pattern)).cast("long")
+  /** Per-language stopword hit count: tokens of `c` in the word set. */
+  def langScore(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c),
+      t => array_contains(array(words.map(lit): _*), t))).cast("long")
 
   /** Predicted language: argmax of stopword hit counts with a stable
     * tie-break on language code; "und" (undetermined) when no stopword
     * matches at all. */
   def langId(c: Column): Column = {
-    val scored = langStopwords.map { case (code, pat) =>
-      struct((-langScore(c, pat)).as("negScore"), lit(code).as("code"))
+    val scored = langStopwords.map { case (code, words) =>
+      struct((-langScore(c, words)).as("negScore"), lit(code).as("code"))
     }
     val best = array_min(array(scored: _*))
     when(best.getField("negScore") === 0, lit("und"))

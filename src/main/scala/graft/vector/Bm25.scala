@@ -68,7 +68,9 @@ object Bm25 {
       SELECT doc_id, term, dl, COUNT(*) AS tf FROM tf
       WHERE term IN ($termList) GROUP BY 1, 2, 3),
     stats AS (
-      SELECT COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS total_dl FROM toks),
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN len(t) = 1 AND t[1] = '' THEN 0 ELSE len(t) END) AS BIGINT) AS total_dl
+      FROM toks),
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM grouped GROUP BY term),
     scored AS (
       SELECT g.doc_id,
