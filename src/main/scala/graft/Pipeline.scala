@@ -56,9 +56,16 @@ object Pipeline {
   }
 
   /** Upsert a batch of re-processed documents into an existing index —
-    * the reference's delete-then-add (J2, index_manager.py:347-368). */
-  def upsertIndex(existing: DataFrame, updates: DataFrame): DataFrame =
-    graft.meta.Upsert.upsert(existing, updates, "id")
+    * the reference's delete-then-add (J2, index_manager.py:347-368).
+    * Keyed by DOCUMENT, not chunk id: reprocessing a document deletes
+    * ALL of its existing points first (so a doc that now yields fewer
+    * chunks leaves no stale tail chunks), then inserts the new ones. */
+  def upsertIndex(existing: DataFrame, updates: DataFrame): DataFrame = {
+    val docs = updates.select(col("metadata.doc_id").as("upd_doc_id")).distinct()
+    existing
+      .join(docs, col("metadata.doc_id") === col("upd_doc_id"), "left_anti")
+      .unionByName(updates)
+  }
 
   /** Dedup report over the corpus: exact groups + near-dup candidates,
     * the cleanup pass a training-data pipeline runs before indexing. */

@@ -234,7 +234,10 @@ object SparkEntry {
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
            CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_subword_tokens,
+                ELSE len(string_split_regex(trim(
+                  regexp_replace(regexp_replace(text,
+                    '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+                    '([0-9])([a-zA-Z])', '\1 \2', 'g')), '\s+')) END AS n_subword_tokens,
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
     FROM documents ORDER BY doc_id"""
 
@@ -609,8 +612,9 @@ object SparkEntry {
     chunks AS (
       SELECT doc_id, substr(t, s.i + 1, 200) AS chunk
       FROM norm, LATERAL (SELECT unnest(generate_series(0, GREATEST(length(t) - 1, 0), 150)) AS i) s)
-    SELECT doc_id, COUNT(*) AS n_chunks, SUM(length(chunk)) AS sum_chars,
-           MAX(length(chunk)) AS max_chunk
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(length(chunk)) AS BIGINT) AS sum_chars,
+           CAST(MAX(length(chunk)) AS BIGINT) AS max_chunk
     FROM chunks GROUP BY doc_id ORDER BY doc_id"""
 
   private def chunkHeadersSql: String = s"""

@@ -56,8 +56,11 @@ object ConnectedComponents {
     * RectMerge for one round of closure (components of the ORIGINAL
     * overlap graph; RectMerge additionally re-tests merged rects). */
   def componentRects(spark: SparkSession, dir: String, tol: Double = 40.0): DataFrame = {
+    // fig_key (= p_partkey) is already unique across the whole frame, so
+    // it is the node id directly — any doc/page/key packing risks
+    // collisions once the key range outgrows the packing radix.
     val r = Geometry.syntheticRects(spark, dir)
-      .withColumn("node", col("doc") * 1000000L + col("page") * 10000L + col("fig_key") % 10000L)
+      .withColumn("node", col("fig_key"))
     val a = r.select(col("doc"), col("page"), col("node").as("src"),
       col("x0").as("ax0"), col("y0").as("ay0"), col("x1").as("ax1"), col("y1").as("ay1"))
     val b = r.select(col("doc"), col("page"), col("node").as("dst"),

@@ -15,7 +15,12 @@ object Upsert {
   /** J1/J2: last-writer-wins upsert keyed on `key`: anti-join existing
     * rows against updates, then union the updates. */
   def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
-    existing.join(updates, Seq(key), "left_anti").unionByName(updates)
+    upsert(existing, updates, Seq(key))
+
+  /** Composite-key form: a row is replaced only when ALL key columns
+    * match an update row. */
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(updates, keys, "left_anti").unionByName(updates)
 
   /** P7: incremental skip — rows of `discovered` not yet in `done`. */
   def incrementalSkip(discovered: DataFrame, done: DataFrame, key: String): DataFrame =

@@ -29,6 +29,20 @@ class PipelineSpec extends SparkSpec {
     assert(doc1.forall(_.endsWith(" v2")))
   }
 
+  test("upsertIndex: a document shrinking to fewer chunks leaves no stale tail") {
+    val idx = Pipeline.buildIndex(spark, sf)
+    val before = idx.filter(col("metadata.doc_id") === 1).count()
+    assert(before > 1, "fixture doc 1 must have multiple chunks")
+    // reprocessed doc 1 now yields only its first chunk
+    val shrunk = idx.filter(col("metadata.doc_id") === 1 && col("metadata.chunk_idx") === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    val after = Pipeline.upsertIndex(idx, shrunk)
+    assert(after.filter(col("metadata.doc_id") === 1).count() == 1)
+    assert(after.count() == idx.count() - before + 1)
+    val doc1 = after.filter(col("metadata.doc_id") === 1).select("text").as[String].collect()
+    assert(doc1.forall(_.endsWith(" v2")))
+  }
+
   test("search dispatches on configured distance") {
     val cos = Pipeline.search(spark, sf, 0, 5)
     val l2 = Pipeline.search(spark, sf, 0, 5, Pipeline.EtlConfig(distance = "euclid"))
