@@ -75,7 +75,7 @@ object SparkEntry {
     "text_page_anchors" -> ((s, d) => pageAnchorsQuery(s, d)),
     "text_bpe_subwords" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      graft.text.BpeTokenizer.subwordCounts(s, docs, graft.text.BpeTokenizer.train(s, docs, 50))
+      graft.text.BpeTokenizer.subwordInvariants(s, docs, graft.text.BpeTokenizer.train(s, docs, 50))
     }),
     // --- dedup (north star) ---
     "dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
@@ -87,7 +87,7 @@ object SparkEntry {
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
-    "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearch(s, d)),
+    "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(s, d)),
     "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d)),
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
@@ -102,7 +102,7 @@ object SparkEntry {
     // --- date/stat/sketch aggregates (§2.4, §2.8) ---
     "agg_monthly_orders" -> ((s, d) => Relational.monthlyOrders(s, d)),
     "agg_stats_corr" -> ((s, d) => Relational.statsSummary(s, d)),
-    "agg_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(s, d)),
+    "agg_approx_distinct" -> ((s, d) => Relational.approxDistinctChecked(s, d)),
     "agg_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "agg_pivot_returns" -> ((s, d) => Relational.pivotReturns(s, d)),
     "agg_unpivot_balances" -> ((s, d) => Relational.unpivotBalances(s, d)),
@@ -110,7 +110,7 @@ object SparkEntry {
     // --- faithful recursive chunker (§2.9 C2, custom Generator) ---
     "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
     // --- rect-merge fixpoint (§2.4 A7, flatMapGroups) ---
-    "geom_rect_merge" -> ((s, d) => graft.geom.RectMerge.mergedFigures(s, d)),
+    "geom_rect_merge" -> ((s, d) => graft.geom.RectMerge.mergeInvariants(s, d)),
     // --- multimodal columns (§2.10 / north star) ---
     "mm_decode_features" -> ((s, d) => graft.multimodal.Multimodal.decodeFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.sampleFrames(s, d)),
@@ -184,8 +184,16 @@ object SparkEntry {
     "agg_pivot_returns" -> Relational.pivotReturnsSql,
     "agg_unpivot_balances" -> Relational.unpivotBalancesSql,
     "agg_percentiles" -> Relational.percentilesSql,
-    // agg_approx_distinct, chunk_recursive, geom_rect_merge: engine-side
-    // sketches / iterative fixpoints — rows-only check + ScalaTest.
+    // engine-side sketches / fixpoints / trained models are checked via
+    // invariant oracles: the engine-private values (HLL estimate, chunk
+    // boundaries, merged rects, learned merges, trained centroids) are
+    // reduced to properties DuckDB can assert blind, so every query is
+    // hash-gated.
+    "agg_approx_distinct" -> Relational.approxDistinctCheckedSql,
+    "chunk_recursive" -> chunkRecursiveSql,
+    "geom_rect_merge" -> graft.geom.RectMerge.mergeInvariantsSql,
+    "text_bpe_subwords" -> graft.text.BpeTokenizer.subwordInvariantsSql,
+    "vec_ivf_kmeans_topk" -> graft.vector.KMeans.ivfSearchCheckedSql(),
     "mm_decode_features" -> graft.multimodal.Multimodal.decodeFeaturesSql,
     "mm_frame_sample" -> graft.multimodal.Multimodal.sampleFramesSql(),
     "mm_resize_fit" -> graft.multimodal.Multimodal.resizeFitSql(),
@@ -301,15 +309,49 @@ object SparkEntry {
     * Generator: per-doc chunk rows with packing metadata. Rows-only
     * check (packing isn't ANSI-SQL-expressible); invariants are
     * property-tested in RecursiveSplitterSpec. */
-  private def chunkRecursiveQuery(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Oracle-checkable form of the recursive splitter (C2): the chunk
+    * boundaries are separator-hierarchy-dependent (not SQL-expressible),
+    * but the splitter's defining properties are invariants DuckDB can
+    * assert blind per document —
+    *  - within_size: every chunk is ≤ size chars (hard-cut guarantee);
+    *  - covers_ok: total chunk chars = input chars + bounded overlap
+    *    repeats (so nothing is dropped and overlap is capped);
+    *  - substr_ok: every chunk is a contiguous substring of the input;
+    *  - affix_ok: the first chunk is a prefix, the last a suffix.
+    * norm_len is oracle-computable exactly. */
+  private def chunkRecursiveQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        graft.functions.ChunkSplit.chunk_split(TextFunctions.normalize(col("text")), 200, 50))
-      .select(col("doc_id"), col("chunk_idx"),
-        md5(col("chunk").cast("binary")).as("chunk_md5"),
-        length(col("chunk")).cast("long").as("chunk_len"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+      .select(col("doc_id"), TextFunctions.normalize(col("text")).as("norm"))
+      .filter(length(col("norm")) > 0)
+    docs
+      .select(col("doc_id"), col("norm"),
+        graft.functions.ChunkSplit.chunk_split(col("norm"), 200, 50))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(length(col("norm"))).cast("long").as("norm_len"),
+        first(col("norm")).as("norm0"),
+        max(length(col("chunk"))).as("max_len"),
+        sum(length(col("chunk"))).cast("long").as("sum_len"),
+        count(lit(1)).as("n_chunks"),
+        bool_and(instr(col("norm"), col("chunk")) > 0).as("substr_ok"),
+        min_by(col("chunk"), col("chunk_idx")).as("first_chunk"),
+        max_by(col("chunk"), col("chunk_idx")).as("last_chunk"))
+      .select(col("doc_id"), col("norm_len"),
+        (col("max_len") <= 200).as("within_size"),
+        (col("sum_len") >= col("norm_len") &&
+          col("sum_len") <= col("norm_len") + (col("n_chunks") - 1) * 50).as("covers_ok"),
+        col("substr_ok"),
+        (col("norm0").startsWith(col("first_chunk")) &&
+          col("norm0").endsWith(col("last_chunk"))).as("affix_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def chunkRecursiveSql: String = s"""
+    WITH norm AS (SELECT doc_id, $normalizeSqlExpr AS t FROM documents WHERE length(text) > 0)
+    SELECT doc_id, CAST(length(t) AS BIGINT) AS norm_len,
+           TRUE AS within_size, TRUE AS covers_ok, TRUE AS substr_ok, TRUE AS affix_ok
+    FROM norm WHERE length(t) > 0 ORDER BY doc_id"""
 
   /** Shared synthetic line/heading structure: the single-line testdata
     * docs get a newline every 8 words (MarkdownOps.synthesizeLines) and

@@ -74,4 +74,58 @@ object RectMerge {
       .toDF("doc", "page", "idx", "x0", "y0", "x1", "y1")
       .orderBy(col("doc"), col("page"), col("idx"))
   }
+
+  /** Oracle-checkable form of the fixpoint: the merged rects are
+    * engine-private, but per (doc, page) the fixpoint's defining
+    * properties are invariants DuckDB can assert blind —
+    *  - disjoint_ok: no two merged rects still overlap within tol
+    *    (i.e. the fixpoint was reached);
+    *  - bbox_ok: merging preserves the page's overall bounding box;
+    *  - contain_ok: every input rect lies inside some merged rect;
+    *  - count_ok: merging never increases the rect count.
+    * The hash gate goes red iff any property breaks. */
+  def mergeInvariants(spark: SparkSession, dir: String, tol: Double = 40.0): DataFrame = {
+    val merged = mergedFigures(spark, dir, tol)
+    val input = Geometry.syntheticRects(spark, dir)
+    val inAgg = input.groupBy(col("doc"), col("page")).agg(
+      count(lit(1)).as("n_rects"),
+      min(col("x0")).as("ix0"), min(col("y0")).as("iy0"),
+      max(col("x1")).as("ix1"), max(col("y1")).as("iy1"))
+    val mAgg = merged.groupBy(col("doc"), col("page")).agg(
+      count(lit(1)).as("n_merged"),
+      min(col("x0")).as("mx0"), min(col("y0")).as("my0"),
+      max(col("x1")).as("mx1"), max(col("y1")).as("my1"))
+    val a = merged.select(col("doc"), col("page"), col("idx"),
+      col("x0").as("ax0"), col("y0").as("ay0"), col("x1").as("ax1"), col("y1").as("ay1"))
+    val b = merged.select(col("doc"), col("page"), col("idx").as("idx2"),
+      col("x0").as("bx0"), col("y0").as("by0"), col("x1").as("bx1"), col("y1").as("by1"))
+    val stillOverlapping = a.join(b, Seq("doc", "page"))
+      .filter(col("idx") < col("idx2"))
+      .filter(Geometry.overlaps(col("ax0"), col("ay0"), col("ax1"), col("ay1"),
+        col("bx0"), col("by0"), col("bx1"), col("by1"), tol))
+      .groupBy(col("doc"), col("page")).agg(count(lit(1)).as("n_overlap"))
+    val contained = input.join(
+      merged.select(col("doc"), col("page"), col("x0").as("cx0"), col("y0").as("cy0"),
+        col("x1").as("cx1"), col("y1").as("cy1")),
+      Seq("doc", "page"))
+      .filter(col("cx0") <= col("x0") && col("cy0") <= col("y0") &&
+        col("cx1") >= col("x1") && col("cy1") >= col("y1"))
+      .groupBy(col("doc"), col("page")).agg(countDistinct(col("fig_key")).as("n_contained"))
+    inAgg.join(mAgg, Seq("doc", "page"))
+      .join(stillOverlapping, Seq("doc", "page"), "left")
+      .join(contained, Seq("doc", "page"), "left")
+      .select(col("doc"), col("page"), col("n_rects"),
+        (coalesce(col("n_overlap"), lit(0L)) === 0).as("disjoint_ok"),
+        (col("mx0") === col("ix0") && col("my0") === col("iy0") &&
+          col("mx1") === col("ix1") && col("my1") === col("iy1")).as("bbox_ok"),
+        (coalesce(col("n_contained"), lit(0L)) === col("n_rects")).as("contain_ok"),
+        (col("n_merged") <= col("n_rects")).as("count_ok"))
+      .orderBy(col("doc"), col("page"))
+  }
+
+  def mergeInvariantsSql: String = s"""
+    SELECT doc, page, COUNT(*) AS n_rects, TRUE AS disjoint_ok, TRUE AS bbox_ok,
+           TRUE AS contain_ok, TRUE AS count_ok
+    FROM (${Geometry.rectsSql})
+    GROUP BY doc, page ORDER BY doc, page"""
 }

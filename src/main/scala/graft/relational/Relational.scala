@@ -435,6 +435,24 @@ object Relational {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Oracle-checkable form of the HLL sketch: the estimate itself is
+    * engine-private, but its ±5% accuracy bound is an invariant DuckDB
+    * can assert blind — the hash gate goes red iff the sketch drifts. */
+  def approxDistinctChecked(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+      )
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")) <= col("exact_parts") * 0.05).as("hll_ok"))
+      .orderBy(col("l_returnflag"))
+
+  def approxDistinctCheckedSql: String = """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS hll_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Q18-style: large-volume customers — HAVING over a fact join
     * aggregate, then enrich and re-aggregate. */
   def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {

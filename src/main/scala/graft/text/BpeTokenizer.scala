@@ -91,4 +91,47 @@ object BpeTokenizer {
     }.toDF("doc_id", "n_words", "n_subwords")
       .orderBy(col("doc_id"))
   }
+
+  /** Oracle-checkable form of the tokenization: the learned merges are
+    * model data DuckDB cannot reproduce, but BPE's defining invariants
+    * can be asserted blind per document —
+    *  - conserve_ok: merging never creates or destroys characters
+    *    (subword chars minus one end-of-word marker per word == word
+    *    chars);
+    *  - bounds_ok: each word yields between 1 and len+1 subwords.
+    * n_words and n_word_chars are oracle-computable exactly. */
+  def subwordInvariants(spark: SparkSession, docs: DataFrame, merges: Merges): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    val base: Dataset[(Long, Seq[String])] = docs
+      .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("toks"))
+      .as[(Long, Seq[String])]
+    val markerLen = EndOfWord.length.toLong
+    base.map { case (id, toks) =>
+      val m = bc.value
+      val nWords = toks.size.toLong
+      val nWordChars = toks.iterator.map(_.length.toLong).sum
+      var nSub = 0L
+      var subChars = 0L
+      toks.foreach { w =>
+        val enc = encodeWord(w, m)
+        nSub += enc.size
+        subChars += enc.iterator.map(_.length.toLong).sum
+      }
+      (id, nWords, nWordChars,
+        subChars - markerLen * nWords == nWordChars,
+        nSub >= nWords && nSub <= nWordChars + nWords)
+    }.toDF("doc_id", "n_words", "n_word_chars", "conserve_ok", "bounds_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirrors `tokens(lower(text))`: split of an empty string yields one
+    * empty token (Spark split semantics), hence the THEN 1 branch. */
+  def subwordInvariantsSql: String = """
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 1
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+           TRUE AS conserve_ok, TRUE AS bounds_ok
+    FROM documents ORDER BY doc_id"""
 }

@@ -111,4 +111,32 @@ object KMeans {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Oracle-checkable form of the trained-IVF probe: the returned ids
+    * depend on the learned centroids (engine-private model), but two
+    * invariants are assertable blind —
+    *  - in_top2k: every IVF top-k result is in the brute-force top-2k
+    *    (the recall floor of a 4-of-16-list probe on this corpus);
+    *  - self_ok: rank 1 is the query vector itself at cosine 1.0.
+    * The hash gate goes red iff the probe's recall degrades. */
+  def ivfSearchChecked(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ivf = ivfSearch(spark, dir, queryId, k)
+    val brute = VectorOps.cosineTopK(spark, dir, queryId, 2 * k)
+      .select(col("vec_id"), lit(true).as("hit"))
+    // window over the k result rows only — single partition by design
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    ivf.withColumn("rk", row_number().over(w).cast("long"))
+      .join(brute, Seq("vec_id"), "left")
+      .select(col("rk"),
+        coalesce(col("hit"), lit(false)).as("in_top2k"),
+        when(col("rk") === 1, col("vec_id") === queryId && col("score") === 1.0)
+          .otherwise(lit(true)).as("self_ok"))
+      .orderBy(col("rk"))
+  }
+
+  def ivfSearchCheckedSql(k: Int = 10): String = s"""
+    SELECT CAST(u.i AS BIGINT) AS rk, TRUE AS in_top2k, TRUE AS self_ok
+    FROM (SELECT unnest(generate_series(1, $k)) AS i) u ORDER BY rk"""
 }
