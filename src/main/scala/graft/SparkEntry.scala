@@ -109,6 +109,9 @@ object SparkEntry {
     "agg_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     // --- faithful recursive chunker (§2.9 C2, custom Generator) ---
     "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
+    // --- semantic + token-window chunkers (§2.9 C3/C4) ---
+    "chunk_semantic" -> ((s, d) => graft.chunk.SemanticChunker.semanticChunks(s, d)),
+    "chunk_token_windows" -> ((s, d) => graft.chunk.TokenWindows.tokenWindows(s, d)),
     // --- rect-merge fixpoint (§2.4 A7, flatMapGroups) ---
     "geom_rect_merge" -> ((s, d) => graft.geom.RectMerge.mergeInvariants(s, d)),
     // --- multimodal columns (§2.10 / north star) ---
@@ -191,6 +194,8 @@ object SparkEntry {
     // hash-gated.
     "agg_approx_distinct" -> Relational.approxDistinctCheckedSql,
     "chunk_recursive" -> chunkRecursiveSql,
+    "chunk_semantic" -> graft.chunk.SemanticChunker.semanticChunksSql(normalizeSqlExpr),
+    "chunk_token_windows" -> graft.chunk.TokenWindows.tokenWindowsSql(),
     "geom_rect_merge" -> graft.geom.RectMerge.mergeInvariantsSql,
     "text_bpe_subwords" -> graft.text.BpeTokenizer.subwordInvariantsSql,
     "vec_ivf_kmeans_topk" -> graft.vector.KMeans.ivfSearchCheckedSql(),

@@ -1,0 +1,198 @@
+package graft.chunk
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions
+
+/** C3: semantic splitter (reference: chunking_manager.py:71-72 —
+  * `SemanticChunker(embeddings, min_chunk_size=int(chunk_size/3))`):
+  * split into sentences, embed each, break where the embedding distance
+  * between consecutive sentences exceeds the corpus-relative threshold
+  * (95th percentile of the document's distances), never emitting a
+  * chunk below `min_chunk_size` characters.
+  *
+  * The reference embeds with a served model; in a no-egress build the
+  * embedding is a deterministic hash projection (SURVEY.md §7.5): each
+  * token lands on `dims` buckets via the portable md5-derived hash with
+  * a ±1 sign bit, so a sentence's vector is an integer bag-of-words
+  * sketch. Cosine-adjacent distance becomes integer squared-L2 between
+  * consecutive sketches — integer-exact on every engine, which is what
+  * makes this chunker fully oracle-checkable (chunk boundaries, counts
+  * and md5s all hash-match DuckDB).
+  *
+  * Scale shape: sentence/token explosion and the sketch aggregation are
+  * map-side + one groupBy each; the consecutive-sentence distance is a
+  * self-equi-join on (doc, dim, adjacent idx); the greedy min-size walk
+  * folds per document inside `flatMapGroups` (a document's sentence
+  * list is the natural, bounded unit of sequential state — same pattern
+  * as the anchor scan, SURVEY.md §7.5).
+  */
+object SemanticChunker {
+
+  /** (doc_id, chunk_idx, n_sentences, chunk_len, chunk_md5) per
+    * semantic chunk. */
+  def semanticChunks(spark: SparkSession, dir: String, dims: Int = 16,
+      minChunk: Int = 66, p: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), TextFunctions.normalize(col("text")).as("t"))
+      .filter(length(col("t")) > 0)
+    // sentence rows: break after [.!?]-space; the single-line testdata
+    // docs carry no punctuation, so the shared 8-word line synthesis
+    // (MarkdownOps.synthesizeLines, same convention as the markdown
+    // queries) provides the base segmentation. Every boundary consumes
+    // exactly one space, so chunk lengths stay reconstruction-exact.
+    val sentSrc = regexp_replace(
+      graft.text.MarkdownOps.synthesizeLines(col("t")), "([.!?]) ", "$1\n")
+    val sents = docs
+      .select(col("doc_id"),
+        posexplode(split(sentSrc, "\n")).as(Seq("sent_idx", "sentence")))
+    // integer bag-of-words sketch: token -> (hash % dims, ±1)
+    val dimvals = sents
+      .select(col("doc_id"), col("sent_idx"),
+        explode(split(lower(col("sentence")), "\\s+")).as("tok"))
+      .withColumn("h", TextFunctions.md5Long(col("tok")))
+      .select(col("doc_id"), col("sent_idx"),
+        (col("h") % dims).as("dim"),
+        expr(s"CASE WHEN (h div $dims) % 2 = 0 THEN 1 ELSE -1 END").cast("long").as("sg"))
+      .groupBy(col("doc_id"), col("sent_idx"), col("dim"))
+      .agg(sum(col("sg")).as("s"))
+    // ||a-b||^2 = ||a||^2 + ||b||^2 - 2<a,b> over sparse (dim, s) rows
+    val norm2 = dimvals.groupBy(col("doc_id"), col("sent_idx"))
+      .agg(sum(col("s") * col("s")).as("n2"))
+    val dots = dimvals.as("a")
+      .join(dimvals.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.dim") === col("b.dim") &&
+          col("b.sent_idx") === col("a.sent_idx") + 1)
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.sent_idx").as("i"))
+      .agg(sum(col("a.s") * col("b.s")).as("dp"))
+    val bounds = norm2.as("cur")
+      .join(norm2.as("prev"),
+        col("prev.doc_id") === col("cur.doc_id") &&
+          col("prev.sent_idx") === col("cur.sent_idx") - 1)
+      .join(dots.as("d"),
+        col("d.doc_id") === col("cur.doc_id") && col("d.i") === col("cur.sent_idx"), "left")
+      .select(col("cur.doc_id").as("doc_id"), col("cur.sent_idx").as("i"),
+        (col("prev.n2") + col("cur.n2") - coalesce(col("dp"), lit(0L)) * 2).as("dist2"))
+    // per-document breakpoint threshold: exact 95th percentile
+    val thr = bounds.groupBy(col("doc_id"))
+      .agg(expr(s"percentile(CAST(dist2 AS DOUBLE), $p)").as("q"))
+    val brk = bounds.join(thr, Seq("doc_id"))
+      .select(col("doc_id"), col("i"),
+        (col("dist2").cast("double") > col("q")).as("raw_break"))
+    // greedy walk per document: keep a breakpoint only once the current
+    // chunk has at least minChunk joined chars (reference's
+    // min_chunk_size = chunk_size/3)
+    val rows = sents
+      .join(brk, col("sent_idx") === col("i") && sents("doc_id") === brk("doc_id"), "left")
+      .select(sents("doc_id"), col("sent_idx"), col("sentence"),
+        coalesce(col("raw_break"), lit(false)).as("raw_break"))
+      .as[(Long, Long, String, Boolean)]
+    val chunks = rows.groupByKey(_._1).flatMapGroups { (doc, it) =>
+      val ss = it.toVector.sortBy(_._2)
+      val out = Vector.newBuilder[(Long, Long, Long, String)]
+      var cs = 0
+      var idx = 0L
+      def emit(a: Int, b: Int): Unit = {
+        val text = ss.slice(a, b + 1).map(_._3).mkString("\n")
+        out += ((doc, idx, (b - a + 1).toLong, text))
+        idx += 1
+      }
+      var curLen = ss.head._3.length
+      var i = 1
+      while (i < ss.length) {
+        if (ss(i)._4 && curLen >= minChunk) {
+          emit(cs, i - 1); cs = i; curLen = ss(i)._3.length
+        } else curLen += 1 + ss(i)._3.length
+        i += 1
+      }
+      emit(cs, ss.length - 1)
+      out.result().iterator
+    }
+    chunks.toDF("doc_id", "chunk_idx", "n_sentences", "chunk")
+      .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Same program in DuckDB SQL: the walk's sequential state becomes a
+    * recursive CTE over sentence index, everything else is the same
+    * relational plan. `normExpr` is the normalization chain over
+    * `text`. */
+  def semanticChunksSql(normExpr: String, dims: Int = 16, minChunk: Int = 66,
+      p: Double = 0.95): String = s"""
+    WITH RECURSIVE
+    docs AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, $normExpr AS t FROM documents WHERE length(text) > 0)
+      WHERE length(t) > 0),
+    marked AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(t, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g'),
+                            '([.!?]) ', '\\1' || chr(10), 'g') AS m
+      FROM docs),
+    sents AS (
+      SELECT doc_id, u.i - 1 AS sent_idx, u.s AS sentence
+      FROM marked, LATERAL (
+        SELECT unnest(string_split(m, chr(10))) AS s,
+               generate_subscripts(string_split(m, chr(10)), 1) AS i) u),
+    nsent AS (SELECT doc_id, COUNT(*) AS n FROM sents GROUP BY doc_id),
+    toks AS (
+      SELECT doc_id, sent_idx, u.tok
+      FROM sents, LATERAL (SELECT unnest(string_split_regex(lower(sentence), '\\s+')) AS tok) u),
+    dimvals AS (
+      SELECT doc_id, sent_idx, h % $dims AS dim,
+             SUM(CASE WHEN (h // $dims) % 2 = 0 THEN 1 ELSE -1 END) AS s
+      FROM (SELECT doc_id, sent_idx,
+                   CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks)
+      GROUP BY doc_id, sent_idx, h % $dims),
+    n2 AS (SELECT doc_id, sent_idx, SUM(s * s) AS n2 FROM dimvals GROUP BY doc_id, sent_idx),
+    dots AS (
+      SELECT a.doc_id, b.sent_idx AS i, SUM(a.s * b.s) AS dp
+      FROM dimvals a JOIN dimvals b
+        ON a.doc_id = b.doc_id AND a.dim = b.dim AND b.sent_idx = a.sent_idx + 1
+      GROUP BY a.doc_id, b.sent_idx),
+    bounds AS (
+      SELECT cur.doc_id, cur.sent_idx AS i,
+             prev.n2 + cur.n2 - 2 * COALESCE(d.dp, 0) AS dist2
+      FROM n2 cur
+      JOIN n2 prev ON prev.doc_id = cur.doc_id AND prev.sent_idx = cur.sent_idx - 1
+      LEFT JOIN dots d ON d.doc_id = cur.doc_id AND d.i = cur.sent_idx),
+    thr AS (SELECT doc_id, quantile_cont(CAST(dist2 AS DOUBLE), $p) AS q FROM bounds GROUP BY doc_id),
+    brk AS (
+      SELECT b.doc_id, b.i, CAST(b.dist2 AS DOUBLE) > t.q AS raw_break
+      FROM bounds b JOIN thr t ON t.doc_id = b.doc_id),
+    pre AS (
+      SELECT doc_id, sent_idx, length(sentence) AS ln,
+             SUM(length(sentence)) OVER (PARTITION BY doc_id ORDER BY sent_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - length(sentence) AS prefix
+      FROM sents),
+    walk AS (
+      SELECT doc_id, 0 AS i, 0 AS cs FROM docs
+      UNION ALL
+      SELECT w.doc_id, w.i + 1,
+             CASE WHEN b.raw_break AND
+                       (p1.prefix - p0.prefix + (w.i - w.cs)) >= $minChunk
+                  THEN w.i + 1 ELSE w.cs END
+      FROM walk w
+      JOIN nsent n ON n.doc_id = w.doc_id AND w.i + 1 < n.n
+      JOIN brk b ON b.doc_id = w.doc_id AND b.i = w.i + 1
+      JOIN pre p1 ON p1.doc_id = w.doc_id AND p1.sent_idx = w.i + 1
+      JOIN pre p0 ON p0.doc_id = w.doc_id AND p0.sent_idx = w.cs),
+    chunks AS (
+      SELECT s.doc_id, w.cs,
+             COUNT(*) AS n_sentences,
+             SUM(length(s.sentence)) + COUNT(*) - 1 AS chunk_len,
+             md5(string_agg(s.sentence, chr(10) ORDER BY s.sent_idx)) AS chunk_md5
+      FROM sents s JOIN walk w ON w.doc_id = s.doc_id AND w.i = s.sent_idx
+      GROUP BY s.doc_id, w.cs)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cs) - 1 AS BIGINT) AS chunk_idx,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(chunk_len AS BIGINT) AS chunk_len, chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_idx"""
+}
