@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   *
   *  - TRAIN: classic BPE merge learning over the corpus word-frequency
   *    table. The word-frequency aggregation is distributed (one
-  *    groupBy); the merge loop itself runs on the driver over the
-  *    collected vocab — the vocab is model data (like k-means
-  *    centroids), bounded and tiny relative to the corpus, and each
-  *    merge step is O(vocab), not O(corpus).
+  *    groupBy), and the vocab that reaches the driver is explicitly
+  *    bounded (min-frequency filter + top-`maxVocab` truncation, both
+  *    distributed) — unlike k-means centroids, raw distinct-word
+  *    counts grow with the corpus, so the bound is what makes the
+  *    collect a parameter-sized model fetch rather than a data path.
+  *    Each merge step is O(vocab), not O(corpus).
   *  - APPLY: the learned merges are broadcast and applied per partition
   *    with Dataset.flatMap — executors tokenize independently.
   *
@@ -28,10 +30,24 @@ object BpeTokenizer {
     docs.select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  /** Learn `numMerges` BPE merges from the corpus. */
-  def train(spark: SparkSession, docs: DataFrame, numMerges: Int): Merges = {
+  /** Learn `numMerges` BPE merges from the corpus.
+    *
+    * The collected vocabulary is BOUNDED before it reaches the driver:
+    * `minFreq` drops hapax-style noise distributedly, and `maxVocab`
+    * truncates to the most frequent words via a distributed top-k
+    * (orderBy+limit → TakeOrdered, never a full sort on the driver).
+    * Web-scale corpora have effectively unbounded distinct tokens
+    * (URLs, typos, code), so an uncapped collect is a driver OOM at
+    * 100 TB; truncation is semantics-preserving in practice because
+    * rare words contribute no pair counts that survive the argmax.
+    * Ties at the cutoff break deterministically on (freq desc, word). */
+  def train(spark: SparkSession, docs: DataFrame, numMerges: Int,
+      minFreq: Long = 1L, maxVocab: Int = 1000000): Merges = {
     import spark.implicits._
     val freqs: Map[Vector[String], Long] = wordFreqs(docs)
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxVocab)
       .as[(String, Long)].collect()
       .map { case (w, f) => (w.map(_.toString).toVector :+ EndOfWord) -> f }
       .toMap

@@ -62,10 +62,30 @@ object Dedup {
     * branches), and pairs are generated inside each band bucket via
     * groupBy + collect_list instead of a self-join — so the expensive
     * md5 stage is never re-evaluated. One shuffle on the band key.
-    * At petabyte scale a bucket-size cap would bound the in-group pair
-    * expansion (a giant bucket means the band is degenerate anyway). */
+    *
+    * Buckets larger than `maxBucket` are DROPPED: a giant bucket means
+    * the band is degenerate (e.g. a corpus of identical or near-empty
+    * docs all sharing one signature) and its quadratic pair expansion
+    * would dominate the job while adding no near-dup signal — exact
+    * duplicates are [[exactDupGroups]]' job, not LSH's. The cap bounds
+    * both the collect_list group state and the emitted pairs per
+    * bucket, which is what makes the plan safe on adversarial corpora
+    * at 100 TB ([[droppedBuckets]] reports what was skipped). */
   def minhashCandidatePairs(spark: SparkSession, dir: String,
-      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+      numHashes: Int = 8, bandSize: Int = 2, maxBucket: Int = 64): DataFrame =
+    bandedDocs(spark, dir, numHashes, bandSize)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("band"), explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("band"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"), col("band"))
+
+  /** (doc_id, band, band_key) rows: one md5 per shingle, signatures
+    * from digest slices, bands via one explode. */
+  private def bandedDocs(spark: SparkSession, dir: String,
+      numHashes: Int, bandSize: Int): DataFrame = {
     val numBands = numHashes / bandSize
     val sigs = (0 until numHashes).map(i => minhashSig(col("hs"), i).as(s"h$i"))
     val withSigs = graft.Tables.documents(spark, dir)
@@ -78,18 +98,20 @@ object Dedup {
       val parts = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
       struct(lit(b.toLong).as("band"), concat_ws("|", parts: _*).as("band_key"))
     }
-    val bands = withSigs
+    withSigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    bands
-      .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("band"), explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("band"))
-      .distinct()
-      .orderBy(col("id_a"), col("id_b"), col("band"))
   }
+
+  /** Monitoring companion to the bucket cap: (band, band_key, n_docs)
+    * of every bucket the cap dropped — run it when a dedup pass reports
+    * suspiciously few candidates. */
+  def droppedBuckets(spark: SparkSession, dir: String,
+      numHashes: Int = 8, bandSize: Int = 2, maxBucket: Int = 64): DataFrame =
+    bandedDocs(spark, dir, numHashes, bandSize)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 
   /** All ordered pairs (ids(i), ids(j)), i<j, of a sorted array —
     * flatten of a nested transform; pure codegen, no UDF. */
@@ -98,7 +120,8 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)),
         b => struct(a.as("id_a"), b.as("id_b")))))
 
-  def minhashCandidatePairsSql(numHashes: Int = 8, bandSize: Int = 2): String = {
+  def minhashCandidatePairsSql(numHashes: Int = 8, bandSize: Int = 2,
+      maxBucket: Int = 64): String = {
     val numBands = numHashes / bandSize
     val sigExprs = (0 until numHashes).map(i =>
       s"list_min(list_transform(hs, h -> substr(h, ${i * 4 + 1}, 4))) AS h$i").mkString(", ")
@@ -116,9 +139,13 @@ object Dedup {
       FROM toks),
     hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh),
     sigs AS (SELECT doc_id, $sigExprs FROM hashed),
-    bands AS ($bandSelects)
+    bands AS ($bandSelects),
+    bsize AS (SELECT band, band_key, COUNT(*) AS c FROM bands GROUP BY band, band_key)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
-    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    JOIN bsize s ON s.band = a.band AND s.band_key = a.band_key
+    WHERE s.c BETWEEN 2 AND $maxBucket
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   }
 

@@ -72,6 +72,32 @@ class VectorSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
 
+  test("minhash bucket cap drops degenerate bands instead of exploding pairs") {
+    // 200 identical docs: every band collapses to one bucket of 200 —
+    // an uncapped pair expansion would emit ~19.9k pairs per band;
+    // with the cap the degenerate buckets are dropped entirely
+    val tmp = java.nio.file.Files.createTempDirectory("mhcap").toString
+    (1L to 200L).map(i => (i, "same tokens in every single document here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Dedup.minhashCandidatePairs(spark, tmp, maxBucket = 64).count() == 0)
+    // monitoring surface reports exactly the dropped buckets
+    val dropped = Dedup.droppedBuckets(spark, tmp, maxBucket = 64)
+      .as[(Long, String, Long)].collect()
+    assert(dropped.nonEmpty && dropped.forall(_._3 == 200L))
+    // a corpus under the cap still produces its pairs
+    assert(Dedup.minhashCandidatePairs(spark, tmp, maxBucket = 200).count() > 0)
+  }
+
+  test("bounded BPE train learns the same merges when the bound is slack") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val unbounded = graft.text.BpeTokenizer.train(spark, docs, 30)
+    val bounded = graft.text.BpeTokenizer.train(spark, docs, 30, minFreq = 1L, maxVocab = 100000)
+    assert(bounded == unbounded)
+    // a tight vocab cap still yields merges drawn from frequent words
+    val tight = graft.text.BpeTokenizer.train(spark, docs, 10, minFreq = 2L, maxVocab = 50)
+    assert(tight.nonEmpty && tight.size <= 10)
+  }
+
   test("upsert is idempotent and last-writer-wins (J2 semantics)") {
     val existing = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
     val updates = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")
