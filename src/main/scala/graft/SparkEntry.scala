@@ -54,6 +54,8 @@ object SparkEntry {
     "q7_nation_trade" -> ((s, d) => Relational.nationTradeVolume(s, d)),
     "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
     "q18_large_volume" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Relational.minCostSupplier(s, d)),
+    "q11_important_stock" -> ((s, d) => Relational.importantStock(s, d)),
     "sub_correlated_orders" -> ((s, d) => Relational.ordersAboveCustomerAvg(s, d)),
     "sub_scalar_rich_idle" -> ((s, d) => Relational.richIdleCustomers(s, d)),
     // --- text layer (§2.8 F1–F9, north-star text analysis) ---
@@ -73,6 +75,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "chunk_cdc" -> ((s, d) => cdcChunksQuery(s, d)),
     "text_page_anchors" -> ((s, d) => pageAnchorsQuery(s, d)),
+    "text_caption_spots" -> ((s, d) => captionSpotsQuery(s, d)),
+    "text_content_breaks" -> ((s, d) => contentBreaksQuery(s, d)),
     "text_bpe_subwords" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.text.BpeTokenizer.subwordInvariants(s, docs, graft.text.BpeTokenizer.train(s, docs, 50))
@@ -147,6 +151,8 @@ object SparkEntry {
     "q7_nation_trade" -> Relational.nationTradeVolumeSql,
     "q10_returned_revenue" -> Relational.returnedItemRevenueSql,
     "q18_large_volume" -> Relational.largeVolumeCustomersSql,
+    "q2_min_cost_supplier" -> Relational.minCostSupplierSql,
+    "q11_important_stock" -> Relational.importantStockSql,
     "sub_correlated_orders" -> Relational.ordersAboveCustomerAvgSql,
     "sub_scalar_rich_idle" -> Relational.richIdleCustomersSql,
     "text_normalize" -> textNormalizeSql,
@@ -161,6 +167,8 @@ object SparkEntry {
     "sample_stratified" -> stratifiedSampleSql,
     "chunk_cdc" -> cdcChunksSql,
     "text_page_anchors" -> pageAnchorsSql,
+    "text_caption_spots" -> captionSpotsSql,
+    "text_content_breaks" -> contentBreaksSql,
     "chunk_stats" -> chunkStatsSql,
     "chunk_table" -> chunkTableSql,
     "chunk_headers" -> chunkHeadersSql,
@@ -487,6 +495,69 @@ object SparkEntry {
            CAST(length(COALESCE(sp.s, d.m)) AS BIGINT) AS spliced_len
     FROM md d LEFT JOIN spliced sp ON d.doc_id = sp.doc_id
     ORDER BY d.doc_id"""
+
+  /** F12: caption-spot finder over the markdownized corpus — keyword
+    * lines with blank-line-before detection. Keywords are corpus
+    * vocabulary NOT promoted to headers by markdownize (those lose
+    * their line-start position to the `#` prefix). */
+  private def captionSpotsQuery(s: SparkSession, d: String): DataFrame = {
+    val lines = graft.text.MarkdownOps.lineFrame(
+      Tables.documents(s, d).select(col("doc_id"), markdownize(col("text")).as("md")),
+      "md", Seq("doc_id"))
+    graft.text.MarkdownOps.captionSpots(lines, Seq("doc_id"), Seq("table", "batch", "join"))
+      .orderBy(col("doc_id"), col("lineno"))
+  }
+
+  private def captionSpotsSql: String = s"""
+    WITH md AS (SELECT doc_id, $markdownizeSqlExpr AS m FROM documents),
+    lines AS (
+      SELECT doc_id, u.l AS line, CAST(u.i - 1 AS BIGINT) AS lineno
+      FROM md, LATERAL (SELECT unnest(string_split(m, chr(10))) AS l,
+                               generate_subscripts(string_split(m, chr(10)), 1) AS i) u),
+    offs AS (
+      SELECT doc_id, lineno, line,
+             CAST(COALESCE(SUM(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY lineno
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS line_offset
+      FROM lines),
+    cap AS (
+      SELECT doc_id, lineno, line, line_offset,
+             COALESCE(LAG(trim(line)) OVER (PARTITION BY doc_id ORDER BY lineno) = '', TRUE) AS prev_blank
+      FROM offs)
+    SELECT doc_id, lineno, line_offset, prev_blank
+    FROM cap WHERE regexp_matches(line, '^(table|batch|join)\\b')
+    ORDER BY doc_id, lineno"""
+
+  /** F13: content-break finder (blank / rule / header lines at even
+    * code-fence parity) as a driver-gated query. */
+  private def contentBreaksQuery(s: SparkSession, d: String): DataFrame = {
+    val lines = graft.text.MarkdownOps.lineFrame(
+      Tables.documents(s, d).select(col("doc_id"), markdownize(col("text")).as("md")),
+      "md", Seq("doc_id"))
+    graft.text.MarkdownOps.contentBreaks(lines, Seq("doc_id"))
+      .orderBy(col("doc_id"), col("lineno"))
+  }
+
+  private def contentBreaksSql: String = s"""
+    WITH md AS (SELECT doc_id, $markdownizeSqlExpr AS m FROM documents),
+    lines AS (
+      SELECT doc_id, u.l AS line, CAST(u.i - 1 AS BIGINT) AS lineno
+      FROM md, LATERAL (SELECT unnest(string_split(m, chr(10))) AS l,
+                               generate_subscripts(string_split(m, chr(10)), 1) AS i) u),
+    offs AS (
+      SELECT doc_id, lineno, line,
+             CAST(COALESCE(SUM(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY lineno
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS line_offset
+      FROM lines),
+    fenced AS (
+      SELECT *, COALESCE(SUM(CASE WHEN trim(line) LIKE '```%' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY lineno
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fences_before
+      FROM offs),
+    final AS (
+      SELECT doc_id, lineno, line_offset FROM fenced
+      WHERE (trim(line) = '' OR regexp_matches(trim(line), '^(-{3,}|\\*{3,}|_{3,})$$')
+         OR regexp_matches(line, '^#{1,6} ')) AND fences_before % 2 = 0)
+    SELECT doc_id, lineno, line_offset FROM final ORDER BY doc_id, lineno"""
 
   /** Rolling-hash document fingerprints: whole-doc polynomial hash +
     * winnowing-style k-gram minimum. */

@@ -641,4 +641,90 @@ object Relational {
     INTERSECT
     SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     ORDER BY o_custkey"""
+
+  /** Synthesized partsupp (the testdata ships none — NOTES backlog):
+    * each part gets 4 suppliers via deterministic integer arithmetic,
+    * same formula in the oracle. Costs are kept as integer CENTS so
+    * per-part aggregates are order-free exact; the presentation double
+    * is a single division at the end. The supplier-count scalar is a
+    * broadcast literal frame, not a collected value. */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    val nSupp = Tables.supplier(spark, dir).agg(count(lit(1)).as("n_supp"))
+    Tables.part(spark, dir)
+      .crossJoin(broadcast(nSupp))
+      .select(col("p_partkey"), explode(sequence(lit(0), lit(3))).as("i"), col("n_supp"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("n_supp")).as("ps_suppkey"),
+        ((col("p_partkey") * 31 + col("i") * 17) % 9999 + 1).as("ps_availqty"),
+        ((col("p_partkey") * 13 + col("i") * 7) % 100000).as("ps_cost_cents"))
+  }
+
+  private val partsuppSqlCte: String = """
+    ns AS (SELECT COUNT(*) AS n_supp FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + u.i * 13) % n_supp AS ps_suppkey,
+             (p_partkey * 31 + u.i * 17) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 13 + u.i * 7) % 100000 AS ps_cost_cents
+      FROM part, ns, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) u)"""
+
+  /** Q2-style: minimum-cost supplier — for every small part, the
+    * supplier(s) achieving the per-part minimum supply cost, enriched
+    * with nation. The correlated-min subquery is the groupBy-min +
+    * equi-join rewrite (what Catalyst would decorrelate to); cost
+    * equality is on integer cents, so ties are exact. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = partsupp(spark, dir)
+    val minCost = ps.groupBy(col("ps_partkey"))
+      .agg(min(col("ps_cost_cents")).as("min_cents"))
+    ps.join(minCost, Seq("ps_partkey"))
+      .filter(col("ps_cost_cents") === col("min_cents"))
+      .join(Tables.part(spark, dir).filter(col("p_size") < 5),
+        col("ps_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("ps_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        (col("ps_cost_cents") / lit(100.0)).as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("ps_supplycost"))
+  }
+
+  def minCostSupplierSql: String = s"""
+    WITH $partsuppSqlCte,
+    mc AS (SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents FROM partsupp GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           ps_cost_cents / 100.0 AS ps_supplycost
+    FROM partsupp
+    JOIN mc USING (ps_partkey)
+    JOIN part ON ps_partkey = p_partkey AND p_size < 5
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE ps_cost_cents = min_cents
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_supplycost"""
+
+  /** Q11-style: important stock — parts whose inventory value exceeds
+    * 1/10000 of the total. Value stays in integer cents until the
+    * final projection; the threshold compare is integer-exact
+    * (value * 10000 > total). The total is a broadcast scalar. */
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val ps = partsupp(spark, dir)
+    val perPart = ps.groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 10000 > col("total_cents"))
+      .select(col("ps_partkey"), (col("value_cents") / lit(100.0)).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  def importantStockSql: String = s"""
+    WITH $partsuppSqlCte,
+    pp AS (SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS value_cents
+           FROM partsupp GROUP BY ps_partkey),
+    tot AS (SELECT SUM(value_cents) AS total_cents FROM pp)
+    SELECT ps_partkey, value_cents / 100.0 AS value
+    FROM pp, tot
+    WHERE value_cents * 10000 > total_cents
+    ORDER BY value DESC, ps_partkey"""
 }

@@ -41,12 +41,57 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Axis-aligned sign-LSH bucket id from the first `bits` vector
-    * components: bit i = sign(v[i]). A coordinate-hyperplane LSH — the
-    * scale path for ANN/near-dup (bucket-join instead of cross-join). */
+    * components: bit i = sign(v[i]). The weakest hyperplane family
+    * (ignores all but the first `bits` dimensions) — kept as the
+    * baseline that [[rhpLshBucket]] is measured against. */
   def signLshBucket(v: Column, bits: Int = 8): Column =
     (0 until bits)
       .map(i => when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** splitmix64 finalizer — the deterministic expansion behind the
+    * hyperplane matrix (public-domain mixing constants). */
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 (Rademacher) hyperplane matrix, `bits` x `dim`.
+    * Seeded, so Spark and the oracle bake the SAME literal matrix into
+    * their plans — the projection is data-independent model input, not
+    * state. */
+  def hyperplaneSigns(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(bits, dim)((i, j) =>
+      if ((mix64(seed + i.toLong * dim + j) & 1L) == 0L) 1.0 else -1.0)
+
+  /** Random-hyperplane sign-LSH (Charikar's SimHash for real vectors):
+    * bit i = sign(<v, r_i>) with r_i a seeded ±1 hyperplane. Uses every
+    * dimension, so collision probability tracks cosine similarity —
+    * measurably better recall than the axis-aligned baseline at the
+    * same bucket-join plan shape (AnnQualitySpec). `v` must already be
+    * a double array. */
+  def rhpLshBucket(v: Column, bits: Int = 8, dim: Int = 64, seed: Long = 42L): Column = {
+    val planes = hyperplaneSigns(bits, dim, seed)
+    (0 until bits)
+      .map { i =>
+        val r = array(planes(i).map(lit): _*)
+        when(dot(v, r) > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** The same projection as a SQL expression over a DOUBLE[] column. */
+  def rhpLshBucketSql(vExpr: String, bits: Int = 8, dim: Int = 64, seed: Long = 42L): String = {
+    val planes = hyperplaneSigns(bits, dim, seed)
+    (0 until bits)
+      .map { i =>
+        val arr = planes(i).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product($vExpr, $arr) > 0 THEN ${1L << i} ELSE 0 END"
+      }
+      .mkString("(", " + ", ")::BIGINT")
+  }
 
   /** Query row: the embedding of a fixed vec_id, crossed (broadcast,
     * 1 row) against the whole table. */
@@ -91,14 +136,17 @@ object VectorOps {
     FROM embeddings, q
     ORDER BY dist2, vec_id LIMIT $k"""
 
-  /** ANN via sign-LSH: candidates = same bucket as the query, then exact
-    * cosine re-rank within the bucket. At 100 TB this is a bucket-pruned
-    * scan (partition by bucket) instead of a full sweep. */
-  def annLshTopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 10, bits: Int = 8): DataFrame = {
+  /** ANN via random-hyperplane LSH: candidates = same bucket as the
+    * query, then exact cosine re-rank within the bucket. At 100 TB this
+    * is a bucket-pruned scan (partition by bucket) instead of a full
+    * sweep. */
+  def annLshTopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 10,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
-      .select(asDouble(col("embedding")).as("qvec"), signLshBucket(col("embedding"), bits).as("qbucket"))
+      .select(asDouble(col("embedding")).as("qvec"),
+        rhpLshBucket(asDouble(col("embedding")), bits, dim).as("qbucket"))
     Tables.embeddings(spark, dir)
-      .withColumn("bucket", signLshBucket(col("embedding"), bits))
+      .withColumn("bucket", rhpLshBucket(asDouble(col("embedding")), bits, dim))
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), col("bucket"),
         round(cosine(asDouble(col("embedding")), col("qvec")), 6).as("score"))
@@ -106,11 +154,10 @@ object VectorOps {
       .limit(k)
   }
 
-  def annLshTopKSql(queryId: Long = 0, k: Int = 10, bits: Int = 8): String = s"""
+  def annLshTopKSql(queryId: Long = 0, k: Int = 10, bits: Int = 8, dim: Int = 64): String = s"""
     WITH b AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             list_sum(list_transform(generate_series(1, $bits),
-                      i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END))::BIGINT AS bucket
+             ${rhpLshBucketSql(s"CAST(embedding AS DOUBLE[])", bits, dim)} AS bucket
       FROM embeddings),
     q AS (SELECT v AS qvec, bucket AS qbucket FROM b WHERE vec_id = $queryId)
     SELECT vec_id, bucket,
@@ -184,13 +231,15 @@ object VectorOps {
     FROM assigned a JOIN qprobe q ON a.list_id = q.list_id
     ORDER BY score DESC, a.vec_id LIMIT $k"""
 
-  /** Embedding near-duplicate pairs: bucket by sign-LSH, exact cosine
-    * within buckets, keep pairs above threshold. The bucket equi-join is
-    * the scale move — no O(n²) cross join ever materializes. */
-  def embeddingDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9, bits: Int = 8): DataFrame = {
+  /** Embedding near-duplicate pairs: bucket by random-hyperplane LSH,
+    * exact cosine within buckets, keep pairs above threshold. The bucket
+    * equi-join is the scale move — no O(n²) cross join ever
+    * materializes. */
+  def embeddingDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"),
-        signLshBucket(col("embedding"), bits).as("bucket"))
+        rhpLshBucket(asDouble(col("embedding")), bits, dim).as("bucket"))
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -200,11 +249,10 @@ object VectorOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  def embeddingDupPairsSql(threshold: Double = 0.9, bits: Int = 8): String = s"""
+  def embeddingDupPairsSql(threshold: Double = 0.9, bits: Int = 8, dim: Int = 64): String = s"""
     WITH b AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             list_sum(list_transform(generate_series(1, $bits),
-                      i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END))::BIGINT AS bucket
+             ${rhpLshBucketSql(s"CAST(embedding AS DOUBLE[])", bits, dim)} AS bucket
       FROM embeddings)
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            ROUND(list_dot_product(a.v, c.v) /

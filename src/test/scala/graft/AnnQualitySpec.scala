@@ -28,6 +28,29 @@ class AnnQualitySpec extends SparkSpec {
     }
   }
 
+  test("random-hyperplane buckets recall more neighbors than axis-aligned") {
+    import org.apache.spark.sql.functions._
+    // 4 bits so buckets are populous enough for recall to be meaningful
+    val bits = 4
+    val buckets = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        VectorOps.signLshBucket(col("embedding"), bits).as("axis"),
+        VectorOps.rhpLshBucket(VectorOps.asDouble(col("embedding")), bits).as("rhp"))
+      .as[(Long, Long, Long)].collect()
+    val axis = buckets.map(r => r._1 -> r._2).toMap
+    val rhp = buckets.map(r => r._1 -> r._3).toMap
+    val queries = Seq(0L, 7L, 13L, 42L, 99L)
+    def meanRecall(b: Map[Long, Long]): Double = queries.map { q =>
+      val truth = ids(VectorOps.cosineTopK(spark, sf, q, 10))
+      val cand = b.collect { case (id, bk) if bk == b(q) => id }.toSet
+      truth.intersect(cand).size.toDouble / truth.size
+    }.sum / queries.size
+    val ra = meanRecall(axis)
+    val rr = meanRecall(rhp)
+    info(f"recall@10: axis-aligned $ra%.2f, random-hyperplane $rr%.2f")
+    assert(rr > ra, f"projected LSH must beat the axis baseline: $rr%.2f <= $ra%.2f")
+  }
+
   test("one-step IVF finds the query itself at rank 1") {
     Seq(0L, 21L).foreach { q =>
       val top = VectorOps.ivfTopK(spark, sf, q, 5)
