@@ -22,12 +22,13 @@ import graft.text.TextFunctions
   * makes this chunker fully oracle-checkable (chunk boundaries, counts
   * and md5s all hash-match DuckDB).
   *
-  * Scale shape: sentence/token explosion and the sketch aggregation are
-  * map-side + one groupBy each; the consecutive-sentence distance is a
-  * self-equi-join on (doc, dim, adjacent idx); the greedy min-size walk
-  * folds per document inside `flatMapGroups` (a document's sentence
-  * list is the natural, bounded unit of sequential state — same pattern
-  * as the anchor scan, SURVEY.md §7.5).
+  * Scale shape: every stage — sentences, sketches, adjacent distances,
+  * the percentile threshold, the greedy walk — is document-local, so
+  * the operator is ONE map-side pass over the documents table (zero
+  * shuffles before the presentation sort; embarrassingly parallel at
+  * any scale). The equivalent relational program is what the DuckDB
+  * oracle runs ([[semanticChunksSql]]), and the driver gate holds the
+  * two to hash equality.
   */
 object SemanticChunker {
 
@@ -40,83 +41,99 @@ object SemanticChunker {
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), TextFunctions.normalize(col("text")).as("t"))
       .filter(length(col("t")) > 0)
-    // sentence rows: break after [.!?]-space; the single-line testdata
-    // docs carry no punctuation, so the shared 8-word line synthesis
-    // (MarkdownOps.synthesizeLines, same convention as the markdown
-    // queries) provides the base segmentation. Every boundary consumes
-    // exactly one space, so chunk lengths stay reconstruction-exact.
-    val sentSrc = regexp_replace(
-      graft.text.MarkdownOps.synthesizeLines(col("t")), "([.!?]) ", "$1\n")
-    val sents = docs
-      .select(col("doc_id"),
-        posexplode(split(sentSrc, "\n")).as(Seq("sent_idx", "sentence")))
-    // integer bag-of-words sketch: token -> (hash % dims, ±1)
-    val dimvals = sents
-      .select(col("doc_id"), col("sent_idx"),
-        explode(split(lower(col("sentence")), "\\s+")).as("tok"))
-      .withColumn("h", TextFunctions.md5Long(col("tok")))
-      .select(col("doc_id"), col("sent_idx"),
-        (col("h") % dims).as("dim"),
-        expr(s"CASE WHEN (h div $dims) % 2 = 0 THEN 1 ELSE -1 END").cast("long").as("sg"))
-      .groupBy(col("doc_id"), col("sent_idx"), col("dim"))
-      .agg(sum(col("sg")).as("s"))
-    // ||a-b||^2 = ||a||^2 + ||b||^2 - 2<a,b> over sparse (dim, s) rows
-    val norm2 = dimvals.groupBy(col("doc_id"), col("sent_idx"))
-      .agg(sum(col("s") * col("s")).as("n2"))
-    val dots = dimvals.as("a")
-      .join(dimvals.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.dim") === col("b.dim") &&
-          col("b.sent_idx") === col("a.sent_idx") + 1)
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.sent_idx").as("i"))
-      .agg(sum(col("a.s") * col("b.s")).as("dp"))
-    val bounds = norm2.as("cur")
-      .join(norm2.as("prev"),
-        col("prev.doc_id") === col("cur.doc_id") &&
-          col("prev.sent_idx") === col("cur.sent_idx") - 1)
-      .join(dots.as("d"),
-        col("d.doc_id") === col("cur.doc_id") && col("d.i") === col("cur.sent_idx"), "left")
-      .select(col("cur.doc_id").as("doc_id"), col("cur.sent_idx").as("i"),
-        (col("prev.n2") + col("cur.n2") - coalesce(col("dp"), lit(0L)) * 2).as("dist2"))
-    // per-document breakpoint threshold: exact 95th percentile
-    val thr = bounds.groupBy(col("doc_id"))
-      .agg(expr(s"percentile(CAST(dist2 AS DOUBLE), $p)").as("q"))
-    val brk = bounds.join(thr, Seq("doc_id"))
-      .select(col("doc_id"), col("i"),
-        (col("dist2").cast("double") > col("q")).as("raw_break"))
-    // greedy walk per document: keep a breakpoint only once the current
-    // chunk has at least minChunk joined chars (reference's
-    // min_chunk_size = chunk_size/3)
-    val rows = sents
-      .join(brk, col("sent_idx") === col("i") && sents("doc_id") === brk("doc_id"), "left")
-      .select(sents("doc_id"), col("sent_idx"), col("sentence"),
-        coalesce(col("raw_break"), lit(false)).as("raw_break"))
-      .as[(Long, Long, String, Boolean)]
-    val chunks = rows.groupByKey(_._1).flatMapGroups { (doc, it) =>
-      val ss = it.toVector.sortBy(_._2)
-      val out = Vector.newBuilder[(Long, Long, Long, String)]
-      var cs = 0
-      var idx = 0L
-      def emit(a: Int, b: Int): Unit = {
-        val text = ss.slice(a, b + 1).map(_._3).mkString("\n")
-        out += ((doc, idx, (b - a + 1).toLong, text))
-        idx += 1
-      }
-      var curLen = ss.head._3.length
-      var i = 1
-      while (i < ss.length) {
-        if (ss(i)._4 && curLen >= minChunk) {
-          emit(cs, i - 1); cs = i; curLen = ss(i)._3.length
-        } else curLen += 1 + ss(i)._3.length
-        i += 1
-      }
-      emit(cs, ss.length - 1)
-      out.result().iterator
+      .as[(Long, String)]
+    // Everything below is DOCUMENT-LOCAL (sentences, sketches, adjacent
+    // distances, the percentile threshold and the greedy walk all live
+    // inside one document), so the whole operator is a single map-side
+    // pass: one MessageDigest per partition, one md5 per token, zero
+    // shuffles before the presentation sort. The relational formulation
+    // lives in [[semanticChunksSql]], which the driver gate holds this
+    // implementation to, hash-for-hash.
+    val chunks = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, t) => chunkDoc(md, id, t, dims, minChunk, p) }
     }
     chunks.toDF("doc_id", "chunk_idx", "n_sentences", "chunk")
       .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Per-document chunking: sentence segmentation (punctuation + the
+    * shared 8-word line synthesis — same regexes as the Column
+    * pipeline, same Java engine), ±1 hash sketches, integer squared-L2
+    * adjacent distances, exact-percentile threshold, greedy min-size
+    * walk. Pure function over one document. */
+  private def chunkDoc(md: java.security.MessageDigest, id: Long, t: String,
+      dims: Int, minChunk: Int, p: Double): Iterator[(Long, Long, Long, String)] = {
+    // sentence rows: break after [.!?]-space; the single-line testdata
+    // docs carry no punctuation, so the 8-word line synthesis
+    // (MarkdownOps.synthesizeLines convention) provides the base
+    // segmentation. Every boundary consumes exactly one space, so chunk
+    // lengths stay reconstruction-exact.
+    val ss: Array[String] = t
+      .replaceAll("((?:\\S+ ){7}\\S+) ", "$1\n")
+      .replaceAll("([.!?]) ", "$1\n")
+      .split("\n", -1)
+    val n = ss.length
+    // integer bag-of-words sketch per sentence: token -> (h % dims, ±1)
+    // with h = the portable md5-derived 60-bit hash (TextFunctions.md5Long)
+    val vecs = Array.ofDim[Long](n, dims)
+    var si = 0
+    while (si < n) {
+      for (tok <- ss(si).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)) {
+        md.reset()
+        val digest = md.digest(tok.getBytes("UTF-8"))
+        val hex = new StringBuilder(15)
+        var bi = 0
+        while (hex.length < 15) {
+          hex.append(f"${digest(bi) & 0xff}%02x"); bi += 1
+        }
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val sg = if ((h / dims) % 2 == 0) 1L else -1L
+        vecs(si)((h % dims).toInt) += sg
+      }
+      si += 1
+    }
+    // ||a-b||^2 between consecutive sketches — integer-exact
+    val dists = Array.tabulate(math.max(n - 1, 0)) { i =>
+      var d = 0L
+      var j = 0
+      while (j < dims) {
+        val diff = vecs(i)(j) - vecs(i + 1)(j); d += diff * diff; j += 1
+      }
+      d
+    }
+    // exact p-quantile with linear interpolation (the same formula as
+    // Spark `percentile` and DuckDB `quantile_cont`)
+    val breaks = if (n < 2) Array.empty[Boolean] else {
+      val sorted = dists.map(_.toDouble).sorted
+      val rank = p * (sorted.length - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      val q = if (lo == hi) sorted(lo) else sorted(lo) + (sorted(hi) - sorted(lo)) * (rank - lo)
+      dists.map(_.toDouble > q)
+    }
+    // greedy walk: keep a breakpoint only once the current chunk has at
+    // least minChunk joined chars (reference min_chunk_size = chunk_size/3)
+    val out = Vector.newBuilder[(Long, Long, Long, String)]
+    var cs = 0
+    var idx = 0L
+    def emit(a: Int, b: Int): Unit = {
+      out += ((id, idx, (b - a + 1).toLong, ss.slice(a, b + 1).mkString("\n")))
+      idx += 1
+    }
+    var curLen = ss(0).length
+    var i = 1
+    while (i < n) {
+      if (breaks(i - 1) && curLen >= minChunk) {
+        emit(cs, i - 1); cs = i; curLen = ss(i).length
+      } else curLen += 1 + ss(i).length
+      i += 1
+    }
+    emit(cs, n - 1)
+    out.result().iterator
   }
 
   /** Same program in DuckDB SQL: the walk's sequential state becomes a
