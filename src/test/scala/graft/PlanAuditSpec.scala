@@ -46,6 +46,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), "dimensions must not sort-merge")
   }
 
+  test("token windows plan with no exchange before the presentation sort") {
+    val s = simpleString(chunk.TokenWindows.tokenWindows(spark, sf))
+    // tokens, window starts and slices are per-row generators/projections:
+    // the only exchange allowed is the final global sort's range partition
+    assert(!s.contains("Exchange hashpartitioning"),
+      "token windowing must stay map-side")
+  }
+
+  test("semantic chunker plans as one map pass (no hash exchange)") {
+    val s = simpleString(chunk.SemanticChunker.semanticChunks(spark, sf))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "document-local chunking must not shuffle")
+  }
+
+  test("q2 broadcasts dimension tables at execution time") {
+    val s = executedPlanString(relational.Relational.minCostSupplier(spark, sf))
+    assert(s.contains("BroadcastHashJoin"))
+  }
+
+  test("q11 threshold scalar is broadcast, not recomputed per row") {
+    val s = executedPlanString(relational.Relational.importantStock(spark, sf))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      "the total-value scalar must arrive via broadcast")
+  }
+
   test("normalization chain stays in one codegen stage with the scan") {
     val df = Tables.documents(spark, sf)
       .select(functions.Nfkc.nfkc(text.TextFunctions.normalize(
