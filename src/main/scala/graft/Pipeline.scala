@@ -18,8 +18,12 @@ import graft.vector.{Dedup, VectorOps}
   */
 object Pipeline {
 
-  /** Mirrors config.json:33-41 (scaled to the testdata's short docs). */
+  /** Mirrors config.json:33-41 (scaled to the testdata's short docs).
+    * `splitter` is the reference's TextSplitterName switch
+    * (chunking_manager.py:63-76): markdown | recursive | semantic |
+    * sentence. */
   final case class EtlConfig(
+      splitter: String = "recursive",
       chunkSize: Int = 200,
       chunkOverlap: Int = 50,
       headerLevels: Int = 4,
@@ -30,12 +34,37 @@ object Pipeline {
 
   /** Chunks table: (doc_id, chunk_idx, chunk, n_tokens, fingerprint) —
     * the reference's per-document chunk list with ChunkMetadata
-    * (chunking_manager.py:159-176), fully columnar. */
-  def buildChunks(spark: SparkSession, dir: String, cfg: EtlConfig = EtlConfig()): DataFrame =
-    Chunking.chunkTable(Tables.documents(spark, dir), cfg.chunkSize, cfg.chunkOverlap)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
-        TextFunctions.tokenCount(col("chunk")).as("n_tokens"),
-        TextFunctions.fingerprint(col("chunk")).as("fingerprint"))
+    * (chunking_manager.py:159-176), fully columnar. The splitter
+    * dispatch mirrors ChunkingManager.build_splitter: every branch
+    * yields the same schema so downstream stages are
+    * splitter-agnostic. */
+  def buildChunks(spark: SparkSession, dir: String, cfg: EtlConfig = EtlConfig()): DataFrame = {
+    val chunks = cfg.splitter match {
+      case "markdown" =>
+        Tables.documents(spark, dir)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            posexplode(Chunking.headerChunks(
+              TextFunctions.normalize(col("text")), cfg.headerLevels))
+              .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+      case "semantic" =>
+        graft.chunk.SemanticChunker
+          .semanticChunkTable(spark, dir, minChunk = cfg.chunkSize / 3)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      case "sentence" =>
+        // tokens_per_chunk = chunk_size (chunking_manager.py:73-76)
+        graft.chunk.TokenWindows
+          .tokenWindowTable(spark, dir, cfg.chunkSize, cfg.chunkOverlap)
+          .select(col("doc_id"), col("chunk_idx"), concat_ws(" ", col("w")).as("chunk"))
+      case _ =>
+        Chunking.chunkTable(Tables.documents(spark, dir), cfg.chunkSize, cfg.chunkOverlap)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    }
+    chunks.select(col("doc_id"), col("chunk_idx"), col("chunk"),
+      TextFunctions.tokenCount(col("chunk")).as("n_tokens"),
+      TextFunctions.fingerprint(col("chunk")).as("fingerprint"))
+  }
 
   /** Index-point table (FIXTURES.md index_point shape): chunk text +
     * dense vector (joined from embeddings on doc_id) + metadata —

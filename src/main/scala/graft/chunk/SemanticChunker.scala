@@ -32,9 +32,10 @@ import graft.text.TextFunctions
   */
 object SemanticChunker {
 
-  /** (doc_id, chunk_idx, n_sentences, chunk_len, chunk_md5) per
-    * semantic chunk. */
-  def semanticChunks(spark: SparkSession, dir: String, dims: Int = 16,
+  /** (doc_id, chunk_idx, n_sentences, chunk) rows with the chunk TEXT —
+    * the composable form ([[graft.Pipeline]] plugs this in as the
+    * `semantic` splitter). */
+  def semanticChunkTable(spark: SparkSession, dir: String, dims: Int = 16,
       minChunk: Int = 66, p: Double = 0.95): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -49,16 +50,21 @@ object SemanticChunker {
     // shuffles before the presentation sort. The relational formulation
     // lives in [[semanticChunksSql]], which the driver gate holds this
     // implementation to, hash-for-hash.
-    val chunks = docs.mapPartitions { it =>
+    docs.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, t) => chunkDoc(md, id, t, dims, minChunk, p) }
-    }
-    chunks.toDF("doc_id", "chunk_idx", "n_sentences", "chunk")
+    }.toDF("doc_id", "chunk_idx", "n_sentences", "chunk")
+  }
+
+  /** (doc_id, chunk_idx, n_sentences, chunk_len, chunk_md5) per
+    * semantic chunk — the driver-gated query form. */
+  def semanticChunks(spark: SparkSession, dir: String, dims: Int = 16,
+      minChunk: Int = 66, p: Double = 0.95): DataFrame =
+    semanticChunkTable(spark, dir, dims, minChunk, p)
       .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   /** Per-document chunking: sentence segmentation (punctuation + the
     * shared 8-word line synthesis — same regexes as the Column

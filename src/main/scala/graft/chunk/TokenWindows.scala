@@ -25,8 +25,10 @@ import graft.text.TextFunctions
   */
 object TokenWindows {
 
-  /** (doc_id, chunk_idx, n_tokens, chunk_md5) per token window. */
-  def tokenWindows(spark: SparkSession, dir: String,
+  /** (doc_id, chunk_idx, w) rows with the window's token ARRAY — the
+    * composable form ([[graft.Pipeline]] plugs this in as the
+    * `sentence` splitter, chunk text = tokens joined by ' '). */
+  def tokenWindowTable(spark: SparkSession, dir: String,
       tokensPerChunk: Int = 50, overlap: Int = 10): DataFrame = {
     require(overlap >= 0 && overlap < tokensPerChunk)
     val stride = tokensPerChunk - overlap
@@ -37,11 +39,17 @@ object TokenWindows {
           .as(Seq("chunk_idx", "start")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         slice(col("toks"), col("start") + 1, lit(tokensPerChunk)).as("w"))
+  }
+
+  /** (doc_id, chunk_idx, n_tokens, chunk_md5) per token window — the
+    * driver-gated query form. */
+  def tokenWindows(spark: SparkSession, dir: String,
+      tokensPerChunk: Int = 50, overlap: Int = 10): DataFrame =
+    tokenWindowTable(spark, dir, tokensPerChunk, overlap)
       .select(col("doc_id"), col("chunk_idx"),
         size(col("w")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("w")).cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   def tokenWindowsSql(tokensPerChunk: Int = 50, overlap: Int = 10): String = {
     val stride = tokensPerChunk - overlap

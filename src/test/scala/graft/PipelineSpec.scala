@@ -43,6 +43,28 @@ class PipelineSpec extends SparkSpec {
     assert(doc1.forall(_.endsWith(" v2")))
   }
 
+  test("buildChunks dispatches on the configured splitter (TextSplitterName)") {
+    val splitters = Seq("recursive", "markdown", "semantic", "sentence")
+    val tables = splitters.map(s =>
+      s -> Pipeline.buildChunks(spark, sf, Pipeline.EtlConfig(splitter = s)).cache())
+    tables.foreach { case (name, df) =>
+      // uniform schema regardless of splitter
+      assert(df.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk", "n_tokens", "fingerprint"),
+        s"splitter $name schema")
+      assert(df.count() > 0, s"splitter $name emitted no chunks")
+      // chunk ids unique per doc
+      assert(df.select("doc_id", "chunk_idx").distinct().count() == df.count(),
+        s"splitter $name duplicate chunk ids")
+    }
+    // the four strategies genuinely chunk differently
+    val counts = tables.map(_._2.count()).toSet
+    assert(counts.size >= 3, s"expected distinct chunkings, got $counts")
+    // and each feeds buildIndex unchanged
+    val idx = Pipeline.buildIndex(spark, sf, Pipeline.EtlConfig(splitter = "semantic"))
+    assert(idx.columns.toSeq == Seq("id", "text", "dense", "metadata"))
+    assert(idx.count() == tables.toMap.apply("semantic").count())
+  }
+
   test("search dispatches on configured distance") {
     val cos = Pipeline.search(spark, sf, 0, 5)
     val l2 = Pipeline.search(spark, sf, 0, 5, Pipeline.EtlConfig(distance = "euclid"))
