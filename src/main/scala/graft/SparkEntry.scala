@@ -626,16 +626,22 @@ object SparkEntry {
 
   /** Content-defined chunking over the corpus: chunk table keyed by
     * rolling-hash boundaries (shift-resistant dedup chunking). */
-  private def cdcChunksQuery(s: SparkSession, d: String): DataFrame =
+  private def cdcChunksQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, d)
       .transform(graft.Parallelism.ensure(s))
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        posexplode(Chunking.cdcChunks(col("text"))).as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        Chunking.cdcChunksRolling(t).iterator.zipWithIndex
+          .map { case (c, i) => (id, i.toLong, c) }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk")
+      .select(col("doc_id"), col("chunk_idx"),
         md5(col("chunk").cast("binary")).as("chunk_md5"),
         length(col("chunk")).cast("long").as("chunk_len"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 
   private def cdcChunksSql: String = """
     WITH hashes AS (

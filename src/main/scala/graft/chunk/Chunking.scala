@@ -105,6 +105,49 @@ object Chunking {
       (start, end) => text.substr((start + 1).cast("int"), (end - start).cast("int")))
   }
 
+  /** True rolling-recurrence form of [[cdcChunks]] — O(n) per document
+    * instead of O(n·k): the window hash advances by
+    * `h' = ((h - cp_out·31^(k-1))·31 + cp_in) mod 2^31-1` per position.
+    * Exactly replicates the expression form's semantics, including its
+    * quirks: positions are code points (Spark substr/DuckDB substr
+    * agree), a position past the end contributes 0 (Spark `ascii('')`),
+    * and short-document boundary ends may exceed n (clamped at
+    * extraction, which can emit an empty trailing chunk — both engines
+    * agree). The driver gate + CdcSpec equivalence test prove
+    * rolling == expression == oracle. */
+  def cdcChunksRolling(text: String, k: Int = 8, divisor: Int = 64): Vector[String] = {
+    val M = 2147483647L
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    def cp(idx0: Int): Long = if (idx0 >= 0 && idx0 < n) cps(idx0).toLong else 0L
+    var pow = 1L
+    var j = 1
+    while (j < k) { pow = (pow * 31) % M; j += 1 }
+    var h = 0L
+    j = 0
+    while (j < k) { h = (h * 31 + cp(j)) % M; j += 1 }
+    val maxI = math.max(n - (k - 1), 1)
+    val ends = scala.collection.mutable.SortedSet.empty[Long]
+    var i = 1
+    while (i <= maxI) {
+      if (h % divisor == 0) ends += (i + k - 1).toLong
+      // slide: drop cp(i-1), take cp(i-1+k)
+      val sub = (h - (cp(i - 1) * pow) % M + M) % M
+      h = (sub * 31 + cp(i - 1 + k)) % M
+      i += 1
+    }
+    ends += n.toLong
+    val out = Vector.newBuilder[String]
+    var start = 0L
+    ends.foreach { end =>
+      val s = math.min(start, n.toLong).toInt
+      val e = math.min(end, n.toLong).toInt
+      out += new String(cps, s, math.max(e - s, 0))
+      start = end
+    }
+    out.result()
+  }
+
   /** C1 hierarchical header-path metadata (the reference's
     * headers-as-metadata semantic, chunking_manager.py:160-164): for
     * every chunk, the ACTIVE heading at each level 1..maxLevel — a

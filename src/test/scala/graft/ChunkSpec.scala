@@ -63,6 +63,24 @@ class ChunkSpec extends SparkSpec {
     assert(common.nonEmpty, "no shared chunks after prefix insertion — not content-defined")
   }
 
+  test("rolling CDC recurrence equals the expression form on varied texts") {
+    def exprChunks(t: String): Seq[String] =
+      Seq(t).toDF("text").select(Chunking.cdcChunks(col("text")))
+        .as[Seq[String]].head()
+    val texts = Seq(
+      (1 to 300).map(i => s"w${i * 7919 % 997}").mkString(" "),
+      "short",
+      "exactly8!",
+      "a" * 7,                       // shorter than the window
+      "x y z " * 100,
+      "café naïve " * 40,  // multi-byte code points
+    )
+    texts.foreach { t =>
+      assert(Chunking.cdcChunksRolling(t) == exprChunks(t).toVector,
+        s"rolling != expression for ${t.take(30)}...")
+    }
+  }
+
   test("ChunkSplit generator emits nothing for null text") {
     val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
       .select(chunk_split(col("text"), 100, 20)).count()
