@@ -85,7 +85,10 @@ object RectMerge {
     *  - count_ok: merging never increases the rect count.
     * The hash gate goes red iff any property breaks. */
   def mergeInvariants(spark: SparkSession, dir: String, tol: Double = 40.0): DataFrame = {
-    val merged = mergedFigures(spark, dir, tol)
+    // three branches below (count/bbox agg, disjointness self-join,
+    // containment join) all consume the fixpoint output — persist so
+    // the flatMapGroups merge runs once, not per branch
+    val merged = mergedFigures(spark, dir, tol).persist()
     val input = Geometry.syntheticRects(spark, dir)
     val inAgg = input.groupBy(col("doc"), col("page")).agg(
       count(lit(1)).as("n_rects"),
