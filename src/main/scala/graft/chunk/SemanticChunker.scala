@@ -36,9 +36,18 @@ object SemanticChunker {
     * the composable form ([[graft.Pipeline]] plugs this in as the
     * `semantic` splitter). */
   def semanticChunkTable(spark: SparkSession, dir: String, dims: Int = 16,
+      minChunk: Int = 66, p: Double = 0.95): DataFrame =
+    semanticChunkTableOf(Tables.documents(spark, dir), dims, minChunk, p)
+
+  /** Same over an arbitrary documents frame (needs doc_id + text) —
+    * the form micro-batches feed in streaming chunking
+    * (StreamingRunner.runStreamingChunks): the operator is
+    * document-local, so it is trivially streaming-safe. */
+  def semanticChunkTableOf(docs0: DataFrame, dims: Int = 16,
       minChunk: Int = 66, p: Double = 0.95): DataFrame = {
+    val spark = docs0.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = docs0
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), TextFunctions.normalize(col("text")).as("t"))
       .filter(length(col("t")) > 0)

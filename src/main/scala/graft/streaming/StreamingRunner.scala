@@ -145,4 +145,37 @@ object StreamingRunner {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** documents schema as a file stream declares it. */
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+  ))
+
+  /** Streaming document chunking (§2.12 × §2.9): documents arrive as a
+    * file stream, each micro-batch runs the semantic splitter and
+    * appends its chunks to the sink. The chunker is document-local
+    * (zero cross-document state), so batch and streaming results are
+    * identical by construction — StreamingSpec asserts it. This is the
+    * continuous-ingest shape of the reference's per-file ETL loop
+    * (etl_processor.py:171-207) at cluster scale. */
+  def runStreamingChunks(spark: SparkSession, srcDir: String, outDir: String,
+      queryName: String = "graft_chunks"): Unit = {
+    val q = spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.chunk.SemanticChunker.semanticChunkTableOf(batch)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }

@@ -60,4 +60,22 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming semantic chunking equals the batch chunk table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-schunk")
+    val srcDir = s"$tmp/src"
+    val outDir = s"$tmp/chunks"
+    // split the documents into 3 files -> 3 micro-batches
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(3).write.parquet(srcDir)
+    streaming.StreamingRunner.runStreamingChunks(spark, srcDir, outDir)
+    val streamed = spark.read.parquet(outDir)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val batch = chunk.SemanticChunker.semanticChunkTable(spark, sf)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(streamed == batch)
+  }
 }
