@@ -73,6 +73,8 @@ object SparkEntry {
     "text_figure_splice" -> ((s, d) => figureSpliceQuery(s, d)),
     "text_rolling_hash" -> ((s, d) => rollingHashQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
+    "sample_quality_filter" -> ((s, d) => qualityFilterQuery(s, d)),
+    "sample_weighted_mix" -> ((s, d) => weightedMixQuery(s, d)),
     "chunk_cdc" -> ((s, d) => cdcChunksQuery(s, d)),
     "text_page_anchors" -> ((s, d) => pageAnchorsQuery(s, d)),
     "text_caption_spots" -> ((s, d) => captionSpotsQuery(s, d)),
@@ -165,6 +167,8 @@ object SparkEntry {
     "text_figure_splice" -> figureSpliceSql,
     "text_rolling_hash" -> rollingHashSql,
     "sample_stratified" -> stratifiedSampleSql,
+    "sample_quality_filter" -> qualityFilterSql,
+    "sample_weighted_mix" -> weightedMixSql,
     "chunk_cdc" -> cdcChunksSql,
     "text_page_anchors" -> pageAnchorsSql,
     "text_caption_spots" -> captionSpotsSql,
@@ -692,6 +696,80 @@ object SparkEntry {
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Corpus quality gate (Gopher-style heuristic rules over the text
+    * analysis metrics): per (lang, source), how many docs survive the
+    * token-count / punctuation / token-length filters and how many
+    * chars they carry — the prefilter a training-data pipeline runs
+    * before chunking. All metrics are exact integer ratios, so the
+    * double comparisons are deterministic on both engines. */
+  private def qualityFilterQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("punct_ratio", TextFunctions.punctRatio(col("text")))
+      .withColumn("avg_token_len", TextFunctions.avgTokenLen(col("text")))
+      .withColumn("keep",
+        col("n_tokens") >= 20 && col("punct_ratio") <= 0.05 &&
+          col("avg_token_len").between(3.0, 10.0))
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private def qualityFilterSql: String = {
+    val enSet = TextFunctions.langStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH m AS (
+      SELECT lang, source, n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0e0
+                  ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text) END AS punct_ratio,
+             CASE WHEN length(trim(text)) = 0 THEN 0.0e0
+                  ELSE CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) /
+                       len(string_split_regex(trim(text), '\\s+')) END AS avg_token_len
+      FROM documents),
+    k AS (SELECT lang, source, n_chars,
+                 (n_tokens >= 20 AND punct_ratio <= 0.05 AND
+                  avg_token_len BETWEEN 3.0e0 AND 10.0e0) AS keep
+          FROM m)
+    SELECT lang, source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM k GROUP BY lang, source ORDER BY lang, source"""
+  }
+
+  /** Domain mixing (weighted per-source sampling): each source gets a
+    * target sampling rate and docs are kept by deterministic
+    * content-addressed hash bucket — the reproducible mixture step that
+    * follows dedup/quality-filter in a training-data pipeline. */
+  private def weightedMixQuery(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("source") === "src0", 100)
+      .when(col("source") === "src1", 50)
+      .when(col("source") === "src2", 25)
+      .otherwise(10)
+    val bucket = TextFunctions.md5Long(concat(lit("mix42|"), col("doc_id"))) % 100
+    Tables.documents(s, d)
+      .withColumn("keep", bucket < rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  private def weightedMixSql: String = """
+    WITH assigned AS (
+      SELECT source, n_chars,
+             CAST('0x' || substr(md5('mix42|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
+             CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 ELSE 10 END AS rate
+      FROM documents)
+    SELECT source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM assigned GROUP BY source ORDER BY source"""
 
   /** J3b interval-containment join: orders bucketed into price ranges
     * via a broadcast range join against a generated bounds table. */
