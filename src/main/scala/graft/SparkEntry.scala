@@ -54,6 +54,9 @@ object SparkEntry {
     "q7_nation_trade" -> ((s, d) => Relational.nationTradeVolume(s, d)),
     "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
     "q18_large_volume" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
+    "q4_order_priority" -> ((s, d) => Relational.orderPriorityCounts(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
+    "q14_promo_revenue" -> ((s, d) => Relational.promoRevenue(s, d)),
     "q2_min_cost_supplier" -> ((s, d) => Relational.minCostSupplier(s, d)),
     "q11_important_stock" -> ((s, d) => Relational.importantStock(s, d)),
     "sub_correlated_orders" -> ((s, d) => Relational.ordersAboveCustomerAvg(s, d)),
@@ -153,6 +156,9 @@ object SparkEntry {
     "q7_nation_trade" -> Relational.nationTradeVolumeSql,
     "q10_returned_revenue" -> Relational.returnedItemRevenueSql,
     "q18_large_volume" -> Relational.largeVolumeCustomersSql,
+    "q4_order_priority" -> Relational.orderPriorityCountsSql,
+    "q6_forecast_revenue" -> Relational.forecastRevenueSql,
+    "q14_promo_revenue" -> Relational.promoRevenueSql,
     "q2_min_cost_supplier" -> Relational.minCostSupplierSql,
     "q11_important_stock" -> Relational.importantStockSql,
     "sub_correlated_orders" -> Relational.ordersAboveCustomerAvgSql,

@@ -642,6 +642,83 @@ object Relational {
     SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     ORDER BY o_custkey"""
 
+  /** Q6-style: forecast revenue change — the pure scan-filter-sum
+    * query. The price×discount product is computed in double (both
+    * engines multiply identical doubles) and cast to DECIMAL(18,4)
+    * BEFORE summing, so the aggregate is order-free exact. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  def forecastRevenueSql: String = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  /** Q4-style: order-priority checking — orders with at least one
+    * late-shipping line (shipdate > orderdate + 30 days; the testdata
+    * carries no commit/receipt dates, so lateness is defined against
+    * the order date), counted per priority. EXISTS = left-semi join. */
+  def orderPriorityCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+      "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def orderPriorityCountsSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Q14-style: promotion revenue share for one month — conditional
+    * ratio over a broadcast-joined part dimension; numerator and
+    * denominator are exact decimal sums, the percentage is one IEEE
+    * division. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val net = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type").startsWith("PROMO"), net).otherwise(lit(0.0).cast(
+          org.apache.spark.sql.types.DecimalType(18, 4)))).cast("double") * 100.0 /
+          sum(net).cast("double")).as("promo_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def promoRevenueSql: String = """
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0 /
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'"""
+
   /** Synthesized partsupp (the testdata ships none — NOTES backlog):
     * each part gets 4 suppliers via deterministic integer arithmetic,
     * same formula in the oracle. Costs are kept as integer CENTS so
