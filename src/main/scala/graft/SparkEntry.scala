@@ -47,6 +47,7 @@ object SparkEntry {
     "win_running_spend" -> ((s, d) => Relational.runningCustomerSpend(s, d)),
     "win_lead_order_gaps" -> ((s, d) => Relational.orderGaps(s, d)),
     "win_topn_per_customer" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    "win_topn_operator" -> ((s, d) => topNOperatorQuery(s, d)),
     "sort_topk_lineitems" -> ((s, d) => Relational.topLineitems(s, d)),
     "sort_zorder_parts" -> ((s, d) => Relational.zorderParts(s, d)),
     "setop_except_custkeys" -> ((s, d) => Relational.setOpsCustkeys(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "win_running_spend" -> Relational.runningCustomerSpendSql,
     "win_lead_order_gaps" -> Relational.orderGapsSql,
     "win_topn_per_customer" -> Relational.topOrdersPerCustomerSql,
+    "win_topn_operator" -> topNOperatorSql,
     "sort_topk_lineitems" -> Relational.topLineitemsSql,
     "sort_zorder_parts" -> Relational.zorderPartsSql,
     "setop_except_custkeys" -> Relational.setOpsCustkeysSql,
@@ -702,6 +704,26 @@ object SparkEntry {
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Top-N per key through the CUSTOM physical operator (§2.13 ladder
+    * rung (c): TopKPerKey logical node + strategy + partial/final
+    * SparkPlans with bounded per-key heaps) — the same semantics as
+    * the row_number window formulation the oracle runs, without ever
+    * sorting whole groups. */
+  private def topNOperatorQuery(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  private def topNOperatorSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""
 
   /** Corpus quality gate (Gopher-style heuristic rules over the text
     * analysis metrics): per (lang, source), how many docs survive the

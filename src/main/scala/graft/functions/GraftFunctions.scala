@@ -42,6 +42,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NfkcIdempotence)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((FunctionIdentifier("nfkc"),
       new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc"),
       (exprs: Seq[Expression]) => NfkcNormalize(exprs.head)))

@@ -23,4 +23,30 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  /** Column → catalyst Expression via the SESSION converter — unlike
+    * [[expression]] (lazy ColumnNodeExpression wrapper) this yields
+    * real catalyst nodes (e.g. a proper SortOrder for `.desc`), which
+    * custom logical operators need since the analyzer only unwraps the
+    * lazy form inside built-in nodes. */
+  def sessionExpression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  /** DataFrame from a custom LogicalPlan (Dataset.ofRows is
+    * private[sql]) — how custom logical operators enter the Column
+    * API. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy on a live session (the
+    * build-time path is GraftExtensions.injectPlannerStrategy). */
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
 }
