@@ -102,6 +102,8 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
+    "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
+    "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
     "meta_upsert" -> ((s, d) => Upsert.upsertDemo(s, d)),
     "meta_incremental_skip" -> ((s, d) => Upsert.incrementalSkipDemo(s, d)),
     "join_asof_rank" -> ((s, d) => Upsert.asofRankJoin(s, d)),
@@ -195,6 +197,8 @@ object SparkEntry {
     "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(),
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
+    "meta_json_roundtrip" -> jsonRoundtripSql,
+    "meta_path_ops" -> pathOpsSql,
     "meta_upsert" -> Upsert.upsertDemoSql,
     "meta_incremental_skip" -> Upsert.incrementalSkipDemoSql,
     "join_asof_rank" -> Upsert.asofRankJoinSql,
@@ -704,6 +708,69 @@ object SparkEntry {
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** F20: JSON serde round-trip — serialize each doc's metadata struct
+    * with to_json, parse it back with from_json, and project the
+    * parsed fields plus a parse==original invariant. Gates the serde
+    * semantics (parse ∘ serialize = id) rather than the engine-private
+    * wire formatting. */
+  private def jsonRoundtripQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    Tables.documents(s, d)
+      .withColumn("j", to_json(struct(col("doc_id"), col("source"), col("n_chars"))))
+      .withColumn("p", from_json(col("j"), schema))
+      .select(col("doc_id"),
+        col("p.source").as("rt_source"),
+        col("p.n_chars").as("rt_n_chars"),
+        (col("p.doc_id") === col("doc_id") && col("p.source") === col("source") &&
+          col("p.n_chars") === col("n_chars")).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def jsonRoundtripSql: String = """
+    SELECT doc_id, source AS rt_source, n_chars AS rt_n_chars, TRUE AS roundtrip_ok
+    FROM documents ORDER BY doc_id"""
+
+  /** S2/P1/F14/F15/F21: path algebra + extension validation
+    * (tag-not-drop) — synthesize deterministic corpus paths, split
+    * stem/extension, lowercase-compare against the allowlist, and
+    * count per (source, ext) with blocked rows TAGGED, never dropped
+    * (reference semantics: document_manager keeps unknown files with a
+    * flag). */
+  private def pathOpsQuery(s: SparkSession, d: String): DataFrame = {
+    val path = concat(lit("/corpus/"), col("source"), lit("/Doc_"), col("doc_id"),
+      element_at(array(lit(".PDF"), lit(".md"), lit(".txt"), lit(".png")),
+        (col("doc_id") % 4 + 1).cast("int")))
+    Tables.documents(s, d)
+      .withColumn("path", path)
+      .withColumn("ext", lower(element_at(split(col("path"), "\\."), -1)))
+      .withColumn("stem", regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1))
+      .withColumn("allowed", col("ext").isin("pdf", "md", "txt"))
+      .groupBy(col("source"), col("ext"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("allowed").cast("long")).as("n_allowed"),
+        min(col("stem")).as("first_stem"))
+      .orderBy(col("source"), col("ext"))
+  }
+
+  private def pathOpsSql: String = """
+    WITH p AS (
+      SELECT source,
+             '/corpus/' || source || '/Doc_' || CAST(doc_id AS VARCHAR) ||
+               (['.PDF', '.md', '.txt', '.png'])[CAST(doc_id % 4 + 1 AS INT)] AS path
+      FROM documents),
+    e AS (
+      SELECT source, path,
+             lower(string_split(path, '.')[-1]) AS ext,
+             regexp_extract(path, '([^/]+)\.[^.]+$', 1) AS stem
+      FROM p)
+    SELECT source, ext, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ext IN ('pdf', 'md', 'txt') THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           MIN(stem) AS first_stem
+    FROM e GROUP BY source, ext ORDER BY source, ext"""
 
   /** Top-N per key through the CUSTOM physical operator (§2.13 ladder
     * rung (c): TopKPerKey logical node + strategy + partial/final
