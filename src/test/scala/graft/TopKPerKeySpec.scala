@@ -72,4 +72,38 @@ class TopKPerKeySpec extends SparkSpec {
     val top = TopKPerGroup.topK(df, Seq(col("key")), Seq(col("v").desc), 5)
     assert(top.count() == 3)
   }
+
+  test("null keys and null order values behave like the window formulation") {
+    val df = Seq[(java.lang.Long, java.lang.Long, Long)](
+      (null, 5L, 1L), (null, 9L, 2L), (null, null, 3L),
+      (1L, null, 4L), (1L, 7L, 5L), (1L, 8L, 6L), (1L, 6L, 7L),
+    ).toDF("key", "v", "id")
+    def normalize(r: org.apache.spark.sql.Row) =
+      (Option(r.get(0)), Option(r.get(1)), r.getLong(2))
+    val got = TopKPerGroup.topK(df, Seq(col("key")), Seq(col("v").desc, col("id")), 2)
+      .collect().map(normalize).toSet
+    val w = Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(normalize).toSet
+    assert(got == want)
+  }
+
+  test("property: operator equals window for random frames") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 50 + rnd.nextInt(200)
+      val rows = Seq.fill(n)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextLong()))
+        .zipWithIndex.map { case ((k, v, _), i) => (k, v, i.toLong) }
+      val df = rows.toDF("key", "v", "id").repartition(3 + rnd.nextInt(5))
+      val k = 1 + rnd.nextInt(6)
+      val got = TopKPerGroup.topK(df, Seq(col("key")), Seq(col("v"), col("id")), k)
+        .as[(Long, Long, Long)].collect().toSet
+      val w = Window.partitionBy(col("key")).orderBy(col("v"), col("id"))
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial (n=$n, k=$k)")
+    }
+  }
 }
