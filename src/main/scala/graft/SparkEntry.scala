@@ -98,6 +98,7 @@ object SparkEntry {
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(s, d)),
+    "vec_pq_topk" -> ((s, d) => VectorOps.pqTopK(s, d)),
     "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d)),
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
@@ -194,6 +195,7 @@ object SparkEntry {
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
     "vec_ivf_topk" -> VectorOps.ivfTopKSql(),
+    "vec_pq_topk" -> VectorOps.pqTopKSql(),
     "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(),
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),

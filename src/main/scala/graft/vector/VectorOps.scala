@@ -231,6 +231,90 @@ object VectorOps {
     FROM assigned a JOIN qprobe q ON a.list_id = q.list_id
     ORDER BY score DESC, a.vec_id LIMIT $k"""
 
+  /** Product-quantization ANN (the memory-compression scale path: a
+    * 64-dim float vector becomes m=8 one-byte codes, 32× smaller —
+    * IVF-PQ is how billion-vector indexes fit in RAM). The vector is
+    * split into `m` subspaces of `dsub` dims; each subspace has a
+    * `ks`-entry codebook (deterministically seeded from the first `ks`
+    * vectors, same convention as [[ivfTopK]]); every vector is encoded
+    * as its per-subspace nearest-codeword ids; a query scans CODES,
+    * not vectors, via an ADC table (per-subspace distances to each
+    * codeword, computed once and broadcast).
+    *
+    * Distances are kept as INTEGER nano-units (round(d·1e9)) so the
+    * per-subspace sums are order-free exact — that is what lets the
+    * whole PQ pipeline hash-match the relational DuckDB oracle with no
+    * invariant weakening. The query's own ADC distance is the minimum
+    * by construction (its code minimizes every subspace table), so
+    * rank 1 is always the query itself. */
+  def pqTopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 10,
+      m: Int = 8, dsub: Int = 8, ks: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
+    def l2n(a: Column, b: Column): Column = // integer nano-units
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+        (acc, x) => acc + x) * 1e9).cast("long")
+    // codebook: (s, i, cv) for s < m, i < ks — a literal-sized model
+    val cb = emb.filter(col("vec_id") < ks)
+      .select(col("vec_id").as("i"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("s"), col("i"), sub(col("v"), col("s")).as("cv"))
+    val cbRow = cb.agg(sort_array(collect_list(struct(col("s"), col("i"), col("cv")))).as("cb"))
+    // encode: per vector, the nearest codeword id in each subspace
+    def codeAt(v: Column, s: Column): Column =
+      element_at(array_sort(transform(
+        filter(col("cb"), e => e.getField("s") === s),
+        e => struct(l2n(sub(v, s), e.getField("cv")).as("d"), e.getField("i").as("i")))), 1)
+        .getField("i")
+    val encoded = emb.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => codeAt(col("v"), s)).as("codes"))
+    // query ADC table: distance to every codeword of every subspace
+    val q = emb.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(cbRow))
+      .select(transform(col("cb"),
+        e => struct(e.getField("s").as("s"), e.getField("i").as("i"),
+          l2n(sub(col("v"), e.getField("s")), e.getField("cv")).as("d"))).as("tab"))
+    // asymmetric-distance scan over codes only
+    val dist = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => struct(s.as("s"), c.as("i"))),
+      lit(0L),
+      (acc, sc) => acc + element_at(
+        filter(col("tab"), t => t.getField("s") === sc.getField("s") &&
+          t.getField("i") === sc.getField("i")), 1).getField("d"))
+    encoded.crossJoin(broadcast(q))
+      .select(col("vec_id"), dist.as("dist_nano"))
+      .orderBy(col("dist_nano"), col("vec_id"))
+      .limit(k)
+  }
+
+  def pqTopKSql(queryId: Long = 0, k: Int = 10, m: Int = 8, dsub: Int = 8,
+      ks: Int = 16): String = s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (
+      SELECT u.s, e.vec_id AS i, list_slice(e.v, u.s * $dsub + 1, u.s * $dsub + $dsub) AS cv
+      FROM emb e, LATERAL (SELECT unnest(generate_series(0, ${m - 1})) AS s) u
+      WHERE e.vec_id < $ks),
+    subs AS (
+      SELECT e.vec_id, u.s, list_slice(e.v, u.s * $dsub + 1, u.s * $dsub + $dsub) AS sv
+      FROM emb e, LATERAL (SELECT unnest(generate_series(0, ${m - 1})) AS s) u),
+    dists AS (
+      SELECT sub.vec_id, sub.s, cb.i,
+             CAST(ROUND(list_sum(list_transform(generate_series(1, $dsub),
+                  j -> (sub.sv[j] - cb.cv[j]) * (sub.sv[j] - cb.cv[j]))) * 1e9) AS BIGINT) AS d
+      FROM subs sub JOIN cb ON cb.s = sub.s),
+    codes AS (
+      SELECT vec_id, s, i AS code FROM (
+        SELECT vec_id, s, i, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, i) AS rn
+        FROM dists) t WHERE rn = 1),
+    qtab AS (SELECT s, i, d FROM dists WHERE vec_id = $queryId),
+    adc AS (
+      SELECT c.vec_id, SUM(q.d) AS dist_nano
+      FROM codes c JOIN qtab q ON q.s = c.s AND q.i = c.code
+      GROUP BY c.vec_id)
+    SELECT vec_id, CAST(dist_nano AS BIGINT) AS dist_nano
+    FROM adc ORDER BY dist_nano, vec_id LIMIT $k"""
+
   /** Embedding near-duplicate pairs: bucket by random-hyperplane LSH,
     * exact cosine within buckets, keep pairs above threshold. The bucket
     * equi-join is the scale move — no O(n²) cross join ever

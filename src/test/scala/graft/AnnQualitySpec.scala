@@ -51,6 +51,28 @@ class AnnQualitySpec extends SparkSpec {
     assert(rr > ra, f"projected LSH must beat the axis baseline: $rr%.2f <= $ra%.2f")
   }
 
+  test("PQ ADC ranks the query itself first, even for non-codeword queries") {
+    Seq(0L, 42L, 137L).foreach { q =>
+      val top = VectorOps.pqTopK(spark, sf, q, 5)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(top.head == q, s"query $q not rank 1: $top")
+    }
+  }
+
+  test("PQ candidates recall brute-force neighbors (compressed-domain quality)") {
+    val queries = Seq(0L, 7L, 42L)
+    val recalls = queries.map { q =>
+      val truth = ids(VectorOps.cosineTopK(spark, sf, q, 10))
+      // PQ ranks by L2 over quantized codes; take a 30-candidate pool
+      // as a re-rank stage would
+      val cand = ids(VectorOps.pqTopK(spark, sf, q, 30))
+      truth.intersect(cand).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ candidate recall@10 (pool 30): $mean%.2f")
+    assert(mean >= 0.2, s"PQ candidates too weak: $recalls")
+  }
+
   test("one-step IVF finds the query itself at rank 1") {
     Seq(0L, 21L).foreach { q =>
       val top = VectorOps.ivfTopK(spark, sf, q, 5)
