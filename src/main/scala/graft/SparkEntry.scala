@@ -99,6 +99,7 @@ object SparkEntry {
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(s, d)),
     "vec_pq_topk" -> ((s, d) => VectorOps.pqTopK(s, d)),
+    "vec_ivfpq_topk" -> ((s, d) => VectorOps.ivfPqTopK(s, d)),
     "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d)),
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
@@ -196,6 +197,7 @@ object SparkEntry {
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
     "vec_ivf_topk" -> VectorOps.ivfTopKSql(),
     "vec_pq_topk" -> VectorOps.pqTopKSql(),
+    "vec_ivfpq_topk" -> VectorOps.ivfPqTopKSql(),
     "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(),
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),

@@ -315,6 +315,116 @@ object VectorOps {
     SELECT vec_id, CAST(dist_nano AS BIGINT) AS dist_nano
     FROM adc ORDER BY dist_nano, vec_id LIMIT $k"""
 
+  /** IVF-PQ: the two scale mechanisms composed — the coarse inverted
+    * file prunes the scan to `nprobe`/`nlist` of the data
+    * ([[ivfTopK]]'s deterministic seeding; see IvfPartitionSpec for
+    * the partition-pruning proof) and the pruned scan runs in the
+    * COMPRESSED domain over 8-byte PQ codes ([[pqTopK]]'s codebooks
+    * and ADC table). This is the standard billion-vector index layout:
+    * partition by list, store codes, re-rank a candidate pool with
+    * full vectors only at the end (here the pool IS the result, exact
+    * oracle — a production build would chain a [[cosineTopK]]-style
+    * re-rank over the k winners). */
+  def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, dsub: Int = 8, ks: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // --- coarse stage (ivfTopK's deterministic seeding) ---
+    val centroids = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("list_id"), col("v").as("cv"))
+    val centroidArr = centroids
+      .agg(sort_array(collect_list(struct(col("list_id"), col("cv")))).as("centroid_arr"))
+    def listsFor(vcol: Column, n: Int): Column = {
+      val scored = array_sort(transform(col("centroid_arr"),
+        c => struct(round(l2Squared(vcol, c.getField("cv")), 9).as("dist2"),
+          c.getField("list_id").as("list_id"))))
+      slice(transform(scored, s => s.getField("list_id")), 1, n)
+    }
+    val assigned = emb.crossJoin(broadcast(centroidArr))
+      .select(col("vec_id"), element_at(listsFor(col("v"), 1), 1).as("list_id"))
+    val probed = emb.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(centroidArr))
+      .select(explode(listsFor(col("v"), nprobe)).as("list_id"))
+    // --- compressed stage (pqTopK's codebooks + ADC) ---
+    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
+    def l2n(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+        (acc, x) => acc + x) * 1e9).cast("long")
+    val cb = emb.filter(col("vec_id") < ks)
+      .select(col("vec_id").as("i"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("s"), col("i"), sub(col("v"), col("s")).as("cv"))
+    val cbRow = cb.agg(sort_array(collect_list(struct(col("s"), col("i"), col("cv")))).as("cb"))
+    def codeAt(v: Column, s: Column): Column =
+      element_at(array_sort(transform(
+        filter(col("cb"), e => e.getField("s") === s),
+        e => struct(l2n(sub(v, s), e.getField("cv")).as("d"), e.getField("i").as("i")))), 1)
+        .getField("i")
+    val encoded = emb.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => codeAt(col("v"), s)).as("codes"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(cbRow))
+      .select(transform(col("cb"),
+        e => struct(e.getField("s").as("s"), e.getField("i").as("i"),
+          l2n(sub(col("v"), e.getField("s")), e.getField("cv")).as("d"))).as("tab"))
+    val dist = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => struct(s.as("s"), c.as("i"))),
+      lit(0L),
+      (acc, sc) => acc + element_at(
+        filter(col("tab"), t => t.getField("s") === sc.getField("s") &&
+          t.getField("i") === sc.getField("i")), 1).getField("d"))
+    encoded
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(probed), Seq("list_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("list_id"), dist.as("dist_nano"))
+      .orderBy(col("dist_nano"), col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfPqTopKSql(queryId: Long = 0, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, dsub: Int = 8, ks: Int = 16): String = s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS list_id, v AS cv FROM emb WHERE vec_id < $nlist),
+    cdists AS (
+      SELECT e.vec_id, c.list_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.v)),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 9) AS dist2
+      FROM emb e CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, list_id) AS rn
+        FROM cdists) t WHERE rn = 1),
+    probed AS (
+      SELECT list_id FROM cdists WHERE vec_id = $queryId
+      ORDER BY dist2, list_id LIMIT $nprobe),
+    cb AS (
+      SELECT u.s, e.vec_id AS i, list_slice(e.v, u.s * $dsub + 1, u.s * $dsub + $dsub) AS cv
+      FROM emb e, LATERAL (SELECT unnest(generate_series(0, ${m - 1})) AS s) u
+      WHERE e.vec_id < $ks),
+    subs AS (
+      SELECT e.vec_id, u.s, list_slice(e.v, u.s * $dsub + 1, u.s * $dsub + $dsub) AS sv
+      FROM emb e, LATERAL (SELECT unnest(generate_series(0, ${m - 1})) AS s) u),
+    pdists AS (
+      SELECT sub.vec_id, sub.s, cb.i,
+             CAST(ROUND(list_sum(list_transform(generate_series(1, $dsub),
+                  j -> (sub.sv[j] - cb.cv[j]) * (sub.sv[j] - cb.cv[j]))) * 1e9) AS BIGINT) AS d
+      FROM subs sub JOIN cb ON cb.s = sub.s),
+    codes AS (
+      SELECT vec_id, s, i AS code FROM (
+        SELECT vec_id, s, i, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, i) AS rn
+        FROM pdists) t WHERE rn = 1),
+    qtab AS (SELECT s, i, d FROM pdists WHERE vec_id = $queryId),
+    adc AS (
+      SELECT c.vec_id, SUM(q.d) AS dist_nano
+      FROM codes c JOIN qtab q ON q.s = c.s AND q.i = c.code
+      GROUP BY c.vec_id)
+    SELECT a.vec_id, a.list_id, CAST(adc.dist_nano AS BIGINT) AS dist_nano
+    FROM adc JOIN assigned a ON a.vec_id = adc.vec_id
+    JOIN probed p ON p.list_id = a.list_id
+    ORDER BY dist_nano, a.vec_id LIMIT $k"""
+
   /** Embedding near-duplicate pairs: bucket by random-hyperplane LSH,
     * exact cosine within buckets, keep pairs above threshold. The bucket
     * equi-join is the scale move — no O(n²) cross join ever
