@@ -231,6 +231,45 @@ object VectorOps {
     FROM assigned a JOIN qprobe q ON a.list_id = q.list_id
     ORDER BY score DESC, a.vec_id LIMIT $k"""
 
+  /** Shared PQ machinery: nested position-indexed codebook
+    * (cb[s][i] = codeword i of subspace s; seed ids 0..ks-1 are the
+    * list positions, so lookups are element_at instead of struct
+    * scans), the per-vector code array, the query's nested ADC table,
+    * and the code-only distance expression. */
+  private def pqParts(emb: DataFrame, queryId: Long, m: Int, dsub: Int,
+      ks: Int): (DataFrame, DataFrame, Column) = {
+    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
+    def l2n(a: Column, b: Column): Column = // integer nano-units
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+        (acc, x) => acc + x) * 1e9).cast("long")
+    val cbNested = emb.filter(col("vec_id") < ks)
+      .select(explode(sequence(lit(0), lit(m - 1))).as("s"), col("vec_id").as("i"), col("v"))
+      .select(col("s"), col("i"), sub(col("v"), col("s")).as("cv"))
+      .groupBy(col("s"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+        e => e.getField("cv")).as("cvs"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("cvs")))),
+        e => e.getField("cvs")).as("cb"))
+    def codeAt(v: Column, s: Column): Column =
+      element_at(array_sort(zip_with(
+        element_at(col("cb"), s + 1), sequence(lit(0), lit(ks - 1)),
+        (cv, i) => struct(l2n(sub(v, s), cv).as("d"), i.as("i")))), 1)
+        .getField("i")
+    val encoded = emb.crossJoin(broadcast(cbNested))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => codeAt(col("v"), s)).as("codes"))
+    val qTab = emb.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(cbNested))
+      .select(zip_with(col("cb"), sequence(lit(0), lit(m - 1)),
+        (cvs, s) => transform(cvs, cv => l2n(sub(col("v"), s), cv))).as("tab"))
+    val dist = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => struct(s.as("s"), c.as("i"))),
+      lit(0L),
+      (acc, sc) => acc + element_at(
+        element_at(col("tab"), sc.getField("s") + 1), sc.getField("i") + 1))
+    (encoded, qTab, dist)
+  }
+
   /** Product-quantization ANN (the memory-compression scale path: a
     * 64-dim float vector becomes m=8 one-byte codes, 32× smaller —
     * IVF-PQ is how billion-vector indexes fit in RAM). The vector is
@@ -251,38 +290,8 @@ object VectorOps {
       m: Int = 8, dsub: Int = 8, ks: Int = 16): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
-    def l2n(a: Column, b: Column): Column = // integer nano-units
-      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
-        (acc, x) => acc + x) * 1e9).cast("long")
-    // codebook: (s, i, cv) for s < m, i < ks — a literal-sized model
-    val cb = emb.filter(col("vec_id") < ks)
-      .select(col("vec_id").as("i"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
-      .select(col("s"), col("i"), sub(col("v"), col("s")).as("cv"))
-    val cbRow = cb.agg(sort_array(collect_list(struct(col("s"), col("i"), col("cv")))).as("cb"))
-    // encode: per vector, the nearest codeword id in each subspace
-    def codeAt(v: Column, s: Column): Column =
-      element_at(array_sort(transform(
-        filter(col("cb"), e => e.getField("s") === s),
-        e => struct(l2n(sub(v, s), e.getField("cv")).as("d"), e.getField("i").as("i")))), 1)
-        .getField("i")
-    val encoded = emb.crossJoin(broadcast(cbRow))
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(m - 1)), s => codeAt(col("v"), s)).as("codes"))
-    // query ADC table: distance to every codeword of every subspace
-    val q = emb.filter(col("vec_id") === queryId)
-      .crossJoin(broadcast(cbRow))
-      .select(transform(col("cb"),
-        e => struct(e.getField("s").as("s"), e.getField("i").as("i"),
-          l2n(sub(col("v"), e.getField("s")), e.getField("cv")).as("d"))).as("tab"))
-    // asymmetric-distance scan over codes only
-    val dist = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => struct(s.as("s"), c.as("i"))),
-      lit(0L),
-      (acc, sc) => acc + element_at(
-        filter(col("tab"), t => t.getField("s") === sc.getField("s") &&
-          t.getField("i") === sc.getField("i")), 1).getField("d"))
-    encoded.crossJoin(broadcast(q))
+    val (encoded, qTab, dist) = pqParts(emb, queryId, m, dsub, ks)
+    encoded.crossJoin(broadcast(qTab))
       .select(col("vec_id"), dist.as("dist_nano"))
       .orderBy(col("dist_nano"), col("vec_id"))
       .limit(k)
@@ -345,38 +354,12 @@ object VectorOps {
     val probed = emb.filter(col("vec_id") === queryId)
       .crossJoin(broadcast(centroidArr))
       .select(explode(listsFor(col("v"), nprobe)).as("list_id"))
-    // --- compressed stage (pqTopK's codebooks + ADC) ---
-    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
-    def l2n(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
-        (acc, x) => acc + x) * 1e9).cast("long")
-    val cb = emb.filter(col("vec_id") < ks)
-      .select(col("vec_id").as("i"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
-      .select(col("s"), col("i"), sub(col("v"), col("s")).as("cv"))
-    val cbRow = cb.agg(sort_array(collect_list(struct(col("s"), col("i"), col("cv")))).as("cb"))
-    def codeAt(v: Column, s: Column): Column =
-      element_at(array_sort(transform(
-        filter(col("cb"), e => e.getField("s") === s),
-        e => struct(l2n(sub(v, s), e.getField("cv")).as("d"), e.getField("i").as("i")))), 1)
-        .getField("i")
-    val encoded = emb.crossJoin(broadcast(cbRow))
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(m - 1)), s => codeAt(col("v"), s)).as("codes"))
-    val q = emb.filter(col("vec_id") === queryId)
-      .crossJoin(broadcast(cbRow))
-      .select(transform(col("cb"),
-        e => struct(e.getField("s").as("s"), e.getField("i").as("i"),
-          l2n(sub(col("v"), e.getField("s")), e.getField("cv")).as("d"))).as("tab"))
-    val dist = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => struct(s.as("s"), c.as("i"))),
-      lit(0L),
-      (acc, sc) => acc + element_at(
-        filter(col("tab"), t => t.getField("s") === sc.getField("s") &&
-          t.getField("i") === sc.getField("i")), 1).getField("d"))
+    // --- compressed stage (shared PQ machinery) ---
+    val (encoded, qTab, dist) = pqParts(emb, queryId, m, dsub, ks)
     encoded
       .join(assigned, Seq("vec_id"))
       .join(broadcast(probed), Seq("list_id"))
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(qTab))
       .select(col("vec_id"), col("list_id"), dist.as("dist_nano"))
       .orderBy(col("dist_nano"), col("vec_id"))
       .limit(k)
