@@ -104,6 +104,7 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
+    "meta_config_merge" -> ((s, d) => configMergeQuery(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
     "meta_upsert" -> ((s, d) => Upsert.upsertDemo(s, d)),
@@ -201,6 +202,7 @@ object SparkEntry {
     "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(),
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
+    "meta_config_merge" -> configMergeSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
     "meta_upsert" -> Upsert.upsertDemoSql,
@@ -775,6 +777,43 @@ object SparkEntry {
            CAST(SUM(CASE WHEN ext IN ('pdf', 'md', 'txt') THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
            MIN(stem) AS first_stem
     FROM e GROUP BY source, ext ORDER BY source, ext"""
+
+  /** S12: config merge — the reference's `_save_config` unions the
+    * incoming config's `type` list into the existing one when the
+    * index identity matches (index_manager.py:263-286). Re-expressed
+    * per source: the two config halves' lang sets merge via
+    * array_union with deterministic ordering; emitted as a joined
+    * string (scalar, driver-hashable). */
+  private def configMergeQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("source")).agg(sort_array(collect_set(col("lang"))).as("ta"))
+    val incoming = docs.filter(col("doc_id") % 2 =!= 0)
+      .groupBy(col("source")).agg(sort_array(collect_set(col("lang"))).as("tb"))
+    existing.join(incoming, Seq("source"), "full")
+      .select(col("source"),
+        concat_ws(",", sort_array(array_union(
+          coalesce(col("ta"), array()), coalesce(col("tb"), array())))).as("merged_types"))
+      .withColumn("n_types",
+        when(length(col("merged_types")) === 0, 0L)
+          .otherwise(size(split(col("merged_types"), ",")).cast("long")))
+      .orderBy(col("source"))
+  }
+
+  private def configMergeSql: String = """
+    WITH a AS (SELECT source, list_sort(list(DISTINCT lang)) AS ta
+               FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+    b AS (SELECT source, list_sort(list(DISTINCT lang)) AS tb
+          FROM documents WHERE doc_id % 2 <> 0 GROUP BY source),
+    m AS (
+      SELECT source,
+             array_to_string(list_sort(list_distinct(
+               list_cat(COALESCE(ta, []), COALESCE(tb, [])))), ',') AS merged_types
+      FROM a FULL JOIN b USING (source))
+    SELECT source, merged_types,
+           CAST(CASE WHEN length(merged_types) = 0 THEN 0
+                ELSE len(string_split(merged_types, ',')) END AS BIGINT) AS n_types
+    FROM m ORDER BY source"""
 
   /** Top-N per key through the CUSTOM physical operator (§2.13 ladder
     * rung (c): TopKPerKey logical node + strategy + partial/final
