@@ -43,6 +43,34 @@ class SemanticChunkerSpec extends SparkSpec {
     assert(chunks.groupBy("doc_id").count().filter(col("count") > 1).count() > 0)
   }
 
+  test("property: random corpora reconstruct and respect min-size") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "x1", "w", "longword")
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 40L).map { id =>
+        val n = 5 + rnd.nextInt(120)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"sem-prop$trial").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val chunks = SemanticChunker.semanticChunks(spark, tmp).cache()
+      val norm = Tables.documents(spark, tmp)
+        .select(col("doc_id"), length(TextFunctions.normalize(col("text"))).as("nl"))
+      // reconstruction: per doc, sum(chunk_len) + (n_chunks - 1) == norm length
+      val bad = chunks.groupBy(col("doc_id"))
+        .agg((sum(col("chunk_len")) + count(lit(1)) - 1).as("joined"))
+        .join(norm, Seq("doc_id"))
+        .filter(col("joined") =!= col("nl"))
+      assert(bad.count() == 0, s"trial $trial reconstruction")
+      // min-size: every non-final chunk >= 66 chars
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val short = chunks.withColumn("last", max(col("chunk_idx")).over(w))
+        .filter(col("chunk_idx") < col("last") && col("chunk_len") < 66)
+      assert(short.count() == 0, s"trial $trial min-size")
+      chunks.unpersist()
+    }
+  }
+
   test("token windows: counts, overlap arithmetic, and full coverage") {
     val tpc = 50
     val ov = 10
