@@ -62,6 +62,18 @@ object SparkEntry {
     "q11_important_stock" -> ((s, d) => Relational.importantStock(s, d)),
     "sub_correlated_orders" -> ((s, d) => Relational.ordersAboveCustomerAvg(s, d)),
     "sub_scalar_rich_idle" -> ((s, d) => Relational.richIdleCustomers(s, d)),
+    // --- TPC-H completion set (remaining query shapes, §2.3–§2.6) ---
+    "q8_market_share" -> ((s, d) => graft.relational.TpchDeep.marketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => graft.relational.TpchDeep.productProfit(s, d)),
+    "q12_shipmode_priority" -> ((s, d) => graft.relational.TpchDeep.shipModePriority(s, d)),
+    "q13_cust_distribution" -> ((s, d) => graft.relational.TpchDeep.custDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => graft.relational.TpchDeep.topSupplier(s, d)),
+    "q16_part_supp_counts" -> ((s, d) => graft.relational.TpchDeep.partSupplierCounts(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => graft.relational.TpchDeep.smallQtyRevenue(s, d)),
+    "q19_disc_revenue" -> ((s, d) => graft.relational.TpchDeep.discountedRevenue(s, d)),
+    "q20_promo_suppliers" -> ((s, d) => graft.relational.TpchDeep.promoSuppliers(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => graft.relational.TpchDeep.waitingSuppliers(s, d)),
+    "q22_idle_balances" -> ((s, d) => graft.relational.TpchDeep.idleBalances(s, d)),
     // --- text layer (§2.8 F1–F9, north-star text analysis) ---
     "text_normalize" -> ((s, d) => textNormalize(s, d)),
     "text_tokens" -> ((s, d) => textTokens(s, d)),
@@ -170,6 +182,17 @@ object SparkEntry {
     "q11_important_stock" -> Relational.importantStockSql,
     "sub_correlated_orders" -> Relational.ordersAboveCustomerAvgSql,
     "sub_scalar_rich_idle" -> Relational.richIdleCustomersSql,
+    "q8_market_share" -> graft.relational.TpchDeep.marketShareSql,
+    "q9_product_profit" -> graft.relational.TpchDeep.productProfitSql,
+    "q12_shipmode_priority" -> graft.relational.TpchDeep.shipModePrioritySql,
+    "q13_cust_distribution" -> graft.relational.TpchDeep.custDistributionSql,
+    "q15_top_supplier" -> graft.relational.TpchDeep.topSupplierSql,
+    "q16_part_supp_counts" -> graft.relational.TpchDeep.partSupplierCountsSql,
+    "q17_small_qty_revenue" -> graft.relational.TpchDeep.smallQtyRevenueSql,
+    "q19_disc_revenue" -> graft.relational.TpchDeep.discountedRevenueSql,
+    "q20_promo_suppliers" -> graft.relational.TpchDeep.promoSuppliersSql,
+    "q21_waiting_suppliers" -> graft.relational.TpchDeep.waitingSuppliersSql,
+    "q22_idle_balances" -> graft.relational.TpchDeep.idleBalancesSql,
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,
     "text_lang_id" -> textLangIdSql,

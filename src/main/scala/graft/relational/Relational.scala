@@ -737,7 +737,7 @@ object Relational {
         ((col("p_partkey") * 13 + col("i") * 7) % 100000).as("ps_cost_cents"))
   }
 
-  private val partsuppSqlCte: String = """
+  private[relational] val partsuppSqlCte: String = """
     ns AS (SELECT COUNT(*) AS n_supp FROM supplier),
     partsupp AS (
       SELECT p_partkey AS ps_partkey,
