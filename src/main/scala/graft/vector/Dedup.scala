@@ -182,14 +182,26 @@ object Dedup {
 
   /** n-gram Jaccard similarity for MinHash candidate pairs only (the
     * verify stage of the dedup pipeline): |A∩B| / |A∪B| over distinct
-    * 3-gram shingles. Exact integer ratio → deterministic double. */
+    * 3-gram shingles. Exact integer ratio → deterministic double.
+    *
+    * Scale shape: documents are SEMI-FILTERED to the candidate id set
+    * before shingling, so the verify stage tokenizes only the (few)
+    * docs that appear in some candidate pair — at 100 TB the corpus is
+    * shingled exactly once (inside the banding pass, whose
+    * (band, band_key) exchange is shared between the pair spine and
+    * the id set via Spark's ReuseExchange) and never again here. The
+    * candidate id set is tiny, so AQE turns the semi-join into a
+    * broadcast and the filter is applied map-side on the scan. */
   def jaccardOnCandidates(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatePairs(spark, dir)
+      .select(col("id_a"), col("id_b")).distinct()
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val docs = Tables.documents(spark, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .transform(graft.Parallelism.ensure(spark))
       .select(col("doc_id"),
         array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
-    val cand = minhashCandidatePairs(spark, dir)
-      .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
