@@ -104,6 +104,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_jaccard_verify" -> ((s, d) => Dedup.jaccardOnCandidates(s, d)),
+    "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(s, d)),
     // --- vector retrieval (§2.11) ---
     "vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
@@ -139,6 +141,7 @@ object SparkEntry {
     // --- semantic + token-window chunkers (§2.9 C3/C4) ---
     "chunk_semantic" -> ((s, d) => graft.chunk.SemanticChunker.semanticChunks(s, d)),
     "chunk_token_windows" -> ((s, d) => graft.chunk.TokenWindows.tokenWindows(s, d)),
+    "text_seq_pack" -> ((s, d) => graft.chunk.SeqPack.packDocs(s, d)),
     // --- rect-merge fixpoint (§2.4 A7, flatMapGroups) ---
     "geom_rect_merge" -> ((s, d) => graft.geom.RectMerge.mergeInvariants(s, d)),
     // --- multimodal columns (§2.10 / north star) ---
@@ -216,6 +219,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> Dedup.minhashCandidatePairsSql(),
     "dedup_simhash" -> Dedup.simhashSql(),
     "dedup_jaccard_verify" -> Dedup.jaccardOnCandidatesSql(),
+    "dedup_decontaminate" -> Dedup.decontaminateSql(),
+    "dedup_cluster_reps" -> Dedup.clusterRepsSql(),
     "vec_cosine_topk" -> VectorOps.cosineTopKSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
@@ -249,6 +254,7 @@ object SparkEntry {
     "chunk_recursive" -> chunkRecursiveSql,
     "chunk_semantic" -> graft.chunk.SemanticChunker.semanticChunksSql(normalizeSqlExpr),
     "chunk_token_windows" -> graft.chunk.TokenWindows.tokenWindowsSql(),
+    "text_seq_pack" -> graft.chunk.SeqPack.packDocsSql(),
     "geom_rect_merge" -> graft.geom.RectMerge.mergeInvariantsSql,
     "text_bpe_subwords" -> graft.text.BpeTokenizer.subwordInvariantsSql,
     "vec_ivf_kmeans_topk" -> graft.vector.KMeans.ivfSearchCheckedSql(),

@@ -149,6 +149,107 @@ object Dedup {
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   }
 
+  /** Near-duplicate cluster representatives — the final stage of the
+    * web-scale dedup pipeline: verified near-dup pairs become edges of
+    * an undirected graph, connected components group mutually-similar
+    * docs into clusters, and the minimum doc_id of each cluster is kept
+    * as the canonical representative (everything else is dropped from
+    * the training set). One row per clustered doc:
+    * (doc_id, rep_id, cluster_size, keep).
+    *
+    * Scale shape: edges come from the banded MinHash pipeline (never
+    * all-pairs), components via
+    * [[graft.geom.ConnectedComponents.labelPropagation]] — iterative
+    * min-label joins on the node key, rounds = cluster diameter (near-dup
+    * clusters are shallow; web-dedup runs converge in a handful of
+    * rounds), driver holds only a changed-count. The DuckDB oracle
+    * computes the same components by recursive-CTE transitive closure,
+    * so the component labels are hash-gated end to end. */
+  def clusterReps(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val edges = jaccardOnCandidates(spark, dir, threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = graft.geom.ConnectedComponents.labelPropagation(spark, edges)
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("node").as("doc_id"), col("component").as("rep_id"),
+        col("cluster_size"), (col("node") === col("component")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def clusterRepsSql(threshold: Double = 0.5): String = s"""
+    WITH RECURSIVE jacc AS (
+      SELECT id_a, id_b FROM (${jaccardOnCandidatesSql(threshold).replace("ORDER BY id_a, id_b", "")}) j),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM jacc
+            UNION SELECT id_b, id_a FROM jacc),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comps AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep_id
+      FROM reach GROUP BY src),
+    sizes AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comps GROUP BY rep_id)
+    SELECT c.doc_id, c.rep_id, s.cluster_size, c.doc_id = c.rep_id AS keep
+    FROM comps c JOIN sizes s USING (rep_id)
+    ORDER BY c.doc_id"""
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with a held-out evaluation split (here the deterministic
+    * 1-in-`benchMod` slice of doc ids — in production the benchmark
+    * table is a separate input). This is the standard "n-gram overlap"
+    * test-set-leakage check run before LLM training.
+    *
+    * Scale shape: an inverted-index equi-join on the n-gram HASH (one
+    * md5-derived int64 per distinct gram — longs shuffle, never gram
+    * strings), grouped per training doc. The benchmark side is tiny
+    * relative to the corpus, so AQE broadcasts it and the train-side
+    * gram stream never shuffles; worst case it is one co-partitioned
+    * join on the gram key. No O(n²) comparison anywhere. */
+  def decontaminate(spark: SparkSession, dir: String,
+      n: Int = 8, benchMod: Int = 20): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark))
+      .select(col("doc_id"),
+        array_distinct(shingles(TextFunctions.tokens(lower(col("text"))), n)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g0"))
+      .select(col("doc_id"), col("n_grams"), TextFunctions.md5Long(col("g0")).as("g"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .groupBy(col("g")).agg(min(col("doc_id")).as("bench_id"))
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(bench, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("n_grams")).as("n_grams"),
+        min(col("bench_id")).as("min_bench_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        (col("n_shared").cast("double") / col("n_grams")).as("contamination"),
+        col("min_bench_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateSql(n: Int = 8, benchMod: Int = 20): String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    gsets AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - ${n - 1}),
+                                 i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' ')) END) AS gs
+      FROM toks),
+    grams AS (
+      SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+             CAST('0x' || substr(md5(unnest(gs)), 1, 15) AS BIGINT) AS g
+      FROM gsets),
+    bench AS (
+      SELECT g, MIN(doc_id) AS bench_id FROM grams WHERE doc_id % $benchMod = 0 GROUP BY g)
+    SELECT t.doc_id, COUNT(*) AS n_shared, MIN(t.n_grams) AS n_grams,
+           CAST(COUNT(*) AS DOUBLE) / MIN(t.n_grams) AS contamination,
+           MIN(b.bench_id) AS min_bench_id
+    FROM grams t JOIN bench b USING (g)
+    WHERE t.doc_id % $benchMod <> 0
+    GROUP BY t.doc_id ORDER BY t.doc_id"""
+
   /** SimHash (16-bit) per document: bit j is the sign of the sum over
     * tokens of ±1 according to bit j of the token's portable md5 hash.
     * Near-dup docs land on nearby/equal simhashes. */
