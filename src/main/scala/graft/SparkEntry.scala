@@ -313,12 +313,35 @@ object SparkEntry {
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
     FROM documents ORDER BY doc_id"""
 
+  /** Language-ID over documents. The plan tokenizes each document
+    * exactly ONCE: `explode(array(...))` is a Generate barrier that
+    * CollapseProject cannot inline through, so the regex split and then
+    * the 4-score struct are each materialized before their consumers —
+    * the naive formulation re-tokenized every document ~8× (4 score
+    * columns + 4 more inside the argmax). Map-only, no shuffle. */
   private def textLangId(s: SparkSession, d: String): DataFrame = {
-    val scores = TextFunctions.langStopwords.map { case (code, words) =>
-      TextFunctions.langScore(lower(col("text")), words).as(s"score_$code")
+    val codes = TextFunctions.langStopwords.map(_._1)
+    val scoreStruct = struct(TextFunctions.langStopwords.map { case (code, words) =>
+      TextFunctions.langScoreOnTokens(col("toks"), words).as(s"score_$code")
+    }: _*)
+    val sc = (code: String) => col(s"sc.score_$code")
+    // argmax with ties broken by language code ascending; all-zero → 'und'.
+    // Cascade in tie-break order: first code whose score >= all later ones
+    // is the argmax (earlier branches failing imply a strictly larger later
+    // score) — the exact shape of the oracle's CASE.
+    val allZero = codes.map(sc(_) === 0L).reduce(_ && _)
+    def cascade(order: List[String]): org.apache.spark.sql.Column = order match {
+      case last :: Nil => lit(last)
+      case c :: rest =>
+        when(rest.map(o => sc(c) >= sc(o)).reduce(_ && _), lit(c)).otherwise(cascade(rest))
     }
-    Tables.documents(s, d).select(
-      col("doc_id") +: TextFunctions.langId(lower(col("text"))).as("pred_lang") +: scores: _*)
+    val predLang = cascade(codes.sorted.toList)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array(TextFunctions.tokens(lower(col("text"))))).as("toks"))
+      .select(col("doc_id"), explode(array(scoreStruct)).as("sc"))
+      .select(
+        col("doc_id") +: when(allZero, lit("und")).otherwise(predLang).as("pred_lang") +:
+          codes.map(c => sc(c).as(s"score_$c")): _*)
       .orderBy(col("doc_id"))
   }
 

@@ -28,6 +28,9 @@ object ConnectedComponents {
       .cache()
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("component", col("node")).cache()
+    // The frame actually persisted each round (labels is a projection of
+    // it from round 2 on) — the one to unpersist when the round is over.
+    var persisted = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -35,15 +38,19 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels
+      // Carry the changed flag inside `next` so convergence detection is a
+      // count over the frame this round materializes anyway — not an extra
+      // join job per iteration.
+      val stepped = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("next_component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component")).as("chg"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("node"))
-        .filter(col("component") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = stepped.filter(col("chg")).count()
+      persisted.unpersist()
+      persisted = stepped
+      labels = stepped.select(col("node"), col("next_component").as("component"))
       converged = changed == 0
       iter += 1
     }

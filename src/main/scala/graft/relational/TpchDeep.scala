@@ -167,8 +167,8 @@ object TpchDeep {
 
   def shipModePrioritySql: String = s"""
     SELECT $shipModeSql AS shipmode,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -352,12 +352,22 @@ object TpchDeep {
     * is exactly one. That is a single lineitem shuffle instead of
     * three, the rewrite that matters most at fact-table scale. */
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val perOrder = Tables.lineitem(spark, dir)
+    // Stage 1: dedup to one row per (order, supplier) with a was-ever-late
+    // flag. A plain max() partial-aggregates map-side, so the composite-key
+    // shuffle carries at most |distinct pairs| rows — unlike the previous
+    // countDistinct form, whose Expand tripled the fact table through the
+    // exchange with near-zero partial reduction.
+    val perPair = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), lateLine.as("late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    // Stage 2: per order over the deduped pairs (~4 rows/order), all plain
+    // aggregates — no distinct, no Expand anywhere in the plan.
+    val perOrder = perPair
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        count(lit(1)).as("n_supp"),
+        count(when(col("late"), lit(1))).as("n_late_supp"),
         min(when(col("late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
     perOrder

@@ -91,8 +91,15 @@ object TextFunctions {
 
   /** Per-language stopword hit count: tokens of `c` in the word set. */
   def langScore(c: Column, words: Seq[String]): Column =
-    size(filter(tokens(c),
-      t => array_contains(array(words.map(lit): _*), t))).cast("long")
+    langScoreOnTokens(tokens(c), words)
+
+  /** Hit count over an already-materialized token array — the form to
+    * use when several languages are scored on the same text, so the
+    * regex tokenization runs ONCE (behind a Generate barrier; see
+    * SparkEntry.textLangId) instead of once per score column. `isin`
+    * compiles to an InSet hash probe, not a 10-literal array scan. */
+  def langScoreOnTokens(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
 
   /** Predicted language: argmax of stopword hit counts with a stable
     * tie-break on language code; "und" (undetermined) when no stopword

@@ -215,6 +215,14 @@ object Dedup {
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
         explode(col("gs")).as("g0"))
       .select(col("doc_id"), col("n_grams"), TextFunctions.md5Long(col("g0")).as("g"))
+      // The gram stream feeds BOTH the bench index and the train probe;
+      // without a materialization point the corpus is tokenized+shingled+
+      // hashed twice (predicate pushdown splits the two consumers' plans
+      // below any shared exchange, so ReuseExchange cannot dedup them).
+      // Persist the hashed longs once — MEMORY_AND_DISK because the gram
+      // stream is corpus-sized; at true scale this checkpoint would be a
+      // written intermediate table, same plan shape.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = grams.filter(col("doc_id") % benchMod === 0)
       .groupBy(col("g")).agg(min(col("doc_id")).as("bench_id"))
     grams.filter(col("doc_id") % benchMod =!= 0)
@@ -287,15 +295,23 @@ object Dedup {
     *
     * Scale shape: documents are SEMI-FILTERED to the candidate id set
     * before shingling, so the verify stage tokenizes only the (few)
-    * docs that appear in some candidate pair — at 100 TB the corpus is
-    * shingled exactly once (inside the banding pass, whose
-    * (band, band_key) exchange is shared between the pair spine and
-    * the id set via Spark's ReuseExchange) and never again here. The
-    * candidate id set is tiny, so AQE turns the semi-join into a
-    * broadcast and the filter is applied map-side on the scan. */
+    * docs that appear in some candidate pair; the candidate-pair frame
+    * and the candidate shingle frame are cached (both bounded — see
+    * inline comment) so the banding pipeline runs once per job, not
+    * once per reference. The candidate id set is tiny, so AQE turns
+    * the semi-join into a broadcast and the filter is applied map-side
+    * on the scan. */
   def jaccardOnCandidates(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    // The candidate frame fans out three ways (pair spine, a-side id set,
+    // b-side id set): without a materialization point each reference
+    // re-runs the whole minhash→banding pipeline — several extra corpus
+    // tokenization passes at scale. Both cached frames are BOUNDED: pairs
+    // by the per-bucket cap (≤ numBands · C(maxBucket,2) rows per bucket),
+    // shingle rows by the candidate id set. cache() is safe in a long
+    // session for the same reason.
     val cand = minhashCandidatePairs(spark, dir)
       .select(col("id_a"), col("id_b")).distinct()
+      .cache()
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val docs = Tables.documents(spark, dir)
@@ -303,6 +319,7 @@ object Dedup {
       .transform(graft.Parallelism.ensure(spark))
       .select(col("doc_id"),
         array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
+      .cache()
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -71,6 +71,24 @@ class PlanAuditSpec extends SparkSpec {
       "the total-value scalar must arrive via broadcast")
   }
 
+  test("q21 plans without Expand (no distinct aggregates over the fact table)") {
+    val s = simpleString(relational.TpchDeep.waitingSuppliers(spark, sf))
+    assert(!s.contains("Expand"),
+      "the (orderkey, suppkey) pre-aggregation must keep countDistinct — and " +
+        "its Expand-tripled shuffle of lineitem — out of the plan")
+  }
+
+  test("lang-id plans map-only with one tokenization generator per doc") {
+    val df = SparkEntry.queries("text_lang_id")(spark, sf)
+    val s = simpleString(df)
+    assert(!s.contains("Exchange hashpartitioning"), "lang-id must not shuffle")
+    // one Generate materializes the token array, a second the score
+    // struct — the barriers that stop CollapseProject from inlining the
+    // regex tokenization into every score column (the ~8× regression)
+    assert("Generate".r.findAllIn(s).size == 2,
+      "tokenization and scoring must each sit behind a Generate barrier")
+  }
+
   test("normalization chain stays in one codegen stage with the scan") {
     val df = Tables.documents(spark, sf)
       .select(functions.Nfkc.nfkc(text.TextFunctions.normalize(
