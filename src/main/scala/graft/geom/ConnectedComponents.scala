@@ -22,15 +22,18 @@ object ConnectedComponents {
     * component = min node id reachable. */
   def labelPropagation(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // localCheckpoint, not cache(): the loop re-reads this frame every
+    // round, and a cache entry can be EVICTED under storage pressure in a
+    // long session — silently re-running the (possibly very expensive)
+    // edge-producing lineage once per iteration. Checkpoint blocks are
+    // MEMORY_AND_DISK: under pressure they spill instead of dropping, and
+    // the truncated lineage caps every round at one join + one aggregate.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("component", col("node")).cache()
-    // The frame actually persisted each round (labels is a projection of
-    // it from round 2 on) — the one to unpersist when the round is over.
-    var persisted = labels
+    var labels = nodes.withColumn("component", col("node")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -38,18 +41,18 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("node"))
         .agg(min(col("component")).as("nbr_min"))
-      // Carry the changed flag inside `next` so convergence detection is a
-      // count over the frame this round materializes anyway — not an extra
-      // join job per iteration.
+      // Carry the changed flag inside the stepped frame so convergence
+      // detection is a count over data this round materializes anyway —
+      // not an extra join job per iteration. localCheckpoint (like sym)
+      // so round N+1 never re-derives round N under memory pressure;
+      // superseded checkpoints are GC-cleaned by the ContextCleaner.
       val stepped = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("next_component"),
           (coalesce(col("nbr_min"), col("component")) < col("component")).as("chg"))
-        .cache()
+        .localCheckpoint()
       val changed = stepped.filter(col("chg")).count()
-      persisted.unpersist()
-      persisted = stepped
       labels = stepped.select(col("node"), col("next_component").as("component"))
       converged = changed == 0
       iter += 1
