@@ -30,7 +30,29 @@ object Pipeline {
       minhashHashes: Int = 8,
       minhashBandSize: Int = 2,
       distance: String = "cosine", // | "euclid" (index_manager.py:111)
+      // drop exact-dup and near-dup non-representatives before indexing
+      // (the training-data cleanup pass; J2 delete-then-add extended to
+      // whole near-dup clusters)
+      dropDups: Boolean = false,
+      nearDupThreshold: Double = 0.5,
   )
+
+  /** Doc ids the dedup pass REMOVES from the corpus: members of exact
+    * duplicate groups other than the group's minimum doc_id, plus
+    * non-representative members of near-dup clusters
+    * ([[Dedup.clusterReps]] keep=false). One column `doc_id`. */
+  def droppedDocIds(spark: SparkSession, dir: String,
+      cfg: EtlConfig = EtlConfig()): DataFrame = {
+    val exactDrops = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .join(Dedup.exactDupGroups(spark, dir), Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_doc_id"))
+      .select(col("doc_id"))
+    val nearDrops = Dedup.clusterReps(spark, dir, cfg.nearDupThreshold)
+      .filter(!col("keep"))
+      .select(col("doc_id"))
+    exactDrops.unionByName(nearDrops).distinct()
+  }
 
   /** Chunks table: (doc_id, chunk_idx, chunk, n_tokens, fingerprint) —
     * the reference's per-document chunk list with ChunkMetadata
@@ -72,7 +94,15 @@ object Pipeline {
     * (index_manager.py:110-127), as a partitionable parquet-ready
     * DataFrame. */
   def buildIndex(spark: SparkSession, dir: String, cfg: EtlConfig = EtlConfig()): DataFrame = {
-    val chunks = buildChunks(spark, dir, cfg)
+    // With dropDups, dedup non-representatives are dropped from the
+    // chunk stream before anything downstream (embedding join, index
+    // rows). The drop set is tiny relative to the corpus (bounded by
+    // the near-dup candidate set), so the anti-join broadcasts.
+    val chunks =
+      if (cfg.dropDups)
+        buildChunks(spark, dir, cfg)
+          .join(droppedDocIds(spark, dir, cfg), Seq("doc_id"), "left_anti")
+      else buildChunks(spark, dir, cfg)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
     chunks

@@ -142,6 +142,7 @@ object SparkEntry {
     "chunk_semantic" -> ((s, d) => graft.chunk.SemanticChunker.semanticChunks(s, d)),
     "chunk_token_windows" -> ((s, d) => graft.chunk.TokenWindows.tokenWindows(s, d)),
     "text_seq_pack" -> ((s, d) => graft.chunk.SeqPack.packDocs(s, d)),
+    "text_seq_pack_bpe" -> ((s, d) => graft.chunk.SeqPack.packDocsBpe(s, d)),
     // --- rect-merge fixpoint (§2.4 A7, flatMapGroups) ---
     "geom_rect_merge" -> ((s, d) => graft.geom.RectMerge.mergeInvariants(s, d)),
     // --- multimodal columns (§2.10 / north star) ---
@@ -255,6 +256,7 @@ object SparkEntry {
     "chunk_semantic" -> graft.chunk.SemanticChunker.semanticChunksSql(normalizeSqlExpr),
     "chunk_token_windows" -> graft.chunk.TokenWindows.tokenWindowsSql(),
     "text_seq_pack" -> graft.chunk.SeqPack.packDocsSql(),
+    "text_seq_pack_bpe" -> graft.chunk.SeqPack.packDocsBpeSql(),
     "geom_rect_merge" -> graft.geom.RectMerge.mergeInvariantsSql,
     "text_bpe_subwords" -> graft.text.BpeTokenizer.subwordInvariantsSql,
     "vec_ivf_kmeans_topk" -> graft.vector.KMeans.ivfSearchCheckedSql(),

@@ -79,4 +79,24 @@ class PipelineSpec extends SparkSpec {
     assert(rep.columns.toSeq == Seq("kind", "id_a", "weight"))
     rep.count() // materializes both branches
   }
+
+  test("dropDups index keeps only cluster representatives (J2 extended to near-dups)") {
+    import org.apache.spark.sql.functions.col
+    val drops = Pipeline.droppedDocIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops.nonEmpty, "corpus must contain dup clusters for this test to bite")
+    // every near-dup non-representative is in the drop set
+    val nonReps = graft.vector.Dedup.clusterReps(spark, sf)
+      .filter(!col("keep")).collect().map(_.getLong(0)).toSet
+    assert(nonReps.subsetOf(drops))
+    val full = Pipeline.buildIndex(spark, sf)
+    val deduped = Pipeline.buildIndex(spark, sf, Pipeline.EtlConfig(dropDups = true))
+    val dedupedDocs = deduped.select(col("metadata.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // no dropped doc survives, and nothing else was lost
+    assert(dedupedDocs.intersect(drops).isEmpty)
+    val fullDocs = full.select(col("metadata.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dedupedDocs == fullDocs -- drops)
+  }
 }

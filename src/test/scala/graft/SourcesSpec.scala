@@ -68,6 +68,42 @@ class SourcesSpec extends SparkSpec {
     assert(m("a.pdf") && m("b.PDF") && !m("c.docx") && !m("noext"))
   }
 
+  test("S4 boundary runs real conversion code: sniff + charset decode + markup strip + chunk") {
+    val dir = Files.createTempDirectory("graft-conv")
+    val utf8Text = "# Doc one\n\nplain utf-8 body with enough words to chunk " + ("lorem ipsum " * 40)
+    Files.write(dir.resolve("plain.txt"), utf8Text.getBytes("UTF-8"))
+    // UTF-16LE with BOM — a byte-level decode the stub's fixed UTF-8 would mangle
+    val utf16Text = "utf sixteen body text"
+    val utf16 = Array[Byte](0xff.toByte, 0xfe.toByte) ++ utf16Text.getBytes("UTF-16LE")
+    Files.write(dir.resolve("wide.txt"), utf16)
+    val svg = """<?xml version="1.0"?><svg><title>A &amp; B</title><desc>vector caption</desc></svg>"""
+    Files.write(dir.resolve("figure.svg"), svg.getBytes("UTF-8"))
+    // real PDF magic — no codec in sandbox, must be routed + tagged, not decoded
+    Files.write(dir.resolve("paper.pdf"), "%PDF-1.7 binarybinary".getBytes("UTF-8"))
+    Files.write(dir.resolve("skipme.docx"), Array[Byte](1, 2, 3)) // unsupported ext
+
+    val converted = sources.DocumentSource.convert(spark,
+      sources.DocumentSource.scan(spark, dir.toString))
+    val byName = converted.collect().map(r => r.getString(0) -> r).toMap
+    assert(byName.keySet == Set("plain.txt", "wide.txt", "figure.svg", "paper.pdf"))
+    assert(byName("plain.txt").getString(2) == "text" && byName("plain.txt").getBoolean(3))
+    assert(byName("plain.txt").getString(4) == utf8Text)
+    assert(byName("wide.txt").getString(2) == "utf16le")
+    assert(byName("wide.txt").getString(4) == utf16Text, "BOM'd UTF-16 must decode")
+    assert(byName("figure.svg").getString(2) == "xml")
+    assert(byName("figure.svg").getString(4) == "A & B vector caption",
+      "markup stripped, entities decoded")
+    assert(byName("paper.pdf").getString(2) == "pdf" && !byName("paper.pdf").getBoolean(3))
+    assert(byName("paper.pdf").getString(4).isEmpty)
+
+    // end to end: converted text feeds the chunker unchanged
+    val docs = converted.filter(col("converted"))
+      .select(xxhash64(col("filename")).as("doc_id"), col("text"))
+    val chunks = graft.chunk.Chunking.chunkTable(docs, size = 100, overlap = 20)
+    assert(chunks.count() > 3, "the long utf-8 doc must split into several chunks")
+    assert(chunks.select("doc_id").distinct().count() == 3)
+  }
+
   test("markdown content breaks respect fence parity (F13 fixture)") {
     val doc = "intro\n\n```\n# not-a-header\n```\n# real-header\ntail"
     val lines = text.MarkdownOps.lineFrame(Seq((1L, doc)).toDF("doc_id", "text"), "text", Seq("doc_id"))
