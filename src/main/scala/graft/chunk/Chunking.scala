@@ -49,16 +49,34 @@ object Chunking {
   }
 
   /** §7.2 flagship slice: normalize → chunk → per-doc stats.
-    * Map-side only until the final partial+final hash aggregate. */
-  def chunkStats(docs: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame =
-    chunkTable(docs, size, overlap)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col("chunk_len")).as("sum_chars"),
-        max(col("chunk_len")).as("max_chunk"),
+    *
+    * Chunk TEXT never exists in this plan: fixed-stride chunk lengths
+    * are closed-form in the normalized document length
+    * (len_i = min(size, L − i·stride)), so the stats come from integer
+    * arithmetic over the start sequence — no substring materialization,
+    * no per-chunk explode, no aggregation shuffle. The one expensive
+    * expression (normalize → L) is materialized behind a Generate
+    * barrier so it runs once per document, not once per chunk slot.
+    * Values are identical to aggregating [[chunkTable]]. */
+  def chunkStats(docs: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap < size, "overlap must be < size")
+    val stride = (size - overlap).toLong
+    val lens = transform(
+      sequence(lit(0L), greatest(col("L") - 1L, lit(0L)), lit(stride)),
+      start => least(lit(size.toLong), col("L") - start))
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(array(length(TextFunctions.normalize(col("text"))).cast("long"))).as("L"))
+      .select(col("doc_id"), lens.as("lens"))
+      .select(
+        col("doc_id"),
+        org.apache.spark.sql.functions.size(col("lens")).cast("long").as("n_chunks"),
+        aggregate(col("lens"), lit(0L), _ + _).as("sum_chars"),
+        array_max(col("lens")).as("max_chunk"),
       )
       .orderBy(col("doc_id"))
+  }
 
   /** C1: markdown header split. RE2 (the oracle's regex engine) has no
     * lookahead, so instead of split-on-`(?=^#)` both engines mark header
