@@ -149,6 +149,8 @@ object SparkEntry {
     "mm_decode_features" -> ((s, d) => graft.multimodal.Multimodal.decodeFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.sampleFrames(s, d)),
     "mm_resize_fit" -> ((s, d) => graft.multimodal.Multimodal.resizeFit(s, d)),
+    "mm_render_roundtrip" -> ((s, d) => graft.multimodal.ImageCodec.renderRoundtrip(s, d)),
+    "vec_embed_infer" -> ((s, d) => graft.vector.HashingEmbedder.embedInvariants(s, d)),
     // --- event-time windows (§2.12) ---
     "events_tumbling" -> ((s, d) => EventWindows.tumbling(s, d)),
     "events_sliding" -> ((s, d) => EventWindows.sliding(s, d)),
@@ -263,6 +265,8 @@ object SparkEntry {
     "mm_decode_features" -> graft.multimodal.Multimodal.decodeFeaturesSql,
     "mm_frame_sample" -> graft.multimodal.Multimodal.sampleFramesSql(),
     "mm_resize_fit" -> graft.multimodal.Multimodal.resizeFitSql(),
+    "mm_render_roundtrip" -> graft.multimodal.ImageCodec.renderRoundtripSql(),
+    "vec_embed_infer" -> graft.vector.HashingEmbedder.embedInvariantsSql,
     "events_tumbling" -> EventWindows.tumblingSql,
     "events_sliding" -> EventWindows.slidingSql,
     "events_session" -> EventWindows.sessionsSql,

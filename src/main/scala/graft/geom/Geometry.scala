@@ -45,7 +45,7 @@ object Geometry {
       ((col("p_partkey") * 7) % 700 + 40).cast("double").as("y1"),
     )
 
-  private[geom] val rectsSql = """
+  private[graft] val rectsSql = """
       SELECT CAST(p_partkey % 20 AS BIGINT) AS doc,
              CAST((p_partkey // 20) % 5 + 1 AS BIGINT) AS page,
              p_partkey AS fig_key,
