@@ -30,6 +30,11 @@ object Pipeline {
       minhashHashes: Int = 8,
       minhashBandSize: Int = 2,
       distance: String = "cosine", // | "euclid" (index_manager.py:111)
+      // dense-vector source: "table" joins the precomputed embeddings
+      // table; "hashing" runs real batched inference (HashingEmbedder)
+      // over each document — the injected-model seam the reference has
+      // at config/manager.py:179-182
+      embedder: String = "table",
       // drop exact-dup and near-dup non-representatives before indexing
       // (the training-data cleanup pass; J2 delete-then-add extended to
       // whole near-dup clusters)
@@ -103,8 +108,14 @@ object Pipeline {
         buildChunks(spark, dir, cfg)
           .join(droppedDocIds(spark, dir, cfg), Seq("doc_id"), "left_anti")
       else buildChunks(spark, dir, cfg)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val emb = cfg.embedder match {
+      case "hashing" =>
+        val docs = Tables.documents(spark, dir)
+        graft.vector.HashingEmbedder.embed(spark, docs,
+          graft.vector.HashingEmbedder.train(spark, docs))
+      case _ => Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+    }
     chunks
       .join(emb, Seq("doc_id"), "left")
       .select(
@@ -125,6 +136,15 @@ object Pipeline {
       .join(docs, col("metadata.doc_id") === col("upd_doc_id"), "left_anti")
       .unionByName(updates)
   }
+
+  /** [[upsertIndex]] against a persistent, versioned index: the same
+    * delete-then-add lands as ONE atomic [[graft.sources.SnapshotTable]]
+    * commit, so concurrent reprocessing jobs serialize instead of
+    * clobbering each other's parquet, and any historical index version
+    * stays queryable (time travel). Returns the committed version. */
+  def upsertIndexSnapshot(spark: SparkSession, indexRoot: String,
+      updates: DataFrame): Int =
+    graft.sources.SnapshotTable.merge(spark, indexRoot, updates, "metadata.doc_id")
 
   /** Dedup report over the corpus: exact groups + near-dup candidates,
     * the cleanup pass a training-data pipeline runs before indexing. */

@@ -101,8 +101,9 @@ object SnapshotTable {
     val updateFiles = writeDataFiles(spark, root, updates)
     retrying(spark, root) { latest =>
       val current = read(spark, root, Some(latest))
+      // alias, not rename: `key` may be a nested path (metadata.doc_id)
       val survivors = current.join(
-        updates.select(updates(key)).distinct().withColumnRenamed(key, "__mk"),
+        updates.select(updates(key).as("__mk")).distinct(),
         current(key) === org.apache.spark.sql.functions.col("__mk"), "left_anti")
       writeDataFiles(spark, root, survivors) ++ updateFiles
     }

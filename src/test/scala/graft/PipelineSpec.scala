@@ -80,6 +80,30 @@ class PipelineSpec extends SparkSpec {
     rep.count() // materializes both branches
   }
 
+  test("hashing embedder supplies a dense vector for every chunk (no embeddings table needed)") {
+    import org.apache.spark.sql.functions.col
+    val idx = Pipeline.buildIndex(spark, sf, Pipeline.EtlConfig(embedder = "hashing"))
+    assert(idx.filter(col("dense").isNull).count() == 0,
+      "inference covers all docs, unlike the precomputed-table join")
+    val dims = idx.select(org.apache.spark.sql.functions.size(col("dense"))).distinct().collect()
+    assert(dims.length == 1 && dims.head.getInt(0) == 64)
+  }
+
+  test("snapshot upsert commits delete-then-add atomically with history") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-pidx").toString
+    val idx = Pipeline.buildIndex(spark, sf)
+    graft.sources.SnapshotTable.create(spark, root, idx)
+    // reprocess one document down to a single chunk
+    val upd = idx.filter(col("metadata.doc_id") === 0L).limit(1)
+    val v = Pipeline.upsertIndexSnapshot(spark, root, upd)
+    assert(v == 2)
+    val now = graft.sources.SnapshotTable.read(spark, root)
+    assert(now.filter(col("metadata.doc_id") === 0L).count() == 1)
+    assert(now.count() ==
+      idx.filter(col("metadata.doc_id") =!= 0L).count() + 1)
+  }
+
   test("dropDups index keeps only cluster representatives (J2 extended to near-dups)") {
     import org.apache.spark.sql.functions.col
     val drops = Pipeline.droppedDocIds(spark, sf)

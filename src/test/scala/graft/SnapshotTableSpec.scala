@@ -62,6 +62,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3))
   }
 
+  test("streaming upsert: each micro-batch is one atomic merge, reprocessing leaves no stale tails") {
+    val indexRoot = tmp()
+    val src1 = tmp()
+    // doc 1 long (several chunks), doc 2 short
+    Seq((1L, "alpha " * 300, "en", "s", 6L * 300), (2L, "beta small", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(src1)
+    graft.streaming.StreamingRunner.runStreamingIndexUpsert(spark, src1, indexRoot)
+    val v1chunks = SnapshotTable.read(spark, indexRoot)
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1chunks(1L) > 1, "long doc must produce several chunks")
+
+    // doc 1 reprocessed much shorter → fewer chunks, old tail must vanish
+    val src2 = tmp()
+    Seq((1L, "alpha now tiny", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(src2)
+    graft.streaming.StreamingRunner.runStreamingIndexUpsert(spark, src2, indexRoot)
+    val now = SnapshotTable.read(spark, indexRoot)
+    assert(now.filter(col("doc_id") === 1L).count() == 1, "stale tail chunks must be deleted")
+    assert(now.filter(col("doc_id") === 2L).count() == v1chunks(2L), "doc 2 untouched")
+    // and the pre-update index is still time-travelable
+    val versions = SnapshotTable.versions(spark, indexRoot)
+    val before = SnapshotTable.read(spark, indexRoot, Some(versions.init.last))
+    assert(before.filter(col("doc_id") === 1L).count() == v1chunks(1L))
+  }
+
   test("concurrent appends from two threads both land, serialized by the protocol") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
