@@ -33,17 +33,41 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** BM25 top-k for a fixed multi-term query. */
+  /** BM25 top-k for a fixed multi-term query.
+    *
+    * TF comes from a MAP-ONLY pass: the token array is materialized
+    * once per document (Generate barrier), each query term's frequency
+    * is an array count, and only (doc, term) hits survive — the corpus
+    * is never exploded to a token stream and never shuffled on
+    * (doc, term). (That inverted-index build, [[termFreqs]], is the
+    * right plan when MANY queries amortize it; for one query it
+    * shuffled ~500 tokens per document to use 3 of them.) */
   def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int = 15): DataFrame = {
-    val tf = termFreqs(spark, dir).filter(col("term").isin(queryTerms: _*))
+    import org.apache.spark.sql.expressions.Window
+    val tfStructs = queryTerms.map { t =>
+      struct(lit(t).as("term"),
+        size(filter(col("toks"), x => x === t)).cast("long").as("tf"))
+    }
+    val tf = Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark))
+      .select(col("doc_id"),
+        explode(array(TextFunctions.tokens(lower(col("text"))))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(array(tfStructs: _*)).as("tc"))
+      .select(col("doc_id"), col("dl"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .filter(col("tf") > 0)
     val corpus = Tables.documents(spark, dir)
       .select(col("doc_id"), TextFunctions.tokenCount(lower(col("text"))).as("dl"))
     val stats = corpus.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_dl"))
-    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df = rows per term in tf (tf is one row per (doc, term)), computed
+    // as a window count over the SAME frame — the groupBy+self-join form
+    // evaluated the whole tokenize→explode→aggregate subtree twice. The
+    // window's term partition holds only query-term postings (bounded by
+    // the query), so the extra exchange is tiny.
     val scored = tf
-      .join(broadcast(df), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
