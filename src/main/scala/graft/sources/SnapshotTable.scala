@@ -2,14 +2,16 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
 
 /** Minimal ACID table format — the transactional MERGE story the plain
   * parquet upsert lacks (reference J2 is delete-then-add inside one
   * process; concurrent writers at scale need a commit protocol):
   *
   *  - A table is a directory of immutable parquet data files plus a
-  *    `_snapshots/` log of JSON manifests, one per version; manifest N
-  *    lists exactly the files visible at version N (copy-on-write).
+  *    `_snapshots/` log of manifests, one per version; manifest N
+  *    lists exactly the files visible at version N (copy-on-write),
+  *    each with optional per-file min/max KEY STATS for data skipping.
   *  - COMMIT is one atomic filesystem operation: `create` of manifest
   *    vN+1 with overwrite=false. Two writers racing to the same version
   *    cannot both succeed; the loser re-reads the latest snapshot and
@@ -19,16 +21,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    files that manifest names. A crashed writer leaves at most
   *    orphaned data files, never a torn table.
   *
-  * MERGE (delete-then-add by key) rewrites surviving rows + updates
-  * into fresh files and commits a manifest naming only those — the
-  * whole operation is invisible until the single manifest create lands.
-  * (A production engine adds file-level pruning so only files
-  * containing matched keys rewrite; the protocol is identical.)
+  * MERGE (delete-then-add by key) uses the stats to rewrite ONLY the
+  * files whose key range contains an updated key; untouched files are
+  * carried into the new manifest verbatim — at 100 TB an upsert of one
+  * document rewrites a handful of files, not the table. Files without
+  * stats (non-integral keys, pre-stats manifests) conservatively
+  * rewrite. The whole operation is invisible until the single manifest
+  * create lands.
   */
 object SnapshotTable {
 
   private val SnapshotDir = "_snapshots"
   private val MaxRetries = 5
+
+  /** One manifest data-file line: relative path + optional min/max of
+    * the table's merge key (integral keys only). */
+  private final case class FileEntry(path: String, minKey: Option[Long], maxKey: Option[Long]) {
+    def render: String =
+      minKey.zip(maxKey).map { case (a, b) => s"$path\t$a\t$b" }.getOrElse(path)
+    /** Could this file contain any of `keys` (sorted)? No stats → maybe. */
+    def mayContain(keys: Array[Long]): Boolean =
+      minKey.zip(maxKey).forall { case (mn, mx) =>
+        val i = java.util.Arrays.binarySearch(keys, mn)
+        val from = if (i >= 0) i else -i - 1
+        from < keys.length && keys(from) <= mx
+      }
+  }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,65 +65,114 @@ object SnapshotTable {
       .sorted.toSeq
   }
 
-  private def readManifest(spark: SparkSession, root: String, v: Int): Seq[String] = {
+  private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] = {
     val in = fs(spark, root).open(manifestPath(root, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // one relative path per line after the header line {"version":N}
-    text.linesIterator.drop(1).filter(_.nonEmpty).toSeq
+    // header line {"version":N}, then one file entry per line
+    text.linesIterator.drop(1).filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(p, mn, mx) => FileEntry(p, Some(mn.toLong), Some(mx.toLong))
+        case _ => FileEntry(line, None, None)
+      }
+    }.toSeq
   }
 
   /** Write `df` as immutable data files under root/data/<uuid>/ and
-    * return their table-relative paths. */
-  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    * return their entries — with per-file min/max stats of `statsKey`
+    * when it resolves to an integral column (one tiny aggregate per new
+    * file; the write is batch-sized, never table-sized). */
+  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
+      statsKey: Option[String] = None): Seq[FileEntry] = {
     val batch = s"data/batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
     val f = fs(spark, root)
-    f.listStatus(new Path(root, batch))
+    val paths = f.listStatus(new Path(root, batch))
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$batch/${s.getPath.getName}").sorted.toSeq
+    val integralKey = statsKey.filter { k =>
+      try df.select(df(k)).schema.head.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      } catch { case _: Exception => false }
+    }
+    integralKey match {
+      case Some(k) => paths.map { rel =>
+        val stats = spark.read.parquet(s"$root/$rel")
+          .agg(min(col(k)).cast("long"), max(col(k)).cast("long")).head()
+        if (stats.isNullAt(0)) FileEntry(rel, None, None)
+        else FileEntry(rel, Some(stats.getLong(0)), Some(stats.getLong(1)))
+      }
+      case None => paths.map(FileEntry(_, None, None))
+    }
   }
 
-  /** Atomically commit `files` as the next version after `expected`.
-    * Returns the committed version. Throws after MaxRetries conflicts
-    * IF the caller's snapshot went stale (callers that rebuild their
-    * file list from latest state retry via [[merge]]'s loop instead). */
-  private def commit(spark: SparkSession, root: String, files: Seq[String],
+  /** Atomically commit `files` as the next version after `expected`. */
+  private def commit(spark: SparkSession, root: String, files: Seq[FileEntry],
       expected: Int): Int = {
     val f = fs(spark, root)
     f.mkdirs(new Path(root, SnapshotDir))
     val v = expected + 1
-    val body = (s"""{"version":$v}""" +: files).mkString("\n")
+    val body = (s"""{"version":$v}""" +: files.map(_.render)).mkString("\n")
     // overwrite=false → EXACTLY ONE writer can create this version
     val out = f.create(manifestPath(root, v), false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     v
   }
 
-  /** Create a new table (version 1) or fail if one exists. */
-  def create(spark: SparkSession, root: String, df: DataFrame): Int = {
+  /** Create a new table (version 1) or fail if one exists. `statsKey`
+    * (usually the future merge key) enables data skipping from birth. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      statsKey: Option[String] = None): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
-    commit(spark, root, writeDataFiles(spark, root, df), expected = 0)
+    commit(spark, root, writeDataFiles(spark, root, df, statsKey), expected = 0)
   }
 
   /** Append rows: new files + all files of the snapshot appended onto. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Int =
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      statsKey: Option[String] = None): Int =
     retrying(spark, root) { latest =>
-      readManifest(spark, root, latest) ++ writeDataFiles(spark, root, df)
+      readManifest(spark, root, latest) ++ writeDataFiles(spark, root, df, statsKey)
     }
 
   /** MERGE: delete every row whose `key` appears in `updates`, then add
-    * `updates` (J2 delete-then-add, key-scoped). Copy-on-write: the new
-    * snapshot names only freshly-written files. */
+    * `updates` (J2 delete-then-add, key-scoped). Data skipping: only
+    * files whose [min,max] key range contains an updated key are read
+    * and rewritten; everything else carries forward by name. */
   def merge(spark: SparkSession, root: String, updates: DataFrame, key: String): Int = {
     // updates' files are written once; survivors re-derive per attempt
-    val updateFiles = writeDataFiles(spark, root, updates)
+    val updateFiles = writeDataFiles(spark, root, updates, Some(key))
+    // the update batch's distinct keys, for file pruning — gated on the
+    // key TYPE (a lossy cast would yield nulls and wrongly prune
+    // everything); non-integral keys disable skipping, never correctness
+    val keyIsIntegral =
+      try updates.select(updates(key)).schema.head.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      } catch { case _: Exception => false }
+    val updateKeys: Option[Array[Long]] =
+      if (!keyIsIntegral) None
+      else Some(updates.select(updates(key).cast("long").as("__k"))
+        .na.drop().distinct()
+        .collect().map(_.getLong(0)).sorted)
     retrying(spark, root) { latest =>
-      val current = read(spark, root, Some(latest))
-      // alias, not rename: `key` may be a nested path (metadata.doc_id)
-      val survivors = current.join(
-        updates.select(updates(key).as("__mk")).distinct(),
-        current(key) === org.apache.spark.sql.functions.col("__mk"), "left_anti")
-      writeDataFiles(spark, root, survivors) ++ updateFiles
+      val entries = readManifest(spark, root, latest)
+      val (touched, untouched) = updateKeys match {
+        case Some(keys) => entries.partition(_.mayContain(keys))
+        case None => (entries, Seq.empty[FileEntry])
+      }
+      val rewritten =
+        if (touched.isEmpty) Seq.empty[FileEntry]
+        else {
+          val current = spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+          // alias, not rename: `key` may be a nested path (metadata.doc_id)
+          val survivors = current.join(
+            updates.select(updates(key).as("__mk")).distinct(),
+            current(key) === col("__mk"), "left_anti")
+          writeDataFiles(spark, root, survivors, Some(key))
+        }
+      untouched ++ rewritten ++ updateFiles
     }
   }
 
@@ -113,7 +180,7 @@ object SnapshotTable {
     * latest version, try to commit latest+1; on a lost race, rebuild
     * against the new latest. */
   private def retrying(spark: SparkSession, root: String)(
-      buildFiles: Int => Seq[String]): Int = {
+      buildFiles: Int => Seq[FileEntry]): Int = {
     var attempt = 0
     while (true) {
       val latest = versions(spark, root).lastOption.getOrElse(
@@ -134,7 +201,7 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no table at $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist (have $vs)")
-    val files = readManifest(spark, root, v).map(rel => s"$root/$rel")
+    val files = readManifest(spark, root, v).map(e => s"$root/${e.path}")
     spark.read.parquet(files: _*)
   }
 }

@@ -62,6 +62,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3))
   }
 
+  test("merge rewrites only files whose key range is hit (data skipping)") {
+    val root = tmp()
+    // four range-partitioned files with disjoint id ranges and stats
+    val base = (0L until 400L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    SnapshotTable.create(spark, root, base, statsKey = Some("id"))
+    def manifestFiles(v: Int): Set[String] = {
+      val p = java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json")
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.drop(1)
+        .map(_.split('\t').head).toSet
+    }
+    val v1 = manifestFiles(1)
+    assert(v1.size == 4, "expected one data file per range partition")
+    // update keys 10 and 20 — both land in the lowest range file
+    SnapshotTable.merge(spark, root,
+      Seq((10L, "TEN"), (20L, "TWENTY")).toDF("id", "v"), key = "id")
+    val v2 = manifestFiles(2)
+    val carried = v1.intersect(v2)
+    assert(carried.size == 3,
+      s"three untouched files must carry forward by name, got ${carried.size}")
+    // correctness is untouched by the pruning
+    val now = SnapshotTable.read(spark, root)
+    assert(now.count() == 400)
+    assert(now.filter(col("id") === 10L).head().getString(1) == "TEN")
+    assert(now.filter(col("id") === 15L).head().getString(1) == "row15")
+  }
+
   test("streaming upsert: each micro-batch is one atomic merge, reprocessing leaves no stale tails") {
     val indexRoot = tmp()
     val src1 = tmp()
