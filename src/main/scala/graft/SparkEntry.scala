@@ -140,6 +140,7 @@ object SparkEntry {
     "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
     // --- semantic + token-window chunkers (§2.9 C3/C4) ---
     "chunk_semantic" -> ((s, d) => graft.chunk.SemanticChunker.semanticChunks(s, d)),
+    "chunk_semantic_embed" -> ((s, d) => graft.chunk.SemanticChunker.semanticChunkEmbedInvariants(s, d)),
     "chunk_token_windows" -> ((s, d) => graft.chunk.TokenWindows.tokenWindows(s, d)),
     "text_seq_pack" -> ((s, d) => graft.chunk.SeqPack.packDocs(s, d)),
     "text_seq_pack_bpe" -> ((s, d) => graft.chunk.SeqPack.packDocsBpe(s, d)),
@@ -256,6 +257,7 @@ object SparkEntry {
     "agg_approx_distinct" -> Relational.approxDistinctCheckedSql,
     "chunk_recursive" -> chunkRecursiveSql,
     "chunk_semantic" -> graft.chunk.SemanticChunker.semanticChunksSql(normalizeSqlExpr),
+    "chunk_semantic_embed" -> graft.chunk.SemanticChunker.semanticChunkEmbedInvariantsSql(normalizeSqlExpr),
     "chunk_token_windows" -> graft.chunk.TokenWindows.tokenWindowsSql(),
     "text_seq_pack" -> graft.chunk.SeqPack.packDocsSql(),
     "text_seq_pack_bpe" -> graft.chunk.SeqPack.packDocsBpeSql(),

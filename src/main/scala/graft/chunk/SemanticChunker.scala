@@ -80,17 +80,53 @@ object SemanticChunker {
     * pipeline, same Java engine), ±1 hash sketches, integer squared-L2
     * adjacent distances, exact-percentile threshold, greedy min-size
     * walk. Pure function over one document. */
+  /** Sentence segmentation: break after [.!?]-space; the single-line
+    * testdata docs carry no punctuation, so the 8-word line synthesis
+    * (MarkdownOps.synthesizeLines convention) provides the base
+    * segmentation. Every boundary consumes exactly one space, so chunk
+    * lengths stay reconstruction-exact. */
+  private[chunk] def sentences(t: String): Array[String] = t
+    .replaceAll("((?:\\S+ ){7}\\S+) ", "$1\n")
+    .replaceAll("([.!?]) ", "$1\n")
+    .split("\n", -1)
+
+  /** Exact p-quantile with linear interpolation (the same formula as
+    * Spark `percentile` and DuckDB `quantile_cont`), then break where
+    * strictly above. */
+  private[chunk] def quantileBreaks(dists: Array[Double], p: Double): Array[Boolean] =
+    if (dists.isEmpty) Array.empty
+    else {
+      val sorted = dists.sorted
+      val rank = p * (sorted.length - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      val q = if (lo == hi) sorted(lo) else sorted(lo) + (sorted(hi) - sorted(lo)) * (rank - lo)
+      dists.map(_ > q)
+    }
+
+  /** Greedy min-size walk over sentence boundaries: keep a breakpoint
+    * only once the current chunk has at least `minChunk` joined chars.
+    * Returns inclusive (start, end) sentence ranges. */
+  private[chunk] def greedyWalk(ss: Array[String], breaks: Array[Boolean],
+      minChunk: Int): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    val n = ss.length
+    var cs = 0
+    var curLen = ss(0).length
+    var i = 1
+    while (i < n) {
+      if (breaks(i - 1) && curLen >= minChunk) {
+        out += ((cs, i - 1)); cs = i; curLen = ss(i).length
+      } else curLen += 1 + ss(i).length
+      i += 1
+    }
+    out += ((cs, n - 1))
+    out.result()
+  }
+
   private def chunkDoc(md: java.security.MessageDigest, id: Long, t: String,
       dims: Int, minChunk: Int, p: Double): Iterator[(Long, Long, Long, String)] = {
-    // sentence rows: break after [.!?]-space; the single-line testdata
-    // docs carry no punctuation, so the 8-word line synthesis
-    // (MarkdownOps.synthesizeLines convention) provides the base
-    // segmentation. Every boundary consumes exactly one space, so chunk
-    // lengths stay reconstruction-exact.
-    val ss: Array[String] = t
-      .replaceAll("((?:\\S+ ){7}\\S+) ", "$1\n")
-      .replaceAll("([.!?]) ", "$1\n")
-      .split("\n", -1)
+    val ss: Array[String] = sentences(t)
     val n = ss.length
     // integer bag-of-words sketch per sentence: token -> (h % dims, ±1)
     // with h = the portable md5-derived 60-bit hash (TextFunctions.md5Long)
@@ -120,36 +156,75 @@ object SemanticChunker {
       }
       d
     }
-    // exact p-quantile with linear interpolation (the same formula as
-    // Spark `percentile` and DuckDB `quantile_cont`)
-    val breaks = if (n < 2) Array.empty[Boolean] else {
-      val sorted = dists.map(_.toDouble).sorted
-      val rank = p * (sorted.length - 1)
-      val lo = math.floor(rank).toInt
-      val hi = math.ceil(rank).toInt
-      val q = if (lo == hi) sorted(lo) else sorted(lo) + (sorted(hi) - sorted(lo)) * (rank - lo)
-      dists.map(_.toDouble > q)
-    }
-    // greedy walk: keep a breakpoint only once the current chunk has at
-    // least minChunk joined chars (reference min_chunk_size = chunk_size/3)
-    val out = Vector.newBuilder[(Long, Long, Long, String)]
-    var cs = 0
-    var idx = 0L
-    def emit(a: Int, b: Int): Unit = {
-      out += ((id, idx, (b - a + 1).toLong, ss.slice(a, b + 1).mkString("\n")))
-      idx += 1
-    }
-    var curLen = ss(0).length
-    var i = 1
-    while (i < n) {
-      if (breaks(i - 1) && curLen >= minChunk) {
-        emit(cs, i - 1); cs = i; curLen = ss(i).length
-      } else curLen += 1 + ss(i).length
-      i += 1
-    }
-    emit(cs, n - 1)
-    out.result().iterator
+    val breaks = quantileBreaks(dists.map(_.toDouble), p)
+    greedyWalk(ss, breaks, minChunk).zipWithIndex.map { case ((a, b), idx) =>
+      (id, idx.toLong, (b - a + 1).toLong, ss.slice(a, b + 1).mkString("\n"))
+    }.iterator
   }
+
+  /** C3 with a REAL embedding model (the reference's actual contract —
+    * `SemanticChunker(embeddings, …)` takes the injected embedder):
+    * sentence vectors come from [[graft.vector.HashingEmbedder]]
+    * (feature hashing + corpus IDF + JL projection, trained
+    * distributedly, broadcast to the chunk pass), adjacent distance is
+    * cosine distance between unit vectors, then the same exact-quantile
+    * threshold and greedy min-size walk as [[chunkDoc]].
+    *
+    * Model-driven boundaries are not blind-SQL computable, so the gate
+    * is the invariant-oracle pattern — exact column n_sentences
+    * (segmentation is model-independent) plus per-document contract
+    * booleans: reconstruct_ok (chunk lengths + one joiner per boundary
+    * re-assemble the normalized text exactly), minchunk_ok (every
+    * non-final chunk ≥ minChunk), bounds_ok (1 ≤ chunks ≤ sentences). */
+  def semanticChunkEmbedInvariants(spark: SparkSession, dir: String,
+      minChunk: Int = 66, p: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    val all = Tables.documents(spark, dir)
+    val model = graft.vector.HashingEmbedder.train(spark, all)
+    val bc = spark.sparkContext.broadcast(model)
+    all
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), TextFunctions.normalize(col("text")).as("t"))
+      .filter(length(col("t")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, t) =>
+          val ss = sentences(t)
+          val vecs = ss.map(s => graft.vector.HashingEmbedder.embedTokens(
+            s.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq, m))
+          val dists = Array.tabulate(math.max(ss.length - 1, 0)) { i =>
+            // unit (or zero) vectors: cosine distance = 1 − dot
+            1.0 - vecs(i).zip(vecs(i + 1)).map { case (a, b) => a.toDouble * b }.sum
+          }
+          val ranges = greedyWalk(ss, quantileBreaks(dists, p), minChunk)
+          val lens = ranges.map { case (a, b) =>
+            ss.slice(a, b + 1).mkString("\n").length.toLong }
+          (id, ss.length.toLong,
+            lens.sum + (ranges.length - 1) == t.length.toLong,
+            lens.dropRight(1).forall(_ >= minChunk),
+            ranges.nonEmpty && ranges.length <= ss.length)
+        }
+      }
+      .toDF("doc_id", "n_sentences", "reconstruct_ok", "minchunk_ok", "bounds_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Blind oracle for [[semanticChunkEmbedInvariants]]: exact sentence
+    * count via the same segmentation regexes, booleans contractual. */
+  def semanticChunkEmbedInvariantsSql(normExpr: String): String = s"""
+    WITH docs AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, $normExpr AS t FROM documents WHERE length(text) > 0)
+      WHERE length(t) > 0),
+    marked AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(t, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g'),
+                            '([.!?]) ', '\\1' || chr(10), 'g') AS m
+      FROM docs)
+    SELECT doc_id, CAST(len(string_split(m, chr(10))) AS BIGINT) AS n_sentences,
+           TRUE AS reconstruct_ok, TRUE AS minchunk_ok, TRUE AS bounds_ok
+    FROM marked ORDER BY doc_id"""
 
   /** Same program in DuckDB SQL: the walk's sequential state becomes a
     * recursive CTE over sentence index, everything else is the same
