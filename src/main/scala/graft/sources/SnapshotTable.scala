@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions.{col, max, min}
 object SnapshotTable {
 
   private val SnapshotDir = "_snapshots"
-  private val MaxRetries = 5
+  private val MaxRetries = 20
 
   /** One manifest data-file line: relative path + optional min/max of
     * the table's merge key (integral keys only). */
@@ -59,7 +59,10 @@ object SnapshotTable {
     val dir = new Path(root, SnapshotDir)
     val f = fs(spark, root)
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath.getName)
+    else f.listStatus(dir)
+      // zero-length = claimed but not yet published (see commit)
+      .filter(_.getLen > 0)
+      .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
       .sorted.toSeq
@@ -107,16 +110,40 @@ object SnapshotTable {
     }
   }
 
-  /** Atomically commit `files` as the next version after `expected`. */
+  /** Atomically commit `files` as the next version after `expected`.
+    * The uniqueness primitive must be truly atomic per filesystem: on
+    * HDFS-like stores `create(overwrite=false)` is an atomic namenode
+    * op, but Hadoop's RawLocalFileSystem implements it as
+    * check-then-create — two local writers can BOTH pass the check and
+    * the second silently clobbers the first (lost update; caught by the
+    * concurrent-writers test). Local paths therefore claim the version
+    * with NIO `Files.createFile` (O_CREAT|O_EXCL, atomic in POSIX). */
   private def commit(spark: SparkSession, root: String, files: Seq[FileEntry],
       expected: Int): Int = {
-    val f = fs(spark, root)
-    f.mkdirs(new Path(root, SnapshotDir))
     val v = expected + 1
     val body = (s"""{"version":$v}""" +: files.map(_.render)).mkString("\n")
-    // overwrite=false → EXACTLY ONE writer can create this version
-    val out = f.create(manifestPath(root, v), false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val p = manifestPath(root, v)
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(nio.getParent)
+      // two atomic steps: claim the version (O_EXCL create, throws
+      // FileAlreadyExistsException on a lost race), then publish the
+      // content with an atomic rename — readers see either an
+      // in-flight empty claim (which versions() skips) or the full
+      // manifest, never a torn write
+      java.nio.file.Files.createFile(nio)
+      val tmp = nio.resolveSibling(nio.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, nio,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val f = fs(spark, root)
+      f.mkdirs(new Path(root, SnapshotDir))
+      val out = f.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
     v
   }
 
