@@ -93,6 +93,25 @@ object BpeTokenizer {
     sym
   }
 
+  /** Memoizing encoder for one partition's pass: natural-language
+    * corpora repeat words heavily (Zipf), so encoding each DISTINCT
+    * word once and reusing the result removes the 50-merge scan from
+    * almost every occurrence. Capacity-bounded so an adversarial
+    * corpus of unique tokens cannot grow task memory — on overflow it
+    * degrades to plain encoding, never wrong results. */
+  final class MemoEncoder(merges: Merges, maxEntries: Int = 1 << 16) {
+    private val cache = new java.util.HashMap[String, Vector[String]]()
+    def encode(word: String): Vector[String] = {
+      val hit = cache.get(word)
+      if (hit != null) hit
+      else {
+        val enc = encodeWord(word, merges)
+        if (cache.size < maxEntries) cache.put(word, enc)
+        enc
+      }
+    }
+  }
+
   /** Corpus tokenization: merges broadcast, applied per partition.
     * Returns (doc_id, n_words, n_subwords). */
   def subwordCounts(spark: SparkSession, docs: DataFrame, merges: Merges): DataFrame = {
@@ -101,9 +120,11 @@ object BpeTokenizer {
     val base: Dataset[(Long, Seq[String])] = docs
       .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("toks"))
       .as[(Long, Seq[String])]
-    base.map { case (id, toks) =>
-      val m = bc.value
-      (id, toks.size.toLong, toks.iterator.map(w => encodeWord(w, m).size.toLong).sum)
+    base.mapPartitions { it =>
+      val enc = new MemoEncoder(bc.value) // one distinct-word cache per task
+      it.map { case (id, toks) =>
+        (id, toks.size.toLong, toks.iterator.map(w => enc.encode(w).size.toLong).sum)
+      }
     }.toDF("doc_id", "n_words", "n_subwords")
       .orderBy(col("doc_id"))
   }
@@ -123,20 +144,22 @@ object BpeTokenizer {
       .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("toks"))
       .as[(Long, Seq[String])]
     val markerLen = EndOfWord.length.toLong
-    base.map { case (id, toks) =>
-      val m = bc.value
-      val nWords = toks.size.toLong
-      val nWordChars = toks.iterator.map(_.length.toLong).sum
-      var nSub = 0L
-      var subChars = 0L
-      toks.foreach { w =>
-        val enc = encodeWord(w, m)
-        nSub += enc.size
-        subChars += enc.iterator.map(_.length.toLong).sum
+    base.mapPartitions { it =>
+      val memo = new MemoEncoder(bc.value)
+      it.map { case (id, toks) =>
+        val nWords = toks.size.toLong
+        val nWordChars = toks.iterator.map(_.length.toLong).sum
+        var nSub = 0L
+        var subChars = 0L
+        toks.foreach { w =>
+          val enc = memo.encode(w)
+          nSub += enc.size
+          subChars += enc.iterator.map(_.length.toLong).sum
+        }
+        (id, nWords, nWordChars,
+          subChars - markerLen * nWords == nWordChars,
+          nSub >= nWords && nSub <= nWordChars + nWords)
       }
-      (id, nWords, nWordChars,
-        subChars - markerLen * nWords == nWordChars,
-        nSub >= nWords && nSub <= nWordChars + nWords)
     }.toDF("doc_id", "n_words", "n_word_chars", "conserve_ok", "bounds_ok")
       .orderBy(col("doc_id"))
   }
