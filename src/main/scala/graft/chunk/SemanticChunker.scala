@@ -136,12 +136,14 @@ object SemanticChunker {
       for (tok <- ss(si).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)) {
         md.reset()
         val digest = md.digest(tok.getBytes("UTF-8"))
-        val hex = new StringBuilder(15)
-        var bi = 0
-        while (hex.length < 15) {
-          hex.append(f"${digest(bi) & 0xff}%02x"); bi += 1
-        }
-        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        // the first 15 hex digits of the md5 as a 60-bit value, straight
+        // from the bytes (identical to parseLong(hex.take(15), 16) —
+        // bytes 0..6 are digit pairs, byte 7's high nibble is digit 15;
+        // the hex round-trip dominated this loop's profile)
+        val h = ((digest(0) & 0xffL) << 52) | ((digest(1) & 0xffL) << 44) |
+          ((digest(2) & 0xffL) << 36) | ((digest(3) & 0xffL) << 28) |
+          ((digest(4) & 0xffL) << 20) | ((digest(5) & 0xffL) << 12) |
+          ((digest(6) & 0xffL) << 4) | ((digest(7) & 0xffL) >>> 4)
         val sg = if ((h / dims) % 2 == 0) 1L else -1L
         vecs(si)((h % dims).toInt) += sg
       }
