@@ -89,6 +89,24 @@ class PlanAuditSpec extends SparkSpec {
       "tokenization and scoring must each sit behind a Generate barrier")
   }
 
+  test("chunk stats plan is map-only (no chunk text, no aggregation shuffle)") {
+    val s = simpleString(chunk.Chunking.chunkStats(Tables.documents(spark, sf)))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "closed-form stats must not shuffle")
+  }
+
+  test("fixed-query BM25 never shuffles the corpus token stream") {
+    val df = SparkEntry.queries("bm25_topk")(spark, sf)
+    val s = simpleString(df)
+    // the only hash exchanges allowed are over the surviving postings
+    // (window on term, final per-doc agg) — tiny frames; the corpus-wide
+    // exploded (doc, term) aggregate shuffled every token
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2,
+      "only posting-sized exchanges may remain")
+    assert("Generate".r.findAllIn(s).size == 2,
+      "token array + per-term counts must each sit behind one Generate")
+  }
+
   test("normalization chain stays in one codegen stage with the scan") {
     val df = Tables.documents(spark, sf)
       .select(functions.Nfkc.nfkc(text.TextFunctions.normalize(
