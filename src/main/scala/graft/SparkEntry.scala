@@ -119,6 +119,7 @@ object SparkEntry {
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
     "meta_config_merge" -> ((s, d) => configMergeQuery(s, d)),
+    "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
     "meta_upsert" -> ((s, d) => Upsert.upsertDemo(s, d)),
@@ -235,6 +236,7 @@ object SparkEntry {
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
     "meta_config_merge" -> configMergeSql,
+    "meta_snapshot_merge" -> snapshotMergeCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
     "meta_upsert" -> Upsert.upsertDemoSql,
@@ -844,6 +846,31 @@ object SparkEntry {
     * per source: the two config halves' lang sets merge via
     * array_union with deterministic ordering; emitted as a joined
     * string (scalar, driver-hashable). */
+  /** R6/J2 through the ACID table, gated end to end: seed a snapshot
+    * table with every document tagged 'base', MERGE an update batch
+    * (docs ≡ 0 mod 10, tagged 'upd', delete-then-add by doc_id), read
+    * the committed result back. The DuckDB oracle is the merge's
+    * relational definition — a CASE on the key predicate. Fresh
+    * UUID-rooted table per invocation so the query is rerunnable. */
+  private def snapshotMergeCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapq").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,
+      docs.withColumn("src", lit("base")), statsKey = Some("doc_id"))
+    graft.sources.SnapshotTable.merge(s, root,
+      docs.filter(col("doc_id") % 10 === 0).withColumn("src", lit("upd")),
+      key = "doc_id")
+    graft.sources.SnapshotTable.read(s, root)
+      .select(col("doc_id"), col("n_chars"), col("src"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotMergeCycleSql: String = """
+    SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE 'base' END AS src
+    FROM documents ORDER BY doc_id"""
+
   private def configMergeQuery(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val existing = docs.filter(col("doc_id") % 2 === 0)
