@@ -121,12 +121,16 @@ object SeqPack {
       shardSize: Long = 64L, numMerges: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val merges = BpeTokenizer.train(spark, docs, numMerges)
+    // cached: the frame feeds both the packer and the invariant join —
+    // without a materialization point the BPE inference pass over the
+    // corpus runs twice (per-doc count rows only, corpus-cardinality)
     val counts = BpeTokenizer.subwordCounts(spark, docs, merges)
       .join(docs.select(col("doc_id"), col("source"),
         length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
           .cast("long").as("n_word_chars")), Seq("doc_id"))
       .select(col("source"), col("doc_id"), col("n_words"), col("n_word_chars"),
         col("n_subwords").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val packed = packCounts(spark, counts.select("source", "doc_id", "n_tokens"),
       capacity, shardSize)
       .join(counts.select(col("doc_id"), col("n_words"), col("n_word_chars")), Seq("doc_id"))
