@@ -120,6 +120,7 @@ object SparkEntry {
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
     "meta_config_merge" -> ((s, d) => configMergeQuery(s, d)),
     "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(s, d)),
+    "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
     "meta_upsert" -> ((s, d) => Upsert.upsertDemo(s, d)),
@@ -237,6 +238,7 @@ object SparkEntry {
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
     "meta_config_merge" -> configMergeSql,
     "meta_snapshot_merge" -> snapshotMergeCycleSql,
+    "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
     "meta_upsert" -> Upsert.upsertDemoSql,
@@ -870,6 +872,47 @@ object SparkEntry {
     SELECT doc_id, n_chars,
            CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE 'base' END AS src
     FROM documents ORDER BY doc_id"""
+
+  /** S1–S4 through real bytes, gated end to end: every document is
+    * written to disk as an actual file (executor-side, no driver
+    * data), re-ingested via the binaryFile scan, and pushed through
+    * [[graft.sources.DocumentSource.convert]] — magic-number sniff +
+    * charset decode executing on real file content. Both engines
+    * exclude documents whose first character could route into a
+    * magic/XML branch (same regex, same RE2/Java semantics), so every
+    * compared row exercises the text decode; the magic branches are
+    * covered byte-for-byte by SourcesSpec. */
+  private def sourceConvertCycle(s: SparkSession, d: String): DataFrame = {
+    // explicit whitespace class — Java \s and RE2 \s disagree on \x0B
+    val magicHead = "^[%P<\\u001F\\uFEFF \\t\\r\\n\\f\\x0B]"
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-srcq").toString
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0 && !col("text").rlike(magicHead))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmpRoot, f"${r.getLong(0)}%08d.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+    graft.sources.DocumentSource.convert(s,
+      graft.sources.DocumentSource.scan(s, tmpRoot))
+      .select(
+        element_at(split(col("filename"), "\\."), 1).cast("long").as("doc_id"),
+        col("format"), col("converted"), col("n_bytes"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def sourceConvertCycleSql: String = """
+    SELECT doc_id, 'text' AS format, TRUE AS converted,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents
+    WHERE length(text) > 0
+      AND NOT regexp_matches(text, '^[%P<\x{1F}\x{FEFF} \t\r\n\f\x{B}]')
+    ORDER BY doc_id"""
 
   private def configMergeQuery(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
