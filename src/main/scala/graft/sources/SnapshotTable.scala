@@ -203,6 +203,65 @@ object SnapshotTable {
     }
   }
 
+  /** Compaction: rewrite the CURRENT snapshot into ~`targetFiles`
+    * larger files and commit the result as a new version — the
+    * small-file remedy every copy-on-write table needs once many
+    * incremental merges have fragmented it. Commits through the same
+    * optimistic loop as any writer, so it can run concurrently with
+    * upserts; historical versions keep reading their original files. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
+      statsKey: Option[String] = None): Int =
+    retrying(spark, root) { latest =>
+      val current = read(spark, root, Some(latest))
+      writeDataFiles(spark, root, current.repartition(targetFiles), statsKey)
+    }
+
+  /** Drop all snapshots except the last `keepLast` (their manifests are
+    * deleted; time travel to them fails afterwards). Run [[vacuum]] to
+    * reclaim the data files only they referenced. */
+  def expireVersions(spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val f = fs(spark, root)
+    val expired = versions(spark, root).dropRight(keepLast)
+    expired.foreach(v => f.delete(manifestPath(root, v), false))
+    expired
+  }
+
+  /** Garbage-collect data files referenced by NO live manifest —
+    * leftovers of crashed writers and of expired versions. Only files
+    * older than `minAgeMs` are eligible: a concurrent writer's
+    * just-written batch is not yet referenced by any manifest, and the
+    * age floor is what keeps vacuum from eating it (the same retention
+    * contract as Delta's VACUUM). Returns the deleted relative paths. */
+  def vacuum(spark: SparkSession, root: String,
+      minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val f = fs(spark, root)
+    val referenced = versions(spark, root)
+      .flatMap(v => readManifest(spark, root, v)).map(_.path).toSet
+    val dataDir = new Path(root, "data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val deleted = Seq.newBuilder[String]
+    f.listStatus(dataDir).foreach { batch =>
+      // only parquet data files are manifest-addressable; write markers
+      // (_SUCCESS etc.) go when their whole batch dir is reclaimed
+      f.listStatus(batch.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { file =>
+          val rel = s"data/${batch.getPath.getName}/${file.getPath.getName}"
+          if (!referenced.contains(rel) && file.getModificationTime < cutoff) {
+            f.delete(file.getPath, false)
+            deleted += rel
+          }
+        }
+      val remaining = f.listStatus(batch.getPath)
+      if (!remaining.exists(_.getPath.getName.endsWith(".parquet")) &&
+        remaining.forall(_.getModificationTime < cutoff))
+        f.delete(batch.getPath, true)
+    }
+    deleted.result()
+  }
+
   /** Optimistic-concurrency loop: build the file list against the
     * latest version, try to commit latest+1; on a lost race, rebuild
     * against the new latest. */

@@ -118,6 +118,49 @@ class SnapshotTableSpec extends SparkSpec {
     assert(before.filter(col("doc_id") === 1L).count() == v1chunks(1L))
   }
 
+  test("compaction consolidates files without changing rows; history keeps reading") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v").repartition(10),
+      statsKey = Some("id"))
+    (0 until 3).foreach { k =>
+      SnapshotTable.merge(spark, root,
+        Seq((k.toLong, s"upd$k")).toDF("id", "v"), key = "id")
+    }
+    val before = SnapshotTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val v = SnapshotTable.compact(spark, root, targetFiles = 2, statsKey = Some("id"))
+    val after = SnapshotTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction must not change table contents")
+    assert(SnapshotTable.read(spark, root).inputFiles.length <= 2,
+      "compacted snapshot must read few files")
+    // pre-compaction version still reads its own (fragmented) files
+    assert(SnapshotTable.read(spark, root, Some(v - 1)).count() == 100)
+  }
+
+  test("vacuum removes only unreferenced files past the age floor") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.merge(spark, root, Seq((1L, "b")).toDF("id", "v"), key = "id")
+    // simulate a crashed writer: data files that no manifest references
+    Seq((99L, "orphan")).toDF("id", "v")
+      .write.parquet(s"$root/data/batch-orphan")
+    // age floor protects everything just written
+    assert(SnapshotTable.vacuum(spark, root).isEmpty)
+    // with the floor lowered, only the orphan goes; both versions still read
+    val deleted = SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("batch-orphan")))
+    assert(SnapshotTable.read(spark, root, Some(1)).head().getString(1) == "a")
+    assert(SnapshotTable.read(spark, root, Some(2)).head().getString(1) == "b")
+    // expire v1, vacuum again: v1's exclusive file is now collectible
+    SnapshotTable.expireVersions(spark, root, keepLast = 1)
+    val deleted2 = SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
+    assert(deleted2.nonEmpty)
+    assert(SnapshotTable.versions(spark, root).size == 1)
+    assert(SnapshotTable.read(spark, root).head().getString(1) == "b")
+  }
+
   test("concurrent appends from two threads both land, serialized by the protocol") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
