@@ -78,6 +78,13 @@ class SourcesSpec extends SparkSpec {
     Files.write(dir.resolve("wide.txt"), utf16)
     val svg = """<?xml version="1.0"?><svg><title>A &amp; B</title><desc>vector caption</desc></svg>"""
     Files.write(dir.resolve("figure.svg"), svg.getBytes("UTF-8"))
+    // UTF-16BE with BOM and UTF-8 with BOM — the other two decode branches
+    val beText = "big endian text"
+    Files.write(dir.resolve("be.txt"),
+      Array[Byte](0xfe.toByte, 0xff.toByte) ++ beText.getBytes("UTF-16BE"))
+    val bomText = "bom stripped"
+    Files.write(dir.resolve("bom.txt"),
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ bomText.getBytes("UTF-8"))
     // real PDF magic — no codec in sandbox, must be routed + tagged, not decoded
     Files.write(dir.resolve("paper.pdf"), "%PDF-1.7 binarybinary".getBytes("UTF-8"))
     Files.write(dir.resolve("skipme.docx"), Array[Byte](1, 2, 3)) // unsupported ext
@@ -85,7 +92,12 @@ class SourcesSpec extends SparkSpec {
     val converted = sources.DocumentSource.convert(spark,
       sources.DocumentSource.scan(spark, dir.toString))
     val byName = converted.collect().map(r => r.getString(0) -> r).toMap
-    assert(byName.keySet == Set("plain.txt", "wide.txt", "figure.svg", "paper.pdf"))
+    assert(byName.keySet ==
+      Set("plain.txt", "wide.txt", "be.txt", "bom.txt", "figure.svg", "paper.pdf"))
+    assert(byName("be.txt").getString(2) == "utf16be")
+    assert(byName("be.txt").getString(4) == beText, "BOM'd UTF-16BE must decode")
+    assert(byName("bom.txt").getString(2) == "text")
+    assert(byName("bom.txt").getString(4) == bomText, "UTF-8 BOM must be stripped")
     assert(byName("plain.txt").getString(2) == "text" && byName("plain.txt").getBoolean(3))
     assert(byName("plain.txt").getString(4) == utf8Text)
     assert(byName("wide.txt").getString(2) == "utf16le")
@@ -101,7 +113,7 @@ class SourcesSpec extends SparkSpec {
       .select(xxhash64(col("filename")).as("doc_id"), col("text"))
     val chunks = graft.chunk.Chunking.chunkTable(docs, size = 100, overlap = 20)
     assert(chunks.count() > 3, "the long utf-8 doc must split into several chunks")
-    assert(chunks.select("doc_id").distinct().count() == 3)
+    assert(chunks.select("doc_id").distinct().count() == 5)
   }
 
   test("markdown content breaks respect fence parity (F13 fixture)") {
