@@ -8,11 +8,13 @@ import graft.Tables
   * the north-star ANN/dedup surface) over `embeddings(vec_id,
   * embedding ARRAY<FLOAT>, label)`.
   *
-  * All scoring is higher-order-function arithmetic (`zip_with` +
-  * `aggregate`), i.e. codegen-friendly Catalyst expressions — no UDFs.
-  * Arrays are cast to double BEFORE any arithmetic so the element-wise
-  * products and the sequential left-fold sum are bit-identical to the
-  * DuckDB oracle's `list_dot_product(CAST(… AS DOUBLE[]), …)`.
+  * Scoring runs through NATIVE codegen expressions
+  * ([[graft.functions.DotProduct]]/L2Squared — tight primitive loops in
+  * the scan stage; the earlier higher-order `zip_with`+`aggregate`
+  * forms were CodegenFallback). Arrays are cast to double BEFORE any
+  * arithmetic and summation is sequential left-to-right, so scores are
+  * bit-identical to the DuckDB oracle's
+  * `list_dot_product(CAST(… AS DOUBLE[]), …)`.
   *
   * Scale stance: brute-force top-k is the *baseline* (a single scan +
   * TakeOrderedAndProject — embarrassingly parallel, no shuffle); the
@@ -21,14 +23,18 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE> (exact widening). */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE> — a native Cast
+    * (codegen), exact widening; the former `transform` lambda was a
+    * CodegenFallback boundary in every scoring scan. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product as a sequential left fold — matches DuckDB's
-    * list_dot_product evaluation order, so doubles agree exactly
-    * (reference semantics: index_manager.py:187-190, IndexFlatIP). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product — native codegen expression
+    * ([[graft.functions.DotProduct]]): a primitive loop in the scan
+    * stage instead of an interpreted zip+fold. Sequential
+    * left-to-right summation, so doubles agree exactly with DuckDB's
+    * list_dot_product (reference semantics: index_manager.py:187-190,
+    * IndexFlatIP). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -36,9 +42,9 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Squared euclidean distance (R2; Distance.EUCLID / IndexFlatL2 —
-    * FAISS also returns *squared* L2 for flat indexes). */
-  def l2Squared(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    * FAISS also returns *squared* L2 for flat indexes). Native codegen,
+    * same element order as the zip_with fold it replaces. */
+  def l2Squared(a: Column, b: Column): Column = graft.functions.DotProduct.l2sq(a, b)
 
   /** Axis-aligned sign-LSH bucket id from the first `bits` vector
     * components: bit i = sign(v[i]). The weakest hyperplane family
