@@ -28,6 +28,12 @@ object GraftFunctions {
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    (FunctionIdentifier("l2_squared"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
+      (exprs: Seq[Expression]) => L2Squared(exprs.head, exprs(1))),
   )
 
   /** Register on a live session's function registry. */
@@ -52,5 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("l2_squared"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
+      (exprs: Seq[Expression]) => L2Squared(exprs.head, exprs(1))))
   }
 }

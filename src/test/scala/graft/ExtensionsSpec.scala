@@ -30,6 +30,10 @@ class ExtensionsSpec extends SparkSpec {
     val s2 = spark.newSession()
     functions.GraftFunctions.register(s2)
     assert(s2.sql("SELECT nfkc('ﬁn')").collect().head.getString(0) == "fin")
+    assert(s2.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0) == 11.0)
+    assert(s2.sql("SELECT l2_squared(array(0.0d, 0.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0) == 25.0)
   }
 
   test("RectUnionAgg: typed aggregator unions per group with partial agg") {
