@@ -114,7 +114,7 @@ object SparkEntry {
     "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(s, d)),
     "vec_pq_topk" -> ((s, d) => VectorOps.pqTopK(s, d)),
     "vec_ivfpq_topk" -> ((s, d) => VectorOps.ivfPqTopK(s, d)),
-    "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d)),
+    "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d, threshold = 0.5)),
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
@@ -233,7 +233,7 @@ object SparkEntry {
     "vec_ivf_topk" -> VectorOps.ivfTopKSql(),
     "vec_pq_topk" -> VectorOps.pqTopKSql(),
     "vec_ivfpq_topk" -> VectorOps.ivfPqTopKSql(),
-    "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(),
+    "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(threshold = 0.5),
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
     "meta_config_merge" -> configMergeSql,

@@ -26,6 +26,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // release operator-internal persisted frames between queries —
+        // a long runner must not accumulate storage across 100+ plans
+        finally CacheScope.drain()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -131,6 +131,7 @@ object SeqPack {
       .select(col("source"), col("doc_id"), col("n_words"), col("n_word_chars"),
         col("n_subwords").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val packed = packCounts(spark, counts.select("source", "doc_id", "n_tokens"),
       capacity, shardSize)
       .join(counts.select(col("doc_id"), col("n_words"), col("n_word_chars")), Seq("doc_id"))

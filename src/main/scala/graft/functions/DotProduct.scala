@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dot product of two DOUBLE arrays as a native Catalyst expression
   * with whole-stage codegen — the scoring primitive of every
@@ -26,10 +27,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   // callers cast both sides to array<double> explicitly (VectorOps
   // .asDouble); AbstractDataType is private[sql] in Spark 4, so input
-  // coercion via ExpectsInputTypes is not available outside org.apache
+  // coercion via ExpectsInputTypes is not available outside org.apache —
+  // instead the types are HARD-CHECKED at analysis time: getDouble on an
+  // UnsafeArrayData of floats/ints would misread raw bytes silently
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    DotProduct.checkDoubleArrays(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -70,6 +76,9 @@ case class L2Squared(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_squared"
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    DotProduct.checkDoubleArrays(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -113,4 +122,19 @@ object DotProduct {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def l2sq(a: Column, b: Column): Column =
     Bridge.column(L2Squared(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Both children must already be array<double> — enforced at analysis
+    * time so a SQL caller passing the raw array<float> embeddings column
+    * gets an AnalysisException, not silently-garbage byte reads. The SQL
+    * registry builders ([[GraftFunctions]]) insert an explicit Cast so
+    * well-typed numeric arrays still coerce. */
+  private[functions] def checkDoubleArrays(name: String,
+      left: Expression, right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires (array<double>, array<double>) inputs, got " +
+          s"(${l.catalogString}, ${r.catalogString}); cast embeddings first")
+    }
 }

@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 object GraftFunctions {
 
+  // SQL callers hold array<float> embeddings; DotProduct/L2Squared
+  // hard-require array<double> (their getDouble would misread other
+  // element widths), so the registry path coerces explicitly. Casting
+  // an already-double array is folded away by SimplifyCasts.
+  private[functions] def asDoubleArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+
   private def entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("nfkc"),
       new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc"),
@@ -30,10 +38,10 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+      (exprs: Seq[Expression]) => DotProduct(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))),
     (FunctionIdentifier("l2_squared"),
       new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
-      (exprs: Seq[Expression]) => L2Squared(exprs.head, exprs(1))),
+      (exprs: Seq[Expression]) => L2Squared(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))),
   )
 
   /** Register on a live session's function registry. */
@@ -46,6 +54,7 @@ object GraftFunctions {
 /** Session-extensions installer: the custom functions + the NFKC
   * idempotence optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftFunctions.asDoubleArray
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NfkcIdempotence)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -60,9 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => DotProduct(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("l2_squared"),
       new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
-      (exprs: Seq[Expression]) => L2Squared(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => L2Squared(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))))
   }
 }

@@ -88,7 +88,7 @@ object RectMerge {
     // three branches below (count/bbox agg, disjointness self-join,
     // containment join) all consume the fixpoint output — persist so
     // the flatMapGroups merge runs once, not per branch
-    val merged = mergedFigures(spark, dir, tol).persist()
+    val merged = graft.CacheScope.register(mergedFigures(spark, dir, tol).persist())
     val input = Geometry.syntheticRects(spark, dir)
     val inAgg = input.groupBy(col("doc"), col("page")).agg(
       count(lit(1)).as("n_rects"),

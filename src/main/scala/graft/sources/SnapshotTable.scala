@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 
 /** Minimal ACID table format — the transactional MERGE story the plain
   * parquet upsert lacks (reference J2 is delete-then-add inside one
@@ -82,8 +82,14 @@ object SnapshotTable {
 
   /** Write `df` as immutable data files under root/data/<uuid>/ and
     * return their entries — with per-file min/max stats of `statsKey`
-    * when it resolves to an integral column (one tiny aggregate per new
-    * file; the write is batch-sized, never table-sized). */
+    * when it resolves to an integral column.
+    *
+    * Stats come from ONE aggregate over the whole batch grouped by
+    * `input_file_name()` — O(1) Spark jobs however many files the batch
+    * produced. (The per-file loop this replaces issued one tiny job per
+    * file: a compacted 100 TB table writes thousands of files per batch
+    * and the driver-side round trips became the commit's critical
+    * path.) The grouped collect is bounded by files-per-batch. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None): Seq[FileEntry] = {
     val batch = s"data/batch-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -100,12 +106,23 @@ object SnapshotTable {
       } catch { case _: Exception => false }
     }
     integralKey match {
-      case Some(k) => paths.map { rel =>
-        val stats = spark.read.parquet(s"$root/$rel")
-          .agg(min(col(k)).cast("long"), max(col(k)).cast("long")).head()
-        if (stats.isNullAt(0)) FileEntry(rel, None, None)
-        else FileEntry(rel, Some(stats.getLong(0)), Some(stats.getLong(1)))
-      }
+      case Some(k) =>
+        val byFile: Map[String, (Long, Long)] = spark.read.parquet(s"$root/$batch")
+          .groupBy(input_file_name().as("__file"))
+          .agg(min(col(k)).cast("long").as("__mn"), max(col(k)).cast("long").as("__mx"))
+          .collect()
+          .flatMap { r =>
+            // basename: input_file_name yields the full URI
+            val name = r.getString(0).split('/').last
+            if (r.isNullAt(1)) None else Some(name -> (r.getLong(1), r.getLong(2)))
+          }.toMap
+        paths.map { rel =>
+          byFile.get(rel.split('/').last) match {
+            case Some((mn, mx)) => FileEntry(rel, Some(mn), Some(mx))
+            // all-null keys or an empty file: no stats → conservative
+            case None => FileEntry(rel, None, None)
+          }
+        }
       case None => paths.map(FileEntry(_, None, None))
     }
   }
@@ -132,8 +149,23 @@ object SnapshotTable {
       // content with an atomic rename — readers see either an
       // in-flight empty claim (which versions() skips) or the full
       // manifest, never a torn write
-      java.nio.file.Files.createFile(nio)
-      val tmp = nio.resolveSibling(nio.getFileName.toString + ".tmp")
+      try java.nio.file.Files.createFile(nio)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          // A writer that crashed between claim and publish leaves a
+          // zero-length vN forever: versions() skips it, so no commit
+          // of vN could ever succeed again and the table is
+          // permanently unwritable. Recover: a zero-length claim older
+          // than StaleClaimMs is abandoned — move it aside ATOMICALLY
+          // to a unique name (rename of a missing source throws, so
+          // only ONE recoverer can win; the loser rethrows into the
+          // normal lost-race retry). A FRESH zero-length claim is a
+          // live writer mid-publish and is never touched.
+          if (!reclaimStaleClaim(nio)) throw e
+          java.nio.file.Files.createFile(nio)
+      }
+      val tmp = nio.resolveSibling(
+        nio.getFileName.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, nio,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -145,6 +177,28 @@ object SnapshotTable {
       try out.write(body.getBytes("UTF-8")) finally out.close()
     }
     v
+  }
+
+  /** How long a zero-length version claim may sit unpublished before
+    * any writer may treat it as abandoned. The claim→publish window is
+    * two local filesystem calls (microseconds); a minute of slack is
+    * orders of magnitude beyond any GC pause that could stretch it. */
+  private val StaleClaimMs = 60000L
+
+  /** Atomically move an abandoned (zero-length, stale) claim aside.
+    * Returns true iff THIS caller won the reclaim and may re-claim the
+    * version; false if the claim is live/fresh/already gone. */
+  private def reclaimStaleClaim(nio: java.nio.file.Path): Boolean = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stale =
+      try Files.size(nio) == 0 &&
+        Files.getLastModifiedTime(nio).toMillis < System.currentTimeMillis() - StaleClaimMs
+      catch { case _: java.io.IOException => false } // vanished: publisher won
+    if (!stale) return false
+    val aside = nio.resolveSibling(
+      nio.getFileName.toString + s".abandoned-${java.util.UUID.randomUUID().toString.take(8)}")
+    try { Files.move(nio, aside, StandardCopyOption.ATOMIC_MOVE); true }
+    catch { case _: java.io.IOException => false } // another recoverer won
   }
 
   /** Create a new table (version 1) or fail if one exists. `statsKey`
@@ -165,8 +219,16 @@ object SnapshotTable {
   /** MERGE: delete every row whose `key` appears in `updates`, then add
     * `updates` (J2 delete-then-add, key-scoped). Data skipping: only
     * files whose [min,max] key range contains an updated key are read
-    * and rewritten; everything else carries forward by name. */
-  def merge(spark: SparkSession, root: String, updates: DataFrame, key: String): Int = {
+    * and rewritten; everything else carries forward by name.
+    *
+    * `maxPruneKeys` bounds the driver-side key collect that powers the
+    * pruning: an update batch with more distinct keys than the cap is
+    * table-sized, file skipping would save little, and materializing
+    * its key set on the driver is exactly the OOM a 100 TB engine must
+    * not risk — beyond the cap the merge falls back to rewriting every
+    * file (correct, just unpruned). */
+  def merge(spark: SparkSession, root: String, updates: DataFrame, key: String,
+      maxPruneKeys: Int = 100000): Int = {
     // updates' files are written once; survivors re-derive per attempt
     val updateFiles = writeDataFiles(spark, root, updates, Some(key))
     // the update batch's distinct keys, for file pruning — gated on the
@@ -180,9 +242,16 @@ object SnapshotTable {
       } catch { case _: Exception => false }
     val updateKeys: Option[Array[Long]] =
       if (!keyIsIntegral) None
-      else Some(updates.select(updates(key).cast("long").as("__k"))
-        .na.drop().distinct()
-        .collect().map(_.getLong(0)).sorted)
+      else {
+        // limit(cap+1): the driver never holds more than cap+1 keys,
+        // and one extra row is how "too many to prune with" is detected
+        val ks = updates.select(updates(key).cast("long").as("__k"))
+          .na.drop().distinct()
+          .limit(maxPruneKeys + 1)
+          .collect().map(_.getLong(0))
+        if (ks.length > maxPruneKeys) None
+        else { java.util.Arrays.sort(ks); Some(ks) }
+      }
     retrying(spark, root) { latest =>
       val entries = readManifest(spark, root, latest)
       val (touched, untouched) = updateKeys match {
@@ -274,7 +343,12 @@ object SnapshotTable {
       val files = buildFiles(latest)
       try return commit(spark, root, files, latest)
       catch {
-        case _: java.io.IOException if attempt < MaxRetries => attempt += 1
+        case _: java.io.IOException if attempt < MaxRetries =>
+          attempt += 1
+          // tiny linear backoff: a lost race means another writer is
+          // mid-publish; spinning full-speed against its in-flight
+          // claim would burn the retry budget in microseconds
+          Thread.sleep(math.min(200L, 10L * attempt))
       }
     }
     -1 // unreachable

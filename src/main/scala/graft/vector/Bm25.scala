@@ -44,7 +44,10 @@ object Bm25 {
     * shuffled ~500 tokens per document to use 3 of them.) */
   def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tfStructs = queryTerms.map { t =>
+    // one tf struct PER DISTINCT term: a duplicated query term would
+    // emit two identical (doc, term) rows, doubling its df and summing
+    // its score contribution twice
+    val tfStructs = queryTerms.distinct.map { t =>
       struct(lit(t).as("term"),
         size(filter(col("toks"), x => x === t)).cast("long").as("tf"))
     }

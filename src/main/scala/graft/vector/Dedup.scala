@@ -223,6 +223,7 @@ object Dedup {
       // stream is corpus-sized; at true scale this checkpoint would be a
       // written intermediate table, same plan shape.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val bench = grams.filter(col("doc_id") % benchMod === 0)
       .groupBy(col("g")).agg(min(col("doc_id")).as("bench_id"))
     grams.filter(col("doc_id") % benchMod =!= 0)
@@ -312,6 +313,7 @@ object Dedup {
     val cand = minhashCandidatePairs(spark, dir)
       .select(col("id_a"), col("id_b")).distinct()
       .cache()
+      .transform(graft.CacheScope.register)
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val docs = Tables.documents(spark, dir)
@@ -320,6 +322,7 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
       .cache()
+      .transform(graft.CacheScope.register)
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -89,6 +89,7 @@ object KMeans {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .persist()
+      .transform(graft.CacheScope.register)
     val centroids = fit(spark, emb, nlist, iters)
     val arr = centroidArr(centroids)
     def probeLists(v: Column, n: Int): Column = {

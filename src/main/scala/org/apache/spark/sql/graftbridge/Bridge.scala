@@ -40,6 +40,12 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Block until the listener bus has delivered all queued events —
+    * lets tests COUNT Spark jobs via a SparkListener deterministically
+    * (event delivery is asynchronous; listenerBus is private[spark]). */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Idempotently add a planner strategy on a live session (the
     * build-time path is GraftExtensions.injectPlannerStrategy). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,

@@ -161,6 +161,74 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).head().getString(1) == "b")
   }
 
+  test("file stats cost O(1) Spark jobs per batch, independent of file count") {
+    // the per-file stats loop this guards against issued one job PER
+    // FILE — at thousands of files per compacted batch that loop was
+    // the commit's critical path
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    val df = (0L until 160L).map(i => (i, s"r$i")).toDF("id", "v")
+    val jobs2 = jobsDuring {
+      SnapshotTable.create(spark, tmp(), df.repartition(2), statsKey = Some("id"))
+    }
+    val jobs16 = jobsDuring {
+      SnapshotTable.create(spark, tmp(), df.repartition(16), statsKey = Some("id"))
+    }
+    assert(jobs16 == jobs2,
+      s"stats must be one grouped aggregate per batch: 2 files → $jobs2 jobs but 16 files → $jobs16")
+    // and the stats are still real: skipping behaves as before
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      df.repartitionByRange(4, col("id")), statsKey = Some("id"))
+    SnapshotTable.merge(spark, root, Seq((3L, "UPD")).toDF("id", "v"), key = "id")
+    assert(SnapshotTable.read(spark, root).filter(col("id") === 3L).head().getString(1) == "UPD")
+    assert(SnapshotTable.read(spark, root).count() == 160)
+  }
+
+  test("merge beyond maxPruneKeys stays correct without driver-side key materialization") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsKey = Some("id"))
+    // 10 distinct update keys > cap of 4 → pruning disabled, rewrite-all
+    val updates = (0L until 10L).map(i => (i * 10, s"upd$i")).toDF("id", "v")
+    SnapshotTable.merge(spark, root, updates, key = "id", maxPruneKeys = 4)
+    val now = SnapshotTable.read(spark, root)
+    assert(now.count() == 100)
+    assert(now.filter(col("id") === 30L).head().getString(1) == "upd3")
+    assert(now.filter(col("id") === 31L).head().getString(1) == "row31".replace("row", "r"))
+  }
+
+  test("a crashed writer's stale zero-length claim is reclaimed; a fresh claim is not") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val claim = java.nio.file.Paths.get(root, "_snapshots", "v0000002.json")
+    // fresh zero-length claim = a live writer mid-publish: commits of v2
+    // must NOT steal it, so the append burns its retries and fails
+    java.nio.file.Files.createFile(claim)
+    intercept[java.io.IOException] {
+      SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    }
+    // age the claim past the staleness bar → abandoned, reclaimed, and
+    // the table is writable again (the un-recovered failure mode was a
+    // PERMANENTLY unwritable table)
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10 * 60 * 1000))
+    val v = SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    assert(v == 2)
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+  }
+
   test("concurrent appends from two threads both land, serialized by the protocol") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
