@@ -82,8 +82,12 @@ object ImageCodec {
       .as[(Long, Double, Double, Double, Double)]
       .mapPartitions { it =>
         it.map { case (key, x0, y0, x1, y1) =>
-          val sx0 = math.floor(x0 / Scale).toInt
-          val sy0 = math.floor(y0 / Scale).toInt
+          // clamp BOTH edges to the canvas: fillRect silently clips
+          // negative coords, so an unclamped sx0/sy0 would diverge from
+          // the oracle's closed-form (sx1-sx0)*(sy1-sy0) on any rect
+          // that starts off-page (x0 < 0)
+          val sx0 = math.max(0, math.floor(x0 / Scale).toInt)
+          val sy0 = math.max(0, math.floor(y0 / Scale).toInt)
           val sx1 = math.floor(math.min(x1, Geometry.PageW) / Scale).toInt
           val sy1 = math.floor(math.min(y1, Geometry.PageH) / Scale).toInt
           val png = renderRectPng(sx0, sy0, sx1, sy1)
@@ -103,8 +107,8 @@ object ImageCodec {
       -- explicit FLOOR: DuckDB's // is NOT floor division on DOUBLE,
       -- and CAST(double AS BIGINT) rounds (hash-stability rule #7)
       SELECT fig_key,
-             CAST(FLOOR(x0 / $Scale) AS BIGINT) AS sx0,
-             CAST(FLOOR(y0 / $Scale) AS BIGINT) AS sy0,
+             GREATEST(CAST(FLOOR(x0 / $Scale) AS BIGINT), 0) AS sx0,
+             GREATEST(CAST(FLOOR(y0 / $Scale) AS BIGINT), 0) AS sy0,
              CAST(FLOOR(LEAST(x1, ${Geometry.PageW.toInt}) / $Scale) AS BIGINT) AS sx1,
              CAST(FLOOR(LEAST(y1, ${Geometry.PageH.toInt}) / $Scale) AS BIGINT) AS sy1
       FROM rects WHERE fig_key % $every = 0)

@@ -24,6 +24,32 @@ class ImageCodecSpec extends SparkSpec {
     assert(all == ImageCodec.CanvasW.toLong * ImageCodec.CanvasH)
   }
 
+  test("off-page rects (negative origin) clamp identically to the oracle formula") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // rect starting off-page left/top: x ∈ [-100, 50), y ∈ [-8, 40).
+    // fillRect clips negative coords silently; the closed-form oracle
+    // area must see the SAME clamp or the gate diverges.
+    val rects = Seq(
+      (1L, -100.0, -8.0, 50.0, 40.0),   // partially visible
+      (2L, -80.0, -60.0, -4.0, -2.0),   // fully off-page → zero pixels
+      (3L, -1.0, 0.0, 613.0, 793.0))    // overhangs every edge → full canvas
+      .toDF("fig_key", "x0", "y0", "x1", "y1")
+    def scaled(v: Double) = math.floor(v / ImageCodec.Scale).toInt
+    rects.collect().foreach { r =>
+      val (key, x0, y0, x1, y1) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val png = ImageCodec.renderRectPng(
+        math.max(0, scaled(x0)), math.max(0, scaled(y0)),
+        scaled(math.min(x1, 612.0)), scaled(math.min(y1, 792.0)))
+      val (_, _, dark) = ImageCodec.decodeDarkPixels(png)
+      val expW = math.max(scaled(math.min(x1, 612.0)) - math.max(0, scaled(x0)), 0)
+      val expH = math.max(scaled(math.min(y1, 792.0)) - math.max(0, scaled(y0)), 0)
+      assert(dark == expW.toLong * expH,
+        s"fig $key: dark=$dark expected ${expW.toLong * expH}")
+    }
+  }
+
   test("distributed roundtrip matches the closed-form area per rect") {
     val rows = ImageCodec.renderRoundtrip(spark, sf, every = 10).collect()
     assert(rows.nonEmpty)

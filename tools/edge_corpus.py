@@ -57,7 +57,20 @@ def main():
                 " source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
     con.execute(f"COPY d TO '{DST}/documents.parquet' (FORMAT PARQUET)")
-    print(f"edge corpus at {DST}: {len(rows)} docs")
+    # Adversarial part row: NEGATIVE p_partkey drives a synthetic figure
+    # rect with a negative origin (x0 = -100 % 500 = -100) through every
+    # geometry/render query. -100 is divisible by mm_render_roundtrip's
+    # every=50 sample, so the PNG roundtrip gate must clamp the off-page
+    # edge exactly like the closed-form oracle. Spark and DuckDB agree
+    # on sign-of-dividend %, so the rect derivation itself is portable.
+    con.execute(
+        f"""COPY (SELECT * FROM '{DST}/part.parquet'
+                  UNION ALL
+                  SELECT CAST(-100 AS BIGINT), 'offpage widget', 'Brand#00',
+                         'EDGE', 50, 0.0)
+            TO '{DST}/part_tmp.parquet' (FORMAT PARQUET)""")
+    os.replace(f"{DST}/part_tmp.parquet", f"{DST}/part.parquet")
+    print(f"edge corpus at {DST}: {len(rows)} docs + 1 off-page part rect")
 
 
 if __name__ == "__main__":
