@@ -117,6 +117,10 @@ object SparkEntry {
     "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d, threshold = 0.5)),
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
+    // load-then-search lifecycle: hybrid RRF served from SnapshotTable
+    // versions — create v1, MERGE v2, search both (time travel)
+    "retrieval_snapshot_timetravel" ->
+      ((s, d) => graft.vector.SnapshotRetrieval.searchTimeTravel(s, d, queryTerms)),
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
     "meta_config_merge" -> ((s, d) => configMergeQuery(s, d)),
     "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(s, d)),
@@ -236,6 +240,8 @@ object SparkEntry {
     "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(threshold = 0.5),
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
+    "retrieval_snapshot_timetravel" ->
+      graft.vector.SnapshotRetrieval.searchTimeTravelSql(queryTerms),
     "meta_config_merge" -> configMergeSql,
     "meta_snapshot_merge" -> snapshotMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,

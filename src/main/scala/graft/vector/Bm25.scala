@@ -42,8 +42,15 @@ object Bm25 {
     * (doc, term). (That inverted-index build, [[termFreqs]], is the
     * right plan when MANY queries amortize it; for one query it
     * shuffled ~500 tokens per document to use 3 of them.) */
-  def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int = 15): DataFrame = {
+  def bm25TopK(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int = 15): DataFrame =
+    bm25Over(Tables.documents(spark, dir), queryTerms, k)
+
+  /** Same operator over an ARBITRARY (doc_id, text, ...) corpus frame —
+    * how retrieval is served from a [[graft.sources.SnapshotTable]]
+    * version instead of the raw parquet table. */
+  def bm25Over(docs: DataFrame, queryTerms: Seq[String], k: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     // one tf struct PER DISTINCT term: a duplicated query term would
     // emit two identical (doc, term) rows, doubling its df and summing
     // its score contribution twice
@@ -51,7 +58,7 @@ object Bm25 {
       struct(lit(t).as("term"),
         size(filter(col("toks"), x => x === t)).cast("long").as("tf"))
     }
-    val tf = Tables.documents(spark, dir)
+    val tf = docs
       .transform(graft.Parallelism.ensure(spark))
       .select(col("doc_id"),
         explode(array(TextFunctions.tokens(lower(col("text"))))).as("toks"))
@@ -59,7 +66,7 @@ object Bm25 {
         explode(array(tfStructs: _*)).as("tc"))
       .select(col("doc_id"), col("dl"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .filter(col("tf") > 0)
-    val corpus = Tables.documents(spark, dir)
+    val corpus = docs
       .select(col("doc_id"), TextFunctions.tokenCount(lower(col("text"))).as("dl"))
     val stats = corpus.agg(
       count(lit(1)).as("n_docs"),

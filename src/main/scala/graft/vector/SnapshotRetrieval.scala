@@ -1,0 +1,157 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.SnapshotTable
+
+/** Retrieval served FROM the snapshot table — the reference's
+  * load-then-search index lifecycle (index_manager.py:288-323: load a
+  * persisted store, then query it) composed with time travel.
+  *
+  * The scenario the gated query runs end to end:
+  *  1. the search corpus (doc text + dense embedding) is CREATED as a
+  *     snapshot-table version 1;
+  *  2. a deterministic update batch lands as one atomic MERGE —
+  *     version 2 (re-ingested docs: boosted text, new embeddings);
+  *  3. hybrid dense+BM25 RRF search runs over `SnapshotTable.read` at
+  *     BOTH versions. Same query, different version ⇒ different
+  *     ranking; version 1's results are immutable under the merge.
+  *
+  * The DuckDB oracle cannot read the table format, but it doesn't need
+  * to: versions are pure functions of the input tables (v1 = the
+  * corpus, v2 = corpus with the same deterministic update applied), so
+  * the oracle recomputes both corpora as CTEs and runs the identical
+  * hybrid ranking over each — search-over-the-table is hash-gated
+  * end to end, table machinery included (a wrong MERGE/read would
+  * surface as a ranking diff).
+  *
+  * Scale shape: the table write is the corpus (one pass); each search
+  * is the same map-side-scored BM25 + broadcast-query cosine used by
+  * the raw-table queries — reading from a snapshot version changes the
+  * file listing, never the plan shape.
+  */
+object SnapshotRetrieval {
+
+  /** Update predicate + boost: every 97th doc is "re-ingested" with
+    * the query terms prepended (lifts its BM25 rank) and its embedding
+    * replaced by the query vector (lifts its dense rank to cosine 1). */
+  private val UpdateMod = 97L
+  private val UpdateRem = 3L
+  private def boostText(queryTerms: Seq[String]): String =
+    (queryTerms ++ queryTerms).mkString("", " ", " ")
+
+  /** The gated query: (version, doc_id, rrf) — top `k` per version. */
+  def searchTimeTravel(spark: SparkSession, dir: String,
+      queryTerms: Seq[String], queryVecId: Long = 0, k: Int = 10,
+      poolSize: Int = 50): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-retrieval-").toString
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryVecId)
+      .select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val corpus = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), VectorOps.asDouble(col("embedding")).as("v")),
+        Seq("doc_id"))
+    SnapshotTable.create(spark, root, corpus, statsKey = Some("doc_id"))
+    val updates = corpus
+      .filter(col("doc_id") % UpdateMod === UpdateRem)
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"),
+        concat(lit(boostText(queryTerms)), col("text")).as("text"),
+        col("qvec").as("v"))
+    SnapshotTable.merge(spark, root, updates, key = "doc_id")
+    val perVersion = Seq(1, 2).map { v =>
+      hybridOver(SnapshotTable.read(spark, root, Some(v)), qvec, queryTerms, k, poolSize)
+        .select(lit(v.toLong).as("version"), col("doc_id"), col("rrf"))
+    }
+    perVersion.reduce(_ unionByName _)
+      .orderBy(col("version"), col("rrf").desc, col("doc_id"))
+  }
+
+  /** Hybrid RRF over an arbitrary (doc_id, text, v) corpus frame:
+    * BM25 pool + broadcast-query cosine pool, rank-fused. */
+  def hybridOver(corpus: DataFrame, qvec: DataFrame, queryTerms: Seq[String],
+      k: Int, poolSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = Bm25.bm25Over(corpus.select(col("doc_id"), col("text")), queryTerms, poolSize)
+      .withColumn("rank_sparse", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_sparse"))
+    val dense = corpus
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"), round(VectorOps.cosine(col("v"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(poolSize)
+      .withColumn("rank_dense", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_sparse")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0))).as("rrf"))
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Blind oracle: both table versions recomputed as CTEs from the
+    * parquet inputs, then the identical hybrid ranking per version. */
+  def searchTimeTravelSql(queryTerms: Seq[String], queryVecId: Long = 0,
+      k: Int = 10, poolSize: Int = 50): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val boost = boostText(queryTerms)
+    def hybridBlock(c: String, n: Int): String = s"""
+    toks_$n AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $c),
+    tf_$n AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks_$n),
+    grouped_$n AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf FROM tf_$n
+      WHERE term IN ($termList) GROUP BY 1, 2, 3),
+    stats_$n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN len(t) = 1 AND t[1] = '' THEN 0 ELSE len(t) END) AS BIGINT) AS total_dl
+      FROM toks_$n),
+    dfq_$n AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM grouped_$n GROUP BY term),
+    bm25_$n AS (
+      SELECT g.doc_id, ROUND(SUM(
+               ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0)) *
+               (g.tf * (${Bm25.K1}e0 + 1)) /
+               (g.tf + ${Bm25.K1}e0 * (1e0 - ${Bm25.B}e0 + ${Bm25.B}e0 * g.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))), 6) AS score
+      FROM grouped_$n g JOIN dfq_$n d ON g.term = d.term CROSS JOIN stats_$n s
+      GROUP BY g.doc_id ORDER BY score DESC, g.doc_id LIMIT $poolSize),
+    sparse_$n AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_sparse FROM bm25_$n),
+    densepool_$n AS (
+      SELECT doc_id, ROUND(list_dot_product(v, qvec) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+      FROM $c, q ORDER BY score DESC, doc_id LIMIT $poolSize),
+    dense_$n AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_dense FROM densepool_$n),
+    hyb_$n AS (
+      SELECT COALESCE(sparse_$n.doc_id, dense_$n.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0e0 / (60 + rank_sparse), 0.0e0) +
+                   COALESCE(1.0e0 / (60 + rank_dense), 0.0e0), 6) AS rrf
+      FROM sparse_$n FULL OUTER JOIN dense_$n ON sparse_$n.doc_id = dense_$n.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT $k)"""
+    s"""
+    WITH base AS (
+      SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = $queryVecId),
+    c1 AS (SELECT doc_id, text, v FROM base),
+    c2 AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % $UpdateMod = $UpdateRem THEN '$boost' || b.text ELSE b.text END AS text,
+             CASE WHEN b.doc_id % $UpdateMod = $UpdateRem THEN q.qvec ELSE b.v END AS v
+      FROM base b CROSS JOIN q),
+    ${hybridBlock("c1", 1)},
+    ${hybridBlock("c2", 2)}
+    SELECT CAST(1 AS BIGINT) AS version, doc_id, rrf FROM hyb_1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS version, doc_id, rrf FROM hyb_2
+    ORDER BY version, rrf DESC, doc_id"""
+  }
+}

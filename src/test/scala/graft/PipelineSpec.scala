@@ -123,4 +123,34 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(dedupedDocs == fullDocs -- drops)
   }
+
+  test("retrieval from the snapshot table: MERGE re-ranks v2, v1 stays immutable") {
+    import graft.vector.SnapshotRetrieval
+    val terms = Seq("spark", "window", "merge", "stream")
+    val out = SnapshotRetrieval.searchTimeTravel(spark, sf, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (v1, v2) = (out.filter(_._1 == 1L).map(_._2).toSeq,
+      out.filter(_._1 == 2L).map(_._2).toSeq)
+    assert(v1.size == 10 && v2.size == 10)
+    // the re-ingested docs (doc_id ≡ 3 mod 97: boosted text + query
+    // embedding) must rise in v2's ranking but not v1's
+    val updated = (0L until 500L).filter(_ % 97 == 3).toSet
+    assert(updated.contains(v2.head),
+      s"v2's top hit must be a re-ingested doc, got ${v2.head}")
+    val (hitsV1, hitsV2) = (v1.count(updated), v2.count(updated))
+    assert(hitsV2 > hitsV1,
+      s"the merge must lift updated docs into v2's top-k ($hitsV1 → $hitsV2)")
+    // time travel: v1's ranking is the PRE-merge ranking — identical to
+    // the same hybrid search over the raw corpus
+    val qvec = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0)
+      .select(graft.vector.VectorOps.asDouble(col("embedding")).as("qvec"))
+    val raw = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("doc_id"),
+          graft.vector.VectorOps.asDouble(col("embedding")).as("v")), Seq("doc_id"))
+    val rawRank = SnapshotRetrieval.hybridOver(raw, qvec, terms, 10, 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(v1 == rawRank, "v1 must read exactly the pre-merge corpus")
+  }
 }
