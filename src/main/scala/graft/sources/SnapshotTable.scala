@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.functions.col
 
 /** Minimal ACID table format — the transactional MERGE story the plain
   * parquet upsert lacks (reference J2 is delete-then-add inside one
@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions.{col, input_file_name, max, min}
   *    `_snapshots/` log of manifests, one per version; manifest N
   *    lists exactly the files visible at version N (copy-on-write),
   *    each with optional per-file min/max KEY STATS for data skipping.
-  *  - COMMIT is one atomic filesystem operation: `create` of manifest
-  *    vN+1 with overwrite=false. Two writers racing to the same version
-  *    cannot both succeed; the loser re-reads the latest snapshot and
-  *    retries against it (optimistic concurrency, Delta/Iceberg-style).
+  *  - COMMIT is one atomic filesystem operation: manifest vN+1 appears
+  *    under its final name exactly once or not at all (hard-link
+  *    publish on local filesystems, create-with-overwrite=false on
+  *    HDFS-like stores). Two writers racing to the same version cannot
+  *    both succeed; the loser re-reads the latest snapshot and retries
+  *    against it (optimistic concurrency, Delta/Iceberg-style).
   *  - READERS never lock: they list `_snapshots`, pick the highest
   *    version (or any historical one — time travel), and read only the
   *    files that manifest names. A crashed writer leaves at most
@@ -84,12 +86,16 @@ object SnapshotTable {
     * return their entries — with per-file min/max stats of `statsKey`
     * when it resolves to an integral column.
     *
-    * Stats come from ONE aggregate over the whole batch grouped by
-    * `input_file_name()` — O(1) Spark jobs however many files the batch
-    * produced. (The per-file loop this replaces issued one tiny job per
-    * file: a compacted 100 TB table writes thousands of files per batch
-    * and the driver-side round trips became the commit's critical
-    * path.) The grouped collect is bounded by files-per-batch. */
+    * Stats come from the PARQUET FOOTERS of the just-written files —
+    * zero Spark jobs and zero data I/O. The parquet writer already
+    * computed per-row-group min/max for every column; re-deriving them
+    * with an aggregate (what this replaces) re-read the entire batch on
+    * the write path — at 100 TB that doubled write I/O for numbers
+    * sitting in a few KB of footer metadata. Footer reads are
+    * driver-side, ~KB each, parallelized across a small pool so a
+    * thousands-of-files compaction batch doesn't serialize on
+    * round-trip latency. Any unreadable/statless footer degrades to
+    * no-stats (conservative rewrite), never to a wrong range. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None): Seq[FileEntry] = {
     val batch = s"data/batch-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -107,24 +113,65 @@ object SnapshotTable {
     }
     integralKey match {
       case Some(k) =>
-        val byFile: Map[String, (Long, Long)] = spark.read.parquet(s"$root/$batch")
-          .groupBy(input_file_name().as("__file"))
-          .agg(min(col(k)).cast("long").as("__mn"), max(col(k)).cast("long").as("__mx"))
-          .collect()
-          .flatMap { r =>
-            // basename: input_file_name yields the full URI
-            val name = r.getString(0).split('/').last
-            if (r.isNullAt(1)) None else Some(name -> (r.getLong(1), r.getLong(2)))
-          }.toMap
-        paths.map { rel =>
-          byFile.get(rel.split('/').last) match {
-            case Some((mn, mx)) => FileEntry(rel, Some(mn), Some(mx))
-            // all-null keys or an empty file: no stats → conservative
-            case None => FileEntry(rel, None, None)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(16, paths.size)))
+        try {
+          val futures = paths.map { rel =>
+            pool.submit(new java.util.concurrent.Callable[FileEntry] {
+              override def call(): FileEntry = {
+                val st =
+                  try footerStats(conf, new Path(root, rel), k)
+                  catch { case _: Exception => None }
+                FileEntry(rel, st.map(_._1), st.map(_._2))
+              }
+            })
           }
-        }
+          futures.map(_.get())
+        } finally pool.shutdown()
       case None => paths.map(FileEntry(_, None, None))
     }
+  }
+
+  /** Min/max of column `key` across all row groups of one parquet file,
+    * read from the footer (no data pages touched). None when the column
+    * is missing, non-integral, statless, or all-null — the caller
+    * treats None as "may contain anything". */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, key: String): Option[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var seen = false
+      val blocks = reader.getFooter.getBlocks.iterator()
+      while (blocks.hasNext) {
+        val cols = blocks.next().getColumns.iterator()
+        while (cols.hasNext) {
+          val c = cols.next()
+          if (c.getPath.toDotString == key) {
+            val st = c.getStatistics
+            // a single statless/unknown row group poisons the range
+            if (st == null || st.isEmpty) return None
+            if (st.hasNonNullValue) {
+              val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  (a.longValue, b.longValue)
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  (a.longValue, b.longValue)
+                case _ => return None
+              }
+              mn = math.min(mn, lo)
+              mx = math.max(mx, hi)
+              seen = true
+            }
+          }
+        }
+      }
+      if (seen) Some((mn, mx)) else None
+    } finally reader.close()
   }
 
   /** Atomically commit `files` as the next version after `expected`.
@@ -133,8 +180,16 @@ object SnapshotTable {
     * op, but Hadoop's RawLocalFileSystem implements it as
     * check-then-create — two local writers can BOTH pass the check and
     * the second silently clobbers the first (lost update; caught by the
-    * concurrent-writers test). Local paths therefore claim the version
-    * with NIO `Files.createFile` (O_CREAT|O_EXCL, atomic in POSIX). */
+    * cross-process race spec). Local paths therefore publish with
+    * `Files.createLink` (link(2), atomic EEXIST in POSIX): the full
+    * manifest is written to a writer-unique tmp file and HARD-LINKED
+    * into the version name in ONE atomic metadata op. Claim and publish
+    * are the same operation, so there is no window in which a paused
+    * writer can wake up and overwrite a version another writer
+    * committed in the meantime — nothing in this protocol ever replaces
+    * an existing manifest. Readers see either no manifest or the whole
+    * manifest; a crashed writer leaves only a tmp file (never a blocked
+    * version), which [[vacuum]] sweeps. */
   private def commit(spark: SparkSession, root: String, files: Seq[FileEntry],
       expected: Int): Int = {
     val v = expected + 1
@@ -144,32 +199,26 @@ object SnapshotTable {
     if (scheme == null || scheme == "file") {
       val nio = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(nio.getParent)
-      // two atomic steps: claim the version (O_EXCL create, throws
-      // FileAlreadyExistsException on a lost race), then publish the
-      // content with an atomic rename — readers see either an
-      // in-flight empty claim (which versions() skips) or the full
-      // manifest, never a torn write
-      try java.nio.file.Files.createFile(nio)
-      catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          // A writer that crashed between claim and publish leaves a
-          // zero-length vN forever: versions() skips it, so no commit
-          // of vN could ever succeed again and the table is
-          // permanently unwritable. Recover: a zero-length claim older
-          // than StaleClaimMs is abandoned — move it aside ATOMICALLY
-          // to a unique name (rename of a missing source throws, so
-          // only ONE recoverer can win; the loser rethrows into the
-          // normal lost-race retry). A FRESH zero-length claim is a
-          // live writer mid-publish and is never touched.
-          if (!reclaimStaleClaim(nio)) throw e
-          java.nio.file.Files.createFile(nio)
-      }
       val tmp = nio.resolveSibling(
         nio.getFileName.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, nio,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try {
+        try java.nio.file.Files.createLink(nio, tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            // vN already exists: usually a lost race (full manifest —
+            // retry onto vN+1), but a ZERO-LENGTH vN (external
+            // tampering, or a claim left by a pre-hard-link build that
+            // crashed mid-publish) would block version N forever since
+            // versions() skips it and no commit can land on the name.
+            // Reclaim: move a stale empty file aside atomically (rename
+            // of a missing source throws, so exactly one recoverer
+            // wins) and publish; a FRESH empty file gets the benefit of
+            // the doubt and surfaces as a plain lost race.
+            if (!reclaimStaleClaim(nio)) throw e
+            java.nio.file.Files.createLink(nio, tmp)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val f = fs(spark, root)
       f.mkdirs(new Path(root, SnapshotDir))
@@ -179,15 +228,16 @@ object SnapshotTable {
     v
   }
 
-  /** How long a zero-length version claim may sit unpublished before
-    * any writer may treat it as abandoned. The claim→publish window is
-    * two local filesystem calls (microseconds); a minute of slack is
-    * orders of magnitude beyond any GC pause that could stretch it. */
+  /** How long a zero-length manifest-name file may sit before a writer
+    * may treat it as abandoned and reclaim the version name. The
+    * current protocol never creates empty manifests (publish is one
+    * atomic link of the full content), so this only defends against
+    * external tampering and leftovers of older builds. */
   private val StaleClaimMs = 60000L
 
   /** Atomically move an abandoned (zero-length, stale) claim aside.
-    * Returns true iff THIS caller won the reclaim and may re-claim the
-    * version; false if the claim is live/fresh/already gone. */
+    * Returns true iff THIS caller won the reclaim and may publish the
+    * version; false if the file is fresh, non-empty, or already gone. */
   private def reclaimStaleClaim(nio: java.nio.file.Path): Boolean = {
     import java.nio.file.{Files, StandardCopyOption}
     val stale =
@@ -296,21 +346,35 @@ object SnapshotTable {
     expired
   }
 
-  /** Garbage-collect data files referenced by NO live manifest —
-    * leftovers of crashed writers and of expired versions. Only files
-    * older than `minAgeMs` are eligible: a concurrent writer's
-    * just-written batch is not yet referenced by any manifest, and the
-    * age floor is what keeps vacuum from eating it (the same retention
-    * contract as Delta's VACUUM). Returns the deleted relative paths. */
+  /** Garbage-collect files referenced by NO live manifest — leftovers
+    * of crashed writers and of expired versions, in BOTH the data
+    * directory and the `_snapshots` log (crashed publishes leave
+    * `.tmp-*` files; stale-claim recovery leaves `.abandoned-*`). Only
+    * files older than `minAgeMs` are eligible: a concurrent writer's
+    * just-written batch / in-flight tmp manifest is not yet visible to
+    * any manifest, and the age floor is what keeps vacuum from eating
+    * it (the same retention contract as Delta's VACUUM). Returns the
+    * deleted relative paths. */
   def vacuum(spark: SparkSession, root: String,
       minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
     val f = fs(spark, root)
     val referenced = versions(spark, root)
       .flatMap(v => readManifest(spark, root, v)).map(_.path).toSet
-    val dataDir = new Path(root, "data")
-    if (!f.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = Seq.newBuilder[String]
+    // log-dir garbage: anything that is not a committed v*.json
+    // manifest. Zero-length manifest-name files are left to the
+    // stale-claim reclaim path — deleting one here would race it.
+    val snapDir = new Path(root, SnapshotDir)
+    if (f.exists(snapDir)) f.listStatus(snapDir).foreach { s =>
+      val n = s.getPath.getName
+      if (!n.matches("v\\d+\\.json") && s.getModificationTime < cutoff) {
+        f.delete(s.getPath, false)
+        deleted += s"$SnapshotDir/$n"
+      }
+    }
+    val dataDir = new Path(root, "data")
+    if (!f.exists(dataDir)) return deleted.result()
     f.listStatus(dataDir).foreach { batch =>
       // only parquet data files are manifest-addressable; write markers
       // (_SUCCESS etc.) go when their whole batch dir is reclaimed

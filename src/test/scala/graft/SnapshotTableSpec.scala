@@ -143,14 +143,26 @@ class SnapshotTableSpec extends SparkSpec {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
     SnapshotTable.merge(spark, root, Seq((1L, "b")).toDF("id", "v"), key = "id")
-    // simulate a crashed writer: data files that no manifest references
+    // simulate a crashed writer: data files that no manifest references,
+    // plus log-dir garbage (a torn tmp manifest and an abandoned claim)
     Seq((99L, "orphan")).toDF("id", "v")
       .write.parquet(s"$root/data/batch-orphan")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_snapshots", "v0000009.json.tmp-deadbeef"),
+      "{\"version\":9}".getBytes("UTF-8"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, "_snapshots", "v0000009.json.abandoned-cafe"))
     // age floor protects everything just written
     assert(SnapshotTable.vacuum(spark, root).isEmpty)
-    // with the floor lowered, only the orphan goes; both versions still read
+    // with the floor lowered, only garbage goes; both versions still read
     val deleted = SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
-    assert(deleted.nonEmpty && deleted.forall(_.contains("batch-orphan")))
+    assert(deleted.nonEmpty &&
+      deleted.forall(p => p.contains("batch-orphan") || p.contains("_snapshots")))
+    assert(deleted.count(_.contains("_snapshots")) == 2,
+      "both log-dir garbage files must be swept")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_snapshots", "v0000001.json")),
+      "committed manifests must never be swept")
     assert(SnapshotTable.read(spark, root, Some(1)).head().getString(1) == "a")
     assert(SnapshotTable.read(spark, root, Some(2)).head().getString(1) == "b")
     // expire v1, vacuum again: v1's exclusive file is now collectible
@@ -161,10 +173,12 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).head().getString(1) == "b")
   }
 
-  test("file stats cost O(1) Spark jobs per batch, independent of file count") {
-    // the per-file stats loop this guards against issued one job PER
-    // FILE — at thousands of files per compacted batch that loop was
-    // the commit's critical path
+  test("file stats cost ZERO Spark jobs: footers only, independent of file count") {
+    // stats come from the parquet footers the write already produced —
+    // enabling them must not add a single job or data-pass (the
+    // aggregate this replaced re-read the whole batch on the write
+    // path; the per-file job loop before THAT was the commit's
+    // critical path at thousands of files per batch)
     def jobsDuring(body: => Unit): Int = {
       val counter = new java.util.concurrent.atomic.AtomicInteger(0)
       val listener = new org.apache.spark.scheduler.SparkListener {
@@ -177,14 +191,19 @@ class SnapshotTableSpec extends SparkSpec {
       counter.get()
     }
     val df = (0L until 160L).map(i => (i, s"r$i")).toDF("id", "v")
-    val jobs2 = jobsDuring {
-      SnapshotTable.create(spark, tmp(), df.repartition(2), statsKey = Some("id"))
+    val jobsNoStats = jobsDuring {
+      SnapshotTable.create(spark, tmp(), df.repartition(16), statsKey = None)
     }
-    val jobs16 = jobsDuring {
+    val jobsStats16 = jobsDuring {
       SnapshotTable.create(spark, tmp(), df.repartition(16), statsKey = Some("id"))
     }
-    assert(jobs16 == jobs2,
-      s"stats must be one grouped aggregate per batch: 2 files → $jobs2 jobs but 16 files → $jobs16")
+    val jobsStats2 = jobsDuring {
+      SnapshotTable.create(spark, tmp(), df.repartition(2), statsKey = Some("id"))
+    }
+    assert(jobsStats16 == jobsNoStats,
+      s"stats must add zero jobs: without $jobsNoStats, with $jobsStats16")
+    assert(jobsStats2 <= jobsStats16,
+      s"stats jobs must not grow with file count: 2 files → $jobsStats2, 16 → $jobsStats16")
     // and the stats are still real: skipping behaves as before
     val root = tmp()
     SnapshotTable.create(spark, root,
@@ -208,12 +227,14 @@ class SnapshotTableSpec extends SparkSpec {
     assert(now.filter(col("id") === 31L).head().getString(1) == "row31".replace("row", "r"))
   }
 
-  test("a crashed writer's stale zero-length claim is reclaimed; a fresh claim is not") {
+  test("a stale zero-length manifest-name file is reclaimed; a fresh one is not") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
     val claim = java.nio.file.Paths.get(root, "_snapshots", "v0000002.json")
-    // fresh zero-length claim = a live writer mid-publish: commits of v2
-    // must NOT steal it, so the append burns its retries and fails
+    // the hard-link publish never creates empty manifests, so this
+    // models external tampering / a pre-hard-link build's crashed
+    // claim. Fresh: benefit of the doubt — commits of v2 must NOT
+    // steal it, so the append burns its retries and fails
     java.nio.file.Files.createFile(claim)
     intercept[java.io.IOException] {
       SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))

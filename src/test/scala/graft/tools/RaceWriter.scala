@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.SnapshotTable
+
+/** Subprocess helper for SnapshotRaceSpec: a REAL separate JVM (its own
+  * SparkSession, its own filesystem client — no shared locks, no shared
+  * JVM monitors) hammering `append` then `merge` against a table root
+  * another process is writing concurrently. This is the only honest way
+  * to exercise the commit protocol's cross-process claim: local
+  * filesystems give `create(overwrite=false)` no atomicity across
+  * processes unless the primitive itself is atomic (link(2) here), and
+  * a same-JVM test can never distinguish the two.
+  *
+  * args: tableRoot writerId nOps goFile
+  *  - appends n single-row batches (keys 1000*writerId + i), then
+  *  - merges each of those keys to an updated value (delete-then-add
+  *    racing the other writer's file rewrites).
+  * Spins on `goFile` after session startup so both processes enter the
+  * commit loop together.
+  */
+object RaceWriter {
+  def main(args: Array[String]): Unit = {
+    val Array(root, writerIdStr, nStr, goFile) = args
+    val wid = writerIdStr.toLong
+    val n = nStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-race-$wid")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val deadline = System.currentTimeMillis() + 120000L
+    while (!java.nio.file.Files.exists(java.nio.file.Paths.get(goFile))) {
+      if (System.currentTimeMillis() > deadline) sys.exit(3)
+      Thread.sleep(10)
+    }
+    (0 until n).foreach { i =>
+      SnapshotTable.append(spark, root,
+        Seq((1000L * wid + i, s"w$wid-a$i")).toDF("id", "v"), statsKey = Some("id"))
+    }
+    (0 until n).foreach { i =>
+      SnapshotTable.merge(spark, root,
+        Seq((1000L * wid + i, s"w$wid-m$i")).toDF("id", "v"), key = "id")
+    }
+    spark.stop()
+  }
+}
