@@ -62,9 +62,19 @@ object Bench {
   private val TimedRuns = 3
 
   /** md5 of the canonicalized physical plan — stable across sessions
-    * (expression ids normalized), changes iff the plan shape changes. */
+    * (expression ids normalized), changes iff the plan shape changes.
+    * Scratch-rooted scans would defeat that: queries that build a
+    * lifecycle table under a per-invocation temp dir embed the dir and
+    * batch UUIDs in their file listings, making every round's
+    * fingerprint differ with an unchanged shape. Those path components
+    * are normalized out before hashing (the lifecycle queries also
+    * localize their results now, so their plans are LocalTableScans —
+    * this is defense for any future scratch-rooted plan). */
   private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
     val canon = df.queryExecution.executedPlan.canonicalized.toString
+      .replaceAll("/tmp/graft-[A-Za-z0-9_.-]*", "/tmp/graft-SCRATCH")
+      .replaceAll("batch-[0-9a-f]{8}", "batch-UUID")
+      .replaceAll("part-\\d{5}-[0-9a-f-]{36}", "part-N-UUID")
     java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -84,17 +94,22 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     final case class R(median: Double, lo: Double, hi: Double, plan: String)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val r =
-        try {
-          val plan = planFingerprint(fn(spark, sfDir))
-          fn(spark, sfDir).count() // warm-up: codegen + internal caches
-          val runs = Seq.fill(TimedRuns)(time(fn(spark, sfDir).count())).sorted
-          R(runs(TimedRuns / 2), runs.head, runs.last, plan)
-        }
-        catch { case _: Throwable => R(-1.0, -1.0, -1.0, "err") }
-        finally CacheScope.drain()
-      name -> r
+    // this runner's own cache scope: drains between queries can't touch
+    // frames a concurrent runner in the same JVM has registered
+    val scope = new CacheScope
+    val results = CacheScope.withScope(scope) {
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val r =
+          try {
+            val plan = planFingerprint(fn(spark, sfDir))
+            fn(spark, sfDir).count() // warm-up: codegen + internal caches
+            val runs = Seq.fill(TimedRuns)(time(fn(spark, sfDir).count())).sorted
+            R(runs(TimedRuns / 2), runs.head, runs.last, plan)
+          }
+          catch { case _: Throwable => R(-1.0, -1.0, -1.0, "err") }
+          finally scope.drain()
+        name -> r
+      }
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -14,13 +14,24 @@ import org.apache.spark.sql.DataFrame
   * accumulate in the storage layer indefinitely.
   *
   * Contract: an operator that persists an internal frame REGISTERS it
-  * here; the query runner (Verify / Bench / a user's job driver) calls
-  * [[drain]] once the action consuming the returned frame has finished.
-  * Draining is idempotent and safe while other queries build plans —
-  * unpersist on an already-unpersisted frame is a no-op, and Spark
-  * recomputes evicted blocks if a stale plan re-executes.
+  * via the companion's [[CacheScope.register]]; the query runner
+  * (Verify / Bench / a user's job driver) calls [[CacheScope.drain]]
+  * once the action consuming the returned frame has finished. Draining
+  * is idempotent and safe while other queries build plans — unpersist
+  * on an already-unpersisted frame is a no-op, and Spark recomputes
+  * evicted blocks if a stale plan re-executes.
+  *
+  * SCOPING: registration lands in the CURRENT scope — a per-runner
+  * instance installed with [[CacheScope.withScope]], falling back to a
+  * shared default. Two runners in one JVM (parallel notebook cells, a
+  * multi-tenant driver) each install their own scope on their thread,
+  * so one runner's drain can no longer evict intermediates a
+  * concurrent query is still consuming (previously correct-but-slow:
+  * Spark recomputed the evicted blocks). The thread-local is
+  * inheritable, so Spark action threads spawned by a runner register
+  * into the runner's scope.
   */
-object CacheScope {
+final class CacheScope {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   def register(df: DataFrame): DataFrame = synchronized {
@@ -38,5 +49,30 @@ object CacheScope {
     }
     frames.clear()
     n
+  }
+
+  /** How many frames are currently registered (test/diagnostic). */
+  def size: Int = synchronized(frames.size)
+}
+
+object CacheScope {
+  private val default = new CacheScope
+  private val current = new InheritableThreadLocal[CacheScope] {
+    override def initialValue(): CacheScope = default
+  }
+
+  /** Register into the calling thread's current scope. */
+  def register(df: DataFrame): DataFrame = current.get.register(df)
+
+  /** Drain the calling thread's current scope. */
+  def drain(): Int = current.get.drain()
+
+  /** Run `body` with `scope` installed as the current scope on this
+    * thread (and threads it spawns); restores the previous scope on
+    * exit. Frames the body registers belong to `scope` alone. */
+  def withScope[T](scope: CacheScope)(body: => T): T = {
+    val prev = current.get
+    current.set(scope)
+    try body finally current.set(prev)
   }
 }

@@ -121,6 +121,10 @@ object SparkEntry {
     // versions — create v1, MERGE v2, search both (time travel)
     "retrieval_snapshot_timetravel" ->
       ((s, d) => graft.vector.SnapshotRetrieval.searchTimeTravel(s, d, queryTerms)),
+    // full lifecycle: create → merge → compact → expire → vacuum, then
+    // search the surviving versions (maintenance must preserve ranking)
+    "retrieval_snapshot_maintenance" ->
+      ((s, d) => graft.vector.SnapshotRetrieval.searchAfterMaintenance(s, d, queryTerms)),
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
     "meta_config_merge" -> ((s, d) => configMergeQuery(s, d)),
     "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(s, d)),
@@ -242,6 +246,8 @@ object SparkEntry {
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
     "retrieval_snapshot_timetravel" ->
       graft.vector.SnapshotRetrieval.searchTimeTravelSql(queryTerms),
+    "retrieval_snapshot_maintenance" ->
+      graft.vector.SnapshotRetrieval.searchAfterMaintenanceSql(queryTerms),
     "meta_config_merge" -> configMergeSql,
     "meta_snapshot_merge" -> snapshotMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -869,9 +875,13 @@ object SparkEntry {
     graft.sources.SnapshotTable.merge(s, root,
       docs.filter(col("doc_id") % 10 === 0).withColumn("src", lit("upd")),
       key = "doc_id")
-    graft.sources.SnapshotTable.read(s, root)
-      .select(col("doc_id"), col("n_chars"), col("src"))
-      .orderBy(col("doc_id"))
+    // per-doc scalars (bounded): localize + delete the scratch table so
+    // repeated invocations don't accumulate tables under /tmp
+    graft.Scratch.localizeAndDelete(s,
+      graft.sources.SnapshotTable.read(s, root)
+        .select(col("doc_id"), col("n_chars"), col("src"))
+        .orderBy(col("doc_id")),
+      Seq(root))
   }
 
   private def snapshotMergeCycleSql: String = """
@@ -902,13 +912,17 @@ object SparkEntry {
             r.getString(1).getBytes("UTF-8"))
         }
       }
-    graft.sources.DocumentSource.convert(s,
-      graft.sources.DocumentSource.scan(s, tmpRoot))
-      .select(
-        element_at(split(col("filename"), "\\."), 1).cast("long").as("doc_id"),
-        col("format"), col("converted"), col("n_bytes"),
-        md5(col("text").cast("binary")).as("text_md5"))
-      .orderBy(col("doc_id"))
+    // bounded per-doc rows; localize + delete the scratch file tree so
+    // repeated invocations don't accumulate re-ingestion corpora in /tmp
+    graft.Scratch.localizeAndDelete(s,
+      graft.sources.DocumentSource.convert(s,
+        graft.sources.DocumentSource.scan(s, tmpRoot))
+        .select(
+          element_at(split(col("filename"), "\\."), 1).cast("long").as("doc_id"),
+          col("format"), col("converted"), col("n_bytes"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id")),
+      Seq(tmpRoot))
   }
 
   private def sourceConvertCycleSql: String = """

@@ -18,18 +18,23 @@ object Verify {
     // Dev-only subset filter (comma-separated names); the driver never
     // sets it, so the contract surface is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // this runner's own cache scope: drains between queries can't touch
+    // frames a concurrent runner in the same JVM has registered
+    val scope = new CacheScope
+    CacheScope.withScope(scope) {
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          // release operator-internal persisted frames between queries —
+          // a long runner must not accumulate storage across 100+ plans
+          finally scope.drain()
         }
-        // release operator-internal persisted frames between queries —
-        // a long runner must not accumulate storage across 100+ plans
-        finally CacheScope.drain()
-      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

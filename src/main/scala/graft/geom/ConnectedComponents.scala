@@ -18,10 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** edges: (src, dst) undirected. Returns (node, component) where
-    * component = min node id reachable. */
+  /** edges: (src, dst) undirected, long-typed node ids. Returns
+    * (node, component) where component = min node id reachable.
+    *
+    * Two regimes, picked by MEASURED edge count (the symmetrized frame
+    * is checkpointed anyway, so the count is a cached-block scan):
+    *  - ≤ `localEdgeCap` edges → driver union-find. Dedup pipelines
+    *    cap candidate generation (banded LSH, bucket caps), so their
+    *    verified-pair edge sets are bounded by construction — and
+    *    spending five shuffle rounds of job overhead to label a few
+    *    thousand edges is the wrong trade at ANY scale. The collect is
+    *    bounded by the cap (same contract as the MERGE key-prune cap).
+    *  - above the cap → iterative min-label propagation, rounds =
+    *    graph diameter, driver holds only a changed-count. */
   def labelPropagation(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, localEdgeCap: Long = 200000): DataFrame = {
     // localCheckpoint, not cache(): the loop re-reads this frame every
     // round, and a cache entry can be EVICTED under storage pressure in a
     // long session — silently re-running the (possibly very expensive)
@@ -32,6 +43,7 @@ object ConnectedComponents {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    if (sym.count() <= localEdgeCap) return unionFindLocal(spark, sym)
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("component", col("node")).localCheckpoint()
     var converged = false
@@ -58,6 +70,37 @@ object ConnectedComponents {
       iter += 1
     }
     labels
+  }
+
+  /** Exact components of a BOUNDED symmetrized edge frame: collect,
+    * union-find with path compression, re-label every root to the min
+    * member (so the representative matches min-label propagation),
+    * return as a local relation. */
+  private def unionFindLocal(spark: SparkSession, sym: DataFrame): DataFrame = {
+    val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != cur) {
+        val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+    }
+    val rows = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray
+      .distinct.sorted
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType))))
   }
 
   /** Component-merged rects over the synthetic figure frame: overlap

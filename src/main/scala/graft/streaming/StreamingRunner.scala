@@ -187,9 +187,24 @@ object StreamingRunner {
     * previous version (readers never see partial output), and a
     * re-delivered batch converges to the same rows because the merge is
     * key-idempotent — the foreachBatch exactly-once pattern backed by a
-    * real commit protocol instead of blind parquet appends. */
+    * real commit protocol instead of blind parquet appends.
+    *
+    * MAINTENANCE LOOP: with `maintainEvery` > 0, every Nth micro-batch
+    * is followed by compact → expireVersions(keepVersions) → vacuum.
+    * Without it a long-running stream is the reference's
+    * write-through-then-never-compact gap (index_manager.py:236)
+    * inverted: every merge adds files and manifests, so file count —
+    * and with it scan cost — grows without bound. The maintenance runs
+    * INSIDE foreachBatch, i.e. serialized with the upserts by the
+    * streaming engine itself, which is what makes the zero-age vacuum
+    * safe here: no concurrent writer's in-flight batch exists to be
+    * swept. Multi-writer deployments should vacuum separately with the
+    * default retention floor instead. */
   def runStreamingIndexUpsert(spark: SparkSession, srcDir: String,
-      indexRoot: String, queryName: String = "graft_snap_upsert"): Unit = {
+      indexRoot: String, queryName: String = "graft_snap_upsert",
+      maintainEvery: Int = 0, keepVersions: Int = 3,
+      compactTargetFiles: Int = 4): Unit = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream
       .schema(documentsSchema)
       .option("maxFilesPerTrigger", "1")
@@ -200,9 +215,17 @@ object StreamingRunner {
         val chunks = graft.chunk.Chunking.chunkTable(batch)
           .select(col("doc_id"), col("chunk_idx"), col("chunk"))
         if (graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty)
-          graft.sources.SnapshotTable.create(spark, indexRoot, chunks)
+          graft.sources.SnapshotTable.create(spark, indexRoot, chunks,
+            statsKey = Some("doc_id"))
         else
           graft.sources.SnapshotTable.merge(spark, indexRoot, chunks, "doc_id")
+        if (maintainEvery > 0 && nBatches.incrementAndGet() % maintainEvery == 0) {
+          graft.sources.SnapshotTable.compact(spark, indexRoot,
+            targetFiles = compactTargetFiles, statsKey = Some("doc_id"))
+          graft.sources.SnapshotTable.expireVersions(spark, indexRoot,
+            keepLast = keepVersions)
+          graft.sources.SnapshotTable.vacuum(spark, indexRoot, minAgeMs = 0L)
+        }
         ()
       }
       .start()

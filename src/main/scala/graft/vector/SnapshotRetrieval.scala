@@ -66,8 +66,83 @@ object SnapshotRetrieval {
       hybridOver(SnapshotTable.read(spark, root, Some(v)), qvec, queryTerms, k, poolSize)
         .select(lit(v.toLong).as("version"), col("doc_id"), col("rrf"))
     }
-    perVersion.reduce(_ unionByName _)
+    val ranked = perVersion.reduce(_ unionByName _)
       .orderBy(col("version"), col("rrf").desc, col("doc_id"))
+    // the result is ≤ 2k rows but the plan is rooted in a corpus-sized
+    // scratch table: localize the rows and delete the table so repeated
+    // invocations (bench runs a query 5×) can't grow /tmp without bound
+    graft.Scratch.localizeAndDelete(spark, ranked, Seq(root))
+  }
+
+  /** Gated query #2 — retrieval across MAINTENANCE: the same corpus
+    * through the full table lifecycle, create v1 → atomic MERGE v2 →
+    * compact v3 → expireVersions(keep 2, drops v1) → vacuum(0) — then
+    * the hybrid search at v2 (a merge output that must survive expiry
+    * AND vacuum: its files are still referenced) and v3 (compaction's
+    * byte-level rewrite of the same rows into new files). Compaction
+    * and vacuum change the physical layout only, so the ranking must be
+    * IDENTICAL at both versions — the oracle encodes exactly that by
+    * recomputing the post-merge corpus once and emitting its ranking
+    * under both version labels. A compact that lost/duplicated rows, an
+    * expire that broke a retained version, or a vacuum that swept a
+    * still-referenced file would all surface as a ranking diff.
+    *
+    * The zero-age vacuum is safe here because the lifecycle is
+    * single-writer within this call (same contract as the streaming
+    * maintenance loop); deployments with concurrent writers keep the
+    * default retention floor. */
+  def searchAfterMaintenance(spark: SparkSession, dir: String,
+      queryTerms: Seq[String], queryVecId: Long = 0, k: Int = 10,
+      poolSize: Int = 50): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-retmaint-").toString
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryVecId)
+      .select(VectorOps.asDouble(col("embedding")).as("qvec"))
+    val corpus = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), VectorOps.asDouble(col("embedding")).as("v")),
+        Seq("doc_id"))
+    SnapshotTable.create(spark, root, corpus, statsKey = Some("doc_id"))
+    val updates = corpus
+      .filter(col("doc_id") % UpdateMod === UpdateRem)
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"),
+        concat(lit(boostText(queryTerms)), col("text")).as("text"),
+        col("qvec").as("v"))
+    SnapshotTable.merge(spark, root, updates, key = "doc_id")
+    SnapshotTable.compact(spark, root, targetFiles = 4, statsKey = Some("doc_id"))
+    SnapshotTable.expireVersions(spark, root, keepLast = 2)
+    SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
+    val perVersion = Seq(2, 3).map { v =>
+      hybridOver(SnapshotTable.read(spark, root, Some(v)), qvec, queryTerms, k, poolSize)
+        .select(lit(v.toLong).as("version"), col("doc_id"), col("rrf"))
+    }
+    val ranked = perVersion.reduce(_ unionByName _)
+      .orderBy(col("version"), col("rrf").desc, col("doc_id"))
+    graft.Scratch.localizeAndDelete(spark, ranked, Seq(root))
+  }
+
+  /** Blind oracle for [[searchAfterMaintenance]]: the post-merge corpus
+    * recomputed once as a CTE, its ranking emitted under version labels
+    * 2 AND 3 — maintenance must preserve the ranking byte-for-byte. */
+  def searchAfterMaintenanceSql(queryTerms: Seq[String], queryVecId: Long = 0,
+      k: Int = 10, poolSize: Int = 50): String = {
+    val boost = boostText(queryTerms)
+    s"""
+    WITH base AS (
+      SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = $queryVecId),
+    c2 AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % $UpdateMod = $UpdateRem THEN '$boost' || b.text ELSE b.text END AS text,
+             CASE WHEN b.doc_id % $UpdateMod = $UpdateRem THEN q.qvec ELSE b.v END AS v
+      FROM base b CROSS JOIN q),
+    ${hybridBlock("c2", 2, queryTerms, k, poolSize)}
+    SELECT CAST(2 AS BIGINT) AS version, doc_id, rrf FROM hyb_2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT) AS version, doc_id, rrf FROM hyb_2
+    ORDER BY version, rrf DESC, doc_id"""
   }
 
   /** Hybrid RRF over an arbitrary (doc_id, text, v) corpus frame:
@@ -96,13 +171,13 @@ object SnapshotRetrieval {
       .limit(k)
   }
 
-  /** Blind oracle: both table versions recomputed as CTEs from the
-    * parquet inputs, then the identical hybrid ranking per version. */
-  def searchTimeTravelSql(queryTerms: Seq[String], queryVecId: Long = 0,
-      k: Int = 10, poolSize: Int = 50): String = {
+  /** DuckDB CTE block computing the hybrid ranking `hyb_$n` over a
+    * (doc_id, text, v) corpus CTE named `c` — shared by both snapshot
+    * oracles. Expects a one-row CTE `q(qvec)` in scope. */
+  private def hybridBlock(c: String, n: Int, queryTerms: Seq[String],
+      k: Int, poolSize: Int): String = {
     val termList = queryTerms.map(t => s"'$t'").mkString(", ")
-    val boost = boostText(queryTerms)
-    def hybridBlock(c: String, n: Int): String = s"""
+    s"""
     toks_$n AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $c),
     tf_$n AS (
@@ -136,6 +211,13 @@ object SnapshotRetrieval {
                    COALESCE(1.0e0 / (60 + rank_dense), 0.0e0), 6) AS rrf
       FROM sparse_$n FULL OUTER JOIN dense_$n ON sparse_$n.doc_id = dense_$n.doc_id
       ORDER BY rrf DESC, doc_id LIMIT $k)"""
+  }
+
+  /** Blind oracle: both table versions recomputed as CTEs from the
+    * parquet inputs, then the identical hybrid ranking per version. */
+  def searchTimeTravelSql(queryTerms: Seq[String], queryVecId: Long = 0,
+      k: Int = 10, poolSize: Int = 50): String = {
+    val boost = boostText(queryTerms)
     s"""
     WITH base AS (
       SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
@@ -147,8 +229,8 @@ object SnapshotRetrieval {
              CASE WHEN b.doc_id % $UpdateMod = $UpdateRem THEN '$boost' || b.text ELSE b.text END AS text,
              CASE WHEN b.doc_id % $UpdateMod = $UpdateRem THEN q.qvec ELSE b.v END AS v
       FROM base b CROSS JOIN q),
-    ${hybridBlock("c1", 1)},
-    ${hybridBlock("c2", 2)}
+    ${hybridBlock("c1", 1, queryTerms, k, poolSize)},
+    ${hybridBlock("c2", 2, queryTerms, k, poolSize)}
     SELECT CAST(1 AS BIGINT) AS version, doc_id, rrf FROM hyb_1
     UNION ALL
     SELECT CAST(2 AS BIGINT) AS version, doc_id, rrf FROM hyb_2

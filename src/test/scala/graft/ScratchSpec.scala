@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** Scratch-directory lifecycle: the three queries that build a
+  * write-lifecycle corpus under /tmp (snapshot-table retrieval, the
+  * merge cycle, the file re-ingestion cycle) must delete their scratch
+  * roots before returning — benching runs each query 5×, and before
+  * this lifecycle existed every invocation leaked a corpus-sized tree. */
+class ScratchSpec extends SparkSpec {
+
+  private val prefixes =
+    Seq("graft-retrieval-", "graft-retmaint-", "graft-snapq", "graft-srcq")
+
+  private def scratchDirs(): Set[String] = {
+    val s = Files.list(Paths.get("/tmp"))
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => prefixes.exists(n.startsWith))
+      .toSet
+    finally s.close()
+  }
+
+  test("lifecycle queries leave no scratch directories behind") {
+    for (q <- Seq("retrieval_snapshot_timetravel", "retrieval_snapshot_maintenance",
+        "meta_snapshot_merge", "meta_source_convert")) {
+      val before = scratchDirs()
+      val n = SparkEntry.queries(q)(spark, sf).count()
+      assert(n > 0, s"$q must still produce rows")
+      val leaked = scratchDirs() diff before
+      assert(leaked.isEmpty, s"$q leaked scratch dirs: $leaked")
+    }
+  }
+
+  test("localized results survive re-execution after scratch deletion") {
+    // the returned frame must have no tie to the deleted paths: a
+    // second action on the SAME frame re-plays a local relation
+    val df = SparkEntry.queries("retrieval_snapshot_timetravel")(spark, sf)
+    val first = df.collect().toSeq
+    val second = df.collect().toSeq // scratch table long gone
+    assert(first == second && first.nonEmpty)
+  }
+}

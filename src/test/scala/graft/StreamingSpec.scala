@@ -78,4 +78,51 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming upsert maintenance keeps file count bounded across 12 micro-batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-smaint")
+    val srcDir = s"$tmp/src"
+    val indexRoot = s"$tmp/index"
+    // 12 single-file source drops -> 12 micro-batches. Every batch
+    // re-processes doc 0 (same text, so arrival order can't matter)
+    // alongside one new doc — each merge both adds and rewrites.
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    (0 until 12).foreach { i =>
+      Seq(doc(0L, "anchor " * 40), doc(i + 1L, s"payload-$i " * (20 + i)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    }
+    streaming.StreamingRunner.runStreamingIndexUpsert(spark, srcDir, indexRoot,
+      queryName = "graft_smaint", maintainEvery = 4, keepVersions = 3)
+    // maintenance ran last: version count is exactly keepVersions, and
+    // after vacuum the data dir holds only files those versions name
+    val versions = sources.SnapshotTable.versions(spark, indexRoot)
+    assert(versions.size == 3, s"expire must keep 3 versions, got $versions")
+    def parquetCount(dir: java.nio.file.Path): Int = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val nFiles = parquetCount(java.nio.file.Paths.get(indexRoot, "data"))
+    assert(nFiles <= 24,
+      s"12 micro-batches with compact-every-4 must stay bounded, got $nFiles files")
+    // every retained version stays readable...
+    versions.foreach { v =>
+      assert(sources.SnapshotTable.read(spark, indexRoot, Some(v)).count() > 0,
+        s"version $v must remain readable after maintenance")
+    }
+    // ...and the latest read equals the batch-computed truth (doc 0's
+    // text is batch-invariant, docs 1..12 each landed once)
+    val expected = chunk.Chunking.chunkTable(
+      Seq.tabulate(12)(i => doc(i + 1L, s"payload-$i " * (20 + i)))
+        .:+(doc(0L, "anchor " * 40))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      .as[(Long, Long, String)].collect().toSet
+    val got = sources.SnapshotTable.read(spark, indexRoot)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == expected, "maintained index must equal the batch-computed chunk set")
+  }
 }
