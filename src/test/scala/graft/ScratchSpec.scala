@@ -25,13 +25,25 @@ class ScratchSpec extends SparkSpec {
 
   test("lifecycle queries leave no scratch directories behind") {
     for (q <- Seq("retrieval_snapshot_timetravel", "retrieval_snapshot_maintenance",
-        "meta_snapshot_merge", "meta_source_convert")) {
+        "meta_snapshot_merge")) {
       val before = scratchDirs()
       val n = SparkEntry.queries(q)(spark, sf).count()
       assert(n > 0, s"$q must still produce rows")
       val leaked = scratchDirs() diff before
       assert(leaked.isEmpty, s"$q leaked scratch dirs: $leaked")
     }
+  }
+
+  test("re-ingestion corpus is cached per process: repeated runs add no dirs") {
+    // meta_source_convert keeps ONE shutdown-hook-deleted corpus per
+    // (process, input dir) — the gated scan+convert path re-executes
+    // every run, the file-write input prep does not
+    val n1 = SparkEntry.queries("meta_source_convert")(spark, sf).count()
+    val after1 = scratchDirs()
+    val n2 = SparkEntry.queries("meta_source_convert")(spark, sf).count()
+    assert(n1 == n2 && n1 > 0)
+    val grown = scratchDirs() diff after1
+    assert(grown.isEmpty, s"repeated runs must reuse the cached corpus, grew: $grown")
   }
 
   test("localized results survive re-execution after scratch deletion") {
