@@ -57,7 +57,9 @@ object Bench {
     "vec_dup_pairs", "bm25_topk", "hybrid_rrf_topk",
     "meta_upsert", "join_asof_rank", "geom_rect_merge",
     "agg_approx_distinct", "agg_percentiles", "mm_decode_features",
-    "events_session", "events_dedup_watermark")
+    "events_session", "events_dedup_watermark",
+    "retrieval_snapshot_timetravel", "retrieval_snapshot_maintenance",
+    "meta_snapshot_merge", "meta_source_convert", "text_repetition")
 
   private val TimedRuns = 3
 

@@ -79,6 +79,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => textTokens(s, d)),
     "text_lang_id" -> ((s, d) => textLangId(s, d)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
+    "text_repetition" -> ((s, d) => textRepetition(s, d)),
     // --- chunking (§2.9) ---
     "chunk_stats" -> ((s, d) => Chunking.chunkStats(Tables.documents(s, d))),
     "chunk_table" -> ((s, d) => chunkTableQuery(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
     "meta_config_merge" -> ((s, d) => configMergeQuery(s, d)),
     "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(s, d)),
+    "meta_snapshot_schema_evo" -> ((s, d) => snapshotSchemaEvoCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
@@ -214,6 +216,7 @@ object SparkEntry {
     "text_tokens" -> textTokensSql,
     "text_lang_id" -> textLangIdSql,
     "text_quality" -> textQualitySql,
+    "text_repetition" -> textRepetitionSql,
     "text_first_long_line" -> firstLongLineSql,
     "chunk_header_paths" -> headerPathsSql,
     "join_range_buckets" -> rangeBucketsSql,
@@ -250,6 +253,7 @@ object SparkEntry {
       graft.vector.SnapshotRetrieval.searchAfterMaintenanceSql(queryTerms),
     "meta_config_merge" -> configMergeSql,
     "meta_snapshot_merge" -> snapshotMergeCycleSql,
+    "meta_snapshot_schema_evo" -> snapshotSchemaEvoCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
@@ -415,6 +419,104 @@ object SparkEntry {
                 ELSE CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) / n_tokens END AS avg_token_len
     FROM base ORDER BY doc_id"""
   }
+
+  /** Repetition-quality signals (the Gopher-style filters an LLM data
+    * pipeline runs besides [[textQuality]]'s surface stats): per doc,
+    *  - dup_line_frac / dup_2gram_frac — duplicate fraction of
+    *    non-empty lines and of word 2-grams (boilerplate detector);
+    *  - bullet_line_frac — lines starting with a bullet;
+    *  - top_word_frac — most frequent word's share of all words
+    *    (degenerate-repetition detector);
+    *  - keep — the conjunction of conventional thresholds.
+    * Array ops are map-side (no explode) except the top-word mode,
+    * which needs a real (doc, word) count — one shuffle keyed by
+    * doc_id with map-side combine, then a doc_id-co-partitioned join.
+    * All fractions are exact-int IEEE divisions (hash rule #4); the
+    * bullet class is explicit [ \t] because Java and RE2 disagree on
+    * \s (rule #8). */
+  private def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val withArrays = Tables.documents(s, d).select(
+      col("doc_id"),
+      filter(split(col("text"), "\n"), l => trim(l) =!= "").as("lines"),
+      when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val mapSide = withArrays.select(
+      col("doc_id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(array_distinct(col("lines"))).cast("long").as("n_distinct_lines"),
+      size(filter(col("lines"), l => l.rlike("^[ \t]*[-*•] ")))
+        .cast("long").as("n_bullet_lines"),
+      size(col("w")).cast("long").as("n_words"),
+      expr("transform(slice(w, 1, greatest(size(w) - 1, 0)), " +
+        "(x, i) -> concat(x, ' ', element_at(w, i + 2)))").as("g"))
+      .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+        col("n_bullet_lines"), col("n_words"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
+    val topWord = withArrays
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    mapSide.join(topWord, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"), col("n_words"),
+        when(col("n_lines") === 0, 0.0)
+          .otherwise((col("n_lines") - col("n_distinct_lines")).cast("double") / col("n_lines"))
+          .as("dup_line_frac"),
+        when(col("n_lines") === 0, 0.0)
+          .otherwise(col("n_bullet_lines").cast("double") / col("n_lines"))
+          .as("bullet_line_frac"),
+        when(col("n_words") === 0, 0.0)
+          .otherwise(coalesce(col("top_cnt"), lit(0L)).cast("double") / col("n_words"))
+          .as("top_word_frac"),
+        when(col("n_grams") === 0, 0.0)
+          .otherwise((col("n_grams") - col("n_distinct_grams")).cast("double") / col("n_grams"))
+          .as("dup_2gram_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") < 0.3 && col("dup_2gram_frac") < 0.2 &&
+          col("top_word_frac") < 0.2 && col("bullet_line_frac") < 0.9)
+      .orderBy(col("doc_id"))
+  }
+
+  private def textRepetitionSql: String = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+      FROM documents),
+    counts AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•] '))) AS BIGINT) AS n_bullet_lines,
+             CAST(len(w) AS BIGINT) AS n_words,
+             list_transform(generate_series(1, greatest(len(w) - 1, 0)), i -> w[i] || ' ' || w[i + 1]) AS g
+      FROM base),
+    counts2 AS (
+      SELECT doc_id, n_lines, n_distinct_lines, n_bullet_lines, n_words,
+             CAST(len(g) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_grams
+      FROM counts),
+    words AS (SELECT doc_id, unnest(w) AS word FROM base),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    tw AS (SELECT doc_id, MAX(c) AS top_cnt FROM wc GROUP BY doc_id),
+    fracs AS (
+      SELECT c.doc_id, c.n_lines, c.n_words,
+             CASE WHEN c.n_lines = 0 THEN 0.0e0
+                  ELSE CAST(c.n_lines - c.n_distinct_lines AS DOUBLE) / c.n_lines END AS dup_line_frac,
+             CASE WHEN c.n_lines = 0 THEN 0.0e0
+                  ELSE CAST(c.n_bullet_lines AS DOUBLE) / c.n_lines END AS bullet_line_frac,
+             CASE WHEN c.n_words = 0 THEN 0.0e0
+                  ELSE CAST(COALESCE(t.top_cnt, 0) AS DOUBLE) / c.n_words END AS top_word_frac,
+             CASE WHEN c.n_grams = 0 THEN 0.0e0
+                  ELSE CAST(c.n_grams - c.n_distinct_grams AS DOUBLE) / c.n_grams END AS dup_2gram_frac
+      FROM counts2 c LEFT JOIN tw t USING (doc_id))
+    SELECT doc_id, n_lines, n_words, dup_line_frac, bullet_line_frac,
+           top_word_frac, dup_2gram_frac,
+           dup_line_frac < 0.3e0 AND dup_2gram_frac < 0.2e0 AND
+           top_word_frac < 0.2e0 AND bullet_line_frac < 0.9e0 AS keep
+    FROM fracs ORDER BY doc_id"""
 
   /** Faithful recursive chunker through the [[graft.functions.ChunkSplit]]
     * Generator: per-doc chunk rows with packing metadata. Rows-only
@@ -887,6 +989,34 @@ object SparkEntry {
   private def snapshotMergeCycleSql: String = """
     SELECT doc_id, n_chars,
            CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE 'base' END AS src
+    FROM documents ORDER BY doc_id"""
+
+  /** Schema EVOLUTION through the ACID table, gated end to end: create
+    * the base table (doc_id, n_chars), MERGE an update batch that
+    * carries a column the table has never seen (`rev`), read back —
+    * updated docs show the new column's value, untouched docs (whose
+    * files predate the evolution) null-fill it. The oracle is the
+    * relational definition of add-column-with-default-null. A read
+    * that inferred schema from an arbitrary file instead of the
+    * version's recorded schema would drop or misplace `rev` depending
+    * on file order — exactly what the manifest schema line prevents. */
+  private def snapshotSchemaEvoCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-schevo").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root, docs, statsKey = Some("doc_id"))
+    graft.sources.SnapshotTable.merge(s, root,
+      docs.filter(col("doc_id") % 10 === 0).withColumn("rev", lit(2L)),
+      key = "doc_id")
+    graft.Scratch.localizeAndDelete(s,
+      graft.sources.SnapshotTable.read(s, root)
+        .select(col("doc_id"), col("n_chars"), col("rev"))
+        .orderBy(col("doc_id")),
+      Seq(root))
+  }
+
+  private def snapshotSchemaEvoCycleSql: String = """
+    SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 10 = 0 THEN CAST(2 AS BIGINT) ELSE NULL END AS rev
     FROM documents ORDER BY doc_id"""
 
   /** The re-ingestion corpus for [[sourceConvertCycle]], written ONCE

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions.col
   *  - A table is a directory of immutable parquet data files plus a
   *    `_snapshots/` log of manifests, one per version; manifest N
   *    lists exactly the files visible at version N (copy-on-write),
-  *    each with optional per-file min/max KEY STATS for data skipping.
+  *    each with optional per-file min/max KEY STATS for data skipping,
+  *    plus the version's SCHEMA (append/merge may add columns — see
+  *    [[append]]; every version reads with its own recorded schema).
   *  - COMMIT is one atomic filesystem operation: manifest vN+1 appears
   *    under its final name exactly once or not at all (hard-link
   *    publish on local filesystems, create-with-overwrite=false on
@@ -70,17 +72,32 @@ object SnapshotTable {
       .sorted.toSeq
   }
 
-  private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] = {
+  private def manifestText(spark: SparkSession, root: String, v: Int): String = {
     val in = fs(spark, root).open(manifestPath(root, v))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // header line {"version":N}, then one file entry per line
-    text.linesIterator.drop(1).filter(_.nonEmpty).map { line =>
-      line.split('\t') match {
-        case Array(p, mn, mx) => FileEntry(p, Some(mn.toLong), Some(mx.toLong))
-        case _ => FileEntry(line, None, None)
-      }
-    }.toSeq
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
+
+  private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] = {
+    // header line {"version":N}, optional S<schema-json> line, then one
+    // file entry per line
+    manifestText(spark, root, v).linesIterator.drop(1)
+      .filter(l => l.nonEmpty && !l.startsWith("S{"))
+      .map { line =>
+        line.split('\t') match {
+          case Array(p, mn, mx) => FileEntry(p, Some(mn.toLong), Some(mx.toLong))
+          case _ => FileEntry(line, None, None)
+        }
+      }.toSeq
+  }
+
+  /** The schema recorded in version `v`'s manifest, if any (manifests
+    * written before schema tracking carry none — their reads fall back
+    * to parquet inference). */
+  def readSchema(spark: SparkSession, root: String, v: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestText(spark, root, v).linesIterator.drop(1)
+      .find(_.startsWith("S{"))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Write `df` as immutable data files under root/data/<uuid>/ and
     * return their entries — with per-file min/max stats of `statsKey`
@@ -191,9 +208,15 @@ object SnapshotTable {
     * manifest; a crashed writer leaves only a tmp file (never a blocked
     * version), which [[vacuum]] sweeps. */
   private def commit(spark: SparkSession, root: String, files: Seq[FileEntry],
-      expected: Int): Int = {
+      schema: org.apache.spark.sql.types.StructType, expected: Int): Int = {
     val v = expected + 1
-    val body = (s"""{"version":$v}""" +: files.map(_.render)).mkString("\n")
+    // header, then the version's SCHEMA (S-prefixed json line): every
+    // version records exactly the shape its readers must apply, so a
+    // table whose files span schema evolutions still reads every
+    // version deterministically (inference from an arbitrary file's
+    // footer would drop or misorder evolved columns)
+    val body = (s"""{"version":$v}""" +: s"S${schema.json}" +: files.map(_.render))
+      .mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
     if (scheme == null || scheme == "file") {
@@ -251,19 +274,66 @@ object SnapshotTable {
     catch { case _: java.io.IOException => false } // another recoverer won
   }
 
+  /** Nullable-widened copy: parquet round-trips don't preserve Spark's
+    * nullability flags faithfully, and evolved columns are null-filled
+    * in pre-evolution files — recording everything nullable is the only
+    * honest contract a manifest schema can make. */
+  private def widened(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Union of table and batch schemas by top-level column name: table
+    * columns keep their order, genuinely new batch columns append.
+    * Same-name columns must agree on dataType exactly — silent type
+    * coercion on a 100 TB table is how data dies; widening is a
+    * deliberate future feature, not a default. */
+  private def evolveSchema(table: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    table.fields.foreach { tf =>
+      batch.fields.find(_.name == tf.name).foreach { bf =>
+        require(bf.dataType == tf.dataType,
+          s"schema evolution rejected: column '${tf.name}' is ${tf.dataType} " +
+            s"in the table but ${bf.dataType} in the batch")
+      }
+    }
+    widened(org.apache.spark.sql.types.StructType(
+      table.fields ++ batch.fields.filterNot(bf => table.fieldNames.contains(bf.name))))
+  }
+
+  /** Project `df` onto `schema`: present columns pass through, missing
+    * columns null-fill, order normalized to the schema's. */
+  private def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+  /** The schema readers of `v` must apply: recorded in the manifest, or
+    * (pre-schema-tracking manifests) inferred from the files. */
+  private def schemaAt(spark: SparkSession, root: String, v: Int): org.apache.spark.sql.types.StructType =
+    readSchema(spark, root, v).getOrElse {
+      val files = readManifest(spark, root, v).map(e => s"$root/${e.path}")
+      widened(spark.read.parquet(files: _*).schema)
+    }
+
   /** Create a new table (version 1) or fail if one exists. `statsKey`
     * (usually the future merge key) enables data skipping from birth. */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
-    commit(spark, root, writeDataFiles(spark, root, df, statsKey), expected = 0)
+    commit(spark, root, writeDataFiles(spark, root, df, statsKey),
+      widened(df.schema), expected = 0)
   }
 
-  /** Append rows: new files + all files of the snapshot appended onto. */
+  /** Append rows: new files + all files of the snapshot appended onto.
+    * The batch may carry NEW columns (recorded in the new version's
+    * schema; earlier files null-fill them on read) but never a type
+    * conflict on an existing column. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None): Int =
     retrying(spark, root) { latest =>
-      readManifest(spark, root, latest) ++ writeDataFiles(spark, root, df, statsKey)
+      val evolved = evolveSchema(schemaAt(spark, root, latest), df.schema)
+      (readManifest(spark, root, latest) ++
+        writeDataFiles(spark, root, alignTo(df, evolved), statsKey), evolved)
     }
 
   /** MERGE: delete every row whose `key` appears in `updates`, then add
@@ -303,6 +373,8 @@ object SnapshotTable {
         else { java.util.Arrays.sort(ks); Some(ks) }
       }
     retrying(spark, root) { latest =>
+      val tableSchema = schemaAt(spark, root, latest)
+      val evolved = evolveSchema(tableSchema, updates.schema)
       val entries = readManifest(spark, root, latest)
       val (touched, untouched) = updateKeys match {
         case Some(keys) => entries.partition(_.mayContain(keys))
@@ -311,14 +383,17 @@ object SnapshotTable {
       val rewritten =
         if (touched.isEmpty) Seq.empty[FileEntry]
         else {
-          val current = spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+          // table schema applied explicitly: touched files may predate
+          // an earlier evolution and lack its columns (null-filled)
+          val current = spark.read.schema(tableSchema)
+            .parquet(touched.map(e => s"$root/${e.path}"): _*)
           // alias, not rename: `key` may be a nested path (metadata.doc_id)
           val survivors = current.join(
             updates.select(updates(key).as("__mk")).distinct(),
             current(key) === col("__mk"), "left_anti")
-          writeDataFiles(spark, root, survivors, Some(key))
+          writeDataFiles(spark, root, alignTo(survivors, evolved), Some(key))
         }
-      untouched ++ rewritten ++ updateFiles
+      (untouched ++ rewritten ++ updateFiles, evolved)
     }
   }
 
@@ -332,7 +407,8 @@ object SnapshotTable {
       statsKey: Option[String] = None): Int =
     retrying(spark, root) { latest =>
       val current = read(spark, root, Some(latest))
-      writeDataFiles(spark, root, current.repartition(targetFiles), statsKey)
+      (writeDataFiles(spark, root, current.repartition(targetFiles), statsKey),
+        schemaAt(spark, root, latest))
     }
 
   /** Drop all snapshots except the last `keepLast` (their manifests are
@@ -395,17 +471,18 @@ object SnapshotTable {
     deleted.result()
   }
 
-  /** Optimistic-concurrency loop: build the file list against the
-    * latest version, try to commit latest+1; on a lost race, rebuild
-    * against the new latest. */
+  /** Optimistic-concurrency loop: build the file list + schema against
+    * the latest version, try to commit latest+1; on a lost race,
+    * rebuild against the new latest (including re-evolving the schema —
+    * the winner may have evolved it differently). */
   private def retrying(spark: SparkSession, root: String)(
-      buildFiles: Int => Seq[FileEntry]): Int = {
+      buildFiles: Int => (Seq[FileEntry], org.apache.spark.sql.types.StructType)): Int = {
     var attempt = 0
     while (true) {
       val latest = versions(spark, root).lastOption.getOrElse(
         throw new IllegalStateException(s"no table at $root"))
-      val files = buildFiles(latest)
-      try return commit(spark, root, files, latest)
+      val (files, schema) = buildFiles(latest)
+      try return commit(spark, root, files, schema, latest)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1
@@ -419,13 +496,19 @@ object SnapshotTable {
   }
 
   /** Read the table at `version` (default: latest). Time travel: any
-    * committed version stays readable — its files are immutable. */
+    * committed version stays readable — its files are immutable, and
+    * each version reads with ITS OWN recorded schema (a version
+    * committed before a column was added never shows that column;
+    * files older than an evolution null-fill the evolved columns). */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist (have $vs)")
     val files = readManifest(spark, root, v).map(e => s"$root/${e.path}")
-    spark.read.parquet(files: _*)
+    readSchema(spark, root, v) match {
+      case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 }

@@ -12,7 +12,7 @@ import scala.jdk.CollectionConverters._
 class ScratchSpec extends SparkSpec {
 
   private val prefixes =
-    Seq("graft-retrieval-", "graft-retmaint-", "graft-snapq", "graft-srcq")
+    Seq("graft-retrieval-", "graft-retmaint-", "graft-snapq", "graft-schevo", "graft-srcq")
 
   private def scratchDirs(): Set[String] = {
     val s = Files.list(Paths.get("/tmp"))
@@ -25,7 +25,7 @@ class ScratchSpec extends SparkSpec {
 
   test("lifecycle queries leave no scratch directories behind") {
     for (q <- Seq("retrieval_snapshot_timetravel", "retrieval_snapshot_maintenance",
-        "meta_snapshot_merge")) {
+        "meta_snapshot_merge", "meta_snapshot_schema_evo")) {
       val before = scratchDirs()
       val n = SparkEntry.queries(q)(spark, sf).count()
       assert(n > 0, s"$q must still produce rows")

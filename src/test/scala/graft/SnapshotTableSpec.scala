@@ -72,6 +72,7 @@ class SnapshotTableSpec extends SparkSpec {
       val p = java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json")
       scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(p)).asScala.drop(1)
+        .filterNot(_.startsWith("S{")) // the version's schema line
         .map(_.split('\t').head).toSet
     }
     val v1 = manifestFiles(1)
@@ -248,6 +249,49 @@ class SnapshotTableSpec extends SparkSpec {
     assert(v == 2)
     assert(SnapshotTable.read(spark, root).count() == 2)
     assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+  }
+
+  test("schema evolution: appended column null-fills old files, per-version schemas hold") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // append a batch carrying a NEW column
+    SnapshotTable.append(spark, root,
+      Seq((3L, "c", 9.5)).toDF("id", "v", "score"))
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.columns.toSeq == Seq("id", "v", "score"),
+      "evolved column appends after the table's columns")
+    val byId = latest.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2) && byId(2L).isNullAt(2),
+      "pre-evolution rows must null-fill the new column")
+    assert(byId(3L).getDouble(2) == 9.5)
+    // time travel: version 1 never shows the later column
+    assert(SnapshotTable.read(spark, root, Some(1)).columns.toSeq == Seq("id", "v"))
+  }
+
+  test("schema evolution through merge: update batch adds a column, delete-then-add holds") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "n"),
+      statsKey = Some("id"))
+    SnapshotTable.merge(spark, root,
+      Seq((2L, 21L, "updated")).toDF("id", "n", "note"), key = "id")
+    val rows = SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(rows == Set((1L, 10L, null), (2L, 21L, "updated"), (3L, 30L, null)))
+    // compaction carries the evolved schema forward
+    SnapshotTable.compact(spark, root, targetFiles = 1, statsKey = Some("id"))
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "n", "note"))
+    assert(SnapshotTable.read(spark, root).count() == 3)
+  }
+
+  test("schema evolution rejects a type conflict on an existing column") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, Seq((2L, 7.0)).toDF("id", "v"))
+    }
+    // the failed append must not have committed anything
+    assert(SnapshotTable.versions(spark, root) == Seq(1))
   }
 
   test("concurrent appends from two threads both land, serialized by the protocol") {
