@@ -113,6 +113,7 @@ object SparkEntry {
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(s, d)),
+    "vec_embed_knn" -> ((s, d) => graft.vector.HashingEmbedder.embedKnnChecked(s, d)),
     "vec_pq_topk" -> ((s, d) => VectorOps.pqTopK(s, d)),
     "vec_ivfpq_topk" -> ((s, d) => VectorOps.ivfPqTopK(s, d)),
     "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d, threshold = 0.5)),
@@ -284,6 +285,7 @@ object SparkEntry {
     "geom_rect_merge" -> graft.geom.RectMerge.mergeInvariantsSql,
     "text_bpe_subwords" -> graft.text.BpeTokenizer.subwordInvariantsSql,
     "vec_ivf_kmeans_topk" -> graft.vector.KMeans.ivfSearchCheckedSql(),
+    "vec_embed_knn" -> graft.vector.HashingEmbedder.embedKnnCheckedSql(),
     "mm_decode_features" -> graft.multimodal.Multimodal.decodeFeaturesSql,
     "mm_frame_sample" -> graft.multimodal.Multimodal.sampleFramesSql(),
     "mm_resize_fit" -> graft.multimodal.Multimodal.resizeFitSql(),

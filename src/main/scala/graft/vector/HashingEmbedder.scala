@@ -55,21 +55,25 @@ object HashingEmbedder {
     (if ((z & 1L) == 0L) 1.0 else -1.0) / math.sqrt(dims.toDouble)
   }
 
-  /** Distributed IDF training: one flatMap to distinct buckets per doc,
-    * one count aggregate, one bounded (numFeatures-row) collect. */
+  /** Distributed IDF training: ONE corpus pass — each doc emits a −1
+    * sentinel (its existence) plus its distinct buckets, so the doc
+    * count rides the same aggregate as the document frequencies
+    * instead of a second full scan (at 100 TB, a count() job that
+    * re-reads the corpus just to size the smoothing constant is a
+    * whole wasted pass). The collect stays bounded by numFeatures+1. */
   def train(spark: SparkSession, docs: DataFrame,
       numFeatures: Int = 1024, dims: Int = 64, seed: Long = 42L): Model = {
     import spark.implicits._
-    val nDocs = docs.count().toDouble
-    val dfreq = docs
+    val counts = docs
       .select(TextFunctions.tokens(lower(col("text"))).as("toks"))
       .as[Seq[String]]
-      .flatMap(toks => toks.iterator.map(bucket(_, numFeatures)).toSet)
+      .flatMap(toks => Iterator.single(-1) ++ toks.iterator.map(bucket(_, numFeatures)).toSet)
       .toDF("b")
       .groupBy(col("b")).agg(count(lit(1)).as("df"))
       .as[(Int, Long)].collect()
+    val nDocs = counts.collectFirst { case (-1, n) => n.toDouble }.getOrElse(0.0)
     val idf = Array.fill(numFeatures)(math.log((1.0 + nDocs) / 1.0) + 1.0)
-    dfreq.foreach { case (b, df) => idf(b) = math.log((1.0 + nDocs) / (1.0 + df)) + 1.0 }
+    counts.foreach { case (b, df) => if (b >= 0) idf(b) = math.log((1.0 + nDocs) / (1.0 + df)) + 1.0 }
     Model(numFeatures, dims, idf, seed)
   }
 
@@ -145,4 +149,64 @@ object HashingEmbedder {
                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
            TRUE AS dim_ok, TRUE AS unit_ok
     FROM documents ORDER BY doc_id"""
+
+  /** ANN over INFERRED embeddings — the composition a real pipeline
+    * runs and the one piece the vec_* family didn't cover: train the
+    * model on the corpus, embed every document, index the embeddings,
+    * search. The index is sign-bit LSH for free: each embedding is
+    * already a seeded JL projection, so its coordinate SIGNS are
+    * random-hyperplane bits — bucket on the first `bits` signs, probe
+    * the query's bucket, exact-cosine rerank. If the bucket holds
+    * fewer than k candidates the search widens to a full scan
+    * (adaptive multi-probe degenerate case) so the result is always
+    * exactly k rows.
+    *
+    * Invariant-gated (blind oracle — a SQL engine cannot recompute
+    * hashed embeddings): rk is the exact 1..k rank sequence (row-count
+    * gate), self_ok proves rank 1 is the query itself at cosine 1
+    * (the query shares its own bucket, cosine(q,q)=1 is maximal, and
+    * queryId 0 wins the doc_id tie-break even against an exact-dup
+    * text), sorted_ok proves the ranking is monotone. Probabilistic
+    * recall is NOT claimed here — HashingEmbedderSpec pins recall@k
+    * against brute force for the fixed seed. */
+  def embedKnnChecked(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10, bits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+    val m = train(spark, docs)
+    val emb = graft.CacheScope.register(
+      embed(spark, docs, m)
+        .select(col("doc_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .persist())
+    val sig = (1 to bits)
+      .map(i => when(element_at(col("v"), i) >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+    val bucketed = emb.withColumn("sig", sig)
+    val q = bucketed.filter(col("doc_id") === queryId)
+      .select(col("v").as("qvec"), col("sig").as("qsig"))
+    val cand = bucketed.join(broadcast(q), col("sig") === col("qsig"))
+    // bucket too small for k results → widen to a full scan (the
+    // count is an action, but emb is persisted and bucket membership
+    // is a map-side predicate — one cached-block pass)
+    val pool =
+      if (cand.count() >= k) cand
+      else bucketed.crossJoin(broadcast(q.select(col("qvec"))))
+    val ann = pool
+      .select(col("doc_id"), round(VectorOps.cosine(col("v"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    ann
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("prev", lag(col("score"), 1).over(w))
+      .select(col("rk"),
+        when(col("rk") === 1, col("doc_id") === queryId && col("score") === 1.0)
+          .otherwise(lit(true)).as("self_ok"),
+        (col("prev").isNull || col("prev") >= col("score")).as("sorted_ok"))
+      .orderBy(col("rk"))
+  }
+
+  def embedKnnCheckedSql(k: Int = 10): String = s"""
+    SELECT CAST(u.i AS BIGINT) AS rk, TRUE AS self_ok, TRUE AS sorted_ok
+    FROM (SELECT unnest(generate_series(1, $k)) AS i) u ORDER BY rk"""
 }

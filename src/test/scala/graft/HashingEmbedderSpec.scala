@@ -65,4 +65,45 @@ class HashingEmbedderSpec extends SparkSpec {
       assert(r.getBoolean(2) && r.getBoolean(3), s"doc ${r.getLong(0)} violated contract")
     }
   }
+
+  test("embed-knn search satisfies its gated invariants and pins recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    // gated contract: exactly k ranks, self at rank 1, monotone scores
+    val gated = HashingEmbedder.embedKnnChecked(spark, sf).collect()
+    assert(gated.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(gated.forall(r => r.getBoolean(1) && r.getBoolean(2)))
+    graft.CacheScope.drain()
+    // recall@10 against brute force over the same inferred embeddings —
+    // deterministic for the fixed seed/corpus, so a pinned bound, not a
+    // hope: sign-bit LSH on 6 bits of a 64-dim JL projection
+    val docs = Tables.documents(spark, sf)
+    val m = HashingEmbedder.train(spark, docs)
+    val emb = HashingEmbedder.embed(spark, docs, m)
+      .select(col("doc_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val q = emb.filter(col("doc_id") === 0L).select(col("v").as("qvec"))
+    val brute = emb.crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        graft.vector.VectorOps.cosine(col("v"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // re-run the ANN path and extract its doc ids via the same pool logic
+    val sig = (1 to 6)
+      .map(i => when(element_at(col("v"), i) >= 0, lit("1")).otherwise(lit("0")))
+      .reduce((a, b) => concat(a, b))
+    val bucketed = emb.withColumn("sig", sig)
+    val qb = bucketed.filter(col("doc_id") === 0L)
+      .select(col("v").as("qvec"), col("sig").as("qsig"))
+    val cand = bucketed.join(broadcast(qb), col("sig") === col("qsig"))
+    val pool = if (cand.count() >= 10) cand
+      else bucketed.crossJoin(broadcast(qb.select(col("qvec"))))
+    val ann = pool
+      .select(col("doc_id"),
+        graft.vector.VectorOps.cosine(col("v"), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    emb.unpersist()
+    val recall = ann.intersect(brute).size / 10.0
+    assert(recall >= 0.5, s"recall@10 collapsed to $recall (ann=$ann brute=$brute)")
+  }
 }
