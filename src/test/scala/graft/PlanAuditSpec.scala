@@ -107,6 +107,27 @@ class PlanAuditSpec extends SparkSpec {
       "token array + per-term counts must each sit behind one Generate")
   }
 
+  test("repetition signals: array stats stay map-side, only the word mode explodes") {
+    val df = SparkEntry.queries("text_repetition")(spark, sf)
+    val s = simpleString(df)
+    // the line/2-gram/bullet fractions are higher-order array ops in a
+    // single projection; exactly ONE Generate (the word explode feeding
+    // the per-doc mode) is allowed — a second would mean the array
+    // stats regressed into corpus-wide exploded aggregates
+    assert("Generate".r.findAllIn(s).size == 1,
+      "only the word-mode path may explode")
+  }
+
+  test("embed-knn search joins broadcast, never sort-merge") {
+    val df = SparkEntry.queries("vec_embed_knn")(spark, sf)
+    val s = simpleString(df)
+    // the query side is one row (its bucket signature + vector): both
+    // the bucket probe and any fallback cross join must broadcast —
+    // a SortMergeJoin here would shuffle the whole embedding table
+    assert(!s.contains("SortMergeJoin"),
+      "bucket probe must broadcast the one-row query side")
+  }
+
   test("normalization chain stays in one codegen stage with the scan") {
     val df = Tables.documents(spark, sf)
       .select(functions.Nfkc.nfkc(text.TextFunctions.normalize(
