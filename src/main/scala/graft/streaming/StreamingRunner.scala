@@ -179,6 +179,50 @@ object StreamingRunner {
     finally q.stop()
   }
 
+  /** Streaming EXACT DEDUP against an accumulating fingerprint index —
+    * the online form of the batch dedup: each micro-batch fingerprints
+    * its documents (portable md5 of the text bytes, plus the int64
+    * prefix as the table's stats key so file-level skipping applies to
+    * the dedup index itself), drops what the index has already seen
+    * via a left-anti join, and APPENDS only the novel rows as one
+    * atomic snapshot commit. Re-delivered or cross-batch duplicate
+    * documents land exactly once; a crashed batch leaves the index at
+    * its previous version. Scale shape: the anti-join shuffles on the
+    * fingerprint key only (fingerprint + doc_id, never text), and the
+    * seen-side scan prunes to the probe's key range via the manifest
+    * stats. */
+  def runStreamingDedupIngest(spark: SparkSession, srcDir: String,
+      indexRoot: String, queryName: String = "graft_dedup_ingest"): Unit = {
+    val q = spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fp = batch
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("fp_key", graft.text.TextFunctions.md5Long(col("text")))
+          .select(col("fp_key"), col("fp"), col("doc_id"), col("text"))
+          .dropDuplicates("fp")
+        val novel =
+          if (graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty) fp
+          else fp.join(
+            graft.sources.SnapshotTable.read(spark, indexRoot).select(col("fp")),
+            Seq("fp"), "left_anti")
+        if (graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty)
+          graft.sources.SnapshotTable.create(spark, indexRoot, novel,
+            statsKey = Some("fp_key"))
+        else if (!novel.isEmpty)
+          graft.sources.SnapshotTable.append(spark, indexRoot, novel,
+            statsKey = Some("fp_key"))
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Streaming upsert into a TRANSACTIONAL index: each micro-batch of
     * reprocessed documents is chunked and merged into a
     * [[graft.sources.SnapshotTable]] by document key — the same J2

@@ -79,6 +79,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup ingest: cross-batch and re-delivered duplicates land exactly once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    val srcDir = s"$tmp/src"
+    val indexRoot = s"$tmp/index"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    // batch 1: two novel docs (one duplicated IN-batch under another id);
+    // batch 2: a cross-batch duplicate + a novel doc;
+    // batch 3: batch 1's doc re-delivered verbatim + a novel doc
+    Seq(doc(1, "alpha text"), doc(9, "alpha text"), doc(2, "beta text"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("append").parquet(srcDir)
+    Seq(doc(3, "beta text"), doc(4, "gamma text"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("append").parquet(srcDir)
+    Seq(doc(1, "alpha text"), doc(5, "delta text"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("append").parquet(srcDir)
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, srcDir, indexRoot,
+      queryName = "graft_sdedup")
+    val idx = sources.SnapshotTable.read(spark, indexRoot)
+    val texts = idx.select(col("text")).as[String].collect().sorted.toSeq
+    assert(texts == Seq("alpha text", "beta text", "delta text", "gamma text"),
+      "each distinct content must land exactly once across all batches")
+    // fingerprints are unique by construction of the ingest
+    assert(idx.select(col("fp")).distinct().count() == 4)
+    // appends happened only for novelty: at most one version per batch
+    assert(sources.SnapshotTable.versions(spark, indexRoot).size <= 3)
+  }
+
   test("streaming upsert maintenance keeps file count bounded across 12 micro-batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-smaint")
