@@ -11,33 +11,26 @@ import graft.sources.SnapshotTable
 
 /** CROSS-PROCESS proof of the snapshot-table commit protocol.
   *
-  * Two forked JVMs ([[graft.tools.RaceWriter]]) — separate processes,
-  * separate Spark sessions, separate filesystem clients — race appends
-  * and merges against one table root. Same-JVM tests (threads) cannot
-  * prove the claim the protocol makes: on a local filesystem the only
-  * thing serializing two PROCESSES is the atomicity of the publish
-  * primitive itself (hard-link EEXIST). This spec asserts, over the
-  * whole race:
+  * Forked JVMs ([[graft.tools.RaceWriter]]) — separate processes,
+  * separate Spark sessions, separate filesystem clients — race
+  * appends, merges (disjoint AND contested keys), and compactions
+  * against one table root. Same-JVM tests (threads) cannot prove the
+  * claim the protocol makes: on a local filesystem the only thing
+  * serializing two PROCESSES is the atomicity of the publish primitive
+  * itself (hard-link EEXIST). Asserted over each race:
   *  - exactly one winner per version: versions come out contiguous,
   *    every manifest fully parseable (no torn/zero-length manifests);
-  *  - no lost updates: every writer's every operation is reflected —
-  *    version count equals total ops, final rows are each writer's
-  *    merged values exactly once;
-  *  - losers retried onto later versions rather than clobbering
-  *    (implied by contiguity + both exit codes 0 within the retry
-  *    budget).
+  *  - no lost updates: every writer's every operation is reflected;
+  *  - contested-key merges SERIALIZE: one surviving row whose value is
+  *    some writer's final merge (not a torn mix, not a duplicate);
+  *  - compaction racing a writer never loses or duplicates rows.
   */
 class SnapshotRaceSpec extends SparkSpec {
   import spark.implicits._
 
   private val OpsPerWriter = 4
 
-  test("two JVMs racing append+merge: one winner per version, no lost updates") {
-    val root = Files.createTempDirectory("graft-race").toString
-    val goFile = s"$root/.go"
-    SnapshotTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"),
-      statsKey = Some("id"))
-
+  private def launch(root: String, goFile: String, wid: Int, n: Int, mode: String): Process = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val classpath = System.getProperty("java.class.path")
     // forward the test JVM's --add-opens (Spark on JDK 17 needs them)
@@ -47,50 +40,90 @@ class SnapshotRaceSpec extends SparkSpec {
       case (a, i) if a == "--add-opens" => Seq(a, inArgs(i + 1))
       case (a, _) if a.startsWith("--add-opens=") => Seq(a)
     }.flatten
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx1g", "-cp", classpath, "graft.tools.RaceWriter",
+      root, wid.toString, n.toString, goFile, mode)).asJava
+    new ProcessBuilder(cmd)
+      .redirectOutput(new java.io.File(s"$root/writer$wid.out"))
+      .redirectErrorStream(true)
+      .start()
+  }
 
-    def launch(wid: Int): Process = {
-      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xmx1g", "-cp", classpath, "graft.tools.RaceWriter",
-        root, wid.toString, OpsPerWriter.toString, goFile)).asJava
-      new ProcessBuilder(cmd)
-        .redirectOutput(new java.io.File(s"$root/writer$wid.out"))
-        .redirectErrorStream(true)
-        .start()
-    }
-    val w1 = launch(1)
-    val w2 = launch(2)
+  private def await(root: String, ps: Seq[Process]): Unit =
     try {
-      Files.createFile(Paths.get(goFile)) // both sessions up enough to spin; go
-      assert(w1.waitFor(300, TimeUnit.SECONDS) && w2.waitFor(300, TimeUnit.SECONDS),
-        "racing writers must finish within the window")
-      def diag(wid: Int): String =
-        try new String(Files.readAllBytes(Paths.get(s"$root/writer$wid.out")), "UTF-8").takeRight(800)
-        catch { case _: Exception => "<no output>" }
-      assert(w1.exitValue() == 0, s"writer 1 failed:\n${diag(1)}")
-      assert(w2.exitValue() == 0, s"writer 2 failed:\n${diag(2)}")
-    } finally {
-      w1.destroyForcibly(); w2.destroyForcibly()
-    }
+      ps.foreach { p =>
+        assert(p.waitFor(300, TimeUnit.SECONDS), "racing writer must finish in the window")
+      }
+      ps.zipWithIndex.foreach { case (p, i) =>
+        def diag: String =
+          try new String(Files.readAllBytes(Paths.get(s"$root/writer${i + 1}.out")), "UTF-8").takeRight(800)
+          catch { case _: Exception => "<no output>" }
+        assert(p.exitValue() == 0, s"writer ${i + 1} failed:\n$diag")
+      }
+    } finally ps.foreach(_.destroyForcibly())
+
+  test("two JVMs racing append+merge+contested-merge: serialized, no lost updates") {
+    val root = Files.createTempDirectory("graft-race").toString
+    val goFile = s"$root/.go"
+    SnapshotTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"),
+      statsKey = Some("id"))
+    val ps = Seq(launch(root, goFile, 1, OpsPerWriter, "mix"),
+      launch(root, goFile, 2, OpsPerWriter, "mix"))
+    Files.createFile(Paths.get(goFile)) // both sessions up enough to spin; go
+    await(root, ps)
 
     // exactly one winner per version: contiguous, every manifest whole
-    val totalOps = 1 + 2 * (2 * OpsPerWriter) // create + 2 writers × (n appends + n merges)
+    val totalOps = 1 + 2 * (3 * OpsPerWriter) // create + 2 × (appends + merges + contested)
     val vs = SnapshotTable.versions(spark, root)
     assert(vs == (1 to totalOps), s"versions must be contiguous, got $vs")
     vs.foreach { v =>
       assert(SnapshotTable.read(spark, root, Some(v)).count() >= 1,
         s"manifest v$v must be fully readable")
     }
-    // no lost updates: final state is each writer's merged rows, once
+    // no lost updates on the disjoint keys: each writer's merged rows, once
     val finalRows = SnapshotTable.read(spark, root)
+      .filter(col("id") =!= 0L)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val expected = Set(0L -> "seed") ++ (for {
+    val expected = (for {
       wid <- Seq(1L, 2L); i <- 0 until OpsPerWriter
-    } yield (1000L * wid + i) -> s"w$wid-m$i")
+    } yield (1000L * wid + i) -> s"w$wid-m$i").toSet
     assert(finalRows == expected,
       s"every op must land exactly once; diff=${(finalRows diff expected) ++ (expected diff finalRows)}")
-    // and no duplicate keys survived the concurrent merges
-    val dupes = SnapshotTable.read(spark, root)
-      .groupBy(col("id")).count().filter(col("count") > 1).count()
-    assert(dupes == 0, "concurrent merges must not duplicate keys")
+    // contested key: merges on id 0 must SERIALIZE — exactly one row
+    // survives and it is some writer's FINAL contested merge
+    val contested = SnapshotTable.read(spark, root)
+      .filter(col("id") === 0L).collect().map(_.getString(1)).toSeq
+    assert(contested.size == 1,
+      s"contested key must have exactly one surviving row, got $contested")
+    val last = OpsPerWriter - 1
+    assert(Set(s"w1-c$last", s"w2-c$last").contains(contested.head),
+      s"survivor must be a writer's final contested merge, got ${contested.head}")
+  }
+
+  test("compaction racing a writer never loses or duplicates rows") {
+    val root = Files.createTempDirectory("graft-race-c").toString
+    val goFile = s"$root/.go"
+    // fragmented seed so compaction has real work racing the appends
+    SnapshotTable.create(spark, root,
+      (100L until 140L).map(i => (i, s"seed$i")).toDF("id", "v").repartition(8),
+      statsKey = Some("id"))
+    val ps = Seq(launch(root, goFile, 1, OpsPerWriter, "append"),
+      launch(root, goFile, 2, 3, "compact"))
+    Files.createFile(Paths.get(goFile))
+    await(root, ps)
+
+    val vs = SnapshotTable.versions(spark, root)
+    assert(vs == (1 to (1 + OpsPerWriter + 3)), s"versions must be contiguous, got $vs")
+    val rows = SnapshotTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (100L until 140L).map(i => i -> s"seed$i").toSet ++
+      (0 until OpsPerWriter).map(i => (1000L + i) -> s"w1-a$i").toSet
+    assert(rows == expected,
+      "compaction must preserve every row while a writer appends concurrently")
+    // every version (including mid-race compactions) stays readable
+    vs.foreach { v =>
+      assert(SnapshotTable.read(spark, root, Some(v)).count() >= 40L,
+        s"version $v lost rows")
+    }
   }
 }

@@ -6,23 +6,28 @@ import graft.sources.SnapshotTable
 
 /** Subprocess helper for SnapshotRaceSpec: a REAL separate JVM (its own
   * SparkSession, its own filesystem client — no shared locks, no shared
-  * JVM monitors) hammering `append` then `merge` against a table root
-  * another process is writing concurrently. This is the only honest way
-  * to exercise the commit protocol's cross-process claim: local
-  * filesystems give `create(overwrite=false)` no atomicity across
-  * processes unless the primitive itself is atomic (link(2) here), and
-  * a same-JVM test can never distinguish the two.
+  * JVM monitors) hammering the table another process is writing
+  * concurrently. This is the only honest way to exercise the commit
+  * protocol's cross-process claim: local filesystems give
+  * `create(overwrite=false)` no atomicity across processes unless the
+  * primitive itself is atomic (link(2) here), and a same-JVM test can
+  * never distinguish the two.
   *
-  * args: tableRoot writerId nOps goFile
-  *  - appends n single-row batches (keys 1000*writerId + i), then
-  *  - merges each of those keys to an updated value (delete-then-add
-  *    racing the other writer's file rewrites).
+  * args: tableRoot writerId nOps goFile mode
+  *  - mode "mix": n appends (keys 1000*writerId + i), then n merges of
+  *    those same keys (delete-then-add racing the other writer's file
+  *    rewrites), then n CONTESTED merges of shared key 0 — both
+  *    processes rewriting the same key, so serializability (exactly
+  *    one surviving row) is what the commit order must guarantee;
+  *  - mode "append": n appends only (clean row-set expectation);
+  *  - mode "compact": n full-table compactions — maintenance racing a
+  *    concurrent writer, the classic copy-on-write conflict shape.
   * Spins on `goFile` after session startup so both processes enter the
   * commit loop together.
   */
 object RaceWriter {
   def main(args: Array[String]): Unit = {
-    val Array(root, writerIdStr, nStr, goFile) = args
+    val Array(root, writerIdStr, nStr, goFile, mode) = args
     val wid = writerIdStr.toLong
     val n = nStr.toInt
     val spark = SparkSession.builder()
@@ -38,13 +43,29 @@ object RaceWriter {
       if (System.currentTimeMillis() > deadline) sys.exit(3)
       Thread.sleep(10)
     }
-    (0 until n).foreach { i =>
-      SnapshotTable.append(spark, root,
-        Seq((1000L * wid + i, s"w$wid-a$i")).toDF("id", "v"), statsKey = Some("id"))
-    }
-    (0 until n).foreach { i =>
-      SnapshotTable.merge(spark, root,
-        Seq((1000L * wid + i, s"w$wid-m$i")).toDF("id", "v"), key = "id")
+    mode match {
+      case "append" =>
+        (0 until n).foreach { i =>
+          SnapshotTable.append(spark, root,
+            Seq((1000L * wid + i, s"w$wid-a$i")).toDF("id", "v"), statsKey = Some("id"))
+        }
+      case "compact" =>
+        (0 until n).foreach { _ =>
+          SnapshotTable.compact(spark, root, targetFiles = 2, statsKey = Some("id"))
+        }
+      case "mix" =>
+        (0 until n).foreach { i =>
+          SnapshotTable.append(spark, root,
+            Seq((1000L * wid + i, s"w$wid-a$i")).toDF("id", "v"), statsKey = Some("id"))
+        }
+        (0 until n).foreach { i =>
+          SnapshotTable.merge(spark, root,
+            Seq((1000L * wid + i, s"w$wid-m$i")).toDF("id", "v"), key = "id")
+        }
+        (0 until n).foreach { i =>
+          SnapshotTable.merge(spark, root,
+            Seq((0L, s"w$wid-c$i")).toDF("id", "v"), key = "id")
+        }
     }
     spark.stop()
   }
