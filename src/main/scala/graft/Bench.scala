@@ -109,7 +109,7 @@ object Bench {
             R(runs(TimedRuns / 2), runs.head, runs.last, plan)
           }
           catch { case _: Throwable => R(-1.0, -1.0, -1.0, "err") }
-          finally scope.drain()
+          finally { scope.drain(); Scratch.drainCleanup(); () }
         name -> r
       }
     }

@@ -36,13 +36,52 @@ object Scratch {
     finally s.close()
   }
 
-  /** Collect `df` (must be bounded), delete `roots`, return the rows as
-    * a local in-memory frame with the same schema and row order. */
+  /** Collect `df` (must be bounded — top-k rankings and the like; the
+    * cap is a guard, not a tunable), delete `roots`, return the rows as
+    * a local in-memory frame with the same schema and row order. For
+    * corpus-sized results use [[registerForCleanup]] instead: the
+    * output of a per-doc lifecycle query grows with the corpus and
+    * must stay distributed. */
   def localizeAndDelete(spark: SparkSession, df: DataFrame, roots: Seq[String]): DataFrame = {
     val rows: Array[Row] = df.collect()
     require(rows.length <= MaxLocalRows,
       s"localizeAndDelete is for bounded results; got ${rows.length} rows")
     roots.foreach(deleteRecursively)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Deferred deletion for scratch roots a RETURNED frame still reads:
+    * the runner (Verify / Bench / a job driver) calls [[drainCleanup]]
+    * once the action consuming the frame has finished — the path
+    * analog of [[CacheScope]], and scoped the same way (thread-local
+    * registry, inheritable) so concurrent runners can't delete each
+    * other's in-flight scratch. */
+  def registerForCleanup(root: String): Unit = current.get.synchronized {
+    current.get += root
+  }
+
+  /** Delete every registered scratch root of the calling thread's
+    * scope. Returns how many roots were removed. */
+  def drainCleanup(): Int = {
+    val reg = current.get
+    reg.synchronized {
+      val n = reg.size
+      reg.foreach(deleteRecursively)
+      reg.clear()
+      n
+    }
+  }
+
+  private val defaultRegistry = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val current =
+    new InheritableThreadLocal[scala.collection.mutable.ArrayBuffer[String]] {
+      override def initialValue(): scala.collection.mutable.ArrayBuffer[String] = defaultRegistry
+    }
+
+  /** Run `body` with a fresh cleanup scope on this thread. */
+  def scopedCleanup[T](body: => T): T = {
+    val prev = current.get
+    current.set(scala.collection.mutable.ArrayBuffer.empty[String])
+    try body finally { drainCleanup(); current.set(prev) }
   }
 }

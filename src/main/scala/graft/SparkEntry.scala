@@ -979,13 +979,13 @@ object SparkEntry {
     graft.sources.SnapshotTable.merge(s, root,
       docs.filter(col("doc_id") % 10 === 0).withColumn("src", lit("upd")),
       key = "doc_id")
-    // per-doc scalars (bounded): localize + delete the scratch table so
-    // repeated invocations don't accumulate tables under /tmp
-    graft.Scratch.localizeAndDelete(s,
-      graft.sources.SnapshotTable.read(s, root)
-        .select(col("doc_id"), col("n_chars"), col("src"))
-        .orderBy(col("doc_id")),
-      Seq(root))
+    // per-doc output grows with the corpus — stays DISTRIBUTED; the
+    // scratch table is deleted by the runner's drain after the
+    // consuming action (localizing here would collect the corpus)
+    graft.Scratch.registerForCleanup(root)
+    graft.sources.SnapshotTable.read(s, root)
+      .select(col("doc_id"), col("n_chars"), col("src"))
+      .orderBy(col("doc_id"))
   }
 
   private def snapshotMergeCycleSql: String = """
@@ -1009,11 +1009,12 @@ object SparkEntry {
     graft.sources.SnapshotTable.merge(s, root,
       docs.filter(col("doc_id") % 10 === 0).withColumn("rev", lit(2L)),
       key = "doc_id")
-    graft.Scratch.localizeAndDelete(s,
-      graft.sources.SnapshotTable.read(s, root)
-        .select(col("doc_id"), col("n_chars"), col("rev"))
-        .orderBy(col("doc_id")),
-      Seq(root))
+    // per-doc output: distributed return + runner-drained cleanup,
+    // same contract as snapshotMergeCycle
+    graft.Scratch.registerForCleanup(root)
+    graft.sources.SnapshotTable.read(s, root)
+      .select(col("doc_id"), col("n_chars"), col("rev"))
+      .orderBy(col("doc_id"))
   }
 
   private def snapshotSchemaEvoCycleSql: String = """

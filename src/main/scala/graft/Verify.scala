@@ -30,9 +30,10 @@ object Verify {
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
-          // release operator-internal persisted frames between queries —
-          // a long runner must not accumulate storage across 100+ plans
-          finally scope.drain()
+          // release operator-internal persisted frames and scratch
+          // roots between queries — a long runner must not accumulate
+          // storage or /tmp trees across 100+ plans
+          finally { scope.drain(); Scratch.drainCleanup(); () }
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -39,8 +39,13 @@ object ConnectedComponents {
     // edge-producing lineage once per iteration. Checkpoint blocks are
     // MEMORY_AND_DISK: under pressure they spill instead of dropping, and
     // the truncated lineage caps every round at one join + one aggregate.
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // normalize node ids to long FIRST so both regimes emit the same
+    // (node: long, component: long) schema — without this the output
+    // type would silently depend on which side of the cap the data
+    // landed on
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val sym = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     if (sym.count() <= localEdgeCap) return unionFindLocal(spark, sym)

@@ -72,32 +72,36 @@ object SnapshotTable {
       .sorted.toSeq
   }
 
-  private def manifestText(spark: SparkSession, root: String, v: Int): String = {
+  /** One manifest read, fully parsed: (recorded schema if any, file
+    * entries). Header line {"version":N}, optional S<schema-json>
+    * line, then one file entry per line. Callers needing both schema
+    * and entries use THIS — a manifest read is a filesystem round trip
+    * on the commit critical path, not something to repeat per field. */
+  private def manifestParsed(spark: SparkSession, root: String, v: Int):
+      (Option[org.apache.spark.sql.types.StructType], Seq[FileEntry]) = {
     val in = fs(spark, root).open(manifestPath(root, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.linesIterator.drop(1).filter(_.nonEmpty).toSeq
+    val schema = lines.find(_.startsWith("S{"))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val entries = lines.filterNot(_.startsWith("S{")).map { line =>
+      line.split('\t') match {
+        case Array(p, mn, mx) => FileEntry(p, Some(mn.toLong), Some(mx.toLong))
+        case _ => FileEntry(line, None, None)
+      }
+    }
+    (schema, entries)
   }
 
-  private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] = {
-    // header line {"version":N}, optional S<schema-json> line, then one
-    // file entry per line
-    manifestText(spark, root, v).linesIterator.drop(1)
-      .filter(l => l.nonEmpty && !l.startsWith("S{"))
-      .map { line =>
-        line.split('\t') match {
-          case Array(p, mn, mx) => FileEntry(p, Some(mn.toLong), Some(mx.toLong))
-          case _ => FileEntry(line, None, None)
-        }
-      }.toSeq
-  }
+  private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] =
+    manifestParsed(spark, root, v)._2
 
   /** The schema recorded in version `v`'s manifest, if any (manifests
     * written before schema tracking carry none — their reads fall back
     * to parquet inference). */
   def readSchema(spark: SparkSession, root: String, v: Int): Option[org.apache.spark.sql.types.StructType] =
-    manifestText(spark, root, v).linesIterator.drop(1)
-      .find(_.startsWith("S{"))
-      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    manifestParsed(spark, root, v)._1
 
   /** Write `df` as immutable data files under root/data/<uuid>/ and
     * return their entries — with per-file min/max stats of `statsKey`
@@ -274,23 +278,39 @@ object SnapshotTable {
     catch { case _: java.io.IOException => false } // another recoverer won
   }
 
-  /** Nullable-widened copy: parquet round-trips don't preserve Spark's
-    * nullability flags faithfully, and evolved columns are null-filled
-    * in pre-evolution files — recording everything nullable is the only
-    * honest contract a manifest schema can make. */
+  /** Nullability widened at EVERY nesting level: parquet round-trips
+    * don't preserve Spark's nullability flags faithfully (a constructed
+    * frame's non-null struct field reads back nullable), and evolved
+    * columns are null-filled in pre-evolution files — recording
+    * everything nullable is the only honest contract a manifest schema
+    * can make, and comparing types modulo nullability is the only
+    * comparison that doesn't falsely reject a same-shaped batch. */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(deepNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(deepNullable(m.keyType), deepNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   private def widened(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+    deepNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Union of table and batch schemas by top-level column name: table
     * columns keep their order, genuinely new batch columns append.
-    * Same-name columns must agree on dataType exactly — silent type
-    * coercion on a 100 TB table is how data dies; widening is a
-    * deliberate future feature, not a default. */
+    * Same-name columns must agree on dataType modulo nullability —
+    * silent type coercion on a 100 TB table is how data dies; widening
+    * is a deliberate future feature, not a default. */
   private def evolveSchema(table: org.apache.spark.sql.types.StructType,
       batch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     table.fields.foreach { tf =>
       batch.fields.find(_.name == tf.name).foreach { bf =>
-        require(bf.dataType == tf.dataType,
+        require(deepNullable(bf.dataType) == deepNullable(tf.dataType),
           s"schema evolution rejected: column '${tf.name}' is ${tf.dataType} " +
             s"in the table but ${bf.dataType} in the batch")
       }
@@ -309,9 +329,10 @@ object SnapshotTable {
 
   /** The schema readers of `v` must apply: recorded in the manifest, or
     * (pre-schema-tracking manifests) inferred from the files. */
-  private def schemaAt(spark: SparkSession, root: String, v: Int): org.apache.spark.sql.types.StructType =
-    readSchema(spark, root, v).getOrElse {
-      val files = readManifest(spark, root, v).map(e => s"$root/${e.path}")
+  private def schemaOf(spark: SparkSession, root: String,
+      parsed: (Option[org.apache.spark.sql.types.StructType], Seq[FileEntry])): org.apache.spark.sql.types.StructType =
+    parsed._1.getOrElse {
+      val files = parsed._2.map(e => s"$root/${e.path}")
       widened(spark.read.parquet(files: _*).schema)
     }
 
@@ -331,8 +352,9 @@ object SnapshotTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None): Int =
     retrying(spark, root) { latest =>
-      val evolved = evolveSchema(schemaAt(spark, root, latest), df.schema)
-      (readManifest(spark, root, latest) ++
+      val parsed = manifestParsed(spark, root, latest)
+      val evolved = evolveSchema(schemaOf(spark, root, parsed), df.schema)
+      (parsed._2 ++
         writeDataFiles(spark, root, alignTo(df, evolved), statsKey), evolved)
     }
 
@@ -373,9 +395,10 @@ object SnapshotTable {
         else { java.util.Arrays.sort(ks); Some(ks) }
       }
     retrying(spark, root) { latest =>
-      val tableSchema = schemaAt(spark, root, latest)
+      val parsed = manifestParsed(spark, root, latest)
+      val tableSchema = schemaOf(spark, root, parsed)
       val evolved = evolveSchema(tableSchema, updates.schema)
-      val entries = readManifest(spark, root, latest)
+      val entries = parsed._2
       val (touched, untouched) = updateKeys match {
         case Some(keys) => entries.partition(_.mayContain(keys))
         case None => (entries, Seq.empty[FileEntry])
@@ -406,9 +429,11 @@ object SnapshotTable {
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
       statsKey: Option[String] = None): Int =
     retrying(spark, root) { latest =>
-      val current = read(spark, root, Some(latest))
-      (writeDataFiles(spark, root, current.repartition(targetFiles), statsKey),
-        schemaAt(spark, root, latest))
+      val parsed = manifestParsed(spark, root, latest)
+      val schema = schemaOf(spark, root, parsed)
+      val files = parsed._2.map(e => s"$root/${e.path}")
+      val current = spark.read.schema(schema).parquet(files: _*)
+      (writeDataFiles(spark, root, current.repartition(targetFiles), statsKey), schema)
     }
 
   /** Drop all snapshots except the last `keepLast` (their manifests are
@@ -444,10 +469,9 @@ object SnapshotTable {
     val snapDir = new Path(root, SnapshotDir)
     if (f.exists(snapDir)) f.listStatus(snapDir).foreach { s =>
       val n = s.getPath.getName
-      if (!n.matches("v\\d+\\.json") && s.getModificationTime < cutoff) {
-        f.delete(s.getPath, false)
+      if (!n.matches("v\\d+\\.json") && s.getModificationTime < cutoff &&
+        f.delete(s.getPath, false))
         deleted += s"$SnapshotDir/$n"
-      }
     }
     val dataDir = new Path(root, "data")
     if (!f.exists(dataDir)) return deleted.result()
@@ -458,10 +482,10 @@ object SnapshotTable {
         .filter(_.getPath.getName.endsWith(".parquet"))
         .foreach { file =>
           val rel = s"data/${batch.getPath.getName}/${file.getPath.getName}"
-          if (!referenced.contains(rel) && file.getModificationTime < cutoff) {
-            f.delete(file.getPath, false)
+          // count as reclaimed only what the filesystem confirms gone
+          if (!referenced.contains(rel) && file.getModificationTime < cutoff &&
+            f.delete(file.getPath, false))
             deleted += rel
-          }
         }
       val remaining = f.listStatus(batch.getPath)
       if (!remaining.exists(_.getPath.getName.endsWith(".parquet")) &&
@@ -505,8 +529,9 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no table at $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist (have $vs)")
-    val files = readManifest(spark, root, v).map(e => s"$root/${e.path}")
-    readSchema(spark, root, v) match {
+    val (schemaOpt, entries) = manifestParsed(spark, root, v)
+    val files = entries.map(e => s"$root/${e.path}")
+    schemaOpt match {
       case Some(sch) => spark.read.schema(sch).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }

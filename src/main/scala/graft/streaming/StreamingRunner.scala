@@ -200,22 +200,29 @@ object StreamingRunner {
       .writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty
         val fp = batch
           .withColumn("fp", md5(col("text").cast("binary")))
           .withColumn("fp_key", graft.text.TextFunctions.md5Long(col("text")))
           .select(col("fp_key"), col("fp"), col("doc_id"), col("text"))
           .dropDuplicates("fp")
-        val novel =
-          if (graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty) fp
+        // persist: the anti-join against the (growing) seen index runs
+        // ONCE — the novelty check and the append both read the
+        // materialized blocks instead of re-executing the join
+        val novel = (
+          if (fresh) fp
           else fp.join(
             graft.sources.SnapshotTable.read(spark, indexRoot).select(col("fp")),
             Seq("fp"), "left_anti")
-        if (graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty)
-          graft.sources.SnapshotTable.create(spark, indexRoot, novel,
-            statsKey = Some("fp_key"))
-        else if (!novel.isEmpty)
-          graft.sources.SnapshotTable.append(spark, indexRoot, novel,
-            statsKey = Some("fp_key"))
+          ).persist()
+        try {
+          if (fresh)
+            graft.sources.SnapshotTable.create(spark, indexRoot, novel,
+              statsKey = Some("fp_key"))
+          else if (novel.limit(1).count() > 0)
+            graft.sources.SnapshotTable.append(spark, indexRoot, novel,
+              statsKey = Some("fp_key"))
+        } finally novel.unpersist()
         ()
       }
       .start()

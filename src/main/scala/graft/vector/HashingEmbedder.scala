@@ -191,8 +191,13 @@ object HashingEmbedder {
     val pool =
       if (cand.count() >= k) cand
       else bucketed.crossJoin(broadcast(q.select(col("qvec"))))
+    // zero-norm guard: an all-weights-cancelled embedding (the corner
+    // embedTokens documents) would make cosine raise DIVIDE_BY_ZERO
+    // under ANSI mode (Spark 4 default) — or, ANSI off, score NaN and
+    // sort ABOVE the query itself. Degenerate vectors rank last.
     val ann = pool
-      .select(col("doc_id"), round(VectorOps.cosine(col("v"), col("qvec")), 6).as("score"))
+      .select(col("doc_id"),
+        round(VectorOps.cosineOrElse(col("v"), col("qvec"), -2.0), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
     val w = Window.orderBy(col("score").desc, col("doc_id"))

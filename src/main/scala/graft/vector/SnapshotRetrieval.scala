@@ -42,36 +42,55 @@ object SnapshotRetrieval {
   private def boostText(queryTerms: Seq[String]): String =
     (queryTerms ++ queryTerms).mkString("", " ", " ")
 
-  /** The gated query: (version, doc_id, rrf) — top `k` per version. */
-  def searchTimeTravel(spark: SparkSession, dir: String,
-      queryTerms: Seq[String], queryVecId: Long = 0, k: Int = 10,
-      poolSize: Int = 50): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-retrieval-").toString
-    val qvec = Tables.embeddings(spark, dir)
+  /** One-row query-vector frame. */
+  private def queryVec(spark: SparkSession, dir: String, queryVecId: Long): DataFrame =
+    Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryVecId)
       .select(VectorOps.asDouble(col("embedding")).as("qvec"))
-    val corpus = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+  /** The search corpus: (doc_id, text, v) — doc text joined to its
+    * dense embedding. */
+  private def corpusOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .join(Tables.embeddings(spark, dir)
         .select(col("vec_id").as("doc_id"), VectorOps.asDouble(col("embedding")).as("v")),
         Seq("doc_id"))
-    SnapshotTable.create(spark, root, corpus, statsKey = Some("doc_id"))
-    val updates = corpus
+
+  /** The deterministic "re-ingested docs" update batch both gated
+    * queries (and their shared oracle CTE c2) agree on. */
+  private def updatesOf(corpus: DataFrame, qvec: DataFrame,
+      queryTerms: Seq[String]): DataFrame =
+    corpus
       .filter(col("doc_id") % UpdateMod === UpdateRem)
       .crossJoin(broadcast(qvec))
       .select(col("doc_id"),
         concat(lit(boostText(queryTerms)), col("text")).as("text"),
         col("qvec").as("v"))
-    SnapshotTable.merge(spark, root, updates, key = "doc_id")
-    val perVersion = Seq(1, 2).map { v =>
+
+  /** Run the hybrid ranking at each version, union with version
+    * labels, localize (≤ versions×k rows) and delete the scratch
+    * table. */
+  private def rankAndLocalize(spark: SparkSession, root: String, versions: Seq[Int],
+      qvec: DataFrame, queryTerms: Seq[String], k: Int, poolSize: Int): DataFrame = {
+    val perVersion = versions.map { v =>
       hybridOver(SnapshotTable.read(spark, root, Some(v)), qvec, queryTerms, k, poolSize)
         .select(lit(v.toLong).as("version"), col("doc_id"), col("rrf"))
     }
     val ranked = perVersion.reduce(_ unionByName _)
       .orderBy(col("version"), col("rrf").desc, col("doc_id"))
-    // the result is ≤ 2k rows but the plan is rooted in a corpus-sized
-    // scratch table: localize the rows and delete the table so repeated
-    // invocations (bench runs a query 5×) can't grow /tmp without bound
     graft.Scratch.localizeAndDelete(spark, ranked, Seq(root))
+  }
+
+  /** The gated query: (version, doc_id, rrf) — top `k` per version. */
+  def searchTimeTravel(spark: SparkSession, dir: String,
+      queryTerms: Seq[String], queryVecId: Long = 0, k: Int = 10,
+      poolSize: Int = 50): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-retrieval-").toString
+    val qvec = queryVec(spark, dir, queryVecId)
+    val corpus = corpusOf(spark, dir)
+    SnapshotTable.create(spark, root, corpus, statsKey = Some("doc_id"))
+    SnapshotTable.merge(spark, root, updatesOf(corpus, qvec, queryTerms), key = "doc_id")
+    rankAndLocalize(spark, root, Seq(1, 2), qvec, queryTerms, k, poolSize)
   }
 
   /** Gated query #2 — retrieval across MAINTENANCE: the same corpus
@@ -95,31 +114,14 @@ object SnapshotRetrieval {
       queryTerms: Seq[String], queryVecId: Long = 0, k: Int = 10,
       poolSize: Int = 50): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-retmaint-").toString
-    val qvec = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") === queryVecId)
-      .select(VectorOps.asDouble(col("embedding")).as("qvec"))
-    val corpus = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .join(Tables.embeddings(spark, dir)
-        .select(col("vec_id").as("doc_id"), VectorOps.asDouble(col("embedding")).as("v")),
-        Seq("doc_id"))
+    val qvec = queryVec(spark, dir, queryVecId)
+    val corpus = corpusOf(spark, dir)
     SnapshotTable.create(spark, root, corpus, statsKey = Some("doc_id"))
-    val updates = corpus
-      .filter(col("doc_id") % UpdateMod === UpdateRem)
-      .crossJoin(broadcast(qvec))
-      .select(col("doc_id"),
-        concat(lit(boostText(queryTerms)), col("text")).as("text"),
-        col("qvec").as("v"))
-    SnapshotTable.merge(spark, root, updates, key = "doc_id")
+    SnapshotTable.merge(spark, root, updatesOf(corpus, qvec, queryTerms), key = "doc_id")
     SnapshotTable.compact(spark, root, targetFiles = 4, statsKey = Some("doc_id"))
     SnapshotTable.expireVersions(spark, root, keepLast = 2)
     SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
-    val perVersion = Seq(2, 3).map { v =>
-      hybridOver(SnapshotTable.read(spark, root, Some(v)), qvec, queryTerms, k, poolSize)
-        .select(lit(v.toLong).as("version"), col("doc_id"), col("rrf"))
-    }
-    val ranked = perVersion.reduce(_ unionByName _)
-      .orderBy(col("version"), col("rrf").desc, col("doc_id"))
-    graft.Scratch.localizeAndDelete(spark, ranked, Seq(root))
+    rankAndLocalize(spark, root, Seq(2, 3), qvec, queryTerms, k, poolSize)
   }
 
   /** Blind oracle for [[searchAfterMaintenance]]: the post-merge corpus

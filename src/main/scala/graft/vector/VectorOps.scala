@@ -41,6 +41,18 @@ object VectorOps {
   /** Cosine similarity (R1; index_manager.py:111 Distance.COSINE). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine with a zero-norm guard: a degenerate (all-zero) vector
+    * scores `fallback` instead of raising DIVIDE_BY_ZERO under ANSI
+    * mode (Spark 4 default) — the If short-circuits, so the division
+    * never executes for the zero branch. Identical to [[cosine]] for
+    * every non-degenerate row; use where vectors come from INFERENCE,
+    * which can legitimately emit the zero vector (all hashed weights
+    * cancelled — see HashingEmbedder.embedTokens). */
+  def cosineOrElse(a: Column, b: Column, fallback: Double): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(fallback)).otherwise(dot(a, b) / denom)
+  }
+
   /** Squared euclidean distance (R2; Distance.EUCLID / IndexFlatL2 —
     * FAISS also returns *squared* L2 for flat indexes). Native codegen,
     * same element order as the zip_with fold it replaces. */

@@ -66,6 +66,24 @@ class HashingEmbedderSpec extends SparkSpec {
     }
   }
 
+  test("zero-norm embeddings rank last in knn scoring, never crash or NaN-first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cosine(zero, q) is 0/0: DIVIDE_BY_ZERO under ANSI (Spark 4
+    // default), NaN-sorted-first otherwise — the guarded form must
+    // rank the degenerate doc last instead
+    val df = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 0.0)), (2L, Array(0.9, 0.1)))
+      .toDF("doc_id", "v")
+    val q = df.filter(col("doc_id") === 0L).select(col("v").as("qvec"))
+    val scored = df.crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        round(graft.vector.VectorOps.cosineOrElse(col("v"), col("qvec"), -2.0), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).collect()
+    assert(scored.head.getLong(0) == 0L && scored.head.getDouble(1) == 1.0)
+    assert(scored.last.getLong(0) == 1L && scored.last.getDouble(1) == -2.0)
+  }
+
   test("embed-knn search satisfies its gated invariants and pins recall vs brute force") {
     import org.apache.spark.sql.functions._
     // gated contract: exactly k ranks, self at rank 1, monotone scores

@@ -4,11 +4,12 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-/** Scratch-directory lifecycle: the three queries that build a
-  * write-lifecycle corpus under /tmp (snapshot-table retrieval, the
-  * merge cycle, the file re-ingestion cycle) must delete their scratch
-  * roots before returning — benching runs each query 5×, and before
-  * this lifecycle existed every invocation leaked a corpus-sized tree. */
+/** Scratch-directory lifecycle: queries that build a write-lifecycle
+  * corpus under /tmp either localize a BOUNDED result and delete the
+  * root immediately (top-k retrieval queries), or return a distributed
+  * per-doc frame and register the root for the runner's drain (the
+  * CacheScope contract, for paths). Before this lifecycle existed,
+  * benching leaked a corpus-sized tree per invocation. */
 class ScratchSpec extends SparkSpec {
 
   private val prefixes =
@@ -23,14 +24,28 @@ class ScratchSpec extends SparkSpec {
     finally s.close()
   }
 
-  test("lifecycle queries leave no scratch directories behind") {
-    for (q <- Seq("retrieval_snapshot_timetravel", "retrieval_snapshot_maintenance",
-        "meta_snapshot_merge", "meta_snapshot_schema_evo")) {
+  test("bounded-result lifecycle queries leave no scratch directories behind") {
+    for (q <- Seq("retrieval_snapshot_timetravel", "retrieval_snapshot_maintenance")) {
       val before = scratchDirs()
       val n = SparkEntry.queries(q)(spark, sf).count()
       assert(n > 0, s"$q must still produce rows")
       val leaked = scratchDirs() diff before
       assert(leaked.isEmpty, s"$q leaked scratch dirs: $leaked")
+    }
+  }
+
+  test("per-doc lifecycle queries register their roots; the runner drain removes them") {
+    for (q <- Seq("meta_snapshot_merge", "meta_snapshot_schema_evo")) {
+      // /tmp may hold residue from OTHER sessions; compare to a baseline
+      val baseline = scratchDirs()
+      Scratch.scopedCleanup {
+        val n = SparkEntry.queries(q)(spark, sf).count()
+        assert(n > 0, s"$q must still produce rows")
+        assert((scratchDirs() diff baseline).nonEmpty,
+          s"$q should hold its scratch root until the drain (distributed result)")
+      } // scopedCleanup drains on exit
+      val leftover = scratchDirs() diff baseline
+      assert(leftover.isEmpty, s"drain must delete $q's registered roots, left: $leftover")
     }
   }
 

@@ -284,6 +284,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 3)
   }
 
+  test("schema evolution tolerates nested-nullability drift (struct columns round-trip)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    // table created from a frame whose struct field is NON-null...
+    val strict = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("tag", StringType, nullable = false))), nullable = false)))
+    val df1 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Row("a")), Row(2L, Row("b"))), strict)
+    SnapshotTable.create(spark, root, df1)
+    // ...merged with a batch whose SAME struct reads back all-nullable
+    // (what any parquet round-trip produces) — must not be rejected
+    val loose = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("tag", StringType, nullable = true))), nullable = true)))
+    val df2 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, Row("B"))), loose)
+    SnapshotTable.merge(spark, root, df2, key = "id")
+    val rows = SnapshotTable.read(spark, root)
+      .selectExpr("id", "meta.tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set(1L -> "a", 2L -> "B"))
+  }
+
   test("schema evolution rejects a type conflict on an existing column") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
