@@ -72,16 +72,24 @@ object SnapshotTable {
       .sorted.toSeq
   }
 
-  /** One manifest read, fully parsed: (recorded schema if any, file
-    * entries). Header line {"version":N}, optional S<schema-json>
-    * line, then one file entry per line. Callers needing both schema
-    * and entries use THIS — a manifest read is a filesystem round trip
-    * on the commit critical path, not something to repeat per field. */
+  /** One manifest read, fully parsed: header op, recorded schema if
+    * any, file entries. Header line {"version":N,"op":...}, optional
+    * S<schema-json> line, then one file entry per line. Callers
+    * needing more than one field use THIS — a manifest read is a
+    * filesystem round trip on the commit critical path, not something
+    * to repeat per field. */
   private def manifestParsed(spark: SparkSession, root: String, v: Int):
-      (Option[org.apache.spark.sql.types.StructType], Seq[FileEntry]) = {
+      (Option[org.apache.spark.sql.types.StructType], Seq[FileEntry]) =
+    manifestFull(spark, root, v) match { case (_, s, e) => (s, e) }
+
+  private def manifestFull(spark: SparkSession, root: String, v: Int):
+      (String, Option[org.apache.spark.sql.types.StructType], Seq[FileEntry]) = {
     val in = fs(spark, root).open(manifestPath(root, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.linesIterator.drop(1).filter(_.nonEmpty).toSeq
+    val allLines = text.linesIterator.toSeq
+    val op = """"op":"([a-z]+)"""".r.findFirstMatchIn(allLines.headOption.getOrElse(""))
+      .map(_.group(1)).getOrElse("unknown")
+    val lines = allLines.drop(1).filter(_.nonEmpty)
     val schema = lines.find(_.startsWith("S{"))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -91,7 +99,7 @@ object SnapshotTable {
         case _ => FileEntry(line, None, None)
       }
     }
-    (schema, entries)
+    (op, schema, entries)
   }
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] =
@@ -212,14 +220,16 @@ object SnapshotTable {
     * manifest; a crashed writer leaves only a tmp file (never a blocked
     * version), which [[vacuum]] sweeps. */
   private def commit(spark: SparkSession, root: String, files: Seq[FileEntry],
-      schema: org.apache.spark.sql.types.StructType, expected: Int): Int = {
+      schema: org.apache.spark.sql.types.StructType, expected: Int,
+      op: String): Int = {
     val v = expected + 1
-    // header, then the version's SCHEMA (S-prefixed json line): every
-    // version records exactly the shape its readers must apply, so a
-    // table whose files span schema evolutions still reads every
-    // version deterministically (inference from an arbitrary file's
-    // footer would drop or misorder evolved columns)
-    val body = (s"""{"version":$v}""" +: s"S${schema.json}" +: files.map(_.render))
+    // header (version + operation that produced it), then the
+    // version's SCHEMA (S-prefixed json line): every version records
+    // exactly the shape its readers must apply, so a table whose files
+    // span schema evolutions still reads every version
+    // deterministically (inference from an arbitrary file's footer
+    // would drop or misorder evolved columns)
+    val body = (s"""{"version":$v,"op":"$op"}""" +: s"S${schema.json}" +: files.map(_.render))
       .mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
@@ -342,7 +352,7 @@ object SnapshotTable {
       statsKey: Option[String] = None): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
     commit(spark, root, writeDataFiles(spark, root, df, statsKey),
-      widened(df.schema), expected = 0)
+      widened(df.schema), expected = 0, op = "create")
   }
 
   /** Append rows: new files + all files of the snapshot appended onto.
@@ -351,7 +361,7 @@ object SnapshotTable {
     * conflict on an existing column. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None): Int =
-    retrying(spark, root) { latest =>
+    retrying(spark, root, op = "append") { latest =>
       val parsed = manifestParsed(spark, root, latest)
       val evolved = evolveSchema(schemaOf(spark, root, parsed), df.schema)
       (parsed._2 ++
@@ -394,7 +404,7 @@ object SnapshotTable {
         if (ks.length > maxPruneKeys) None
         else { java.util.Arrays.sort(ks); Some(ks) }
       }
-    retrying(spark, root) { latest =>
+    retrying(spark, root, op = "merge") { latest =>
       val parsed = manifestParsed(spark, root, latest)
       val tableSchema = schemaOf(spark, root, parsed)
       val evolved = evolveSchema(tableSchema, updates.schema)
@@ -428,7 +438,7 @@ object SnapshotTable {
     * upserts; historical versions keep reading their original files. */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
       statsKey: Option[String] = None): Int =
-    retrying(spark, root) { latest =>
+    retrying(spark, root, op = "compact") { latest =>
       val parsed = manifestParsed(spark, root, latest)
       val schema = schemaOf(spark, root, parsed)
       val files = parsed._2.map(e => s"$root/${e.path}")
@@ -499,14 +509,14 @@ object SnapshotTable {
     * the latest version, try to commit latest+1; on a lost race,
     * rebuild against the new latest (including re-evolving the schema —
     * the winner may have evolved it differently). */
-  private def retrying(spark: SparkSession, root: String)(
+  private def retrying(spark: SparkSession, root: String, op: String)(
       buildFiles: Int => (Seq[FileEntry], org.apache.spark.sql.types.StructType)): Int = {
     var attempt = 0
     while (true) {
       val latest = versions(spark, root).lastOption.getOrElse(
         throw new IllegalStateException(s"no table at $root"))
       val (files, schema) = buildFiles(latest)
-      try return commit(spark, root, files, schema, latest)
+      try return commit(spark, root, files, schema, latest, op)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1
@@ -518,6 +528,24 @@ object SnapshotTable {
     }
     -1 // unreachable
   }
+
+  /** One history row per live version. */
+  final case class HistoryEntry(version: Int, op: String, nFiles: Int,
+      nColumns: Int, withStats: Int)
+
+  /** Table history — the DESCRIBE HISTORY surface: for every live
+    * version, the operation that committed it, its file count, its
+    * recorded column count, and how many files carry skipping stats.
+    * Driver-side metadata reads only (one manifest read per version),
+    * no Spark jobs. Versions committed before op tracking report
+    * "unknown"; expired versions are simply absent. */
+  def history(spark: SparkSession, root: String): Seq[HistoryEntry] =
+    versions(spark, root).map { v =>
+      val (op, schemaOpt, entries) = manifestFull(spark, root, v)
+      HistoryEntry(v, op, entries.size,
+        schemaOpt.map(_.fields.length).getOrElse(-1),
+        entries.count(_.minKey.isDefined))
+    }
 
   /** Read the table at `version` (default: latest). Time travel: any
     * committed version stays readable — its files are immutable, and

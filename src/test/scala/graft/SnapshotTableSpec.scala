@@ -321,6 +321,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(1))
   }
 
+  test("history reports each live version's operation, files, and schema width") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 40L).map(i => (i, s"r$i")).toDF("id", "v").repartition(4),
+      statsKey = Some("id"))
+    SnapshotTable.append(spark, root, Seq((100L, "x", 1.5)).toDF("id", "v", "w"),
+      statsKey = Some("id"))
+    SnapshotTable.merge(spark, root, Seq((3L, "UPD")).toDF("id", "v"), key = "id")
+    SnapshotTable.compact(spark, root, targetFiles = 1, statsKey = Some("id"))
+    val h = SnapshotTable.history(spark, root)
+    assert(h.map(_.op) == Seq("create", "append", "merge", "compact"))
+    assert(h.map(_.version) == Seq(1, 2, 3, 4))
+    assert(h.head.nColumns == 2 && h.last.nColumns == 3,
+      "schema width must reflect the append's evolution")
+    assert(h.last.nFiles == 1, "compaction must leave one file")
+    assert(h.forall(e => e.withStats == e.nFiles),
+      "every file carries skipping stats when statsKey is integral")
+    // expiry is reflected: dropped versions vanish from history
+    SnapshotTable.expireVersions(spark, root, keepLast = 2)
+    assert(SnapshotTable.history(spark, root).map(_.version) == Seq(3, 4))
+  }
+
   test("concurrent appends from two threads both land, serialized by the protocol") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
