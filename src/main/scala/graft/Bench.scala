@@ -64,19 +64,51 @@ object Bench {
   private val TimedRuns = 3
 
   /** md5 of the canonicalized physical plan — stable across sessions
-    * (expression ids normalized), changes iff the plan shape changes.
-    * Scratch-rooted scans would defeat that: queries that build a
-    * lifecycle table under a per-invocation temp dir embed the dir and
-    * batch UUIDs in their file listings, making every round's
-    * fingerprint differ with an unchanged shape. Those path components
-    * are normalized out before hashing (the lifecycle queries also
-    * localize their results now, so their plans are LocalTableScans —
-    * this is defense for any future scratch-rooted plan). */
-  private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
-    val canon = df.queryExecution.executedPlan.canonicalized.toString
+    * AND invocations, changes iff the plan shape changes. Spark's
+    * canonicalization alone is NOT invocation-stable; diffing two
+    * back-to-back runs of identical code (round-7 protocol) showed
+    * five leak classes, each normalized here:
+    *
+    *  - scratch paths, batch UUIDs, and part-file names from
+    *    lifecycle queries' per-invocation temp tables — replaced with
+    *    fixed tokens, and everything after a scratch root collapsed
+    *    (`InMemoryFileIndex` TRUNCATES its path list at a fixed char
+    *    budget, so two runs' differing tmp-dir name lengths cut the
+    *    `part-000...` tail at different points);
+    *  - `[plan_id=N]` on Exchange nodes — a JVM-global SparkPlan
+    *    counter, differs with everything planned earlier in the run;
+    *  - lambda identities in typed operators (`MapPartitions
+    *    graft.x.Y$$$Lambda$7789/0x00007f3a...@35f05c88`) — the index,
+    *    hidden-class address, and identity hash are all JVM-instance
+    *    artifacts of an identical function;
+    *  - raw expression ids (`doc#17723L`) surviving inside object
+    *    operators (MapGroups/AppendColumns deserializer expressions),
+    *    where canonicalization does not renumber — global ExprId
+    *    counter, run-order-dependent. All `#N` ids are collapsed; the
+    *    canonical ordinals this also collapses carry little shape
+    *    information (operator text dominates);
+    *  - partition counts in partitioning specs
+    *    (`RoundRobinPartitioning(32)`) — session-config, not shape, so
+    *    a CPUS-override run keeps the fingerprint where the plan
+    *    shape is genuinely unchanged. (Full CPUS-independence is
+    *    bounded by real shape changes: Parallelism.ensure legitimately
+    *    repartitions under local[32] but not local[2].)
+    */
+  private[graft] def planCanon(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.canonicalized.toString
       .replaceAll("/tmp/graft-[A-Za-z0-9_.-]*", "/tmp/graft-SCRATCH")
       .replaceAll("batch-[0-9a-f]{8}", "batch-UUID")
       .replaceAll("part-\\d{5}-[0-9a-f-]{36}", "part-N-UUID")
+      .replaceAll("/tmp/graft-SCRATCH\\S*", "/tmp/graft-SCRATCH/...")
+      .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=N]")
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N")
+      .replaceAll("@[0-9a-f]{4,16}\\b", "@ID")
+      .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(NPART)")
+      .replaceAll("(hash|range)partitioning\\((.*?), \\d+\\)", "$1partitioning($2, NPART)")
+      .replaceAll("#\\d+", "#N")
+
+  private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val canon = planCanon(df)
     java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -96,23 +128,38 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     final case class R(median: Double, lo: Double, hi: Double, plan: String)
-    // this runner's own cache scope: drains between queries can't touch
-    // frames a concurrent runner in the same JVM has registered
+    // SPARK_GRAFT_FP_DUMP=<dir>: diagnostic mode — write each query's
+    // full canonicalized-plan text to <dir>/<name>.txt and skip the
+    // timed runs, so two invocations can be diffed line-by-line to find
+    // what leaks into fingerprints. Dev-only; the driver never sets it.
+    val fpDump = sys.env.get("SPARK_GRAFT_FP_DUMP")
+    // this runner's own cache + scratch scopes: drains between queries
+    // can't touch frames or scratch roots a concurrent runner in the
+    // same JVM has registered
     val scope = new CacheScope
-    val results = CacheScope.withScope(scope) {
+    val results = CacheScope.withScope(scope) { Scratch.scopedCleanup {
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val r =
           try {
-            val plan = planFingerprint(fn(spark, sfDir))
-            fn(spark, sfDir).count() // warm-up: codegen + internal caches
-            val runs = Seq.fill(TimedRuns)(time(fn(spark, sfDir).count())).sorted
-            R(runs(TimedRuns / 2), runs.head, runs.last, plan)
+            fpDump match {
+              case Some(dir) =>
+                new java.io.File(dir).mkdirs()
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(s"$dir/$name.txt"),
+                  planCanon(fn(spark, sfDir)).getBytes("UTF-8"))
+                R(0.0, 0.0, 0.0, planFingerprint(fn(spark, sfDir)))
+              case None =>
+                val plan = planFingerprint(fn(spark, sfDir))
+                fn(spark, sfDir).count() // warm-up: codegen + internal caches
+                val runs = Seq.fill(TimedRuns)(time(fn(spark, sfDir).count())).sorted
+                R(runs(TimedRuns / 2), runs.head, runs.last, plan)
+            }
           }
           catch { case _: Throwable => R(-1.0, -1.0, -1.0, "err") }
           finally { scope.drain(); Scratch.drainCleanup(); () }
         name -> r
       }
-    }
+    } }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def toJson(rs: Seq[(String, Double)]): String =
@@ -127,9 +174,11 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${toJson(medians)},"spread":$spreads,"plan_fingerprints":$plans,"sf":"$sfDir","mode":"median_of_${TimedRuns}_after_warmup"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      full.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // diagnostic runs must not clobber the real artifact
+    if (fpDump.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        full.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     val head = medians.filter { case (k, _) => headline.contains(k) }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${toJson(head)},"sf":"$sfDir","mode":"median_of_${TimedRuns}_after_warmup","full":"BENCH_FULL.json"}""")
     spark.stop()

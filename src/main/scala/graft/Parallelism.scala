@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Small-file parallelism guard.
   *
@@ -11,10 +12,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * first — never an unconditional repartition, which would *add* a
   * shuffle at 100 TB); locally it restores the 32-way parallelism the
   * cluster would have.
+  *
+  * The check itself is DRIVER-SIDE METADATA ONLY: the scan's split
+  * count is re-derived from the cached file listing (file sizes +
+  * open-cost packing — the same arithmetic Spark's FilePartition uses),
+  * not from `df.rdd.getNumPartitions`, which would force a full
+  * plan→RDD conversion of a QueryExecution that is then thrown away —
+  * a wasted second planning pass on the construction path of every
+  * corpus query. Non-file plans (no HadoopFsRelation leaf — not a shape
+  * any current call site produces) keep the old rdd-based check.
   */
 object Parallelism {
   def ensure(spark: SparkSession)(df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val estimated = scanPartitions(spark, df)
+      .getOrElse(df.rdd.getNumPartitions.toLong)
+    if (estimated < target) df.repartition(target) else df
   }
+
+  /** Split count the file scans under `df` get, replicating
+    * FilePartition's packing math (maxSplitBytes = min(maxPartitionBytes,
+    * max(openCost, totalBytes/defaultParallelism)); splits then pack
+    * into maxSplitBytes bins). ±1 of the real count is fine — only the
+    * `< defaultParallelism` decision matters. None when the plan has no
+    * file-relation leaf. */
+  private def scanPartitions(spark: SparkSession, df: DataFrame): Option[Long] = {
+    val rels = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation
+    }.collect { case fs: HadoopFsRelation => fs }
+    if (rels.isEmpty) None
+    else Some(rels.map { r =>
+      val openCost = bytesConf(spark, "spark.sql.files.openCostInBytes", 4194304L)
+      val maxPart = bytesConf(spark, "spark.sql.files.maxPartitionBytes", 134217728L)
+      val nFiles = r.location.inputFiles.length.toLong
+      val totalBytes = r.location.sizeInBytes + nFiles * openCost
+      val bytesPerCore = totalBytes / math.max(1, spark.sparkContext.defaultParallelism)
+      val maxSplit = math.min(maxPart, math.max(openCost, bytesPerCore))
+      math.max(1L, (totalBytes + maxSplit - 1) / math.max(1L, maxSplit))
+    }.sum)
+  }
+
+  /** Read a size conf that may be set as "128MB"-style strings. */
+  private def bytesConf(spark: SparkSession, key: String, dflt: Long): Long =
+    try {
+      val raw = spark.conf.get(key, dflt.toString).trim.toLowerCase
+      val (num, mult) =
+        if (raw.endsWith("kb") || raw.endsWith("k")) (raw.replaceAll("[a-z]+$", ""), 1L << 10)
+        else if (raw.endsWith("mb") || raw.endsWith("m")) (raw.replaceAll("[a-z]+$", ""), 1L << 20)
+        else if (raw.endsWith("gb") || raw.endsWith("g")) (raw.replaceAll("[a-z]+$", ""), 1L << 30)
+        else if (raw.endsWith("b")) (raw.dropRight(1), 1L)
+        else (raw, 1L)
+      num.trim.toLong * mult
+    } catch { case _: Exception => dflt }
 }

@@ -131,6 +131,7 @@ object SparkEntry {
     "meta_config_merge" -> ((s, d) => configMergeQuery(s, d)),
     "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(s, d)),
     "meta_snapshot_schema_evo" -> ((s, d) => snapshotSchemaEvoCycle(s, d)),
+    "meta_snapshot_history" -> ((s, d) => snapshotHistoryCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
@@ -255,6 +256,7 @@ object SparkEntry {
     "meta_config_merge" -> configMergeSql,
     "meta_snapshot_merge" -> snapshotMergeCycleSql,
     "meta_snapshot_schema_evo" -> snapshotSchemaEvoCycleSql,
+    "meta_snapshot_history" -> snapshotHistoryCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
@@ -1021,6 +1023,56 @@ object SparkEntry {
     SELECT doc_id, n_chars,
            CASE WHEN doc_id % 10 = 0 THEN CAST(2 AS BIGINT) ELSE NULL END AS rev
     FROM documents ORDER BY doc_id"""
+
+  /** DESCRIBE HISTORY, gated end to end: run a deterministic
+    * create→append→merge→compact lifecycle and emit the table's
+    * [[graft.sources.SnapshotTable.history]] — version, committing op,
+    * file count, row count. Row counts come from the manifests' per-file
+    * footer counts (recorded at write time, zero Spark jobs to read
+    * back); the blind oracle recomputes them from the base table. File
+    * counts are pinned layout-independent: every write is a single
+    * partition (repartition(1) → exactly one file for any non-empty
+    * slice on every corpus), the merge keys sit beyond the live key
+    * range so pruning carries every existing file untouched (+1 update
+    * file), and the compaction targets 2 files from inputs that always
+    * hold a ≥2-row partition. History itself is driver-side metadata
+    * only; the result frame is a local relation, so the scratch table
+    * deletes before return. */
+  private def snapshotHistoryCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snaph").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,
+      docs.filter(col("doc_id") % 2 === 0).repartition(1), statsKey = Some("doc_id"))
+    graft.sources.SnapshotTable.append(s, root,
+      docs.filter(col("doc_id") % 2 === 1).repartition(1), statsKey = Some("doc_id"))
+    graft.sources.SnapshotTable.merge(s, root,
+      docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("n_chars"))
+        .repartition(1),
+      key = "doc_id")
+    graft.sources.SnapshotTable.compact(s, root, targetFiles = 2,
+      statsKey = Some("doc_id"))
+    val h = graft.sources.SnapshotTable.history(s, root)
+    graft.Scratch.deleteRecursively(root)
+    import s.implicits._
+    h.map(e => (e.version.toLong, e.op, e.nFiles.toLong, e.nRows))
+      .toDF("version", "op", "n_files", "n_rows")
+      .orderBy(col("version"))
+  }
+
+  private def snapshotHistoryCycleSql: String = """
+    WITH c AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS ev,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE doc_id % 100 = 0) AS BIGINT) AS mg
+      FROM documents)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+             CAST(1 AS BIGINT) AS n_files, ev AS n_rows FROM c
+      UNION ALL SELECT 2, 'append', 2, n FROM c
+      UNION ALL SELECT 3, 'merge', 3, n + mg FROM c
+      UNION ALL SELECT 4, 'compact', 2, n + mg FROM c)
+    ORDER BY version"""
 
   /** The re-ingestion corpus for [[sourceConvertCycle]], written ONCE
     * per (process, input dir) and deleted at JVM exit. The corpus is

@@ -18,10 +18,11 @@ object Verify {
     // Dev-only subset filter (comma-separated names); the driver never
     // sets it, so the contract surface is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // this runner's own cache scope: drains between queries can't touch
-    // frames a concurrent runner in the same JVM has registered
+    // this runner's own cache + scratch scopes: drains between queries
+    // can't touch frames or scratch roots a concurrent runner in the
+    // same JVM has registered
     val scope = new CacheScope
-    CacheScope.withScope(scope) {
+    CacheScope.withScope(scope) { Scratch.scopedCleanup {
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>
@@ -35,7 +36,7 @@ object Verify {
           // storage or /tmp trees across 100+ plans
           finally { scope.drain(); Scratch.drainCleanup(); () }
         }
-    }
+    } }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

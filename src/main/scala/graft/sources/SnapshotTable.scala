@@ -38,11 +38,32 @@ object SnapshotTable {
   private val SnapshotDir = "_snapshots"
   private val MaxRetries = 20
 
+  /** Highest manifest format this build reads and the format it writes.
+    * The header carries `"format":N` so future revisions are
+    * self-describing: a reader seeing a NEWER format fails loudly
+    * instead of misparsing lines it does not understand (the op field
+    * and the schema line were added by prefix heuristics — this field
+    * is what lets the NEXT evolution drop the heuristics). Format
+    * history: 1 = headerless/op-header tables written before the field
+    * existed (parsed leniently); 2 = header format field + optional
+    * per-file row-count column. */
+  private val ManifestFormat = 2
+
   /** One manifest data-file line: relative path + optional min/max of
-    * the table's merge key (integral keys only). */
-  private final case class FileEntry(path: String, minKey: Option[Long], maxKey: Option[Long]) {
-    def render: String =
-      minKey.zip(maxKey).map { case (a, b) => s"$path\t$a\t$b" }.getOrElse(path)
+    * the table's merge key (integral keys only) + optional row count
+    * (from the parquet footer at write time — powers DESCRIBE HISTORY
+    * and empty-batch detection with zero data I/O). */
+  private final case class FileEntry(path: String, minKey: Option[Long],
+      maxKey: Option[Long], rows: Option[Long] = None) {
+    def render: String = {
+      val stats = minKey.zip(maxKey)
+      (stats, rows) match {
+        case (Some((a, b)), Some(r)) => s"$path\t$a\t$b\t$r"
+        case (Some((a, b)), None)    => s"$path\t$a\t$b"
+        case (None, Some(r))         => s"$path\t\t\t$r"
+        case (None, None)            => path
+      }
+    }
     /** Could this file contain any of `keys` (sorted)? No stats → maybe. */
     def mayContain(keys: Array[Long]): Boolean =
       minKey.zip(maxKey).forall { case (mn, mx) =>
@@ -50,6 +71,15 @@ object SnapshotTable {
         val from = if (i >= 0) i else -i - 1
         from < keys.length && keys(from) <= mx
       }
+  }
+
+  private def parseEntry(line: String): FileEntry = {
+    def opt(s: String): Option[Long] = if (s.isEmpty) None else Some(s.toLong)
+    line.split('\t') match {
+      case Array(p, mn, mx, r) => FileEntry(p, opt(mn), opt(mx), opt(r))
+      case Array(p, mn, mx)    => FileEntry(p, opt(mn), opt(mx), None)
+      case _                   => FileEntry(line, None, None, None)
+    }
   }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -87,18 +117,21 @@ object SnapshotTable {
     val in = fs(spark, root).open(manifestPath(root, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val allLines = text.linesIterator.toSeq
-    val op = """"op":"([a-z]+)"""".r.findFirstMatchIn(allLines.headOption.getOrElse(""))
+    val header = allLines.headOption.getOrElse("")
+    // formats ≤ ManifestFormat parse leniently (older lines simply lack
+    // optional fields); a NEWER format is a hard error — misparsing a
+    // future manifest's lines as file paths would silently corrupt reads
+    val fmt = """"format":(\d+)""".r.findFirstMatchIn(header)
+      .map(_.group(1).toInt).getOrElse(1)
+    require(fmt <= ManifestFormat,
+      s"manifest v$v at $root uses format $fmt; this reader supports <= $ManifestFormat")
+    val op = """"op":"([a-z]+)"""".r.findFirstMatchIn(header)
       .map(_.group(1)).getOrElse("unknown")
     val lines = allLines.drop(1).filter(_.nonEmpty)
     val schema = lines.find(_.startsWith("S{"))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val entries = lines.filterNot(_.startsWith("S{")).map { line =>
-      line.split('\t') match {
-        case Array(p, mn, mx) => FileEntry(p, Some(mn.toLong), Some(mx.toLong))
-        case _ => FileEntry(line, None, None)
-      }
-    }
+    val entries = lines.filterNot(_.startsWith("S{")).map(parseEntry)
     (op, schema, entries)
   }
 
@@ -140,66 +173,72 @@ object SnapshotTable {
         case _ => false
       } catch { case _: Exception => false }
     }
-    integralKey match {
-      case Some(k) =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.max(1, math.min(16, paths.size)))
-        try {
-          val futures = paths.map { rel =>
-            pool.submit(new java.util.concurrent.Callable[FileEntry] {
-              override def call(): FileEntry = {
-                val st =
-                  try footerStats(conf, new Path(root, rel), k)
-                  catch { case _: Exception => None }
-                FileEntry(rel, st.map(_._1), st.map(_._2))
-              }
-            })
-          }
-          futures.map(_.get())
-        } finally pool.shutdown()
-      case None => paths.map(FileEntry(_, None, None))
+    // every file gets one footer read: row counts always (DESCRIBE
+    // HISTORY + empty-batch detection), key min/max when the stats key
+    // is integral — still zero Spark jobs and zero data I/O
+    if (paths.isEmpty) Seq.empty
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, paths.size)))
+      try {
+        val futures = paths.map { rel =>
+          pool.submit(new java.util.concurrent.Callable[FileEntry] {
+            override def call(): FileEntry = {
+              val (rows, st) =
+                try footerInfo(conf, new Path(root, rel), integralKey)
+                catch { case _: Exception => (None, None) }
+              FileEntry(rel, st.map(_._1), st.map(_._2), rows)
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
     }
   }
 
-  /** Min/max of column `key` across all row groups of one parquet file,
-    * read from the footer (no data pages touched). None when the column
-    * is missing, non-integral, statless, or all-null — the caller
-    * treats None as "may contain anything". */
-  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
-      file: Path, key: String): Option[(Long, Long)] = {
+  /** Row count + min/max of column `key` across all row groups of one
+    * parquet file, read from the footer (no data pages touched). The
+    * row count is the footer's authoritative per-block sum; stats are
+    * None when `key` is absent/missing/non-integral/statless/all-null —
+    * the caller treats None as "may contain anything". */
+  private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, key: Option[String]): (Option[Long], Option[(Long, Long)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
+      var nRows = 0L
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var seen = false
+      var statsValid = key.isDefined
       val blocks = reader.getFooter.getBlocks.iterator()
       while (blocks.hasNext) {
-        val cols = blocks.next().getColumns.iterator()
-        while (cols.hasNext) {
-          val c = cols.next()
-          if (c.getPath.toDotString == key) {
-            val st = c.getStatistics
-            // a single statless/unknown row group poisons the range
-            if (st == null || st.isEmpty) return None
-            if (st.hasNonNullValue) {
-              val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
-                case (a: java.lang.Integer, b: java.lang.Integer) =>
-                  (a.longValue, b.longValue)
-                case (a: java.lang.Long, b: java.lang.Long) =>
-                  (a.longValue, b.longValue)
-                case _ => return None
+        val block = blocks.next()
+        nRows += block.getRowCount
+        if (statsValid) {
+          val cols = block.getColumns.iterator()
+          while (cols.hasNext) {
+            val c = cols.next()
+            if (c.getPath.toDotString == key.get) {
+              val st = c.getStatistics
+              // a single statless/unknown row group poisons the range
+              if (st == null || st.isEmpty) statsValid = false
+              else if (st.hasNonNullValue) {
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (a: java.lang.Integer, b: java.lang.Integer) =>
+                    mn = math.min(mn, a.longValue); mx = math.max(mx, b.longValue); seen = true
+                  case (a: java.lang.Long, b: java.lang.Long) =>
+                    mn = math.min(mn, a.longValue); mx = math.max(mx, b.longValue); seen = true
+                  case _ => statsValid = false
+                }
               }
-              mn = math.min(mn, lo)
-              mx = math.max(mx, hi)
-              seen = true
             }
           }
         }
       }
-      if (seen) Some((mn, mx)) else None
+      (Some(nRows), if (statsValid && seen) Some((mn, mx)) else None)
     } finally reader.close()
   }
 
@@ -223,13 +262,14 @@ object SnapshotTable {
       schema: org.apache.spark.sql.types.StructType, expected: Int,
       op: String): Int = {
     val v = expected + 1
-    // header (version + operation that produced it), then the
-    // version's SCHEMA (S-prefixed json line): every version records
-    // exactly the shape its readers must apply, so a table whose files
-    // span schema evolutions still reads every version
+    // header (format revision + version + operation that produced it),
+    // then the version's SCHEMA (S-prefixed json line): every version
+    // records exactly the shape its readers must apply, so a table
+    // whose files span schema evolutions still reads every version
     // deterministically (inference from an arbitrary file's footer
     // would drop or misorder evolved columns)
-    val body = (s"""{"version":$v,"op":"$op"}""" +: s"S${schema.json}" +: files.map(_.render))
+    val body = (s"""{"version":$v,"format":$ManifestFormat,"op":"$op"}""" +:
+      s"S${schema.json}" +: files.map(_.render))
       .mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
@@ -257,10 +297,38 @@ object SnapshotTable {
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      // HDFS-like stores: write the FULL manifest to a writer-unique
+      // tmp file, close it, then RENAME onto the version name. HDFS
+      // rename is one atomic namenode op that FAILS when the
+      // destination exists, so claim and publish are a single metadata
+      // op carrying the whole content — the same protocol as Delta's
+      // HDFS log store. The earlier create(overwrite=false)+write form
+      // was atomic only at claim time: a writer crashing between
+      // create and close left a zero-length (or torn) file UNDER THE
+      // VERSION NAME, blocking that version forever. With rename, a
+      // crashed writer leaves only a uniquely-named tmp file, which
+      // [[vacuum]] sweeps. Object stores without atomic
+      // rename-if-absent semantics (e.g. S3 without a coordination
+      // layer) need a different publish primitive — the same
+      // documented limitation every HDFS-committer-based table format
+      // carries.
       val f = fs(spark, root)
       f.mkdirs(new Path(root, SnapshotDir))
-      val out = f.create(p, false)
+      val tmp = new Path(root,
+        s"$SnapshotDir/${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
+      var published = false
+      try {
+        published = f.rename(tmp, p)
+        if (!published && reclaimStaleClaimFs(f, p))
+          // a stale ZERO-LENGTH destination (external tampering, or a
+          // crashed writer of a pre-rename build) was moved aside by
+          // THIS caller — publish onto the reclaimed name
+          published = f.rename(tmp, p)
+      } finally f.delete(tmp, false)
+      if (!published)
+        throw new java.io.IOException(s"lost commit race for $p")
     }
     v
   }
@@ -288,6 +356,23 @@ object SnapshotTable {
     catch { case _: java.io.IOException => false } // another recoverer won
   }
 
+  /** [[reclaimStaleClaim]] for the HDFS-like branch: move an abandoned
+    * (zero-length, stale) file occupying a version name aside via the
+    * filesystem's atomic rename — exactly one recoverer wins because a
+    * rename whose source has vanished fails. Returns true iff THIS
+    * caller won and may publish onto the name. */
+  private def reclaimStaleClaimFs(f: FileSystem, p: Path): Boolean = {
+    val st =
+      try f.getFileStatus(p)
+      catch { case _: java.io.IOException => return false } // vanished
+    if (st.getLen != 0 ||
+      st.getModificationTime >= System.currentTimeMillis() - StaleClaimMs) return false
+    val aside = new Path(p.getParent,
+      p.getName + s".abandoned-${java.util.UUID.randomUUID().toString.take(8)}")
+    try f.rename(p, aside)
+    catch { case _: java.io.IOException => false } // another recoverer won
+  }
+
   /** Nullability widened at EVERY nesting level: parquet round-trips
     * don't preserve Spark's nullability flags faithfully (a constructed
     * frame's non-null struct field reads back nullable), and evolved
@@ -311,30 +396,96 @@ object SnapshotTable {
   private def widened(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     deepNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType]
 
-  /** Union of table and batch schemas by top-level column name: table
-    * columns keep their order, genuinely new batch columns append.
-    * Same-name columns must agree on dataType modulo nullability —
-    * silent type coercion on a 100 TB table is how data dies; widening
-    * is a deliberate future feature, not a default. */
-  private def evolveSchema(table: org.apache.spark.sql.types.StructType,
-      batch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
-    table.fields.foreach { tf =>
-      batch.fields.find(_.name == tf.name).foreach { bf =>
-        require(deepNullable(bf.dataType) == deepNullable(tf.dataType),
-          s"schema evolution rejected: column '${tf.name}' is ${tf.dataType} " +
-            s"in the table but ${bf.dataType} in the batch")
-      }
+  /** Column-name normalization for schema comparison: Spark resolves
+    * names case-INsensitively by default, so the manifest schema must
+    * too — a case-sensitive compare would let a batch column 'ID'
+    * slip past the type check against table column 'id' and commit a
+    * case-duplicate schema that poisons every subsequent read. */
+  private def norm(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
+  /** The widened type of a table/batch column pair, or None when the
+    * pair is irreconcilable. Equal types (modulo nullability) always
+    * reconcile; with `allowWiden`, int→long and float→double reconcile
+    * to the wider side — lossless upcasts only, applied recursively
+    * through structs (same field names), arrays, and maps. Everything
+    * else (string↔int, long→int, decimal changes) is irreconcilable at
+    * any setting: silent lossy coercion on a 100 TB table is how data
+    * dies. */
+  private def widenType(t: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType,
+      allowWiden: Boolean): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val (nt, nb) = (deepNullable(t), deepNullable(b))
+    if (nt == nb) Some(nt)
+    else if (!allowWiden) None
+    else (nt, nb) match {
+      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case (s1: StructType, s2: StructType)
+          if s1.fields.map(f => norm(f.name)).sameElements(s2.fields.map(f => norm(f.name))) =>
+        val merged = s1.fields.zip(s2.fields).map { case (f1, f2) =>
+          widenType(f1.dataType, f2.dataType, allowWiden)
+            .map(dt => f1.copy(dataType = dt, nullable = true))
+        }
+        if (merged.forall(_.isDefined)) Some(StructType(merged.map(_.get))) else None
+      case (ArrayType(e1, _), ArrayType(e2, _)) =>
+        widenType(e1, e2, allowWiden).map(ArrayType(_, containsNull = true))
+      case (MapType(k1, v1, _), MapType(k2, v2, _)) =>
+        for {
+          k <- widenType(k1, k2, allowWiden)
+          v <- widenType(v1, v2, allowWiden)
+        } yield MapType(k, v, valueContainsNull = true)
+      case _ => None
     }
-    widened(org.apache.spark.sql.types.StructType(
-      table.fields ++ batch.fields.filterNot(bf => table.fieldNames.contains(bf.name))))
   }
 
-  /** Project `df` onto `schema`: present columns pass through, missing
+  /** Union of table and batch schemas by top-level column name
+    * (case-insensitive, matching Spark's resolution): table columns
+    * keep their order and canonical name, genuinely new batch columns
+    * append. Same-name columns must agree on dataType modulo
+    * nullability, or — with `allowWiden` — reconcile via lossless
+    * int→long / float→double widening (opt-in: rejection stays the
+    * default, a widened table column commits to the new manifest and
+    * older files upcast on read). */
+  private def evolveSchema(table: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType,
+      allowWiden: Boolean = false): org.apache.spark.sql.types.StructType = {
+    val dup = batch.fieldNames.groupBy(norm).filter(_._2.length > 1)
+    require(dup.isEmpty,
+      s"schema evolution rejected: batch columns differ only by case: " +
+        dup.values.map(_.mkString("/")).mkString(", "))
+    val evolvedExisting = table.fields.map { tf =>
+      batch.fields.find(bf => norm(bf.name) == norm(tf.name)) match {
+        case Some(bf) =>
+          val dt = widenType(tf.dataType, bf.dataType, allowWiden).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution rejected: column '${tf.name}' is ${tf.dataType} " +
+                s"in the table but ${bf.dataType} in the batch" +
+                (if (allowWiden) "" else " (lossless widening is opt-in via allowWiden)")))
+          tf.copy(dataType = dt, nullable = true)
+        case None => tf
+      }
+    }
+    val tableNames = table.fieldNames.map(norm).toSet
+    widened(org.apache.spark.sql.types.StructType(
+      evolvedExisting ++ batch.fields.filterNot(bf => tableNames.contains(norm(bf.name)))))
+  }
+
+  /** Project `df` onto `schema`: present columns (matched
+    * case-insensitively, renamed to the schema's canonical case) pass
+    * through — cast when a widening evolved the column's type — missing
     * columns null-fill, order normalized to the schema's. */
   private def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
     df.select(schema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      df.columns.find(c => norm(c) == norm(f.name)) match {
+        case Some(c) =>
+          val base = df(c)
+          val sameType =
+            deepNullable(df.schema(df.columns.indexOf(c)).dataType) == deepNullable(f.dataType)
+          (if (sameType) base else base.cast(f.dataType)).as(f.name)
+        case None =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq: _*)
 
   /** The schema readers of `v` must apply: recorded in the manifest, or
@@ -358,15 +509,48 @@ object SnapshotTable {
   /** Append rows: new files + all files of the snapshot appended onto.
     * The batch may carry NEW columns (recorded in the new version's
     * schema; earlier files null-fill them on read) but never a type
-    * conflict on an existing column. */
+    * conflict on an existing column — unless `allowWiden` opts into
+    * lossless int→long / float→double widening. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      statsKey: Option[String] = None): Int =
-    retrying(spark, root, op = "append") { latest =>
+      statsKey: Option[String] = None, allowWiden: Boolean = false): Int =
+    appendImpl(spark, root, df, statsKey, allowWiden, skipIfEmpty = false).get
+
+  /** [[append]] that skips the commit when the batch turns out to be
+    * EMPTY: the per-file row counts ride the footer reads the write
+    * already does (zero extra Spark jobs), so callers that would
+    * otherwise run a count/isEmpty action just to avoid committing
+    * no-op versions (a streaming ingest whose micro-batch was all
+    * duplicates) get the check for free. Returns None — with the
+    * just-written empty files removed — instead of committing. */
+  def appendIfNonEmpty(spark: SparkSession, root: String, df: DataFrame,
+      statsKey: Option[String] = None, allowWiden: Boolean = false): Option[Int] =
+    appendImpl(spark, root, df, statsKey, allowWiden, skipIfEmpty = true)
+
+  private object EmptyBatch extends Exception
+
+  private def appendImpl(spark: SparkSession, root: String, df: DataFrame,
+      statsKey: Option[String], allowWiden: Boolean,
+      skipIfEmpty: Boolean): Option[Int] = {
+    var written: Seq[FileEntry] = Seq.empty
+    try Some(retrying(spark, root, op = "append") { latest =>
       val parsed = manifestParsed(spark, root, latest)
-      val evolved = evolveSchema(schemaOf(spark, root, parsed), df.schema)
-      (parsed._2 ++
-        writeDataFiles(spark, root, alignTo(df, evolved), statsKey), evolved)
+      val evolved = evolveSchema(schemaOf(spark, root, parsed), df.schema, allowWiden)
+      val newFiles = writeDataFiles(spark, root, alignTo(df, evolved), statsKey)
+      written = newFiles
+      // skip only on POSITIVE evidence of emptiness: every file's
+      // footer row count known and zero (or no files at all) — an
+      // unreadable footer conservatively commits
+      if (skipIfEmpty && newFiles.forall(_.rows.contains(0L))) throw EmptyBatch
+      (parsed._2 ++ newFiles, evolved)
+    })
+    catch {
+      case EmptyBatch =>
+        val f = fs(spark, root)
+        written.map(e => new Path(root, e.path).getParent).distinct
+          .foreach(dir => try f.delete(dir, true) catch { case _: Exception => () })
+        None
     }
+  }
 
   /** MERGE: delete every row whose `key` appears in `updates`, then add
     * `updates` (J2 delete-then-add, key-scoped). Data skipping: only
@@ -380,7 +564,7 @@ object SnapshotTable {
     * not risk — beyond the cap the merge falls back to rewriting every
     * file (correct, just unpruned). */
   def merge(spark: SparkSession, root: String, updates: DataFrame, key: String,
-      maxPruneKeys: Int = 100000): Int = {
+      maxPruneKeys: Int = 100000, allowWiden: Boolean = false): Int = {
     // updates' files are written once; survivors re-derive per attempt
     val updateFiles = writeDataFiles(spark, root, updates, Some(key))
     // the update batch's distinct keys, for file pruning — gated on the
@@ -407,7 +591,7 @@ object SnapshotTable {
     retrying(spark, root, op = "merge") { latest =>
       val parsed = manifestParsed(spark, root, latest)
       val tableSchema = schemaOf(spark, root, parsed)
-      val evolved = evolveSchema(tableSchema, updates.schema)
+      val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
       val entries = parsed._2
       val (touched, untouched) = updateKeys match {
         case Some(keys) => entries.partition(_.mayContain(keys))
@@ -529,13 +713,16 @@ object SnapshotTable {
     -1 // unreachable
   }
 
-  /** One history row per live version. */
+  /** One history row per live version. `nRows` is -1 when any of the
+    * version's files predates row-count tracking (unknown ≠ zero). */
   final case class HistoryEntry(version: Int, op: String, nFiles: Int,
-      nColumns: Int, withStats: Int)
+      nColumns: Int, withStats: Int, nRows: Long)
 
   /** Table history — the DESCRIBE HISTORY surface: for every live
     * version, the operation that committed it, its file count, its
-    * recorded column count, and how many files carry skipping stats.
+    * recorded column count, how many files carry skipping stats, and
+    * its ROW COUNT (summed from the per-file footer counts the write
+    * path recorded — the first thing users reach for in a history).
     * Driver-side metadata reads only (one manifest read per version),
     * no Spark jobs. Versions committed before op tracking report
     * "unknown"; expired versions are simply absent. */
@@ -544,7 +731,8 @@ object SnapshotTable {
       val (op, schemaOpt, entries) = manifestFull(spark, root, v)
       HistoryEntry(v, op, entries.size,
         schemaOpt.map(_.fields.length).getOrElse(-1),
-        entries.count(_.minKey.isDefined))
+        entries.count(_.minKey.isDefined),
+        if (entries.forall(_.rows.isDefined)) entries.flatMap(_.rows).sum else -1L)
     }
 
   /** Read the table at `version` (default: latest). Time travel: any
@@ -552,16 +740,44 @@ object SnapshotTable {
     * each version reads with ITS OWN recorded schema (a version
     * committed before a column was added never shows that column;
     * files older than an evolution null-fill the evolved columns). */
-  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame =
+    readImpl(spark, root, version, bounds = None)
+
+  /** [[read]] pruned to the files whose key-stats range intersects
+    * `[lo, hi]` — file-level data skipping on the READ path, from the
+    * same manifest stats the merge path prunes with. Files without
+    * stats are conservatively kept. The contract is the same as
+    * manifest pruning everywhere: never affects which ROWS exist in
+    * the files kept (callers filter rows themselves; this only bounds
+    * which files are scanned), so a probe-side join against the pruned
+    * frame sees every key in range. */
+  def readRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+      version: Option[Int] = None): DataFrame =
+    readImpl(spark, root, version, bounds = Some((lo, hi)))
+
+  private def readImpl(spark: SparkSession, root: String, version: Option[Int],
+      bounds: Option[(Long, Long)]): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist (have $vs)")
-    val (schemaOpt, entries) = manifestParsed(spark, root, v)
-    val files = entries.map(e => s"$root/${e.path}")
-    schemaOpt match {
-      case Some(sch) => spark.read.schema(sch).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+    val parsed = manifestParsed(spark, root, v)
+    val (schemaOpt, entries) = parsed
+    val kept = bounds match {
+      case Some((lo, hi)) => entries.filter(e =>
+        e.minKey.zip(e.maxKey).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      case None => entries
+    }
+    if (kept.isEmpty) {
+      // fully pruned: an empty frame with the version's schema
+      val sch = schemaOf(spark, root, parsed)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    } else {
+      val files = kept.map(e => s"$root/${e.path}")
+      schemaOpt match {
+        case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+        case None => spark.read.parquet(files: _*)
+      }
     }
   }
 }

@@ -188,9 +188,14 @@ object StreamingRunner {
     * atomic snapshot commit. Re-delivered or cross-batch duplicate
     * documents land exactly once; a crashed batch leaves the index at
     * its previous version. Scale shape: the anti-join shuffles on the
-    * fingerprint key only (fingerprint + doc_id, never text), and the
-    * seen-side scan prunes to the probe's key range via the manifest
-    * stats. */
+    * fingerprint key only (fingerprint + doc_id, never text); the
+    * seen side is [[graft.sources.SnapshotTable.readRange]] of the
+    * batch's [min, max] fp_key — manifest-stats file pruning on the
+    * READ path, so a micro-batch probes only the index files whose
+    * key range it touches instead of full-scanning the accumulated
+    * index; and the append skips committing via the footer row counts
+    * ([[graft.sources.SnapshotTable.appendIfNonEmpty]]) when the whole
+    * batch was duplicates — no count action, no no-op version. */
   def runStreamingDedupIngest(spark: SparkSession, srcDir: String,
       indexRoot: String, queryName: String = "graft_dedup_ingest"): Unit = {
     val q = spark.readStream
@@ -201,28 +206,29 @@ object StreamingRunner {
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh = graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty
+        // persist: the batch fingerprints feed the bounds probe, the
+        // anti-join, and the append — one materialization, three reads
         val fp = batch
           .withColumn("fp", md5(col("text").cast("binary")))
           .withColumn("fp_key", graft.text.TextFunctions.md5Long(col("text")))
           .select(col("fp_key"), col("fp"), col("doc_id"), col("text"))
           .dropDuplicates("fp")
-        // persist: the anti-join against the (growing) seen index runs
-        // ONCE — the novelty check and the append both read the
-        // materialized blocks instead of re-executing the join
-        val novel = (
-          if (fresh) fp
-          else fp.join(
-            graft.sources.SnapshotTable.read(spark, indexRoot).select(col("fp")),
-            Seq("fp"), "left_anti")
-          ).persist()
+          .persist()
         try {
           if (fresh)
-            graft.sources.SnapshotTable.create(spark, indexRoot, novel,
+            graft.sources.SnapshotTable.create(spark, indexRoot, fp,
               statsKey = Some("fp_key"))
-          else if (novel.limit(1).count() > 0)
-            graft.sources.SnapshotTable.append(spark, indexRoot, novel,
-              statsKey = Some("fp_key"))
-        } finally novel.unpersist()
+          else {
+            val b = fp.agg(min(col("fp_key")), max(col("fp_key"))).head()
+            if (!b.isNullAt(0)) { // null bounds = empty batch: nothing to do
+              val seen = graft.sources.SnapshotTable
+                .readRange(spark, indexRoot, b.getLong(0), b.getLong(1))
+                .select(col("fp"))
+              graft.sources.SnapshotTable.appendIfNonEmpty(spark, indexRoot,
+                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp_key"))
+            }
+          }
+        } finally fp.unpersist()
         ()
       }
       .start()
@@ -254,7 +260,8 @@ object StreamingRunner {
   def runStreamingIndexUpsert(spark: SparkSession, srcDir: String,
       indexRoot: String, queryName: String = "graft_snap_upsert",
       maintainEvery: Int = 0, keepVersions: Int = 3,
-      compactTargetFiles: Int = 4): Unit = {
+      compactTargetFiles: Int = 4,
+      chunker: DataFrame => DataFrame = defaultChunker): Unit = {
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream
       .schema(documentsSchema)
@@ -263,8 +270,7 @@ object StreamingRunner {
       .writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val chunks = graft.chunk.Chunking.chunkTable(batch)
-          .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+        val chunks = chunker(batch)
         if (graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty)
           graft.sources.SnapshotTable.create(spark, indexRoot, chunks,
             statsKey = Some("doc_id"))
@@ -283,4 +289,16 @@ object StreamingRunner {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** The stock micro-batch→chunks projection for
+    * [[runStreamingIndexUpsert]]. A custom `chunker` is the schema
+    * evolution surface: a redeployed stream whose chunker emits a new
+    * column (quality score, source tag) merges into the SAME index
+    * root — the snapshot table evolves its recorded schema at that
+    * commit, pre-evolution versions keep reading with their own
+    * schemas, and pre-evolution files null-fill the new column
+    * (StreamingSpec proves the composition across stream runs). */
+  private def defaultChunker(batch: DataFrame): DataFrame =
+    graft.chunk.Chunking.chunkTable(batch)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
 }

@@ -268,10 +268,18 @@ object VectorOps {
         e => e.getField("cv")).as("cvs"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("cvs")))),
         e => e.getField("cvs")).as("cb"))
+    // nearest codeword id: a min-by FOLD over the ks (distance, id)
+    // pairs — O(ks) per subspace per row, where the array_sort form
+    // this replaces paid O(ks log ks) and materialized the sorted
+    // array just to take element 1. Strict `<` keeps the FIRST
+    // minimum, reproducing array_sort's (d, i)-ascending tie-break
+    // (equal distances resolve to the smaller codeword id).
     def codeAt(v: Column, s: Column): Column =
-      element_at(array_sort(zip_with(
-        element_at(col("cb"), s + 1), sequence(lit(0), lit(ks - 1)),
-        (cv, i) => struct(l2n(sub(v, s), cv).as("d"), i.as("i")))), 1)
+      aggregate(
+        zip_with(element_at(col("cb"), s + 1), sequence(lit(0), lit(ks - 1)),
+          (cv, i) => struct(l2n(sub(v, s), cv).as("d"), i.as("i"))),
+        struct(lit(Long.MaxValue).as("d"), lit(0).as("i")),
+        (acc, e) => when(e.getField("d") < acc.getField("d"), e).otherwise(acc))
         .getField("i")
     val encoded = emb.crossJoin(broadcast(cbNested))
       .select(col("vec_id"),

@@ -356,4 +356,134 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 5)
     assert(SnapshotTable.versions(spark, root) == (1 to 5).toSeq)
   }
+
+  test("type widening is opt-in: rejected by default, int batch reconciles into a long table with the flag") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, 10L)).toDF("id", "n"))
+    val intBatch = Seq((2L, 20)).toDF("id", "n") // n: INT vs table LONG
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, intBatch)
+    }
+    assert(SnapshotTable.versions(spark, root) == Seq(1),
+      "the default must stay rejection — nothing committed")
+    SnapshotTable.append(spark, root, intBatch, allowWiden = true)
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.schema("n").dataType == org.apache.spark.sql.types.LongType,
+      "schema keeps the wider side; the batch upcasts on write")
+    assert(latest.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("widening the TABLE side: long batch vs int table commits the widened schema, old int files upcast on read") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, 10)).toDF("id", "n")) // n: INT
+    SnapshotTable.append(spark, root,
+      Seq((2L, 7000000000L)).toDF("id", "n"), allowWiden = true) // beyond int range
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(latest.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 7000000000L)),
+      "the pre-widening int32 file must read back as long")
+    // version 1 still reads with its own (int) schema — time travel is
+    // unaffected by a later widening
+    assert(SnapshotTable.read(spark, root, Some(1)).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // float→double through MERGE as well
+    val root2 = tmp()
+    SnapshotTable.create(spark, root2, Seq((1L, 1.5f)).toDF("id", "w"),
+      statsKey = Some("id"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, root2, Seq((1L, 2.5)).toDF("id", "w"), key = "id")
+    }
+    SnapshotTable.merge(spark, root2, Seq((1L, 2.5)).toDF("id", "w"), key = "id",
+      allowWiden = true)
+    val r2 = SnapshotTable.read(spark, root2)
+    assert(r2.schema("w").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(r2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 2.5)))
+  }
+
+  test("case-insensitive resolution: 'ID' matches 'id' for the type check, case-duplicate batches rejected") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // same column spelled differently with a CONFLICTING type must hit
+    // the type check, not slip through as a "new" column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, Seq((2.5, "b")).toDF("ID", "v"))
+    }
+    // same type, different case: resolves to the table's canonical name
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("ID", "v"))
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.columns.toSeq == Seq("id", "v"),
+      "no case-duplicate column may ever be committed")
+    assert(latest.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // a batch that is case-duplicate WITHIN ITSELF is rejected outright
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, Seq((3L, "c", "C")).toDF("id", "v", "V"))
+    }
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+  }
+
+  test("history row counts ride the manifest: per-version nRows tracks the lifecycle, zero jobs to read") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 40L).map(i => (i, s"r$i")).toDF("id", "v").repartition(2),
+      statsKey = Some("id"))
+    SnapshotTable.append(spark, root, Seq((100L, "x")).toDF("id", "v"),
+      statsKey = Some("id"))
+    // delete one live key, add two rows → 40 + 1 - 1 + 2
+    SnapshotTable.merge(spark, root,
+      Seq((3L, "UPD"), (200L, "new")).toDF("id", "v"), key = "id")
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    var h: Seq[SnapshotTable.HistoryEntry] = Seq.empty
+    val jobs = jobsDuring { h = SnapshotTable.history(spark, root) }
+    assert(jobs == 0, s"history is manifest metadata only, fired $jobs jobs")
+    assert(h.map(_.nRows) == Seq(40L, 41L, 42L))
+    assert(h.map(_.op) == Seq("create", "append", "merge"))
+  }
+
+  test("appendIfNonEmpty skips the commit for an all-duplicate batch: no version churn, no orphan files") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val empty = Seq((1L, "a")).toDF("id", "v").filter(col("id") === 999L)
+    assert(SnapshotTable.appendIfNonEmpty(spark, root, empty).isEmpty)
+    assert(SnapshotTable.versions(spark, root) == Seq(1),
+      "an empty batch must not commit a no-op version")
+    // the just-written empty files are cleaned up eagerly
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val batchDirs = java.nio.file.Files.list(dataDir)
+    try assert(batchDirs.count() == 1, "only the create's batch dir may remain")
+    finally batchDirs.close()
+    // a non-empty batch commits normally through the same surface
+    assert(SnapshotTable.appendIfNonEmpty(spark, root,
+      Seq((2L, "b")).toDF("id", "v")).contains(2))
+    assert(SnapshotTable.read(spark, root).count() == 2)
+  }
+
+  test("readRange prunes files via manifest key stats: in-range files only, empty frame when fully pruned") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsKey = Some("id"))
+    val pruned = SnapshotTable.readRange(spark, root, 120L, 130L)
+    assert(pruned.inputFiles.length == 1,
+      s"[120,130] touches one of four range files, scanned ${pruned.inputFiles.length}")
+    assert(pruned.filter(col("id").between(120L, 130L)).count() == 11,
+      "every key in range must be present in the kept files")
+    val none = SnapshotTable.readRange(spark, root, 10000L, 20000L)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("id", "v"),
+      "a fully-pruned read still carries the version's schema")
+  }
 }

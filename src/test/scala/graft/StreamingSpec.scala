@@ -155,4 +155,55 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(got == expected, "maintained index must equal the batch-computed chunk set")
   }
+
+  test("schema evolution across stream runs: a redeployed chunker adds a column mid-table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sevo")
+    val src1 = s"$tmp/src1"
+    val src2 = s"$tmp/src2"
+    val indexRoot = s"$tmp/index"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    // RUN 1: stock chunker (doc_id, chunk_idx, chunk) over two
+    // micro-batches — the composition under test is the foreachBatch
+    // upsert × per-version manifest schemas, so the stream must commit
+    // several pre-evolution versions first
+    Seq(doc(1, "alpha " * 40)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("append").parquet(src1)
+    Seq(doc(2, "beta " * 40)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("append").parquet(src1)
+    streaming.StreamingRunner.runStreamingIndexUpsert(spark, src1, indexRoot,
+      queryName = "graft_sevo1")
+    val preEvo = sources.SnapshotTable.versions(spark, indexRoot)
+    assert(preEvo.size == 2)
+    // RUN 2: the stream redeploys with a chunker that EMITS A NEW
+    // COLUMN (per-chunk length tag), re-processing doc 2 and adding
+    // doc 3 — two more micro-batches, each an evolving atomic merge
+    Seq(doc(2, "beta " * 40)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("append").parquet(src2)
+    Seq(doc(3, "gamma " * 40)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("append").parquet(src2)
+    streaming.StreamingRunner.runStreamingIndexUpsert(spark, src2, indexRoot,
+      queryName = "graft_sevo2",
+      chunker = b => chunk.Chunking.chunkTable(b)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+          length(col("chunk")).cast("long").as("q")))
+    // every PRE-evolution version still reads with its own schema
+    preEvo.foreach { v =>
+      assert(sources.SnapshotTable.read(spark, indexRoot, Some(v)).columns.toSeq ==
+        Seq("doc_id", "chunk_idx", "chunk"),
+        s"version $v predates the evolution and must never show the new column")
+    }
+    // the final read applies the evolved schema: doc 1's files predate
+    // the evolution and null-fill q; docs 2 and 3 carry real values
+    val latest = sources.SnapshotTable.read(spark, indexRoot)
+    assert(latest.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk", "q"))
+    assert(latest.filter(col("doc_id") === 1L).count() > 0)
+    assert(latest.filter(col("doc_id") === 1L && col("q").isNotNull).count() == 0,
+      "pre-evolution files must null-fill the evolved column")
+    val evolved = latest.filter(col("doc_id") >= 2L)
+      .select(col("q"), length(col("chunk")).cast("long")).collect()
+    assert(evolved.nonEmpty)
+    evolved.foreach(r => assert(!r.isNullAt(0) && r.getLong(0) == r.getLong(1),
+      "re-processed and new docs must carry the chunker's real values"))
+  }
 }
