@@ -619,15 +619,30 @@ object SnapshotTable {
     * small-file remedy every copy-on-write table needs once many
     * incremental merges have fragmented it. Commits through the same
     * optimistic loop as any writer, so it can run concurrently with
-    * upserts; historical versions keep reading their original files. */
+    * upserts; historical versions keep reading their original files.
+    *
+    * With `cluster = true` (and a `statsKey`) the rewrite
+    * RANGE-partitions on the key instead of round-robin: the output
+    * files carry DISJOINT key ranges, so the manifest stats become
+    * maximally selective — a point-key merge rewrites exactly one file
+    * and a [[readRange]] probe scans exactly the files its range
+    * touches. Incremental merges interleave key ranges over time;
+    * clustered compaction is how maintenance RESTORES pruning power
+    * (the role OPTIMIZE ZORDER plays for other copy-on-write formats,
+    * in its one-dimensional form). */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
-      statsKey: Option[String] = None): Int =
+      statsKey: Option[String] = None, cluster: Boolean = false): Int =
     retrying(spark, root, op = "compact") { latest =>
       val parsed = manifestParsed(spark, root, latest)
       val schema = schemaOf(spark, root, parsed)
       val files = parsed._2.map(e => s"$root/${e.path}")
       val current = spark.read.schema(schema).parquet(files: _*)
-      (writeDataFiles(spark, root, current.repartition(targetFiles), statsKey), schema)
+      val laidOut = statsKey match {
+        case Some(k) if cluster =>
+          current.repartitionByRange(targetFiles, col(k))
+        case _ => current.repartition(targetFiles)
+      }
+      (writeDataFiles(spark, root, laidOut, statsKey), schema)
     }
 
   /** Drop all snapshots except the last `keepLast` (their manifests are

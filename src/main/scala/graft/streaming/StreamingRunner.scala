@@ -195,9 +195,24 @@ object StreamingRunner {
     * key range it touches instead of full-scanning the accumulated
     * index; and the append skips committing via the footer row counts
     * ([[graft.sources.SnapshotTable.appendIfNonEmpty]]) when the whole
-    * batch was duplicates — no count action, no no-op version. */
+    * batch was duplicates — no count action, no no-op version.
+    *
+    * MAINTENANCE: with `maintainEvery` > 0, every Nth micro-batch is
+    * followed by CLUSTERED compact → expire → vacuum — without it a
+    * long-running ingest appends one file batch per novel micro-batch
+    * and the index's file count (and with it every probe's manifest
+    * scan) grows without bound. Clustering by fp_key re-sorts the
+    * accumulated index into disjoint fingerprint ranges, so the
+    * readRange probe above degrades from "files whose accumulated
+    * range happens to intersect" back to "exactly the files the
+    * batch's keys land in". Serialized inside foreachBatch like the
+    * upsert loop — the single-writer contract is what makes the
+    * zero-age vacuum safe. */
   def runStreamingDedupIngest(spark: SparkSession, srcDir: String,
-      indexRoot: String, queryName: String = "graft_dedup_ingest"): Unit = {
+      indexRoot: String, queryName: String = "graft_dedup_ingest",
+      maintainEvery: Int = 0, keepVersions: Int = 3,
+      compactTargetFiles: Int = 4): Unit = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream
       .schema(documentsSchema)
       .option("maxFilesPerTrigger", "1")
@@ -227,6 +242,14 @@ object StreamingRunner {
               graft.sources.SnapshotTable.appendIfNonEmpty(spark, indexRoot,
                 fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp_key"))
             }
+          }
+          if (maintainEvery > 0 && nBatches.incrementAndGet() % maintainEvery == 0) {
+            graft.sources.SnapshotTable.compact(spark, indexRoot,
+              targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+              cluster = true)
+            graft.sources.SnapshotTable.expireVersions(spark, indexRoot,
+              keepLast = keepVersions)
+            graft.sources.SnapshotTable.vacuum(spark, indexRoot, minAgeMs = 0L)
           }
         } finally fp.unpersist()
         ()
@@ -277,8 +300,13 @@ object StreamingRunner {
         else
           graft.sources.SnapshotTable.merge(spark, indexRoot, chunks, "doc_id")
         if (maintainEvery > 0 && nBatches.incrementAndGet() % maintainEvery == 0) {
+          // cluster = true: compaction also re-sorts the table into
+          // disjoint doc_id ranges, restoring the pruning power the
+          // interleaved incremental merges eroded — the next merges
+          // rewrite only the files their keys actually land in
           graft.sources.SnapshotTable.compact(spark, indexRoot,
-            targetFiles = compactTargetFiles, statsKey = Some("doc_id"))
+            targetFiles = compactTargetFiles, statsKey = Some("doc_id"),
+            cluster = true)
           graft.sources.SnapshotTable.expireVersions(spark, indexRoot,
             keepLast = keepVersions)
           graft.sources.SnapshotTable.vacuum(spark, indexRoot, minAgeMs = 0L)

@@ -486,4 +486,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(none.columns.toSeq == Seq("id", "v"),
       "a fully-pruned read still carries the version's schema")
   }
+
+  test("clustered compaction restores pruning: disjoint ranges, point merges leave other ranges' files untouched") {
+    val root = tmp()
+    // round-robin layout: every file spans ~the whole key range, so
+    // stats prune nothing — the state incremental merges converge to
+    SnapshotTable.create(spark, root,
+      (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v").repartition(4),
+      statsKey = Some("id"))
+    val before = SnapshotTable.readRange(spark, root, 120L, 130L).inputFiles.length
+    assert(before > 1, s"interleaved layout must defeat pruning, scanned $before file(s)")
+    SnapshotTable.compact(spark, root, targetFiles = 4, statsKey = Some("id"),
+      cluster = true)
+    val after = SnapshotTable.readRange(spark, root, 120L, 130L)
+    assert(after.inputFiles.length == 1,
+      s"clustered files have disjoint ranges: [120,130] is one file, scanned ${after.inputFiles.length}")
+    assert(after.filter(col("id").between(120L, 130L)).count() == 11)
+    // a point merge in one range must not rewrite other ranges' files
+    val lowBefore = SnapshotTable.readRange(spark, root, 0L, 10L).inputFiles.toSet
+    SnapshotTable.merge(spark, root, Seq((125L, "UPD")).toDF("id", "v"), key = "id")
+    val lowAfter = SnapshotTable.readRange(spark, root, 0L, 10L).inputFiles.toSet
+    assert(lowAfter == lowBefore,
+      "files outside the merged key's range carry forward verbatim")
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.count() == 400)
+    assert(latest.filter(col("id") === 125L).head().getString(1) == "UPD")
+  }
 }

@@ -156,6 +156,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, "maintained index must equal the batch-computed chunk set")
   }
 
+  test("streaming dedup ingest with maintenance: bounded file count, dedup set preserved across compactions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdmaint")
+    val srcDir = s"$tmp/src"
+    val indexRoot = s"$tmp/index"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    // 12 micro-batches: one novel text each, plus the SAME anchor text
+    // under fresh doc ids — re-delivered content must keep landing
+    // exactly once even after maintenance rewrote the index files
+    (0 until 12).foreach { i =>
+      Seq(doc(i + 1L, s"novel-payload-$i " * 10), doc(100L + i, "anchor " * 20))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    }
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, srcDir, indexRoot,
+      queryName = "graft_sdmaint", maintainEvery = 4, keepVersions = 2)
+    val versions = sources.SnapshotTable.versions(spark, indexRoot)
+    assert(versions.size == 2, s"expire must keep 2 versions, got $versions")
+    val texts = sources.SnapshotTable.read(spark, indexRoot)
+      .select(col("text")).as[String].collect().sorted.toSeq
+    val expected = ((0 until 12).map(i => s"novel-payload-$i " * 10) :+ "anchor " * 20).sorted
+    assert(texts == expected,
+      "each distinct content exactly once — maintenance must not lose or duplicate fingerprints")
+    def parquetCount(dir: java.nio.file.Path): Int = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val nFiles = parquetCount(java.nio.file.Paths.get(indexRoot, "data"))
+    assert(nFiles <= 16,
+      s"12 ingest batches with compact-every-4 must stay bounded, got $nFiles files")
+    versions.foreach { v =>
+      assert(sources.SnapshotTable.read(spark, indexRoot, Some(v)).count() > 0,
+        s"version $v must remain readable after maintenance")
+    }
+  }
+
   test("schema evolution across stream runs: a redeployed chunker adds a column mid-table") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sevo")
