@@ -132,6 +132,7 @@ object SparkEntry {
     "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(s, d)),
     "meta_snapshot_schema_evo" -> ((s, d) => snapshotSchemaEvoCycle(s, d)),
     "meta_snapshot_history" -> ((s, d) => snapshotHistoryCycle(s, d)),
+    "meta_snapshot_indexed_read" -> ((s, d) => snapshotIndexedReadCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
@@ -257,6 +258,7 @@ object SparkEntry {
     "meta_snapshot_merge" -> snapshotMergeCycleSql,
     "meta_snapshot_schema_evo" -> snapshotSchemaEvoCycleSql,
     "meta_snapshot_history" -> snapshotHistoryCycleSql,
+    "meta_snapshot_indexed_read" -> snapshotIndexedReadCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
@@ -1073,6 +1075,30 @@ object SparkEntry {
       UNION ALL SELECT 3, 'merge', 3, n + mg FROM c
       UNION ALL SELECT 4, 'compact', 2, n + mg FROM c)
     ORDER BY version"""
+
+  /** Catalyst-integrated file skipping, gated end to end: the table is
+    * created range-clustered, read back through
+    * [[graft.sources.SnapshotTable.readIndexed]] — a manifest-backed
+    * FileIndex whose listFiles applies the scan's own pushed filters
+    * to the per-file key stats — and filtered with an ordinary Column
+    * predicate. The oracle is the predicate's relational definition:
+    * any over-pruning (a file wrongly skipped) loses rows and breaks
+    * the hash. File-COUNT assertions (that pruning really happened)
+    * live in SnapshotTableSpec, where the scan metric is observable. */
+  private def snapshotIndexedReadCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapi").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,
+      docs.repartitionByRange(4, col("doc_id")), statsKey = Some("doc_id"))
+    val out = graft.sources.SnapshotTable.readIndexed(s, root, "doc_id")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(root))
+  }
+
+  private def snapshotIndexedReadCycleSql: String = """
+    SELECT doc_id, n_chars FROM documents WHERE doc_id < 10 ORDER BY doc_id"""
 
   /** The re-ingestion corpus for [[sourceConvertCycle]], written ONCE
     * per (process, input dir) and deleted at JVM exit. The corpus is

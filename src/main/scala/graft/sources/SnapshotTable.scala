@@ -52,17 +52,18 @@ object SnapshotTable {
   /** One manifest data-file line: relative path + optional min/max of
     * the table's merge key (integral keys only) + optional row count
     * (from the parquet footer at write time — powers DESCRIBE HISTORY
-    * and empty-batch detection with zero data I/O). */
-  private final case class FileEntry(path: String, minKey: Option[Long],
-      maxKey: Option[Long], rows: Option[Long] = None) {
+    * and empty-batch detection with zero data I/O) + optional file
+    * size in bytes (from the write's own directory listing — what lets
+    * [[ManifestFileIndex]] build its FileStatuses from the manifest
+    * alone, no per-file RPCs at planning time). */
+  private[sources] final case class FileEntry(path: String, minKey: Option[Long],
+      maxKey: Option[Long], rows: Option[Long] = None, bytes: Option[Long] = None) {
     def render: String = {
-      val stats = minKey.zip(maxKey)
-      (stats, rows) match {
-        case (Some((a, b)), Some(r)) => s"$path\t$a\t$b\t$r"
-        case (Some((a, b)), None)    => s"$path\t$a\t$b"
-        case (None, Some(r))         => s"$path\t\t\t$r"
-        case (None, None)            => path
-      }
+      def s(o: Option[Long]): String = o.map(_.toString).getOrElse("")
+      if (rows.isEmpty && bytes.isEmpty)
+        minKey.zip(maxKey).map { case (a, b) => s"$path\t$a\t$b" }.getOrElse(path)
+      else if (bytes.isEmpty) s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}"
+      else s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}"
     }
     /** Could this file contain any of `keys` (sorted)? No stats → maybe. */
     def mayContain(keys: Array[Long]): Boolean =
@@ -71,14 +72,18 @@ object SnapshotTable {
         val from = if (i >= 0) i else -i - 1
         from < keys.length && keys(from) <= mx
       }
+    /** Could this file hold any key in [lo, hi]? No stats → maybe. */
+    def overlaps(lo: Long, hi: Long): Boolean =
+      minKey.zip(maxKey).forall { case (mn, mx) => mx >= lo && mn <= hi }
   }
 
   private def parseEntry(line: String): FileEntry = {
     def opt(s: String): Option[Long] = if (s.isEmpty) None else Some(s.toLong)
     line.split('\t') match {
-      case Array(p, mn, mx, r) => FileEntry(p, opt(mn), opt(mx), opt(r))
-      case Array(p, mn, mx)    => FileEntry(p, opt(mn), opt(mx), None)
-      case _                   => FileEntry(line, None, None, None)
+      case Array(p, mn, mx, r, b) => FileEntry(p, opt(mn), opt(mx), opt(r), opt(b))
+      case Array(p, mn, mx, r)    => FileEntry(p, opt(mn), opt(mx), opt(r))
+      case Array(p, mn, mx)       => FileEntry(p, opt(mn), opt(mx), None)
+      case _                      => FileEntry(line, None, None, None)
     }
   }
 
@@ -163,9 +168,11 @@ object SnapshotTable {
     val batch = s"data/batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
     val f = fs(spark, root)
+    // sizes ride the listing the write already pays for — recorded in
+    // the manifest so planning-time file skipping never stats files
     val paths = f.listStatus(new Path(root, batch))
       .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$batch/${s.getPath.getName}").sorted.toSeq
+      .map(s => (s"$batch/${s.getPath.getName}", s.getLen)).sortBy(_._1).toSeq
     val integralKey = statsKey.filter { k =>
       try df.select(df(k)).schema.head.dataType match {
         case org.apache.spark.sql.types.LongType |
@@ -182,13 +189,13 @@ object SnapshotTable {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(16, paths.size)))
       try {
-        val futures = paths.map { rel =>
+        val futures = paths.map { case (rel, len) =>
           pool.submit(new java.util.concurrent.Callable[FileEntry] {
             override def call(): FileEntry = {
               val (rows, st) =
                 try footerInfo(conf, new Path(root, rel), integralKey)
                 catch { case _: Exception => (None, None) }
-              FileEntry(rel, st.map(_._1), st.map(_._2), rows)
+              FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len))
             }
           })
         }
@@ -770,6 +777,30 @@ object SnapshotTable {
       version: Option[Int] = None): DataFrame =
     readImpl(spark, root, version, bounds = Some((lo, hi)))
 
+  /** Read the table with manifest-stats file skipping integrated into
+    * CATALYST: the returned frame's scan is backed by a
+    * [[ManifestFileIndex]], so any pushed data filter on `key`
+    * (`.filter($"doc_id" === 5)`, `BETWEEN`, `IN`, range predicates)
+    * prunes files at PLANNING time from the manifest's min/max stats —
+    * no explicit range API, no directory listing, no per-file RPCs
+    * (sizes ride the manifest). This is the Spark-idiomatic form of
+    * [[readRange]]: the optimizer decides what reaches the scan and
+    * the index turns those conjuncts into file skips, the same
+    * integration point log-structured table formats use. Row-level
+    * filtering stays with the engine — the index only bounds which
+    * FILES are scanned, so keeping a file never changes results. */
+  def readIndexed(spark: SparkSession, root: String, key: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v does not exist (have $vs)")
+    val parsed = manifestParsed(spark, root, v)
+    val schema = schemaOf(spark, root, parsed)
+    val index = new ManifestFileIndex(spark, root, parsed._2, key)
+    org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index, schema)
+  }
+
   private def readImpl(spark: SparkSession, root: String, version: Option[Int],
       bounds: Option[(Long, Long)]): DataFrame = {
     val vs = versions(spark, root)
@@ -779,8 +810,7 @@ object SnapshotTable {
     val parsed = manifestParsed(spark, root, v)
     val (schemaOpt, entries) = parsed
     val kept = bounds match {
-      case Some((lo, hi)) => entries.filter(e =>
-        e.minKey.zip(e.maxKey).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      case Some((lo, hi)) => entries.filter(_.overlaps(lo, hi))
       case None => entries
     }
     if (kept.isEmpty) {
@@ -794,5 +824,115 @@ object SnapshotTable {
         case None => spark.read.parquet(files: _*)
       }
     }
+  }
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FileIndex]] served
+  * from a snapshot manifest: the file list, sizes, AND per-file key
+  * stats all come from one manifest read, and `listFiles` applies the
+  * scan's pushed data filters against those stats — file-level
+  * skipping decided at PLANNING time by the optimizer's own conjuncts,
+  * the same integration point log-structured table formats use for
+  * their log-backed indexes. Conservative by construction: only
+  * conjuncts that provably bound `key` ([[ManifestFileIndex.bounds]])
+  * tighten the range, everything else keeps every file, and kept
+  * files still go through the engine's row-level filtering — so
+  * results never depend on how much was pruned.
+  */
+private[sources] final class ManifestFileIndex(
+    spark: SparkSession,
+    root: String,
+    entries: Seq[SnapshotTable.FileEntry],
+    key: String)
+  extends org.apache.spark.sql.execution.datasources.FileIndex {
+
+  import org.apache.hadoop.fs.FileStatus
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+  // FileStatus straight from the manifest (size recorded at write
+  // time); only pre-size manifest entries pay a per-file RPC
+  private val fileStatuses: Seq[(FileStatus, SnapshotTable.FileEntry)] = {
+    lazy val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    entries.map { e =>
+      val p = new Path(root, e.path)
+      val st = e.bytes match {
+        case Some(len) => new FileStatus(len, false, 1, len, 0L, p)
+        case None => f.getFileStatus(p)
+      }
+      (st, e)
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = ManifestFileIndex.bounds(dataFilters, key) match {
+      case Some((lo, hi)) =>
+        if (lo > hi) Seq.empty // contradictory conjuncts: nothing can match
+        else fileStatuses.filter(_._2.overlaps(lo, hi))
+      case None => fileStatuses
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+  }
+
+  override def inputFiles: Array[String] = fileStatuses.map(_._1.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = fileStatuses.map(_._1.getLen).sum
+
+  override def partitionSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+}
+
+private[sources] object ManifestFileIndex {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** The tightest [lo, hi] the filter conjuncts provably impose on
+    * `key`, or None when they impose nothing usable. Strictly
+    * conservative: unrecognized shapes (disjunctions, expressions over
+    * the key, non-integral literals) contribute no bound. */
+  private[sources] def bounds(filters: Seq[Expression], key: String): Option[(Long, Long)] = {
+    def isKey(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        a.name.toLowerCase(java.util.Locale.ROOT) == key.toLowerCase(java.util.Locale.ROOT)
+      case _ => false
+    }
+    def litVal(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var any = false
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo(a, l) if isKey(a) => litVal(l).foreach { v => lo = lo max v; hi = hi min v; any = true }
+      case EqualTo(l, a) if isKey(a) => litVal(l).foreach { v => lo = lo max v; hi = hi min v; any = true }
+      case EqualNullSafe(a, l) if isKey(a) => litVal(l).foreach { v => lo = lo max v; hi = hi min v; any = true }
+      case GreaterThan(a, l) if isKey(a) => litVal(l).foreach { v => lo = lo max (if (v == Long.MaxValue) v else v + 1); any = true }
+      case GreaterThanOrEqual(a, l) if isKey(a) => litVal(l).foreach { v => lo = lo max v; any = true }
+      case LessThan(a, l) if isKey(a) => litVal(l).foreach { v => hi = hi min (if (v == Long.MinValue) v else v - 1); any = true }
+      case LessThanOrEqual(a, l) if isKey(a) => litVal(l).foreach { v => hi = hi min v; any = true }
+      // literal-on-the-left comparisons, mirrored
+      case GreaterThan(l, a) if isKey(a) => litVal(l).foreach { v => hi = hi min (if (v == Long.MinValue) v else v - 1); any = true }
+      case GreaterThanOrEqual(l, a) if isKey(a) => litVal(l).foreach { v => hi = hi min v; any = true }
+      case LessThan(l, a) if isKey(a) => litVal(l).foreach { v => lo = lo max (if (v == Long.MaxValue) v else v + 1); any = true }
+      case LessThanOrEqual(l, a) if isKey(a) => litVal(l).foreach { v => lo = lo max v; any = true }
+      case In(a, vs) if isKey(a) && vs.nonEmpty && vs.forall(litVal(_).isDefined) =>
+        val longs = vs.flatMap(litVal)
+        lo = lo max longs.min; hi = hi min longs.max; any = true
+      case _ => ()
+    }
+    if (any) Some((lo, hi)) else None
   }
 }

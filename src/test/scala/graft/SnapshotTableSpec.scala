@@ -512,4 +512,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(latest.count() == 400)
     assert(latest.filter(col("id") === 125L).head().getString(1) == "UPD")
   }
+
+  test("readIndexed: the scan's own pushed filters prune files at planning time (Catalyst-integrated skipping)") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsKey = Some("id"))
+    def runAndCountFiles(df: org.apache.spark.sql.DataFrame): (Seq[(Long, String)], Long) = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("plan must contain a FileSourceScanExec"))
+      (rows, scan.metrics("numFiles").value)
+    }
+    // point lookup: exactly the one file whose range holds the key
+    val (eqRows, eqFiles) = runAndCountFiles(
+      SnapshotTable.readIndexed(spark, root, "id").filter(col("id") === 125L))
+    assert(eqRows == Seq((125L, "r125")))
+    assert(eqFiles == 1, s"= pushed down must scan 1 file, scanned $eqFiles")
+    // conjunctive range probe
+    val (rgRows, rgFiles) = runAndCountFiles(
+      SnapshotTable.readIndexed(spark, root, "id")
+        .filter(col("id") >= 120L && col("id") <= 130L))
+    assert(rgRows.map(_._1).sorted == (120L to 130L))
+    assert(rgFiles == 1, s"range conjuncts must scan 1 file, scanned $rgFiles")
+    // filters the index cannot bound keep every file but stay correct
+    val (vRows, vFiles) = runAndCountFiles(
+      SnapshotTable.readIndexed(spark, root, "id").filter(col("v") === "r7"))
+    assert(vRows == Seq((7L, "r7")))
+    assert(vFiles == 4, "an unbounded filter must conservatively keep all files")
+    // no filter: full table through the indexed path
+    assert(SnapshotTable.readIndexed(spark, root, "id").count() == 400)
+  }
 }
