@@ -133,6 +133,7 @@ object SparkEntry {
     "meta_snapshot_schema_evo" -> ((s, d) => snapshotSchemaEvoCycle(s, d)),
     "meta_snapshot_history" -> ((s, d) => snapshotHistoryCycle(s, d)),
     "meta_snapshot_indexed_read" -> ((s, d) => snapshotIndexedReadCycle(s, d)),
+    "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
@@ -259,6 +260,7 @@ object SparkEntry {
     "meta_snapshot_schema_evo" -> snapshotSchemaEvoCycleSql,
     "meta_snapshot_history" -> snapshotHistoryCycleSql,
     "meta_snapshot_indexed_read" -> snapshotIndexedReadCycleSql,
+    "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
@@ -1099,6 +1101,39 @@ object SparkEntry {
 
   private def snapshotIndexedReadCycleSql: String = """
     SELECT doc_id, n_chars FROM documents WHERE doc_id < 10 ORDER BY doc_id"""
+
+  /** STRING-keyed MERGE through the ACID table, gated end to end — the
+    * reference's own merge key (`filename`,
+    * document_processor.py:32-49) is a string, so string keys must
+    * carry the same delete-then-add semantics AND the same file
+    * pruning (binary manifest stats in unsigned byte order; format 3).
+    * Zero-padded names keep byte order = numeric order, so the range
+    * layout is deterministic. Oracle is the merge's relational
+    * definition keyed by the derived name. */
+  private def snapshotStringMergeCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snaps").toString
+    val docs = Tables.documents(s, d)
+      .select(concat(lit("doc-"), lpad(col("doc_id").cast("string"), 8, "0")).as("name"),
+        col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,
+      docs.withColumn("src", lit("base")).repartitionByRange(2, col("name")),
+      statsKey = Some("name"))
+    graft.sources.SnapshotTable.merge(s, root,
+      docs.filter(expr("CAST(substring(name, 5) AS BIGINT) % 10 = 0"))
+        .withColumn("src", lit("upd")),
+      key = "name")
+    // per-doc output grows with the corpus — stays DISTRIBUTED; the
+    // scratch table is deleted by the runner's drain
+    graft.Scratch.registerForCleanup(root)
+    graft.sources.SnapshotTable.read(s, root)
+      .select(col("name"), col("n_chars"), col("src"))
+      .orderBy(col("name"))
+  }
+
+  private def snapshotStringMergeCycleSql: String = """
+    SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS name, n_chars,
+           CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE 'base' END AS src
+    FROM documents ORDER BY name"""
 
   /** The re-ingestion corpus for [[sourceConvertCycle]], written ONCE
     * per (process, input dir) and deleted at JVM exit. The corpus is

@@ -46,8 +46,10 @@ object SnapshotTable {
     * is what lets the NEXT evolution drop the heuristics). Format
     * history: 1 = headerless/op-header tables written before the field
     * existed (parsed leniently); 2 = header format field + optional
-    * per-file row-count column. */
-  private val ManifestFormat = 2
+    * per-file row-count and byte-size columns; 3 = optional per-file
+    * STRING key stats (base64 of the parquet binary min/max, compared
+    * in unsigned byte order — the same order Spark sorts strings). */
+  private val ManifestFormat = 3
 
   /** One manifest data-file line: relative path + optional min/max of
     * the table's merge key (integral keys only) + optional row count
@@ -57,10 +59,15 @@ object SnapshotTable {
     * [[ManifestFileIndex]] build its FileStatuses from the manifest
     * alone, no per-file RPCs at planning time). */
   private[sources] final case class FileEntry(path: String, minKey: Option[Long],
-      maxKey: Option[Long], rows: Option[Long] = None, bytes: Option[Long] = None) {
+      maxKey: Option[Long], rows: Option[Long] = None, bytes: Option[Long] = None,
+      minStr: Option[Array[Byte]] = None, maxStr: Option[Array[Byte]] = None) {
     def render: String = {
       def s(o: Option[Long]): String = o.map(_.toString).getOrElse("")
-      if (rows.isEmpty && bytes.isEmpty)
+      def b64(o: Option[Array[Byte]]): String =
+        o.map(java.util.Base64.getEncoder.withoutPadding.encodeToString).getOrElse("")
+      if (minStr.isDefined || maxStr.isDefined)
+        s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}"
+      else if (rows.isEmpty && bytes.isEmpty)
         minKey.zip(maxKey).map { case (a, b) => s"$path\t$a\t$b" }.getOrElse(path)
       else if (bytes.isEmpty) s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}"
       else s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}"
@@ -75,11 +82,41 @@ object SnapshotTable {
     /** Could this file hold any key in [lo, hi]? No stats → maybe. */
     def overlaps(lo: Long, hi: Long): Boolean =
       minKey.zip(maxKey).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    /** String-key form of [[mayContain]]: `keys` sorted by
+      * [[SnapshotTable.byteOrder]] (unsigned bytes — Spark's own
+      * string order). No string stats → maybe. */
+    def mayContainStr(keys: Array[Array[Byte]]): Boolean =
+      minStr.zip(maxStr).forall { case (mn, mx) =>
+        val i = java.util.Arrays.binarySearch(keys, mn, byteOrder)
+        val from = if (i >= 0) i else -i - 1
+        from < keys.length && byteOrder.compare(keys(from), mx) <= 0
+      }
+    /** String-key form of [[overlaps]]. */
+    def overlapsStr(lo: Array[Byte], hi: Array[Byte]): Boolean =
+      minStr.zip(maxStr).forall { case (mn, mx) =>
+        byteOrder.compare(mx, lo) >= 0 && byteOrder.compare(mn, hi) <= 0
+      }
   }
+
+  /** Unsigned lexicographic byte order — the order parquet records
+    * BINARY min/max in AND the order Spark compares strings (UTF-8
+    * bytes), so manifest string ranges and engine-side predicates
+    * agree on every corner (supplementary characters included). */
+  private[sources] val byteOrder: java.util.Comparator[Array[Byte]] =
+    new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int =
+        java.util.Arrays.compareUnsigned(a, b)
+    }
 
   private def parseEntry(line: String): FileEntry = {
     def opt(s: String): Option[Long] = if (s.isEmpty) None else Some(s.toLong)
-    line.split('\t') match {
+    def optB(s: String): Option[Array[Byte]] =
+      if (s.isEmpty) None else Some(java.util.Base64.getDecoder.decode(s))
+    // limit -1: string-stats lines may end in an empty field, which
+    // the default split would silently drop (changing the arity)
+    line.split("\t", -1) match {
+      case Array(p, mn, mx, r, b, lo, hi) =>
+        FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi))
       case Array(p, mn, mx, r, b) => FileEntry(p, opt(mn), opt(mx), opt(r), opt(b))
       case Array(p, mn, mx, r)    => FileEntry(p, opt(mn), opt(mx), opt(r))
       case Array(p, mn, mx)       => FileEntry(p, opt(mn), opt(mx), None)
@@ -173,16 +210,20 @@ object SnapshotTable {
     val paths = f.listStatus(new Path(root, batch))
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => (s"$batch/${s.getPath.getName}", s.getLen)).sortBy(_._1).toSeq
-    val integralKey = statsKey.filter { k =>
+    // keyKind: Some((name, isString)) when the stats key is a type we
+    // can range-prune on — integral (long stats) or string (binary
+    // min/max in unsigned byte order); anything else disables stats
+    val keyKind: Option[(String, Boolean)] = statsKey.flatMap { k =>
       try df.select(df(k)).schema.head.dataType match {
         case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType => true
-        case _ => false
-      } catch { case _: Exception => false }
+             org.apache.spark.sql.types.IntegerType => Some((k, false))
+        case org.apache.spark.sql.types.StringType => Some((k, true))
+        case _ => None
+      } catch { case _: Exception => None }
     }
     // every file gets one footer read: row counts always (DESCRIBE
     // HISTORY + empty-batch detection), key min/max when the stats key
-    // is integral — still zero Spark jobs and zero data I/O
+    // is prunable — still zero Spark jobs and zero data I/O
     if (paths.isEmpty) Seq.empty
     else {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -192,10 +233,11 @@ object SnapshotTable {
         val futures = paths.map { case (rel, len) =>
           pool.submit(new java.util.concurrent.Callable[FileEntry] {
             override def call(): FileEntry = {
-              val (rows, st) =
-                try footerInfo(conf, new Path(root, rel), integralKey)
-                catch { case _: Exception => (None, None) }
-              FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len))
+              val (rows, st, stS) =
+                try footerInfo(conf, new Path(root, rel), keyKind)
+                catch { case _: Exception => (None, None, None) }
+              FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len),
+                stS.map(_._1), stS.map(_._2))
             }
           })
         }
@@ -206,11 +248,16 @@ object SnapshotTable {
 
   /** Row count + min/max of column `key` across all row groups of one
     * parquet file, read from the footer (no data pages touched). The
-    * row count is the footer's authoritative per-block sum; stats are
-    * None when `key` is absent/missing/non-integral/statless/all-null —
-    * the caller treats None as "may contain anything". */
+    * row count is the footer's authoritative per-block sum. Integral
+    * keys yield the long range; string keys yield the BINARY min/max
+    * (parquet records them in unsigned byte order — the same order
+    * Spark compares strings, so the range is sound for pruning).
+    * Stats are None when the key is absent/statless/all-null or a row
+    * group's statistics are unknown — the caller treats None as "may
+    * contain anything". */
   private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
-      file: Path, key: Option[String]): (Option[Long], Option[(Long, Long)]) = {
+      file: Path, keyKind: Option[(String, Boolean)]):
+      (Option[Long], Option[(Long, Long)], Option[(Array[Byte], Array[Byte])]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
@@ -218,8 +265,10 @@ object SnapshotTable {
       var nRows = 0L
       var mn = Long.MaxValue
       var mx = Long.MinValue
+      var mnB: Array[Byte] = null
+      var mxB: Array[Byte] = null
       var seen = false
-      var statsValid = key.isDefined
+      var statsValid = keyKind.isDefined
       val blocks = reader.getFooter.getBlocks.iterator()
       while (blocks.hasNext) {
         val block = blocks.next()
@@ -228,16 +277,22 @@ object SnapshotTable {
           val cols = block.getColumns.iterator()
           while (cols.hasNext) {
             val c = cols.next()
-            if (c.getPath.toDotString == key.get) {
+            if (c.getPath.toDotString == keyKind.get._1) {
               val st = c.getStatistics
               // a single statless/unknown row group poisons the range
               if (st == null || st.isEmpty) statsValid = false
               else if (st.hasNonNullValue) {
                 (st.genericGetMin, st.genericGetMax) match {
-                  case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  case (a: java.lang.Integer, b: java.lang.Integer) if !keyKind.get._2 =>
                     mn = math.min(mn, a.longValue); mx = math.max(mx, b.longValue); seen = true
-                  case (a: java.lang.Long, b: java.lang.Long) =>
+                  case (a: java.lang.Long, b: java.lang.Long) if !keyKind.get._2 =>
                     mn = math.min(mn, a.longValue); mx = math.max(mx, b.longValue); seen = true
+                  case (a: org.apache.parquet.io.api.Binary,
+                        b: org.apache.parquet.io.api.Binary) if keyKind.get._2 =>
+                    val (lo, hi) = (a.getBytes, b.getBytes)
+                    if (mnB == null || byteOrder.compare(lo, mnB) < 0) mnB = lo
+                    if (mxB == null || byteOrder.compare(hi, mxB) > 0) mxB = hi
+                    seen = true
                   case _ => statsValid = false
                 }
               }
@@ -245,7 +300,11 @@ object SnapshotTable {
           }
         }
       }
-      (Some(nRows), if (statsValid && seen) Some((mn, mx)) else None)
+      val longStats =
+        if (statsValid && seen && keyKind.exists(!_._2)) Some((mn, mx)) else None
+      val strStats =
+        if (statsValid && seen && keyKind.exists(_._2)) Some((mnB, mxB)) else None
+      (Some(nRows), longStats, strStats)
     } finally reader.close()
   }
 
@@ -576,33 +635,45 @@ object SnapshotTable {
     val updateFiles = writeDataFiles(spark, root, updates, Some(key))
     // the update batch's distinct keys, for file pruning — gated on the
     // key TYPE (a lossy cast would yield nulls and wrongly prune
-    // everything); non-integral keys disable skipping, never correctness
-    val keyIsIntegral =
-      try updates.select(updates(key)).schema.head.dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType => true
-        case _ => false
-      } catch { case _: Exception => false }
-    val updateKeys: Option[Array[Long]] =
-      if (!keyIsIntegral) None
-      else {
-        // limit(cap+1): the driver never holds more than cap+1 keys,
-        // and one extra row is how "too many to prune with" is detected
+    // everything): integral keys prune on the long range, STRING keys
+    // on the binary range (unsigned byte order — the order both
+    // parquet's stats and Spark's string comparisons use); any other
+    // type disables skipping, never correctness
+    val keyDt =
+      try Some(updates.select(updates(key)).schema.head.dataType)
+      catch { case _: Exception => None }
+    // limit(cap+1): the driver never holds more than cap+1 keys, and
+    // one extra row is how "too many to prune with" is detected
+    val updateKeys: Option[Array[Long]] = keyDt match {
+      case Some(org.apache.spark.sql.types.LongType) |
+           Some(org.apache.spark.sql.types.IntegerType) =>
         val ks = updates.select(updates(key).cast("long").as("__k"))
           .na.drop().distinct()
           .limit(maxPruneKeys + 1)
           .collect().map(_.getLong(0))
         if (ks.length > maxPruneKeys) None
         else { java.util.Arrays.sort(ks); Some(ks) }
-      }
+      case _ => None
+    }
+    val updateStrKeys: Option[Array[Array[Byte]]] = keyDt match {
+      case Some(org.apache.spark.sql.types.StringType) =>
+        val ks = updates.select(updates(key).as("__k"))
+          .na.drop().distinct()
+          .limit(maxPruneKeys + 1)
+          .collect().map(_.getString(0).getBytes("UTF-8"))
+        if (ks.length > maxPruneKeys) None
+        else { java.util.Arrays.sort(ks, byteOrder); Some(ks) }
+      case _ => None
+    }
     retrying(spark, root, op = "merge") { latest =>
       val parsed = manifestParsed(spark, root, latest)
       val tableSchema = schemaOf(spark, root, parsed)
       val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
       val entries = parsed._2
-      val (touched, untouched) = updateKeys match {
-        case Some(keys) => entries.partition(_.mayContain(keys))
-        case None => (entries, Seq.empty[FileEntry])
+      val (touched, untouched) = (updateKeys, updateStrKeys) match {
+        case (Some(keys), _) => entries.partition(_.mayContain(keys))
+        case (_, Some(ks)) => entries.partition(_.mayContainStr(ks))
+        case _ => (entries, Seq.empty[FileEntry])
       }
       val rewritten =
         if (touched.isEmpty) Seq.empty[FileEntry]
@@ -869,12 +940,20 @@ private[sources] final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = ManifestFileIndex.bounds(dataFilters, key) match {
-      case Some((lo, hi)) =>
-        if (lo > hi) Seq.empty // contradictory conjuncts: nothing can match
-        else fileStatuses.filter(_._2.overlaps(lo, hi))
-      case None => fileStatuses
-    }
+    val b = ManifestFileIndex.bounds(dataFilters, key)
+    val ord = SnapshotTable.byteOrder
+    val contradictory =
+      b.longBounds.exists { case (lo, hi) => lo > hi } ||
+        (b.strLo.zip(b.strHi)).exists { case (lo, hi) => ord.compare(lo, hi) > 0 }
+    val kept =
+      if (contradictory) Seq.empty
+      else fileStatuses.filter { case (_, e) =>
+        b.longBounds.forall { case (lo, hi) => e.overlaps(lo, hi) } &&
+          e.minStr.zip(e.maxStr).forall { case (mn, mx) =>
+            b.strLo.forall(lo => ord.compare(mx, lo) >= 0) &&
+              b.strHi.forall(hi => ord.compare(mn, hi) <= 0)
+          }
+      }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
 
@@ -891,11 +970,23 @@ private[sources] final class ManifestFileIndex(
 private[sources] object ManifestFileIndex {
   import org.apache.spark.sql.catalyst.expressions._
 
-  /** The tightest [lo, hi] the filter conjuncts provably impose on
-    * `key`, or None when they impose nothing usable. Strictly
+  /** What the filter conjuncts provably impose on `key`: a long range
+    * for integral comparisons, independent lower/upper byte bounds
+    * (unsigned order) for string comparisons. Absent members impose
+    * nothing. */
+  private[sources] final case class KeyBounds(
+      longBounds: Option[(Long, Long)],
+      strLo: Option[Array[Byte]],
+      strHi: Option[Array[Byte]])
+
+  /** The tightest bounds the conjuncts impose on `key`. Strictly
     * conservative: unrecognized shapes (disjunctions, expressions over
-    * the key, non-integral literals) contribute no bound. */
-  private[sources] def bounds(filters: Seq[Expression], key: String): Option[(Long, Long)] = {
+    * the key, unsupported literal types) contribute no bound, and
+    * STRICT string inequalities use their non-strict bound (the
+    * byte-successor games a strict byte bound needs aren't worth one
+    * extra boundary file). */
+  private[sources] def bounds(filters: Seq[Expression], key: String): KeyBounds = {
+    val ord = SnapshotTable.byteOrder
     def isKey(e: Expression): Boolean = e match {
       case a: AttributeReference =>
         a.name.toLowerCase(java.util.Locale.ROOT) == key.toLowerCase(java.util.Locale.ROOT)
@@ -908,6 +999,10 @@ private[sources] object ManifestFileIndex {
       case Literal(v: Byte, _) => Some(v.toLong)
       case _ => None
     }
+    def litStr(e: Expression): Option[Array[Byte]] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => Some(v.getBytes)
+      case _ => None
+    }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -915,24 +1010,54 @@ private[sources] object ManifestFileIndex {
     var lo = Long.MinValue
     var hi = Long.MaxValue
     var any = false
+    var loB: Array[Byte] = null
+    var hiB: Array[Byte] = null
+    def raiseLo(v: Long): Unit = { lo = lo max v; any = true }
+    def lowerHi(v: Long): Unit = { hi = hi min v; any = true }
+    def raiseLoB(v: Array[Byte]): Unit =
+      if (loB == null || ord.compare(v, loB) > 0) loB = v
+    def lowerHiB(v: Array[Byte]): Unit =
+      if (hiB == null || ord.compare(v, hiB) < 0) hiB = v
+    def eq(l: Expression): Unit = {
+      litVal(l).foreach { v => raiseLo(v); lowerHi(v) }
+      litStr(l).foreach { v => raiseLoB(v); lowerHiB(v) }
+    }
+    // the key is on one side, literal `l` on the other; strict long
+    // bounds tighten by one, strict string bounds stay non-strict
+    def keyGreater(l: Expression, strict: Boolean): Unit = {
+      litVal(l).foreach { v => raiseLo(if (strict && v != Long.MaxValue) v + 1 else v) }
+      litStr(l).foreach(raiseLoB)
+    }
+    def keyLess(l: Expression, strict: Boolean): Unit = {
+      litVal(l).foreach { v => lowerHi(if (strict && v != Long.MinValue) v - 1 else v) }
+      litStr(l).foreach(lowerHiB)
+    }
     filters.flatMap(conjuncts).foreach {
-      case EqualTo(a, l) if isKey(a) => litVal(l).foreach { v => lo = lo max v; hi = hi min v; any = true }
-      case EqualTo(l, a) if isKey(a) => litVal(l).foreach { v => lo = lo max v; hi = hi min v; any = true }
-      case EqualNullSafe(a, l) if isKey(a) => litVal(l).foreach { v => lo = lo max v; hi = hi min v; any = true }
-      case GreaterThan(a, l) if isKey(a) => litVal(l).foreach { v => lo = lo max (if (v == Long.MaxValue) v else v + 1); any = true }
-      case GreaterThanOrEqual(a, l) if isKey(a) => litVal(l).foreach { v => lo = lo max v; any = true }
-      case LessThan(a, l) if isKey(a) => litVal(l).foreach { v => hi = hi min (if (v == Long.MinValue) v else v - 1); any = true }
-      case LessThanOrEqual(a, l) if isKey(a) => litVal(l).foreach { v => hi = hi min v; any = true }
+      case EqualTo(a, l) if isKey(a) => eq(l)
+      case EqualTo(l, a) if isKey(a) => eq(l)
+      case EqualNullSafe(a, l) if isKey(a) => eq(l)
+      case EqualNullSafe(l, a) if isKey(a) => eq(l)
+      case GreaterThan(a, l) if isKey(a) => keyGreater(l, strict = true)
+      case GreaterThanOrEqual(a, l) if isKey(a) => keyGreater(l, strict = false)
+      case LessThan(a, l) if isKey(a) => keyLess(l, strict = true)
+      case LessThanOrEqual(a, l) if isKey(a) => keyLess(l, strict = false)
       // literal-on-the-left comparisons, mirrored
-      case GreaterThan(l, a) if isKey(a) => litVal(l).foreach { v => hi = hi min (if (v == Long.MinValue) v else v - 1); any = true }
-      case GreaterThanOrEqual(l, a) if isKey(a) => litVal(l).foreach { v => hi = hi min v; any = true }
-      case LessThan(l, a) if isKey(a) => litVal(l).foreach { v => lo = lo max (if (v == Long.MaxValue) v else v + 1); any = true }
-      case LessThanOrEqual(l, a) if isKey(a) => litVal(l).foreach { v => lo = lo max v; any = true }
-      case In(a, vs) if isKey(a) && vs.nonEmpty && vs.forall(litVal(_).isDefined) =>
+      case GreaterThan(l, a) if isKey(a) => keyLess(l, strict = true)
+      case GreaterThanOrEqual(l, a) if isKey(a) => keyLess(l, strict = false)
+      case LessThan(l, a) if isKey(a) => keyGreater(l, strict = true)
+      case LessThanOrEqual(l, a) if isKey(a) => keyGreater(l, strict = false)
+      case In(a, vs) if isKey(a) && vs.nonEmpty && vs.forall(v => litVal(v).isDefined) =>
         val longs = vs.flatMap(litVal)
-        lo = lo max longs.min; hi = hi min longs.max; any = true
+        raiseLo(longs.min); lowerHi(longs.max)
+      case In(a, vs) if isKey(a) && vs.nonEmpty && vs.forall(v => litStr(v).isDefined) =>
+        val bs = vs.flatMap(litStr)
+        raiseLoB(bs.reduce((x, y) => if (ord.compare(x, y) <= 0) x else y))
+        lowerHiB(bs.reduce((x, y) => if (ord.compare(x, y) >= 0) x else y))
       case _ => ()
     }
-    if (any) Some((lo, hi)) else None
+    KeyBounds(
+      if (any) Some((lo, hi)) else None,
+      Option(loB),
+      Option(hiB))
   }
 }

@@ -513,6 +513,60 @@ class SnapshotTableSpec extends SparkSpec {
     assert(latest.filter(col("id") === 125L).head().getString(1) == "UPD")
   }
 
+  test("STRING merge keys prune via binary manifest stats: untouched ranges' files carry verbatim") {
+    val root = tmp()
+    // four range files keyed by a zero-padded doc name — the reference's
+    // own merge key (filename) is a string, so string keys must prune
+    val base = (0 until 400).map(i => (f"doc-$i%04d", s"r$i")).toDF("name", "v")
+      .repartitionByRange(4, col("name"))
+    SnapshotTable.create(spark, root, base, statsKey = Some("name"))
+    val v1Files = SnapshotTable.read(spark, root).inputFiles.toSet
+    assert(v1Files.size == 4)
+    SnapshotTable.merge(spark, root,
+      Seq(("doc-0125", "UPD")).toDF("name", "v"), key = "name")
+    val v2Files = SnapshotTable.read(spark, root).inputFiles.toSet
+    assert((v1Files intersect v2Files).size == 3,
+      "a single-key merge must rewrite exactly the one file whose byte range holds it")
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.count() == 400)
+    assert(latest.filter(col("name") === "doc-0125").head().getString(1) == "UPD")
+    assert(latest.filter(col("name") === "doc-0126").head().getString(1) == "r126")
+  }
+
+  test("readIndexed on a STRING key: pushed string predicates prune files") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0 until 400).map(i => (f"doc-$i%04d", s"r$i")).toDF("name", "v")
+        .repartitionByRange(4, col("name")), statsKey = Some("name"))
+    // collect, not count: an aggregate would put AQE between the frame
+    // and the scan, and the initial plan's scan instance (whose metric
+    // we read) would never be the one that executed
+    def runAndCountFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = df.collect().length.toLong
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("plan must contain a FileSourceScanExec"))
+      (n, scan.metrics("numFiles").value)
+    }
+    val (eqRows, eqFiles) = runAndCountFiles(
+      SnapshotTable.readIndexed(spark, root, "name")
+        .filter(col("name") === "doc-0125"))
+    assert(eqRows == 1)
+    assert(eqFiles == 1, s"string = pushed down must scan 1 file, scanned $eqFiles")
+    val (rgRows, rgFiles) = runAndCountFiles(
+      SnapshotTable.readIndexed(spark, root, "name")
+        .filter(col("name") >= "doc-0100" && col("name") < "doc-0200"))
+    assert(rgRows == 100)
+    assert(rgFiles <= 2, s"a 100-key byte range spans at most 2 range files, scanned $rgFiles")
+    // one-sided bound: only the tail file(s)
+    val (tailRows, tailFiles) = runAndCountFiles(
+      SnapshotTable.readIndexed(spark, root, "name")
+        .filter(col("name") >= "doc-0390"))
+    assert(tailRows == 10)
+    assert(tailFiles == 1, s"a one-sided lower bound prunes to the tail file, scanned $tailFiles")
+  }
+
   test("readIndexed: the scan's own pushed filters prune files at planning time (Catalyst-integrated skipping)") {
     val root = tmp()
     SnapshotTable.create(spark, root,
