@@ -723,6 +723,30 @@ object SnapshotTable {
       (writeDataFiles(spark, root, laidOut, statsKey), schema)
     }
 
+  /** Retention rewrite: commit a new version holding only the rows
+    * matching `keep`, laid out like a compaction (targetFiles;
+    * optionally range-clustered on the stats key). This is the
+    * state-EXPIRY primitive — TTL eviction of a streaming dedup
+    * index, predicate deletes — and unlike [[compact]] it deliberately
+    * CHANGES the row set, so it commits with op "rewrite": history
+    * never lets a row-dropping rewrite masquerade as a compaction.
+    * Copy-on-write as everywhere — historical versions keep reading
+    * their original rows until expired and vacuumed. */
+  def retainWhere(spark: SparkSession, root: String,
+      keep: org.apache.spark.sql.Column, targetFiles: Int = 8,
+      statsKey: Option[String] = None, cluster: Boolean = false): Int =
+    retrying(spark, root, op = "rewrite") { latest =>
+      val parsed = manifestParsed(spark, root, latest)
+      val schema = schemaOf(spark, root, parsed)
+      val files = parsed._2.map(e => s"$root/${e.path}")
+      val kept = spark.read.schema(schema).parquet(files: _*).filter(keep)
+      val laidOut = statsKey match {
+        case Some(k) if cluster => kept.repartitionByRange(targetFiles, col(k))
+        case _ => kept.repartition(targetFiles)
+      }
+      (writeDataFiles(spark, root, laidOut, statsKey), schema)
+    }
+
   /** Drop all snapshots except the last `keepLast` (their manifests are
     * deleted; time travel to them fails afterwards). Run [[vacuum]] to
     * reclaim the data files only they referenced. */

@@ -207,11 +207,25 @@ object StreamingRunner {
     * range happens to intersect" back to "exactly the files the
     * batch's keys land in". Serialized inside foreachBatch like the
     * upsert loop — the single-writer contract is what makes the
-    * zero-age vacuum safe. */
+    * zero-age vacuum safe.
+    *
+    * TTL (`ttlBatches` > 0, requires maintenance): rows remember the
+    * micro-batch that ingested them (`batch_seq`), and each
+    * maintenance cycle EVICTS fingerprints older than `ttlBatches`
+    * batches via [[graft.sources.SnapshotTable.retainWhere]] (op
+    * "rewrite" in history — eviction never masquerades as
+    * compaction). This bounds the index's ROW count over an unbounded
+    * stream: dedup becomes exactly-once within the TTL horizon, and
+    * content re-delivered after its fingerprint expired is
+    * deliberately re-admitted — the bounded-state trade every
+    * infinite-stream dedup must choose, made explicit. Corpus dedup
+    * (default ttlBatches = 0) keeps the index complete forever. */
   def runStreamingDedupIngest(spark: SparkSession, srcDir: String,
       indexRoot: String, queryName: String = "graft_dedup_ingest",
       maintainEvery: Int = 0, keepVersions: Int = 3,
-      compactTargetFiles: Int = 4): Unit = {
+      compactTargetFiles: Int = 4, ttlBatches: Int = 0): Unit = {
+    require(ttlBatches == 0 || maintainEvery > 0,
+      "TTL eviction runs inside the maintenance cycle — set maintainEvery")
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream
       .schema(documentsSchema)
@@ -220,13 +234,15 @@ object StreamingRunner {
       .writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seq = nBatches.incrementAndGet()
         val fresh = graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty
         // persist: the batch fingerprints feed the bounds probe, the
         // anti-join, and the append — one materialization, three reads
-        val fp = batch
+        val base = batch
           .withColumn("fp", md5(col("text").cast("binary")))
           .withColumn("fp_key", graft.text.TextFunctions.md5Long(col("text")))
           .select(col("fp_key"), col("fp"), col("doc_id"), col("text"))
+        val fp = (if (ttlBatches > 0) base.withColumn("batch_seq", lit(seq)) else base)
           .dropDuplicates("fp")
           .persist()
         try {
@@ -243,10 +259,17 @@ object StreamingRunner {
                 fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp_key"))
             }
           }
-          if (maintainEvery > 0 && nBatches.incrementAndGet() % maintainEvery == 0) {
-            graft.sources.SnapshotTable.compact(spark, indexRoot,
-              targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
-              cluster = true)
+          if (maintainEvery > 0 && seq % maintainEvery == 0) {
+            if (ttlBatches > 0)
+              // eviction doubles as the compaction (same layout params)
+              graft.sources.SnapshotTable.retainWhere(spark, indexRoot,
+                col("batch_seq") >= seq - ttlBatches,
+                targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+                cluster = true)
+            else
+              graft.sources.SnapshotTable.compact(spark, indexRoot,
+                targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+                cluster = true)
             graft.sources.SnapshotTable.expireVersions(spark, indexRoot,
               keepLast = keepVersions)
             graft.sources.SnapshotTable.vacuum(spark, indexRoot, minAgeMs = 0L)

@@ -193,6 +193,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TTL eviction bounds dedup state: expired fingerprints re-admit re-delivered content") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sttl")
+    val srcDir = s"$tmp/src"
+    val indexRoot = s"$tmp/index"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    // batch 1: anchor content (doc 101); batches 2-7: one novel each;
+    // batch 8: the SAME anchor content under doc 108; batch 9: novel.
+    // With maintainEvery=3, ttlBatches=3: maintenance at batches 3/6/9
+    // evicts rows older than 3 batches — batch 6 evicts the original
+    // anchor fingerprint, so batch 8's re-delivery must RE-LAND (the
+    // explicit bounded-state trade), and batch 9's cycle evicts
+    // batches 3-5.
+    val batches: Seq[Seq[(Long, String, String, String, Long)]] =
+      Seq(Seq(doc(101, "anchor " * 20))) ++
+        (2 to 7).map(i => Seq(doc(i.toLong, s"novel-$i " * 10))) ++
+        Seq(Seq(doc(108, "anchor " * 20)), Seq(doc(9, "novel-9 " * 10)))
+    batches.foreach { b =>
+      b.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    }
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, srcDir, indexRoot,
+      queryName = "graft_sttl", maintainEvery = 3, keepVersions = 2,
+      ttlBatches = 3)
+    val idx = sources.SnapshotTable.read(spark, indexRoot)
+      .select(col("doc_id"), col("text"), col("batch_seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1).trim.takeWhile(_ != ' '), r.getLong(2)))
+      .toSet
+    // survivors of the batch-9 eviction (keep batch_seq >= 6): novels
+    // 6/7/9 and the RE-ADMITTED anchor — under doc 108, not 101
+    assert(idx == Set(
+      (6L, "novel-6", 6L), (7L, "novel-7", 7L),
+      (108L, "anchor", 8L), (9L, "novel-9", 9L)),
+      s"TTL horizon must keep exactly the last-3-batch fingerprints, got $idx")
+    // history is honest: the row-dropping maintenance is op "rewrite"
+    val ops = sources.SnapshotTable.history(spark, indexRoot).map(_.op)
+    assert(ops.contains("rewrite") && !ops.contains("compact"),
+      s"eviction must commit as rewrite, never masquerade as compact: $ops")
+  }
+
   test("schema evolution across stream runs: a redeployed chunker adds a column mid-table") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sevo")
