@@ -108,7 +108,7 @@ object SnapshotTable {
         java.util.Arrays.compareUnsigned(a, b)
     }
 
-  private def parseEntry(line: String): FileEntry = {
+  private[sources] def parseEntry(line: String): FileEntry = {
     def opt(s: String): Option[Long] = if (s.isEmpty) None else Some(s.toLong)
     def optB(s: String): Option[Array[Byte]] =
       if (s.isEmpty) None else Some(java.util.Base64.getDecoder.decode(s))

@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage of the planning-time pruning machinery the integration
+  * specs exercise end to end: [[ManifestFileIndex.bounds]] (pushed-
+  * filter → key-range extraction, the part whose SOUNDNESS every file
+  * skip rests on) and [[SnapshotTable.FileEntry]] manifest-line
+  * round-trips across every format arity a reader can meet. */
+class ManifestBoundsSpec extends AnyFunSuite {
+
+  private val id = AttributeReference("id", LongType)()
+  private val name = AttributeReference("name", StringType)()
+  private def lit(v: Long): Literal = Literal(v)
+  private def lit(s: String): Literal = Literal(UTF8String.fromString(s), StringType)
+
+  test("long conjuncts tighten to the intersection; strict bounds shift by one") {
+    val b = ManifestFileIndex.bounds(Seq(
+      GreaterThan(id, lit(10L)),           // id > 10  → lo 11
+      LessThanOrEqual(id, lit(99L)),       // id <= 99 → hi 99
+      GreaterThanOrEqual(id, lit(5L))),    // weaker lower bound: no effect
+      "id")
+    assert(b.longBounds.contains((11L, 99L)))
+    assert(b.strLo.isEmpty && b.strHi.isEmpty)
+  }
+
+  test("literal-on-the-left comparisons mirror correctly") {
+    // 50 >= id → id <= 50; 7 < id → id > 7 → lo 8
+    val b = ManifestFileIndex.bounds(Seq(
+      GreaterThanOrEqual(lit(50L), id),
+      LessThan(lit(7L), id)), "id")
+    assert(b.longBounds.contains((8L, 50L)))
+  }
+
+  test("equality pins both ends; an And tree splits into conjuncts") {
+    val b = ManifestFileIndex.bounds(Seq(
+      And(EqualTo(id, lit(42L)), EqualTo(name, lit("x")))), "id")
+    assert(b.longBounds.contains((42L, 42L)))
+  }
+
+  test("contradictory conjuncts surface as an inverted range (caller prunes everything)") {
+    val b = ManifestFileIndex.bounds(Seq(
+      GreaterThan(id, lit(100L)), LessThan(id, lit(50L))), "id")
+    assert(b.longBounds.exists { case (lo, hi) => lo > hi })
+  }
+
+  test("IN lists bound by min/max; long and string forms") {
+    val bl = ManifestFileIndex.bounds(Seq(
+      In(id, Seq(lit(30L), lit(7L), lit(19L)))), "id")
+    assert(bl.longBounds.contains((7L, 30L)))
+    val bs = ManifestFileIndex.bounds(Seq(
+      In(name, Seq(lit("m"), lit("c"), lit("k")))), "name")
+    assert(bs.strLo.map(new String(_, "UTF-8")).contains("c"))
+    assert(bs.strHi.map(new String(_, "UTF-8")).contains("m"))
+  }
+
+  test("string bounds: strict inequalities conservatively keep the non-strict endpoint") {
+    val b = ManifestFileIndex.bounds(Seq(
+      GreaterThan(name, lit("doc-0100")),
+      LessThan(name, lit("doc-0200"))), "name")
+    assert(b.strLo.map(new String(_, "UTF-8")).contains("doc-0100"))
+    assert(b.strHi.map(new String(_, "UTF-8")).contains("doc-0200"))
+    assert(b.longBounds.isEmpty)
+  }
+
+  test("one-sided string bounds survive alone") {
+    val b = ManifestFileIndex.bounds(Seq(
+      GreaterThanOrEqual(name, lit("doc-0390"))), "name")
+    assert(b.strLo.map(new String(_, "UTF-8")).contains("doc-0390"))
+    assert(b.strHi.isEmpty)
+  }
+
+  test("unrecognized shapes impose nothing: disjunctions, expressions over the key, other columns") {
+    val b = ManifestFileIndex.bounds(Seq(
+      Or(EqualTo(id, lit(1L)), EqualTo(id, lit(2L))), // disjunction
+      EqualTo(Add(id, lit(1L)), lit(5L)),             // expression over key
+      EqualTo(name, lit("x"))),                       // different column
+      "id")
+    assert(b.longBounds.isEmpty && b.strLo.isEmpty && b.strHi.isEmpty)
+  }
+
+  test("key matching is case-insensitive, like Spark's resolution") {
+    val upper = AttributeReference("ID", LongType)()
+    val b = ManifestFileIndex.bounds(Seq(EqualTo(upper, lit(9L))), "id")
+    assert(b.longBounds.contains((9L, 9L)))
+  }
+
+  test("FileEntry manifest lines round-trip at every arity a reader can meet") {
+    def rt(e: SnapshotTable.FileEntry): SnapshotTable.FileEntry = {
+      val p = SnapshotTable.parseEntry(e.render)
+      // byte arrays need value comparison
+      assert(p.minStr.map(_.toSeq) == e.minStr.map(_.toSeq))
+      assert(p.maxStr.map(_.toSeq) == e.maxStr.map(_.toSeq))
+      p
+    }
+    import SnapshotTable.FileEntry
+    // bare path (format-1 line)
+    assert(rt(FileEntry("data/b/f.parquet", None, None)).path == "data/b/f.parquet")
+    // long stats only (format-1/2)
+    val ls = rt(FileEntry("p", Some(3L), Some(9L)))
+    assert(ls.minKey.contains(3L) && ls.maxKey.contains(9L) && ls.rows.isEmpty)
+    // stats + rows (format 2)
+    val wr = rt(FileEntry("p", Some(3L), Some(9L), Some(100L)))
+    assert(wr.rows.contains(100L) && wr.bytes.isEmpty)
+    // stats + rows + bytes (format 2)
+    val wb = rt(FileEntry("p", None, None, Some(0L), Some(812L)))
+    assert(wb.rows.contains(0L) && wb.bytes.contains(812L) && wb.minKey.isEmpty)
+    // string stats (format 3) — binary-safe through base64
+    val bytes = Array[Byte](0, 9, -1, 127) // tab and high bytes included
+    val ss = rt(FileEntry("p", None, None, Some(5L), Some(1L),
+      Some(bytes), Some("doc-0199".getBytes("UTF-8"))))
+    assert(ss.rows.contains(5L))
+  }
+
+  test("overlap predicates agree with unsigned byte order on high-bit content") {
+    import SnapshotTable.FileEntry
+    // 0xC3 0xA9 is UTF-8 'é' — signed byte comparison would order it
+    // BELOW ascii; unsigned (the parquet/Spark order) puts it above
+    val e = FileEntry("p", None, None, None, None,
+      Some("café".getBytes("UTF-8")), Some("café".getBytes("UTF-8")))
+    // the precise claim: é sorts AFTER 'z' in unsigned order
+    assert(SnapshotTable.byteOrder.compare(
+      "café".getBytes("UTF-8"), "cafz".getBytes("UTF-8")) > 0,
+      "unsigned byte order must place multi-byte UTF-8 above ascii")
+    assert(!e.overlapsStr("cafa".getBytes("UTF-8"), "cafz".getBytes("UTF-8")),
+      "a file holding only 'café' must be prunable for an all-ascii range")
+  }
+}
