@@ -65,9 +65,11 @@ object Bench {
 
   /** md5 of the canonicalized physical plan — stable across sessions
     * AND invocations, changes iff the plan shape changes. Spark's
-    * canonicalization alone is NOT invocation-stable; diffing two
-    * back-to-back runs of identical code (round-7 protocol) showed
-    * five leak classes, each normalized here:
+    * canonicalization alone is NOT invocation-stable; diffing runs of
+    * identical code (round-7 protocol) showed six leak classes — five
+    * normalized textually here, the sixth (hashCode-ordered
+    * commutative orientation) re-oriented structurally by
+    * [[orientRule]] before rendering:
     *
     *  - scratch paths, batch UUIDs, and part-file names from
     *    lifecycle queries' per-invocation temp tables — replaced with
@@ -94,8 +96,47 @@ object Bench {
     *    bounded by real shape changes: Parallelism.ensure legitimately
     *    repartitions under local[32] but not local[2].)
     */
+  /** Deterministic re-orientation of expressions Spark's canonicalizer
+    * orders by HASHCODE: commutative reordering (comparisons flipped
+    * `a < b` ⇄ `b > a`, And/Or/MultiCommutativeOp operand order) uses
+    * child hashCodes computed while raw global ExprIds are still in
+    * the tree, so the chosen orientation is a per-JVM coin toss — it
+    * held for six invocations and then flipped three queries' texts
+    * on the seventh. Re-orienting by the RENDERED operand strings
+    * (bottom-up, so children stabilize before parents compare) makes
+    * both orientations converge to one text. Rendering must not
+    * execute anything — this runs on the canonicalized tree and the
+    * result is only ever toString'd. */
+  private[graft] val orientRule: PartialFunction[
+      org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def sorted(e: Expression): Expression = {
+      val s = e.children.sortBy(_.toString)
+      if (s == e.children) e else e.withNewChildren(s)
+    }
+    // one invariant covers every mirrored pair: the string-SMALLER
+    // operand renders on the left (flipping the comparison direction
+    // to preserve semantics)
+    {
+      case GreaterThan(l, r) if r.toString <= l.toString => LessThan(r, l)
+      case LessThan(l, r) if l.toString > r.toString => GreaterThan(r, l)
+      case GreaterThanOrEqual(l, r) if r.toString <= l.toString => LessThanOrEqual(r, l)
+      case LessThanOrEqual(l, r) if l.toString > r.toString => GreaterThanOrEqual(r, l)
+      case e @ EqualTo(l, r) if l.toString > r.toString => EqualTo(r, l)
+      case e @ EqualNullSafe(l, r) if l.toString > r.toString => EqualNullSafe(r, l)
+      case m: MultiCommutativeOp => sorted(m)
+      case a: And => sorted(a)
+      case o: Or => sorted(o)
+    }
+  }
+
+  private def oriented(plan: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+    try plan.transformUp { case node => node.transformExpressionsUp(orientRule) }
+    catch { case _: Throwable => plan } // never let rendering-only work fail a bench
+
   private[graft] def planCanon(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.canonicalized.toString
+    oriented(df.queryExecution.executedPlan.canonicalized).toString
       .replaceAll("/tmp/graft-[A-Za-z0-9_.-]*", "/tmp/graft-SCRATCH")
       .replaceAll("batch-[0-9a-f]{8}", "batch-UUID")
       .replaceAll("part-\\d{5}-[0-9a-f-]{36}", "part-N-UUID")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fingerprint orientation rule: Spark's canonicalizer orders
+  * commutative operands by hashCodes that embed raw global ExprIds, so
+  * the SAME predicate can render as `a < b` in one JVM and `b > a` in
+  * the next (observed flipping three queries' fingerprints on the
+  * seventh invocation of one commit). [[Bench.orientRule]] must make
+  * every mirrored orientation converge to one rendering. */
+class BenchCanonSpec extends AnyFunSuite {
+
+  private val x = AttributeReference("x", LongType)(exprId = ExprId(0))
+  private val y = AttributeReference("y", LongType)(exprId = ExprId(1))
+  private val big: Expression = Multiply(Add(x, Literal(7L)), Literal(3L))
+
+  private def fix(e: Expression): String = e.transformUp(Bench.orientRule).toString
+
+  test("mirrored strict comparisons converge") {
+    assert(fix(GreaterThan(x, big)) == fix(LessThan(big, x)))
+    assert(fix(GreaterThan(big, x)) == fix(LessThan(x, big)))
+  }
+
+  test("mirrored non-strict comparisons converge") {
+    assert(fix(GreaterThanOrEqual(x, big)) == fix(LessThanOrEqual(big, x)))
+    assert(fix(LessThanOrEqual(x, big)) == fix(GreaterThanOrEqual(big, x)))
+  }
+
+  test("commuted equality and conjunction operand orders converge") {
+    assert(fix(EqualTo(x, big)) == fix(EqualTo(big, x)))
+    assert(fix(EqualNullSafe(x, big)) == fix(EqualNullSafe(big, x)))
+    val p = GreaterThan(x, Literal(1L))
+    val q = LessThan(y, Literal(9L))
+    assert(fix(And(p, q)) == fix(And(q, p)))
+    assert(fix(Or(p, q)) == fix(Or(q, p)))
+  }
+
+  test("orientation is idempotent and preserves semantics-relevant structure") {
+    val e: Expression = GreaterThan(x, big)
+    val once = e.transformUp(Bench.orientRule)
+    val twice = once.transformUp(Bench.orientRule)
+    assert(once.toString == twice.toString, "re-orienting must be a fixpoint")
+    // the oriented form is still a comparison over the same operand set
+    val ops = once match {
+      case b: BinaryComparison => Set(b.left.toString, b.right.toString)
+      case other => fail(s"unexpected shape $other")
+    }
+    assert(ops == Set(x.toString, big.toString))
+  }
+}
