@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions.col
   *    each with optional per-file min/max KEY STATS for data skipping,
   *    plus the version's SCHEMA (append/merge may add columns — see
   *    [[append]]; every version reads with its own recorded schema).
+  *  - The manifest header NAMES the column(s) the stats were computed
+  *    for (`statsKey`, optional secondary `statsKey2`): every pruning
+  *    path verifies the requested key against the recorded name and
+  *    degrades to no-pruning on mismatch — stats are only ever applied
+  *    to the column they were measured on (the same stats-identity
+  *    contract Delta/Iceberg carry in their metadata).
   *  - COMMIT is one atomic filesystem operation: manifest vN+1 appears
   *    under its final name exactly once or not at all (hard-link
   *    publish on local filesystems, create-with-overwrite=false on
@@ -32,6 +38,12 @@ import org.apache.spark.sql.functions.col
   * stats (non-integral keys, pre-stats manifests) conservatively
   * rewrite. The whole operation is invisible until the single manifest
   * create lands.
+  *
+  * All file skipping — [[readRange]], [[readKeys]], [[readIndexed]]'s
+  * planning-time pruning, and merge's touched-file partition — goes
+  * through ONE module, [[ManifestPruning]]: a single implementation of
+  * the range/point-set overlap checks, so the read path, the write
+  * path, and the Catalyst integration can never drift apart.
   */
 object SnapshotTable {
 
@@ -41,31 +53,45 @@ object SnapshotTable {
   /** Highest manifest format this build reads and the format it writes.
     * The header carries `"format":N` so future revisions are
     * self-describing: a reader seeing a NEWER format fails loudly
-    * instead of misparsing lines it does not understand (the op field
-    * and the schema line were added by prefix heuristics — this field
-    * is what lets the NEXT evolution drop the heuristics). Format
+    * instead of misparsing lines it does not understand. Format
     * history: 1 = headerless/op-header tables written before the field
     * existed (parsed leniently); 2 = header format field + optional
     * per-file row-count and byte-size columns; 3 = optional per-file
     * STRING key stats (base64 of the parquet binary min/max, compared
-    * in unsigned byte order — the same order Spark sorts strings). */
-  private val ManifestFormat = 3
+    * in unsigned byte order — the same order Spark sorts strings);
+    * 4 = the header RECORDS the stats column names (`statsKey`,
+    * optional `statsKey2`) and file lines may carry a SECOND integral
+    * column's min/max — pruning paths verify the requested key against
+    * the recorded name and fall back to no-pruning on mismatch, so
+    * stats can never be applied to a column they weren't computed for.
+    * Pre-format-4 manifests record no stats identity; their stats are
+    * therefore IGNORED by this reader (conservative full scan) rather
+    * than trusted blind. */
+  private val ManifestFormat = 4
 
   /** One manifest data-file line: relative path + optional min/max of
-    * the table's merge key (integral keys only) + optional row count
-    * (from the parquet footer at write time — powers DESCRIBE HISTORY
-    * and empty-batch detection with zero data I/O) + optional file
-    * size in bytes (from the write's own directory listing — what lets
-    * [[ManifestFileIndex]] build its FileStatuses from the manifest
-    * alone, no per-file RPCs at planning time). */
+    * the table's primary stats key (long for integral keys, base64
+    * binary for string keys) + optional row count (from the parquet
+    * footer at write time — powers DESCRIBE HISTORY and empty-batch
+    * detection with zero data I/O) + optional file size in bytes (from
+    * the write's own directory listing — what lets [[ManifestFileIndex]]
+    * build its FileStatuses from the manifest alone, no per-file RPCs
+    * at planning time) + optional min/max of the SECONDARY stats key
+    * (integral only — the reference's secondary identity component,
+    * `chunk_idx`, is an int; string secondaries would double the line
+    * arity for a case no call site has). The pruning predicates live
+    * in [[ManifestPruning]]; the methods here delegate. */
   private[sources] final case class FileEntry(path: String, minKey: Option[Long],
       maxKey: Option[Long], rows: Option[Long] = None, bytes: Option[Long] = None,
-      minStr: Option[Array[Byte]] = None, maxStr: Option[Array[Byte]] = None) {
+      minStr: Option[Array[Byte]] = None, maxStr: Option[Array[Byte]] = None,
+      min2: Option[Long] = None, max2: Option[Long] = None) {
     def render: String = {
       def s(o: Option[Long]): String = o.map(_.toString).getOrElse("")
       def b64(o: Option[Array[Byte]]): String =
         o.map(java.util.Base64.getEncoder.withoutPadding.encodeToString).getOrElse("")
-      if (minStr.isDefined || maxStr.isDefined)
+      if (min2.isDefined || max2.isDefined)
+        s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}"
+      else if (minStr.isDefined || maxStr.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}"
       else if (rows.isEmpty && bytes.isEmpty)
         minKey.zip(maxKey).map { case (a, b) => s"$path\t$a\t$b" }.getOrElse(path)
@@ -73,29 +99,24 @@ object SnapshotTable {
       else s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}"
     }
     /** Could this file contain any of `keys` (sorted)? No stats → maybe. */
-    def mayContain(keys: Array[Long]): Boolean =
-      minKey.zip(maxKey).forall { case (mn, mx) =>
-        val i = java.util.Arrays.binarySearch(keys, mn)
-        val from = if (i >= 0) i else -i - 1
-        from < keys.length && keys(from) <= mx
-      }
+    def mayContain(keys: Array[Long]): Boolean = ManifestPruning.mayContain(this, keys)
     /** Could this file hold any key in [lo, hi]? No stats → maybe. */
-    def overlaps(lo: Long, hi: Long): Boolean =
-      minKey.zip(maxKey).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    def overlaps(lo: Long, hi: Long): Boolean = ManifestPruning.overlaps(this, lo, hi)
     /** String-key form of [[mayContain]]: `keys` sorted by
       * [[SnapshotTable.byteOrder]] (unsigned bytes — Spark's own
       * string order). No string stats → maybe. */
     def mayContainStr(keys: Array[Array[Byte]]): Boolean =
-      minStr.zip(maxStr).forall { case (mn, mx) =>
-        val i = java.util.Arrays.binarySearch(keys, mn, byteOrder)
-        val from = if (i >= 0) i else -i - 1
-        from < keys.length && byteOrder.compare(keys(from), mx) <= 0
-      }
+      ManifestPruning.mayContainStr(this, keys)
     /** String-key form of [[overlaps]]. */
     def overlapsStr(lo: Array[Byte], hi: Array[Byte]): Boolean =
-      minStr.zip(maxStr).forall { case (mn, mx) =>
-        byteOrder.compare(mx, lo) >= 0 && byteOrder.compare(mn, hi) <= 0
-      }
+      ManifestPruning.overlapsStr(this, lo, hi)
+    /** Stats stripped — what a carried-forward entry becomes when a
+      * commit changes the stats key: ranges measured on the OLD key
+      * must not survive under a header naming the new one. Row count
+      * and size are key-independent and stay. */
+    def withoutKeyStats: FileEntry =
+      copy(minKey = None, maxKey = None, minStr = None, maxStr = None)
+    def withoutKey2Stats: FileEntry = copy(min2 = None, max2 = None)
   }
 
   /** Unsigned lexicographic byte order — the order parquet records
@@ -115,6 +136,8 @@ object SnapshotTable {
     // limit -1: string-stats lines may end in an empty field, which
     // the default split would silently drop (changing the arity)
     line.split("\t", -1) match {
+      case Array(p, mn, mx, r, b, lo, hi, m2, x2) =>
+        FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2))
       case Array(p, mn, mx, r, b, lo, hi) =>
         FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi))
       case Array(p, mn, mx, r, b) => FileEntry(p, opt(mn), opt(mx), opt(r), opt(b))
@@ -123,6 +146,17 @@ object SnapshotTable {
       case _                      => FileEntry(line, None, None, None)
     }
   }
+
+  /** One fully-parsed manifest: the committing op, the recorded schema
+    * (if any), the file entries, and the NAMES of the columns the
+    * entries' stats were computed for (format 4+; absent on older
+    * manifests, whose stats are then unattributable and unused). */
+  private[sources] final case class Manifest(
+      op: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      entries: Seq[FileEntry],
+      statsKey: Option[String],
+      statsKey2: Option[String])
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -144,18 +178,13 @@ object SnapshotTable {
       .sorted.toSeq
   }
 
-  /** One manifest read, fully parsed: header op, recorded schema if
-    * any, file entries. Header line {"version":N,"op":...}, optional
+  /** One manifest read, fully parsed. Header line
+    * {"version":N,"format":F,"op":...,"statsKey":...}, optional
     * S<schema-json> line, then one file entry per line. Callers
     * needing more than one field use THIS — a manifest read is a
     * filesystem round trip on the commit critical path, not something
     * to repeat per field. */
-  private def manifestParsed(spark: SparkSession, root: String, v: Int):
-      (Option[org.apache.spark.sql.types.StructType], Seq[FileEntry]) =
-    manifestFull(spark, root, v) match { case (_, s, e) => (s, e) }
-
-  private def manifestFull(spark: SparkSession, root: String, v: Int):
-      (String, Option[org.apache.spark.sql.types.StructType], Seq[FileEntry]) = {
+  private def manifestFull(spark: SparkSession, root: String, v: Int): Manifest = {
     val in = fs(spark, root).open(manifestPath(root, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val allLines = text.linesIterator.toSeq
@@ -169,26 +198,31 @@ object SnapshotTable {
       s"manifest v$v at $root uses format $fmt; this reader supports <= $ManifestFormat")
     val op = """"op":"([a-z]+)"""".r.findFirstMatchIn(header)
       .map(_.group(1)).getOrElse("unknown")
+    // `statsKey2` must not satisfy the `statsKey` pattern: the `":`
+    // anchor after the field name keeps the two distinct
+    val statsKey = """"statsKey":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
+    val statsKey2 = """"statsKey2":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
     val lines = allLines.drop(1).filter(_.nonEmpty)
     val schema = lines.find(_.startsWith("S{"))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val entries = lines.filterNot(_.startsWith("S{")).map(parseEntry)
-    (op, schema, entries)
+    Manifest(op, schema, entries, statsKey, statsKey2)
   }
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] =
-    manifestParsed(spark, root, v)._2
+    manifestFull(spark, root, v).entries
 
   /** The schema recorded in version `v`'s manifest, if any (manifests
     * written before schema tracking carry none — their reads fall back
     * to parquet inference). */
   def readSchema(spark: SparkSession, root: String, v: Int): Option[org.apache.spark.sql.types.StructType] =
-    manifestParsed(spark, root, v)._1
+    manifestFull(spark, root, v).schema
 
   /** Write `df` as immutable data files under root/data/<uuid>/ and
     * return their entries — with per-file min/max stats of `statsKey`
-    * when it resolves to an integral column.
+    * (integral or string) and optionally `statsKey2` (integral only)
+    * when they resolve to prunable columns.
     *
     * Stats come from the PARQUET FOOTERS of the just-written files —
     * zero Spark jobs and zero data I/O. The parquet writer already
@@ -201,7 +235,8 @@ object SnapshotTable {
     * round-trip latency. Any unreadable/statless footer degrades to
     * no-stats (conservative rewrite), never to a wrong range. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
-      statsKey: Option[String] = None): Seq[FileEntry] = {
+      statsKey: Option[String] = None,
+      statsKey2: Option[String] = None): Seq[FileEntry] = {
     val batch = s"data/batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
     val f = fs(spark, root)
@@ -210,16 +245,26 @@ object SnapshotTable {
     val paths = f.listStatus(new Path(root, batch))
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => (s"$batch/${s.getPath.getName}", s.getLen)).sortBy(_._1).toSeq
+    def colType(k: String): Option[org.apache.spark.sql.types.DataType] =
+      try Some(df.select(df(k)).schema.head.dataType) catch { case _: Exception => None }
     // keyKind: Some((name, isString)) when the stats key is a type we
     // can range-prune on — integral (long stats) or string (binary
     // min/max in unsigned byte order); anything else disables stats
     val keyKind: Option[(String, Boolean)] = statsKey.flatMap { k =>
-      try df.select(df(k)).schema.head.dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType => Some((k, false))
-        case org.apache.spark.sql.types.StringType => Some((k, true))
+      colType(k) match {
+        case Some(org.apache.spark.sql.types.LongType |
+                  org.apache.spark.sql.types.IntegerType) => Some((k, false))
+        case Some(org.apache.spark.sql.types.StringType) => Some((k, true))
         case _ => None
-      } catch { case _: Exception => None }
+      }
+    }
+    // the secondary stats key is integral-only (see FileEntry)
+    val key2: Option[String] = statsKey2.filter { k =>
+      colType(k).exists {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      }
     }
     // every file gets one footer read: row counts always (DESCRIBE
     // HISTORY + empty-batch detection), key min/max when the stats key
@@ -233,11 +278,11 @@ object SnapshotTable {
         val futures = paths.map { case (rel, len) =>
           pool.submit(new java.util.concurrent.Callable[FileEntry] {
             override def call(): FileEntry = {
-              val (rows, st, stS) =
-                try footerInfo(conf, new Path(root, rel), keyKind)
-                catch { case _: Exception => (None, None, None) }
+              val (rows, st, stS, st2) =
+                try footerInfo(conf, new Path(root, rel), keyKind, key2)
+                catch { case _: Exception => (None, None, None, None) }
               FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len),
-                stS.map(_._1), stS.map(_._2))
+                stS.map(_._1), stS.map(_._2), st2.map(_._1), st2.map(_._2))
             }
           })
         }
@@ -246,65 +291,77 @@ object SnapshotTable {
     }
   }
 
-  /** Row count + min/max of column `key` across all row groups of one
-    * parquet file, read from the footer (no data pages touched). The
-    * row count is the footer's authoritative per-block sum. Integral
-    * keys yield the long range; string keys yield the BINARY min/max
-    * (parquet records them in unsigned byte order — the same order
-    * Spark compares strings, so the range is sound for pruning).
+  /** Per-column accumulator for one footer pass: long range, binary
+    * range, and a validity flag (one statless/unknown row group poisons
+    * the whole file's range — conservative, never wrong). */
+  private final class StatsAcc(val isString: Boolean) {
+    var mn: Long = Long.MaxValue
+    var mx: Long = Long.MinValue
+    var mnB: Array[Byte] = null
+    var mxB: Array[Byte] = null
+    var seen = false
+    var valid = true
+    def take(st: org.apache.parquet.column.statistics.Statistics[_]): Unit = {
+      if (st == null || st.isEmpty) { valid = false; return }
+      if (!st.hasNonNullValue) return
+      (st.genericGetMin, st.genericGetMax) match {
+        case (a: java.lang.Integer, b: java.lang.Integer) if !isString =>
+          mn = math.min(mn, a.longValue); mx = math.max(mx, b.longValue); seen = true
+        case (a: java.lang.Long, b: java.lang.Long) if !isString =>
+          mn = math.min(mn, a.longValue); mx = math.max(mx, b.longValue); seen = true
+        case (a: org.apache.parquet.io.api.Binary,
+              b: org.apache.parquet.io.api.Binary) if isString =>
+          val (lo, hi) = (a.getBytes, b.getBytes)
+          if (mnB == null || byteOrder.compare(lo, mnB) < 0) mnB = lo
+          if (mxB == null || byteOrder.compare(hi, mxB) > 0) mxB = hi
+          seen = true
+        case _ => valid = false
+      }
+    }
+    def longRange: Option[(Long, Long)] =
+      if (valid && seen && !isString) Some((mn, mx)) else None
+    def strRange: Option[(Array[Byte], Array[Byte])] =
+      if (valid && seen && isString) Some((mnB, mxB)) else None
+  }
+
+  /** Row count + min/max of the stats column(s) across all row groups
+    * of one parquet file, read from the footer (no data pages touched).
+    * The row count is the footer's authoritative per-block sum.
+    * Integral keys yield the long range; string keys yield the BINARY
+    * min/max (parquet records them in unsigned byte order — the same
+    * order Spark compares strings, so the range is sound for pruning).
     * Stats are None when the key is absent/statless/all-null or a row
     * group's statistics are unknown — the caller treats None as "may
     * contain anything". */
   private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
-      file: Path, keyKind: Option[(String, Boolean)]):
-      (Option[Long], Option[(Long, Long)], Option[(Array[Byte], Array[Byte])]) = {
+      file: Path, keyKind: Option[(String, Boolean)], key2: Option[String]):
+      (Option[Long], Option[(Long, Long)], Option[(Array[Byte], Array[Byte])],
+       Option[(Long, Long)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       var nRows = 0L
-      var mn = Long.MaxValue
-      var mx = Long.MinValue
-      var mnB: Array[Byte] = null
-      var mxB: Array[Byte] = null
-      var seen = false
-      var statsValid = keyKind.isDefined
+      val acc1 = keyKind.map(k => (k._1, new StatsAcc(k._2)))
+      val acc2 = key2.map(k => (k, new StatsAcc(false)))
       val blocks = reader.getFooter.getBlocks.iterator()
       while (blocks.hasNext) {
         val block = blocks.next()
         nRows += block.getRowCount
-        if (statsValid) {
+        if (acc1.exists(_._2.valid) || acc2.exists(_._2.valid)) {
           val cols = block.getColumns.iterator()
           while (cols.hasNext) {
             val c = cols.next()
-            if (c.getPath.toDotString == keyKind.get._1) {
-              val st = c.getStatistics
-              // a single statless/unknown row group poisons the range
-              if (st == null || st.isEmpty) statsValid = false
-              else if (st.hasNonNullValue) {
-                (st.genericGetMin, st.genericGetMax) match {
-                  case (a: java.lang.Integer, b: java.lang.Integer) if !keyKind.get._2 =>
-                    mn = math.min(mn, a.longValue); mx = math.max(mx, b.longValue); seen = true
-                  case (a: java.lang.Long, b: java.lang.Long) if !keyKind.get._2 =>
-                    mn = math.min(mn, a.longValue); mx = math.max(mx, b.longValue); seen = true
-                  case (a: org.apache.parquet.io.api.Binary,
-                        b: org.apache.parquet.io.api.Binary) if keyKind.get._2 =>
-                    val (lo, hi) = (a.getBytes, b.getBytes)
-                    if (mnB == null || byteOrder.compare(lo, mnB) < 0) mnB = lo
-                    if (mxB == null || byteOrder.compare(hi, mxB) > 0) mxB = hi
-                    seen = true
-                  case _ => statsValid = false
-                }
-              }
-            }
+            val dot = c.getPath.toDotString
+            acc1.foreach { case (name, a) => if (a.valid && dot == name) a.take(c.getStatistics) }
+            acc2.foreach { case (name, a) => if (a.valid && dot == name) a.take(c.getStatistics) }
           }
         }
       }
-      val longStats =
-        if (statsValid && seen && keyKind.exists(!_._2)) Some((mn, mx)) else None
-      val strStats =
-        if (statsValid && seen && keyKind.exists(_._2)) Some((mnB, mxB)) else None
-      (Some(nRows), longStats, strStats)
+      (Some(nRows),
+        acc1.flatMap(_._2.longRange),
+        acc1.flatMap(_._2.strRange),
+        acc2.flatMap(_._2.longRange))
     } finally reader.close()
   }
 
@@ -323,79 +380,30 @@ object SnapshotTable {
     * committed in the meantime — nothing in this protocol ever replaces
     * an existing manifest. Readers see either no manifest or the whole
     * manifest; a crashed writer leaves only a tmp file (never a blocked
-    * version), which [[vacuum]] sweeps. */
+    * version), which [[vacuum]] sweeps. The two real primitives (and
+    * the doubles proving the object-store story) live behind
+    * [[CommitPublisher]]. */
   private def commit(spark: SparkSession, root: String, files: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType, expected: Int,
-      op: String): Int = {
+      op: String, statsKey: Option[String], statsKey2: Option[String]): Int = {
     val v = expected + 1
-    // header (format revision + version + operation that produced it),
+    // header (format revision + version + operation + stats identity),
     // then the version's SCHEMA (S-prefixed json line): every version
     // records exactly the shape its readers must apply, so a table
     // whose files span schema evolutions still reads every version
     // deterministically (inference from an arbitrary file's footer
     // would drop or misorder evolved columns)
-    val body = (s"""{"version":$v,"format":$ManifestFormat,"op":"$op"}""" +:
-      s"S${schema.json}" +: files.map(_.render))
-      .mkString("\n")
+    def kf(name: String, v: Option[String]): String =
+      v.map(k => s""","$name":"$k"""").getOrElse("")
+    val header = s"""{"version":$v,"format":$ManifestFormat,"op":"$op"""" +
+      kf("statsKey", statsKey) + kf("statsKey2", statsKey2) + "}"
+    val body = (header +: s"S${schema.json}" +: files.map(_.render)).mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
-    if (scheme == null || scheme == "file") {
-      val nio = java.nio.file.Paths.get(p.toUri.getPath)
-      java.nio.file.Files.createDirectories(nio.getParent)
-      val tmp = nio.resolveSibling(
-        nio.getFileName.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-      try {
-        try java.nio.file.Files.createLink(nio, tmp)
-        catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            // vN already exists: usually a lost race (full manifest —
-            // retry onto vN+1), but a ZERO-LENGTH vN (external
-            // tampering, or a claim left by a pre-hard-link build that
-            // crashed mid-publish) would block version N forever since
-            // versions() skips it and no commit can land on the name.
-            // Reclaim: move a stale empty file aside atomically (rename
-            // of a missing source throws, so exactly one recoverer
-            // wins) and publish; a FRESH empty file gets the benefit of
-            // the doubt and surfaces as a plain lost race.
-            if (!reclaimStaleClaim(nio)) throw e
-            java.nio.file.Files.createLink(nio, tmp)
-        }
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      // HDFS-like stores: write the FULL manifest to a writer-unique
-      // tmp file, close it, then RENAME onto the version name. HDFS
-      // rename is one atomic namenode op that FAILS when the
-      // destination exists, so claim and publish are a single metadata
-      // op carrying the whole content — the same protocol as Delta's
-      // HDFS log store. The earlier create(overwrite=false)+write form
-      // was atomic only at claim time: a writer crashing between
-      // create and close left a zero-length (or torn) file UNDER THE
-      // VERSION NAME, blocking that version forever. With rename, a
-      // crashed writer leaves only a uniquely-named tmp file, which
-      // [[vacuum]] sweeps. Object stores without atomic
-      // rename-if-absent semantics (e.g. S3 without a coordination
-      // layer) need a different publish primitive — the same
-      // documented limitation every HDFS-committer-based table format
-      // carries.
-      val f = fs(spark, root)
-      f.mkdirs(new Path(root, SnapshotDir))
-      val tmp = new Path(root,
-        s"$SnapshotDir/${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = f.create(tmp, false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      var published = false
-      try {
-        published = f.rename(tmp, p)
-        if (!published && reclaimStaleClaimFs(f, p))
-          // a stale ZERO-LENGTH destination (external tampering, or a
-          // crashed writer of a pre-rename build) was moved aside by
-          // THIS caller — publish onto the reclaimed name
-          published = f.rename(tmp, p)
-      } finally f.delete(tmp, false)
-      if (!published)
-        throw new java.io.IOException(s"lost commit race for $p")
-    }
+    val publisher: CommitPublisher =
+      if (scheme == null || scheme == "file") CommitPublisher.localLink
+      else CommitPublisher.renameIfAbsent(fs(spark, root))
+    publisher.publish(root, p, body.getBytes("UTF-8"))
     v
   }
 
@@ -404,40 +412,7 @@ object SnapshotTable {
     * current protocol never creates empty manifests (publish is one
     * atomic link of the full content), so this only defends against
     * external tampering and leftovers of older builds. */
-  private val StaleClaimMs = 60000L
-
-  /** Atomically move an abandoned (zero-length, stale) claim aside.
-    * Returns true iff THIS caller won the reclaim and may publish the
-    * version; false if the file is fresh, non-empty, or already gone. */
-  private def reclaimStaleClaim(nio: java.nio.file.Path): Boolean = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val stale =
-      try Files.size(nio) == 0 &&
-        Files.getLastModifiedTime(nio).toMillis < System.currentTimeMillis() - StaleClaimMs
-      catch { case _: java.io.IOException => false } // vanished: publisher won
-    if (!stale) return false
-    val aside = nio.resolveSibling(
-      nio.getFileName.toString + s".abandoned-${java.util.UUID.randomUUID().toString.take(8)}")
-    try { Files.move(nio, aside, StandardCopyOption.ATOMIC_MOVE); true }
-    catch { case _: java.io.IOException => false } // another recoverer won
-  }
-
-  /** [[reclaimStaleClaim]] for the HDFS-like branch: move an abandoned
-    * (zero-length, stale) file occupying a version name aside via the
-    * filesystem's atomic rename — exactly one recoverer wins because a
-    * rename whose source has vanished fails. Returns true iff THIS
-    * caller won and may publish onto the name. */
-  private def reclaimStaleClaimFs(f: FileSystem, p: Path): Boolean = {
-    val st =
-      try f.getFileStatus(p)
-      catch { case _: java.io.IOException => return false } // vanished
-    if (st.getLen != 0 ||
-      st.getModificationTime >= System.currentTimeMillis() - StaleClaimMs) return false
-    val aside = new Path(p.getParent,
-      p.getName + s".abandoned-${java.util.UUID.randomUUID().toString.take(8)}")
-    try f.rename(p, aside)
-    catch { case _: java.io.IOException => false } // another recoverer won
-  }
+  private[sources] val StaleClaimMs = 60000L
 
   /** Nullability widened at EVERY nesting level: parquet round-trips
     * don't preserve Spark's nullability flags faithfully (a constructed
@@ -468,6 +443,12 @@ object SnapshotTable {
     * slip past the type check against table column 'id' and commit a
     * case-duplicate schema that poisons every subsequent read. */
   private def norm(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
+  /** Do two stats-key names refer to the same column? (case-insensitive,
+    * matching Spark's resolution; None never matches a name — an
+    * unattributed range is not evidence about any column). */
+  private def sameKey(recorded: Option[String], requested: String): Boolean =
+    recorded.exists(r => norm(r) == norm(requested))
 
   /** The widened type of a table/batch column pair, or None when the
     * pair is irreconcilable. Equal types (modulo nullability) always
@@ -556,30 +537,62 @@ object SnapshotTable {
 
   /** The schema readers of `v` must apply: recorded in the manifest, or
     * (pre-schema-tracking manifests) inferred from the files. */
-  private def schemaOf(spark: SparkSession, root: String,
-      parsed: (Option[org.apache.spark.sql.types.StructType], Seq[FileEntry])): org.apache.spark.sql.types.StructType =
-    parsed._1.getOrElse {
-      val files = parsed._2.map(e => s"$root/${e.path}")
+  private def schemaOf(spark: SparkSession, root: String, m: Manifest): org.apache.spark.sql.types.StructType =
+    m.schema.getOrElse {
+      val files = m.entries.map(e => s"$root/${e.path}")
       widened(spark.read.parquet(files: _*).schema)
     }
 
+  /** Stats keys a commit will record, and the carried-forward entries
+    * reconciled against them: a caller-supplied key wins, an
+    * unspecified one INHERITS the table's recorded key (so a plain
+    * `append(df)` onto a stats-keyed table keeps the whole table
+    * prunable instead of silently writing statless files), and any
+    * carried entry whose stats were measured on a DIFFERENT column
+    * than the one the new header names has those stats stripped —
+    * a range attributed to the wrong column prunes wrongly, which on
+    * the read path means lost rows. */
+  private def resolveStatsKeys(m: Manifest, statsKey: Option[String],
+      statsKey2: Option[String]): (Option[String], Option[String], Seq[FileEntry] => Seq[FileEntry]) = {
+    val effKey = statsKey.orElse(m.statsKey)
+    val effKey2 = statsKey2.orElse(m.statsKey2)
+    def same(a: Option[String], b: Option[String]): Boolean =
+      a.map(norm) == b.map(norm)
+    val fix = (carried: Seq[FileEntry]) => {
+      val k1ok = same(m.statsKey, effKey)
+      val k2ok = same(m.statsKey2, effKey2)
+      if (k1ok && k2ok) carried
+      else carried.map { e =>
+        val e1 = if (k1ok) e else e.withoutKeyStats
+        if (k2ok) e1 else e1.withoutKey2Stats
+      }
+    }
+    (effKey, effKey2, fix)
+  }
+
   /** Create a new table (version 1) or fail if one exists. `statsKey`
-    * (usually the future merge key) enables data skipping from birth. */
+    * (usually the future merge key) enables data skipping from birth;
+    * `statsKey2` records a SECOND integral column's ranges for
+    * conjunctive two-key pruning (the reference's chunk identity is
+    * (filename, chunk_idx) — one key is not enough to point-prune a
+    * chunk table). */
   def create(spark: SparkSession, root: String, df: DataFrame,
-      statsKey: Option[String] = None): Int = {
+      statsKey: Option[String] = None, statsKey2: Option[String] = None): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
-    commit(spark, root, writeDataFiles(spark, root, df, statsKey),
-      widened(df.schema), expected = 0, op = "create")
+    commit(spark, root, writeDataFiles(spark, root, df, statsKey, statsKey2),
+      widened(df.schema), expected = 0, op = "create", statsKey, statsKey2)
   }
 
   /** Append rows: new files + all files of the snapshot appended onto.
     * The batch may carry NEW columns (recorded in the new version's
     * schema; earlier files null-fill them on read) but never a type
     * conflict on an existing column — unless `allowWiden` opts into
-    * lossless int→long / float→double widening. */
+    * lossless int→long / float→double widening. With no `statsKey`
+    * given the append INHERITS the table's recorded stats key(s). */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      statsKey: Option[String] = None, allowWiden: Boolean = false): Int =
-    appendImpl(spark, root, df, statsKey, allowWiden, skipIfEmpty = false).get
+      statsKey: Option[String] = None, allowWiden: Boolean = false,
+      statsKey2: Option[String] = None): Int =
+    appendImpl(spark, root, df, statsKey, statsKey2, allowWiden, skipIfEmpty = false).get
 
   /** [[append]] that skips the commit when the batch turns out to be
     * EMPTY: the per-file row counts ride the footer reads the write
@@ -589,25 +602,27 @@ object SnapshotTable {
     * duplicates) get the check for free. Returns None — with the
     * just-written empty files removed — instead of committing. */
   def appendIfNonEmpty(spark: SparkSession, root: String, df: DataFrame,
-      statsKey: Option[String] = None, allowWiden: Boolean = false): Option[Int] =
-    appendImpl(spark, root, df, statsKey, allowWiden, skipIfEmpty = true)
+      statsKey: Option[String] = None, allowWiden: Boolean = false,
+      statsKey2: Option[String] = None): Option[Int] =
+    appendImpl(spark, root, df, statsKey, statsKey2, allowWiden, skipIfEmpty = true)
 
   private object EmptyBatch extends Exception
 
   private def appendImpl(spark: SparkSession, root: String, df: DataFrame,
-      statsKey: Option[String], allowWiden: Boolean,
+      statsKey: Option[String], statsKey2: Option[String], allowWiden: Boolean,
       skipIfEmpty: Boolean): Option[Int] = {
     var written: Seq[FileEntry] = Seq.empty
-    try Some(retrying(spark, root, op = "append") { latest =>
-      val parsed = manifestParsed(spark, root, latest)
-      val evolved = evolveSchema(schemaOf(spark, root, parsed), df.schema, allowWiden)
-      val newFiles = writeDataFiles(spark, root, alignTo(df, evolved), statsKey)
+    try Some(retrying(spark, root, op = "append") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val evolved = evolveSchema(schemaOf(spark, root, m), df.schema, allowWiden)
+      val (effKey, effKey2, fixCarried) = resolveStatsKeys(m, statsKey, statsKey2)
+      val newFiles = writeDataFiles(spark, root, alignTo(df, evolved), effKey, effKey2)
       written = newFiles
       // skip only on POSITIVE evidence of emptiness: every file's
       // footer row count known and zero (or no files at all) — an
       // unreadable footer conservatively commits
       if (skipIfEmpty && newFiles.forall(_.rows.contains(0L))) throw EmptyBatch
-      (parsed._2 ++ newFiles, evolved)
+      Pending(fixCarried(m.entries) ++ newFiles, evolved, effKey, effKey2)
     })
     catch {
       case EmptyBatch =>
@@ -621,7 +636,12 @@ object SnapshotTable {
   /** MERGE: delete every row whose `key` appears in `updates`, then add
     * `updates` (J2 delete-then-add, key-scoped). Data skipping: only
     * files whose [min,max] key range contains an updated key are read
-    * and rewritten; everything else carries forward by name.
+    * and rewritten; everything else carries forward by name. Pruning
+    * applies ONLY when the manifest's recorded stats key IS `key`
+    * (case-insensitive) — stats measured on another column say nothing
+    * about this key's whereabouts, so a mismatch conservatively
+    * rewrites every file (and the new manifest records `key`,
+    * re-keying the whole table's stats in the same pass).
     *
     * `maxPruneKeys` bounds the driver-side key collect that powers the
     * pruning: an update batch with more distinct keys than the cap is
@@ -630,9 +650,16 @@ object SnapshotTable {
     * not risk — beyond the cap the merge falls back to rewriting every
     * file (correct, just unpruned). */
   def merge(spark: SparkSession, root: String, updates: DataFrame, key: String,
-      maxPruneKeys: Int = 100000, allowWiden: Boolean = false): Int = {
-    // updates' files are written once; survivors re-derive per attempt
-    val updateFiles = writeDataFiles(spark, root, updates, Some(key))
+      maxPruneKeys: Int = 100000, allowWiden: Boolean = false,
+      statsKey2: Option[String] = None): Int = {
+    // updates' files are written once; survivors re-derive per attempt.
+    // The secondary stats key inherits from the manifest at write time —
+    // a lost race cannot change it (only maintenance ops set statsKey2,
+    // and they preserve it thereafter).
+    val key2AtStart = statsKey2.orElse(
+      versions(spark, root).lastOption.flatMap(v =>
+        manifestFull(spark, root, v).statsKey2))
+    val updateFiles = writeDataFiles(spark, root, updates, Some(key), key2AtStart)
     // the update batch's distinct keys, for file pruning — gated on the
     // key TYPE (a lossy cast would yield nulls and wrongly prune
     // everything): integral keys prune on the long range, STRING keys
@@ -665,15 +692,19 @@ object SnapshotTable {
         else { java.util.Arrays.sort(ks, byteOrder); Some(ks) }
       case _ => None
     }
-    retrying(spark, root, op = "merge") { latest =>
-      val parsed = manifestParsed(spark, root, latest)
-      val tableSchema = schemaOf(spark, root, parsed)
+    retrying(spark, root, op = "merge") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val tableSchema = schemaOf(spark, root, m)
       val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
-      val entries = parsed._2
+      val (_, effKey2, fixCarried) = resolveStatsKeys(m, Some(key), statsKey2)
+      // stats identity check: prune only with ranges measured on `key`
+      val canPrune = sameKey(m.statsKey, key)
       val (touched, untouched) = (updateKeys, updateStrKeys) match {
-        case (Some(keys), _) => entries.partition(_.mayContain(keys))
-        case (_, Some(ks)) => entries.partition(_.mayContainStr(ks))
-        case _ => (entries, Seq.empty[FileEntry])
+        case (Some(keys), _) if canPrune =>
+          ManifestPruning.partitionByKeys(m.entries, keys)
+        case (_, Some(ks)) if canPrune =>
+          ManifestPruning.partitionByStrKeys(m.entries, ks)
+        case _ => (m.entries, Seq.empty[FileEntry])
       }
       val rewritten =
         if (touched.isEmpty) Seq.empty[FileEntry]
@@ -686,9 +717,10 @@ object SnapshotTable {
           val survivors = current.join(
             updates.select(updates(key).as("__mk")).distinct(),
             current(key) === col("__mk"), "left_anti")
-          writeDataFiles(spark, root, alignTo(survivors, evolved), Some(key))
+          writeDataFiles(spark, root, alignTo(survivors, evolved), Some(key), effKey2)
         }
-      (untouched ++ rewritten ++ updateFiles, evolved)
+      Pending(fixCarried(untouched) ++ rewritten ++ updateFiles, evolved,
+        Some(key), effKey2)
     }
   }
 
@@ -704,23 +736,33 @@ object SnapshotTable {
     * files carry DISJOINT key ranges, so the manifest stats become
     * maximally selective — a point-key merge rewrites exactly one file
     * and a [[readRange]] probe scans exactly the files its range
-    * touches. Incremental merges interleave key ranges over time;
-    * clustered compaction is how maintenance RESTORES pruning power
-    * (the role OPTIMIZE ZORDER plays for other copy-on-write formats,
-    * in its one-dimensional form). */
+    * touches. With a `statsKey2` as well, the range partitioning is
+    * HIERARCHICAL (primary, then secondary): within one primary key's
+    * span the files are further ordered by the secondary, so
+    * conjunctive two-key probes prune on both ranges — the
+    * one-dimensional-first analog of a z-order layout, which is the
+    * right trade when one key dominates selectivity (filename before
+    * chunk_idx, document before page). Incremental merges interleave
+    * key ranges over time; clustered compaction is how maintenance
+    * RESTORES pruning power. */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
-      statsKey: Option[String] = None, cluster: Boolean = false): Int =
-    retrying(spark, root, op = "compact") { latest =>
-      val parsed = manifestParsed(spark, root, latest)
-      val schema = schemaOf(spark, root, parsed)
-      val files = parsed._2.map(e => s"$root/${e.path}")
+      statsKey: Option[String] = None, cluster: Boolean = false,
+      statsKey2: Option[String] = None): Int =
+    retrying(spark, root, op = "compact") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val schema = schemaOf(spark, root, m)
+      val (effKey, effKey2, _) = resolveStatsKeys(m, statsKey, statsKey2)
+      val files = m.entries.map(e => s"$root/${e.path}")
       val current = spark.read.schema(schema).parquet(files: _*)
-      val laidOut = statsKey match {
-        case Some(k) if cluster =>
+      val laidOut = (effKey, effKey2) match {
+        case (Some(k), Some(k2)) if cluster =>
+          current.repartitionByRange(targetFiles, col(k), col(k2))
+        case (Some(k), _) if cluster =>
           current.repartitionByRange(targetFiles, col(k))
         case _ => current.repartition(targetFiles)
       }
-      (writeDataFiles(spark, root, laidOut, statsKey), schema)
+      Pending(writeDataFiles(spark, root, laidOut, effKey, effKey2), schema,
+        effKey, effKey2)
     }
 
   /** Retention rewrite: commit a new version holding only the rows
@@ -734,17 +776,23 @@ object SnapshotTable {
     * their original rows until expired and vacuumed. */
   def retainWhere(spark: SparkSession, root: String,
       keep: org.apache.spark.sql.Column, targetFiles: Int = 8,
-      statsKey: Option[String] = None, cluster: Boolean = false): Int =
-    retrying(spark, root, op = "rewrite") { latest =>
-      val parsed = manifestParsed(spark, root, latest)
-      val schema = schemaOf(spark, root, parsed)
-      val files = parsed._2.map(e => s"$root/${e.path}")
+      statsKey: Option[String] = None, cluster: Boolean = false,
+      statsKey2: Option[String] = None): Int =
+    retrying(spark, root, op = "rewrite") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val schema = schemaOf(spark, root, m)
+      val (effKey, effKey2, _) = resolveStatsKeys(m, statsKey, statsKey2)
+      val files = m.entries.map(e => s"$root/${e.path}")
       val kept = spark.read.schema(schema).parquet(files: _*).filter(keep)
-      val laidOut = statsKey match {
-        case Some(k) if cluster => kept.repartitionByRange(targetFiles, col(k))
+      val laidOut = (effKey, effKey2) match {
+        case (Some(k), Some(k2)) if cluster =>
+          kept.repartitionByRange(targetFiles, col(k), col(k2))
+        case (Some(k), _) if cluster =>
+          kept.repartitionByRange(targetFiles, col(k))
         case _ => kept.repartition(targetFiles)
       }
-      (writeDataFiles(spark, root, laidOut, statsKey), schema)
+      Pending(writeDataFiles(spark, root, laidOut, effKey, effKey2), schema,
+        effKey, effKey2)
     }
 
   /** Drop all snapshots except the last `keepLast` (their manifests are
@@ -765,8 +813,20 @@ object SnapshotTable {
     * files older than `minAgeMs` are eligible: a concurrent writer's
     * just-written batch / in-flight tmp manifest is not yet visible to
     * any manifest, and the age floor is what keeps vacuum from eating
-    * it (the same retention contract as Delta's VACUUM). Returns the
-    * deleted relative paths. */
+    * it (the same retention contract as Delta's VACUUM).
+    *
+    * READ-RETENTION CONTRACT: a reader resolves its file list from a
+    * manifest at DataFrame-construction time, so `expireVersions` +
+    * `vacuum` can delete files under a still-running (or lazily
+    * not-yet-executed) reader of an expired version — the read then fails
+    * with a missing-file error; it can never silently return partial
+    * data, because the scan pins the exact file list. `minAgeMs` is
+    * the protection window: keep it longer than the longest-running
+    * query over the table (Delta's retention-vs-reader contract). The
+    * zero-age vacuum in the streaming maintenance loops is safe only
+    * under their single-writer, no-external-reader serialization —
+    * both sites document it; SnapshotRaceSpec pins the failure mode.
+    * Returns the deleted relative paths. */
   def vacuum(spark: SparkSession, root: String,
       minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
     val f = fs(spark, root)
@@ -806,18 +866,26 @@ object SnapshotTable {
     deleted.result()
   }
 
+  /** What one optimistic attempt resolves to: the full next-version
+    * file list, its schema, and the stats identity the manifest header
+    * will record. */
+  private final case class Pending(files: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType,
+      statsKey: Option[String], statsKey2: Option[String])
+
   /** Optimistic-concurrency loop: build the file list + schema against
     * the latest version, try to commit latest+1; on a lost race,
     * rebuild against the new latest (including re-evolving the schema —
     * the winner may have evolved it differently). */
   private def retrying(spark: SparkSession, root: String, op: String)(
-      buildFiles: Int => (Seq[FileEntry], org.apache.spark.sql.types.StructType)): Int = {
+      build: Int => Pending): Int = {
     var attempt = 0
     while (true) {
       val latest = versions(spark, root).lastOption.getOrElse(
         throw new IllegalStateException(s"no table at $root"))
-      val (files, schema) = buildFiles(latest)
-      try return commit(spark, root, files, schema, latest, op)
+      val p = build(latest)
+      try return commit(spark, root, p.files, p.schema, latest, op,
+        p.statsKey, p.statsKey2)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1
@@ -845,11 +913,11 @@ object SnapshotTable {
     * "unknown"; expired versions are simply absent. */
   def history(spark: SparkSession, root: String): Seq[HistoryEntry] =
     versions(spark, root).map { v =>
-      val (op, schemaOpt, entries) = manifestFull(spark, root, v)
-      HistoryEntry(v, op, entries.size,
-        schemaOpt.map(_.fields.length).getOrElse(-1),
-        entries.count(_.minKey.isDefined),
-        if (entries.forall(_.rows.isDefined)) entries.flatMap(_.rows).sum else -1L)
+      val m = manifestFull(spark, root, v)
+      HistoryEntry(v, m.op, m.entries.size,
+        m.schema.map(_.fields.length).getOrElse(-1),
+        m.entries.count(e => e.minKey.isDefined || e.minStr.isDefined),
+        if (m.entries.forall(_.rows.isDefined)) m.entries.flatMap(_.rows).sum else -1L)
     }
 
   /** Read the table at `version` (default: latest). Time travel: any
@@ -858,68 +926,214 @@ object SnapshotTable {
     * committed before a column was added never shows that column;
     * files older than an evolution null-fill the evolved columns). */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame =
-    readImpl(spark, root, version, bounds = None)
+    readPruned(spark, root, version, _.entries)
 
   /** [[read]] pruned to the files whose key-stats range intersects
     * `[lo, hi]` — file-level data skipping on the READ path, from the
-    * same manifest stats the merge path prunes with. Files without
-    * stats are conservatively kept. The contract is the same as
-    * manifest pruning everywhere: never affects which ROWS exist in
-    * the files kept (callers filter rows themselves; this only bounds
-    * which files are scanned), so a probe-side join against the pruned
-    * frame sees every key in range. */
+    * same manifest stats the merge path prunes with (one shared
+    * implementation: [[ManifestPruning]]). Pruning applies only when
+    * the manifest RECORDS which column its stats were computed for AND
+    * (when `key` is given) that column is `key` — otherwise every file
+    * is kept: a range attributed to the wrong column would skip files
+    * that hold in-range rows, i.e. lose data. Files without stats are
+    * conservatively kept. The contract is the same as manifest pruning
+    * everywhere: never affects which ROWS exist in the files kept
+    * (callers filter rows themselves; this only bounds which files are
+    * scanned), so a probe-side join against the pruned frame sees
+    * every key in range. */
   def readRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+      version: Option[Int] = None, key: Option[String] = None): DataFrame =
+    readPruned(spark, root, version, { m =>
+      val verified = m.statsKey.isDefined && key.forall(k => sameKey(m.statsKey, k))
+      if (verified) ManifestPruning.keepForRange(m.entries, lo, hi) else m.entries
+    })
+
+  /** [[read]] pruned to the files that MAY contain one of `keys` — the
+    * point-probe form of [[readRange]], and the right read for a
+    * small-key-set lookup over a clustered table (the reference's
+    * select/delete-by-filename path is exactly this probe): an IN over
+    * two far-apart keys reads two files, not every file between them.
+    * Same verification and same conservative contract as readRange;
+    * same [[ManifestPruning.mayContain]] the merge path prunes with.
+    * An EMPTY key set reads nothing (an IN () is false everywhere) and
+    * returns an empty frame with the version's schema. */
+  def readKeys(spark: SparkSession, root: String, key: String, keys: Array[Long],
       version: Option[Int] = None): DataFrame =
-    readImpl(spark, root, version, bounds = Some((lo, hi)))
+    readPruned(spark, root, version, { m =>
+      if (keys.isEmpty) Seq.empty
+      else if (!sameKey(m.statsKey, key)) m.entries
+      else {
+        val sorted = keys.clone(); java.util.Arrays.sort(sorted)
+        ManifestPruning.keepForKeys(m.entries, sorted)
+      }
+    })
+
+  /** [[readKeys]] for STRING keys (binary manifest stats, unsigned
+    * byte order — Spark's own string order). */
+  def readKeysStr(spark: SparkSession, root: String, key: String,
+      keys: Array[String], version: Option[Int] = None): DataFrame =
+    readPruned(spark, root, version, { m =>
+      if (keys.isEmpty) Seq.empty
+      else if (!sameKey(m.statsKey, key)) m.entries
+      else {
+        val bs = keys.map(_.getBytes("UTF-8"))
+        java.util.Arrays.sort(bs, byteOrder)
+        ManifestPruning.keepForStrKeys(m.entries, bs)
+      }
+    })
 
   /** Read the table with manifest-stats file skipping integrated into
     * CATALYST: the returned frame's scan is backed by a
     * [[ManifestFileIndex]], so any pushed data filter on `key`
-    * (`.filter($"doc_id" === 5)`, `BETWEEN`, `IN`, range predicates)
-    * prunes files at PLANNING time from the manifest's min/max stats —
-    * no explicit range API, no directory listing, no per-file RPCs
-    * (sizes ride the manifest). This is the Spark-idiomatic form of
-    * [[readRange]]: the optimizer decides what reaches the scan and
-    * the index turns those conjuncts into file skips, the same
-    * integration point log-structured table formats use. Row-level
-    * filtering stays with the engine — the index only bounds which
-    * FILES are scanned, so keeping a file never changes results. */
+    * (`.filter($"doc_id" === 5)`, `BETWEEN`, range predicates, and
+    * IN-lists/equalities down to the exact POINT SET) prunes files at
+    * PLANNING time from the manifest's min/max stats — no explicit
+    * range API, no directory listing, no per-file RPCs (sizes ride the
+    * manifest). This is the Spark-idiomatic form of [[readRange]]/
+    * [[readKeys]]: the optimizer decides what reaches the scan and the
+    * index turns those conjuncts into file skips, the same integration
+    * point log-structured table formats use. Stats identity is
+    * verified: `key` conjuncts prune only if the manifest records
+    * `key` as its stats column; conjuncts over the recorded SECONDARY
+    * stats column prune independently (two-key conjunctions prune on
+    * both ranges). A mismatched `key` degrades to no primary pruning —
+    * never to pruning by another column's ranges. Row-level filtering
+    * stays with the engine — the index only bounds which FILES are
+    * scanned, so keeping a file never changes results. */
   def readIndexed(spark: SparkSession, root: String, key: String,
       version: Option[Int] = None): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist (have $vs)")
-    val parsed = manifestParsed(spark, root, v)
-    val schema = schemaOf(spark, root, parsed)
-    val index = new ManifestFileIndex(spark, root, parsed._2, key)
+    val m = manifestFull(spark, root, v)
+    val schema = schemaOf(spark, root, m)
+    // stats identity: the primary prunes only under its recorded name;
+    // the secondary always prunes under its own recorded name (it is
+    // self-attributed — independent of what the caller asked for)
+    val primary = m.statsKey.filter(r => sameKey(Some(r), key))
+    val index = new ManifestFileIndex(spark, root, m.entries, primary, m.statsKey2)
     org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index, schema)
   }
 
-  private def readImpl(spark: SparkSession, root: String, version: Option[Int],
-      bounds: Option[(Long, Long)]): DataFrame = {
+  private def readPruned(spark: SparkSession, root: String, version: Option[Int],
+      prune: Manifest => Seq[FileEntry]): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist (have $vs)")
-    val parsed = manifestParsed(spark, root, v)
-    val (schemaOpt, entries) = parsed
-    val kept = bounds match {
-      case Some((lo, hi)) => entries.filter(_.overlaps(lo, hi))
-      case None => entries
-    }
+    val m = manifestFull(spark, root, v)
+    val kept = prune(m)
     if (kept.isEmpty) {
       // fully pruned: an empty frame with the version's schema
-      val sch = schemaOf(spark, root, parsed)
+      val sch = schemaOf(spark, root, m)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     } else {
       val files = kept.map(e => s"$root/${e.path}")
-      schemaOpt match {
+      m.schema match {
         case Some(sch) => spark.read.schema(sch).parquet(files: _*)
         case None => spark.read.parquet(files: _*)
       }
     }
   }
+}
+
+/** THE file-skipping decision module — every path that turns manifest
+  * stats into "scan this file or not" (merge's touched-file partition,
+  * [[SnapshotTable.readRange]]/[[SnapshotTable.readKeys]], and
+  * [[ManifestFileIndex.listFiles]]'s planning-time pruning) calls
+  * these predicates, so range semantics, point-probe semantics, and
+  * the no-stats-keeps-the-file convention are defined exactly once.
+  * All predicates are CONSERVATIVE: absent stats always keep the file,
+  * and keeping a file never changes results (row filtering is the
+  * engine's job). */
+private[sources] object ManifestPruning {
+  import SnapshotTable.FileEntry
+
+  private val ord = SnapshotTable.byteOrder
+
+  /** Could this file hold any key in [lo, hi]? No stats → maybe. */
+  def overlaps(e: FileEntry, lo: Long, hi: Long): Boolean =
+    e.minKey.zip(e.maxKey).forall { case (mn, mx) => mx >= lo && mn <= hi }
+
+  /** Could this file contain any of `keys` (sorted ascending)?
+    * Binary-search of the sorted key array against the file's range —
+    * O(log k) per file, never a scan. No stats → maybe. */
+  def mayContain(e: FileEntry, keys: Array[Long]): Boolean =
+    e.minKey.zip(e.maxKey).forall { case (mn, mx) =>
+      val i = java.util.Arrays.binarySearch(keys, mn)
+      val from = if (i >= 0) i else -i - 1
+      from < keys.length && keys(from) <= mx
+    }
+
+  /** String-key form of [[overlaps]] (unsigned byte order). */
+  def overlapsStr(e: FileEntry, lo: Array[Byte], hi: Array[Byte]): Boolean =
+    e.minStr.zip(e.maxStr).forall { case (mn, mx) =>
+      ord.compare(mx, lo) >= 0 && ord.compare(mn, hi) <= 0
+    }
+
+  /** String-key form of [[mayContain]]: `keys` sorted by unsigned
+    * byte order. No string stats → maybe. */
+  def mayContainStr(e: FileEntry, keys: Array[Array[Byte]]): Boolean =
+    e.minStr.zip(e.maxStr).forall { case (mn, mx) =>
+      val i = java.util.Arrays.binarySearch(keys, mn, ord)
+      val from = if (i >= 0) i else -i - 1
+      from < keys.length && ord.compare(keys(from), mx) <= 0
+    }
+
+  /** [[overlaps]] on the SECONDARY stats column. */
+  def overlaps2(e: FileEntry, lo: Long, hi: Long): Boolean =
+    e.min2.zip(e.max2).forall { case (mn, mx) => mx >= lo && mn <= hi }
+
+  /** [[mayContain]] on the SECONDARY stats column. */
+  def mayContain2(e: FileEntry, keys: Array[Long]): Boolean =
+    e.min2.zip(e.max2).forall { case (mn, mx) =>
+      val i = java.util.Arrays.binarySearch(keys, mn)
+      val from = if (i >= 0) i else -i - 1
+      from < keys.length && keys(from) <= mx
+    }
+
+  def keepForRange(entries: Seq[FileEntry], lo: Long, hi: Long): Seq[FileEntry] =
+    entries.filter(overlaps(_, lo, hi))
+
+  def keepForKeys(entries: Seq[FileEntry], sortedKeys: Array[Long]): Seq[FileEntry] =
+    entries.filter(mayContain(_, sortedKeys))
+
+  def keepForStrKeys(entries: Seq[FileEntry], sortedKeys: Array[Array[Byte]]): Seq[FileEntry] =
+    entries.filter(mayContainStr(_, sortedKeys))
+
+  def partitionByKeys(entries: Seq[FileEntry], sortedKeys: Array[Long]): (Seq[FileEntry], Seq[FileEntry]) =
+    entries.partition(mayContain(_, sortedKeys))
+
+  def partitionByStrKeys(entries: Seq[FileEntry], sortedKeys: Array[Array[Byte]]): (Seq[FileEntry], Seq[FileEntry]) =
+    entries.partition(mayContainStr(_, sortedKeys))
+
+  /** Do `bounds` (extracted for the PRIMARY stats column) keep this
+    * file? Range and point-set constraints compose conjunctively. */
+  def keepPrimary(e: FileEntry, b: ManifestFileIndex.KeyBounds): Boolean =
+    b.longBounds.forall { case (lo, hi) => overlaps(e, lo, hi) } &&
+      b.longPoints.forall(mayContain(e, _)) &&
+      e.minStr.zip(e.maxStr).forall { case (mn, mx) =>
+        b.strLo.forall(lo => ord.compare(mx, lo) >= 0) &&
+          b.strHi.forall(hi => ord.compare(mn, hi) <= 0)
+      } &&
+      b.strPoints.forall(mayContainStr(e, _))
+
+  /** Do `bounds` (extracted for the SECONDARY stats column) keep this
+    * file? Secondary stats are integral-only; string constraints on a
+    * secondary impose nothing (there are no string stats to check). */
+  def keepSecondary(e: FileEntry, b: ManifestFileIndex.KeyBounds): Boolean =
+    b.longBounds.forall { case (lo, hi) => overlaps2(e, lo, hi) } &&
+      b.longPoints.forall(mayContain2(e, _))
+
+  /** Bounds that provably keep NOTHING: an inverted range or an empty
+    * point set (an IN () — or two contradictory equalities — is false
+    * for every row, so every file may be skipped). */
+  def contradictory(b: ManifestFileIndex.KeyBounds): Boolean =
+    b.longBounds.exists { case (lo, hi) => lo > hi } ||
+      b.strLo.zip(b.strHi).exists { case (lo, hi) => ord.compare(lo, hi) > 0 } ||
+      b.longPoints.exists(_.isEmpty) ||
+      b.strPoints.exists(_.isEmpty)
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FileIndex]] served
@@ -928,17 +1142,22 @@ object SnapshotTable {
   * scan's pushed data filters against those stats — file-level
   * skipping decided at PLANNING time by the optimizer's own conjuncts,
   * the same integration point log-structured table formats use for
-  * their log-backed indexes. Conservative by construction: only
-  * conjuncts that provably bound `key` ([[ManifestFileIndex.bounds]])
-  * tighten the range, everything else keeps every file, and kept
-  * files still go through the engine's row-level filtering — so
-  * results never depend on how much was pruned.
+  * their log-backed indexes. `key`/`key2` name the manifest's VERIFIED
+  * stats columns (primary, secondary) — the caller resolves them
+  * against the manifest header, so this index never applies stats to
+  * a column they weren't computed for. Conservative by construction:
+  * only conjuncts that provably bound a stats column
+  * ([[ManifestFileIndex.bounds]]) tighten the range, everything else
+  * keeps every file, and kept files still go through the engine's
+  * row-level filtering — so results never depend on how much was
+  * pruned.
   */
 private[sources] final class ManifestFileIndex(
     spark: SparkSession,
     root: String,
     entries: Seq[SnapshotTable.FileEntry],
-    key: String)
+    key: Option[String],
+    key2: Option[String] = None)
   extends org.apache.spark.sql.execution.datasources.FileIndex {
 
   import org.apache.hadoop.fs.FileStatus
@@ -964,19 +1183,14 @@ private[sources] final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val b = ManifestFileIndex.bounds(dataFilters, key)
-    val ord = SnapshotTable.byteOrder
-    val contradictory =
-      b.longBounds.exists { case (lo, hi) => lo > hi } ||
-        (b.strLo.zip(b.strHi)).exists { case (lo, hi) => ord.compare(lo, hi) > 0 }
+    val pb = key.map(k => ManifestFileIndex.bounds(dataFilters, k))
+    val sb = key2.map(k => ManifestFileIndex.bounds(dataFilters, k))
     val kept =
-      if (contradictory) Seq.empty
+      if (pb.exists(ManifestPruning.contradictory) ||
+          sb.exists(ManifestPruning.contradictory)) Seq.empty
       else fileStatuses.filter { case (_, e) =>
-        b.longBounds.forall { case (lo, hi) => e.overlaps(lo, hi) } &&
-          e.minStr.zip(e.maxStr).forall { case (mn, mx) =>
-            b.strLo.forall(lo => ord.compare(mx, lo) >= 0) &&
-              b.strHi.forall(hi => ord.compare(mn, hi) <= 0)
-          }
+        pb.forall(ManifestPruning.keepPrimary(e, _)) &&
+          sb.forall(ManifestPruning.keepSecondary(e, _))
       }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
@@ -994,14 +1208,28 @@ private[sources] final class ManifestFileIndex(
 private[sources] object ManifestFileIndex {
   import org.apache.spark.sql.catalyst.expressions._
 
+  /** Beyond this many IN-list points the extractor records only the
+    * [min,max] envelope: a point set is checked per file (O(log k)
+    * binary search), and a degenerate thousands-of-literals IN would
+    * spend more planning time on point checks than the skips save —
+    * the same reason engines compile huge IN lists to range scans. */
+  private val MaxBoundPoints = 1000
+
   /** What the filter conjuncts provably impose on `key`: a long range
     * for integral comparisons, independent lower/upper byte bounds
-    * (unsigned order) for string comparisons. Absent members impose
-    * nothing. */
+    * (unsigned order) for string comparisons, and — for equalities and
+    * IN-lists — the exact POINT SET (sorted; the intersection when
+    * several conjuncts each impose one). Absent members impose
+    * nothing; an EMPTY point set keeps nothing (contradiction). Points
+    * are what make a clustered table's point lookups minimal: an
+    * `IN (k1, k2)` over far-apart keys touches two files, where the
+    * [min,max] envelope alone would scan every file between them. */
   private[sources] final case class KeyBounds(
       longBounds: Option[(Long, Long)],
       strLo: Option[Array[Byte]],
-      strHi: Option[Array[Byte]])
+      strHi: Option[Array[Byte]],
+      longPoints: Option[Array[Long]] = None,
+      strPoints: Option[Array[Array[Byte]]] = None)
 
   /** The tightest bounds the conjuncts impose on `key`. Strictly
     * conservative: unrecognized shapes (disjunctions, expressions over
@@ -1036,15 +1264,27 @@ private[sources] object ManifestFileIndex {
     var any = false
     var loB: Array[Byte] = null
     var hiB: Array[Byte] = null
+    // point sets: None = unconstrained; several point-imposing
+    // conjuncts intersect (id IN (1,2,3) AND id IN (2,3,4) → {2,3});
+    // byte arrays wrap in ArraySeq for value equality inside the Set
+    var ptsL: Option[Set[Long]] = None
+    var ptsS: Option[Set[scala.collection.immutable.ArraySeq[Byte]]] = None
     def raiseLo(v: Long): Unit = { lo = lo max v; any = true }
     def lowerHi(v: Long): Unit = { hi = hi min v; any = true }
     def raiseLoB(v: Array[Byte]): Unit =
       if (loB == null || ord.compare(v, loB) > 0) loB = v
     def lowerHiB(v: Array[Byte]): Unit =
       if (hiB == null || ord.compare(v, hiB) < 0) hiB = v
+    def intersectL(vs: Set[Long]): Unit =
+      ptsL = Some(ptsL.fold(vs)(_ intersect vs))
+    def intersectS(vs: Set[scala.collection.immutable.ArraySeq[Byte]]): Unit =
+      ptsS = Some(ptsS.fold(vs)(_ intersect vs))
     def eq(l: Expression): Unit = {
-      litVal(l).foreach { v => raiseLo(v); lowerHi(v) }
-      litStr(l).foreach { v => raiseLoB(v); lowerHiB(v) }
+      litVal(l).foreach { v => raiseLo(v); lowerHi(v); intersectL(Set(v)) }
+      litStr(l).foreach { v =>
+        raiseLoB(v); lowerHiB(v)
+        intersectS(Set(scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
+      }
     }
     // the key is on one side, literal `l` on the other; strict long
     // bounds tighten by one, strict string bounds stay non-strict
@@ -1073,15 +1313,23 @@ private[sources] object ManifestFileIndex {
       case In(a, vs) if isKey(a) && vs.nonEmpty && vs.forall(v => litVal(v).isDefined) =>
         val longs = vs.flatMap(litVal)
         raiseLo(longs.min); lowerHi(longs.max)
+        if (longs.length <= MaxBoundPoints) intersectL(longs.toSet)
       case In(a, vs) if isKey(a) && vs.nonEmpty && vs.forall(v => litStr(v).isDefined) =>
         val bs = vs.flatMap(litStr)
         raiseLoB(bs.reduce((x, y) => if (ord.compare(x, y) <= 0) x else y))
         lowerHiB(bs.reduce((x, y) => if (ord.compare(x, y) >= 0) x else y))
+        if (bs.length <= MaxBoundPoints)
+          intersectS(bs.map(scala.collection.immutable.ArraySeq.unsafeWrapArray).toSet)
       case _ => ()
     }
     KeyBounds(
       if (any) Some((lo, hi)) else None,
       Option(loB),
-      Option(hiB))
+      Option(hiB),
+      ptsL.map { s => val a = s.toArray; java.util.Arrays.sort(a); a },
+      ptsS.map { s =>
+        val a = s.map(_.unsafeArray.asInstanceOf[Array[Byte]]).toArray
+        java.util.Arrays.sort(a, ord); a
+      })
   }
 }

@@ -189,11 +189,21 @@ object StreamingRunner {
     * documents land exactly once; a crashed batch leaves the index at
     * its previous version. Scale shape: the anti-join shuffles on the
     * fingerprint key only (fingerprint + doc_id, never text); the
-    * seen side is [[graft.sources.SnapshotTable.readRange]] of the
-    * batch's [min, max] fp_key — manifest-stats file pruning on the
-    * READ path, so a micro-batch probes only the index files whose
-    * key range it touches instead of full-scanning the accumulated
-    * index; and the append skips committing via the footer row counts
+    * seen side is a PER-KEY probe —
+    * [[graft.sources.SnapshotTable.readKeys]] of the batch's distinct
+    * fp_keys — because fp_key is md5-derived: even a 10-row batch's
+    * [min, max] ENVELOPE spans essentially the whole int64 space, so
+    * range pruning is hollow for uniform keys and only a point-set
+    * probe actually skips files. The key collect is bounded by
+    * `maxProbeKeys` (limit(cap+1) detection, the merge path's own
+    * idiom); a batch beyond the cap falls back to reading the full
+    * index (correct, just unpruned — and a batch that large is
+    * index-sized anyway). The probe prunes nothing until maintenance
+    * has CLUSTERED the index into disjoint fp_key ranges — freshly
+    * appended batch files each span the whole space; post-compaction
+    * a micro-batch touches only the files its keys land in
+    * (StreamingSpec proves the file-count drop). The append skips
+    * committing via the footer row counts
     * ([[graft.sources.SnapshotTable.appendIfNonEmpty]]) when the whole
     * batch was duplicates — no count action, no no-op version.
     *

@@ -599,4 +599,141 @@ class SnapshotTableSpec extends SparkSpec {
     // no filter: full table through the indexed path
     assert(SnapshotTable.readIndexed(spark, root, "id").count() == 400)
   }
+
+  test("readKeys: a far-apart point probe reads the point files, not the envelope between them") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsKey = Some("id"))
+    // two keys in the first and last range file: the [5, 395] envelope
+    // spans all four files — the point probe must touch exactly two
+    val probe = SnapshotTable.readKeys(spark, root, "id", Array(5L, 395L))
+    assert(probe.inputFiles.length == 2,
+      s"2 far-apart keys over 4 clustered files must read 2, read ${probe.inputFiles.length}")
+    assert(probe.filter(col("id").isin(5L, 395L)).count() == 2)
+    val envelope = SnapshotTable.readRange(spark, root, 5L, 395L)
+    assert(envelope.inputFiles.length == 4,
+      "the range envelope reads everything — the contrast the point probe exists for")
+    // empty key set: an IN () is false everywhere — empty frame, schema intact
+    val none = SnapshotTable.readKeys(spark, root, "id", Array.empty[Long])
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // string-key form over a string-keyed table
+    val sroot = tmp()
+    SnapshotTable.create(spark, sroot,
+      (0 until 400).map(i => (f"doc-$i%04d", s"r$i")).toDF("name", "v")
+        .repartitionByRange(4, col("name")), statsKey = Some("name"))
+    val sprobe = SnapshotTable.readKeysStr(spark, sroot, "name",
+      Array("doc-0005", "doc-0395"))
+    assert(sprobe.inputFiles.length == 2,
+      s"string point probe must read 2 files, read ${sprobe.inputFiles.length}")
+    assert(sprobe.filter(col("name").isin("doc-0005", "doc-0395")).count() == 2)
+  }
+
+  test("readIndexed: IN-list predicates prune to the exact point files at planning time") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsKey = Some("id"))
+    def runAndCountFiles(df: org.apache.spark.sql.DataFrame): (Seq[Long], Long) = {
+      val rows = df.collect().map(_.getLong(0)).toSeq.sorted
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("plan must contain a FileSourceScanExec"))
+      (rows, scan.metrics("numFiles").value)
+    }
+    // the verdict's own acceptance shape: a 2-point IN over a clustered
+    // table reads the 2 point files, where the [min,max] envelope alone
+    // would scan every file between the points
+    val (inRows, inFiles) = runAndCountFiles(
+      SnapshotTable.readIndexed(spark, root, "id").filter(col("id").isin(5L, 395L)))
+    assert(inRows == Seq(5L, 395L))
+    assert(inFiles == 2, s"2-point IN must scan 2 files, scanned $inFiles")
+    // an IN whose points all fall in one file scans one
+    val (oneRows, oneFiles) = runAndCountFiles(
+      SnapshotTable.readIndexed(spark, root, "id").filter(col("id").isin(120L, 125L, 130L)))
+    assert(oneRows == Seq(120L, 125L, 130L))
+    assert(oneFiles == 1, s"co-located IN points must scan 1 file, scanned $oneFiles")
+    // string IN over a string-keyed table
+    val sroot = tmp()
+    SnapshotTable.create(spark, sroot,
+      (0 until 400).map(i => (f"doc-$i%04d", s"r$i")).toDF("name", "v")
+        .repartitionByRange(4, col("name")), statsKey = Some("name"))
+    val sIn = SnapshotTable.readIndexed(spark, sroot, "name")
+      .filter(col("name").isin("doc-0005", "doc-0395"))
+    val sRows = sIn.collect().map(_.getString(0)).toSeq.sorted
+    org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+    val sScan = sIn.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("plan must contain a FileSourceScanExec"))
+    assert(sRows == Seq("doc-0005", "doc-0395"))
+    assert(sScan.metrics("numFiles").value == 2,
+      s"string 2-point IN must scan 2 files, scanned ${sScan.metrics("numFiles").value}")
+  }
+
+  test("stats identity: a key the stats were NOT computed for never prunes (no lost rows)") {
+    val root = tmp()
+    // table keyed (and clustered) by id — stats are id ranges
+    SnapshotTable.create(spark, root,
+      (0L until 400L).map(i => (i, 400L - i)).toDF("id", "other")
+        .repartitionByRange(4, col("id")), statsKey = Some("id"))
+    // a range probe naming ANOTHER column must not use id's ranges:
+    // other ∈ [1,50] lives where id ∈ [350,399] — pruning by id's
+    // ranges would keep the wrong file and lose all 50 rows
+    val wrongKey = SnapshotTable.readRange(spark, root, 1L, 50L, key = Some("other"))
+    assert(wrongKey.inputFiles.length == 4,
+      "a stats-key mismatch must degrade to scanning everything")
+    assert(wrongKey.filter(col("other").between(1L, 50L)).count() == 50)
+    // same for the point probe and the Catalyst index
+    val wrongKeys = SnapshotTable.readKeys(spark, root, "other", Array(1L, 50L))
+    assert(wrongKeys.inputFiles.length == 4)
+    val idx = SnapshotTable.readIndexed(spark, root, "other")
+      .filter(col("other").between(1L, 50L))
+    assert(idx.count() == 50,
+      "the indexed read with a mismatched key must still see every row")
+    // the matching name (case-insensitive) DOES prune
+    assert(SnapshotTable.readKeys(spark, root, "ID", Array(5L)).inputFiles.length == 1)
+  }
+
+  test("secondary-key stats: conjunctive two-key probes prune files one key cannot") {
+    val root = tmp()
+    // four files with EXACT known (doc_id, chunk_idx) ranges — one
+    // append per file, the reference's (filename, chunk_idx) chunk
+    // identity shape with a file boundary inside each document
+    def half(doc: Long, lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 50L).map(c => (doc, c, s"d$doc-c$c")).toDF("doc_id", "chunk_idx", "chunk")
+        .coalesce(1)
+    SnapshotTable.create(spark, root, half(1L, 0L),
+      statsKey = Some("doc_id"), statsKey2 = Some("chunk_idx"))
+    SnapshotTable.append(spark, root, half(1L, 50L))
+    SnapshotTable.append(spark, root, half(2L, 0L))
+    SnapshotTable.append(spark, root, half(2L, 50L))
+    def countFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = df.collect().length.toLong
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("plan must contain a FileSourceScanExec"))
+      (n, scan.metrics("numFiles").value)
+    }
+    // primary alone: both halves of doc 2
+    val (pRows, pFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root, "doc_id").filter(col("doc_id") === 2L))
+    assert(pRows == 100 && pFiles == 2,
+      s"doc_id = 2 spans its two half-files, scanned $pFiles")
+    // the conjunction prunes on BOTH recorded ranges: one file
+    val (bRows, bFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root, "doc_id")
+        .filter(col("doc_id") === 2L && col("chunk_idx") === 75L))
+    assert(bRows == 1 && bFiles == 1,
+      s"(doc_id, chunk_idx) conjunction must scan 1 file, scanned $bFiles")
+    // hierarchical clustered compaction inherits and preserves both keys
+    SnapshotTable.compact(spark, root, targetFiles = 4, cluster = true)
+    val (cRows, cFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root, "doc_id")
+        .filter(col("doc_id") === 2L && col("chunk_idx") === 75L))
+    assert(cRows == 1 && cFiles <= 2,
+      s"post-compact the two-key probe stays pruned, scanned $cFiles")
+    assert(SnapshotTable.read(spark, root).count() == 200)
+  }
 }

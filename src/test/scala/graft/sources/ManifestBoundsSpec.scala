@@ -57,6 +57,53 @@ class ManifestBoundsSpec extends AnyFunSuite {
     assert(bs.strHi.map(new String(_, "UTF-8")).contains("m"))
   }
 
+  test("IN lists keep the exact POINT SET, not just the envelope") {
+    val b = ManifestFileIndex.bounds(Seq(
+      In(id, Seq(lit(30L), lit(7L), lit(19L)))), "id")
+    assert(b.longPoints.map(_.toSeq).contains(Seq(7L, 19L, 30L)))
+    val bs = ManifestFileIndex.bounds(Seq(
+      In(name, Seq(lit("m"), lit("c")))), "name")
+    assert(bs.strPoints.map(_.map(new String(_, "UTF-8")).toSeq).contains(Seq("c", "m")))
+  }
+
+  test("two point-imposing conjuncts intersect; a disjoint intersection is a contradiction") {
+    val b = ManifestFileIndex.bounds(Seq(
+      In(id, Seq(lit(1L), lit(2L), lit(3L))),
+      In(id, Seq(lit(2L), lit(3L), lit(4L)))), "id")
+    assert(b.longPoints.map(_.toSeq).contains(Seq(2L, 3L)))
+    val c = ManifestFileIndex.bounds(Seq(
+      EqualTo(id, lit(5L)), EqualTo(id, lit(6L))), "id")
+    assert(ManifestPruning.contradictory(c),
+      "two different equalities on the same key can match no row")
+  }
+
+  test("point sets drive file keeps: a 2-point IN skips the file between the points") {
+    import SnapshotTable.FileEntry
+    val files = Seq(
+      FileEntry("a", Some(0L), Some(9L)),
+      FileEntry("b", Some(10L), Some(19L)),
+      FileEntry("c", Some(20L), Some(29L)))
+    val b = ManifestFileIndex.bounds(Seq(In(id, Seq(lit(5L), lit(25L)))), "id")
+    val kept = files.filter(ManifestPruning.keepPrimary(_, b))
+    assert(kept.map(_.path) == Seq("a", "c"),
+      "the [5,25] envelope alone would keep 'b'; the point set must not")
+  }
+
+  test("an equality pins a single point; a statless file is always kept") {
+    import SnapshotTable.FileEntry
+    val b = ManifestFileIndex.bounds(Seq(EqualTo(id, lit(42L))), "id")
+    assert(b.longPoints.map(_.toSeq).contains(Seq(42L)))
+    assert(ManifestPruning.keepPrimary(FileEntry("nostats", None, None), b))
+    assert(!ManifestPruning.keepPrimary(FileEntry("far", Some(100L), Some(200L)), b))
+  }
+
+  test("oversized IN lists fall back to the envelope (no point set recorded)") {
+    val big = (0L until 1500L).map(lit)
+    val b = ManifestFileIndex.bounds(Seq(In(id, big)), "id")
+    assert(b.longPoints.isEmpty, "beyond MaxBoundPoints only the range survives")
+    assert(b.longBounds.contains((0L, 1499L)))
+  }
+
   test("string bounds: strict inequalities conservatively keep the non-strict endpoint") {
     val b = ManifestFileIndex.bounds(Seq(
       GreaterThan(name, lit("doc-0100")),
@@ -113,6 +160,35 @@ class ManifestBoundsSpec extends AnyFunSuite {
     val ss = rt(FileEntry("p", None, None, Some(5L), Some(1L),
       Some(bytes), Some("doc-0199".getBytes("UTF-8"))))
     assert(ss.rows.contains(5L))
+    // secondary-key stats (format 4) — with and without string stats
+    val two = rt(FileEntry("p", Some(3L), Some(9L), Some(10L), Some(99L),
+      None, None, Some(0L), Some(7L)))
+    assert(two.min2.contains(0L) && two.max2.contains(7L))
+    val both = rt(FileEntry("p", None, None, Some(10L), Some(99L),
+      Some(bytes), Some(bytes), Some(2L), Some(4L)))
+    assert(both.min2.contains(2L) && both.max2.contains(4L) && both.minStr.isDefined)
+  }
+
+  test("secondary-key pruning is independent of the primary and conservative without stats") {
+    import SnapshotTable.FileEntry
+    val e = FileEntry("p", Some(0L), Some(100L), None, None, None, None,
+      Some(10L), Some(19L))
+    val idx = AttributeReference("chunk_idx", LongType)()
+    val b = ManifestFileIndex.bounds(Seq(EqualTo(idx, lit(25L))), "chunk_idx")
+    assert(!ManifestPruning.keepSecondary(e, b),
+      "secondary range [10,19] excludes chunk_idx = 25")
+    assert(ManifestPruning.keepSecondary(e.withoutKey2Stats, b),
+      "no secondary stats → always kept")
+  }
+
+  test("stats stripping: a stats-key change drops key ranges but keeps rows/bytes") {
+    import SnapshotTable.FileEntry
+    val e = FileEntry("p", Some(3L), Some(9L), Some(100L), Some(4096L),
+      Some("a".getBytes), Some("z".getBytes), Some(1L), Some(2L))
+    val s = e.withoutKeyStats
+    assert(s.minKey.isEmpty && s.minStr.isEmpty && s.rows.contains(100L) &&
+      s.bytes.contains(4096L) && s.min2.contains(1L),
+      "primary-stats strip keeps the key-independent fields and the secondary")
   }
 
   test("overlap predicates agree with unsigned byte order on high-bit content") {
