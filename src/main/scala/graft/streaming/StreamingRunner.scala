@@ -229,14 +229,38 @@ object StreamingRunner {
     * content re-delivered after its fingerprint expired is
     * deliberately re-admitted — the bounded-state trade every
     * infinite-stream dedup must choose, made explicit. Corpus dedup
-    * (default ttlBatches = 0) keeps the index complete forever. */
+    * (default ttlBatches = 0) keeps the index complete forever.
+    * Restart-safe: the sequence counter SEEDS from max(batch_seq)
+    * already in the index (one metadata-cheap aggregate at stream
+    * start), so a restarted stream continues the sequence instead of
+    * resetting to zero — a reset would hold every pre-restart row past
+    * its horizon forever. Rows WITHOUT a batch_seq (ingested before
+    * TTL was enabled on this index; the column null-fills) are treated
+    * as CURRENT at every cycle — the pre-TTL legacy set is RETAINED
+    * indefinitely (finite and frozen, so state stays bounded; stamped
+    * rows age out normally around it) —
+    * never as already-expired: evicting the entire pre-TTL index on
+    * the first maintenance cycle would silently re-admit every
+    * duplicate it knew about. */
   def runStreamingDedupIngest(spark: SparkSession, srcDir: String,
       indexRoot: String, queryName: String = "graft_dedup_ingest",
       maintainEvery: Int = 0, keepVersions: Int = 3,
-      compactTargetFiles: Int = 4, ttlBatches: Int = 0): Unit = {
+      compactTargetFiles: Int = 4, ttlBatches: Int = 0,
+      maxProbeKeys: Int = 100000): Unit = {
     require(ttlBatches == 0 || maintainEvery > 0,
       "TTL eviction runs inside the maintenance cycle — set maintainEvery")
-    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    // resume the batch sequence where the index left it: max(batch_seq)
+    // survives restarts in the table itself, so the TTL horizon keeps
+    // moving instead of restarting from zero under old rows
+    val seq0 =
+      if (ttlBatches > 0 && graft.sources.SnapshotTable.versions(spark, indexRoot).nonEmpty) {
+        val idx = graft.sources.SnapshotTable.read(spark, indexRoot)
+        if (idx.columns.contains("batch_seq"))
+          Option(idx.agg(max(col("batch_seq"))).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+        else 0L
+      } else 0L
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(seq0)
     val q = spark.readStream
       .schema(documentsSchema)
       .option("maxFilesPerTrigger", "1")
@@ -246,7 +270,7 @@ object StreamingRunner {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val seq = nBatches.incrementAndGet()
         val fresh = graft.sources.SnapshotTable.versions(spark, indexRoot).isEmpty
-        // persist: the batch fingerprints feed the bounds probe, the
+        // persist: the batch fingerprints feed the key collect, the
         // anti-join, and the append — one materialization, three reads
         val base = batch
           .withColumn("fp", md5(col("text").cast("binary")))
@@ -260,20 +284,37 @@ object StreamingRunner {
             graft.sources.SnapshotTable.create(spark, indexRoot, fp,
               statsKey = Some("fp_key"))
           else {
-            val b = fp.agg(min(col("fp_key")), max(col("fp_key"))).head()
-            if (!b.isNullAt(0)) { // null bounds = empty batch: nothing to do
-              val seen = graft.sources.SnapshotTable
-                .readRange(spark, indexRoot, b.getLong(0), b.getLong(1))
+            // per-key probe: md5-uniform keys make any [min,max]
+            // envelope span ~the whole key space, so only the exact
+            // point set prunes. limit(cap+1): the driver never holds
+            // more than cap+1 keys, and the extra row is how "too many
+            // to prune with" is detected (fall back to the full index)
+            val ks = fp.select(col("fp_key")).limit(maxProbeKeys + 1)
+              .collect().map(_.getLong(0))
+            if (ks.nonEmpty) { // empty batch: nothing to do
+              val seen = (if (ks.length > maxProbeKeys)
+                graft.sources.SnapshotTable.read(spark, indexRoot)
+              else
+                graft.sources.SnapshotTable.readKeys(spark, indexRoot, "fp_key", ks))
                 .select(col("fp"))
               graft.sources.SnapshotTable.appendIfNonEmpty(spark, indexRoot,
                 fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp_key"))
             }
           }
           if (maintainEvery > 0 && seq % maintainEvery == 0) {
-            if (ttlBatches > 0)
-              // eviction doubles as the compaction (same layout params)
+            // TTL needs the batch_seq column to exist in the table
+            // schema — an index predating TTL enablement gains it at
+            // the first novel append; until then (all-duplicate
+            // batches) eviction has nothing to key on and compaction
+            // runs instead (schema check = one manifest read, no job)
+            if (ttlBatches > 0 &&
+                graft.sources.SnapshotTable.read(spark, indexRoot)
+                  .columns.contains("batch_seq"))
+              // eviction doubles as the compaction (same layout params).
+              // coalesce: null batch_seq = pre-TTL rows age as if
+              // ingested NOW, not as if expired
               graft.sources.SnapshotTable.retainWhere(spark, indexRoot,
-                col("batch_seq") >= seq - ttlBatches,
+                coalesce(col("batch_seq"), lit(seq)) >= seq - ttlBatches,
                 targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
                 cluster = true)
             else
@@ -283,6 +324,119 @@ object StreamingRunner {
             graft.sources.SnapshotTable.expireVersions(spark, indexRoot,
               keepLast = keepVersions)
             graft.sources.SnapshotTable.vacuum(spark, indexRoot, minAgeMs = 0L)
+          }
+        } finally fp.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** [[documentsSchema]] plus an event-time column (`ts`, microseconds
+    * since epoch) — the arrival shape of a timestamped content feed. */
+  private val timedDocumentsSchema = StructType(
+    documentsSchema.fields :+ StructField("ts", LongType))
+
+  /** [[runStreamingDedupIngest]] with an EVENT-TIME TTL: rows carry
+    * their event timestamp (`event_ts`), the stream maintains a
+    * monotone HIGH-WATER MARK (max event time observed — the same
+    * quantity a watermark derives from), and each maintenance cycle
+    * evicts fingerprints whose event time has fallen more than
+    * `ttlMicros` behind it. A real pipeline ages content by TIME, not
+    * by how many micro-batches happened to fire: a quiet night of
+    * near-empty batches must not expire yesterday's fingerprints the
+    * way a batch-count TTL would, and a catch-up burst must not
+    * stretch the horizon.
+    *
+    * Semantics at the horizon: content RE-DELIVERED while its
+    * fingerprint is inside the horizon (late arrivals included — a
+    * late row's own event_ts being old doesn't matter, the PROBE is by
+    * fingerprint) dedups; content arriving after its fingerprint's
+    * event time fell off the horizon re-admits — the same explicit
+    * bounded-state trade as the batch-count TTL, now denominated in
+    * event time. The horizon keys on FIRST-sighting event time:
+    * a duplicate inside the horizon is dropped by the anti-join and
+    * therefore does NOT refresh its fingerprint's stamp (deterministic
+    * and cheap; sliding-refresh semantics would need a merge per
+    * batch instead of an append).
+    *
+    * Restart-safe the same way as the batch-count TTL: the high-water
+    * mark seeds from max(event_ts) already in the index, so a restart
+    * cannot rewind the horizon under old rows; pre-event-time rows
+    * (null event_ts) are retained indefinitely, never treated as
+    * expired. */
+  def runStreamingDedupIngestEventTime(spark: SparkSession, srcDir: String,
+      indexRoot: String, queryName: String = "graft_dedup_ett",
+      maintainEvery: Int = 3, keepVersions: Int = 3,
+      compactTargetFiles: Int = 4, ttlMicros: Long = 24L * 3600 * 1000000,
+      maxProbeKeys: Int = 100000): Unit = {
+    require(maintainEvery > 0, "event-time TTL runs inside the maintenance cycle")
+    require(ttlMicros > 0, "ttlMicros must be positive")
+    val snap = graft.sources.SnapshotTable
+    val hwm0 =
+      if (snap.versions(spark, indexRoot).nonEmpty) {
+        val idx = snap.read(spark, indexRoot)
+        if (idx.columns.contains("event_ts"))
+          Option(idx.agg(max(col("event_ts"))).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+        else Long.MinValue
+      } else Long.MinValue
+    val hwm = new java.util.concurrent.atomic.AtomicLong(hwm0)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream
+      .schema(timedDocumentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seq = nBatches.incrementAndGet()
+        val fresh = snap.versions(spark, indexRoot).isEmpty
+        val fp = batch
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("fp_key", graft.text.TextFunctions.md5Long(col("text")))
+          .select(col("fp_key"), col("fp"), col("doc_id"), col("text"),
+            col("ts").as("event_ts"))
+          .dropDuplicates("fp")
+          .persist()
+        try {
+          // one bounded collect feeds BOTH the per-key probe and the
+          // high-water-mark advance — no separate max(ts) action
+          val keyTs = fp.select(col("fp_key"), col("event_ts"))
+            .limit(maxProbeKeys + 1)
+            .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
+          if (keyTs.nonEmpty) {
+            val batchMax = keyTs.map(_._2).max
+            hwm.updateAndGet(m => math.max(m, batchMax))
+            if (fresh)
+              snap.create(spark, indexRoot, fp, statsKey = Some("fp_key"))
+            else {
+              val seen = (if (keyTs.length > maxProbeKeys)
+                snap.read(spark, indexRoot)
+              else
+                snap.readKeys(spark, indexRoot, "fp_key", keyTs.map(_._1)))
+                .select(col("fp"))
+              snap.appendIfNonEmpty(spark, indexRoot,
+                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp_key"))
+            }
+          }
+          if (seq % maintainEvery == 0 && !snap.versions(spark, indexRoot).isEmpty) {
+            val horizon = hwm.get() - ttlMicros
+            if (hwm.get() != Long.MinValue &&
+                snap.read(spark, indexRoot).columns.contains("event_ts"))
+              // nulls (pre-event-time rows) are retained, same contract
+              // as the batch-count TTL's legacy set
+              snap.retainWhere(spark, indexRoot,
+                coalesce(col("event_ts"), lit(Long.MaxValue)) >= horizon,
+                targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+                cluster = true)
+            else
+              snap.compact(spark, indexRoot,
+                targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+                cluster = true)
+            snap.expireVersions(spark, indexRoot, keepLast = keepVersions)
+            snap.vacuum(spark, indexRoot, minAgeMs = 0L)
           }
         } finally fp.unpersist()
         ()

@@ -233,6 +233,153 @@ class StreamingSpec extends SparkSpec {
       s"eviction must commit as rewrite, never masquerade as compact: $ops")
   }
 
+  test("dedup probe prunes: a micro-batch key probe reads fewer index files than a full scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sprobe")
+    val srcDir = s"$tmp/src"
+    val indexRoot = s"$tmp/index"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    // 8 batches of 8 novel docs each, maintenance every 4 → the final
+    // index is CLUSTERED into compactTargetFiles disjoint fp_key ranges
+    (0 until 8).foreach { i =>
+      (0 until 8).map(j => doc(i * 8L + j, s"payload-$i-$j " * 10))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    }
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, srcDir, indexRoot,
+      queryName = "graft_sprobe", maintainEvery = 4, keepVersions = 2,
+      compactTargetFiles = 4)
+    val fullFiles = sources.SnapshotTable.read(spark, indexRoot).inputFiles.length
+    assert(fullFiles >= 4, s"the maintained index must be multi-file, got $fullFiles")
+    // the probe a 2-doc micro-batch would issue — THE SAME readKeys
+    // call the ingest uses. md5-derived keys make the [min,max]
+    // envelope span ~everything; the point probe must not.
+    val keys = Seq("payload-0-0 " * 10, "payload-7-7 " * 10)
+      .toDF("text").select(text.TextFunctions.md5Long(col("text")))
+      .collect().map(_.getLong(0))
+    val probeFiles = sources.SnapshotTable
+      .readKeys(spark, indexRoot, "fp_key", keys).inputFiles.length
+    assert(probeFiles < fullFiles,
+      s"a 2-key probe against a clustered index must read fewer files " +
+        s"($probeFiles) than the full index ($fullFiles)")
+    assert(probeFiles <= 2, s"2 keys land in at most 2 disjoint-range files, read $probeFiles")
+  }
+
+  test("TTL survives a stream restart: the sequence resumes from the index, the horizon keeps moving") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-srestart")
+    val src1 = s"$tmp/src1"
+    val src2 = s"$tmp/src2"
+    val indexRoot = s"$tmp/index"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    def drop(dir: String, d: (Long, String, String, String, Long)): Unit =
+      Seq(d).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("append").parquet(dir)
+    // RUN 1: batches 1-3 (maintenance at 3 keeps everything: horizon 0)
+    drop(src1, doc(1, "old-one " * 10))
+    drop(src1, doc(2, "old-two " * 10))
+    drop(src1, doc(3, "recent-three " * 10))
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, src1, indexRoot,
+      queryName = "graft_srestart1", maintainEvery = 3, keepVersions = 2,
+      ttlBatches = 3)
+    // RUN 2 (the restart): a fresh stream on the same index. The seq
+    // counter must SEED from max(batch_seq)=3 — a reset to zero would
+    // number these 1-3 and the maintenance below would keep everything
+    drop(src2, doc(4, "new-four " * 10))
+    drop(src2, doc(5, "new-five " * 10))
+    drop(src2, doc(6, "new-six " * 10))
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, src2, indexRoot,
+      queryName = "graft_srestart2", maintainEvery = 3, keepVersions = 2,
+      ttlBatches = 3)
+    // run-2 batches are 4/5/6; maintenance at 6 keeps batch_seq >= 3
+    val seqs = sources.SnapshotTable.read(spark, indexRoot)
+      .select(col("doc_id"), col("batch_seq")).as[(Long, Long)].collect().toMap
+    assert(seqs.keySet == Set(3L, 4L, 5L, 6L),
+      s"restart must evict batches 1-2 (past the moving horizon), got $seqs")
+    assert(seqs(4L) == 4L && seqs(6L) == 6L,
+      s"the restarted stream must continue the sequence, not restart it: $seqs")
+  }
+
+  test("enabling TTL on a pre-TTL index: null-stamped legacy rows are retained, not mass-evicted") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slegacy")
+    val src1 = s"$tmp/src1"
+    val src2 = s"$tmp/src2"
+    val indexRoot = s"$tmp/index"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    def drop(dir: String, ds: (Long, String, String, String, Long)*): Unit =
+      ds.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("append").parquet(dir)
+    // RUN 1: no TTL — the index has no batch_seq column
+    drop(src1, doc(1, "legacy-alpha " * 10))
+    drop(src1, doc(2, "legacy-beta " * 10))
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, src1, indexRoot,
+      queryName = "graft_slegacy1")
+    // RUN 2: TTL enabled. Batch 1 re-delivers legacy content (must
+    // dedup — the legacy fingerprints are knowledge, not expired rows)
+    // plus a novel doc; batch 2 is novel — maintenance fires at 2.
+    drop(src2, doc(11, "legacy-alpha " * 10), doc(3, "new-gamma " * 10))
+    drop(src2, doc(4, "new-delta " * 10))
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, src2, indexRoot,
+      queryName = "graft_slegacy2", maintainEvery = 2, keepVersions = 2,
+      ttlBatches = 2)
+    val rows = sources.SnapshotTable.read(spark, indexRoot)
+      .select(col("doc_id"), col("batch_seq"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // legacy rows (null batch_seq → -1 here) survived the cycle; the
+    // re-delivered legacy-alpha did NOT re-land (no doc 11); both new
+    // docs landed with stamps
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L),
+      s"legacy rows retained, re-delivery deduped, novels landed: $rows")
+    assert(rows(1L) == -1L && rows(2L) == -1L,
+      s"legacy rows carry no stamp and must still be here: $rows")
+    assert(rows(3L) == 1L && rows(4L) == 2L, s"stamped novels: $rows")
+  }
+
+  test("event-time TTL: re-delivery within the horizon dedups, post-horizon content re-admits") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-settl")
+    val srcDir = s"$tmp/src"
+    val indexRoot = s"$tmp/index"
+    val Hour = 3600L * 1000000
+    def doc(id: Long, text: String, tsHours: Long) =
+      (id, text, "en", "s", text.length.toLong, tsHours * Hour)
+    def drop(ds: (Long, String, String, String, Long, Long)*): Unit =
+      ds.toDF("doc_id", "text", "lang", "source", "n_chars", "ts")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    // TTL = 5 hours of EVENT time, maintenance every 2 batches.
+    // b1: anchor @ t=0h. b2: novel @ t=1h → maint: hwm 1h, horizon -4h.
+    // b3: LATE re-delivery of anchor (its own ts 0h is old — the probe
+    //     is by fingerprint, so it still dedups) + novel @ t=2h.
+    // b4: novel @ t=8h → maint: hwm 8h, horizon 3h → anchor (0h),
+    //     b2 (1h), b3's novel (2h) evicted.
+    // b5: anchor re-delivered @ t=9h — its fingerprint expired, so it
+    //     RE-LANDS (the bounded-state trade, in event time).
+    // b6: novel @ t=10h → maint: hwm 10h, horizon 5h → survivors are
+    //     the 8h/9h/10h rows.
+    drop(doc(101, "anchor " * 10, 0))
+    drop(doc(2, "novel-b2 " * 10, 1))
+    drop(doc(109, "anchor " * 10, 0), doc(3, "novel-b3 " * 10, 2))
+    drop(doc(4, "novel-b4 " * 10, 8))
+    drop(doc(105, "anchor " * 10, 9))
+    drop(doc(6, "novel-b6 " * 10, 10))
+    streaming.StreamingRunner.runStreamingDedupIngestEventTime(spark, srcDir,
+      indexRoot, queryName = "graft_settl", maintainEvery = 2,
+      keepVersions = 2, ttlMicros = 5 * Hour)
+    val rows = sources.SnapshotTable.read(spark, indexRoot)
+      .select(col("doc_id"), col("event_ts")).as[(Long, Long)].collect().toMap
+    assert(rows.keySet == Set(4L, 105L, 6L),
+      s"survivors must be the rows inside the final 5h event-time horizon " +
+        s"(8h/9h/10h), with the anchor RE-ADMITTED under doc 105: $rows")
+    assert(rows(105L) == 9 * Hour,
+      "the re-admitted anchor carries its re-delivery event time")
+    // and the in-horizon late re-delivery did NOT land (no doc 109)
+    assert(!rows.contains(109L),
+      "a late duplicate inside the horizon must dedup by fingerprint")
+    val ops = sources.SnapshotTable.history(spark, indexRoot).map(_.op)
+    assert(ops.contains("rewrite"), s"event-time eviction commits as rewrite: $ops")
+  }
+
   test("schema evolution across stream runs: a redeployed chunker adds a column mid-table") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sevo")
