@@ -135,6 +135,29 @@ object Bench {
     try plan.transformUp { case node => node.transformExpressionsUp(orientRule) }
     catch { case _: Throwable => plan } // never let rendering-only work fail a bench
 
+  /** Lines where identity HASHES (`@hex`) may legitimately appear:
+    * object operators (whose lambdas/encoders render with per-JVM
+    * identity addresses — canonicalization does not touch them) and
+    * any line carrying a `Lambda$`. The `@ID` collapse is anchored to
+    * these contexts so a hex-looking LITERAL elsewhere in a plan can
+    * never be silently normalized away.
+    *
+    * The `#\d+ → #N` collapse, by contrast, stays BLANKET — this was
+    * re-derived empirically, not left by default: a line-scoped
+    * variant was tried and failed the two-dump stability protocol on
+    * the cached-plan queries (geom_rect_merge, text_seq_pack_bpe),
+    * because InMemoryRelation EMBEDS its cached child plan's rendering
+    * — ordinary Sort/Exchange/Project/FileScan lines carrying raw
+    * global ExprIds that shift with session allocation order and that
+    * canonicalization never renumbers. There is no robust textual
+    * boundary for "inside an InMemoryRelation argument", so the
+    * blanket collapse is load-bearing for fingerprint stability; the
+    * cost (two plans differing only in which canonical attribute a
+    * node references hash alike) is accepted and documented. */
+  private val identityHashLine = ("\\b(MapGroups|FlatMapGroups[A-Za-z]*|MapPartitions|" +
+    "MapElements|DeserializeToObject|SerializeFromObject|AppendColumns[A-Za-z]*|" +
+    "ExternalRDD[A-Za-z]*|MapInPandas|CoGroup)\\b").r
+
   private[graft] def planCanon(df: org.apache.spark.sql.DataFrame): String =
     oriented(df.queryExecution.executedPlan.canonicalized).toString
       .replaceAll("/tmp/graft-[A-Za-z0-9_.-]*", "/tmp/graft-SCRATCH")
@@ -143,10 +166,14 @@ object Bench {
       .replaceAll("/tmp/graft-SCRATCH\\S*", "/tmp/graft-SCRATCH/...")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=N]")
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N")
-      .replaceAll("@[0-9a-f]{4,16}\\b", "@ID")
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(NPART)")
       .replaceAll("(hash|range)partitioning\\((.*?), \\d+\\)", "$1partitioning($2, NPART)")
       .replaceAll("#\\d+", "#N")
+      .linesIterator.map { ln =>
+        if (identityHashLine.findFirstIn(ln).isDefined || ln.contains("Lambda$"))
+          ln.replaceAll("@[0-9a-f]{4,16}\\b", "@ID")
+        else ln
+      }.mkString("\n")
 
   private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
     val canon = planCanon(df)

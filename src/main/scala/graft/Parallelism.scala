@@ -27,15 +27,26 @@ object Parallelism {
     val target = spark.sparkContext.defaultParallelism
     val estimated = scanPartitions(spark, df)
       .getOrElse(df.rdd.getNumPartitions.toLong)
-    if (estimated < target) df.repartition(target) else df
+    // half-target slack: the estimate is a strict LOWER bound on
+    // Spark's greedy file-boundary packing (it ignores that splits
+    // can't cross files), so comparing against the full target would
+    // fire — and pay an unconditional shuffle — on scans whose real
+    // partition count is fine. Anything at or above half the cores
+    // is left alone; the degenerate cases the guard exists for
+    // (1-split tiny files) sit far below any slack.
+    if (estimated < math.max(1L, target / 2)) df.repartition(target) else df
   }
 
   /** Split count the file scans under `df` get, replicating
     * FilePartition's packing math (maxSplitBytes = min(maxPartitionBytes,
     * max(openCost, totalBytes/defaultParallelism)); splits then pack
-    * into maxSplitBytes bins). ±1 of the real count is fine — only the
-    * `< defaultParallelism` decision matters. None when the plan has no
-    * file-relation leaf. */
+    * into maxSplitBytes bins) — a LOWER bound: real packing respects
+    * file boundaries and can only produce more partitions. Uses the
+    * UNFILTERED listing (a pruning index like ManifestFileIndex skips
+    * files at listFiles time with data filters this estimate never
+    * sees), which biases the other way — an overestimate that can only
+    * make the guard skip a repartition, never add one. None when the
+    * plan has no file-relation leaf. */
   private def scanPartitions(spark: SparkSession, df: DataFrame): Option[Long] = {
     val rels = df.queryExecution.analyzed.collect {
       case lr: LogicalRelation => lr.relation

@@ -133,6 +133,8 @@ object SparkEntry {
     "meta_snapshot_schema_evo" -> ((s, d) => snapshotSchemaEvoCycle(s, d)),
     "meta_snapshot_history" -> ((s, d) => snapshotHistoryCycle(s, d)),
     "meta_snapshot_indexed_read" -> ((s, d) => snapshotIndexedReadCycle(s, d)),
+    "meta_snapshot_point_read" -> ((s, d) => snapshotPointReadCycle(s, d)),
+    "meta_snapshot_2d_read" -> ((s, d) => snapshot2dReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
@@ -260,6 +262,8 @@ object SparkEntry {
     "meta_snapshot_schema_evo" -> snapshotSchemaEvoCycleSql,
     "meta_snapshot_history" -> snapshotHistoryCycleSql,
     "meta_snapshot_indexed_read" -> snapshotIndexedReadCycleSql,
+    "meta_snapshot_point_read" -> snapshotPointReadCycleSql,
+    "meta_snapshot_2d_read" -> snapshot2dReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
@@ -1101,6 +1105,62 @@ object SparkEntry {
 
   private def snapshotIndexedReadCycleSql: String = """
     SELECT doc_id, n_chars FROM documents WHERE doc_id < 10 ORDER BY doc_id"""
+
+  /** Point-probe read ([[graft.sources.SnapshotTable.readKeys]]),
+    * gated end to end: the table is created range-clustered so the
+    * probe's keys land in DIFFERENT files with untouched files
+    * between them — the shape where the r7 envelope read degenerated
+    * to a full scan and the point probe must not. The oracle is the
+    * IN-list's relational definition: a file wrongly skipped loses its
+    * key's row and breaks the hash. File-count proofs live in
+    * SnapshotTableSpec (readKeys reads 2 of 4 files); row-level
+    * filtering stays with the caller by the pruning contract, hence
+    * the isin filter on top of the probe. */
+  private def snapshotPointReadCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapk").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,
+      docs.repartitionByRange(4, col("doc_id")), statsKey = Some("doc_id"))
+    val keys = Array(1L, 250L, 499L)
+    val out = graft.sources.SnapshotTable.readKeys(s, root, "doc_id", keys)
+      .filter(col("doc_id").isin(keys.map(Long.box): _*))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(root))
+  }
+
+  private def snapshotPointReadCycleSql: String = """
+    SELECT doc_id, n_chars FROM documents WHERE doc_id IN (1, 250, 499)
+    ORDER BY doc_id"""
+
+  /** TWO-KEY pruned read (format-4 secondary stats), gated end to end
+    * over the engine's natural two-part identity (l_orderkey,
+    * l_linenumber) — the same shape as the reference's
+    * (filename, chunk_idx) chunk identity. The table is laid out
+    * hierarchically (range by primary, then secondary), read through
+    * the manifest-backed index, and filtered on a CONJUNCTION over
+    * both keys; the oracle is the conjunction's relational
+    * definition, so over-pruning on EITHER key's recorded ranges
+    * loses rows and breaks the hash. */
+  private def snapshot2dReadCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap2").toString
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+    graft.sources.SnapshotTable.create(s, root,
+      li.repartitionByRange(8, col("l_orderkey"), col("l_linenumber")),
+      statsKey = Some("l_orderkey"), statsKey2 = Some("l_linenumber"))
+    val out = graft.sources.SnapshotTable.readIndexed(s, root, "l_orderkey")
+      .filter(col("l_orderkey") <= 100L && col("l_linenumber") >= 4L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(root))
+  }
+
+  private def snapshot2dReadCycleSql: String = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber >= 4
+    ORDER BY l_orderkey, l_linenumber"""
 
   /** STRING-keyed MERGE through the ACID table, gated end to end — the
     * reference's own merge key (`filename`,

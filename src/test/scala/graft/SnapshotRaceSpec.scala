@@ -126,4 +126,32 @@ class SnapshotRaceSpec extends SparkSpec {
         s"version $v lost rows")
     }
   }
+
+  test("read-retention contract: expire+vacuum under a pinned reader fails LOUDLY, never partially") {
+    val root = Files.createTempDirectory("graft-race-r").toString
+    SnapshotTable.create(spark, root,
+      (0L until 100L).map(i => (i, s"v1-$i")).toDF("id", "v").repartition(2),
+      statsKey = Some("id"))
+    // compaction rewrites every file, so v1's files belong ONLY to v1
+    SnapshotTable.compact(spark, root, targetFiles = 2)
+    // the reader PINS v1's exact file list at DataFrame construction
+    val pinned = SnapshotTable.read(spark, root, Some(1))
+    assert(pinned.count() == 100, "pre-expiry the pinned version reads fully")
+    SnapshotTable.expireVersions(spark, root, keepLast = 1)
+    SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
+    // the still-held reader must now FAIL with a missing-file error —
+    // the pinned file list is what makes silent partial data impossible
+    val e = intercept[Exception] { pinned.count() }
+    def mentionsMissingFile(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("FileNotFound")) ||
+        mentionsMissingFile(t.getCause))
+    assert(mentionsMissingFile(e),
+      s"a vacuumed-under read must surface the missing file, got $e")
+    // re-resolving the expired version fails the version check up front
+    intercept[IllegalArgumentException] { SnapshotTable.read(spark, root, Some(1)) }
+    // the retained latest version is untouched by the cleanup
+    assert(SnapshotTable.read(spark, root).count() == 100)
+  }
 }
