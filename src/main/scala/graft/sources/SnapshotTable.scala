@@ -744,25 +744,56 @@ object SnapshotTable {
     * right trade when one key dominates selectivity (filename before
     * chunk_idx, document before page). Incremental merges interleave
     * key ranges over time; clustered compaction is how maintenance
-    * RESTORES pruning power. */
+    * RESTORES pruning power.
+    *
+    * With `zorder = true` (needs both keys, integral, non-negative)
+    * the rewrite orders by the BIT-INTERLEAVED z-value of the two
+    * keys instead: each file covers a z-range, i.e. a small rectangle
+    * in (key, key2) space, so BOTH columns' per-file min/max ranges
+    * are selective — the right trade when neither key dominates (a
+    * secondary-only predicate prunes files, which the hierarchical
+    * layout cannot do at all; a primary-only predicate prunes
+    * somewhat less than hierarchical). The manifest stats machinery
+    * is unchanged — z-order is purely a LAYOUT choice the per-column
+    * ranges get sharper under; a bad layout can never lose rows. */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
       statsKey: Option[String] = None, cluster: Boolean = false,
-      statsKey2: Option[String] = None): Int =
+      statsKey2: Option[String] = None, zorder: Boolean = false): Int =
     retrying(spark, root, op = "compact") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val schema = schemaOf(spark, root, m)
       val (effKey, effKey2, _) = resolveStatsKeys(m, statsKey, statsKey2)
       val files = m.entries.map(e => s"$root/${e.path}")
       val current = spark.read.schema(schema).parquet(files: _*)
-      val laidOut = (effKey, effKey2) match {
-        case (Some(k), Some(k2)) if cluster =>
-          current.repartitionByRange(targetFiles, col(k), col(k2))
-        case (Some(k), _) if cluster =>
-          current.repartitionByRange(targetFiles, col(k))
-        case _ => current.repartition(targetFiles)
-      }
-      Pending(writeDataFiles(spark, root, laidOut, effKey, effKey2), schema,
-        effKey, effKey2)
+      Pending(writeDataFiles(spark, root,
+        clusterLayout(current, targetFiles, effKey, effKey2, cluster, zorder),
+        effKey, effKey2), schema, effKey, effKey2)
+    }
+
+  /** The rewrite layout [[compact]] and [[retainWhere]] share: plain
+    * round-robin, range-clustered (hierarchical on two keys), or
+    * z-ordered (interleaved two-key rectangles). */
+  private def clusterLayout(df: DataFrame, targetFiles: Int,
+      key: Option[String], key2: Option[String],
+      cluster: Boolean, zorder: Boolean): DataFrame =
+    (key, key2) match {
+      case (Some(k), Some(k2)) if zorder =>
+        // 31 bits per key — the most an interleave fits in a signed
+        // long without the top term (1L << 63) corrupting the sign.
+        // Keys >= 2^31 fold their high bits away, which only blurs
+        // file boundaries, never correctness: stats are measured per
+        // file AFTER layout, so a bad layout cannot lose rows
+        val z = graft.relational.Relational.zorderValue(
+          col(k).cast("long"), col(k2).cast("long"), 31)
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(targetFiles, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      case (Some(k), Some(k2)) if cluster =>
+        df.repartitionByRange(targetFiles, col(k), col(k2))
+      case (Some(k), _) if cluster =>
+        df.repartitionByRange(targetFiles, col(k))
+      case _ => df.repartition(targetFiles)
     }
 
   /** Retention rewrite: commit a new version holding only the rows
@@ -777,22 +808,16 @@ object SnapshotTable {
   def retainWhere(spark: SparkSession, root: String,
       keep: org.apache.spark.sql.Column, targetFiles: Int = 8,
       statsKey: Option[String] = None, cluster: Boolean = false,
-      statsKey2: Option[String] = None): Int =
+      statsKey2: Option[String] = None, zorder: Boolean = false): Int =
     retrying(spark, root, op = "rewrite") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val schema = schemaOf(spark, root, m)
       val (effKey, effKey2, _) = resolveStatsKeys(m, statsKey, statsKey2)
       val files = m.entries.map(e => s"$root/${e.path}")
       val kept = spark.read.schema(schema).parquet(files: _*).filter(keep)
-      val laidOut = (effKey, effKey2) match {
-        case (Some(k), Some(k2)) if cluster =>
-          kept.repartitionByRange(targetFiles, col(k), col(k2))
-        case (Some(k), _) if cluster =>
-          kept.repartitionByRange(targetFiles, col(k))
-        case _ => kept.repartition(targetFiles)
-      }
-      Pending(writeDataFiles(spark, root, laidOut, effKey, effKey2), schema,
-        effKey, effKey2)
+      Pending(writeDataFiles(spark, root,
+        clusterLayout(kept, targetFiles, effKey, effKey2, cluster, zorder),
+        effKey, effKey2), schema, effKey, effKey2)
     }
 
   /** Drop all snapshots except the last `keepLast` (their manifests are
@@ -1014,6 +1039,20 @@ object SnapshotTable {
     val primary = m.statsKey.filter(r => sameKey(Some(r), key))
     val index = new ManifestFileIndex(spark, root, m.entries, primary, m.statsKey2)
     org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index, schema)
+  }
+
+  /** [[readIndexed]] without naming a key: format-4 manifests RECORD
+    * their stats identity, so the natural read just prunes on whatever
+    * the table's own recorded column(s) are — the reader shouldn't
+    * have to know how the table was keyed. Pre-format-4 tables (no
+    * recorded identity) read unpruned. */
+  def readIndexed(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val m = manifestFull(spark, root, vs.last)
+    val index = new ManifestFileIndex(spark, root, m.entries, m.statsKey, m.statsKey2)
+    org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
+      schemaOf(spark, root, m))
   }
 
   private def readPruned(spark: SparkSession, root: String, version: Option[Int],

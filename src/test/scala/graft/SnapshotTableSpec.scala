@@ -736,4 +736,45 @@ class SnapshotTableSpec extends SparkSpec {
       s"post-compact the two-key probe stays pruned, scanned $cFiles")
     assert(SnapshotTable.read(spark, root).count() == 200)
   }
+
+  test("z-order layout: a SECONDARY-only predicate prunes files — hierarchical clustering cannot") {
+    val root = tmp()
+    // a 16x64 grid: every doc has the full chunk range, so under a
+    // hierarchical (doc-first) layout every file spans chunk 0..63 and
+    // a chunk-only predicate can prune NOTHING — the case z-order exists for
+    val grid = for { d <- 0L until 16L; c <- 0L until 64L } yield (d, c, s"g$d-$c")
+    SnapshotTable.create(spark, root,
+      grid.toDF("doc_id", "chunk_idx", "chunk").repartition(4),
+      statsKey = Some("doc_id"), statsKey2 = Some("chunk_idx"))
+    def countFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = df.collect().length.toLong
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("plan must contain a FileSourceScanExec"))
+      (n, scan.metrics("numFiles").value)
+    }
+    // hierarchical: chunk-only predicate scans everything
+    SnapshotTable.compact(spark, root, targetFiles = 8, cluster = true)
+    val (hRows, hFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root).filter(col("chunk_idx") < 8L))
+    assert(hRows == 16 * 8)
+    assert(hFiles == 8,
+      s"doc-first layout gives every file the full chunk range, scanned $hFiles of 8")
+    // z-order: the same predicate prunes (files are (doc, chunk) rectangles)
+    SnapshotTable.compact(spark, root, targetFiles = 8, zorder = true)
+    val (zRows, zFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root).filter(col("chunk_idx") < 8L))
+    assert(zRows == 16 * 8, "layout choices must never change results")
+    assert(zFiles < 8,
+      s"z-ordered files carry selective chunk ranges, scanned $zFiles of 8")
+    // the primary still prunes under z-order too (less sharply than
+    // hierarchical, but far from nothing)
+    val (pRows, pFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root).filter(col("doc_id") === 3L))
+    assert(pRows == 64)
+    assert(pFiles < 8, s"a doc-only predicate must still prune, scanned $pFiles of 8")
+    // and the keyless readIndexed pruned on the RECORDED keys without
+    // the caller naming them (asserted by the scans above using it)
+  }
 }
