@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Minimal ACID table format — the transactional MERGE story the plain
@@ -570,6 +570,21 @@ object SnapshotTable {
     (effKey, effKey2, fix)
   }
 
+  /** Secondary stats travel with the KEY they were measured on:
+    * file entries measured under `measuredOn` may commit under a header
+    * naming `committingAs` only when the two are the same column
+    * (case-insensitive, Spark's resolution); otherwise the min2/max2
+    * are stripped — ranges attributed to the wrong column over-prune
+    * conjunctive reads and lose rows. This is [[merge]]'s retry-path
+    * guard (update files are written once, before the commit loop, but
+    * each attempt re-derives the table's statsKey2 from the fresh
+    * manifest), kept as a named function so the decision is testable
+    * without staging the cross-commit race. */
+  private[sources] def reconcileUpdateStats(files: Seq[FileEntry],
+      measuredOn: Option[String], committingAs: Option[String]): Seq[FileEntry] =
+    if (committingAs.map(norm) == measuredOn.map(norm)) files
+    else files.map(_.withoutKey2Stats)
+
   /** Create a new table (version 1) or fail if one exists. `statsKey`
     * (usually the future merge key) enables data skipping from birth;
     * `statsKey2` records a SECOND integral column's ranges for
@@ -653,9 +668,11 @@ object SnapshotTable {
       maxPruneKeys: Int = 100000, allowWiden: Boolean = false,
       statsKey2: Option[String] = None): Int = {
     // updates' files are written once; survivors re-derive per attempt.
-    // The secondary stats key inherits from the manifest at write time —
-    // a lost race cannot change it (only maintenance ops set statsKey2,
-    // and they preserve it thereafter).
+    // The secondary stats key inherits from the manifest at write time;
+    // a lost race CAN change it (compact/append/retainWhere all accept
+    // an explicit statsKey2), so each commit attempt re-checks the
+    // fresh manifest's key against this one and strips the update
+    // files' secondary stats on mismatch — see safeUpdates below.
     val key2AtStart = statsKey2.orElse(
       versions(spark, root).lastOption.flatMap(v =>
         manifestFull(spark, root, v).statsKey2))
@@ -719,8 +736,20 @@ object SnapshotTable {
             current(key) === col("__mk"), "left_anti")
           writeDataFiles(spark, root, alignTo(survivors, evolved), Some(key), effKey2)
         }
-      Pending(fixCarried(untouched) ++ rewritten ++ updateFiles, evolved,
-        Some(key), effKey2)
+      // the update files were written ONCE, before the commit loop,
+      // with min2/max2 measured on key2AtStart — but effKey2 re-derives
+      // from the FRESH manifest each attempt. If a concurrent commit
+      // changed the table's statsKey2 in between (compact/append/
+      // retainWhere all accept an explicit one), committing those
+      // ranges under the new header name would attribute them to a
+      // column they were never measured on — wrong-column stats
+      // over-prune and LOSE ROWS on conjunctive reads. Strip them
+      // instead (the mirror of what fixCarried does for carried
+      // entries); rewritten files are produced inside the attempt with
+      // the fresh effKey2 and stay correct as-is.
+      Pending(fixCarried(untouched) ++
+        rewritten ++ reconcileUpdateStats(updateFiles, key2AtStart, effKey2),
+        evolved, Some(key), effKey2)
     }
   }
 
@@ -746,15 +775,22 @@ object SnapshotTable {
     * key ranges over time; clustered compaction is how maintenance
     * RESTORES pruning power.
     *
-    * With `zorder = true` (needs both keys, integral, non-negative)
-    * the rewrite orders by the BIT-INTERLEAVED z-value of the two
-    * keys instead: each file covers a z-range, i.e. a small rectangle
-    * in (key, key2) space, so BOTH columns' per-file min/max ranges
-    * are selective — the right trade when neither key dominates (a
-    * secondary-only predicate prunes files, which the hierarchical
-    * layout cannot do at all; a primary-only predicate prunes
-    * somewhat less than hierarchical). The manifest stats machinery
-    * is unchanged — z-order is purely a LAYOUT choice the per-column
+    * With `zorder = true` (needs both keys recorded/passed, both
+    * integral — enforced, not silently degraded) the rewrite orders by
+    * the BIT-INTERLEAVED z-value of the two keys instead: each file
+    * covers a z-range, i.e. a small rectangle in (key, key2) space, so
+    * BOTH columns' per-file min/max ranges are selective — the right
+    * trade when neither key dominates (a secondary-only predicate
+    * prunes files, which the hierarchical layout cannot do at all; a
+    * primary-only predicate prunes somewhat less than hierarchical).
+    * Before interleaving, both keys are NORMALIZED to a common
+    * effective bit width from their observed [min,max] domains (one
+    * agg over data the compaction reads anyway): interleaving raw
+    * values lets whichever key spans more bits own every significant
+    * z-bit, collapsing the "z-order" into a plain sort by that key —
+    * the narrower dimension then prunes nothing, the exact defect this
+    * normalization exists to prevent. The manifest stats machinery is
+    * unchanged — z-order is purely a LAYOUT choice the per-column
     * ranges get sharper under; a bad layout can never lose rows. */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
       statsKey: Option[String] = None, cluster: Boolean = false,
@@ -770,29 +806,77 @@ object SnapshotTable {
         effKey, effKey2), schema, effKey, effKey2)
     }
 
+  /** Bits per dimension of the z-value after normalization. 15 gives a
+    * 30-bit curve (2^15 cells per axis — orders of magnitude finer than
+    * any file count) while keeping every shift/interleave exact in a
+    * signed long. */
+  private val ZorderBits = 15
+
   /** The rewrite layout [[compact]] and [[retainWhere]] share: plain
     * round-robin, range-clustered (hierarchical on two keys), or
-    * z-ordered (interleaved two-key rectangles). */
+    * z-ordered (interleaved two-key rectangles).
+    *
+    * The z branch LEFT-ALIGNS each key's significant bits to the same
+    * width before interleaving: with observed domain [min, max], the
+    * value becomes `(v - min) << (ZorderBits - width(max - min))` (or
+    * `>>` when the span is wider than ZorderBits, keeping the TOP bits
+    * — coarser cells, still balanced), so both dimensions' most
+    * significant bits land at position ZorderBits-1 and the interleave
+    * alternates fairly. Raw interleaving fails whenever the domains
+    * differ in width: a 4-bit doc id against a 6-bit chunk idx puts
+    * every top z-bit under the chunk key and the layout degenerates to
+    * a chunk sort — zero primary pruning (the round-8 defect this
+    * replaces). Exact integer bit-shifts, no floating point: the same
+    * input always yields the same layout. Min subtraction also makes
+    * negative keys well-defined. The single driver-side agg is 4 longs
+    * over data the rewrite is about to read in full anyway. */
   private def clusterLayout(df: DataFrame, targetFiles: Int,
       key: Option[String], key2: Option[String],
       cluster: Boolean, zorder: Boolean): DataFrame =
     (key, key2) match {
       case (Some(k), Some(k2)) if zorder =>
-        // 31 bits per key — the most an interleave fits in a signed
-        // long without the top term (1L << 63) corrupting the sign.
-        // Keys >= 2^31 fold their high bits away, which only blurs
-        // file boundaries, never correctness: stats are measured per
-        // file AFTER layout, so a bad layout cannot lose rows
-        val z = graft.relational.Relational.zorderValue(
-          col(k).cast("long"), col(k2).cast("long"), 31)
-        df.withColumn("__graft_z", z)
-          .repartitionByRange(targetFiles, col("__graft_z"))
-          .sortWithinPartitions("__graft_z")
-          .drop("__graft_z")
+        import org.apache.spark.sql.functions.{lit, max, min, shiftleft, shiftright}
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        // int/long only — the same types the stats machinery records
+        // min2/max2 for; a layout no read path can prune is a lie
+        def dtOf(name: String) = df.select(col(name)).schema.head.dataType
+        Seq(k -> dtOf(k), k2 -> dtOf(k2)).foreach { case (name, dt) =>
+          require(dt == IntegerType || dt == LongType,
+            s"zorder=true needs integral (int/long) stats keys; '$name' is $dt — " +
+              "use cluster=true (hierarchical) for other key types")
+        }
+        val bounds = df.agg(
+          min(col(k).cast("long")), max(col(k).cast("long")),
+          min(col(k2).cast("long")), max(col(k2).cast("long"))).head()
+        if (bounds.isNullAt(0) || bounds.isNullAt(2)) df.repartition(targetFiles)
+        else {
+          // effective width of a span (bits to represent max - min);
+          // span 0 (constant column) → width 0 → the dim contributes
+          // nothing, correctly
+          def aligned(c: Column, lo: Long, hi: Long): Column = {
+            val base = c.cast("long") - lit(lo)
+            val sh = ZorderBits - (64 - java.lang.Long.numberOfLeadingZeros(hi - lo))
+            if (sh >= 0) shiftleft(base, sh) else shiftright(base, -sh)
+          }
+          val z = graft.relational.Relational.zorderValue(
+            aligned(col(k), bounds.getLong(0), bounds.getLong(1)),
+            aligned(col(k2), bounds.getLong(2), bounds.getLong(3)), ZorderBits)
+          df.withColumn("__graft_z", z)
+            .repartitionByRange(targetFiles, col("__graft_z"))
+            .sortWithinPartitions("__graft_z")
+            .drop("__graft_z")
+        }
       case (Some(k), Some(k2)) if cluster =>
         df.repartitionByRange(targetFiles, col(k), col(k2))
       case (Some(k), _) if cluster =>
         df.repartitionByRange(targetFiles, col(k))
+      case _ if zorder =>
+        // the caller asked for a layout this table cannot produce —
+        // failing beats silently handing back a round-robin layout
+        // with none of the pruning power the flag was set for
+        throw new IllegalArgumentException(
+          "zorder=true needs BOTH a statsKey and a statsKey2 (recorded in " +
+            s"the manifest or passed explicitly); resolved ($key, $key2)")
       case _ => df.repartition(targetFiles)
     }
 

@@ -777,4 +777,31 @@ class SnapshotTableSpec extends SparkSpec {
     // and the keyless readIndexed pruned on the RECORDED keys without
     // the caller naming them (asserted by the scans above using it)
   }
+
+  test("zorder=true refuses to degrade: missing or non-integral keys fail loudly") {
+    // a z-layout request the table cannot honor must throw, not fall
+    // through to round-robin with none of the pruning the flag exists
+    // for — the caller would believe both predicates prune when
+    // neither does
+    val oneKey = tmp()
+    SnapshotTable.create(spark, oneKey,
+      (0L until 20L).map(i => (i, s"r$i")).toDF("id", "v"),
+      statsKey = Some("id")) // no secondary
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, oneKey, targetFiles = 2, zorder = true)
+    }
+    assert(e1.getMessage.contains("statsKey2"))
+    val strKey2 = tmp()
+    SnapshotTable.create(spark, strKey2,
+      (0L until 20L).map(i => (i, s"f$i", i)).toDF("id", "fname", "n"),
+      statsKey = Some("id"), statsKey2 = Some("fname"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.retainWhere(spark, strKey2, col("id") < 10L,
+        targetFiles = 2, zorder = true)
+    }
+    assert(e2.getMessage.contains("integral"))
+    // the table is untouched by either refused rewrite
+    assert(SnapshotTable.read(spark, oneKey).count() == 20)
+    assert(SnapshotTable.read(spark, strKey2).count() == 20)
+  }
 }

@@ -191,6 +191,38 @@ class ManifestBoundsSpec extends AnyFunSuite {
       "primary-stats strip keeps the key-independent fields and the secondary")
   }
 
+  test("merge retry strips update-file secondary stats when the table's statsKey2 moved") {
+    import SnapshotTable.FileEntry
+    // the race this guards: merge writes its update files ONCE (min2/
+    // max2 measured on the statsKey2 observed at write time), then a
+    // concurrent compact/append with an explicit statsKey2 commits
+    // first; merge's retry re-derives effKey2 from the fresh manifest.
+    // Committing the stale ranges under the new header name would let
+    // conjunctive reads prune on a column the ranges never measured —
+    // lost rows. The decision is a named function so the exact race
+    // needn't be staged.
+    val files = Seq(FileEntry("u", Some(0L), Some(9L), rows = Some(10L),
+      bytes = Some(1024L), min2 = Some(3L), max2 = Some(7L)))
+    // same key (any case): stats survive
+    assert(SnapshotTable.reconcileUpdateStats(files, Some("chunk_idx"),
+      Some("CHUNK_IDX")).head.min2.contains(3L))
+    // key changed under us: secondary stats stripped, everything
+    // key-independent (rows/bytes) and the PRIMARY stats stay — the
+    // primary key is pinned by the merge itself and cannot drift
+    val moved = SnapshotTable.reconcileUpdateStats(files, Some("chunk_idx"),
+      Some("page_no")).head
+    assert(moved.min2.isEmpty && moved.max2.isEmpty &&
+      moved.minKey.contains(0L) && moved.rows.contains(10L))
+    // None on either side only matches None: stats measured on SOME
+    // key never commit under a header naming no key, and vice versa
+    assert(SnapshotTable.reconcileUpdateStats(files, Some("chunk_idx"), None)
+      .head.min2.isEmpty)
+    assert(SnapshotTable.reconcileUpdateStats(files, None, Some("chunk_idx"))
+      .head.min2.isEmpty)
+    assert(SnapshotTable.reconcileUpdateStats(files, None, None)
+      .head.min2.contains(3L), "no key anywhere — nothing to misattribute")
+  }
+
   test("overlap predicates agree with unsigned byte order on high-bit content") {
     import SnapshotTable.FileEntry
     // 0xC3 0xA9 is UTF-8 'é' — signed byte comparison would order it
