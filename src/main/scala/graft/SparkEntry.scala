@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -135,6 +135,7 @@ object SparkEntry {
     "meta_snapshot_indexed_read" -> ((s, d) => snapshotIndexedReadCycle(s, d)),
     "meta_snapshot_point_read" -> ((s, d) => snapshotPointReadCycle(s, d)),
     "meta_snapshot_2d_read" -> ((s, d) => snapshot2dReadCycle(s, d)),
+    "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
@@ -264,6 +265,7 @@ object SparkEntry {
     "meta_snapshot_indexed_read" -> snapshotIndexedReadCycleSql,
     "meta_snapshot_point_read" -> snapshotPointReadCycleSql,
     "meta_snapshot_2d_read" -> snapshot2dReadCycleSql,
+    "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
@@ -1161,6 +1163,47 @@ object SparkEntry {
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
     FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber >= 4
     ORDER BY l_orderkey, l_linenumber"""
+
+  /** Z-ORDER layout, gated end to end: the table is z-order COMPACTED
+    * on the engine's two-part identity and then probed with a
+    * single-key predicate on EACH dimension separately — the workload
+    * z-order exists for (hierarchical prunes only the leading key; a
+    * balanced z-curve prunes on either). The key pair is deliberately
+    * width-UNBALANCED (l_orderkey spans many bits, l_linenumber three)
+    * — the exact shape where a raw-bit interleave degenerates into an
+    * orderkey sort — so this gate holds the normalization honest, not
+    * just the happy path. The oracle is the union of both predicates'
+    * relational definitions: a file wrongly skipped under either probe
+    * loses rows and breaks the hash. File-count proofs (that both
+    * probes actually PRUNE) live in SnapshotTableSpec, where the scan
+    * metric is observable. */
+  private def snapshotZorderReadCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapz").toString
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+    graft.sources.SnapshotTable.create(s, root, li.repartition(4),
+      statsKey = Some("l_orderkey"), statsKey2 = Some("l_linenumber"))
+    graft.sources.SnapshotTable.compact(s, root, targetFiles = 8, zorder = true)
+    def probe(tag: String, pred: Column): DataFrame =
+      graft.sources.SnapshotTable.readIndexed(s, root).filter(pred)
+        .select(lit(tag).as("probe"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+    val out = probe("pk", col("l_orderkey") <= 40L)
+      .unionAll(probe("sk", col("l_linenumber") === 7L))
+      .orderBy(col("probe"), col("l_orderkey"), col("l_linenumber"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(root))
+  }
+
+  private def snapshotZorderReadCycleSql: String = """
+    SELECT * FROM (
+      SELECT 'pk' AS probe, l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 40
+      UNION ALL
+      SELECT 'sk', l_orderkey, CAST(l_linenumber AS BIGINT), l_extendedprice
+      FROM lineitem WHERE l_linenumber = 7)
+    ORDER BY probe, l_orderkey, l_linenumber"""
 
   /** STRING-keyed MERGE through the ACID table, gated end to end — the
     * reference's own merge key (`filename`,
