@@ -135,12 +135,16 @@ object Bench {
     try plan.transformUp { case node => node.transformExpressionsUp(orientRule) }
     catch { case _: Throwable => plan } // never let rendering-only work fail a bench
 
-  /** Lines where identity HASHES (`@hex`) may legitimately appear:
-    * object operators (whose lambdas/encoders render with per-JVM
-    * identity addresses — canonicalization does not touch them) and
-    * any line carrying a `Lambda$`. The `@ID` collapse is anchored to
-    * these contexts so a hex-looking LITERAL elsewhere in a plan can
-    * never be silently normalized away.
+  /** Identity HASHES (`@hex`) are collapsed by TOKEN SHAPE: a
+    * QUALIFIED class name (at least one `.` or `$` segment — how every
+    * JVM `toString` identity renders: lambdas, encoder objects, typed
+    * aggregators) immediately followed by `@hex`. Anchoring on the
+    * token rather than an operator-name whitelist means any operator
+    * that renders per-JVM object identities — including ones not yet
+    * seen by the two-dump protocol, e.g. aggregator objects on
+    * HashAggregate lines — canonicalizes without a whitelist update,
+    * while a bare hex-looking LITERAL (no qualified-name prefix) is
+    * still never normalized away.
     *
     * The `#\d+ → #N` collapse, by contrast, stays BLANKET — this was
     * re-derived empirically, not left by default: a line-scoped
@@ -154,12 +158,11 @@ object Bench {
     * blanket collapse is load-bearing for fingerprint stability; the
     * cost (two plans differing only in which canonical attribute a
     * node references hash alike) is accepted and documented. */
-  private val identityHashLine = ("\\b(MapGroups|FlatMapGroups[A-Za-z]*|MapPartitions|" +
-    "MapElements|DeserializeToObject|SerializeFromObject|AppendColumns[A-Za-z]*|" +
-    "ExternalRDD[A-Za-z]*|MapInPandas|CoGroup)\\b").r
-
   private[graft] def planCanon(df: org.apache.spark.sql.DataFrame): String =
-    oriented(df.queryExecution.executedPlan.canonicalized).toString
+    canonText(oriented(df.queryExecution.executedPlan.canonicalized).toString)
+
+  private[graft] def canonText(rendered: String): String =
+    rendered
       .replaceAll("/tmp/graft-[A-Za-z0-9_.-]*", "/tmp/graft-SCRATCH")
       .replaceAll("batch-[0-9a-f]{8}", "batch-UUID")
       .replaceAll("part-\\d{5}-[0-9a-f-]{36}", "part-N-UUID")
@@ -169,11 +172,8 @@ object Bench {
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(NPART)")
       .replaceAll("(hash|range)partitioning\\((.*?), \\d+\\)", "$1partitioning($2, NPART)")
       .replaceAll("#\\d+", "#N")
-      .linesIterator.map { ln =>
-        if (identityHashLine.findFirstIn(ln).isDefined || ln.contains("Lambda$"))
-          ln.replaceAll("@[0-9a-f]{4,16}\\b", "@ID")
-        else ln
-      }.mkString("\n")
+      // qualified-name@hex = a JVM object identity, wherever it appears
+      .replaceAll("([A-Za-z_$][A-Za-z0-9_$]*(?:[.$][A-Za-z0-9_$]+)+)@[0-9a-f]{4,16}\\b", "$1@ID")
 
   private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
     val canon = planCanon(df)

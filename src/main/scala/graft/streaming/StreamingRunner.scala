@@ -407,7 +407,16 @@ object StreamingRunner {
             .limit(maxProbeKeys + 1)
             .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
           if (keyTs.nonEmpty) {
-            val batchMax = keyTs.map(_._2).max
+            // under the cap the collect is COMPLETE, so its max is the
+            // batch max for free; a TRUNCATED (over-cap) collect may
+            // have dropped the true max, which would under-advance the
+            // horizon and hold state past its TTL arbitrarily long —
+            // that rare path pays one tiny agg on the persisted frame
+            // for the exact value
+            val batchMax =
+              if (keyTs.length <= maxProbeKeys) keyTs.map(_._2).max
+              else Option(fp.agg(max(col("event_ts"))).head().get(0))
+                .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
             hwm.updateAndGet(m => math.max(m, batchMax))
             if (fresh)
               snap.create(spark, indexRoot, fp, statsKey = Some("fp_key"))

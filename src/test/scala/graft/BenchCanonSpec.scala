@@ -49,4 +49,27 @@ class BenchCanonSpec extends AnyFunSuite {
     }
     assert(ops == Set(x.toString, big.toString))
   }
+
+  test("@hex collapse keys on the token shape: qualified-name@hex, wherever it renders") {
+    // the whitelist this replaced missed identity-rendering operators
+    // it had never seen (aggregator/encoder objects on HashAggregate
+    // lines with no Lambda$ marker) — the token shape catches them all
+    assert(Bench.canonText(
+      "HashAggregate(keys=[], functions=[rectunionagg(graft.geom.RectUnionAgg$@3f2a91bc, ...)])")
+      .contains("graft.geom.RectUnionAgg$@ID"))
+    assert(Bench.canonText(
+      "MapGroups graft.streaming.StreamingRunner$$Lambda$1234/0x00007f8a@deadbeef")
+      .contains("@ID"), "lambda identities still collapse")
+    assert(Bench.canonText(
+      "org.apache.spark.sql.catalyst.encoders.ExpressionEncoder@1a2b3c4d end")
+      .contains("ExpressionEncoder@ID"))
+    // a BARE hex-looking literal has no qualified-name prefix and must
+    // survive untouched — collapsing it would hide a real plan change
+    val lit = "Filter (tag#N = cafe@4d5e6f78)"
+    assert(Bench.canonText(lit) == lit,
+      "an unqualified token followed by @hex is data, not identity")
+    // non-hex suffix after a qualified name is also data
+    val notHex = "Project graft.text.Thing@xyz"
+    assert(Bench.canonText(notHex) == notHex)
+  }
 }
