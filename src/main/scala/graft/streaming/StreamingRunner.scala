@@ -190,19 +190,24 @@ object StreamingRunner {
     * its previous version. Scale shape: the anti-join shuffles on the
     * fingerprint key only (fingerprint + doc_id, never text); the
     * seen side is a PER-KEY probe —
-    * [[graft.sources.SnapshotTable.readKeys]] of the batch's distinct
-    * fp_keys — because fp_key is md5-derived: even a 10-row batch's
-    * [min, max] ENVELOPE spans essentially the whole int64 space, so
-    * range pruning is hollow for uniform keys and only a point-set
-    * probe actually skips files. The key collect is bounded by
-    * `maxProbeKeys` (limit(cap+1) detection, the merge path's own
-    * idiom); a batch beyond the cap falls back to reading the full
-    * index (correct, just unpruned — and a batch that large is
-    * index-sized anyway). The probe prunes nothing until maintenance
-    * has CLUSTERED the index into disjoint fp_key ranges — freshly
-    * appended batch files each span the whole space; post-compaction
-    * a micro-batch touches only the files its keys land in
-    * (StreamingSpec proves the file-count drop). The append skips
+    * [[graft.sources.SnapshotTable.readKeysStr]] of the batch's
+    * distinct fingerprints, pruning DIRECTLY on the `fp` column's
+    * binary manifest stats (format 3) — no derived int64 side-channel
+    * column: the index key IS the fingerprint. Point probes are the
+    * only pruning that works here — md5-uniform keys make even a
+    * 10-row batch's [min, max] ENVELOPE span essentially the whole
+    * space. The key collect is bounded by `maxProbeKeys`
+    * (limit(cap+1) detection, the merge path's own idiom); a batch
+    * beyond the cap falls back to reading the full index (correct,
+    * just unpruned — and a batch that large is index-sized anyway).
+    * The probe prunes nothing until maintenance has CLUSTERED the
+    * index into disjoint fingerprint ranges — freshly appended batch
+    * files each span the whole space; post-compaction a micro-batch
+    * touches only the files its keys land in (StreamingSpec proves
+    * the file-count drop). An index built by an older build (keyed on
+    * the derived `fp_key` column) keeps working: the stats-identity
+    * check degrades the probe to a full read until the first
+    * maintenance cycle re-keys the stats onto `fp`. The append skips
     * committing via the footer row counts
     * ([[graft.sources.SnapshotTable.appendIfNonEmpty]]) when the whole
     * batch was duplicates — no count action, no no-op version.
@@ -211,11 +216,11 @@ object StreamingRunner {
     * followed by CLUSTERED compact → expire → vacuum — without it a
     * long-running ingest appends one file batch per novel micro-batch
     * and the index's file count (and with it every probe's manifest
-    * scan) grows without bound. Clustering by fp_key re-sorts the
-    * accumulated index into disjoint fingerprint ranges, so the
-    * readRange probe above degrades from "files whose accumulated
-    * range happens to intersect" back to "exactly the files the
-    * batch's keys land in". Serialized inside foreachBatch like the
+    * scan) grows without bound. Clustering by fingerprint re-sorts the
+    * accumulated index into disjoint fingerprint ranges, so the probe
+    * above degrades from "files whose accumulated range happens to
+    * intersect" back to "exactly the files the batch's keys land in".
+    * Serialized inside foreachBatch like the
     * upsert loop — the single-writer contract is what makes the
     * zero-age vacuum safe.
     *
@@ -274,31 +279,31 @@ object StreamingRunner {
         // anti-join, and the append — one materialization, three reads
         val base = batch
           .withColumn("fp", md5(col("text").cast("binary")))
-          .withColumn("fp_key", graft.text.TextFunctions.md5Long(col("text")))
-          .select(col("fp_key"), col("fp"), col("doc_id"), col("text"))
+          .select(col("fp"), col("doc_id"), col("text"))
         val fp = (if (ttlBatches > 0) base.withColumn("batch_seq", lit(seq)) else base)
           .dropDuplicates("fp")
           .persist()
         try {
           if (fresh)
             graft.sources.SnapshotTable.create(spark, indexRoot, fp,
-              statsKey = Some("fp_key"))
+              statsKey = Some("fp"))
           else {
-            // per-key probe: md5-uniform keys make any [min,max]
-            // envelope span ~the whole key space, so only the exact
-            // point set prunes. limit(cap+1): the driver never holds
-            // more than cap+1 keys, and the extra row is how "too many
-            // to prune with" is detected (fall back to the full index)
-            val ks = fp.select(col("fp_key")).limit(maxProbeKeys + 1)
-              .collect().map(_.getLong(0))
+            // per-key probe ON THE FINGERPRINT ITSELF (binary manifest
+            // stats): md5-uniform keys make any [min,max] envelope
+            // span ~the whole key space, so only the exact point set
+            // prunes. limit(cap+1): the driver never holds more than
+            // cap+1 keys, and the extra row is how "too many to prune
+            // with" is detected (fall back to the full index)
+            val ks = fp.select(col("fp")).limit(maxProbeKeys + 1)
+              .collect().map(_.getString(0))
             if (ks.nonEmpty) { // empty batch: nothing to do
               val seen = (if (ks.length > maxProbeKeys)
                 graft.sources.SnapshotTable.read(spark, indexRoot)
               else
-                graft.sources.SnapshotTable.readKeys(spark, indexRoot, "fp_key", ks))
+                graft.sources.SnapshotTable.readKeysStr(spark, indexRoot, "fp", ks))
                 .select(col("fp"))
               graft.sources.SnapshotTable.appendIfNonEmpty(spark, indexRoot,
-                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp_key"))
+                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp"))
             }
           }
           if (maintainEvery > 0 && seq % maintainEvery == 0) {
@@ -315,11 +320,11 @@ object StreamingRunner {
               // ingested NOW, not as if expired
               graft.sources.SnapshotTable.retainWhere(spark, indexRoot,
                 coalesce(col("batch_seq"), lit(seq)) >= seq - ttlBatches,
-                targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+                targetFiles = compactTargetFiles, statsKey = Some("fp"),
                 cluster = true)
             else
               graft.sources.SnapshotTable.compact(spark, indexRoot,
-                targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+                targetFiles = compactTargetFiles, statsKey = Some("fp"),
                 cluster = true)
             graft.sources.SnapshotTable.expireVersions(spark, indexRoot,
               keepLast = keepVersions)
@@ -395,17 +400,16 @@ object StreamingRunner {
         val fresh = snap.versions(spark, indexRoot).isEmpty
         val fp = batch
           .withColumn("fp", md5(col("text").cast("binary")))
-          .withColumn("fp_key", graft.text.TextFunctions.md5Long(col("text")))
-          .select(col("fp_key"), col("fp"), col("doc_id"), col("text"),
+          .select(col("fp"), col("doc_id"), col("text"),
             col("ts").as("event_ts"))
           .dropDuplicates("fp")
           .persist()
         try {
           // one bounded collect feeds BOTH the per-key probe and the
           // high-water-mark advance — no separate max(ts) action
-          val keyTs = fp.select(col("fp_key"), col("event_ts"))
+          val keyTs = fp.select(col("fp"), col("event_ts"))
             .limit(maxProbeKeys + 1)
-            .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
+            .collect().map(r => (r.getString(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
           if (keyTs.nonEmpty) {
             // under the cap the collect is COMPLETE, so its max is the
             // batch max for free; a TRUNCATED (over-cap) collect may
@@ -419,15 +423,15 @@ object StreamingRunner {
                 .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
             hwm.updateAndGet(m => math.max(m, batchMax))
             if (fresh)
-              snap.create(spark, indexRoot, fp, statsKey = Some("fp_key"))
+              snap.create(spark, indexRoot, fp, statsKey = Some("fp"))
             else {
               val seen = (if (keyTs.length > maxProbeKeys)
                 snap.read(spark, indexRoot)
               else
-                snap.readKeys(spark, indexRoot, "fp_key", keyTs.map(_._1)))
+                snap.readKeysStr(spark, indexRoot, "fp", keyTs.map(_._1)))
                 .select(col("fp"))
               snap.appendIfNonEmpty(spark, indexRoot,
-                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp_key"))
+                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp"))
             }
           }
           if (seq % maintainEvery == 0 && !snap.versions(spark, indexRoot).isEmpty) {
@@ -438,11 +442,11 @@ object StreamingRunner {
               // as the batch-count TTL's legacy set
               snap.retainWhere(spark, indexRoot,
                 coalesce(col("event_ts"), lit(Long.MaxValue)) >= horizon,
-                targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+                targetFiles = compactTargetFiles, statsKey = Some("fp"),
                 cluster = true)
             else
               snap.compact(spark, indexRoot,
-                targetFiles = compactTargetFiles, statsKey = Some("fp_key"),
+                targetFiles = compactTargetFiles, statsKey = Some("fp"),
                 cluster = true)
             snap.expireVersions(spark, indexRoot, keepLast = keepVersions)
             snap.vacuum(spark, indexRoot, minAgeMs = 0L)

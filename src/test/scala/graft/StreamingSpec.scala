@@ -240,7 +240,7 @@ class StreamingSpec extends SparkSpec {
     val indexRoot = s"$tmp/index"
     def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
     // 8 batches of 8 novel docs each, maintenance every 4 → the final
-    // index is CLUSTERED into compactTargetFiles disjoint fp_key ranges
+    // index is CLUSTERED into compactTargetFiles disjoint fp ranges
     (0 until 8).foreach { i =>
       (0 until 8).map(j => doc(i * 8L + j, s"payload-$i-$j " * 10))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -251,14 +251,15 @@ class StreamingSpec extends SparkSpec {
       compactTargetFiles = 4)
     val fullFiles = sources.SnapshotTable.read(spark, indexRoot).inputFiles.length
     assert(fullFiles >= 4, s"the maintained index must be multi-file, got $fullFiles")
-    // the probe a 2-doc micro-batch would issue — THE SAME readKeys
-    // call the ingest uses. md5-derived keys make the [min,max]
-    // envelope span ~everything; the point probe must not.
+    // the probe a 2-doc micro-batch would issue — THE SAME readKeysStr
+    // call the ingest uses, pruning on the fp column's own binary
+    // stats (no derived side-channel key). md5-derived keys make the
+    // [min,max] envelope span ~everything; the point probe must not.
     val keys = Seq("payload-0-0 " * 10, "payload-7-7 " * 10)
-      .toDF("text").select(text.TextFunctions.md5Long(col("text")))
-      .collect().map(_.getLong(0))
+      .toDF("text").select(md5(col("text").cast("binary")))
+      .collect().map(_.getString(0))
     val probeFiles = sources.SnapshotTable
-      .readKeys(spark, indexRoot, "fp_key", keys).inputFiles.length
+      .readKeysStr(spark, indexRoot, "fp", keys).inputFiles.length
     assert(probeFiles < fullFiles,
       s"a 2-key probe against a clustered index must read fewer files " +
         s"($probeFiles) than the full index ($fullFiles)")
