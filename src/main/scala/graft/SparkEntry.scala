@@ -135,6 +135,7 @@ object SparkEntry {
     "meta_snapshot_indexed_read" -> ((s, d) => snapshotIndexedReadCycle(s, d)),
     "meta_snapshot_point_read" -> ((s, d) => snapshotPointReadCycle(s, d)),
     "meta_snapshot_2d_read" -> ((s, d) => snapshot2dReadCycle(s, d)),
+    "meta_snapshot_2d_string_read" -> ((s, d) => snapshot2dStringReadCycle(s, d)),
     "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
@@ -265,6 +266,7 @@ object SparkEntry {
     "meta_snapshot_indexed_read" -> snapshotIndexedReadCycleSql,
     "meta_snapshot_point_read" -> snapshotPointReadCycleSql,
     "meta_snapshot_2d_read" -> snapshot2dReadCycleSql,
+    "meta_snapshot_2d_string_read" -> snapshot2dStringReadCycleSql,
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -1163,6 +1165,39 @@ object SparkEntry {
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
     FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber >= 4
     ORDER BY l_orderkey, l_linenumber"""
+
+  /** STRING-secondary two-key read (format-5 BINARY min2/max2), gated
+    * end to end — the flipped reference identity shape: integral
+    * primary, string secondary. The secondary's per-file stats are the
+    * parquet footers' binary min/max in unsigned byte order (the order
+    * Spark compares strings), so a pushed string conjunct prunes files
+    * the integral key alone cannot; the oracle is the conjunction's
+    * relational definition, so over-pruning on the binary ranges loses
+    * rows and breaks the hash. Layout survives maintenance: the read
+    * happens AFTER a clustered compaction re-measured the stats. */
+  private def snapshot2dStringReadCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap2s").toString
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        concat(lit("ln-"), col("l_linenumber").cast("string")).as("line_tag"),
+        col("l_extendedprice"))
+    graft.sources.SnapshotTable.create(s, root,
+      li.repartitionByRange(8, col("l_orderkey"), col("line_tag")),
+      statsKey = Some("l_orderkey"), statsKey2 = Some("line_tag"))
+    graft.sources.SnapshotTable.compact(s, root, targetFiles = 8, cluster = true)
+    val out = graft.sources.SnapshotTable.readIndexed(s, root)
+      .filter(col("l_orderkey") <= 100L && col("line_tag") >= "ln-4")
+      .select(col("l_orderkey"), col("line_tag"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("line_tag"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(root))
+  }
+
+  private def snapshot2dStringReadCycleSql: String = """
+    SELECT l_orderkey, 'ln-' || CAST(l_linenumber AS VARCHAR) AS line_tag,
+           l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 100
+      AND 'ln-' || CAST(l_linenumber AS VARCHAR) >= 'ln-4'
+    ORDER BY l_orderkey, line_tag"""
 
   /** Z-ORDER layout, gated end to end: the table is z-order COMPACTED
     * on the engine's two-part identity and then probed with a

@@ -66,8 +66,13 @@ object SnapshotTable {
     * stats can never be applied to a column they weren't computed for.
     * Pre-format-4 manifests record no stats identity; their stats are
     * therefore IGNORED by this reader (conservative full scan) rather
-    * than trusted blind. */
-  private val ManifestFormat = 4
+    * than trusted blind;
+    * 5 = the secondary column's min/max may be BINARY (base64, unsigned
+    * byte order — same encoding the primary uses) so STRING secondaries
+    * 2D-prune too: two more optional fields (11-field lines). A
+    * format-4 reader would misparse an 11-field line as a path, which
+    * is why the format guard makes newer formats a hard error. */
+  private val ManifestFormat = 5
 
   /** One manifest data-file line: relative path + optional min/max of
     * the table's primary stats key (long for integral keys, base64
@@ -77,19 +82,24 @@ object SnapshotTable {
     * the write's own directory listing — what lets [[ManifestFileIndex]]
     * build its FileStatuses from the manifest alone, no per-file RPCs
     * at planning time) + optional min/max of the SECONDARY stats key
-    * (integral only — the reference's secondary identity component,
-    * `chunk_idx`, is an int; string secondaries would double the line
-    * arity for a case no call site has). The pruning predicates live
-    * in [[ManifestPruning]]; the methods here delegate. */
+    * (long for integral secondaries, base64 binary for string ones —
+    * format 5; the reference's chunk identity `(filename, chunk_idx)`
+    * has the string FIRST, but the flipped layout `(chunk_idx,
+    * filename)` is just as legal and must 2D-prune too). The pruning
+    * predicates live in [[ManifestPruning]]; the methods here
+    * delegate. */
   private[sources] final case class FileEntry(path: String, minKey: Option[Long],
       maxKey: Option[Long], rows: Option[Long] = None, bytes: Option[Long] = None,
       minStr: Option[Array[Byte]] = None, maxStr: Option[Array[Byte]] = None,
-      min2: Option[Long] = None, max2: Option[Long] = None) {
+      min2: Option[Long] = None, max2: Option[Long] = None,
+      min2Str: Option[Array[Byte]] = None, max2Str: Option[Array[Byte]] = None) {
     def render: String = {
       def s(o: Option[Long]): String = o.map(_.toString).getOrElse("")
       def b64(o: Option[Array[Byte]]): String =
         o.map(java.util.Base64.getEncoder.withoutPadding.encodeToString).getOrElse("")
-      if (min2.isDefined || max2.isDefined)
+      if (min2Str.isDefined || max2Str.isDefined)
+        s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}"
+      else if (min2.isDefined || max2.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}"
       else if (minStr.isDefined || maxStr.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}"
@@ -116,7 +126,8 @@ object SnapshotTable {
       * and size are key-independent and stay. */
     def withoutKeyStats: FileEntry =
       copy(minKey = None, maxKey = None, minStr = None, maxStr = None)
-    def withoutKey2Stats: FileEntry = copy(min2 = None, max2 = None)
+    def withoutKey2Stats: FileEntry =
+      copy(min2 = None, max2 = None, min2Str = None, max2Str = None)
   }
 
   /** Unsigned lexicographic byte order — the order parquet records
@@ -136,6 +147,9 @@ object SnapshotTable {
     // limit -1: string-stats lines may end in an empty field, which
     // the default split would silently drop (changing the arity)
     line.split("\t", -1) match {
+      case Array(p, mn, mx, r, b, lo, hi, m2, x2, lo2, hi2) =>
+        FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2),
+          optB(lo2), optB(hi2))
       case Array(p, mn, mx, r, b, lo, hi, m2, x2) =>
         FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2))
       case Array(p, mn, mx, r, b, lo, hi) =>
@@ -221,8 +235,8 @@ object SnapshotTable {
 
   /** Write `df` as immutable data files under root/data/<uuid>/ and
     * return their entries — with per-file min/max stats of `statsKey`
-    * (integral or string) and optionally `statsKey2` (integral only)
-    * when they resolve to prunable columns.
+    * and optionally `statsKey2` (each integral or string) when they
+    * resolve to prunable columns.
     *
     * Stats come from the PARQUET FOOTERS of the just-written files —
     * zero Spark jobs and zero data I/O. The parquet writer already
@@ -258,12 +272,14 @@ object SnapshotTable {
         case _ => None
       }
     }
-    // the secondary stats key is integral-only (see FileEntry)
-    val key2: Option[String] = statsKey2.filter { k =>
-      colType(k).exists {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType => true
-        case _ => false
+    // the secondary stats key admits the same types as the primary:
+    // integral (long stats) or string (binary stats, format 5)
+    val key2Kind: Option[(String, Boolean)] = statsKey2.flatMap { k =>
+      colType(k) match {
+        case Some(org.apache.spark.sql.types.LongType |
+                  org.apache.spark.sql.types.IntegerType) => Some((k, false))
+        case Some(org.apache.spark.sql.types.StringType) => Some((k, true))
+        case _ => None
       }
     }
     // every file gets one footer read: row counts always (DESCRIBE
@@ -278,11 +294,12 @@ object SnapshotTable {
         val futures = paths.map { case (rel, len) =>
           pool.submit(new java.util.concurrent.Callable[FileEntry] {
             override def call(): FileEntry = {
-              val (rows, st, stS, st2) =
-                try footerInfo(conf, new Path(root, rel), keyKind, key2)
-                catch { case _: Exception => (None, None, None, None) }
+              val (rows, st, stS, st2, st2S) =
+                try footerInfo(conf, new Path(root, rel), keyKind, key2Kind)
+                catch { case _: Exception => (None, None, None, None, None) }
               FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len),
-                stS.map(_._1), stS.map(_._2), st2.map(_._1), st2.map(_._2))
+                stS.map(_._1), stS.map(_._2), st2.map(_._1), st2.map(_._2),
+                st2S.map(_._1), st2S.map(_._2))
             }
           })
         }
@@ -334,16 +351,16 @@ object SnapshotTable {
     * group's statistics are unknown — the caller treats None as "may
     * contain anything". */
   private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
-      file: Path, keyKind: Option[(String, Boolean)], key2: Option[String]):
+      file: Path, keyKind: Option[(String, Boolean)], key2Kind: Option[(String, Boolean)]):
       (Option[Long], Option[(Long, Long)], Option[(Array[Byte], Array[Byte])],
-       Option[(Long, Long)]) = {
+       Option[(Long, Long)], Option[(Array[Byte], Array[Byte])]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       var nRows = 0L
       val acc1 = keyKind.map(k => (k._1, new StatsAcc(k._2)))
-      val acc2 = key2.map(k => (k, new StatsAcc(false)))
+      val acc2 = key2Kind.map(k => (k._1, new StatsAcc(k._2)))
       val blocks = reader.getFooter.getBlocks.iterator()
       while (blocks.hasNext) {
         val block = blocks.next()
@@ -361,7 +378,8 @@ object SnapshotTable {
       (Some(nRows),
         acc1.flatMap(_._2.longRange),
         acc1.flatMap(_._2.strRange),
-        acc2.flatMap(_._2.longRange))
+        acc2.flatMap(_._2.longRange),
+        acc2.flatMap(_._2.strRange))
     } finally reader.close()
   }
 
@@ -587,10 +605,10 @@ object SnapshotTable {
 
   /** Create a new table (version 1) or fail if one exists. `statsKey`
     * (usually the future merge key) enables data skipping from birth;
-    * `statsKey2` records a SECOND integral column's ranges for
-    * conjunctive two-key pruning (the reference's chunk identity is
-    * (filename, chunk_idx) — one key is not enough to point-prune a
-    * chunk table). */
+    * `statsKey2` records a SECOND column's ranges (integral or
+    * string) for conjunctive two-key pruning (the reference's chunk
+    * identity is (filename, chunk_idx) — one key is not enough to
+    * point-prune a chunk table). */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None, statsKey2: Option[String] = None): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
@@ -1216,6 +1234,14 @@ private[sources] object ManifestPruning {
       from < keys.length && keys(from) <= mx
     }
 
+  /** [[mayContainStr]] on the SECONDARY stats column (format 5). */
+  def mayContain2Str(e: FileEntry, keys: Array[Array[Byte]]): Boolean =
+    e.min2Str.zip(e.max2Str).forall { case (mn, mx) =>
+      val i = java.util.Arrays.binarySearch(keys, mn, ord)
+      val from = if (i >= 0) i else -i - 1
+      from < keys.length && ord.compare(keys(from), mx) <= 0
+    }
+
   def keepForRange(entries: Seq[FileEntry], lo: Long, hi: Long): Seq[FileEntry] =
     entries.filter(overlaps(_, lo, hi))
 
@@ -1243,11 +1269,16 @@ private[sources] object ManifestPruning {
       b.strPoints.forall(mayContainStr(e, _))
 
   /** Do `bounds` (extracted for the SECONDARY stats column) keep this
-    * file? Secondary stats are integral-only; string constraints on a
-    * secondary impose nothing (there are no string stats to check). */
+    * file? Same conjunctive composition as [[keepPrimary]], against
+    * the secondary's long (format 4) or binary (format 5) ranges. */
   def keepSecondary(e: FileEntry, b: ManifestFileIndex.KeyBounds): Boolean =
     b.longBounds.forall { case (lo, hi) => overlaps2(e, lo, hi) } &&
-      b.longPoints.forall(mayContain2(e, _))
+      b.longPoints.forall(mayContain2(e, _)) &&
+      e.min2Str.zip(e.max2Str).forall { case (mn, mx) =>
+        b.strLo.forall(lo => ord.compare(mx, lo) >= 0) &&
+          b.strHi.forall(hi => ord.compare(mn, hi) <= 0)
+      } &&
+      b.strPoints.forall(mayContain2Str(e, _))
 
   /** Bounds that provably keep NOTHING: an inverted range or an empty
     * point set (an IN () — or two contradictory equalities — is false

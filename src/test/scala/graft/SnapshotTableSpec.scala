@@ -737,6 +737,50 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 200)
   }
 
+  test("STRING secondary stats: (integral, string) two-key probes prune (format 5)") {
+    val root = tmp()
+    // the flipped reference identity: doc_id primary, chunk NAME
+    // secondary — zero-padded names keep byte order = chunk order, so
+    // each file's binary min2/max2 is a tight name range
+    def half(doc: Long, lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 50L).map(c => (doc, f"c-$c%04d", s"d$doc-c$c"))
+        .toDF("doc_id", "name", "chunk").coalesce(1)
+    SnapshotTable.create(spark, root, half(1L, 0L),
+      statsKey = Some("doc_id"), statsKey2 = Some("name"))
+    SnapshotTable.append(spark, root, half(1L, 50L))
+    SnapshotTable.append(spark, root, half(2L, 0L))
+    SnapshotTable.append(spark, root, half(2L, 50L))
+    def countFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = df.collect().length.toLong
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("plan must contain a FileSourceScanExec"))
+      (n, scan.metrics("numFiles").value)
+    }
+    // primary alone: both halves of doc 2
+    val (pRows, pFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root).filter(col("doc_id") === 2L))
+    assert(pRows == 100 && pFiles == 2,
+      s"doc_id = 2 spans its two half-files, scanned $pFiles")
+    // the conjunction prunes on the BINARY secondary range too: 1 file
+    val (bRows, bFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root)
+        .filter(col("doc_id") === 2L && col("name") === "c-0075"))
+    assert(bRows == 1 && bFiles == 1,
+      s"(doc_id, name) conjunction must scan 1 file, scanned $bFiles")
+    // hierarchical clustered compaction range-partitions on the string
+    // secondary (repartitionByRange is type-agnostic) and the rewrite
+    // re-measures binary min2/max2 — pruning survives maintenance
+    SnapshotTable.compact(spark, root, targetFiles = 4, cluster = true)
+    val (cRows, cFiles) = countFiles(
+      SnapshotTable.readIndexed(spark, root)
+        .filter(col("doc_id") === 2L && col("name") === "c-0075"))
+    assert(cRows == 1 && cFiles <= 2,
+      s"post-compact the two-key probe stays pruned, scanned $cFiles")
+    assert(SnapshotTable.read(spark, root).count() == 200)
+  }
+
   test("z-order layout: a SECONDARY-only predicate prunes files — hierarchical clustering cannot") {
     val root = tmp()
     // a 16x64 grid: every doc has the full chunk range, so under a

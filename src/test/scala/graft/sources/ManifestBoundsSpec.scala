@@ -141,6 +141,8 @@ class ManifestBoundsSpec extends AnyFunSuite {
       // byte arrays need value comparison
       assert(p.minStr.map(_.toSeq) == e.minStr.map(_.toSeq))
       assert(p.maxStr.map(_.toSeq) == e.maxStr.map(_.toSeq))
+      assert(p.min2Str.map(_.toSeq) == e.min2Str.map(_.toSeq))
+      assert(p.max2Str.map(_.toSeq) == e.max2Str.map(_.toSeq))
       p
     }
     import SnapshotTable.FileEntry
@@ -167,6 +169,17 @@ class ManifestBoundsSpec extends AnyFunSuite {
     val both = rt(FileEntry("p", None, None, Some(10L), Some(99L),
       Some(bytes), Some(bytes), Some(2L), Some(4L)))
     assert(both.min2.contains(2L) && both.max2.contains(4L) && both.minStr.isDefined)
+    // STRING secondary stats (format 5, 11-field line) — a string
+    // primary + string secondary, no long stats anywhere
+    val s2 = rt(FileEntry("p", None, None, Some(10L), Some(99L),
+      Some(bytes), Some(bytes), None, None,
+      Some("c-0010".getBytes("UTF-8")), Some(bytes)))
+    assert(s2.min2Str.isDefined && s2.max2Str.isDefined && s2.min2.isEmpty)
+    // (integral primary, string secondary) — the flipped reference shape
+    val is2 = rt(FileEntry("p", Some(1L), Some(2L), Some(10L), Some(99L),
+      None, None, None, None,
+      Some("a".getBytes("UTF-8")), Some("m".getBytes("UTF-8"))))
+    assert(is2.minKey.contains(1L) && is2.min2Str.isDefined)
   }
 
   test("secondary-key pruning is independent of the primary and conservative without stats") {
@@ -179,6 +192,34 @@ class ManifestBoundsSpec extends AnyFunSuite {
       "secondary range [10,19] excludes chunk_idx = 25")
     assert(ManifestPruning.keepSecondary(e.withoutKey2Stats, b),
       "no secondary stats → always kept")
+  }
+
+  test("STRING secondary stats prune string conjuncts (format 5)") {
+    import SnapshotTable.FileEntry
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val e = FileEntry("p", Some(0L), Some(100L), None, None, None, None,
+      None, None, Some(b("c-0010")), Some(b("c-0019")))
+    def nb(filters: Seq[Expression]) = ManifestFileIndex.bounds(filters, "name")
+    // equality outside the binary range → pruned; inside → kept
+    assert(!ManifestPruning.keepSecondary(e, nb(Seq(EqualTo(name, lit("c-0025"))))))
+    assert(ManifestPruning.keepSecondary(e, nb(Seq(EqualTo(name, lit("c-0015"))))))
+    // range bounds compose: name >= "c-0019" touches the upper edge,
+    // name > "c-0019" (strict → non-strict conservative) still keeps
+    assert(ManifestPruning.keepSecondary(e, nb(Seq(GreaterThanOrEqual(name, lit("c-0019"))))))
+    assert(!ManifestPruning.keepSecondary(e, nb(Seq(GreaterThanOrEqual(name, lit("c-0020"))))))
+    assert(!ManifestPruning.keepSecondary(e, nb(Seq(LessThanOrEqual(name, lit("c-0009"))))))
+    // IN-list point set: far-apart points that STRADDLE the range but
+    // miss it — the envelope alone would keep, the point set prunes
+    assert(!ManifestPruning.keepSecondary(e,
+      nb(Seq(In(name, Seq(lit("c-0005"), lit("c-0025")))))))
+    assert(ManifestPruning.keepSecondary(e,
+      nb(Seq(In(name, Seq(lit("c-0005"), lit("c-0012")))))))
+    // no string secondary stats → conservative keep
+    assert(ManifestPruning.keepSecondary(e.withoutKey2Stats,
+      nb(Seq(EqualTo(name, lit("c-0025"))))))
+    // long bounds on a string-statted secondary impose nothing
+    val idb = ManifestFileIndex.bounds(Seq(EqualTo(id, lit(5L))), "id")
+    assert(ManifestPruning.keepSecondary(e, idb))
   }
 
   test("stats stripping: a stats-key change drops key ranges but keeps rows/bytes") {
