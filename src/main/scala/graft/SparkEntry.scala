@@ -136,6 +136,7 @@ object SparkEntry {
     "meta_snapshot_point_read" -> ((s, d) => snapshotPointReadCycle(s, d)),
     "meta_snapshot_2d_read" -> ((s, d) => snapshot2dReadCycle(s, d)),
     "meta_snapshot_2d_string_read" -> ((s, d) => snapshot2dStringReadCycle(s, d)),
+    "meta_snapshot_changes" -> ((s, d) => snapshotChangesCycle(s, d)),
     "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
@@ -267,6 +268,7 @@ object SparkEntry {
     "meta_snapshot_point_read" -> snapshotPointReadCycleSql,
     "meta_snapshot_2d_read" -> snapshot2dReadCycleSql,
     "meta_snapshot_2d_string_read" -> snapshot2dStringReadCycleSql,
+    "meta_snapshot_changes" -> snapshotChangesCycleSql,
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -1198,6 +1200,52 @@ object SparkEntry {
     FROM lineitem WHERE l_orderkey <= 100
       AND 'ln-' || CAST(l_linenumber AS VARCHAR) >= 'ln-4'
     ORDER BY l_orderkey, line_tag"""
+
+  /** INCREMENTAL change read (CDC) through the ACID table, gated end
+    * to end: a create → append → merge → compact → retention lifecycle,
+    * then ONE [[graft.sources.SnapshotTable.readChanges]] over the
+    * whole window. The oracle is the change stream's relational
+    * definition per commit — appended rows as inserts, the merge's
+    * delete+insert pairs (old content on the delete), the retention
+    * rewrite's deletes — and the compact contributes NOTHING (a layout
+    * change is not a data change); a wrong file-set diff or a
+    * mis-schema'd old-version read breaks the hash. Per-row output
+    * grows with the corpus, so the frame stays DISTRIBUTED. */
+  private def snapshotChangesCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapc").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,                        // v1
+      docs.filter(col("doc_id") < 300L).repartitionByRange(2, col("doc_id")),
+      statsKey = Some("doc_id"))
+    graft.sources.SnapshotTable.append(s, root,                        // v2
+      docs.filter(col("doc_id") >= 300L))
+    graft.sources.SnapshotTable.merge(s, root,                         // v3
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L),
+      key = "doc_id")
+    graft.sources.SnapshotTable.compact(s, root, targetFiles = 4,      // v4: silent
+      cluster = true)
+    graft.sources.SnapshotTable.retainWhere(s, root,                   // v5
+      col("doc_id") % 7 =!= 0)
+    graft.Scratch.registerForCleanup(root)
+    graft.sources.SnapshotTable.readChanges(s, root, fromVersion = 1)
+      .orderBy(col("_commit_version"), col("_change_type"), col("doc_id"))
+  }
+
+  private def snapshotChangesCycleSql: String = """
+    WITH base AS (SELECT doc_id, n_chars FROM documents)
+    SELECT * FROM (
+      SELECT 2 AS _commit_version, 'insert' AS _change_type, doc_id, n_chars
+      FROM base WHERE doc_id >= 300
+      UNION ALL
+      SELECT 3, 'insert', doc_id, n_chars + 1000 FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT 3, 'delete', doc_id, n_chars FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT 5, 'delete', doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
+      FROM base WHERE doc_id % 7 = 0)
+    ORDER BY _commit_version, _change_type, doc_id"""
 
   /** Z-ORDER layout, gated end to end: the table is z-order COMPACTED
     * on the engine's two-part identity and then probed with a
