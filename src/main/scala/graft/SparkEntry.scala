@@ -137,6 +137,7 @@ object SparkEntry {
     "meta_snapshot_2d_read" -> ((s, d) => snapshot2dReadCycle(s, d)),
     "meta_snapshot_2d_string_read" -> ((s, d) => snapshot2dStringReadCycle(s, d)),
     "meta_snapshot_changes" -> ((s, d) => snapshotChangesCycle(s, d)),
+    "meta_snapshot_stream_read" -> ((s, d) => snapshotStreamReadCycle(s, d)),
     "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
@@ -269,6 +270,7 @@ object SparkEntry {
     "meta_snapshot_2d_read" -> snapshot2dReadCycleSql,
     "meta_snapshot_2d_string_read" -> snapshot2dStringReadCycleSql,
     "meta_snapshot_changes" -> snapshotChangesCycleSql,
+    "meta_snapshot_stream_read" -> snapshotStreamReadCycleSql,
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -1246,6 +1248,47 @@ object SparkEntry {
              CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
       FROM base WHERE doc_id % 7 = 0)
     ORDER BY _commit_version, _change_type, doc_id"""
+
+  /** The snapshot table as a STREAMING SOURCE, gated end to end: a
+    * create+append lifecycle is consumed by a real
+    * `readStream.format("graft-table")` query into a parquet file
+    * sink, then MORE commits land (including a compact, which must
+    * deliver nothing) and a SECOND run resumes from the same
+    * checkpoint. The oracle is the full document set — a re-delivered
+    * batch (offset replay bug) or a lost one (offset skip) changes
+    * the row multiset and breaks the hash, so exactly-once across the
+    * restart is what's being hashed. Output rides a real file sink
+    * and stays distributed. */
+  private def snapshotStreamReadCycle(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snapstream").toString
+    val root = s"$tmp/table"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,                        // v1
+      docs.filter(col("doc_id") < 200L), statsKey = Some("doc_id"))
+    graft.sources.SnapshotTable.append(s, root,                        // v2
+      docs.filter(col("doc_id") >= 200L && col("doc_id") < 400L))
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-table").option("path", root).load()
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()                                                            // consumes v1+v2
+    graft.sources.SnapshotTable.compact(s, root, targetFiles = 2,      // v3: no rows
+      cluster = true)
+    graft.sources.SnapshotTable.append(s, root,                        // v4
+      docs.filter(col("doc_id") >= 400L))
+    drain()                                                            // resumes: v3+v4 only
+    graft.Scratch.registerForCleanup(tmp)
+    s.read.schema(graft.sources.SnapshotTable.tableSchema(s, root))
+      .parquet(s"$tmp/out")
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotStreamReadCycleSql: String = """
+    SELECT doc_id, n_chars FROM documents ORDER BY doc_id"""
 
   /** Z-ORDER layout, gated end to end: the table is z-order COMPACTED
     * on the engine's two-part identity and then probed with a

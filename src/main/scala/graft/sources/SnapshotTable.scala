@@ -1109,6 +1109,50 @@ object SnapshotTable {
       }
     })
 
+  /** The table's CURRENT schema (the latest version's recorded one) —
+    * the shape a streaming consumer locks in when it starts following
+    * the table. */
+  def tableSchema(spark: SparkSession, root: String): org.apache.spark.sql.types.StructType = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    schemaOf(spark, root, manifestFull(spark, root, vs.last))
+  }
+
+  /** The files each version in `(fromVersion, toVersion]` ADDED, with
+    * its committed op — `(version, op, absolute paths)` — the
+    * manifest-only feed a streaming consumer turns into micro-batches
+    * (see [[graft.streaming.SnapshotTableSource]]): for `append`/
+    * `create` the added files hold exactly the commit's new rows, for
+    * `compact` they hold re-laid-out old rows (nothing new), and for
+    * `merge`/`rewrite` new and carried rows are mixed — the CALLER
+    * decides per op (emit / skip / fail); row-level truth for the
+    * mixed ops is [[readChanges]]'s diff. Same retention contract as
+    * readChanges: every manifest in the window must still be
+    * committed, checked loudly. Driver-side metadata only — no Spark
+    * jobs, no data I/O. */
+  def addedFiles(spark: SparkSession, root: String, fromVersion: Int,
+      toVersion: Int): Seq[(Int, String, Seq[String])] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    require(vs.contains(toVersion), s"version $toVersion does not exist (have $vs)")
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"fromVersion $fromVersion out of range [0, $toVersion]")
+    val needed = (math.max(fromVersion, 1) to toVersion)
+    require(needed.forall(vs.contains),
+      s"versions ${needed.filterNot(vs.contains).mkString(",")} expired — " +
+        "incremental reads need every manifest in the window")
+    var prevPaths: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else manifestFull(spark, root, fromVersion).entries.map(_.path).toSet
+    ((fromVersion + 1) to toVersion).map { v =>
+      val m = manifestFull(spark, root, v)
+      val cur = m.entries.map(_.path)
+      val added = cur.filterNot(prevPaths.contains)
+      prevPaths = cur.toSet
+      (v, m.op, added.map(p => s"$root/$p"))
+    }
+  }
+
   /** INCREMENTAL change read (CDC): every row-level change committed
     * in versions `(fromVersion, toVersion]`, as the table's columns
     * plus `_commit_version` (which commit produced the change) and

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.SnapshotTable
+
+/** The snapshot table as a STRUCTURED STREAMING SOURCE — the read half
+  * of the incremental loop whose write half is the foreachBatch upsert
+  * ([[StreamingRunner]]): one pipeline's committed versions become the
+  * next pipeline's micro-batches, so a downstream stage (re-chunk,
+  * re-embed, re-index) follows the table continuously instead of
+  * rescanning it (reference analog: the skip-if-converted incremental
+  * contract, document_processor.py:139-151, made PUSH-shaped).
+  *
+  * `spark.readStream.format("graft-table").option("path", root).load()`
+  *
+  * Offsets ARE version numbers: the checkpoint stores a committed
+  * version, `getOffset` advances to the table's latest, and each batch
+  * is exactly the files versions `(start, end]` ADDED (driver-side
+  * manifest metadata — no listing, no data I/O at planning time).
+  * Because manifests and data files are immutable, `getBatch` is
+  * deterministic under replay: a restart recomputes the same batch
+  * from the same offsets — exactly-once delivery into any idempotent
+  * sink, proven across a restart in StreamingSpec. Retention must
+  * outlive the checkpoint lag ([[SnapshotTable.expireVersions]]'s
+  * time-travel contract, same as [[SnapshotTable.readChanges]]).
+  *
+  * Per-op semantics (the append-only consumption contract):
+  *  - `append`/`create` — the added files hold exactly the commit's
+  *    new rows: emitted.
+  *  - `compact` — layout only, no new rows: silently skipped.
+  *  - `merge`/`rewrite` (and any unknown op, conservatively) — added
+  *    files MIX new and carried rows, so emitting them would
+  *    re-deliver old rows: the stream FAILS by default, telling the
+  *    user to either skip data-changing commits
+  *    (`.option("ignoreChanges", true)`) or consume the row-level
+  *    truth in batch via [[SnapshotTable.readChanges]].
+  *
+  * The schema is locked at stream start (the latest version's recorded
+  * schema); files from later schema evolutions read through it, so a
+  * mid-stream evolution never changes the consumer's shape — restart
+  * the stream to pick up new columns. Scale: a micro-batch plans from
+  * ONE manifest read and scans only the appended files, so steady-state
+  * cost tracks the append rate, never table size. */
+final class SnapshotTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' (the table root) is required"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      SnapshotTable.tableSchema(sqlContext.sparkSession, root(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val r = root(parameters)
+    val startingVersion = parameters.get("startingVersion") match {
+      case Some("latest") => SnapshotTable.versions(spark, r).lastOption.getOrElse(0)
+      case Some(v) => v.toInt
+      case None => 0
+    }
+    new SnapshotTableSource(spark, r,
+      schema.getOrElse(SnapshotTable.tableSchema(spark, r)),
+      startingVersion,
+      parameters.get("ignoreChanges").exists(_.toBoolean))
+  }
+}
+
+/** See [[SnapshotTableSourceProvider]]. */
+final class SnapshotTableSource(spark: SparkSession, root: String,
+    override val schema: StructType, startingVersion: Int,
+    ignoreChanges: Boolean) extends Source {
+
+  private def version(o: Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case s: SerializedOffset => LongOffset(s).offset.toInt
+    case other => other.json.trim.toInt
+  }
+
+  /** Latest committed version, as the available offset — None until
+    * something newer than the start exists (no empty first batch). */
+  override def getOffset: Option[Offset] =
+    SnapshotTable.versions(spark, root).lastOption
+      .filter(_ > startingVersion).map(v => LongOffset(v.toLong))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(version).getOrElse(startingVersion)
+    val files = SnapshotTable.addedFiles(spark, root, from, version(end)).flatMap {
+      case (_, "append" | "create", added) => added
+      case (_, "compact", _) => Seq.empty
+      case (v, op, _) if ignoreChanges => Nil
+      case (v, op, _) =>
+        throw new IllegalStateException(
+          s"version $v of $root is a data-changing '$op' commit; its files mix " +
+            "new and carried rows, so streaming them would re-deliver old rows. " +
+            "Set .option(\"ignoreChanges\", true) to skip such commits, or " +
+            "consume row-level changes in batch via SnapshotTable.readChanges.")
+    }
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    org.apache.spark.sql.graftbridge.Bridge.asStreaming(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -68,6 +68,16 @@ object Bridge {
       org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
   }
 
+  /** Re-flag a batch DataFrame as STREAMING — what a V1
+    * [[org.apache.spark.sql.execution.streaming.Source]]'s `getBatch`
+    * must return (MicroBatchExecution asserts `isStreaming` on the
+    * plan it splices in; `internalCreateDataFrame` is private[sql]).
+    * The batch plan executes exactly as built — only the flag moves. */
+  def asStreaming(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+
   /** Idempotently add a planner strategy on a live session (the
     * build-time path is GraftExtensions.injectPlannerStrategy). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,

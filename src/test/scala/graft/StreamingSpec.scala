@@ -6,6 +6,72 @@ import org.apache.spark.sql.functions._
   * streaming tumbling aggregation must equal the batch form. */
 class StreamingSpec extends SparkSpec {
 
+  test("table as a streaming source: versions become micro-batches, exactly-once across restart") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsrc").toString
+    val root = s"$tmp/table"
+    val cp = s"$tmp/cp"
+    def rows(r: (Long, String)*) = r.toDF("id", "v")
+    sources.SnapshotTable.create(spark, root, rows(1L -> "a", 2L -> "b")) // v1
+    sources.SnapshotTable.append(spark, root, rows(3L -> "c"))            // v2
+    def drain(name: String): Set[(Long, String)] = {
+      // foreachBatch (not the memory sink): the point of this test is
+      // RESUMING from the checkpoint, which the memory sink refuses
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+      val q = spark.readStream.format("graft-table").option("path", root).load()
+        .writeStream.queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[(Long, String)].collect().foreach(got.add)
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    // first run consumes everything committed so far, via shortName
+    // resolution (META-INF service registration)
+    assert(drain("tsrc_run1") == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // compact commits a version but must deliver NOTHING new;
+    // the next append must arrive exactly once
+    sources.SnapshotTable.compact(spark, root, targetFiles = 1)           // v3
+    sources.SnapshotTable.append(spark, root, rows(4L -> "d"))            // v4
+    assert(drain("tsrc_run2") == Set(4L -> "d"),
+      "a restarted stream resumes from the checkpointed version: no re-delivery, no loss")
+    // nothing new: the drained stream delivers nothing
+    assert(drain("tsrc_run3") == Set.empty)
+  }
+
+  test("table streaming source refuses data-changing commits unless told to skip them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsrcm").toString
+    val root = s"$tmp/table"
+    def rows(r: (Long, String)*) = r.toDF("id", "v")
+    sources.SnapshotTable.create(spark, root, rows(1L -> "a", 2L -> "b")) // v1
+    sources.SnapshotTable.merge(spark, root, rows(2L -> "B"), key = "id") // v2: rewrite
+    sources.SnapshotTable.append(spark, root, rows(3L -> "c"))            // v3
+    def drain(name: String, cp: String, ignoreChanges: Boolean): Set[(Long, String)] = {
+      val q = spark.readStream.format("graft-table").option("path", root)
+        .option("ignoreChanges", ignoreChanges.toString).load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).as[(Long, String)].collect().toSet
+    }
+    // default: the merge poisons the window — fail loudly, not re-deliver
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("tsrcm_fail", s"$tmp/cp1", ignoreChanges = false)
+    }
+    assert(e.getCause.getMessage.contains("merge"))
+    // opt-in skip: the merge's rewritten files are passed over; the
+    // create and the append still deliver
+    assert(drain("tsrcm_skip", s"$tmp/cp2", ignoreChanges = true) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("flatMapGroupsWithState per-user totals equal batch groupBy") {
     import spark.implicits._
     val streamed = streaming.StreamingRunner
