@@ -179,6 +179,44 @@ object StreamingRunner {
     finally q.stop()
   }
 
+  /** The FULL incremental loop: follow a snapshot DOCUMENTS table (the
+    * [[SnapshotTableSourceProvider]] source — committed versions become
+    * micro-batches) and maintain a derived CHUNKS snapshot table, one
+    * atomic MERGE per batch keyed by doc_id. Everything is
+    * exactly-once twice over: the source replays deterministically
+    * from the checkpointed version, and the keyed merge makes the sink
+    * idempotent even against re-delivery — re-chunking a document
+    * replaces its chunks, never duplicates them. `AvailableNow` makes
+    * this a RESUMABLE refresh job: each call drains exactly the
+    * versions committed since the last call and stops — the push-shaped
+    * form of the reference's skip-if-converted incremental pass
+    * (document_processor.py:139-151): new documents chunk, existing
+    * derived rows are never recomputed. At 100 TB the per-call cost is
+    * the appended documents' chunking plus a merge bounded by the
+    * files those doc_ids land in — table size never enters. */
+  def runTableFollowChunks(spark: SparkSession, docsRoot: String,
+      chunksRoot: String, checkpointDir: String): Unit = {
+    val q = spark.readStream.format("graft-table").option("path", docsRoot).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a compact-only window delivers an empty batch: chunking it
+        // would commit an empty merge — version churn for nothing
+        if (!batch.isEmpty) {
+          val chunks = graft.chunk.SemanticChunker.semanticChunkTableOf(batch)
+          if (graft.sources.SnapshotTable.versions(spark, chunksRoot).isEmpty)
+            graft.sources.SnapshotTable.create(spark, chunksRoot, chunks,
+              statsKey = Some("doc_id"))
+          else
+            graft.sources.SnapshotTable.merge(spark, chunksRoot, chunks, key = "doc_id")
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming EXACT DEDUP against an accumulating fingerprint index —
     * the online form of the batch dedup: each micro-batch fingerprints
     * its documents (portable md5 of the text bytes, plus the int64

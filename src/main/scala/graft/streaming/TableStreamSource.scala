@@ -40,6 +40,14 @@ import graft.sources.SnapshotTable
   *    (`.option("ignoreChanges", true)`) or consume the row-level
   *    truth in batch via [[SnapshotTable.readChanges]].
   *
+  * `.option("changeFeed", true)` streams the CDC rows instead
+  * ([[SnapshotTable.readChanges]] per window): every op including
+  * merge/rewrite delivers, as `_commit_version`/`_change_type` + the
+  * row — the streaming form of the change-read API, for consumers that
+  * apply deletes (index maintenance) rather than append-only ones.
+  * Batch cost is the window's readChanges cost: bounded by the files
+  * each commit touched.
+  *
   * The schema is locked at stream start (the latest version's recorded
   * schema); files from later schema evolutions read through it, so a
   * mid-stream evolution never changes the consumer's shape — restart
@@ -54,10 +62,22 @@ final class SnapshotTableSourceProvider extends StreamSourceProvider with DataSo
     parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' (the table root) is required"))
 
+  private def changeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.toBoolean)
+
+  private def lockedSchema(spark: SparkSession, parameters: Map[String, String]): StructType = {
+    val table = SnapshotTable.tableSchema(spark, root(parameters))
+    if (!changeFeed(parameters)) table
+    else StructType(
+      Seq(org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false)) ++ table.fields)
+  }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      SnapshotTable.tableSchema(sqlContext.sparkSession, root(parameters))))
+    (shortName(), schema.getOrElse(lockedSchema(sqlContext.sparkSession, parameters)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -70,16 +90,17 @@ final class SnapshotTableSourceProvider extends StreamSourceProvider with DataSo
       case None => 0
     }
     new SnapshotTableSource(spark, r,
-      schema.getOrElse(SnapshotTable.tableSchema(spark, r)),
+      schema.getOrElse(lockedSchema(spark, parameters)),
       startingVersion,
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      changeFeed(parameters))
   }
 }
 
 /** See [[SnapshotTableSourceProvider]]. */
 final class SnapshotTableSource(spark: SparkSession, root: String,
     override val schema: StructType, startingVersion: Int,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean, changeFeed: Boolean = false) extends Source {
 
   private def version(o: Offset): Int = o match {
     case l: LongOffset => l.offset.toInt
@@ -95,6 +116,14 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(startingVersion)
+    if (changeFeed) {
+      // the CDC form: every op delivers its row-level diff, with the
+      // locked column set (a mid-stream evolution widens readChanges'
+      // frame; selecting the locked fields keeps the consumer's shape)
+      val cs = SnapshotTable.readChanges(spark, root, from, Some(version(end)))
+      return org.apache.spark.sql.graftbridge.Bridge.asStreaming(spark,
+        cs.select(schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*))
+    }
     val files = SnapshotTable.addedFiles(spark, root, from, version(end)).flatMap {
       case (_, "append" | "create", added) => added
       case (_, "compact", _) => Seq.empty

@@ -43,6 +43,73 @@ class StreamingSpec extends SparkSpec {
     assert(drain("tsrc_run3") == Set.empty)
   }
 
+  test("follow pipeline: a derived chunk table tracks the documents table incrementally") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-follow").toString
+    val docsRoot = s"$tmp/docs"
+    val chunksRoot = s"$tmp/chunks"
+    val cp = s"$tmp/cp"
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    sources.SnapshotTable.create(spark, docsRoot,
+      all.filter(col("doc_id") < 100L), statsKey = Some("doc_id"))
+    streaming.StreamingRunner.runTableFollowChunks(spark, docsRoot, chunksRoot, cp)
+    val afterFirst = sources.SnapshotTable.read(spark, chunksRoot)
+      .select(countDistinct(col("doc_id"))).as[Long].head()
+    sources.SnapshotTable.append(spark, docsRoot, all.filter(col("doc_id") >= 100L))
+    streaming.StreamingRunner.runTableFollowChunks(spark, docsRoot, chunksRoot, cp)
+    // the derived table equals chunking the WHOLE corpus in batch —
+    // but only the second slice was chunked by the second call
+    val streamed = sources.SnapshotTable.read(spark, chunksRoot)
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = graft.chunk.SemanticChunker.semanticChunkTableOf(all)
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(afterFirst < streamed.map(_._1).size.toLong,
+      "the first call must have chunked only the first slice")
+    // a third call with nothing new commits nothing (no version churn),
+    // and a compact-only window (empty batch) is likewise silent
+    val versionsBefore = sources.SnapshotTable.versions(spark, chunksRoot)
+    streaming.StreamingRunner.runTableFollowChunks(spark, docsRoot, chunksRoot, cp)
+    sources.SnapshotTable.compact(spark, docsRoot, targetFiles = 1)
+    streaming.StreamingRunner.runTableFollowChunks(spark, docsRoot, chunksRoot, cp)
+    assert(sources.SnapshotTable.versions(spark, chunksRoot) == versionsBefore,
+      "empty and compact-only windows must not commit to the derived table")
+  }
+
+  test("table streaming source in changeFeed mode delivers the CDC rows, merges included") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsrccf").toString
+    val root = s"$tmp/table"
+    def rows(r: (Long, String)*) = r.toDF("id", "v")
+    sources.SnapshotTable.create(spark, root, rows(1L -> "a", 2L -> "b")) // v1
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String, Long, String)]()
+    def drain(): Set[(Int, String, Long, String)] = {
+      val q = spark.readStream.format("graft-table").option("path", root)
+        .option("changeFeed", "true").load()
+        .writeStream.option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[(Int, String, Long, String)].collect().foreach(got.add)
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    assert(drain() == Set((1, "insert", 1L, "a"), (1, "insert", 2L, "b")))
+    got.clear()
+    sources.SnapshotTable.merge(spark, root, rows(2L -> "B"), key = "id") // v2
+    sources.SnapshotTable.compact(spark, root, targetFiles = 1)           // v3: silent
+    sources.SnapshotTable.append(spark, root, rows(3L -> "c"))            // v4
+    assert(drain() == Set(
+      (2, "insert", 2L, "B"), (2, "delete", 2L, "b"),
+      (4, "insert", 3L, "c")),
+      "the resumed change feed carries the merge's delete+insert pair and nothing from the compact")
+  }
+
   test("table streaming source refuses data-changing commits unless told to skip them") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-tsrcm").toString
