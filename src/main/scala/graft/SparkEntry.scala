@@ -138,6 +138,7 @@ object SparkEntry {
     "meta_snapshot_2d_string_read" -> ((s, d) => snapshot2dStringReadCycle(s, d)),
     "meta_snapshot_changes" -> ((s, d) => snapshotChangesCycle(s, d)),
     "meta_snapshot_stream_read" -> ((s, d) => snapshotStreamReadCycle(s, d)),
+    "meta_snapshot_compact_incr" -> ((s, d) => snapshotCompactIncrCycle(s, d)),
     "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
@@ -271,6 +272,7 @@ object SparkEntry {
     "meta_snapshot_2d_string_read" -> snapshot2dStringReadCycleSql,
     "meta_snapshot_changes" -> snapshotChangesCycleSql,
     "meta_snapshot_stream_read" -> snapshotStreamReadCycleSql,
+    "meta_snapshot_compact_incr" -> snapshotCompactIncrCycleSql,
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -1248,6 +1250,33 @@ object SparkEntry {
              CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
       FROM base WHERE doc_id % 7 = 0)
     ORDER BY _commit_version, _change_type, doc_id"""
+
+  /** INCREMENTAL (small-file) compaction, gated end to end: a bulk
+    * create plus a stream of tiny appends (the debt shape a streaming
+    * ingest accretes), then ONE
+    * [[graft.sources.SnapshotTable.compactSmall]] that bin-packs only
+    * the debt — the bulk file carries by name. The oracle is the full
+    * row set: a row lost (or duplicated) by the selective rewrite
+    * breaks the hash; the file-level claims (big file untouched, debt
+    * packed to one output, no-op fixpoint) are scan-metric-proven in
+    * SnapshotTableSpec. */
+  private def snapshotCompactIncrCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapci").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,                        // bulk
+      docs.filter(col("doc_id") < 400L).coalesce(1), statsKey = Some("doc_id"))
+    (0 until 4).foreach { i =>                                         // debt
+      graft.sources.SnapshotTable.append(s, root,
+        docs.filter(col("doc_id") % 4 === i && col("doc_id") >= 400L).coalesce(1))
+    }
+    graft.sources.SnapshotTable.compactSmall(s, root,
+      smallBytes = 1L << 20, cluster = true)
+    graft.Scratch.registerForCleanup(root)
+    graft.sources.SnapshotTable.read(s, root).orderBy(col("doc_id"))
+  }
+
+  private def snapshotCompactIncrCycleSql: String = """
+    SELECT doc_id, n_chars FROM documents ORDER BY doc_id"""
 
   /** The snapshot table as a STREAMING SOURCE, gated end to end: a
     * create+append lifecycle is consumed by a real

@@ -824,6 +824,51 @@ object SnapshotTable {
         effKey, effKey2), schema, effKey, effKey2)
     }
 
+  private object NothingToCompact extends Exception
+
+  /** INCREMENTAL compaction: rewrite ONLY the files smaller than
+    * `smallBytes` (the small-file debt a streaming ingest accretes),
+    * bin-packed into ~`smallBytes`-sized outputs; every larger file
+    * carries forward BY NAME, stats and all. This is the maintenance
+    * op a 100 TB table actually runs on a schedule: [[compact]]
+    * rewrites the WHOLE table (full read + full write — the right tool
+    * after a bulk load or for a global re-layout), while this one's
+    * cost is proportional to the DEBT — a thousand-file table with ten
+    * fresh streaming appends rewrites ten small files and touches
+    * nothing else. File sizes come from the manifest (recorded at
+    * write time), so selection is driver-side metadata — no listing,
+    * no data I/O; entries without a recorded size (pre-size manifest
+    * lines) count as small, because the conservative direction is
+    * rewrite-once, never silently carry unknown debt forever.
+    *
+    * Commits as op "compact" — row-preserving by the same contract, so
+    * [[readChanges]] and the streaming source stay silent over it.
+    * Returns None (and commits NOTHING — no version churn, no orphan
+    * files) when the debt is ≤1 file: packing one file into one file
+    * buys nothing, and that fixpoint is what makes a scheduled
+    * `compactSmall` idempotent between ingests. With `cluster = true`
+    * the packed output is range-laid on the stats key — the rewritten
+    * subset regains pruning power; untouched files keep the stats they
+    * already had. For a global z-order or full re-cluster, use
+    * [[compact]]. */
+  def compactSmall(spark: SparkSession, root: String, smallBytes: Long,
+      statsKey: Option[String] = None, cluster: Boolean = false,
+      statsKey2: Option[String] = None): Option[Int] =
+    try Some(retrying(spark, root, op = "compact") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val schema = schemaOf(spark, root, m)
+      val (effKey, effKey2, fixCarried) = resolveStatsKeys(m, statsKey, statsKey2)
+      val (small, large) = m.entries.partition(_.bytes.forall(_ < smallBytes))
+      if (small.size <= 1) throw NothingToCompact
+      val current = spark.read.schema(schema)
+        .parquet(small.map(e => s"$root/${e.path}"): _*)
+      val outFiles = math.max(1, math.ceil(
+        small.flatMap(_.bytes).sum.toDouble / smallBytes).toInt)
+      Pending(fixCarried(large) ++ writeDataFiles(spark, root,
+        clusterLayout(current, outFiles, effKey, effKey2, cluster, zorder = false),
+        effKey, effKey2), schema, effKey, effKey2)
+    }) catch { case NothingToCompact => None }
+
   /** Bits per dimension of the z-value after normalization. 15 gives a
     * 30-bit curve (2^15 cells per axis — orders of magnitude finer than
     * any file count) while keeping every shift/interleave exact in a

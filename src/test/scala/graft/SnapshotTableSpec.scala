@@ -849,6 +849,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, strKey2).count() == 20)
   }
 
+  test("compactSmall: only the small-file debt is rewritten; big files carry by name") {
+    val root = tmp()
+    // one genuinely big file, then a stream of tiny appends
+    val big = (0L until 20000L).map(i => (i, s"payload-$i " * 8)).toDF("id", "v").coalesce(1)
+    SnapshotTable.create(spark, root, big, statsKey = Some("id"))
+    (0 until 4).foreach { i =>
+      SnapshotTable.append(spark, root,
+        Seq((100000L + i, s"small-$i")).toDF("id", "v").coalesce(1))
+    }
+    val before = SnapshotTable.read(spark, root)
+    val sizes = before.inputFiles.map(f =>
+      f -> new java.io.File(new java.net.URI(f)).length).toMap
+    val bigFile = sizes.maxBy(_._2)._1
+    assert(sizes.values.count(_ < 50000L) == 4, s"four small files expected: $sizes")
+    val vBefore = SnapshotTable.versions(spark, root).last
+    // debt of 4 small files → ONE packed file; the big file untouched
+    val v = SnapshotTable.compactSmall(spark, root, smallBytes = 50000L, cluster = true)
+    assert(v.contains(vBefore + 1))
+    val after = SnapshotTable.read(spark, root)
+    assert(after.inputFiles.contains(bigFile),
+      "the big file must carry forward BY NAME — rewriting it is the cost this op exists to avoid")
+    assert(after.inputFiles.length == 2,
+      s"4 small files pack into one output, got ${after.inputFiles.toSeq}")
+    assert(after.count() == 20004)
+    // row-preserving: the CDC window over the compactSmall is silent
+    assert(SnapshotTable.readChanges(spark, root, vBefore, Some(vBefore + 1)).isEmpty)
+    // fixpoint: one small file left → nothing to do, NO version churn
+    assert(SnapshotTable.compactSmall(spark, root, smallBytes = 50000L).isEmpty)
+    assert(SnapshotTable.versions(spark, root).last == vBefore + 1)
+  }
+
   test("readChanges: per-version CDC — append file-level, merge row-level, compact silent") {
     val root = tmp()
     def rows(r: (Long, String)*) = r.toDF("id", "v")
