@@ -139,6 +139,7 @@ object SparkEntry {
     "meta_snapshot_changes" -> ((s, d) => snapshotChangesCycle(s, d)),
     "meta_snapshot_stream_read" -> ((s, d) => snapshotStreamReadCycle(s, d)),
     "meta_snapshot_compact_incr" -> ((s, d) => snapshotCompactIncrCycle(s, d)),
+    "meta_snapshot_mirror" -> ((s, d) => snapshotMirrorCycle(s, d)),
     "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
@@ -273,6 +274,7 @@ object SparkEntry {
     "meta_snapshot_changes" -> snapshotChangesCycleSql,
     "meta_snapshot_stream_read" -> snapshotStreamReadCycleSql,
     "meta_snapshot_compact_incr" -> snapshotCompactIncrCycleSql,
+    "meta_snapshot_mirror" -> snapshotMirrorCycleSql,
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -1250,6 +1252,42 @@ object SparkEntry {
              CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
       FROM base WHERE doc_id % 7 = 0)
     ORDER BY _commit_version, _change_type, doc_id"""
+
+  /** TABLE→TABLE MIRROR, gated end to end: the streaming SOURCE and
+    * the transactional streaming SINK composed into one-line
+    * replication — `readStream.format("graft-table")` into
+    * `writeStream.format("graft-table")`, run twice over one
+    * checkpoint with an append between runs (and a drained third run
+    * that must deliver nothing). The sink records each batch id as the
+    * manifest's txnBatchId marker and drops replays, so the oracle —
+    * the source table's full row set — breaks on EITHER a source-side
+    * re-delivery/loss or a sink-side double-append. */
+  private def snapshotMirrorCycle(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snapmir").toString
+    val src = s"$tmp/src"
+    val dst = s"$tmp/dst"
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, src,
+      docs.filter(col("doc_id") < 250L), statsKey = Some("doc_id"))
+    def mirror(): Unit = {
+      val q = s.readStream.format("graft-table").option("path", src).load()
+        .writeStream.format("graft-table").option("path", dst)
+        .option("statsKey", "doc_id")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mirror()
+    graft.sources.SnapshotTable.append(s, src, docs.filter(col("doc_id") >= 250L))
+    mirror()
+    mirror() // drained: no batch, no commit
+    graft.Scratch.registerForCleanup(tmp)
+    graft.sources.SnapshotTable.read(s, dst).orderBy(col("doc_id"))
+  }
+
+  private def snapshotMirrorCycleSql: String = """
+    SELECT doc_id, n_chars FROM documents ORDER BY doc_id"""
 
   /** INCREMENTAL (small-file) compaction, gated end to end: a bulk
     * create plus a stream of tiny appends (the debt shape a streaming

@@ -170,7 +170,8 @@ object SnapshotTable {
       schema: Option[org.apache.spark.sql.types.StructType],
       entries: Seq[FileEntry],
       statsKey: Option[String],
-      statsKey2: Option[String])
+      statsKey2: Option[String],
+      txnBatchId: Option[Long] = None)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -216,12 +217,13 @@ object SnapshotTable {
     // anchor after the field name keeps the two distinct
     val statsKey = """"statsKey":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
     val statsKey2 = """"statsKey2":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
+    val txn = """"txnBatchId":(-?\d+)""".r.findFirstMatchIn(header).map(_.group(1).toLong)
     val lines = allLines.drop(1).filter(_.nonEmpty)
     val schema = lines.find(_.startsWith("S{"))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val entries = lines.filterNot(_.startsWith("S{")).map(parseEntry)
-    Manifest(op, schema, entries, statsKey, statsKey2)
+    Manifest(op, schema, entries, statsKey, statsKey2, txn)
   }
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] =
@@ -403,7 +405,8 @@ object SnapshotTable {
     * [[CommitPublisher]]. */
   private def commit(spark: SparkSession, root: String, files: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType, expected: Int,
-      op: String, statsKey: Option[String], statsKey2: Option[String]): Int = {
+      op: String, statsKey: Option[String], statsKey2: Option[String],
+      txnBatchId: Option[Long] = None): Int = {
     val v = expected + 1
     // header (format revision + version + operation + stats identity),
     // then the version's SCHEMA (S-prefixed json line): every version
@@ -414,7 +417,8 @@ object SnapshotTable {
     def kf(name: String, v: Option[String]): String =
       v.map(k => s""","$name":"$k"""").getOrElse("")
     val header = s"""{"version":$v,"format":$ManifestFormat,"op":"$op"""" +
-      kf("statsKey", statsKey) + kf("statsKey2", statsKey2) + "}"
+      kf("statsKey", statsKey) + kf("statsKey2", statsKey2) +
+      txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
     val body = (header +: s"S${schema.json}" +: files.map(_.render)).mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
@@ -610,10 +614,12 @@ object SnapshotTable {
     * identity is (filename, chunk_idx) — one key is not enough to
     * point-prune a chunk table). */
   def create(spark: SparkSession, root: String, df: DataFrame,
-      statsKey: Option[String] = None, statsKey2: Option[String] = None): Int = {
+      statsKey: Option[String] = None, statsKey2: Option[String] = None,
+      txnBatchId: Option[Long] = None): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
     commit(spark, root, writeDataFiles(spark, root, df, statsKey, statsKey2),
-      widened(df.schema), expected = 0, op = "create", statsKey, statsKey2)
+      widened(df.schema), expected = 0, op = "create", statsKey, statsKey2,
+      txnBatchId)
   }
 
   /** Append rows: new files + all files of the snapshot appended onto.
@@ -624,8 +630,9 @@ object SnapshotTable {
     * given the append INHERITS the table's recorded stats key(s). */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None, allowWiden: Boolean = false,
-      statsKey2: Option[String] = None): Int =
-    appendImpl(spark, root, df, statsKey, statsKey2, allowWiden, skipIfEmpty = false).get
+      statsKey2: Option[String] = None, txnBatchId: Option[Long] = None): Int =
+    appendImpl(spark, root, df, statsKey, statsKey2, allowWiden,
+      skipIfEmpty = false, txnBatchId).get
 
   /** [[append]] that skips the commit when the batch turns out to be
     * EMPTY: the per-file row counts ride the footer reads the write
@@ -636,14 +643,15 @@ object SnapshotTable {
     * just-written empty files removed — instead of committing. */
   def appendIfNonEmpty(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None, allowWiden: Boolean = false,
-      statsKey2: Option[String] = None): Option[Int] =
-    appendImpl(spark, root, df, statsKey, statsKey2, allowWiden, skipIfEmpty = true)
+      statsKey2: Option[String] = None, txnBatchId: Option[Long] = None): Option[Int] =
+    appendImpl(spark, root, df, statsKey, statsKey2, allowWiden,
+      skipIfEmpty = true, txnBatchId)
 
   private object EmptyBatch extends Exception
 
   private def appendImpl(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String], statsKey2: Option[String], allowWiden: Boolean,
-      skipIfEmpty: Boolean): Option[Int] = {
+      skipIfEmpty: Boolean, txnBatchId: Option[Long] = None): Option[Int] = {
     var written: Seq[FileEntry] = Seq.empty
     try Some(retrying(spark, root, op = "append") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
@@ -655,7 +663,7 @@ object SnapshotTable {
       // footer row count known and zero (or no files at all) — an
       // unreadable footer conservatively commits
       if (skipIfEmpty && newFiles.forall(_.rows.contains(0L))) throw EmptyBatch
-      Pending(fixCarried(m.entries) ++ newFiles, evolved, effKey, effKey2)
+      Pending(fixCarried(m.entries) ++ newFiles, evolved, effKey, effKey2, txnBatchId)
     })
     catch {
       case EmptyBatch =>
@@ -1043,7 +1051,8 @@ object SnapshotTable {
     * will record. */
   private final case class Pending(files: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType,
-      statsKey: Option[String], statsKey2: Option[String])
+      statsKey: Option[String], statsKey2: Option[String],
+      txnBatchId: Option[Long] = None)
 
   /** Optimistic-concurrency loop: build the file list + schema against
     * the latest version, try to commit latest+1; on a lost race,
@@ -1057,7 +1066,7 @@ object SnapshotTable {
         throw new IllegalStateException(s"no table at $root"))
       val p = build(latest)
       try return commit(spark, root, p.files, p.schema, latest, op,
-        p.statsKey, p.statsKey2)
+        p.statsKey, p.statsKey2, p.txnBatchId)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1
@@ -1153,6 +1162,19 @@ object SnapshotTable {
         ManifestPruning.keepForStrKeys(m.entries, bs)
       }
     })
+
+  /** The highest `txnBatchId` any live version recorded — the
+    * idempotence cursor a transactional streaming SINK reads before
+    * writing (see [[graft.streaming.SnapshotTableSink]]): a commit
+    * carrying a batch id at or below this one already landed, so a
+    * replayed micro-batch is skipped instead of appended twice.
+    * Walks versions NEWEST-first and stops at the first marker
+    * (maintenance commits between sink appends carry none); bounded by
+    * the live version count, driver-side metadata only. */
+  def lastTxnBatchId(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).reverse.iterator
+      .map(v => manifestFull(spark, root, v).txnBatchId)
+      .collectFirst { case Some(t) => t }
 
   /** The table's CURRENT schema (the latest version's recorded one) —
     * the shape a streaming consumer locks in when it starts following

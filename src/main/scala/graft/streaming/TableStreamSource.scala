@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.SnapshotTable
@@ -54,9 +55,32 @@ import graft.sources.SnapshotTable
   * the stream to pick up new columns. Scale: a micro-batch plans from
   * ONE manifest read and scans only the appended files, so steady-state
   * cost tracks the append rate, never table size. */
-final class SnapshotTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class SnapshotTableSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** The WRITE half: `writeStream.format("graft-table")` — every
+    * micro-batch is one atomic snapshot APPEND carrying its batch id
+    * as the manifest's `txnBatchId` marker, and [[SnapshotTableSink]]
+    * skips any batch at or below [[SnapshotTable.lastTxnBatchId]]:
+    * after a crash between the table commit and the checkpoint commit,
+    * the replayed batch is recognized and dropped — EXACTLY-ONCE
+    * without a keyed merge (the foreachBatch upsert remains the tool
+    * when updates, not appends, are the semantics). Options:
+    * `statsKey`/`statsKey2` key the manifest stats of the files each
+    * batch writes. Contract: ONE streaming query (one checkpoint)
+    * writes a given table — batch ids are monotone only within a
+    * checkpoint, so a second writer's cursor would alias the first's. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append,
+      s"graft-table sink is append-only (one atomic snapshot append per batch); got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-table sink does not support partitionBy; cluster via table maintenance instead")
+    new SnapshotTableSink(sqlContext.sparkSession, root(parameters),
+      parameters.get("statsKey"), parameters.get("statsKey2"))
+  }
 
   private def root(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
@@ -127,7 +151,7 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     val files = SnapshotTable.addedFiles(spark, root, from, version(end)).flatMap {
       case (_, "append" | "create", added) => added
       case (_, "compact", _) => Seq.empty
-      case (v, op, _) if ignoreChanges => Nil
+      case _ if ignoreChanges => Nil
       case (v, op, _) =>
         throw new IllegalStateException(
           s"version $v of $root is a data-changing '$op' commit; its files mix " +
@@ -143,4 +167,26 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** See [[SnapshotTableSourceProvider.createSink]]. */
+final class SnapshotTableSink(spark: SparkSession, root: String,
+    statsKey: Option[String], statsKey2: Option[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val fresh = SnapshotTable.versions(spark, root).isEmpty
+    // idempotence gate: a replayed batch (crash between table commit
+    // and checkpoint commit) is recognized by its id and dropped
+    if (!fresh && SnapshotTable.lastTxnBatchId(spark, root).exists(_ >= batchId)) return
+    // the frame handed to a V1 Sink is streaming-flagged and cannot be
+    // written directly; re-wrap its physical rows as a batch frame
+    val batch = org.apache.spark.sql.graftbridge.Bridge.asBatch(spark, data)
+    if (fresh)
+      SnapshotTable.create(spark, root, batch, statsKey, statsKey2,
+        txnBatchId = Some(batchId))
+    else
+      SnapshotTable.append(spark, root, batch, statsKey,
+        statsKey2 = statsKey2, txnBatchId = Some(batchId))
+    ()
+  }
 }

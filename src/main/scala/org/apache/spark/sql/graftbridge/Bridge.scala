@@ -78,6 +78,14 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 
+  /** The inverse of [[asStreaming]]: a V1 Sink's `addBatch` receives a
+    * streaming-flagged frame that refuses `.write`; re-wrapping its
+    * physical rows drops the flag without copying data. */
+  def asBatch(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+
   /** Idempotently add a planner strategy on a live session (the
     * build-time path is GraftExtensions.injectPlannerStrategy). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
