@@ -1372,7 +1372,12 @@ object SparkEntry {
     * metric is observable. */
   private def snapshotZorderReadCycle(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-snapz").toString
+    // a deterministic orderkey slice: the z-layout's balance is a
+    // property of the key domains, not the row count — the slice keeps
+    // every code path (agg, interleave, range partition, both probes)
+    // at a quarter of the rewrite I/O
     val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 150000L)
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_extendedprice"))
     graft.sources.SnapshotTable.create(s, root, li.repartition(4),
@@ -1395,7 +1400,7 @@ object SparkEntry {
       FROM lineitem WHERE l_orderkey <= 40
       UNION ALL
       SELECT 'sk', l_orderkey, CAST(l_linenumber AS BIGINT), l_extendedprice
-      FROM lineitem WHERE l_linenumber = 7)
+      FROM lineitem WHERE l_linenumber = 7 AND l_orderkey <= 150000)
     ORDER BY probe, l_orderkey, l_linenumber"""
 
   /** STRING-keyed MERGE through the ACID table, gated end to end — the
