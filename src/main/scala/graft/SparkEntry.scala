@@ -43,6 +43,7 @@ object SparkEntry {
     "agg_rollup_returns" -> ((s, d) => Relational.rollupReturns(s, d)),
     "agg_cube_orders" -> ((s, d) => Relational.cubeOrders(s, d)),
     "agg_distinct_segment" -> ((s, d) => Relational.segmentCustomers(s, d)),
+    "agg_salted_distinct" -> ((s, d) => Relational.saltedDistinctUsers(s, d)),
     // --- windows, sorts, set ops (§2.5–2.7) ---
     "win_running_spend" -> ((s, d) => Relational.runningCustomerSpend(s, d)),
     "win_lead_order_gaps" -> ((s, d) => Relational.orderGaps(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "agg_rollup_returns" -> Relational.rollupReturnsSql,
     "agg_cube_orders" -> Relational.cubeOrdersSql,
     "agg_distinct_segment" -> Relational.segmentCustomersSql,
+    "agg_salted_distinct" -> Relational.saltedDistinctUsersSql,
     "win_running_spend" -> Relational.runningCustomerSpendSql,
     "win_lead_order_gaps" -> Relational.orderGapsSql,
     "win_topn_per_customer" -> Relational.topOrdersPerCustomerSql,

@@ -629,6 +629,47 @@ object Relational {
   }
 
   /** INTERSECT: customers active in both halves of the order history. */
+  /** SKEW-SAFE distinct count: per-key COUNT(DISTINCT of) when `key`
+    * has FEW hot values — the shape that breaks at 100 TB, because a
+    * plain distinct-count shuffles every row to #distinct-keys
+    * reducers (events has a handful of event types; five reducers own
+    * the whole table and the job runs at parallelism five, spilling).
+    * Three stages, each well-distributed:
+    *   1. dedup (key, of) pairs — shuffle keyed on BOTH columns, so
+    *      rows spread across all partitions regardless of key skew;
+    *   2. count survivors per (key, salt-of-`of`) — `buckets`-way
+    *      partial counts, again spread;
+    *   3. sum the per-salt counts per key — #keys × buckets tiny rows.
+    * Note the contrast with ALGEBRAIC aggs (sum/count), where Spark's
+    * map-side partial aggregation already neutralizes key skew — it is
+    * the DISTINCT (per-key state proportional to cardinality) that
+    * needs the salt. Deterministic salt (md5 of `of`) keeps plans and
+    * results reproducible; any uniform hash works. */
+  def skewSafeDistinctCount(df: DataFrame, key: String, of: String,
+      buckets: Int = 32): DataFrame =
+    df.select(col(key), col(of))
+      .distinct()
+      .groupBy(col(key),
+        pmod(graft.text.TextFunctions.md5Long(col(of).cast("string")), lit(buckets))
+          .as("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n_distinct"))
+
+  /** [[skewSafeDistinctCount]] over events: distinct users per (hot)
+    * event type. The oracle is the plain relational definition — the
+    * salted three-stage plan must be value-identical to
+    * COUNT(DISTINCT). */
+  def saltedDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    skewSafeDistinctCount(
+      Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+      key = "event_type", of = "user_id")
+      .orderBy(col("event_type"))
+
+  def saltedDistinctUsersSql: String = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   def intersectCustkeys(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val early = o.filter(col("o_orderdate") < lit("1997-01-01")).select(col("o_custkey"))

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
@@ -41,6 +42,26 @@ class RelationalSpec extends SparkSpec {
     rows.foreach { case (_, approx, exact) =>
       assert(math.abs(approx - exact).toDouble / exact < 0.10)
     }
+  }
+
+  test("skewSafeDistinctCount equals COUNT(DISTINCT) and plans without Expand") {
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val salted = relational.Relational
+      .skewSafeDistinctCount(ev, "event_type", "user_id")
+    val expected = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_distinct"))
+    assert(salted.orderBy("event_type").collect().toSeq ==
+      expected.orderBy("event_type").collect().toSeq)
+    // the point of the rewrite: every shuffle is keyed on a
+    // well-distributed composite, and no Expand-based distinct path
+    // (whose final aggregate keys on the hot column alone) appears
+    def find(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case other => other +: other.children.flatMap(find)
+    }
+    assert(!find(salted.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("Expand")),
+      "the salted plan must not fall back to the Expand distinct path")
   }
 
   test("incremental skip excludes exactly the done keys (P7)") {
