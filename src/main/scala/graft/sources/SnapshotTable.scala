@@ -986,6 +986,54 @@ object SnapshotTable {
     expired
   }
 
+  /** TIME-based retention: drop every version whose manifest was
+    * committed more than `maxAgeMs` ago (by the manifest file's own
+    * modification time — the commit instant), always keeping the
+    * newest `keepLast` regardless of age so the table never loses its
+    * head. The calendar form of [[expireVersions]] — "keep 7 days"
+    * instead of "keep 12 versions" — which is the retention policy
+    * streams and CDC consumers actually reason about (their checkpoint
+    * lag is measured in time, not commits). Run [[vacuum]] to reclaim
+    * the data files only the dropped versions referenced. */
+  def expireOlderThan(spark: SparkSession, root: String, maxAgeMs: Long,
+      keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val f = fs(spark, root)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val expired = versions(spark, root).dropRight(keepLast)
+      .filter(v => f.getFileStatus(manifestPath(root, v)).getModificationTime < cutoff)
+    expired.foreach(v => f.delete(manifestPath(root, v), false))
+    expired
+  }
+
+  /** One zero-job maintenance snapshot of the LIVE table: what a
+    * scheduler reads to decide whether to run [[compactSmall]] (the
+    * small-file debt), [[expireVersions]]/[[expireOlderThan]] (live
+    * version count), or nothing. Everything comes from the manifests
+    * already on disk — file counts, total bytes, per-file sizes vs
+    * `smallBytes`, recorded row counts (−1 when any file predates
+    * row-count tracking: unknown ≠ zero), and the stats identity. */
+  final case class TableDetail(version: Int, liveVersions: Int, nFiles: Int,
+      totalBytes: Long, smallFiles: Int, nRows: Long,
+      statsKey: Option[String], statsKey2: Option[String])
+
+  def describeDetail(spark: SparkSession, root: String,
+      smallBytes: Long = 0L): TableDetail = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val m = manifestFull(spark, root, vs.last)
+    TableDetail(
+      version = vs.last,
+      liveVersions = vs.size,
+      nFiles = m.entries.size,
+      totalBytes = m.entries.flatMap(_.bytes).sum,
+      smallFiles = m.entries.count(_.bytes.forall(_ < smallBytes)),
+      nRows = if (m.entries.forall(_.rows.isDefined)) m.entries.flatMap(_.rows).sum
+              else -1L,
+      statsKey = m.statsKey,
+      statsKey2 = m.statsKey2)
+  }
+
   /** Garbage-collect files referenced by NO live manifest — leftovers
     * of crashed writers and of expired versions, in BOTH the data
     * directory and the `_snapshots` log (crashed publishes leave

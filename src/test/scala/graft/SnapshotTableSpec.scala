@@ -880,6 +880,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root).last == vBefore + 1)
   }
 
+  test("describeDetail + expireOlderThan: the zero-job maintenance decision surface") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 1000L).map(i => (i, s"row-$i " * 6)).toDF("id", "v").coalesce(1),
+      statsKey = Some("id"))
+    (0 until 3).foreach(i => SnapshotTable.append(spark, root,
+      Seq((2000L + i, "tiny")).toDF("id", "v").coalesce(1)))
+    val d = SnapshotTable.describeDetail(spark, root, smallBytes = 10000L)
+    assert(d.version == 4 && d.liveVersions == 4 && d.nFiles == 4)
+    assert(d.nRows == 1003 && d.statsKey.contains("id") && d.statsKey2.isEmpty)
+    assert(d.smallFiles == 3, s"the three tiny appends are the debt, got $d")
+    assert(d.totalBytes > 0)
+    // the detail drives the decision: debt > 1 → compactSmall fires
+    assert(SnapshotTable.compactSmall(spark, root, smallBytes = 10000L).isDefined)
+    val after = SnapshotTable.describeDetail(spark, root, smallBytes = 10000L)
+    assert(after.smallFiles == 1 && after.nFiles == 2 && after.nRows == 1003)
+    // time-based retention: everything already committed is "old" vs a
+    // zero age, but the newest keepLast survive regardless
+    val dropped = SnapshotTable.expireOlderThan(spark, root, maxAgeMs = 0L, keepLast = 2)
+    assert(dropped == Seq(1, 2, 3))
+    assert(SnapshotTable.versions(spark, root) == Seq(4, 5))
+    // a generous age drops nothing
+    assert(SnapshotTable.expireOlderThan(spark, root, maxAgeMs = 24L * 3600 * 1000).isEmpty)
+    assert(SnapshotTable.read(spark, root).count() == 1003)
+  }
+
   test("readChanges: per-version CDC — append file-level, merge row-level, compact silent") {
     val root = tmp()
     def rows(r: (Long, String)*) = r.toDF("id", "v")
