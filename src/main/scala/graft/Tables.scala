@@ -19,15 +19,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanos long (legacy conf) and TRUNCATE
-    * to a microsecond timestamp — the same ns→µs truncation DuckDB's
-    * epoch_us applies, so both engines see identical values. */
+  /** `events.ts` normalized to a microsecond TIMESTAMP whatever the
+    * generator encoded: TIMESTAMP(NANOS) files (which Spark's
+    * vectorized reader rejects) arrive as a nanos long via the legacy
+    * conf and are TRUNCATED ns→µs — the same truncation DuckDB's
+    * epoch_us applies; TIMESTAMP(MICROS) files (what the generator
+    * writes now) arrive as TIMESTAMP_NTZ and cast to the session-TZ
+    * timestamp, a wall-clock identity under the UTC session every
+    * entrypoint pins — so both engines see identical values on either
+    * encoding. [[normalizeEventTs]] is the one place this dispatch
+    * lives; the streaming readers reuse it. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(t(spark, dir, "events"))
+  }
+
+  /** See [[events]]: `ts` → microsecond TimestampType for every
+    * encoding the driver's generator has used (nanos-long, NTZ-micros,
+    * or already a timestamp). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.apply("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

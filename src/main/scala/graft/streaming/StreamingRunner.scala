@@ -13,16 +13,18 @@ import org.apache.spark.sql.types._
   */
 object StreamingRunner {
 
-  /** events schema as readStream needs it declared up front; ts arrives
-    * as nanos-long (see [[graft.Tables.events]]) and is converted. */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
+  /** events schema as readStream needs it declared up front — probed
+    * from the file's own footer (one driver-side batch-schema read)
+    * because the generator's `ts` encoding has CHANGED across rounds
+    * (nanos-long vs TIMESTAMP_NTZ micros; see [[graft.Tables.events]]):
+    * a hard-coded type would mis-declare one of them, and the streaming
+    * source trusts the declared schema blind. `ts` is then normalized
+    * by the same [[graft.Tables.normalizeEventTs]] the batch reader
+    * uses, so stream/batch parity never depends on the encoding. */
+  private def eventsSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
@@ -36,7 +38,7 @@ object StreamingRunner {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(col("user_id"), col("value"))
@@ -72,10 +74,10 @@ object StreamingRunner {
   def runStreamingDedup(spark: SparkSession, dir: String, queryName: String = "graft_dedup"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val deduped = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .withColumn("minute_us", unix_micros(col("ts")) - unix_micros(col("ts")) % 60000000L)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type", "minute_us")
@@ -97,10 +99,10 @@ object StreamingRunner {
   def runStreamStreamJoin(spark: SparkSession, dir: String, queryName: String = "graft_ssj"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(kind: String, alias: String) = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .filter(col("event_type") === kind)
       .select(col("user_id").as(s"${alias}_user"), col("event_id").as(s"${alias}_id"),
         col("ts").as(s"${alias}_ts"))
@@ -127,10 +129,10 @@ object StreamingRunner {
   def runTumblingStream(spark: SparkSession, dir: String, queryName: String = "graft_stream"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), graft.Exact.exactSum(col("value")).as("total_value"))

@@ -68,7 +68,12 @@ class ForeachBatchSpec extends SparkSpec {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .withColumn("ts", expr("ts div 1000")) // ns -> us like Tables.events
+      // epoch-micros long whatever the generator's encoding (ns-long or
+      // µs timestamp) — the same dispatch Tables.normalizeEventTs makes
+      .withColumn("ts", raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      })
       .writeStream
       .foreachBatch(upsertBatch _)
       .start()
