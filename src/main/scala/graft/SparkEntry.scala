@@ -143,6 +143,8 @@ object SparkEntry {
     "meta_snapshot_mirror" -> ((s, d) => snapshotMirrorCycle(s, d)),
     "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
+    "meta_snapshot_delete" -> ((s, d) => snapshotDeleteCycle(s, d)),
+    "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
@@ -278,6 +280,8 @@ object SparkEntry {
     "meta_snapshot_compact_incr" -> snapshotCompactIncrCycleSql,
     "meta_snapshot_mirror" -> snapshotMirrorCycleSql,
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
+    "meta_snapshot_delete" -> snapshotDeleteCycleSql,
+    "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
@@ -1015,6 +1019,78 @@ object SparkEntry {
   private def snapshotMergeCycleSql: String = """
     SELECT doc_id, n_chars,
            CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE 'base' END AS src
+    FROM documents ORDER BY doc_id"""
+
+  /** DELETION VECTORS, gated end to end: seed a snapshot table, run a
+    * merge-on-read [[graft.sources.SnapshotTable.deleteWhere]] (a
+    * predicate delete that marks (file, position) pairs in a sidecar
+    * instead of rewriting data files), read the committed result. The
+    * DuckDB oracle is the delete's relational definition (WHERE NOT
+    * pred); the invariant booleans pin the merge-on-read contract the
+    * SQL can't see — the delete rewrote NO data file (the live file
+    * set is exactly the create's) and the debt is recorded for the
+    * maintenance scheduler (dvFiles/dvRows positive). Both are
+    * provable from the operator's contract: deleteWhere only repoints
+    * dv references, and a matching predicate always records debt. */
+  private def snapshotDeleteCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapdv").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root, docs, statsKey = Some("doc_id"))
+    val before = graft.sources.SnapshotTable.read(s, root).inputFiles.toSet
+    graft.sources.SnapshotTable.deleteWhere(s, root, col("doc_id") % 7 === 3)
+    val det = graft.sources.SnapshotTable.describeDetail(s, root)
+    val now = graft.sources.SnapshotTable.read(s, root)
+    // the dv sidecar itself appears among the join's input files —
+    // the contract is about DATA files only
+    val dataNow = now.inputFiles.filter(_.contains("/data/")).toSet
+    val noRewrite = dataNow == before
+    val dvMarked = det.dvFiles > 0 && det.dvRows > 0
+    graft.Scratch.registerForCleanup(root)
+    now.select(col("doc_id"), col("n_chars"))
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("dv_marked", lit(dvMarked))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotDeleteCycleSql: String = """
+    SELECT doc_id, n_chars, TRUE AS no_rewrite, TRUE AS dv_marked
+    FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id"""
+
+  /** Merge-on-read MERGE, gated end to end: the same delete-then-add
+    * cycle as `meta_snapshot_merge`, executed through
+    * [[graft.sources.SnapshotTable.mergeOnRead]] — matching rows in
+    * touched files are marked deleted via position sidecars and only
+    * the update batch is written, so upsert write cost is proportional
+    * to the UPDATES, not to the files they land in. Same oracle as the
+    * copy-on-write merge (the two must be semantically
+    * indistinguishable); the invariants pin what differs physically:
+    * every original data file carried forward BY NAME (none
+    * rewritten) and the deletions are dv-recorded. */
+  private def snapshotMergeOnReadCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapmor").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    graft.sources.SnapshotTable.create(s, root,
+      docs.withColumn("src", lit("base")), statsKey = Some("doc_id"))
+    val before = graft.sources.SnapshotTable.read(s, root).inputFiles.toSet
+    graft.sources.SnapshotTable.mergeOnRead(s, root,
+      docs.filter(col("doc_id") % 10 === 0).withColumn("src", lit("upd")),
+      key = "doc_id")
+    val det = graft.sources.SnapshotTable.describeDetail(s, root)
+    val now = graft.sources.SnapshotTable.read(s, root)
+    val dataNow = now.inputFiles.filter(_.contains("/data/")).toSet
+    val carried = before.subsetOf(dataNow)
+    val dvMarked = det.dvRows > 0
+    graft.Scratch.registerForCleanup(root)
+    now.select(col("doc_id"), col("n_chars"), col("src"))
+      .withColumn("no_rewrite", lit(carried))
+      .withColumn("dv_marked", lit(dvMarked))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotMergeOnReadCycleSql: String = """
+    SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE 'base' END AS src,
+           TRUE AS no_rewrite, TRUE AS dv_marked
     FROM documents ORDER BY doc_id"""
 
   /** Schema EVOLUTION through the ACID table, gated end to end: create

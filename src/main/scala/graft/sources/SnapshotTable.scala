@@ -71,8 +71,15 @@ object SnapshotTable {
     * byte order — same encoding the primary uses) so STRING secondaries
     * 2D-prune too: two more optional fields (11-field lines). A
     * format-4 reader would misparse an 11-field line as a path, which
-    * is why the format guard makes newer formats a hard error. */
-  private val ManifestFormat = 5
+    * is why the format guard makes newer formats a hard error;
+    * 6 = file lines may carry a DELETION VECTOR reference (the relative
+    * path of a sidecar directory of deleted row positions, plus the
+    * file's deleted-row count): merge-on-read deletes — [[deleteWhere]]
+    * and [[mergeOnRead]] commit by marking positions instead of
+    * rewriting data files, readers anti-join the positions out, and
+    * any rewrite of the file ([[compact]], copy-on-write [[merge]])
+    * materializes the deletions and drops the reference. */
+  private val ManifestFormat = 6
 
   /** One manifest data-file line: relative path + optional min/max of
     * the table's primary stats key (long for integral keys, base64
@@ -92,12 +99,15 @@ object SnapshotTable {
       maxKey: Option[Long], rows: Option[Long] = None, bytes: Option[Long] = None,
       minStr: Option[Array[Byte]] = None, maxStr: Option[Array[Byte]] = None,
       min2: Option[Long] = None, max2: Option[Long] = None,
-      min2Str: Option[Array[Byte]] = None, max2Str: Option[Array[Byte]] = None) {
+      min2Str: Option[Array[Byte]] = None, max2Str: Option[Array[Byte]] = None,
+      dv: Option[String] = None, dvRows: Option[Long] = None) {
     def render: String = {
       def s(o: Option[Long]): String = o.map(_.toString).getOrElse("")
       def b64(o: Option[Array[Byte]]): String =
         o.map(java.util.Base64.getEncoder.withoutPadding.encodeToString).getOrElse("")
-      if (min2Str.isDefined || max2Str.isDefined)
+      if (dv.isDefined)
+        s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}\t${dv.get}\t${s(dvRows)}"
+      else if (min2Str.isDefined || max2Str.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}"
       else if (min2.isDefined || max2.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}"
@@ -147,6 +157,9 @@ object SnapshotTable {
     // limit -1: string-stats lines may end in an empty field, which
     // the default split would silently drop (changing the arity)
     line.split("\t", -1) match {
+      case Array(p, mn, mx, r, b, lo, hi, m2, x2, lo2, hi2, dv, dvr) =>
+        FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2),
+          optB(lo2), optB(hi2), if (dv.isEmpty) None else Some(dv), opt(dvr))
       case Array(p, mn, mx, r, b, lo, hi, m2, x2, lo2, hi2) =>
         FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2),
           optB(lo2), optB(hi2))
@@ -708,33 +721,10 @@ object SnapshotTable {
     // everything): integral keys prune on the long range, STRING keys
     // on the binary range (unsigned byte order — the order both
     // parquet's stats and Spark's string comparisons use); any other
-    // type disables skipping, never correctness
-    val keyDt =
-      try Some(updates.select(updates(key)).schema.head.dataType)
-      catch { case _: Exception => None }
-    // limit(cap+1): the driver never holds more than cap+1 keys, and
-    // one extra row is how "too many to prune with" is detected
-    val updateKeys: Option[Array[Long]] = keyDt match {
-      case Some(org.apache.spark.sql.types.LongType) |
-           Some(org.apache.spark.sql.types.IntegerType) =>
-        val ks = updates.select(updates(key).cast("long").as("__k"))
-          .na.drop().distinct()
-          .limit(maxPruneKeys + 1)
-          .collect().map(_.getLong(0))
-        if (ks.length > maxPruneKeys) None
-        else { java.util.Arrays.sort(ks); Some(ks) }
-      case _ => None
-    }
-    val updateStrKeys: Option[Array[Array[Byte]]] = keyDt match {
-      case Some(org.apache.spark.sql.types.StringType) =>
-        val ks = updates.select(updates(key).as("__k"))
-          .na.drop().distinct()
-          .limit(maxPruneKeys + 1)
-          .collect().map(_.getString(0).getBytes("UTF-8"))
-        if (ks.length > maxPruneKeys) None
-        else { java.util.Arrays.sort(ks, byteOrder); Some(ks) }
-      case _ => None
-    }
+    // type disables skipping, never correctness. limit(cap+1) inside:
+    // the driver never holds more than cap+1 keys, and one extra row
+    // is how "too many to prune with" is detected.
+    val (updateKeys, updateStrKeys) = pruneKeySets(updates, key, maxPruneKeys)
     retrying(spark, root, op = "merge") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
@@ -752,10 +742,12 @@ object SnapshotTable {
       val rewritten =
         if (touched.isEmpty) Seq.empty[FileEntry]
         else {
-          // table schema applied explicitly: touched files may predate
-          // an earlier evolution and lack its columns (null-filled)
-          val current = spark.read.schema(tableSchema)
-            .parquet(touched.map(e => s"$root/${e.path}"): _*)
+          // effective read (dv-aware, table schema applied explicitly:
+          // touched files may predate an evolution and lack columns,
+          // and previously dv-deleted rows must not resurrect in the
+          // rewrite — which also MATERIALIZES their deletions: the
+          // rewritten entries carry no dv reference)
+          val current = readEntries(spark, root, tableSchema, touched)
           // alias, not rename: `key` may be a nested path (metadata.doc_id)
           val survivors = current.join(
             updates.select(updates(key).as("__mk")).distinct(),
@@ -825,8 +817,10 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val schema = schemaOf(spark, root, m)
       val (effKey, effKey2, _) = resolveStatsKeys(m, statsKey, statsKey2)
-      val files = m.entries.map(e => s"$root/${e.path}")
-      val current = spark.read.schema(schema).parquet(files: _*)
+      // effective read: dv-deleted rows drop out of the rewrite, so a
+      // full compaction is also the dv MATERIALIZATION op — the new
+      // version's files carry no deletion vectors at all
+      val current = readEntries(spark, root, schema, m.entries)
       Pending(writeDataFiles(spark, root,
         clusterLayout(current, targetFiles, effKey, effKey2, cluster, zorder),
         effKey, effKey2), schema, effKey, effKey2)
@@ -868,8 +862,10 @@ object SnapshotTable {
       val (effKey, effKey2, fixCarried) = resolveStatsKeys(m, statsKey, statsKey2)
       val (small, large) = m.entries.partition(_.bytes.forall(_ < smallBytes))
       if (small.size <= 1) throw NothingToCompact
-      val current = spark.read.schema(schema)
-        .parquet(small.map(e => s"$root/${e.path}"): _*)
+      // effective read: a small file's recorded deletions materialize
+      // in the packed output (large dv-bearing files keep theirs —
+      // their debt waits for a full compact or a merge that hits them)
+      val current = readEntries(spark, root, schema, small)
       val outFiles = math.max(1, math.ceil(
         small.flatMap(_.bytes).sum.toDouble / smallBytes).toInt)
       Pending(fixCarried(large) ++ writeDataFiles(spark, root,
@@ -968,8 +964,9 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val schema = schemaOf(spark, root, m)
       val (effKey, effKey2, _) = resolveStatsKeys(m, statsKey, statsKey2)
-      val files = m.entries.map(e => s"$root/${e.path}")
-      val kept = spark.read.schema(schema).parquet(files: _*).filter(keep)
+      // effective read: dv-deleted rows stay deleted whatever `keep`
+      // says about them, and the rewrite materializes the vectors
+      val kept = readEntries(spark, root, schema, m.entries).filter(keep)
       Pending(writeDataFiles(spark, root,
         clusterLayout(kept, targetFiles, effKey, effKey2, cluster, zorder),
         effKey, effKey2), schema, effKey, effKey2)
@@ -1015,23 +1012,33 @@ object SnapshotTable {
     * row-count tracking: unknown ≠ zero), and the stats identity. */
   final case class TableDetail(version: Int, liveVersions: Int, nFiles: Int,
       totalBytes: Long, smallFiles: Int, nRows: Long,
-      statsKey: Option[String], statsKey2: Option[String])
+      statsKey: Option[String], statsKey2: Option[String],
+      dvFiles: Int = 0, dvRows: Long = 0L)
 
   def describeDetail(spark: SparkSession, root: String,
       smallBytes: Long = 0L): TableDetail = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val m = manifestFull(spark, root, vs.last)
+    // dv debt is the scheduler's MATERIALIZE signal: files carrying
+    // deletion vectors pay an anti-join on every read until a rewrite
+    // purges them, so "dvRows is a meaningful fraction of nRows" is
+    // the compact trigger (the same role smallFiles plays for
+    // compactSmall). nRows reports LIVE rows: footer counts minus
+    // recorded deletions — what a reader actually sees.
     TableDetail(
       version = vs.last,
       liveVersions = vs.size,
       nFiles = m.entries.size,
       totalBytes = m.entries.flatMap(_.bytes).sum,
       smallFiles = m.entries.count(_.bytes.forall(_ < smallBytes)),
-      nRows = if (m.entries.forall(_.rows.isDefined)) m.entries.flatMap(_.rows).sum
+      nRows = if (m.entries.forall(_.rows.isDefined))
+                m.entries.flatMap(_.rows).sum - m.entries.flatMap(_.dvRows).sum
               else -1L,
       statsKey = m.statsKey,
-      statsKey2 = m.statsKey2)
+      statsKey2 = m.statsKey2,
+      dvFiles = m.entries.count(_.dv.isDefined),
+      dvRows = m.entries.flatMap(_.dvRows).sum)
   }
 
   /** Garbage-collect files referenced by NO live manifest — leftovers
@@ -1058,8 +1065,10 @@ object SnapshotTable {
   def vacuum(spark: SparkSession, root: String,
       minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
     val f = fs(spark, root)
-    val referenced = versions(spark, root)
-      .flatMap(v => readManifest(spark, root, v)).map(_.path).toSet
+    val live = versions(spark, root).flatMap(v => readManifest(spark, root, v))
+    val referenced = live.map(_.path).toSet
+    // deletion-vector sidecar DIRS any live version still points at
+    val referencedDv = live.flatMap(_.dv).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = Seq.newBuilder[String]
     // log-dir garbage: anything that is not a committed v*.json
@@ -1071,6 +1080,19 @@ object SnapshotTable {
       if (!n.matches("v\\d+\\.json") && s.getModificationTime < cutoff &&
         f.delete(s.getPath, false))
         deleted += s"$SnapshotDir/$n"
+    }
+    // deletion-vector sidecars: referenced as whole batch DIRS, so the
+    // sweep is dir-granular — an unreferenced sidecar (its last
+    // pointing version expired, or a lost-race delete attempt) goes
+    // recursively once every part of it has aged past the cutoff
+    val dvDir = new Path(root, "deletes")
+    if (f.exists(dvDir)) f.listStatus(dvDir).foreach { batch =>
+      val rel = s"deletes/${batch.getPath.getName}"
+      if (!referencedDv.contains(rel) &&
+        batch.getModificationTime < cutoff &&
+        f.listStatus(batch.getPath).forall(_.getModificationTime < cutoff) &&
+        f.delete(batch.getPath, true))
+        deleted += rel
     }
     val dataDir = new Path(root, "data")
     if (!f.exists(dataDir)) return deleted.result()
@@ -1146,7 +1168,11 @@ object SnapshotTable {
       HistoryEntry(v, m.op, m.entries.size,
         m.schema.map(_.fields.length).getOrElse(-1),
         m.entries.count(e => e.minKey.isDefined || e.minStr.isDefined),
-        if (m.entries.forall(_.rows.isDefined)) m.entries.flatMap(_.rows).sum else -1L)
+        // live rows: footer counts minus dv-recorded deletions — the
+        // count a reader of this version actually sees
+        if (m.entries.forall(_.rows.isDefined))
+          m.entries.flatMap(_.rows).sum - m.entries.flatMap(_.dvRows).sum
+        else -1L)
     }
 
   /** Read the table at `version` (default: latest). Time travel: any
@@ -1315,10 +1341,6 @@ object SnapshotTable {
         "change reads need every manifest in the window (retention must " +
         "outlive consumers)")
     val sch = schemaOf(spark, root, manifestFull(spark, root, to))
-    def readFiles(entries: Seq[FileEntry]): DataFrame =
-      if (entries.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
-      else spark.read.schema(sch).parquet(entries.map(e => s"$root/${e.path}"): _*)
     def tag(df: DataFrame, v: Int, kind: String): DataFrame =
       df.select(
         org.apache.spark.sql.functions.lit(v).cast("int").as("_commit_version") +:
@@ -1332,15 +1354,24 @@ object SnapshotTable {
       val m = manifestFull(spark, root, v)
       if (m.op != "compact") {
         val prevEntries = prev.map(_.entries).getOrElse(Seq.empty)
-        val prevPaths = prevEntries.map(_.path).toSet
-        val curPaths = m.entries.map(_.path).toSet
-        val added = m.entries.filterNot(e => prevPaths.contains(e.path))
-        val removed = prevEntries.filterNot(e => curPaths.contains(e.path))
+        val prevByPath = prevEntries.map(e => e.path -> e).toMap
+        val curByPath = m.entries.map(e => e.path -> e).toMap
+        // an entry participates in the diff when its FILE was added/
+        // removed OR its DELETION VECTOR changed in place (deleteWhere
+        // and mergeOnRead mutate dv without touching the file set) —
+        // both sides read EFFECTIVE rows (each side under its own dv
+        // state), so the dv delta surfaces as row-level deletes and
+        // untouched carried rows still net out. Cost stays bounded by
+        // the commit's own blast radius: only changed entries read.
+        val changedNew = m.entries.filter(e =>
+          prevByPath.get(e.path).forall(p => p.dv != e.dv))
+        val changedOld = prevEntries.filter(e =>
+          curByPath.get(e.path).forall(c => c.dv != e.dv))
         if (m.op == "append" || m.op == "create")
-          frames += tag(readFiles(added), v, "insert")
+          frames += tag(readEntries(spark, root, sch, changedNew), v, "insert")
         else {
-          val a = readFiles(added)
-          val r = readFiles(removed)
+          val a = readEntries(spark, root, sch, changedNew)
+          val r = readEntries(spark, root, sch, changedOld)
           frames += tag(a.exceptAll(r), v, "insert")
           frames += tag(r.exceptAll(a), v, "delete")
         }
@@ -1389,7 +1420,34 @@ object SnapshotTable {
     // self-attributed — independent of what the caller asked for)
     val primary = m.statsKey.filter(r => sameKey(Some(r), key))
     val index = new ManifestFileIndex(spark, root, m.entries, primary, m.statsKey2)
-    org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index, schema)
+    applyDvIndexed(spark, root,
+      org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index, schema),
+      m.entries)
+  }
+
+  /** Deletion vectors over the CATALYST-indexed read: the single
+    * relation [[ManifestFileIndex]] serves can't be split into a
+    * plain/dv union without losing the planning-time pruning, so the
+    * anti-join goes over the whole frame — dv positions only ever
+    * match rows of their own (immutable, uuid-pathed) files, plain
+    * files pass through the hash probe untouched. User predicates
+    * still push THROUGH the join to the scan (left-side filters), so
+    * the index's file skipping is unaffected. */
+  private def applyDvIndexed(spark: SparkSession, root: String,
+      df: DataFrame, entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val withDv = entries.filter(_.dv.isDefined)
+    if (withDv.isEmpty) df
+    else {
+      val cols = df.columns.toIndexedSeq.map(col)
+      val dv = dvPositions(spark, root, withDv).get
+      val total =
+        if (withDv.forall(_.dvRows.isDefined)) withDv.flatMap(_.dvRows).sum else -1L
+      antiJoinDv(
+        df.withColumn("__rel", relPathCol)
+          .withColumn("__idx", col("_metadata.row_index")),
+        dv, total).select(cols: _*)
+    }
   }
 
   /** [[readIndexed]] without naming a key: format-4 manifests RECORD
@@ -1402,8 +1460,308 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no table at $root")
     val m = manifestFull(spark, root, vs.last)
     val index = new ManifestFileIndex(spark, root, m.entries, m.statsKey, m.statsKey2)
-    org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
-      schemaOf(spark, root, m))
+    applyDvIndexed(spark, root,
+      org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
+        schemaOf(spark, root, m)),
+      m.entries)
+  }
+
+  /** Deleted-position sidecar schema: the target data file's
+    * MANIFEST-relative path + the deleted row's position within it
+    * (parquet row ordinal — `_metadata.row_index`, stable because data
+    * files are immutable). One sidecar DIRECTORY per committing
+    * delete/merge, holding the full effective position set for every
+    * file that commit touched; untouched entries keep pointing at
+    * their older sidecars. Positions for files later REWRITTEN stay in
+    * the sidecar harmlessly: rewrites mint fresh uuid paths, so a
+    * stale (path, pos) can never match a live row. */
+  private val DvPathCol = "__graft_dv_path"
+  private val DvPosCol = "__graft_dv_pos"
+
+  /** Above this many recorded deleted rows across the files being
+    * read, the DV anti-join abandons the broadcast hint and lets the
+    * planner shuffle: a position set that large no longer fits the
+    * "tiny side" contract a broadcast assumes (the same bound-or-
+    * shuffle discipline every driver-side collect in this module
+    * follows — never unbounded, never wrong). */
+  private val BroadcastDvRows = 4L * 1000 * 1000
+
+  /** The manifest-relative path of the file a scanned row came from:
+    * data files always live exactly at `data/<batch>/<file>.parquet`
+    * under the table root, so the last three path segments of
+    * `_metadata.file_path` ARE the manifest path — no root-prefix
+    * string surgery, scheme-independent (file:// and hdfs:// alike). */
+  private def relPathCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, concat_ws, slice, split}
+    concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
+  }
+
+  /** The recorded deleted positions of `entries` (those carrying a dv
+    * reference), as a (path, pos) frame — None when none carry one. */
+  private def dvPositions(spark: SparkSession, root: String,
+      entries: Seq[FileEntry]): Option[DataFrame] = {
+    val dirs = entries.flatMap(_.dv).distinct
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(d => s"$root/$d"): _*))
+  }
+
+  /** Drop `df`'s rows whose (file, position) appears in `dv` — the
+    * merge-on-read application. `df` must carry [[relPathCol]] as
+    * `__rel` and the row index as `__idx`; both are dropped. The dv
+    * side broadcasts when its recorded size is within
+    * [[BroadcastDvRows]] (a map-side hash anti-join — no shuffle of
+    * the data side), else the planner shuffles both sides. */
+  private def antiJoinDv(df: DataFrame, dv: DataFrame, totalDvRows: Long): DataFrame = {
+    val dvSide =
+      if (totalDvRows >= 0 && totalDvRows <= BroadcastDvRows)
+        org.apache.spark.sql.functions.broadcast(dv)
+      else dv
+    // left_anti keeps only left columns: `__rel`/`__idx` survive for
+    // callers that need the scan positions after the filter
+    df.join(dvSide,
+      df("__rel") === dvSide(DvPathCol) && df("__idx") === dvSide(DvPosCol),
+      "left_anti")
+  }
+
+  /** Read `entries` under `sch` with deletion vectors APPLIED — the
+    * one effective-row read every consumer of a file list goes
+    * through ([[readPruned]], [[merge]]'s touched-file read,
+    * [[compact]]/[[compactSmall]]/[[retainWhere]]'s current-snapshot
+    * read, [[readChanges]]' per-version diff sides). Files without a
+    * dv reference read plain (no metadata-column overhead); files
+    * with one read with their scan positions and anti-join the
+    * recorded set out. Keeping the split means a table that has never
+    * seen a merge-on-read delete pays zero for the feature. */
+  private def readEntries(spark: SparkSession, root: String,
+      sch: org.apache.spark.sql.types.StructType, entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (entries.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    val (withDv, plain) = entries.partition(_.dv.isDefined)
+    val cols = sch.fieldNames.toIndexedSeq.map(col)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(spark.read.schema(sch).parquet(plain.map(e => s"$root/${e.path}"): _*))
+    val effDf =
+      if (withDv.isEmpty) None
+      else {
+        val raw = spark.read.schema(sch).parquet(withDv.map(e => s"$root/${e.path}"): _*)
+          .withColumn("__rel", relPathCol)
+          .withColumn("__idx", col("_metadata.row_index"))
+        val dv = dvPositions(spark, root, withDv).get
+        // -1 = unknown (a pre-dvRows line): don't broadcast blind
+        val total =
+          if (withDv.forall(_.dvRows.isDefined)) withDv.flatMap(_.dvRows).sum else -1L
+        Some(antiJoinDv(raw, dv, total).select(cols: _*))
+      }
+    (plainDf, effDf) match {
+      case (Some(p), Some(e)) => p.select(cols: _*).unionAll(e)
+      case (Some(p), None) => p
+      case (None, Some(e)) => e
+      case _ => spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    }
+  }
+
+  private object NothingToDelete extends Exception
+
+  /** Merge-on-read DELETE: commit a new version in which every row
+    * matching `pred` is marked deleted — NO data file is rewritten.
+    * The commit writes one position sidecar (the (file, row-ordinal)
+    * pairs the predicate matched, unioned with each touched file's
+    * previously-recorded positions so a file always has exactly ONE
+    * live sidecar reference) and a manifest whose touched entries
+    * point at it; every reader anti-joins the positions out. This is
+    * the delete shape a 100 TB table needs for small-to-medium
+    * predicates: [[retainWhere]] rewrites the WHOLE table to drop a
+    * row; this writes bytes proportional to the rows DELETED. The
+    * trade is read-side work (the anti-join) that accrues until a
+    * rewrite materializes it — [[describeDetail]] reports the
+    * accumulated dv debt so a maintenance scheduler knows when to
+    * [[compact]] (which reads effective rows and emits dv-free files,
+    * exactly like Delta's purge-on-rewrite).
+    *
+    * A file whose every row is deleted DROPS out of the manifest
+    * entirely (no empty-file scans). Returns None — committing
+    * nothing — when the predicate matches no live row: a scheduled
+    * re-delete is a no-op, not version churn. The predicate is
+    * evaluated over the CURRENT snapshot inside the optimistic-commit
+    * loop, so a lost race re-evaluates against the winner's rows.
+    * Historical versions keep their own dv references — time travel
+    * shows pre-delete rows until the sidecars are vacuumed. Commits
+    * op "delete": row-changing, so [[readChanges]] emits the deleted
+    * rows and the streaming source refuses to silently skip it. */
+  def deleteWhere(spark: SparkSession, root: String,
+      pred: org.apache.spark.sql.Column): Option[Int] = {
+    import org.apache.spark.sql.functions.col
+    try Some(retrying(spark, root, op = "delete") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val sch = schemaOf(spark, root, m)
+      if (m.entries.isEmpty) throw NothingToDelete // nothing lives here
+      // scan positions ride the predicate scan; already-deleted rows
+      // are excluded so re-deleting is detectably a no-op
+      val raw = spark.read.schema(sch)
+        .parquet(m.entries.map(e => s"$root/${e.path}"): _*)
+        .withColumn("__rel", relPathCol)
+        .withColumn("__idx", col("_metadata.row_index"))
+      val live = dvPositions(spark, root, m.entries) match {
+        case Some(dv) =>
+          val total =
+            if (m.entries.forall(e => e.dv.isEmpty || e.dvRows.isDefined))
+              m.entries.flatMap(_.dvRows).sum
+            else -1L
+          antiJoinDv(raw, dv, total)
+        case None => raw
+      }
+      // persisted: the predicate scan runs ONCE — the per-file counts
+      // and the sidecar write both reuse it (at 100 TB the scan is the
+      // whole cost of a predicate delete; paying it twice is a bug)
+      val newDel = live.filter(pred)
+        .select(col("__rel").as(DvPathCol), col("__idx").as(DvPosCol))
+        .persist()
+      try {
+        // per-file deleted counts: bounded by the manifest's file
+        // count, which is already driver-resident — not a data collect
+        val newCounts = newDel.groupBy(DvPathCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (newCounts.isEmpty) throw NothingToDelete
+        val touched = m.entries.filter(e => newCounts.contains(e.path))
+        // one live sidecar per file: fold the touched files' previous
+        // positions into the new sidecar so their entries can repoint
+        val oldPos = dvPositions(spark, root, touched)
+          .map(_.filter(col(DvPathCol).isInCollection(touched.map(_.path))))
+        val all = oldPos.map(_.unionAll(newDel)).getOrElse(newDel)
+        val dvDir = s"deletes/batch-${java.util.UUID.randomUUID().toString.take(8)}"
+        all.write.parquet(s"$root/$dvDir")
+        // effective counts from the sidecar just written (tiny read):
+        // old ∪ new per file, disjoint by construction (the delete
+        // scan excluded already-deleted positions), so no distinct
+        val effCounts = spark.read.parquet(s"$root/$dvDir")
+          .groupBy(DvPathCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val files = m.entries.flatMap { e =>
+          effCounts.get(e.path) match {
+            case None => Seq(e) // untouched: keeps its old dv reference
+            case Some(n) if e.rows.contains(n) => Seq.empty // fully deleted
+            case Some(n) => Seq(e.copy(dv = Some(dvDir), dvRows = Some(n)))
+          }
+        }
+        Pending(files, sch, m.statsKey, m.statsKey2)
+      } finally newDel.unpersist()
+    })
+    catch { case NothingToDelete => None }
+  }
+
+  /** Merge-on-read MERGE: the same delete-then-add-by-key contract as
+    * [[merge]], but the delete half is DELETION VECTORS instead of a
+    * survivor rewrite — touched files stay in place with their
+    * matching rows marked deleted, and only the update batch is
+    * written. Copy-on-write [[merge]] writes (touched bytes + update
+    * bytes); this writes (positions + update bytes) — at 100 TB, an
+    * upsert of one document stops re-writing the multi-GB files it
+    * lands in. Same stats-identity discipline, same key-pruned
+    * touched-file selection through [[ManifestPruning]], same
+    * optimistic-commit loop; the accumulated dv debt is later
+    * materialized by any rewrite of the file (compact / copy-on-write
+    * merge / retainWhere). Commits op "merge" — [[readChanges]]' diff
+    * is dv-aware, so CDC sees exactly the delete+insert pairs. */
+  def mergeOnRead(spark: SparkSession, root: String, updates: DataFrame, key: String,
+      maxPruneKeys: Int = 100000, allowWiden: Boolean = false,
+      statsKey2: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    val key2AtStart = statsKey2.orElse(
+      versions(spark, root).lastOption.flatMap(v =>
+        manifestFull(spark, root, v).statsKey2))
+    val updateFiles = writeDataFiles(spark, root, updates, Some(key), key2AtStart)
+    val (updateKeys, updateStrKeys) = pruneKeySets(updates, key, maxPruneKeys)
+    retrying(spark, root, op = "merge") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val tableSchema = schemaOf(spark, root, m)
+      val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
+      val (_, effKey2, fixCarried) = resolveStatsKeys(m, Some(key), statsKey2)
+      val canPrune = sameKey(m.statsKey, key)
+      val (touched, untouched) = (updateKeys, updateStrKeys) match {
+        case (Some(keys), _) if canPrune =>
+          ManifestPruning.partitionByKeys(m.entries, keys)
+        case (_, Some(ks)) if canPrune =>
+          ManifestPruning.partitionByStrKeys(m.entries, ks)
+        case _ => (m.entries, Seq.empty[FileEntry])
+      }
+      val touchedOut =
+        if (touched.isEmpty) Seq.empty[FileEntry]
+        else {
+          val raw = spark.read.schema(tableSchema)
+            .parquet(touched.map(e => s"$root/${e.path}"): _*)
+            .withColumn("__rel", relPathCol)
+            .withColumn("__idx", col("_metadata.row_index"))
+          // rows whose key the update batch carries → newly deleted
+          // positions; a bounded key set broadcasts (map-side semi)
+          val keyFrame = updates.select(updates(key).as("__mk")).distinct()
+          val bounded = updateKeys.isDefined || updateStrKeys.isDefined
+          // distinct: a key both previously-deleted AND matched again
+          // lands once; persisted so the touched-file scan runs once
+          // for the emptiness check and the sidecar write alike
+          val hit = raw.join(
+              if (bounded) org.apache.spark.sql.functions.broadcast(keyFrame) else keyFrame,
+              raw(key) === col("__mk"), "left_semi")
+            .select(col("__rel").as(DvPathCol), col("__idx").as(DvPosCol))
+          val oldPos = dvPositions(spark, root, touched)
+            .map(_.filter(col(DvPathCol).isInCollection(touched.map(_.path))))
+          val all = oldPos.map(_.unionAll(hit)).getOrElse(hit).distinct().persist()
+          try {
+            val effCounts = all.groupBy(DvPathCol).count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            if (effCounts.isEmpty) touched // pruning kept them; no key hit
+            else {
+              val dvDir = s"deletes/batch-${java.util.UUID.randomUUID().toString.take(8)}"
+              all.write.parquet(s"$root/$dvDir")
+              touched.flatMap { e =>
+                effCounts.get(e.path) match {
+                  case None => Seq(e) // kept by pruning, no key actually hit
+                  case Some(n) if e.rows.contains(n) => Seq.empty // fully deleted
+                  case Some(n) => Seq(e.copy(dv = Some(dvDir), dvRows = Some(n)))
+                }
+              }
+            }
+          } finally all.unpersist()
+        }
+      Pending(fixCarried(untouched) ++ touchedOut ++
+        reconcileUpdateStats(updateFiles, key2AtStart, effKey2),
+        evolved, Some(key), effKey2)
+    }
+  }
+
+  /** The update batch's distinct keys for touched-file pruning —
+    * integral or string, capped at `maxPruneKeys` (beyond the cap the
+    * caller rewrites/marks every file rather than collecting a
+    * table-sized key set onto the driver). Shared by [[merge]] and
+    * [[mergeOnRead]]. */
+  private def pruneKeySets(updates: DataFrame, key: String, maxPruneKeys: Int):
+      (Option[Array[Long]], Option[Array[Array[Byte]]]) = {
+    val keyDt =
+      try Some(updates.select(updates(key)).schema.head.dataType)
+      catch { case _: Exception => None }
+    val longs: Option[Array[Long]] = keyDt match {
+      case Some(org.apache.spark.sql.types.LongType) |
+           Some(org.apache.spark.sql.types.IntegerType) =>
+        val ks = updates.select(updates(key).cast("long").as("__k"))
+          .na.drop().distinct()
+          .limit(maxPruneKeys + 1)
+          .collect().map(_.getLong(0))
+        if (ks.length > maxPruneKeys) None
+        else { java.util.Arrays.sort(ks); Some(ks) }
+      case _ => None
+    }
+    val strs: Option[Array[Array[Byte]]] = keyDt match {
+      case Some(org.apache.spark.sql.types.StringType) =>
+        val ks = updates.select(updates(key).as("__k"))
+          .na.drop().distinct()
+          .limit(maxPruneKeys + 1)
+          .collect().map(_.getString(0).getBytes("UTF-8"))
+        if (ks.length > maxPruneKeys) None
+        else { java.util.Arrays.sort(ks, byteOrder); Some(ks) }
+      case _ => None
+    }
+    (longs, strs)
   }
 
   private def readPruned(spark: SparkSession, root: String, version: Option[Int],
@@ -1413,18 +1771,7 @@ object SnapshotTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist (have $vs)")
     val m = manifestFull(spark, root, v)
-    val kept = prune(m)
-    if (kept.isEmpty) {
-      // fully pruned: an empty frame with the version's schema
-      val sch = schemaOf(spark, root, m)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
-    } else {
-      val files = kept.map(e => s"$root/${e.path}")
-      m.schema match {
-        case Some(sch) => spark.read.schema(sch).parquet(files: _*)
-        case None => spark.read.parquet(files: _*)
-      }
-    }
+    readEntries(spark, root, schemaOf(spark, root, m), prune(m))
   }
 }
 

@@ -180,6 +180,17 @@ class ManifestBoundsSpec extends AnyFunSuite {
       None, None, None, None,
       Some("a".getBytes("UTF-8")), Some("m".getBytes("UTF-8"))))
     assert(is2.minKey.contains(1L) && is2.min2Str.isDefined)
+    // DELETION-VECTOR reference (format 6, 13-field line) — with and
+    // without the full two-key stats payload in front of it
+    val dv = rt(FileEntry("data/b/f.parquet", Some(3L), Some(9L), Some(100L), Some(812L),
+      dv = Some("deletes/batch-ab12cd34"), dvRows = Some(17L)))
+    assert(dv.dv.contains("deletes/batch-ab12cd34") && dv.dvRows.contains(17L))
+    assert(dv.minKey.contains(3L) && dv.rows.contains(100L) && dv.bytes.contains(812L))
+    val dvFull = rt(FileEntry("p", None, None, Some(10L), Some(99L),
+      Some(bytes), Some(bytes), Some(2L), Some(4L), Some(bytes), Some(bytes),
+      Some("deletes/batch-x"), Some(1L)))
+    assert(dvFull.dv.contains("deletes/batch-x") && dvFull.dvRows.contains(1L) &&
+      dvFull.min2.contains(2L) && dvFull.min2Str.map(_.toSeq).contains(bytes.toSeq))
   }
 
   test("secondary-key pruning is independent of the primary and conservative without stats") {
