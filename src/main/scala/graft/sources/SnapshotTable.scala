@@ -78,8 +78,17 @@ object SnapshotTable {
     * and [[mergeOnRead]] commit by marking positions instead of
     * rewriting data files, readers anti-join the positions out, and
     * any rewrite of the file ([[compact]], copy-on-write [[merge]])
-    * materializes the deletions and drops the reference. */
-  private val ManifestFormat = 6
+    * materializes the deletions and drops the reference;
+    * 7 = file lines may carry a per-file BLOOM FILTER over the primary
+    * stats key (base64 bitset, power-of-two size, xxhash64-derived
+    * positions — see [[bloomPositions]]): point probes prune files
+    * whose [min,max] range cannot — the md5-uniform keys of a
+    * freshly-appended UNCLUSTERED dedup-index file span ~the whole key
+    * space, so until maintenance re-clusters, range stats keep every
+    * fresh file and the bloom is the only thing standing between a
+    * point probe and a full scan. Small files only (the gap is fresh
+    * micro-batches; big files are either clustered or worth scanning). */
+  private val ManifestFormat = 7
 
   /** One manifest data-file line: relative path + optional min/max of
     * the table's primary stats key (long for integral keys, base64
@@ -100,12 +109,15 @@ object SnapshotTable {
       minStr: Option[Array[Byte]] = None, maxStr: Option[Array[Byte]] = None,
       min2: Option[Long] = None, max2: Option[Long] = None,
       min2Str: Option[Array[Byte]] = None, max2Str: Option[Array[Byte]] = None,
-      dv: Option[String] = None, dvRows: Option[Long] = None) {
+      dv: Option[String] = None, dvRows: Option[Long] = None,
+      bloom: Option[Array[Byte]] = None) {
     def render: String = {
       def s(o: Option[Long]): String = o.map(_.toString).getOrElse("")
       def b64(o: Option[Array[Byte]]): String =
         o.map(java.util.Base64.getEncoder.withoutPadding.encodeToString).getOrElse("")
-      if (dv.isDefined)
+      if (bloom.isDefined)
+        s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}\t${dv.getOrElse("")}\t${s(dvRows)}\t${b64(bloom)}"
+      else if (dv.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}\t${dv.get}\t${s(dvRows)}"
       else if (min2Str.isDefined || max2Str.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}"
@@ -132,10 +144,12 @@ object SnapshotTable {
       ManifestPruning.overlapsStr(this, lo, hi)
     /** Stats stripped — what a carried-forward entry becomes when a
       * commit changes the stats key: ranges measured on the OLD key
-      * must not survive under a header naming the new one. Row count
-      * and size are key-independent and stay. */
+      * must not survive under a header naming the new one. The BLOOM
+      * goes with them — its positions were hashed from the old key's
+      * values, so under a new key name it would wrongly skip files.
+      * Row count and size are key-independent and stay. */
     def withoutKeyStats: FileEntry =
-      copy(minKey = None, maxKey = None, minStr = None, maxStr = None)
+      copy(minKey = None, maxKey = None, minStr = None, maxStr = None, bloom = None)
     def withoutKey2Stats: FileEntry =
       copy(min2 = None, max2 = None, min2Str = None, max2Str = None)
   }
@@ -150,6 +164,46 @@ object SnapshotTable {
         java.util.Arrays.compareUnsigned(a, b)
     }
 
+  /** Bloom-filter geometry. K probe positions per key, derived from ONE
+    * xxhash64 (seed 42 — the SQL function's default, so the write side
+    * can hash distributedly with `functions.xxhash64` and the probe
+    * side reproduces it exactly by evaluating the same Catalyst
+    * expression driver-side) via Kirsch–Mitzenmacher double hashing:
+    * pos_i = (h1 + i·h2) mod m, h1 = top 32 bits, h2 = low 32 bits
+    * forced odd. m is per-file, power of two, ~10 bits/key
+    * ([[bloomBitsFor]]); only files with ≤ [[BloomMaxRows]] rows carry
+    * one — the gap blooms close is FRESH SMALL files (micro-batch
+    * appends whose uniform keys defeat range stats until maintenance
+    * re-clusters); a big file is either clustered (range-prunable) or
+    * genuinely worth scanning, and an under-sized bloom on it would be
+    * all-ones dead weight in every manifest line. */
+  private[sources] val BloomK = 4
+  private[sources] val BloomMaxRows = 8192L
+
+  /** Bits for a `rows`-key bloom: next power of two ≥ 10·rows, clamped
+    * to [1024, 65536] (128 B – 8 KiB of bitset per manifest line). */
+  private def bloomBitsFor(rows: Long): Int = {
+    val target = math.max(1024L, rows * 10L)
+    val p = java.lang.Long.highestOneBit(target)
+    math.min(if (p == target) p else p << 1, 65536L).toInt
+  }
+
+  private def bloomSplit(h: Long): (Long, Long) = (h >>> 32, (h & 0xFFFFFFFFL) | 1L)
+
+  /** Driver-side hash of a probe key, IDENTICAL to the write side's
+    * `xxhash64(col)` by construction: the same Catalyst expression the
+    * SQL function plans, evaluated on a literal. */
+  private[sources] def bloomHashLong(v: Long): (Long, Long) =
+    bloomSplit(org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        v, org.apache.spark.sql.types.LongType)), 42L).eval(null).asInstanceOf[Long])
+
+  private[sources] def bloomHashBytes(b: Array[Byte]): (Long, Long) =
+    bloomSplit(org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(b),
+        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long])
+
   private[sources] def parseEntry(line: String): FileEntry = {
     def opt(s: String): Option[Long] = if (s.isEmpty) None else Some(s.toLong)
     def optB(s: String): Option[Array[Byte]] =
@@ -157,6 +211,9 @@ object SnapshotTable {
     // limit -1: string-stats lines may end in an empty field, which
     // the default split would silently drop (changing the arity)
     line.split("\t", -1) match {
+      case Array(p, mn, mx, r, b, lo, hi, m2, x2, lo2, hi2, dv, dvr, bl) =>
+        FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2),
+          optB(lo2), optB(hi2), if (dv.isEmpty) None else Some(dv), opt(dvr), optB(bl))
       case Array(p, mn, mx, r, b, lo, hi, m2, x2, lo2, hi2, dv, dvr) =>
         FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2),
           optB(lo2), optB(hi2), if (dv.isEmpty) None else Some(dv), opt(dvr))
@@ -265,7 +322,8 @@ object SnapshotTable {
     * no-stats (conservative rewrite), never to a wrong range. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None,
-      statsKey2: Option[String] = None): Seq[FileEntry] = {
+      statsKey2: Option[String] = None,
+      bloomKey: Boolean = false): Seq[FileEntry] = {
     val batch = s"data/batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
     val f = fs(spark, root)
@@ -318,10 +376,60 @@ object SnapshotTable {
             }
           })
         }
-        futures.map(_.get())
+        val entries = futures.map(_.get())
+        if (bloomKey) attachBlooms(spark, root, entries, keyKind) else entries
       } finally pool.shutdown()
     }
   }
+
+  /** Per-file bloom filters over the primary stats key (format 7,
+    * opt-in): ONE extra job reading ONLY the key column of the
+    * just-written small files (column-pruned scan of data still hot in
+    * the page cache), hashing each key once (`xxhash64`, the codegen'd
+    * built-in) and folding the K derived positions into a per-file
+    * position set. The driver collect is bounded by construction:
+    * ≤ K · [[BloomMaxRows]] positions per file, files per batch only.
+    * Files above the row cap, statless files, and non-prunable key
+    * types are skipped — absent blooms never skip, so degradation is
+    * always toward the scan, never toward lost rows. */
+  private def attachBlooms(spark: SparkSession, root: String,
+      entries: Seq[FileEntry], keyKind: Option[(String, Boolean)]): Seq[FileEntry] =
+    keyKind match {
+      case None => entries
+      case Some((key, isString)) =>
+        val targets = entries.filter(e => e.rows.exists(r => r > 0 && r <= BloomMaxRows))
+        if (targets.isEmpty) entries
+        else {
+          import org.apache.spark.sql.functions._
+          val mByPath = targets.map(e => e.path -> bloomBitsFor(e.rows.get))
+          val mDf = broadcast(
+            spark.createDataFrame(mByPath).toDF("__f", "__m"))
+          val hashed = spark.read
+            .parquet(targets.map(e => s"$root/${e.path}"): _*)
+            .select(relPathCol.as("__f"),
+              (if (isString) xxhash64(col(key))
+               else xxhash64(col(key).cast("long"))).as("__h"))
+            .join(mDf, "__f")
+          val h1 = shiftrightunsigned(col("__h"), 32)
+          val h2 = col("__h").bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))
+          val sets = hashed
+            .select(col("__f"), col("__m"), explode(array(
+              (0 until BloomK).map(i =>
+                pmod(h1 + lit(i.toLong) * h2, col("__m").cast("long"))): _*)).as("__p"))
+            .groupBy("__f")
+            .agg(first(col("__m")).as("m"), collect_set(col("__p")).as("ps"))
+            .collect()
+          val blooms = sets.map { r =>
+            val bits = new Array[Byte](r.getInt(1) / 8)
+            r.getSeq[Long](2).foreach { p =>
+              bits(p.toInt >> 3) = (bits(p.toInt >> 3) | (1 << (p.toInt & 7))).toByte
+            }
+            r.getString(0) -> bits
+          }.toMap
+          entries.map(e => blooms.get(e.path)
+            .map(b => e.copy(bloom = Some(b))).getOrElse(e))
+        }
+    }
 
   /** Per-column accumulator for one footer pass: long range, binary
     * range, and a validity flag (one statless/unknown row group poisons
@@ -628,9 +736,10 @@ object SnapshotTable {
     * point-prune a chunk table). */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None, statsKey2: Option[String] = None,
-      txnBatchId: Option[Long] = None): Int = {
+      txnBatchId: Option[Long] = None, bloomKey: Boolean = false): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
-    commit(spark, root, writeDataFiles(spark, root, df, statsKey, statsKey2),
+    commit(spark, root,
+      writeDataFiles(spark, root, df, statsKey, statsKey2, bloomKey),
       widened(df.schema), expected = 0, op = "create", statsKey, statsKey2,
       txnBatchId)
   }
@@ -643,9 +752,10 @@ object SnapshotTable {
     * given the append INHERITS the table's recorded stats key(s). */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None, allowWiden: Boolean = false,
-      statsKey2: Option[String] = None, txnBatchId: Option[Long] = None): Int =
+      statsKey2: Option[String] = None, txnBatchId: Option[Long] = None,
+      bloomKey: Boolean = false): Int =
     appendImpl(spark, root, df, statsKey, statsKey2, allowWiden,
-      skipIfEmpty = false, txnBatchId).get
+      skipIfEmpty = false, txnBatchId, bloomKey).get
 
   /** [[append]] that skips the commit when the batch turns out to be
     * EMPTY: the per-file row counts ride the footer reads the write
@@ -656,21 +766,24 @@ object SnapshotTable {
     * just-written empty files removed — instead of committing. */
   def appendIfNonEmpty(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None, allowWiden: Boolean = false,
-      statsKey2: Option[String] = None, txnBatchId: Option[Long] = None): Option[Int] =
+      statsKey2: Option[String] = None, txnBatchId: Option[Long] = None,
+      bloomKey: Boolean = false): Option[Int] =
     appendImpl(spark, root, df, statsKey, statsKey2, allowWiden,
-      skipIfEmpty = true, txnBatchId)
+      skipIfEmpty = true, txnBatchId, bloomKey)
 
   private object EmptyBatch extends Exception
 
   private def appendImpl(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String], statsKey2: Option[String], allowWiden: Boolean,
-      skipIfEmpty: Boolean, txnBatchId: Option[Long] = None): Option[Int] = {
+      skipIfEmpty: Boolean, txnBatchId: Option[Long] = None,
+      bloomKey: Boolean = false): Option[Int] = {
     var written: Seq[FileEntry] = Seq.empty
     try Some(retrying(spark, root, op = "append") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val evolved = evolveSchema(schemaOf(spark, root, m), df.schema, allowWiden)
       val (effKey, effKey2, fixCarried) = resolveStatsKeys(m, statsKey, statsKey2)
-      val newFiles = writeDataFiles(spark, root, alignTo(df, evolved), effKey, effKey2)
+      val newFiles = writeDataFiles(spark, root, alignTo(df, evolved), effKey, effKey2,
+        bloomKey)
       written = newFiles
       // skip only on POSITIVE evidence of emptiness: every file's
       // footer row count known and zero (or no files at all) — an
@@ -734,9 +847,9 @@ object SnapshotTable {
       val canPrune = sameKey(m.statsKey, key)
       val (touched, untouched) = (updateKeys, updateStrKeys) match {
         case (Some(keys), _) if canPrune =>
-          ManifestPruning.partitionByKeys(m.entries, keys)
+          ManifestPruning.partitionByKeys(m.entries, keys, keys.map(bloomHashLong))
         case (_, Some(ks)) if canPrune =>
-          ManifestPruning.partitionByStrKeys(m.entries, ks)
+          ManifestPruning.partitionByStrKeys(m.entries, ks, ks.map(bloomHashBytes))
         case _ => (m.entries, Seq.empty[FileEntry])
       }
       val rewritten =
@@ -1219,7 +1332,9 @@ object SnapshotTable {
       else if (!sameKey(m.statsKey, key)) m.entries
       else {
         val sorted = keys.clone(); java.util.Arrays.sort(sorted)
-        ManifestPruning.keepForKeys(m.entries, sorted)
+        // per-key bloom hashes, computed once per probe: range stats
+        // prune clustered files, blooms prune the fresh unclustered ones
+        ManifestPruning.keepForKeys(m.entries, sorted, keys.map(bloomHashLong))
       }
     })
 
@@ -1233,7 +1348,7 @@ object SnapshotTable {
       else {
         val bs = keys.map(_.getBytes("UTF-8"))
         java.util.Arrays.sort(bs, byteOrder)
-        ManifestPruning.keepForStrKeys(m.entries, bs)
+        ManifestPruning.keepForStrKeys(m.entries, bs, bs.map(bloomHashBytes))
       }
     })
 
@@ -1681,9 +1796,9 @@ object SnapshotTable {
       val canPrune = sameKey(m.statsKey, key)
       val (touched, untouched) = (updateKeys, updateStrKeys) match {
         case (Some(keys), _) if canPrune =>
-          ManifestPruning.partitionByKeys(m.entries, keys)
+          ManifestPruning.partitionByKeys(m.entries, keys, keys.map(bloomHashLong))
         case (_, Some(ks)) if canPrune =>
-          ManifestPruning.partitionByStrKeys(m.entries, ks)
+          ManifestPruning.partitionByStrKeys(m.entries, ks, ks.map(bloomHashBytes))
         case _ => (m.entries, Seq.empty[FileEntry])
       }
       val touchedOut =
@@ -1838,20 +1953,55 @@ private[sources] object ManifestPruning {
       from < keys.length && ord.compare(keys(from), mx) <= 0
     }
 
+  /** Could any of the hashed probe keys be in this file's BLOOM? No
+    * bloom → maybe (blooms only ever tighten range/point verdicts).
+    * `hashes` are the keys' (h1, h2) xxhash64 splits
+    * ([[SnapshotTable.bloomHashLong]]/[[SnapshotTable.bloomHashBytes]]
+    * — computed ONCE per probe, not per file); positions derive per
+    * file because m is per-file. A false positive keeps a file (scan,
+    * correct); a false negative is impossible for keys the file
+    * actually holds (every held key set its positions at write time).
+    * This is what prunes a point probe against fresh UNCLUSTERED files
+    * whose [min,max] range spans ~everything. */
+  def bloomKeeps(e: FileEntry, hashes: Array[(Long, Long)]): Boolean =
+    e.bloom match {
+      case None => true
+      case Some(b) =>
+        val m = b.length.toLong * 8 // power of two by construction
+        hashes.exists { case (h1, h2) =>
+          var i = 0
+          var all = true
+          while (all && i < SnapshotTable.BloomK) {
+            val p = ((h1 + i * h2) % m).toInt
+            all = (b(p >> 3) & (1 << (p & 7))) != 0
+            i += 1
+          }
+          all
+        }
+    }
+
   def keepForRange(entries: Seq[FileEntry], lo: Long, hi: Long): Seq[FileEntry] =
     entries.filter(overlaps(_, lo, hi))
 
-  def keepForKeys(entries: Seq[FileEntry], sortedKeys: Array[Long]): Seq[FileEntry] =
-    entries.filter(mayContain(_, sortedKeys))
+  def keepForKeys(entries: Seq[FileEntry], sortedKeys: Array[Long],
+      hashes: Array[(Long, Long)] = null): Seq[FileEntry] =
+    entries.filter(e => mayContain(e, sortedKeys) &&
+      (hashes == null || bloomKeeps(e, hashes)))
 
-  def keepForStrKeys(entries: Seq[FileEntry], sortedKeys: Array[Array[Byte]]): Seq[FileEntry] =
-    entries.filter(mayContainStr(_, sortedKeys))
+  def keepForStrKeys(entries: Seq[FileEntry], sortedKeys: Array[Array[Byte]],
+      hashes: Array[(Long, Long)] = null): Seq[FileEntry] =
+    entries.filter(e => mayContainStr(e, sortedKeys) &&
+      (hashes == null || bloomKeeps(e, hashes)))
 
-  def partitionByKeys(entries: Seq[FileEntry], sortedKeys: Array[Long]): (Seq[FileEntry], Seq[FileEntry]) =
-    entries.partition(mayContain(_, sortedKeys))
+  def partitionByKeys(entries: Seq[FileEntry], sortedKeys: Array[Long],
+      hashes: Array[(Long, Long)] = null): (Seq[FileEntry], Seq[FileEntry]) =
+    entries.partition(e => mayContain(e, sortedKeys) &&
+      (hashes == null || bloomKeeps(e, hashes)))
 
-  def partitionByStrKeys(entries: Seq[FileEntry], sortedKeys: Array[Array[Byte]]): (Seq[FileEntry], Seq[FileEntry]) =
-    entries.partition(mayContainStr(_, sortedKeys))
+  def partitionByStrKeys(entries: Seq[FileEntry], sortedKeys: Array[Array[Byte]],
+      hashes: Array[(Long, Long)] = null): (Seq[FileEntry], Seq[FileEntry]) =
+    entries.partition(e => mayContainStr(e, sortedKeys) &&
+      (hashes == null || bloomKeeps(e, hashes)))
 
   /** Do `bounds` (extracted for the PRIMARY stats column) keep this
     * file? Range and point-set constraints compose conjunctively. */
@@ -1935,11 +2085,17 @@ private[sources] final class ManifestFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val pb = key.map(k => ManifestFileIndex.bounds(dataFilters, k))
     val sb = key2.map(k => ManifestFileIndex.bounds(dataFilters, k))
+    // exact point sets (equalities / IN-lists on the verified primary)
+    // also probe the per-file BLOOMS — hashed once here, not per file
+    val pbHashes: Option[Array[(Long, Long)]] = pb.flatMap(b =>
+      b.longPoints.map(_.map(SnapshotTable.bloomHashLong))
+        .orElse(b.strPoints.map(_.map(SnapshotTable.bloomHashBytes))))
     val kept =
       if (pb.exists(ManifestPruning.contradictory) ||
           sb.exists(ManifestPruning.contradictory)) Seq.empty
       else fileStatuses.filter { case (_, e) =>
         pb.forall(ManifestPruning.keepPrimary(e, _)) &&
+          pbHashes.forall(ManifestPruning.bloomKeeps(e, _)) &&
           sb.forall(ManifestPruning.keepSecondary(e, _))
       }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))

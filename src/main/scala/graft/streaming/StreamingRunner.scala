@@ -326,7 +326,7 @@ object StreamingRunner {
         try {
           if (fresh)
             graft.sources.SnapshotTable.create(spark, indexRoot, fp,
-              statsKey = Some("fp"))
+              statsKey = Some("fp"), bloomKey = true)
           else {
             // per-key probe ON THE FINGERPRINT ITSELF (binary manifest
             // stats): md5-uniform keys make any [min,max] envelope
@@ -342,8 +342,12 @@ object StreamingRunner {
               else
                 graft.sources.SnapshotTable.readKeysStr(spark, indexRoot, "fp", ks))
                 .select(col("fp"))
+              // bloomKey: fresh (unclustered) index files carry a
+              // per-file bloom over fp, so the NEXT batches' point
+              // probes prune them before maintenance ever re-clusters
               graft.sources.SnapshotTable.appendIfNonEmpty(spark, indexRoot,
-                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp"))
+                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp"),
+                bloomKey = true)
             }
           }
           if (maintainEvery > 0 && seq % maintainEvery == 0) {
@@ -463,7 +467,8 @@ object StreamingRunner {
                 .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
             hwm.updateAndGet(m => math.max(m, batchMax))
             if (fresh)
-              snap.create(spark, indexRoot, fp, statsKey = Some("fp"))
+              snap.create(spark, indexRoot, fp, statsKey = Some("fp"),
+                bloomKey = true)
             else {
               val seen = (if (keyTs.length > maxProbeKeys)
                 snap.read(spark, indexRoot)
@@ -471,7 +476,8 @@ object StreamingRunner {
                 snap.readKeysStr(spark, indexRoot, "fp", keyTs.map(_._1)))
                 .select(col("fp"))
               snap.appendIfNonEmpty(spark, indexRoot,
-                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp"))
+                fp.join(seen, Seq("fp"), "left_anti"), statsKey = Some("fp"),
+                bloomKey = true)
             }
           }
           if (seq % maintainEvery == 0 && !snap.versions(spark, indexRoot).isEmpty) {
