@@ -1145,13 +1145,14 @@ object SnapshotTable {
       nFiles = m.entries.size,
       totalBytes = m.entries.flatMap(_.bytes).sum,
       smallFiles = m.entries.count(_.bytes.forall(_ < smallBytes)),
-      nRows = if (m.entries.forall(_.rows.isDefined))
+      nRows = if (m.entries.forall(e => e.rows.isDefined && knownDv(e)))
                 m.entries.flatMap(_.rows).sum - m.entries.flatMap(_.dvRows).sum
               else -1L,
       statsKey = m.statsKey,
       statsKey2 = m.statsKey2,
       dvFiles = m.entries.count(_.dv.isDefined),
-      dvRows = m.entries.flatMap(_.dvRows).sum)
+      dvRows = if (m.entries.forall(knownDv)) m.entries.flatMap(_.dvRows).sum
+               else -1L)
   }
 
   /** Garbage-collect files referenced by NO live manifest — leftovers
@@ -1282,11 +1283,22 @@ object SnapshotTable {
         m.schema.map(_.fields.length).getOrElse(-1),
         m.entries.count(e => e.minKey.isDefined || e.minStr.isDefined),
         // live rows: footer counts minus dv-recorded deletions — the
-        // count a reader of this version actually sees
-        if (m.entries.forall(_.rows.isDefined))
+        // count a reader of this version actually sees. An entry with
+        // a dv but NO recorded count (legal: empty 13th field) makes
+        // the live count unknown, not "zero deletions"
+        if (m.entries.forall(e => e.rows.isDefined && knownDv(e)))
           m.entries.flatMap(_.rows).sum - m.entries.flatMap(_.dvRows).sum
         else -1L)
     }
+
+  /** Is this entry's deletion debt KNOWN — either no dv, or a dv with
+    * its deleted-row count recorded? A dv-bearing line whose count
+    * field is empty parses legally ([[parseEntry]]); treating it as
+    * zero deletions would overstate live rows, so the aggregate
+    * surfaces ([[describeDetail]], [[history]]) fall back to the -1
+    * unknown sentinel — the same discipline [[readEntries]] applies to
+    * its broadcast decision. */
+  private def knownDv(e: FileEntry): Boolean = e.dv.isEmpty || e.dvRows.isDefined
 
   /** Read the table at `version` (default: latest). Time travel: any
     * committed version stays readable — its files are immutable, and
@@ -1612,12 +1624,27 @@ object SnapshotTable {
   }
 
   /** The recorded deleted positions of `entries` (those carrying a dv
-    * reference), as a (path, pos) frame — None when none carry one. */
+    * reference), as a (path, pos) frame — None when none carry one.
+    * Each sidecar dir is read filtered to the files whose entry IN
+    * `entries` actually points at it: a sidecar holds positions for
+    * every file its commit touched, and a file later re-touched
+    * repoints to a newer dir that SUPERSETS its old positions — so
+    * reading dirs unfiltered would return those positions twice. For
+    * an anti-join that's waste; for a count it's corruption (dvRows
+    * inflated until "fully deleted" fires on a file with live rows —
+    * silent data loss). Filtering by the pointing entries makes the
+    * union duplicate-free by construction. */
   private def dvPositions(spark: SparkSession, root: String,
       entries: Seq[FileEntry]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    // manifest order, deterministic — keeps read plans fingerprint-stable
     val dirs = entries.flatMap(_.dv).distinct
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(d => s"$root/$d"): _*))
+    else Some(dirs.map { d =>
+      val pointing = entries.collect { case e if e.dv.contains(d) => e.path }
+      spark.read.parquet(s"$root/$d")
+        .filter(col(DvPathCol).isInCollection(pointing))
+    }.reduce(_ unionAll _))
   }
 
   /** Drop `df`'s rows whose (file, position) appears in `dv` — the
@@ -1741,15 +1768,16 @@ object SnapshotTable {
         if (newCounts.isEmpty) throw NothingToDelete
         val touched = m.entries.filter(e => newCounts.contains(e.path))
         // one live sidecar per file: fold the touched files' previous
-        // positions into the new sidecar so their entries can repoint
+        // positions into the new sidecar so their entries can repoint.
+        // dvPositions reads each dir filtered to its OWN pointing
+        // entries (no cross-generation duplicates), and the delete
+        // scan anti-joined already-deleted rows out, so old ∪ new is
+        // disjoint — no distinct needed
         val oldPos = dvPositions(spark, root, touched)
-          .map(_.filter(col(DvPathCol).isInCollection(touched.map(_.path))))
         val all = oldPos.map(_.unionAll(newDel)).getOrElse(newDel)
         val dvDir = s"deletes/batch-${java.util.UUID.randomUUID().toString.take(8)}"
         all.write.parquet(s"$root/$dvDir")
-        // effective counts from the sidecar just written (tiny read):
-        // old ∪ new per file, disjoint by construction (the delete
-        // scan excluded already-deleted positions), so no distinct
+        // effective counts from the sidecar just written (tiny read)
         val effCounts = spark.read.parquet(s"$root/$dvDir")
           .groupBy(DvPathCol).count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1819,8 +1847,9 @@ object SnapshotTable {
               if (bounded) org.apache.spark.sql.functions.broadcast(keyFrame) else keyFrame,
               raw(key) === col("__mk"), "left_semi")
             .select(col("__rel").as(DvPathCol), col("__idx").as(DvPosCol))
+          // distinct stays: `raw` is not dv-filtered here, so a key
+          // previously deleted AND matched again lands in both sides
           val oldPos = dvPositions(spark, root, touched)
-            .map(_.filter(col(DvPathCol).isInCollection(touched.map(_.path))))
           val all = oldPos.map(_.unionAll(hit)).getOrElse(hit).distinct().persist()
           try {
             val effCounts = all.groupBy(DvPathCol).count().collect()

@@ -199,6 +199,54 @@ class SnapshotDvSpec extends SparkSpec {
     assert(live.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((126L, "r126")))
   }
 
+  test("overlapping deleteWhere generations never double-count sidecar positions") {
+    val root = tmp()
+    // two single-file batches: F holds ids 0-3, G holds ids 10-13
+    SnapshotTable.create(spark, root,
+      (0L to 3L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1),
+      statsKey = Some("id"))
+    SnapshotTable.append(spark, root,
+      (10L to 13L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    // D1 touches both files; D2 repoints F to a superset sidecar —
+    // D1 still holds F's {0} alongside G's live positions
+    SnapshotTable.deleteWhere(spark, root, col("id").isin(0L, 10L))
+    SnapshotTable.deleteWhere(spark, root, col("id") === 1L)
+    // third delete touches BOTH files again: F's old positions must
+    // come only from its live sidecar (D2), not D1 ∪ D2 — the
+    // duplicate {0} would inflate F's count to 4 == rows and drop the
+    // file with id=3 still live
+    SnapshotTable.deleteWhere(spark, root, col("id").isin(2L, 11L))
+    val ids = SnapshotTable.read(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(3L, 12L, 13L),
+      s"live rows lost or resurrected after overlapping deletes: $ids")
+    val d = SnapshotTable.describeDetail(spark, root)
+    assert(d.nRows == 3 && d.dvRows == 5,
+      s"sidecar positions double-counted across generations: $d")
+  }
+
+  test("dv entry without a recorded count reports UNKNOWN debt, not zero") {
+    val root = tmp()
+    clustered400(root)
+    SnapshotTable.deleteWhere(spark, root, col("id") === 5L)
+    // blank the dvRows field (13th) — a legal parse (empty field), as
+    // a manifest written by a pre-dvRows writer would produce
+    val p = java.nio.file.Paths.get(root, "_snapshots", f"v${2}%07d.json")
+    import scala.jdk.CollectionConverters._
+    val doctored = java.nio.file.Files.readAllLines(p).asScala.map { l =>
+      val f = l.split("\t", -1)
+      if (f.length == 13) (f.dropRight(1) :+ "").mkString("\t") else l
+    }
+    java.nio.file.Files.write(p, doctored.asJava)
+    val d = SnapshotTable.describeDetail(spark, root)
+    assert(d.nRows == -1L && d.dvRows == -1L,
+      s"unknown dv debt must surface as -1, not as zero deletions: $d")
+    assert(SnapshotTable.history(spark, root).last.nRows == -1L)
+    // the read itself still applies the sidecar — only the COUNTS are
+    // unknown, never the row set
+    assert(SnapshotTable.read(spark, root).filter(col("id") === 5L).count() == 0)
+  }
+
   test("CDC: deleteWhere emits its deleted rows; mergeOnRead emits the delete+insert pair") {
     val root = tmp()
     SnapshotTable.create(spark, root,
