@@ -144,6 +144,7 @@ object SparkEntry {
     "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_snapshot_delete" -> ((s, d) => snapshotDeleteCycle(s, d)),
+    "meta_snapshot_bloom_read" -> ((s, d) => snapshotBloomReadCycle(s, d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
@@ -281,6 +282,7 @@ object SparkEntry {
     "meta_snapshot_mirror" -> snapshotMirrorCycleSql,
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_delete" -> snapshotDeleteCycleSql,
+    "meta_snapshot_bloom_read" -> snapshotBloomReadCycleSql,
     "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -1055,6 +1057,55 @@ object SparkEntry {
   private def snapshotDeleteCycleSql: String = """
     SELECT doc_id, n_chars, TRUE AS no_rewrite, TRUE AS dv_marked
     FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id"""
+
+  /** Per-file bloom filters (manifest format 7), gated end to end: the
+    * table is built as 8 INTERLEAVED single-file appends (ids taken by
+    * `doc_id % 8`) with `bloomKey = true`, so every file's [min,max]
+    * range spans ~the whole id space — the fresh-micro-batch shape in
+    * which range stats keep every file and the bloom is the only thing
+    * standing between a point probe and a full scan. The id set is
+    * restricted to `doc_id % 3 <> 1`, so in-range ABSENT keys exist by
+    * construction. The rows are the present-key point reads (oracle:
+    * the same IN over documents); the invariant booleans pin the
+    * physical contract: `bloom_pruned` — a probe for absent in-range
+    * keys scanned at most one file (range stats alone would scan all
+    * 8); `probe_pruned` — the present-key probe scanned fewer files
+    * than the table holds while still returning every probed row (the
+    * no-false-negative half, which is what makes blooms SAFE to trust
+    * on the streaming dedup index's read-skip path). */
+  private def snapshotBloomReadCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapbloom").toString
+    val snap = graft.sources.SnapshotTable
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 3 =!= 1)
+    snap.create(s, root, docs.filter(col("doc_id") % 8 === 0).repartition(1),
+      statsKey = Some("doc_id"), bloomKey = true)
+    (1 to 7).foreach(j => snap.append(s, root,
+      docs.filter(col("doc_id") % 8 === j).repartition(1), bloomKey = true))
+    val allFiles = snap.read(s, root).inputFiles.length
+    // absent but IN-RANGE keys (% 3 == 1 was filtered out): range
+    // stats keep every file for these; the bloom must not
+    val absentScan = snap.readKeys(s, root, "doc_id", Array(1L, 4L, 7L, 10L))
+    // ≤ 1 admits a rare single false positive (per-file FPR ~0.1% at
+    // ~10 bits/key) — degradation toward the scan, never toward skip
+    val bloomPruned = absentScan.inputFiles.length <= 1 &&
+      absentScan.count() == 0
+    val presentKeys = Array(0L, 2L, 3L, 5L, 6L, 8L)
+    val present = snap.readKeys(s, root, "doc_id", presentKeys)
+    val probePruned = present.inputFiles.length < allFiles
+    graft.Scratch.registerForCleanup(root)
+    present.filter(col("doc_id").isin(presentKeys: _*))
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bloom_pruned", lit(bloomPruned))
+      .withColumn("probe_pruned", lit(probePruned))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotBloomReadCycleSql: String = """
+    SELECT doc_id, n_chars, TRUE AS bloom_pruned, TRUE AS probe_pruned
+    FROM documents
+    WHERE doc_id % 3 <> 1 AND doc_id IN (0, 2, 3, 5, 6, 8)
+    ORDER BY doc_id"""
 
   /** Merge-on-read MERGE, gated end to end: the same delete-then-add
     * cycle as `meta_snapshot_merge`, executed through

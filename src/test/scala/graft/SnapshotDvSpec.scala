@@ -199,6 +199,40 @@ class SnapshotDvSpec extends SparkSpec {
     assert(live.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((126L, "r126")))
   }
 
+  test("materializeDv rewrites only over-bound files, CDC-silent, idempotent") {
+    val root = tmp()
+    clustered400(root) // 4 clustered files of 100 rows each
+    // heavy debt in the 0..99 file (30%), light in the 100..199 file (1%)
+    SnapshotTable.deleteWhere(spark, root, col("id") < 30)
+    SnapshotTable.deleteWhere(spark, root, col("id") === 150L)
+    val vBefore = SnapshotTable.versions(spark, root).last
+    val before = manifestFiles(root, vBefore)
+    val v = SnapshotTable.materializeDv(spark, root, maxDvFraction = 0.1)
+    assert(v.isDefined)
+    // only the over-bound file was rewritten; the other 3 (one still
+    // carrying its tolerable 1% debt) carry BY NAME
+    val after = manifestFiles(root, v.get)
+    assert((before intersect after).size == 3,
+      s"exactly the over-bound file must be rewritten: ${before diff after}")
+    val d = SnapshotTable.describeDetail(spark, root)
+    assert(d.dvFiles == 1 && d.dvRows == 1,
+      s"the under-bound file keeps its dv; the rewritten one sheds it: $d")
+    assert(d.nRows == 369)
+    val now = SnapshotTable.read(spark, root)
+    assert(now.count() == 369 && now.filter(col("id") < 30).count() == 0,
+      "materialization must not change effective rows")
+    // row-preserving "compact": CDC is silent over the materialize
+    assert(SnapshotTable.readChanges(spark, root,
+      fromVersion = vBefore + 1, toVersion = Some(v.get)).count() == 0)
+    // idempotent between deletes: nothing above the bound → no commit
+    assert(SnapshotTable.materializeDv(spark, root, 0.1).isEmpty)
+    assert(SnapshotTable.versions(spark, root).last == v.get)
+    // the rewritten slice stays clustered: a range probe over the
+    // materialized ids still prunes to one file
+    assert(SnapshotTable.readRange(spark, root, 30L, 60L, key = Some("id"))
+      .inputFiles.length == 1)
+  }
+
   test("overlapping deleteWhere generations never double-count sidecar positions") {
     val root = tmp()
     // two single-file batches: F holds ids 0-3, G holds ids 10-13
