@@ -267,9 +267,20 @@ object StreamingRunner {
     * TTL (`ttlBatches` > 0, requires maintenance): rows remember the
     * micro-batch that ingested them (`batch_seq`), and each
     * maintenance cycle EVICTS fingerprints older than `ttlBatches`
-    * batches via [[graft.sources.SnapshotTable.retainWhere]] (op
-    * "rewrite" in history — eviction never masquerades as
-    * compaction). This bounds the index's ROW count over an unbounded
+    * batches via [[graft.sources.SnapshotTable.deleteWhere]] — a
+    * deletion-vector commit (op "delete" in history: the row drop is
+    * honest to CDC and costs bytes ∝ rows EXPIRED, not a rewrite of
+    * every file that holds a surviving row), followed by
+    * [[graft.sources.SnapshotTable.compactSmall]] (packs the fresh
+    * micro-batch files, re-clustered on `fp`; materializes their dv
+    * debt as a side effect of its effective read) and
+    * [[graft.sources.SnapshotTable.materializeDv]] (rewrites any
+    * LARGE file whose deletion fraction crossed `maxDvFraction` —
+    * the one debt shape the first two leave behind). The cycle's
+    * total cost tracks the CHANGE rate (expired rows + fresh files +
+    * over-bound debt), never the index size — the difference between
+    * maintenance that reads 100 TB and maintenance that reads the
+    * last hour. This bounds the index's ROW count over an unbounded
     * stream: dedup becomes exactly-once within the TTL horizon, and
     * content re-delivered after its fingerprint expired is
     * deliberately re-admitted — the bounded-state trade every
@@ -291,7 +302,8 @@ object StreamingRunner {
       indexRoot: String, queryName: String = "graft_dedup_ingest",
       maintainEvery: Int = 0, keepVersions: Int = 3,
       compactTargetFiles: Int = 4, ttlBatches: Int = 0,
-      maxProbeKeys: Int = 100000): Unit = {
+      maxProbeKeys: Int = 100000, smallBytes: Long = 8L * 1024 * 1024,
+      maxDvFraction: Double = 0.25): Unit = {
     require(ttlBatches == 0 || maintainEvery > 0,
       "TTL eviction runs inside the maintenance cycle — set maintainEvery")
     // resume the batch sequence where the index left it: max(batch_seq)
@@ -358,15 +370,25 @@ object StreamingRunner {
             // runs instead (schema check = one manifest read, no job)
             if (ttlBatches > 0 &&
                 graft.sources.SnapshotTable.read(spark, indexRoot)
-                  .columns.contains("batch_seq"))
-              // eviction doubles as the compaction (same layout params).
+                  .columns.contains("batch_seq")) {
+              // INCREMENTAL eviction cycle — no whole-table rewrite:
+              // expired rows go as a deletion-vector commit (write
+              // cost ∝ rows expired; op "delete", so history and CDC
+              // are honest about the row drop); compactSmall then
+              // packs the fresh micro-batch files (materializing
+              // their dv debt as a side effect of its effective
+              // read); materializeDv rewrites any LARGE file whose
+              // accumulated deletion fraction crossed the bound —
+              // the only remaining debt shape after the first two.
               // coalesce: null batch_seq = pre-TTL rows age as if
               // ingested NOW, not as if expired
-              graft.sources.SnapshotTable.retainWhere(spark, indexRoot,
-                coalesce(col("batch_seq"), lit(seq)) >= seq - ttlBatches,
-                targetFiles = compactTargetFiles, statsKey = Some("fp"),
-                cluster = true)
-            else
+              graft.sources.SnapshotTable.deleteWhere(spark, indexRoot,
+                coalesce(col("batch_seq"), lit(seq)) < seq - ttlBatches)
+              graft.sources.SnapshotTable.compactSmall(spark, indexRoot,
+                smallBytes = smallBytes, statsKey = Some("fp"), cluster = true)
+              graft.sources.SnapshotTable.materializeDv(spark, indexRoot,
+                maxDvFraction = maxDvFraction)
+            } else
               graft.sources.SnapshotTable.compact(spark, indexRoot,
                 targetFiles = compactTargetFiles, statsKey = Some("fp"),
                 cluster = true)
@@ -419,7 +441,8 @@ object StreamingRunner {
       indexRoot: String, queryName: String = "graft_dedup_ett",
       maintainEvery: Int = 3, keepVersions: Int = 3,
       compactTargetFiles: Int = 4, ttlMicros: Long = 24L * 3600 * 1000000,
-      maxProbeKeys: Int = 100000): Unit = {
+      maxProbeKeys: Int = 100000, smallBytes: Long = 8L * 1024 * 1024,
+      maxDvFraction: Double = 0.25): Unit = {
     require(maintainEvery > 0, "event-time TTL runs inside the maintenance cycle")
     require(ttlMicros > 0, "ttlMicros must be positive")
     val snap = graft.sources.SnapshotTable
@@ -483,14 +506,18 @@ object StreamingRunner {
           if (seq % maintainEvery == 0 && !snap.versions(spark, indexRoot).isEmpty) {
             val horizon = hwm.get() - ttlMicros
             if (hwm.get() != Long.MinValue &&
-                snap.read(spark, indexRoot).columns.contains("event_ts"))
-              // nulls (pre-event-time rows) are retained, same contract
-              // as the batch-count TTL's legacy set
-              snap.retainWhere(spark, indexRoot,
-                coalesce(col("event_ts"), lit(Long.MaxValue)) >= horizon,
-                targetFiles = compactTargetFiles, statsKey = Some("fp"),
-                cluster = true)
-            else
+                snap.read(spark, indexRoot).columns.contains("event_ts")) {
+              // same incremental cycle as the batch-count TTL: dv
+              // delete (cost ∝ expired rows, op "delete") + pack the
+              // fresh small files + materialize over-bound big-file
+              // debt. nulls (pre-event-time rows) are retained, same
+              // contract as the batch-count TTL's legacy set
+              snap.deleteWhere(spark, indexRoot,
+                coalesce(col("event_ts"), lit(Long.MaxValue)) < horizon)
+              snap.compactSmall(spark, indexRoot,
+                smallBytes = smallBytes, statsKey = Some("fp"), cluster = true)
+              snap.materializeDv(spark, indexRoot, maxDvFraction = maxDvFraction)
+            } else
               snap.compact(spark, indexRoot,
                 targetFiles = compactTargetFiles, statsKey = Some("fp"),
                 cluster = true)

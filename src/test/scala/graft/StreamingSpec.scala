@@ -415,10 +415,13 @@ class StreamingSpec extends SparkSpec {
       (6L, "novel-6", 6L), (7L, "novel-7", 7L),
       (108L, "anchor", 8L), (9L, "novel-9", 9L)),
       s"TTL horizon must keep exactly the last-3-batch fingerprints, got $idx")
-    // history is honest: the row-dropping maintenance is op "rewrite"
+    // history is honest: the row-dropping eviction is op "delete" (a
+    // deletion-vector commit, cost ∝ expired rows); the row-preserving
+    // pack/materialize steps are op "compact"; nothing commits the old
+    // whole-table "rewrite"
     val ops = sources.SnapshotTable.history(spark, indexRoot).map(_.op)
-    assert(ops.contains("rewrite") && !ops.contains("compact"),
-      s"eviction must commit as rewrite, never masquerade as compact: $ops")
+    assert(ops.contains("delete") && !ops.contains("rewrite"),
+      s"eviction must commit as a dv delete, not a whole-table rewrite: $ops")
   }
 
   test("dedup probe prunes: a micro-batch key probe reads fewer index files than a full scan") {
@@ -452,6 +455,42 @@ class StreamingSpec extends SparkSpec {
       s"a 2-key probe against a clustered index must read fewer files " +
         s"($probeFiles) than the full index ($fullFiles)")
     assert(probeFiles <= 2, s"2 keys land in at most 2 disjoint-range files, read $probeFiles")
+  }
+
+  test("dedup probe prunes PRE-maintenance: blooms skip fresh unclustered index files") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sbloom")
+    val srcDir = s"$tmp/src"
+    val indexRoot = s"$tmp/index"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    // 6 micro-batches, NO maintenance: every index file is a fresh
+    // unclustered append whose md5-uniform fp range spans ~everything —
+    // range stats keep all of them, so before the r9 blooms this exact
+    // probe scanned the whole index on every micro-batch
+    (0 until 6).foreach { i =>
+      (0 until 6).map(j => doc(i * 6L + j, s"fresh-$i-$j " * 10))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("append").parquet(srcDir)
+    }
+    streaming.StreamingRunner.runStreamingDedupIngest(spark, srcDir, indexRoot,
+      queryName = "graft_sbloom")
+    val fullFiles = sources.SnapshotTable.read(spark, indexRoot).inputFiles.length
+    assert(fullFiles >= 6, s"unmaintained index must be one file per batch, got $fullFiles")
+    def fpOf(text: String): Array[String] = Seq(text).toDF("text")
+      .select(md5(col("text").cast("binary"))).collect().map(_.getString(0))
+    // the all-novel micro-batch probe shape: absent keys — only the
+    // bloom stands between this and a 6-file scan
+    val probeFiles = sources.SnapshotTable
+      .readKeysStr(spark, indexRoot, "fp", fpOf("never-ingested " * 10))
+      .inputFiles.length
+    assert(probeFiles == 0,
+      s"absent-fp probe must be bloom-pruned to zero of $fullFiles fresh files, read $probeFiles")
+    // and a present fp still finds its row (no false negative end to end)
+    val present = fpOf("fresh-0-0 " * 10)
+    val hit = sources.SnapshotTable.readKeysStr(spark, indexRoot, "fp", present)
+    assert(hit.filter(col("fp") === present.head).count() == 1)
+    assert(hit.inputFiles.length < fullFiles,
+      s"present-fp probe must prune too: read ${hit.inputFiles.length}/$fullFiles")
   }
 
   test("TTL survives a stream restart: the sequence resumes from the index, the horizon keeps moving") {
@@ -552,9 +591,13 @@ class StreamingSpec extends SparkSpec {
     drop(doc(4, "novel-b4 " * 10, 8))
     drop(doc(105, "anchor " * 10, 9))
     drop(doc(6, "novel-b6 " * 10, 10))
+    // keepVersions = 6: wide enough that the b4 cycle's eviction
+    // commit is still in history at the end (the incremental cycle
+    // commits delete THEN pack, so a 2-version window would only ever
+    // show the trailing pack)
     streaming.StreamingRunner.runStreamingDedupIngestEventTime(spark, srcDir,
       indexRoot, queryName = "graft_settl", maintainEvery = 2,
-      keepVersions = 2, ttlMicros = 5 * Hour)
+      keepVersions = 6, ttlMicros = 5 * Hour)
     val rows = sources.SnapshotTable.read(spark, indexRoot)
       .select(col("doc_id"), col("event_ts")).as[(Long, Long)].collect().toMap
     assert(rows.keySet == Set(4L, 105L, 6L),
@@ -566,7 +609,8 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.contains(109L),
       "a late duplicate inside the horizon must dedup by fingerprint")
     val ops = sources.SnapshotTable.history(spark, indexRoot).map(_.op)
-    assert(ops.contains("rewrite"), s"event-time eviction commits as rewrite: $ops")
+    assert(ops.contains("delete") && !ops.contains("rewrite"),
+      s"event-time eviction commits as a dv delete, not a whole-table rewrite: $ops")
   }
 
   test("schema evolution across stream runs: a redeployed chunker adds a column mid-table") {
