@@ -1045,6 +1045,38 @@ object SnapshotTable {
     }) catch { case NothingToCompact => None }
   }
 
+  /** One scheduled MAINTENANCE cycle, composed from the incremental
+    * primitives — the single call a table scheduler (or a streaming
+    * loop) runs between writes: materialize over-bound deletion-vector
+    * debt ([[materializeDv]]), pack small-file debt ([[compactSmall]]),
+    * expire old versions, vacuum unreferenced data files and sidecars.
+    * Every step's cost is proportional to ITS debt — never a
+    * whole-table rewrite — and every step is a committed-nothing no-op
+    * at its fixpoint. MATERIALIZE-BEFORE-PACK is what makes the cycle
+    * converge in one call: a materialized output that lands under the
+    * size threshold is swept into the same cycle's pack, so a second
+    * `maintain` with no intervening writes commits nothing (the
+    * reverse order ping-pongs sub-threshold materialized outputs into
+    * the NEXT cycle's pack — an extra commit per cycle, forever, on a
+    * table with steady delete traffic). [[describeDetail]] is the
+    * matching decision surface (smallFiles / dvRows / liveVersions —
+    * all manifest metadata) for schedulers that want to skip the call
+    * entirely. Returns the versions committed (empty = already
+    * maintained). `minAgeMs` is the vacuum's reader-protection
+    * window — pass 0 ONLY under single-writer serialization (the
+    * streaming loops' foreachBatch contract). */
+  def maintain(spark: SparkSession, root: String, smallBytes: Long,
+      maxDvFraction: Double = 0.25, keepVersions: Int = 3,
+      statsKey: Option[String] = None, cluster: Boolean = true,
+      minAgeMs: Long = 60L * 60 * 1000): Seq[Int] = {
+    val materialized = materializeDv(spark, root, maxDvFraction)
+    val packed = compactSmall(spark, root, smallBytes, statsKey = statsKey,
+      cluster = cluster)
+    expireVersions(spark, root, keepLast = keepVersions)
+    vacuum(spark, root, minAgeMs = minAgeMs)
+    Seq(materialized, packed).flatten
+  }
+
   /** Bits per dimension of the z-value after normalization. 15 gives a
     * 30-bit curve (2^15 cells per axis — orders of magnitude finer than
     * any file count) while keeping every shift/interleave exact in a
@@ -1799,9 +1831,16 @@ object SnapshotTable {
       val sch = schemaOf(spark, root, m)
       if (m.entries.isEmpty) throw NothingToDelete // nothing lives here
       // scan positions ride the predicate scan; already-deleted rows
-      // are excluded so re-deleting is detectably a no-op
-      val raw = spark.read.schema(sch)
-        .parquet(m.entries.map(e => s"$root/${e.path}"): _*)
+      // are excluded so re-deleting is detectably a no-op. The scan
+      // goes through the manifest-backed FileIndex, so conjuncts of
+      // `pred` that bound the table's recorded stats column(s) prune
+      // FILES at planning time — a point delete on a clustered 100 TB
+      // table scans the one file its key lands in, not the table
+      // (conservative exactly like every read: unbounded predicates
+      // keep every file, kept files still row-filter)
+      val index = new ManifestFileIndex(spark, root, m.entries, m.statsKey, m.statsKey2)
+      val raw = org.apache.spark.sql.graftbridge.Bridge
+        .parquetRelation(spark, index, sch)
         .withColumn("__rel", relPathCol)
         .withColumn("__idx", col("_metadata.row_index"))
       val live = dvPositions(spark, root, m.entries) match {

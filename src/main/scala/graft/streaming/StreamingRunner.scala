@@ -384,17 +384,20 @@ object StreamingRunner {
               // ingested NOW, not as if expired
               graft.sources.SnapshotTable.deleteWhere(spark, indexRoot,
                 coalesce(col("batch_seq"), lit(seq)) < seq - ttlBatches)
-              graft.sources.SnapshotTable.compactSmall(spark, indexRoot,
-                smallBytes = smallBytes, statsKey = Some("fp"), cluster = true)
-              graft.sources.SnapshotTable.materializeDv(spark, indexRoot,
-                maxDvFraction = maxDvFraction)
-            } else
+              // zero-age vacuum: safe ONLY under this loop's
+              // single-writer foreachBatch serialization
+              graft.sources.SnapshotTable.maintain(spark, indexRoot,
+                smallBytes = smallBytes, maxDvFraction = maxDvFraction,
+                keepVersions = keepVersions, statsKey = Some("fp"),
+                cluster = true, minAgeMs = 0L)
+            } else {
               graft.sources.SnapshotTable.compact(spark, indexRoot,
                 targetFiles = compactTargetFiles, statsKey = Some("fp"),
                 cluster = true)
-            graft.sources.SnapshotTable.expireVersions(spark, indexRoot,
-              keepLast = keepVersions)
-            graft.sources.SnapshotTable.vacuum(spark, indexRoot, minAgeMs = 0L)
+              graft.sources.SnapshotTable.expireVersions(spark, indexRoot,
+                keepLast = keepVersions)
+              graft.sources.SnapshotTable.vacuum(spark, indexRoot, minAgeMs = 0L)
+            }
           }
         } finally fp.unpersist()
         ()
@@ -514,15 +517,18 @@ object StreamingRunner {
               // contract as the batch-count TTL's legacy set
               snap.deleteWhere(spark, indexRoot,
                 coalesce(col("event_ts"), lit(Long.MaxValue)) < horizon)
-              snap.compactSmall(spark, indexRoot,
-                smallBytes = smallBytes, statsKey = Some("fp"), cluster = true)
-              snap.materializeDv(spark, indexRoot, maxDvFraction = maxDvFraction)
-            } else
+              // zero-age vacuum: safe ONLY under this loop's
+              // single-writer foreachBatch serialization
+              snap.maintain(spark, indexRoot, smallBytes = smallBytes,
+                maxDvFraction = maxDvFraction, keepVersions = keepVersions,
+                statsKey = Some("fp"), cluster = true, minAgeMs = 0L)
+            } else {
               snap.compact(spark, indexRoot,
                 targetFiles = compactTargetFiles, statsKey = Some("fp"),
                 cluster = true)
-            snap.expireVersions(spark, indexRoot, keepLast = keepVersions)
-            snap.vacuum(spark, indexRoot, minAgeMs = 0L)
+              snap.expireVersions(spark, indexRoot, keepLast = keepVersions)
+              snap.vacuum(spark, indexRoot, minAgeMs = 0L)
+            }
           }
         } finally fp.unpersist()
         ()

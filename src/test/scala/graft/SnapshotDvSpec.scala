@@ -199,6 +199,51 @@ class SnapshotDvSpec extends SparkSpec {
     assert(live.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((126L, "r126")))
   }
 
+  test("maintain: materialize → pack → expire → vacuum, idempotent in one cycle") {
+    val root = tmp()
+    clustered400(root) // 4 clustered files of 100 rows
+    SnapshotTable.deleteWhere(spark, root, col("id") < 40) // 40% debt in one file
+    (0 until 3).foreach(i => SnapshotTable.append(spark, root,
+      Seq((1000L + i, s"n$i")).toDF("id", "v").coalesce(1))) // small-file debt
+    val committed = SnapshotTable.maintain(spark, root,
+      smallBytes = 100L * 1024, keepVersions = 3, minAgeMs = 0L)
+    assert(committed.size == 2,
+      s"one materialize + one pack commit expected, got $committed")
+    val d = SnapshotTable.describeDetail(spark, root, smallBytes = 100L * 1024)
+    assert(d.dvRows == 0, s"over-bound debt must be materialized: $d")
+    assert(d.liveVersions <= 3)
+    val now = SnapshotTable.read(spark, root)
+    assert(now.count() == 363 && now.filter(col("id") < 40).count() == 0)
+    // a second cycle with no intervening writes commits NOTHING — the
+    // materialize-before-pack order swept its own outputs already
+    assert(SnapshotTable.maintain(spark, root,
+      smallBytes = 100L * 1024, keepVersions = 3, minAgeMs = 0L).isEmpty,
+      "maintain must reach its fixpoint in one cycle")
+  }
+
+  test("deleteWhere prunes its predicate scan via manifest stats") {
+    val root = tmp()
+    clustered400(root) // 4 clustered files, 100 rows each
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          rowsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(SnapshotTable.deleteWhere(spark, root, col("id") === 42L).contains(2))
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the point predicate bounds the recorded stats key, so the scan
+    // plans 1 of 4 files (≈100 rows + the tiny sidecar re-read);
+    // without planning-time pruning it reads all 400
+    assert(rowsRead.get() <= 250,
+      s"a point delete on a clustered table must scan ~1 of 4 files, read ${rowsRead.get()} rows")
+    assert(SnapshotTable.read(spark, root).count() == 399)
+    assert(SnapshotTable.read(spark, root).filter(col("id") === 42L).count() == 0)
+  }
+
   test("materializeDv rewrites only over-bound files, CDC-silent, idempotent") {
     val root = tmp()
     clustered400(root) // 4 clustered files of 100 rows each

@@ -402,8 +402,11 @@ class StreamingSpec extends SparkSpec {
       b.toDF("doc_id", "text", "lang", "source", "n_chars")
         .repartition(1).write.mode("append").parquet(srcDir)
     }
+    // keepVersions = 5: the incremental cycle commits delete +
+    // materialize + pack, so a 2-version window would expire the
+    // eviction commit this test asserts on
     streaming.StreamingRunner.runStreamingDedupIngest(spark, srcDir, indexRoot,
-      queryName = "graft_sttl", maintainEvery = 3, keepVersions = 2,
+      queryName = "graft_sttl", maintainEvery = 3, keepVersions = 5,
       ttlBatches = 3)
     val idx = sources.SnapshotTable.read(spark, indexRoot)
       .select(col("doc_id"), col("text"), col("batch_seq"))

@@ -159,6 +159,40 @@ class BloomSpec extends SparkSpec {
     assert(hit.filter(col("id") === k).count() == 1)
   }
 
+  test("planning-time bloom pruning: an indexed point read skips fresh files") {
+    val root = tmp()
+    val keys = (0 until 600).map(scramble)
+    val batches = keys.grouped(200).toSeq
+    SnapshotTable.create(spark, root,
+      batches.head.map(k => (k, s"v$k")).toDF("id", "v").coalesce(1),
+      statsKey = Some("id"), bloomKey = true)
+    batches.tail.foreach(b => SnapshotTable.append(spark, root,
+      b.map(k => (k, s"v$k")).toDF("id", "v").coalesce(1), bloomKey = true))
+    // the CATALYST path: the optimizer's own pushed equality reaches
+    // ManifestFileIndex.listFiles, whose point-set extraction probes
+    // the blooms — zero files planned for an absent in-range key
+    val probe = SnapshotTable.readIndexed(spark, root, "id")
+      .filter(col("id") === 424242L)
+    assert(probe.count() == 0)
+    org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val dataScans = scans(probe.queryExecution.executedPlan)
+    assert(dataScans.nonEmpty, "plan must contain the table's file scan")
+    assert(dataScans.map(_.metrics("numFiles").value).sum == 0,
+      "the absent-key equality must bloom-prune every fresh file at planning time")
+    // a present key still reads through the same path
+    val k = keys(11)
+    val hit = SnapshotTable.readIndexed(spark, root, "id").filter(col("id") === k)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(k))
+  }
+
   test("degradation is toward the scan: oversized files carry no bloom; key change strips it") {
     val root = tmp()
     // one file above BloomMaxRows: no bloom attached, always kept
