@@ -145,6 +145,7 @@ object SparkEntry {
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
     "meta_snapshot_delete" -> ((s, d) => snapshotDeleteCycle(s, d)),
     "meta_snapshot_bloom_read" -> ((s, d) => snapshotBloomReadCycle(s, d)),
+    "meta_snapshot_maintain" -> ((s, d) => snapshotMaintainCycle(s, d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
@@ -283,6 +284,7 @@ object SparkEntry {
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_delete" -> snapshotDeleteCycleSql,
     "meta_snapshot_bloom_read" -> snapshotBloomReadCycleSql,
+    "meta_snapshot_maintain" -> snapshotMaintainCycleSql,
     "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -1106,6 +1108,53 @@ object SparkEntry {
     FROM documents
     WHERE doc_id % 3 <> 1 AND doc_id IN (0, 2, 3, 5, 6, 8)
     ORDER BY doc_id"""
+
+  /** The one-call MAINTENANCE cycle, gated end to end: build a
+    * clustered table, load it with BOTH debt shapes — deletion vectors
+    * (a 1-in-3 predicate delete, above `materializeDv`'s default
+    * fraction in every file) and small files (three single-file
+    * appends) — then run [[graft.sources.SnapshotTable.maintain]]
+    * once. The oracle is the relational end state (survivors plus the
+    * re-keyed appended slice); the invariant booleans pin the cycle's
+    * physical contract: `debt_cleared` — no deletion vectors and no
+    * dv rows remain after the cycle; `fixpoint` — a second cycle with
+    * no intervening writes commits NOTHING (the materialize-before-
+    * pack ordering converges in one call); `retained` — version count
+    * respects keepVersions after expire+vacuum. */
+  private def snapshotMaintainCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapmaint").toString
+    val snap = graft.sources.SnapshotTable
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    snap.create(s, root, docs.repartitionByRange(4, col("doc_id")),
+      statsKey = Some("doc_id"))
+    snap.deleteWhere(s, root, col("doc_id") % 3 === 1)
+    (0 until 3).foreach(i => snap.append(s, root,
+      docs.filter(col("doc_id") % 997 === i)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)).coalesce(1)))
+    val committed = snap.maintain(s, root, smallBytes = 1L << 20,
+      keepVersions = 3, minAgeMs = 0L)
+    val det = snap.describeDetail(s, root)
+    val debtCleared = committed.nonEmpty && det.dvFiles == 0 && det.dvRows == 0
+    val fixpoint = snap.maintain(s, root, smallBytes = 1L << 20,
+      keepVersions = 3, minAgeMs = 0L).isEmpty
+    val retained = snap.describeDetail(s, root).liveVersions <= 3
+    graft.Scratch.registerForCleanup(root)
+    snap.read(s, root)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("debt_cleared", lit(debtCleared))
+      .withColumn("fixpoint", lit(fixpoint))
+      .withColumn("retained", lit(retained))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotMaintainCycleSql: String = """
+    SELECT doc_id, n_chars, TRUE AS debt_cleared, TRUE AS fixpoint,
+           TRUE AS retained
+    FROM (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 1
+      UNION ALL
+      SELECT doc_id + 10000000, n_chars FROM documents WHERE doc_id % 997 < 3
+    ) ORDER BY doc_id"""
 
   /** Merge-on-read MERGE, gated end to end: the same delete-then-add
     * cycle as `meta_snapshot_merge`, executed through
