@@ -1399,6 +1399,37 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame =
     readPruned(spark, root, version, _.entries)
 
+  /** The newest version committed AT OR BEFORE `tsMs` — by the
+    * manifest file's own modification time, the same commit instant
+    * [[expireOlderThan]] keys on, so retention and resolution agree on
+    * what "committed at T" means. None when the table had no committed
+    * version yet at that instant (or the versions that existed then
+    * have since been expired — an expired manifest is gone, not
+    * resolvable). Driver-side metadata only: one FileStatus per live
+    * version, no Spark jobs. */
+  def versionAsOf(spark: SparkSession, root: String, tsMs: Long): Option[Int] = {
+    val f = fs(spark, root)
+    versions(spark, root)
+      .filter(v => f.getFileStatus(manifestPath(root, v)).getModificationTime <= tsMs)
+      .lastOption
+  }
+
+  /** TIMESTAMP AS OF time travel: [[read]] at the newest version
+    * committed at or before `tsMs` — what an auditor or a CDC consumer
+    * actually asks ("the table as of last midnight"), resolved through
+    * [[versionAsOf]] and served by the same per-version read path as
+    * VERSION AS OF (each version reads with its own recorded schema
+    * and dv state). Fails loudly when nothing was committed yet at
+    * that instant — silently returning the oldest LIVE version would
+    * misrepresent history after retention. */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    versionAsOf(spark, root, tsMs) match {
+      case Some(v) => read(spark, root, Some(v))
+      case None => throw new IllegalArgumentException(
+        s"no version of $root was committed at or before $tsMs " +
+          s"(live versions: ${versions(spark, root)})")
+    }
+
   /** [[read]] pruned to the files whose key-stats range intersects
     * `[lo, hi]` — file-level data skipping on the READ path, from the
     * same manifest stats the merge path prunes with (one shared
@@ -1545,6 +1576,16 @@ object SnapshotTable {
     * (the caller's retention policy must outlive its consumers; same
     * contract as time travel). `fromVersion` 0 yields the create as
     * inserts. */
+  /** [[readChanges]] since an INSTANT: every change committed strictly
+    * AFTER `tsMs` — the form a scheduled CDC consumer naturally keys on
+    * ("what changed since my last run at T"), resolved through
+    * [[versionAsOf]]. An instant predating the table yields the full
+    * history from the create (version 0 base). The same retention
+    * contract as readChanges: the resolved window's manifests must
+    * still be live. */
+  def readChangesSince(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    readChanges(spark, root, versionAsOf(spark, root, tsMs).getOrElse(0))
+
   def readChanges(spark: SparkSession, root: String, fromVersion: Int,
       toVersion: Option[Int] = None): DataFrame = {
     val vs = versions(spark, root)

@@ -49,6 +49,39 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).head().getString(1) == "new")
   }
 
+  test("TIMESTAMP AS OF resolves by commit instant; pre-table instants fail loudly") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "old")).toDF("id", "v"))
+    SnapshotTable.merge(spark, root, Seq((1L, "new")).toDF("id", "v"), key = "id")
+    // pin distinct commit instants deterministically (same-ms commits
+    // are routine on a fast box): v1 ← T-10s, v2 ← T
+    val t = System.currentTimeMillis()
+    def pin(v: Int, ts: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    pin(1, t - 10000); pin(2, t)
+    assert(SnapshotTable.versionAsOf(spark, root, t - 10000).contains(1),
+      "at-or-before is inclusive of the commit instant itself")
+    assert(SnapshotTable.versionAsOf(spark, root, t - 1).contains(1))
+    assert(SnapshotTable.versionAsOf(spark, root, t).contains(2))
+    assert(SnapshotTable.versionAsOf(spark, root, t - 20000).isEmpty)
+    assert(SnapshotTable.readAsOf(spark, root, t - 1).head().getString(1) == "old")
+    assert(SnapshotTable.readAsOf(spark, root, t + 1000).head().getString(1) == "new")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, root, t - 20000)
+    }
+    // CDC since an instant: changes strictly after T-1 are v2's
+    // delete+insert pair; a pre-table instant yields the full history
+    assert(SnapshotTable.readChangesSince(spark, root, t - 1).count() == 2)
+    assert(SnapshotTable.readChangesSince(spark, root, t - 20000).count() == 3,
+      "pre-table instant = full history: create insert + merge pair")
+    // retention agrees with resolution: after expiring v1, its instant
+    // is no longer resolvable (gone, not silently remapped)
+    SnapshotTable.expireVersions(spark, root, keepLast = 1)
+    assert(SnapshotTable.versionAsOf(spark, root, t - 1).isEmpty)
+  }
+
   test("a lost commit race retries onto the next version without losing rows") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
