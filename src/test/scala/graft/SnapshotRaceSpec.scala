@@ -127,6 +127,36 @@ class SnapshotRaceSpec extends SparkSpec {
     }
   }
 
+  test("maintain racing a writer: row set preserved, versions contiguous, counts consistent") {
+    val root = Files.createTempDirectory("graft-race-m").toString
+    val goFile = s"$root/.go"
+    // fragmented seed + pre-seeded dv debt, so the racing maintain has
+    // BOTH shapes of real work (materializeDv and compactSmall)
+    SnapshotTable.create(spark, root,
+      (100L until 140L).map(i => (i, s"seed$i")).toDF("id", "v").repartition(8),
+      statsKey = Some("id"))
+    SnapshotTable.deleteWhere(spark, root, col("id") < 110)
+    val ps = Seq(launch(root, goFile, 1, OpsPerWriter, "append"),
+      launch(root, goFile, 2, 3, "maintain"))
+    Files.createFile(Paths.get(goFile))
+    await(root, ps)
+
+    // expire ran mid-race, so versions need not start at 1 — but the
+    // surviving window must be contiguous and fully parseable
+    val vs = SnapshotTable.versions(spark, root)
+    assert(vs == (vs.head to vs.last), s"versions must be contiguous, got $vs")
+    val rows = SnapshotTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (110L until 140L).map(i => i -> s"seed$i").toSet ++
+      (0 until OpsPerWriter).map(i => (1000L + i) -> s"w1-a$i").toSet
+    assert(rows == expected,
+      "maintenance must preserve every live row (and resurrect none) under a racing writer")
+    // the deleted rows stayed deleted through every materialize/pack
+    assert(SnapshotTable.read(spark, root).filter(col("id") < 110).count() == 0)
+    // the manifest's recorded counts survived the race consistent
+    assert(SnapshotTable.describeDetail(spark, root).nRows == expected.size.toLong)
+  }
+
   test("read-retention contract: expire+vacuum under a pinned reader fails LOUDLY, never partially") {
     val root = Files.createTempDirectory("graft-race-r").toString
     SnapshotTable.create(spark, root,

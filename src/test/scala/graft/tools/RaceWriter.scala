@@ -53,6 +53,14 @@ object RaceWriter {
         (0 until n).foreach { _ =>
           SnapshotTable.compact(spark, root, targetFiles = 2, statsKey = Some("id"))
         }
+      case "maintain" =>
+        // the full incremental cycle racing a writer: materializeDv +
+        // compactSmall + expire + vacuum (default 1h age floor — the
+        // multi-writer-safe retention, NOT the streaming loops' 0)
+        (0 until n).foreach { _ =>
+          SnapshotTable.maintain(spark, root, smallBytes = 1L << 20,
+            keepVersions = 4, statsKey = Some("id"))
+        }
       case "mix" =>
         (0 until n).foreach { i =>
           SnapshotTable.append(spark, root,
