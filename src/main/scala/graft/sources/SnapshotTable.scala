@@ -2072,6 +2072,15 @@ private[sources] object ManifestPruning {
 
   private val ord = SnapshotTable.byteOrder
 
+  /** Above this many probe keys, bloom checks are skipped (range/point
+    * stats still apply — conservative, never wrong). The bloom probe
+    * is O(keys · K) bit-tests PER FILE on the driver: at the streaming
+    * probe's 100k-key cap over a thousand fresh files that is ~10^8
+    * driver-side operations for a check whose value collapses anyway —
+    * with that many uniform keys, virtually every file's bloom reports
+    * a plausible hit. Range pruning stays O(log keys) per file. */
+  private val MaxBloomProbeKeys = 4096
+
   /** Could this file hold any key in [lo, hi]? No stats → maybe. */
   def overlaps(e: FileEntry, lo: Long, hi: Long): Boolean =
     e.minKey.zip(e.maxKey).forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -2151,25 +2160,28 @@ private[sources] object ManifestPruning {
   def keepForRange(entries: Seq[FileEntry], lo: Long, hi: Long): Seq[FileEntry] =
     entries.filter(overlaps(_, lo, hi))
 
+  private def bloomEligible(hashes: Array[(Long, Long)]): Boolean =
+    hashes != null && hashes.length <= MaxBloomProbeKeys
+
   def keepForKeys(entries: Seq[FileEntry], sortedKeys: Array[Long],
       hashes: Array[(Long, Long)] = null): Seq[FileEntry] =
     entries.filter(e => mayContain(e, sortedKeys) &&
-      (hashes == null || bloomKeeps(e, hashes)))
+      (!bloomEligible(hashes) || bloomKeeps(e, hashes)))
 
   def keepForStrKeys(entries: Seq[FileEntry], sortedKeys: Array[Array[Byte]],
       hashes: Array[(Long, Long)] = null): Seq[FileEntry] =
     entries.filter(e => mayContainStr(e, sortedKeys) &&
-      (hashes == null || bloomKeeps(e, hashes)))
+      (!bloomEligible(hashes) || bloomKeeps(e, hashes)))
 
   def partitionByKeys(entries: Seq[FileEntry], sortedKeys: Array[Long],
       hashes: Array[(Long, Long)] = null): (Seq[FileEntry], Seq[FileEntry]) =
     entries.partition(e => mayContain(e, sortedKeys) &&
-      (hashes == null || bloomKeeps(e, hashes)))
+      (!bloomEligible(hashes) || bloomKeeps(e, hashes)))
 
   def partitionByStrKeys(entries: Seq[FileEntry], sortedKeys: Array[Array[Byte]],
       hashes: Array[(Long, Long)] = null): (Seq[FileEntry], Seq[FileEntry]) =
     entries.partition(e => mayContainStr(e, sortedKeys) &&
-      (hashes == null || bloomKeeps(e, hashes)))
+      (!bloomEligible(hashes) || bloomKeeps(e, hashes)))
 
   /** Do `bounds` (extracted for the PRIMARY stats column) keep this
     * file? Range and point-set constraints compose conjunctively. */

@@ -337,8 +337,15 @@ object StreamingRunner {
           .persist()
         try {
           if (fresh)
+            // statsKey2 on the TTL column: every file's batch_seq
+            // range rides the manifest, so the eviction deleteWhere's
+            // planning-time pruning skips files whose whole range is
+            // inside the horizon — fresh files stop being scanned by
+            // a maintenance pass that can't evict them anyway
             graft.sources.SnapshotTable.create(spark, indexRoot, fp,
-              statsKey = Some("fp"), bloomKey = true)
+              statsKey = Some("fp"),
+              statsKey2 = if (ttlBatches > 0) Some("batch_seq") else None,
+              bloomKey = true)
           else {
             // per-key probe ON THE FINGERPRINT ITSELF (binary manifest
             // stats): md5-uniform keys make any [min,max] envelope
@@ -493,8 +500,11 @@ object StreamingRunner {
                 .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
             hwm.updateAndGet(m => math.max(m, batchMax))
             if (fresh)
+              // event_ts as the secondary stats column — the same
+              // eviction-scan pruning as the batch-count TTL's
+              // batch_seq (see runStreamingDedupIngest)
               snap.create(spark, indexRoot, fp, statsKey = Some("fp"),
-                bloomKey = true)
+                statsKey2 = Some("event_ts"), bloomKey = true)
             else {
               val seen = (if (keyTs.length > maxProbeKeys)
                 snap.read(spark, indexRoot)

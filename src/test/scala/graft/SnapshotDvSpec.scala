@@ -199,6 +199,35 @@ class SnapshotDvSpec extends SparkSpec {
     assert(live.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((126L, "r126")))
   }
 
+  test("deleteWhere prunes on SECONDARY stats (the TTL eviction shape)") {
+    val root = tmp()
+    // fp is md5-uniform (defeats primary range stats — the dedup-index
+    // shape); seq is the TTL column, tight per batch file
+    def batch(seq: Long) = (0 until 100)
+      .map(i => (f"${i * 0x9E3779B97F4A7C15L + seq * 7919}%016x", seq))
+      .toDF("fp", "seq").coalesce(1)
+    SnapshotTable.create(spark, root, batch(0),
+      statsKey = Some("fp"), statsKey2 = Some("seq"))
+    (1L to 3L).foreach(s => SnapshotTable.append(spark, root, batch(s)))
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          rowsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the eviction predicate bounds only the SECONDARY column — the
+      // horizon scan must skip the 3 fresh files it cannot evict from
+      assert(SnapshotTable.deleteWhere(spark, root, col("seq") < 1L).contains(5))
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rowsRead.get() <= 250,
+      s"a horizon delete must scan ~1 of 4 files via seq stats, read ${rowsRead.get()} rows")
+    assert(SnapshotTable.read(spark, root).count() == 300)
+    assert(SnapshotTable.read(spark, root).filter(col("seq") < 1L).count() == 0)
+  }
+
   test("maintain: materialize → pack → expire → vacuum, idempotent in one cycle") {
     val root = tmp()
     clustered400(root) // 4 clustered files of 100 rows

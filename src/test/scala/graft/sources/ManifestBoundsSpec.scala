@@ -12,6 +12,63 @@ import org.scalatest.funsuite.AnyFunSuite
   * round-trips across every format arity a reader can meet. */
 class ManifestBoundsSpec extends AnyFunSuite {
 
+  private def check(p: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("PROPERTY: every legal FileEntry round-trips render→parse exactly") {
+    import org.scalacheck.{Gen, Prop}
+    // manifest-legal path/dir shapes: the writers mint uuid-derived
+    // names, never whitespace/tabs (the line format's separators)
+    val genPath = Gen.listOfN(10, Gen.alphaNumChar)
+      .map(cs => s"data/batch-${cs.mkString}/part-0.parquet")
+    val genOptLong = Gen.option(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val genBytes = Gen.chooseNum(1, 24)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+      .map(_.toArray)
+    // writer-reachable states only: long ranges come from footers as
+    // BOTH-or-neither pairs, and a deleted-row count exists only with
+    // its dv reference (parseEntry accepts more — wider inputs than
+    // outputs — but render is only ever fed these shapes)
+    val genLongPair: Gen[(Option[Long], Option[Long])] = Gen.oneOf(
+      Gen.const((None, None)),
+      Gen.zip(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue))
+        .map { case (a, b) => (Some(a), Some(b)) })
+    val genEntry: Gen[SnapshotTable.FileEntry] = for {
+      p <- genPath
+      mnmx <- genLongPair; r <- genOptLong; b <- genOptLong
+      lo <- Gen.option(genBytes); hi <- Gen.option(genBytes)
+      m2x2 <- genLongPair
+      lo2 <- Gen.option(genBytes); hi2 <- Gen.option(genBytes)
+      dv <- Gen.option(Gen.listOfN(8, Gen.alphaNumChar).map(cs => s"deletes/batch-${cs.mkString}"))
+      dvr <- if (dv.isDefined) genOptLong else Gen.const(None: Option[Long])
+      bloom <- Gen.option(Gen.chooseNum(16, 128).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))).map(_.toArray))
+    } yield SnapshotTable.FileEntry(p, mnmx._1, mnmx._2, r, b, lo, hi,
+      m2x2._1, m2x2._2, lo2, hi2, dv, dvr, bloom)
+    def eqB(a: Option[Array[Byte]], b: Option[Array[Byte]]): Boolean =
+      (a, b) match {
+        case (Some(x), Some(y)) => x.sameElements(y)
+        case (None, None) => true
+        case _ => false
+      }
+    check(Prop.forAll(genEntry) { e =>
+      val rt = SnapshotTable.parseEntry(e.render)
+      // the format serializes SHAPES, not arbitrary combinations: a
+      // lower-arity line drops fields that were None anyway, so
+      // compare semantically field by field
+      rt.path == e.path && rt.minKey == e.minKey && rt.maxKey == e.maxKey &&
+        rt.rows == e.rows && rt.bytes == e.bytes &&
+        eqB(rt.minStr, e.minStr) && eqB(rt.maxStr, e.maxStr) &&
+        rt.min2 == e.min2 && rt.max2 == e.max2 &&
+        eqB(rt.min2Str, e.min2Str) && eqB(rt.max2Str, e.max2Str) &&
+        rt.dv == e.dv && rt.dvRows == e.dvRows && eqB(rt.bloom, e.bloom)
+    })
+  }
+
   private val id = AttributeReference("id", LongType)()
   private val name = AttributeReference("name", StringType)()
   private def lit(v: Long): Literal = Literal(v)
