@@ -1576,16 +1576,6 @@ object SnapshotTable {
     * (the caller's retention policy must outlive its consumers; same
     * contract as time travel). `fromVersion` 0 yields the create as
     * inserts. */
-  /** [[readChanges]] since an INSTANT: every change committed strictly
-    * AFTER `tsMs` — the form a scheduled CDC consumer naturally keys on
-    * ("what changed since my last run at T"), resolved through
-    * [[versionAsOf]]. An instant predating the table yields the full
-    * history from the create (version 0 base). The same retention
-    * contract as readChanges: the resolved window's manifests must
-    * still be live. */
-  def readChangesSince(spark: SparkSession, root: String, tsMs: Long): DataFrame =
-    readChanges(spark, root, versionAsOf(spark, root, tsMs).getOrElse(0))
-
   def readChanges(spark: SparkSession, root: String, fromVersion: Int,
       toVersion: Option[Int] = None): DataFrame = {
     val vs = versions(spark, root)
@@ -1647,6 +1637,16 @@ object SnapshotTable {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSch)
     } else all.reduce(_ unionAll _)
   }
+
+  /** [[readChanges]] since an INSTANT: every change committed strictly
+    * AFTER `tsMs` — the form a scheduled CDC consumer naturally keys on
+    * ("what changed since my last run at T"), resolved through
+    * [[versionAsOf]]. An instant predating the table yields the full
+    * history from the create (version 0 base). The same retention
+    * contract as readChanges: the resolved window's manifests must
+    * still be live. */
+  def readChangesSince(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    readChanges(spark, root, versionAsOf(spark, root, tsMs).getOrElse(0))
 
   /** Read the table with manifest-stats file skipping integrated into
     * CATALYST: the returned frame's scan is backed by a
