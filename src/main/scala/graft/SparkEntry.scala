@@ -146,6 +146,7 @@ object SparkEntry {
     "meta_snapshot_delete" -> ((s, d) => snapshotDeleteCycle(s, d)),
     "meta_snapshot_bloom_read" -> ((s, d) => snapshotBloomReadCycle(s, d)),
     "meta_snapshot_maintain" -> ((s, d) => snapshotMaintainCycle(s, d)),
+    "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
@@ -285,6 +286,7 @@ object SparkEntry {
     "meta_snapshot_delete" -> snapshotDeleteCycleSql,
     "meta_snapshot_bloom_read" -> snapshotBloomReadCycleSql,
     "meta_snapshot_maintain" -> snapshotMaintainCycleSql,
+    "meta_snapshot_asof" -> snapshotAsOfCycleSql,
     "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
@@ -1155,6 +1157,50 @@ object SparkEntry {
       UNION ALL
       SELECT doc_id + 10000000, n_chars FROM documents WHERE doc_id % 997 < 3
     ) ORDER BY doc_id"""
+
+  /** TIMESTAMP AS OF + CDC-since-instant, gated end to end: create the
+    * base table (v1), MERGE an update that flips every 10th doc's
+    * n_chars to -1 (v2), then PIN the two manifests' commit instants
+    * ten seconds apart (the resolver keys on manifest mtime, which the
+    * query owns for its temp table — determinism without sleeps). The
+    * rows are `readAsOf` at an instant BETWEEN the commits: exactly the
+    * pre-merge table, which is the oracle (plain documents). The
+    * invariant booleans pin the resolution contract: `resolved` — the
+    * boundary instants resolve to v1/v2 inclusively and a pre-table
+    * instant resolves to nothing; `cdc_since` — `readChangesSince` the
+    * same mid instant yields exactly the merge's delete+insert pairs
+    * (2 rows per updated key, nothing from v1). */
+  private def snapshotAsOfCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapasof").toString
+    val snap = graft.sources.SnapshotTable
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    snap.create(s, root, docs, statsKey = Some("doc_id"))
+    snap.merge(s, root,
+      docs.filter(col("doc_id") % 10 === 0).withColumn("n_chars", lit(-1L)),
+      key = "doc_id")
+    val t = System.currentTimeMillis()
+    def pin(v: Int, ts: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    pin(1, t - 10000); pin(2, t)
+    val resolved = snap.versionAsOf(s, root, t - 10000).contains(1) &&
+      snap.versionAsOf(s, root, t - 1).contains(1) &&
+      snap.versionAsOf(s, root, t).contains(2) &&
+      snap.versionAsOf(s, root, t - 20000).isEmpty
+    val updated = docs.filter(col("doc_id") % 10 === 0).count()
+    val cdcSince = snap.readChangesSince(s, root, t - 1).count() == 2 * updated
+    graft.Scratch.registerForCleanup(root)
+    snap.readAsOf(s, root, t - 1)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("resolved", lit(resolved))
+      .withColumn("cdc_since", lit(cdcSince))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotAsOfCycleSql: String = """
+    SELECT doc_id, n_chars, TRUE AS resolved, TRUE AS cdc_since
+    FROM documents ORDER BY doc_id"""
 
   /** Merge-on-read MERGE, gated end to end: the same delete-then-add
     * cycle as `meta_snapshot_merge`, executed through
