@@ -117,14 +117,29 @@ final class SnapshotTableSourceProvider extends StreamSourceProvider
       schema.getOrElse(lockedSchema(spark, parameters)),
       startingVersion,
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      changeFeed(parameters))
+      changeFeed(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(0),
+      Some(metadataPath))
   }
 }
 
-/** See [[SnapshotTableSourceProvider]]. */
+/** See [[SnapshotTableSourceProvider]]. `maxVersionsPerTrigger` > 0
+  * bounds how many table versions one micro-batch may span — the
+  * catch-up throttle: a stream restarted after downtime (or started
+  * against a long history) otherwise plans ONE batch over every
+  * pending version, which at 100 TB is an unbounded unit of work and
+  * an unbounded retry. Pacing state (the highest offset already
+  * OFFERED to the engine) survives restarts in an append-only marker
+  * log under the source's own checkpoint directory — create-if-absent
+  * markers, never overwritten, so there is no torn-write window; a
+  * restart resumes pacing at max(marker, startingVersion) and the
+  * offered offset therefore never falls below anything the engine
+  * already committed (offsets never regress, batches never overlap). */
 final class SnapshotTableSource(spark: SparkSession, root: String,
     override val schema: StructType, startingVersion: Int,
-    ignoreChanges: Boolean, changeFeed: Boolean = false) extends Source {
+    ignoreChanges: Boolean, changeFeed: Boolean = false,
+    maxVersionsPerTrigger: Int = 0,
+    metadataPath: Option[String] = None) extends Source {
 
   private def version(o: Offset): Int = o match {
     case l: LongOffset => l.offset.toInt
@@ -132,13 +147,57 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     case other => other.json.trim.toInt
   }
 
+  // ---- pacing state (used only when maxVersionsPerTrigger > 0) ----
+  private lazy val paceDir: Option[org.apache.hadoop.fs.Path] =
+    if (maxVersionsPerTrigger <= 0) None
+    else metadataPath.map(p => new org.apache.hadoop.fs.Path(p, "graft-pace"))
+  private def paceFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Highest offset already offered/delivered; marker-log-seeded. */
+  private var paceFloor: Int = {
+    val persisted = paceDir.flatMap { d =>
+      val f = paceFs(d)
+      if (!f.exists(d)) None
+      else f.listStatus(d).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.drop(1).toInt }
+        .maxOption
+    }
+    math.max(startingVersion, persisted.getOrElse(startingVersion))
+  }
+  private def recordPace(v: Int): Unit = if (v > paceFloor) {
+    paceFloor = v
+    paceDir.foreach { d =>
+      val f = paceFs(d)
+      // atomic create-if-absent marker; stale markers pruned lazily
+      try {
+        f.mkdirs(d)
+        f.create(new org.apache.hadoop.fs.Path(d, s"v$v"), false).close()
+        f.listStatus(d).foreach { s =>
+          val n = s.getPath.getName
+          if (n.startsWith("v") && n.drop(1).toInt < v - 64)
+            f.delete(s.getPath, false)
+        }
+      } catch { case _: Exception => () } // pacing is best-effort; offsets stay safe
+    }
+  }
+
   /** Latest committed version, as the available offset — None until
-    * something newer than the start exists (no empty first batch). */
+    * something newer than the start exists (no empty first batch).
+    * With pacing on, the offer is capped `maxVersionsPerTrigger` past
+    * the floor and never below it (monotonic within and across runs). */
   override def getOffset: Option[Offset] =
     SnapshotTable.versions(spark, root).lastOption
-      .filter(_ > startingVersion).map(v => LongOffset(v.toLong))
+      .filter(_ > startingVersion).map { latest =>
+        val capped =
+          if (maxVersionsPerTrigger > 0)
+            math.min(latest, paceFloor + maxVersionsPerTrigger)
+          else latest
+        LongOffset(math.max(capped, paceFloor).toLong)
+      }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    recordPace(version(end))
     val from = start.map(version).getOrElse(startingVersion)
     if (changeFeed) {
       // the CDC form: every op delivers its row-level diff, with the

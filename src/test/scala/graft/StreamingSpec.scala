@@ -43,6 +43,51 @@ class StreamingSpec extends SparkSpec {
     assert(drain("tsrc_run3") == Set.empty)
   }
 
+  test("table source maxVersionsPerTrigger bounds catch-up; pacing survives restart") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tpace").toString
+    val root = s"$tmp/table"
+    val cp = s"$tmp/cp"
+    def rows(r: (Long, String)*) = r.toDF("id", "v")
+    sources.SnapshotTable.create(spark, root, rows(1L -> "a"))   // v1
+    Seq(2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+      .foreach(r => sources.SnapshotTable.append(spark, root, rows(r))) // v2..v5
+    def drain(name: String): (Seq[Int], Set[(Long, String)]) = {
+      val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+      val q = spark.readStream.format("graft-table")
+        .option("path", root).option("maxVersionsPerTrigger", "2").load()
+        .writeStream.queryName(name)
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rs = batch.as[(Long, String)].collect()
+          if (rs.nonEmpty) { sizes.add(rs.length); rs.foreach(got.add) }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      (sizes.asScala.toSeq, got.asScala.toSet)
+    }
+    // catch-up over 5 pending versions at 1 row/version: the throttle
+    // must split it into ≤2-version batches instead of one 5-version
+    // batch — the bounded unit of work AND of retry
+    val (sizes1, got1) = drain("tpace_run1")
+    assert(got1 == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
+    assert(sizes1.nonEmpty && sizes1.forall(_ <= 2),
+      s"each catch-up batch must span at most 2 versions, got $sizes1")
+    assert(sizes1.length >= 3, s"5 versions at ≤2/trigger is ≥3 batches, got $sizes1")
+    // restart: the pace marker log resumes the floor at the delivered
+    // head — offsets never regress, nothing re-delivers, and the new
+    // versions still arrive throttled
+    Seq(6L -> "f", 7L -> "g", 8L -> "h")
+      .foreach(r => sources.SnapshotTable.append(spark, root, rows(r))) // v6..v8
+    val (sizes2, got2) = drain("tpace_run2")
+    assert(got2 == Set(6L -> "f", 7L -> "g", 8L -> "h"),
+      s"exactly-once across restart under pacing: $got2")
+    assert(sizes2.forall(_ <= 2) && sizes2.length >= 2,
+      s"restart must keep throttling (3 versions → ≥2 batches of ≤2): $sizes2")
+  }
+
   test("follow pipeline: a derived chunk table tracks the documents table incrementally") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-follow").toString
