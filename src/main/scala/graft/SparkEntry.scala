@@ -108,6 +108,8 @@ object SparkEntry {
     "dedup_jaccard_verify" -> ((s, d) => Dedup.jaccardOnCandidates(s, d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(s, d)),
+    "dedup_span_find" -> ((s, d) => Dedup.duplicateSpans(s, d)),
+    "dedup_span_strip" -> ((s, d) => Dedup.spanStripSummary(s, d)),
     // --- vector retrieval (§2.11) ---
     "vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
@@ -257,6 +259,8 @@ object SparkEntry {
     "dedup_jaccard_verify" -> Dedup.jaccardOnCandidatesSql(),
     "dedup_decontaminate" -> Dedup.decontaminateSql(),
     "dedup_cluster_reps" -> Dedup.clusterRepsSql(),
+    "dedup_span_find" -> Dedup.duplicateSpansSql(),
+    "dedup_span_strip" -> Dedup.spanStripSummarySql(),
     "vec_cosine_topk" -> VectorOps.cosineTopKSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),

@@ -333,6 +333,171 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // --- span-level (substring) dedup ---------------------------------
+  //
+  // The one dedup granularity the doc-level family above cannot express:
+  // duplicated PASSAGES inside otherwise-distinct documents (boilerplate
+  // headers, license blocks, templated intros). The canonical treatment
+  // is Lee et al. 2021, "Deduplicating Training Data Makes Language
+  // Models Better": find every token span of length ≥ k that occurs more
+  // than once in the corpus and remove it. Their suffix-array build is
+  // single-node; the distributed re-expression below is the standard
+  // MapReduce shape — k-token shingle positions, a global count on the
+  // shingle hash, and an interval merge per document:
+  //
+  //   tokens → (doc, pos, hash(gram))   map-side, one md5 per gram
+  //   duplicated grams                  groupBy(hash), partial aggs
+  //   positions of duplicated grams     equi-join on hash (co-partitioned)
+  //   merged spans                      per-doc window (docs are bounded)
+  //
+  // Two shuffles total (count + join), both on the 8-byte gram hash —
+  // gram STRINGS never shuffle. At 100 TB the gram frame is corpus-sized
+  // but the duplicated-hash set is the only thing joined back, and the
+  // per-doc interval merge partitions by doc_id (bounded groups).
+
+  /** (doc_id, p, g): the md5-derived int64 hash of the k-token gram
+    * starting at 0-based token position p. Shared spine of
+    * [[duplicateSpans]] / [[spanStripSummary]]; persisted by callers
+    * because it feeds both the global count and the position probe. */
+  private def gramPositions(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark))
+      .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - k),
+          i => TextFunctions.md5Long(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))))
+      .toDF("doc_id", "p", "g")
+
+  /** Gram hashes that occur more than once anywhere in the corpus
+    * (cross-document or repeated within one document — both are
+    * duplication per Lee et al.). */
+  private def duplicatedGrams(grams: DataFrame): DataFrame =
+    grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("g"))
+
+  /** Maximal duplicated spans per document: every token interval covered
+    * by duplicated k-grams, with overlapping/adjacent intervals merged
+    * (classic gaps-and-islands over a per-doc window). One row per span:
+    * (doc_id, span_start, span_end, span_tokens), positions 0-based
+    * inclusive. */
+  def duplicateSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramPositions(spark, dir, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val hits = grams.join(duplicatedGrams(grams), Seq("g"))
+      .select(col("doc_id"), col("p").cast("long").as("s"),
+        (col("p") + (k - 1)).cast("long").as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    hits
+      .withColumn("brk",
+        when(col("s") > coalesce(
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-2L)) + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def duplicateSpansSql(k: Int = 8): String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - ${k - 1})) - 1 AS p, t
+      FROM toks WHERE len(t) >= $k),
+    grams AS (
+      SELECT doc_id, p,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(t, CAST(p + 1 AS INT), CAST(p + $k AS INT)), ' ')), 1, 15) AS BIGINT) AS g
+      FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+    hits AS (SELECT gr.doc_id, CAST(gr.p AS BIGINT) AS s, CAST(gr.p + ${k - 1} AS BIGINT) AS e
+             FROM grams gr JOIN dup USING (g)),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked)
+    SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           MAX(e) - MIN(s) + 1 AS span_tokens
+    FROM islands GROUP BY doc_id, island
+    ORDER BY doc_id, span_start"""
+
+  /** The removal half of span dedup: per document, how many tokens sit
+    * inside duplicated spans and the md5 of the text with those tokens
+    * stripped (the cleaned training document). Covered positions come
+    * from exploding each duplicated gram hit into its k positions — a
+    * bounded k× expansion — then an equi-join against token positions;
+    * the ordered re-concat groups per doc (bounded). */
+  def spanStripSummary(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val grams = gramPositions(spark, dir, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val cov = grams.join(duplicatedGrams(grams), Seq("g"))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1))).as("q"))
+      .distinct()
+      .withColumn("covered", lit(true))
+    val tokpos = Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark))
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(lower(col("text")))))
+      .toDF("doc_id", "q", "tok")
+    tokpos.join(cov, Seq("doc_id", "q"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        count(col("covered")).as("dup_tokens"),
+        md5(to_binary(concat_ws(" ", transform(
+          sort_array(collect_list(when(col("covered").isNull,
+            struct(col("q"), col("tok"))))),
+          kv => kv.getField("tok"))), lit("utf-8"))).as("kept_md5"))
+      .select(col("doc_id"), col("total_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("total_tokens")).as("dup_ratio"),
+        col("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanStripSummarySql(k: Int = 8): String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - ${k - 1})) - 1 AS p, t
+      FROM toks WHERE len(t) >= $k),
+    grams AS (
+      SELECT doc_id, p,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(t, CAST(p + 1 AS INT), CAST(p + $k AS INT)), ' ')), 1, 15) AS BIGINT) AS g
+      FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+    cov AS (SELECT DISTINCT gr.doc_id, gr.p + u.i AS q
+            FROM grams gr JOIN dup USING (g),
+                 LATERAL (SELECT unnest(generate_series(0, ${k - 1})) AS i) u),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS q FROM toks),
+    kept AS (
+      SELECT tp.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) FILTER (WHERE c.q IS NOT NULL) AS BIGINT) AS dup_tokens,
+             md5(COALESCE(string_agg(CASE WHEN c.q IS NULL THEN tp.tok END,
+                                     ' ' ORDER BY tp.q), '')) AS kept_md5
+      FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.q = c.q
+      GROUP BY tp.doc_id)
+    SELECT doc_id, total_tokens, dup_tokens,
+           CAST(dup_tokens AS DOUBLE) / total_tokens AS dup_ratio, kept_md5
+    FROM kept ORDER BY doc_id"""
+
   def jaccardOnCandidatesSql(threshold: Double = 0.5): String = s"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),

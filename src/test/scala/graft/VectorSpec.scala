@@ -72,6 +72,61 @@ class VectorSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
 
+  test("duplicateSpans finds the shared passage and merges overlapping grams") {
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    // docs 1 and 2 share a 10-token prefix (= three overlapping 8-grams
+    // in each → one merged span 0..9); doc 3 shares nothing.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, s"$shared unique1a unique1b unique1c unique1d unique1e unique1f unique1g unique1h"),
+      (2L, s"$shared unique2a unique2b unique2c unique2d unique2e unique2f unique2g unique2h"),
+      (3L, "wholly different words that never repeat anywhere in this corpus at all today"),
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val spans = Dedup.duplicateSpans(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 0L, 9L, 10L), (2L, 0L, 9L, 10L)))
+  }
+
+  test("duplicateSpans flags a passage repeated WITHIN one document") {
+    val tmp = java.nio.file.Files.createTempDirectory("spansw").toString
+    val block = "one two three four five six seven eight"
+    Seq((1L, s"$block filler1 filler2 filler3 filler4 filler5 filler6 filler7 filler8 $block"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val spans = Dedup.duplicateSpans(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the 8-token block occurs at positions 0 and 16; both instances flagged
+    assert(spans == Seq((1L, 0L, 7L, 8L), (1L, 16L, 23L, 8L)))
+  }
+
+  test("spanStripSummary counts covered tokens and hashes the stripped text") {
+    val tmp = java.nio.file.Files.createTempDirectory("strip").toString
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, s"$shared tail1a tail1b tail1c tail1d tail1e tail1f tail1g tail1h"),
+      (2L, s"$shared tail2a tail2b tail2c tail2d tail2e tail2f tail2g tail2h"),
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.spanStripSummary(spark, tmp)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) == Seq((1L, 16L, 8L), (2L, 16L, 8L)))
+    // kept text is the 8 unique tail tokens; hash must match a direct md5
+    val expect1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("tail1a tail1b tail1c tail1d tail1e tail1f tail1g tail1h".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.head._5 == expect1)
+    assert(rows.head._4 == 0.5)
+  }
+
+  test("spanStripSummary: fully-duplicated doc strips to the empty-string hash") {
+    val tmp = java.nio.file.Files.createTempDirectory("stripall").toString
+    val t = "one two three four five six seven eight"
+    Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.spanStripSummary(spark, tmp)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    val md5empty = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(rows.forall(r => r._3 == 8L && r._4 == 1.0 && r._5 == md5empty))
+  }
+
   test("minhash bucket cap drops degenerate bands instead of exploding pairs") {
     // 200 identical docs: every band collapses to one bucket of 200 —
     // an uncapped pair expansion would emit ~19.9k pairs per band;
