@@ -90,9 +90,11 @@ object SparkEntry {
     "join_range_buckets" -> ((s, d) => rangeBucketsQuery(s, d)),
     "text_figure_splice" -> ((s, d) => figureSpliceQuery(s, d)),
     "text_rolling_hash" -> ((s, d) => rollingHashQuery(s, d)),
+    "text_pii_scrub" -> ((s, d) => piiScrubQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "sample_quality_filter" -> ((s, d) => qualityFilterQuery(s, d)),
     "sample_weighted_mix" -> ((s, d) => weightedMixQuery(s, d)),
+    "sample_shard_shuffle" -> ((s, d) => shardShuffleQuery(s, d)),
     "chunk_cdc" -> ((s, d) => cdcChunksQuery(s, d)),
     "text_page_anchors" -> ((s, d) => pageAnchorsQuery(s, d)),
     "text_caption_spots" -> ((s, d) => captionSpotsQuery(s, d)),
@@ -243,9 +245,11 @@ object SparkEntry {
     "join_range_buckets" -> rangeBucketsSql,
     "text_figure_splice" -> figureSpliceSql,
     "text_rolling_hash" -> rollingHashSql,
+    "text_pii_scrub" -> piiScrubSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_quality_filter" -> qualityFilterSql,
     "sample_weighted_mix" -> weightedMixSql,
+    "sample_shard_shuffle" -> shardShuffleSql,
     "chunk_cdc" -> cdcChunksSql,
     "text_page_anchors" -> pageAnchorsSql,
     "text_caption_spots" -> captionSpotsSql,
@@ -820,6 +824,52 @@ object SparkEntry {
                          (acc, x) -> (acc * 31 + x) % 2147483647))) AS kgram_min
     FROM documents ORDER BY doc_id"""
 
+  /** PII scrub over the corpus: redact emails / IPv4s / long digit runs
+    * and report per-doc match counts plus the hash of the scrubbed text.
+    * The synthetic corpus carries no organic PII, so each document is
+    * first augmented with deterministic doc_id-derived identifiers —
+    * computable identically by the oracle — making every row exercise
+    * all three patterns. Map-side only: one codegen'd projection. */
+  private def piiScrubQuery(s: SparkSession, d: String): DataFrame = {
+    val atext = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 ref 123456789"))
+    val scrubbed = TextFunctions.piiScrub(atext)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(atext, lit(TextFunctions.EmailRe)).cast("long").as("n_email"),
+      regexp_count(atext, lit(TextFunctions.Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(atext, lit(TextFunctions.LongNumRe)).cast("long").as("n_num"),
+      length(scrubbed).cast("long").as("scrub_len"),
+      md5(to_binary(scrubbed, lit("utf-8"))).as("scrub_md5"),
+    ).orderBy(col("doc_id"))
+  }
+
+  private def piiScrubSql: String = {
+    val atext = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 123456789'"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val num = "\\b\\d{9,}\\b"
+    s"""
+    WITH aug AS (SELECT doc_id, $atext AS atext FROM documents),
+    scrub AS (
+      SELECT doc_id, atext,
+             regexp_replace(regexp_replace(regexp_replace(atext,
+               '$email', '<EMAIL>', 'g'),
+               '$ipv4', '<IP>', 'g'),
+               '$num', '<NUM>', 'g') AS cleaned
+      FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(atext, '$email')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(atext, '$ipv4')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(atext, '$num')) AS BIGINT) AS n_num,
+           CAST(length(cleaned) AS BIGINT) AS scrub_len,
+           md5(cleaned) AS scrub_md5
+    FROM scrub ORDER BY doc_id"""
+  }
+
   /** Page-anchor map over the markdownized corpus (F10/F11/W1/W2
     * composite — SURVEY.md §1's page-anchor table). */
   private def pageAnchorsQuery(s: SparkSession, d: String): DataFrame =
@@ -932,6 +982,49 @@ object SparkEntry {
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Deterministic global shuffle + shard export — the final stage of a
+    * training-data pipeline: every document is assigned a content-
+    * addressed shard (first hex nibble of a seeded md5 → 16 shards) and
+    * a deterministic position within its shard (sort by the full hash),
+    * with a running token total per shard for downstream pack budgeting.
+    * Seeded hashing makes the shuffle reproducible across runs and
+    * engines — no RNG state.
+    *
+    * Scale shape: exactly the plan a 100 TB shard export wants — one
+    * hash projection (map-side), one shuffle on the shard key, and a
+    * within-shard sort; shards are corpus/16 so each window partition
+    * is one balanced export file's worth of rows. */
+  private def shardShuffleQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = md5(to_binary(concat(lit("seed42|"), col("doc_id").cast("string")), lit("utf-8")))
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), hk.as("hk"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("shard", conv(substring(col("hk"), 1, 1), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+    base.select(col("shard"),
+      (row_number().over(w) - 1).cast("long").as("pos"),
+      col("doc_id"), col("n_tokens"),
+      sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private def shardShuffleSql: String = """
+    WITH t AS (
+      SELECT doc_id, md5('seed42|' || CAST(doc_id AS VARCHAR)) AS hk,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      FROM documents),
+    sh AS (SELECT doc_id, hk, n_tokens,
+                  CAST('0x' || substr(hk, 1, 1) AS BIGINT) AS shard FROM t)
+    SELECT shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos,
+           doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    FROM sh ORDER BY shard, pos"""
 
   /** F20: JSON serde round-trip — serialize each doc's metadata struct
     * with to_json, parse it back with from_json, and project the

@@ -130,6 +130,33 @@ object TextFunctions {
     when(tokenCount(c) === 0, lit(0.0))
       .otherwise(regexp_count(c, lit("\\S")).cast("double") / tokenCount(c))
 
+  // --- PII scrubbing ---
+  //
+  // Regex redaction of the machine-recognizable identifier shapes a
+  // training-data pipeline scrubs before tokenization. Patterns are
+  // restricted to the Java-regex ∩ RE2 common subset (no backrefs, no
+  // lookaround; \b is the ASCII word boundary in both) so the DuckDB
+  // oracle evaluates them identically. Purely map-side: at 100 TB this
+  // is a projection inside whole-stage codegen, no shuffle.
+
+  /** Email addresses. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literals. */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Standalone digit runs of 9+ (account/SSN/phone-shaped). */
+  val LongNumRe = "\\b\\d{9,}\\b"
+
+  /** Redact emails, then IPv4s, then long digit runs (email first so
+    * its digits never partially match the later patterns). */
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
   // --- fingerprinting ---
 
   /** Canonical document fingerprint: lowercase, strip non-alphanumerics,

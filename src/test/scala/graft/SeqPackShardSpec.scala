@@ -10,6 +10,25 @@ import graft.chunk.SeqPack
   * reference fold. */
 class SeqPackShardSpec extends SparkSpec {
 
+  test("shard shuffle: 16 shards, dense positions, monotone token totals, deterministic") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_shard_shuffle")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._3).distinct.size == rows.size) // every doc exactly once
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keySet.subsetOf((0L until 16L).toSet))
+    byShard.values.foreach { s =>
+      val sorted = s.sortBy(_._2)
+      assert(sorted.map(_._2) == (0L until s.size).toSeq)  // dense 0-based pos
+      // cum_tokens is the running sum of n_tokens in position order
+      assert(sorted.scanLeft(0L)(_ + _._4).tail == sorted.map(_._5))
+    }
+    // seeded hash ⇒ bit-identical across invocations
+    val again = SparkEntry.queries("sample_shard_shuffle")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == rows)
+  }
+
   test("a dominant source splits into bounded shards with local numbering") {
     import spark.implicits._
     val shardSize = 50L

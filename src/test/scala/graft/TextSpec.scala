@@ -57,4 +57,26 @@ class TextSpec extends SparkSpec {
       .select(fingerprint(col("t"))).as[String].collect().toSeq
     assert(fps.distinct.size == 1)
   }
+
+  test("piiScrub redacts emails, IPv4s, and long digit runs") {
+    val out = Seq(
+      "mail a.b+c@sub.example.org now",
+      "server at 192.168.001.1 up",
+      "acct 123456789 and 9876543210123",
+      "short 12345678 stays; ref55 stays",
+      "combo x@y.io on 10.0.0.7 id 111222333",
+    ).toDF("t").select(piiScrub(col("t"))).as[String].collect().toSeq
+    assert(out == Seq(
+      "mail <EMAIL> now",
+      "server at <IP> up",
+      "acct <NUM> and <NUM>",
+      "short 12345678 stays; ref55 stays",
+      "combo <EMAIL> on <IP> id <NUM>"))
+  }
+
+  test("piiScrub order: email digits never half-match the number pattern") {
+    val out = Seq("user123456789@example.com done").toDF("t")
+      .select(piiScrub(col("t"))).as[String].collect().head
+    assert(out == "<EMAIL> done")
+  }
 }
