@@ -128,6 +128,32 @@ class PlanAuditSpec extends SparkSpec {
       "bucket probe must broadcast the one-row query side")
   }
 
+  test("pii scrub is one map-side projection (no exchange beyond the final sort)") {
+    val s = simpleString(SparkEntry.queries("text_pii_scrub")(spark, sf))
+    // the only exchange allowed is the presentation sort's range partition
+    assert(!s.contains("Exchange hashpartitioning"),
+      "regex scrub must not shuffle")
+  }
+
+  test("shard shuffle plans exactly one hash exchange (the shard key)") {
+    val s = simpleString(SparkEntry.queries("sample_shard_shuffle")(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashExchanges == 1,
+      s"expected the single shard-key shuffle, saw $hashExchanges hash exchanges")
+  }
+
+  test("span dedup shuffles gram hashes, never gram strings") {
+    val df = vector.Dedup.duplicateSpans(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // both exchanges (global count + position probe) key on the int64
+    // hash column g; the concat_ws'd gram string must be projected away
+    // before any exchange
+    val bad = s.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("concat_ws"))
+    assert(!bad, "gram strings must be hashed to int64 before shuffling")
+  }
+
   test("normalization chain stays in one codegen stage with the scan") {
     val df = Tables.documents(spark, sf)
       .select(functions.Nfkc.nfkc(text.TextFunctions.normalize(
