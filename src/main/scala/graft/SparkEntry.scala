@@ -91,6 +91,7 @@ object SparkEntry {
     "text_figure_splice" -> ((s, d) => figureSpliceQuery(s, d)),
     "text_rolling_hash" -> ((s, d) => rollingHashQuery(s, d)),
     "text_pii_scrub" -> ((s, d) => piiScrubQuery(s, d)),
+    "text_term_commonness" -> ((s, d) => termCommonnessQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "sample_quality_filter" -> ((s, d) => qualityFilterQuery(s, d)),
     "sample_weighted_mix" -> ((s, d) => weightedMixQuery(s, d)),
@@ -246,6 +247,7 @@ object SparkEntry {
     "text_figure_splice" -> figureSpliceSql,
     "text_rolling_hash" -> rollingHashSql,
     "text_pii_scrub" -> piiScrubSql,
+    "text_term_commonness" -> termCommonnessSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_quality_filter" -> qualityFilterSql,
     "sample_weighted_mix" -> weightedMixSql,
@@ -384,6 +386,62 @@ object SparkEntry {
                     '([0-9])([a-zA-Z])', '\1 \2', 'g')), '\s+')) END AS n_subword_tokens,
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
     FROM documents ORDER BY doc_id"""
+
+  /** Corpus-relative term commonness — the distributional quality
+    * signal the rule-based `text_quality` family cannot express (the
+    * CCNet/LM-filter shape: score each document against corpus-level
+    * token statistics). Per doc: token count, the sum over token
+    * INSTANCES of each token's corpus frequency, the mean relative
+    * commonness (integer sums → two IEEE divisions, deterministic),
+    * and the hapax fraction (tokens occurring exactly once corpus-wide
+    * — high hapax = OCR noise / gibberish, low = boilerplate).
+    *
+    * Scale shape: tokens are hashed to the portable md5-int64 before
+    * any shuffle (strings never leave the map side); corpus counts are
+    * one groupBy on the hash (partial aggs), joined back co-partitioned
+    * on the same hash, then one per-doc agg. The corpus-total scalar
+    * arrives via a broadcast one-row cross join, never a driver
+    * collect. Same inverted-index discipline as `dedup_decontaminate`. */
+  private def termCommonnessQuery(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .transform(graft.Parallelism.ensure(s))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), TextFunctions.md5Long(col("tok")).as("h"))
+      // two consumers (corpus counts, per-doc probe): tokenize + hash once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val counts = toks.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("corpus_tokens"))
+    toks.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_freq"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_tokens") / col("corpus_tokens"))
+          .as("commonness"),
+        (col("n_hapax").cast("double") / col("n_tokens")).as("hapax_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def termCommonnessSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(unnest(string_split_regex(trim(lower(text)), '\s+'))), 1, 15) AS BIGINT) AS h
+      FROM documents),
+    counts AS (SELECT h, COUNT(*) AS c FROM toks GROUP BY h),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS corpus_tokens FROM counts),
+    perdoc AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(c.c) AS BIGINT) AS sum_freq,
+             CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM toks t JOIN counts c USING (h) GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, sum_freq,
+           CAST(sum_freq AS DOUBLE) / n_tokens / corpus_tokens AS commonness,
+           CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_frac
+    FROM perdoc, total ORDER BY doc_id"""
 
   /** Language-ID over documents. The plan tokenizes each document
     * exactly ONCE: `explode(array(...))` is a Generate barrier that

@@ -154,6 +154,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!bad, "gram strings must be hashed to int64 before shuffling")
   }
 
+  test("term commonness shuffles token hashes, never token strings") {
+    val df = SparkEntry.queries("text_term_commonness")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val bad = s.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .exists(l => l.contains("tok#"))
+    assert(!bad, "token strings must be hashed to int64 before shuffling")
+  }
+
   test("normalization chain stays in one codegen stage with the scan") {
     val df = Tables.documents(spark, sf)
       .select(functions.Nfkc.nfkc(text.TextFunctions.normalize(

@@ -74,6 +74,18 @@ class TextSpec extends SparkSpec {
       "combo <EMAIL> on <IP> id <NUM>"))
   }
 
+  test("term commonness: hand-computed corpus frequencies, hapax fraction") {
+    val tmp = java.nio.file.Files.createTempDirectory("tc").toString
+    Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // counts: a=3, b=1, c=1; corpus total 5
+    val rows = SparkEntry.queries("text_term_commonness")(spark, tmp)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 3L, 7L, 7.0 / 3 / 5, 1.0 / 3),   // a,a,b → 3+3+1
+      (2L, 2L, 4L, 4.0 / 2 / 5, 1.0 / 2)))  // a,c → 3+1
+  }
+
   test("piiScrub order: email digits never half-match the number pattern") {
     val out = Seq("user123456789@example.com done").toDF("t")
       .select(piiScrub(col("t"))).as[String].collect().head
