@@ -436,13 +436,13 @@ object Dedup {
     FROM islands GROUP BY doc_id, island
     ORDER BY doc_id, span_start"""
 
-  /** The removal half of span dedup: per document, how many tokens sit
-    * inside duplicated spans and the md5 of the text with those tokens
-    * stripped (the cleaned training document). Covered positions come
-    * from exploding each duplicated gram hit into its k positions — a
-    * bounded k× expansion — then an equi-join against token positions;
-    * the ordered re-concat groups per doc (bounded). */
-  def spanStripSummary(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  /** Per-doc (doc_id, total_tokens, dup_tokens, kept) where `kept` is
+    * the lowercased text with duplicated spans stripped — the shared
+    * spine of [[spanStripSummary]] and [[stripSpans]]. Covered
+    * positions come from exploding each duplicated gram hit into its k
+    * positions — a bounded k× expansion — then an equi-join against
+    * token positions; the ordered re-concat groups per doc (bounded). */
+  private def strippedDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val grams = gramPositions(spark, dir, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
@@ -459,15 +459,33 @@ object Dedup {
       .agg(
         count(lit(1)).as("total_tokens"),
         count(col("covered")).as("dup_tokens"),
-        md5(to_binary(concat_ws(" ", transform(
+        concat_ws(" ", transform(
           sort_array(collect_list(when(col("covered").isNull,
             struct(col("q"), col("tok"))))),
-          kv => kv.getField("tok"))), lit("utf-8"))).as("kept_md5"))
+          kv => kv.getField("tok"))).as("kept"))
+  }
+
+  /** The removal half of span dedup: per document, how many tokens sit
+    * inside duplicated spans and the md5 of the text with those tokens
+    * stripped (the cleaned training document). */
+  def spanStripSummary(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    strippedDocs(spark, dir, k)
       .select(col("doc_id"), col("total_tokens"), col("dup_tokens"),
         (col("dup_tokens").cast("double") / col("total_tokens")).as("dup_ratio"),
-        col("kept_md5"))
+        md5(to_binary(col("kept"), lit("utf-8"))).as("kept_md5"))
       .orderBy(col("doc_id"))
-  }
+
+  /** The cleaned corpus itself: (doc_id, text) with every duplicated
+    * span removed (lowercased, single-space re-joined) — the frame a
+    * training pipeline feeds to chunking/packing after span dedup.
+    * Documents stripped to nothing are DROPPED (an all-boilerplate doc
+    * contributes no training text). Same plan as [[spanStripSummary]];
+    * md5(text) here equals that query's kept_md5 row for row
+    * (cross-checked in VectorSpec). */
+  def stripSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    strippedDocs(spark, dir, k)
+      .filter(length(col("kept")) > 0)
+      .select(col("doc_id"), col("kept").as("text"))
 
   def spanStripSummarySql(k: Int = 8): String = s"""
     WITH toks AS (

@@ -116,6 +116,30 @@ class VectorSpec extends SparkSpec {
     assert(rows.head._4 == 0.5)
   }
 
+  test("span operators agree: per-doc span lengths sum to dup_tokens; stripSpans matches kept_md5") {
+    // cross-operator invariants on the real corpus: duplicateSpans and
+    // spanStripSummary compute coverage through different plans (island
+    // merge vs position join) — they must agree exactly
+    val spans = Dedup.duplicateSpans(spark, sf)
+      .groupBy("doc_id").agg(sum("span_tokens").as("covered"))
+      .as[(Long, Long)].collect().toMap
+    val strip = Dedup.spanStripSummary(spark, sf)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    strip.foreach { case (id, _, dup, _, _) =>
+      assert(spans.getOrElse(id, 0L) == dup, s"doc $id: spans=${spans.get(id)} dup=$dup")
+    }
+    // stripSpans IS the text whose md5 spanStripSummary reports
+    val keptMd5 = strip.map(r => r._1 -> r._5).toMap
+    val stripped = Dedup.stripSpans(spark, sf)
+      .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("m"))
+      .as[(Long, String)].collect()
+    assert(stripped.nonEmpty)
+    stripped.foreach { case (id, m) => assert(keptMd5(id) == m) }
+    // dropped docs are exactly those stripped to nothing
+    val droppedIds = strip.filter(r => r._2 == r._3).map(_._1).toSet
+    assert(stripped.map(_._1).toSet == keptMd5.keySet -- droppedIds)
+  }
+
   test("spanStripSummary: fully-duplicated doc strips to the empty-string hash") {
     val tmp = java.nio.file.Files.createTempDirectory("stripall").toString
     val t = "one two three four five six seven eight"
