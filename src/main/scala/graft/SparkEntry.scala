@@ -92,6 +92,8 @@ object SparkEntry {
     "text_rolling_hash" -> ((s, d) => rollingHashQuery(s, d)),
     "text_pii_scrub" -> ((s, d) => piiScrubQuery(s, d)),
     "text_term_commonness" -> ((s, d) => termCommonnessQuery(s, d)),
+    "text_mojibake" -> ((s, d) => mojibakeQuery(s, d)),
+    "text_lm_perplexity" -> ((s, d) => lmPerplexityQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "sample_quality_filter" -> ((s, d) => qualityFilterQuery(s, d)),
     "sample_weighted_mix" -> ((s, d) => weightedMixQuery(s, d)),
@@ -113,6 +115,7 @@ object SparkEntry {
     "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(s, d)),
     "dedup_span_find" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_span_strip" -> ((s, d) => Dedup.spanStripSummary(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // --- vector retrieval (§2.11) ---
     "vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
@@ -171,6 +174,7 @@ object SparkEntry {
     "agg_pivot_returns" -> ((s, d) => Relational.pivotReturns(s, d)),
     "agg_unpivot_balances" -> ((s, d) => Relational.unpivotBalances(s, d)),
     "agg_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
+    "agg_approx_percentiles" -> ((s, d) => Relational.approxPercentilesChecked(s, d)),
     // --- faithful recursive chunker (§2.9 C2, custom Generator) ---
     "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
     // --- semantic + token-window chunkers (§2.9 C3/C4) ---
@@ -248,6 +252,8 @@ object SparkEntry {
     "text_rolling_hash" -> rollingHashSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_term_commonness" -> termCommonnessSql,
+    "text_mojibake" -> mojibakeSql,
+    "text_lm_perplexity" -> lmPerplexitySql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_quality_filter" -> qualityFilterSql,
     "sample_weighted_mix" -> weightedMixSql,
@@ -267,6 +273,7 @@ object SparkEntry {
     "dedup_cluster_reps" -> Dedup.clusterRepsSql(),
     "dedup_span_find" -> Dedup.duplicateSpansSql(),
     "dedup_span_strip" -> Dedup.spanStripSummarySql(),
+    "dedup_semantic" -> Dedup.semanticDedupSql(),
     "vec_cosine_topk" -> VectorOps.cosineTopKSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
@@ -314,6 +321,7 @@ object SparkEntry {
     "agg_pivot_returns" -> Relational.pivotReturnsSql,
     "agg_unpivot_balances" -> Relational.unpivotBalancesSql,
     "agg_percentiles" -> Relational.percentilesSql,
+    "agg_approx_percentiles" -> Relational.approxPercentilesCheckedSql,
     // engine-side sketches / fixpoints / trained models are checked via
     // invariant oracles: the engine-private values (HLL estimate, chunk
     // boundaries, merged rects, learned merges, trained centroids) are
@@ -442,6 +450,144 @@ object SparkEntry {
            CAST(sum_freq AS DOUBLE) / n_tokens / corpus_tokens AS commonness,
            CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_frac
     FROM perdoc, total ORDER BY doc_id"""
+
+  /** Encoding-artifact (mojibake) detection — the ftfy-class corpus
+    * quality signal: U+FFFD replacement characters (lossy decodes), C1
+    * controls U+0080–U+009F (cp1252↔latin-1 confusions), and classic
+    * UTF-8-read-as-cp1252 digraphs, counted per document with the
+    * bad-character fraction and a keep gate. Deterministic doc_id-derived
+    * markers are appended so every row exercises all three families on
+    * the synthetic corpus (same discipline as `text_pii_scrub`).
+    *
+    * Map-side only at any scale: three `regexp_count` projections inside
+    * whole-stage codegen, integer counts, one IEEE division — no
+    * shuffle, no UDF. Patterns live in [[TextFunctions]] and are shared
+    * verbatim with the oracle (Java ∩ RE2 subset). */
+  private def mojibakeQuery(s: SparkSession, d: String): DataFrame = {
+    val probe = concat(col("text"),
+      expr("repeat('�', CAST(doc_id % 3 AS INT))"),
+      expr("repeat('Ã©', CAST(doc_id % 2 AS INT))"),
+      expr("repeat('', CAST(doc_id % 4 AS INT))"))
+    val nRepl = regexp_count(probe, lit(TextFunctions.ReplacementRe)).cast("long")
+    val nC1 = regexp_count(probe, lit(TextFunctions.C1ControlRe)).cast("long")
+    val nMoji = regexp_count(probe, lit(TextFunctions.MojibakeRe)).cast("long")
+    val badFrac = (nRepl + nC1 + nMoji).cast("double") /
+      greatest(length(probe), lit(1)).cast("double")
+    Tables.documents(s, d).select(
+      col("doc_id"), nRepl.as("n_repl"), nC1.as("n_c1"), nMoji.as("n_moji"),
+      badFrac.as("bad_frac"), (badFrac <= lit(0.02)).as("keep"),
+    ).orderBy(col("doc_id"))
+  }
+
+  private def mojibakeSql: String = {
+    // chr() builds the non-printing probe chars; the pattern constants are
+    // shared verbatim with the Spark side (no quotes/escapes to re-quote)
+    val moji = TextFunctions.MojibakeRe
+    s"""
+    WITH probe AS (
+      SELECT doc_id,
+             text || repeat(chr(65533), CAST(doc_id % 3 AS INT))
+                  || repeat('Ã©', CAST(doc_id % 2 AS INT))
+                  || repeat(chr(129), CAST(doc_id % 4 AS INT)) AS t
+      FROM documents),
+    counted AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '${TextFunctions.ReplacementRe}')) AS BIGINT) AS n_repl,
+             CAST(len(regexp_extract_all(t, '${TextFunctions.C1ControlRe}')) AS BIGINT) AS n_c1,
+             CAST(len(regexp_extract_all(t, '$moji')) AS BIGINT) AS n_moji,
+             GREATEST(length(t), 1) AS n_chars
+      FROM probe)
+    SELECT doc_id, n_repl, n_c1, n_moji,
+           CAST(n_repl + n_c1 + n_moji AS DOUBLE) / CAST(n_chars AS DOUBLE) AS bad_frac,
+           (CAST(n_repl + n_c1 + n_moji AS DOUBLE) / CAST(n_chars AS DOUBLE)) <= 0.02 AS keep
+    FROM counted ORDER BY doc_id"""
+  }
+
+  /** Corpus bigram-LM cross-entropy — the CCNet/KenLM-shaped LM quality
+    * filter, trained on the corpus itself: add-one-smoothed bigram
+    * probabilities P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V) over md5-hashed
+    * tokens, scored per document as mean negative log-likelihood.
+    * Gibberish scores high (unseen transitions), boilerplate low —
+    * the transition-level complement of `text_term_commonness`.
+    *
+    * Hash-stability: each bigram instance's -ln(p) is FLOORed to an
+    * integer count of 10^-4 nats BEFORE any aggregation, so the per-doc
+    * sum is an exact integer sum (order-free) and the mean is one IEEE
+    * division. The only cross-engine surface is ln() on bit-identical
+    * doubles; with the 1e4 quantum a last-ulp disagreement flipping a
+    * floor is vanishingly unlikely — and the driver gate fails loudly
+    * if it ever does.
+    *
+    * Scale shape: tokens are hashed to the portable md5-int64 inside the
+    * array transform (token strings never reach an exchange); adjacent
+    * pairs are formed in the same projection via slice+zip_with — no
+    * window, no self-join; bigram counts are one groupBy on (h1,h2); the
+    * probe join is co-partitioned on the same keys; unigram counts join
+    * on h1; V arrives via a broadcast one-row cross join, never a driver
+    * action. The bigram stream is persisted once for its two consumers
+    * (count + probe) — same discipline as `text_term_commonness`. */
+  private def lmPerplexityQuery(s: SparkSession, d: String): DataFrame = {
+    val arr = TextFunctions.tokens(lower(col("text")))
+    val hArr = transform(arr, t => TextFunctions.md5Long(t))
+    val n1 = greatest(size(hArr) - 1, lit(0))
+    val docs = Tables.documents(s, d).transform(graft.Parallelism.ensure(s))
+    val bi = docs
+      .select(col("doc_id"),
+        explode(zip_with(slice(hArr, lit(1), n1), slice(hArr, lit(2), n1),
+          (a, b) => struct(a.as("h1"), b.as("h2")))).as("bg"))
+      .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val uni = docs.select(explode(hArr).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val cnt2 = bi.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c2"))
+    bi.join(cnt2, Seq("h1", "h2"))
+      .join(uni.withColumnRenamed("h", "h1"), Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(lit(10000.0) * log(
+          (col("c1") + col("vocab")).cast("double") /
+            (col("c2").cast("double") + lit(1.0)))).cast("long").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("nll_q_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_q_sum"),
+        (col("nll_q_sum").cast("double") / col("n_bigrams") / lit(10000.0)).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def lmPerplexitySql: String = """
+    WITH raw AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(arr) AS tok,
+             unnest(generate_series(1, len(arr))) AS pos
+      FROM raw),
+    ht AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks),
+    uni AS (SELECT h, COUNT(*) AS c1 FROM ht GROUP BY h),
+    vt AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+    bi AS (
+      SELECT doc_id, lag(h) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+             h AS h2
+      FROM ht QUALIFY h1 IS NOT NULL),
+    probe AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(10000.0 * ln(
+               CAST(u.c1 + v.vocab AS DOUBLE) / (CAST(c.c2 AS DOUBLE) + 1.0)
+             )) AS BIGINT) AS q
+      FROM bi b
+      JOIN (SELECT h1, h2, COUNT(*) AS c2 FROM bi GROUP BY h1, h2) c
+        ON b.h1 = c.h1 AND b.h2 = c.h2
+      JOIN uni u ON b.h1 = u.h
+      CROSS JOIN vt v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(q) AS BIGINT) AS nll_q_sum,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 10000.0 AS xent
+    FROM probe GROUP BY doc_id ORDER BY doc_id"""
 
   /** Language-ID over documents. The plan tokenizes each document
     * exactly ONCE: `explode(array(...))` is a Generate barrier that

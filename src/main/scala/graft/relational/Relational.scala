@@ -422,6 +422,51 @@ object Relational {
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Approx-percentile sketch gate — the 100 TB scale path for
+    * quantiles. `percentile()` holds every group value; the GK-family
+    * `approx_percentile(accuracy = A)` keeps mergeable bounded state
+    * with a guaranteed rank error ≤ n/A. The estimates themselves are
+    * engine-private sketch outputs, so the oracle asserts the sketch's
+    * CONTRACT: each estimate's true rank (recomputed with one broadcast
+    * of the 9-row estimate frame against the fact — no second shuffle of
+    * orders) must lie within the documented bound (±1 extra slack for
+    * rank-convention edges). Reduced to booleans the oracle asserts
+    * blind — sketch drift breaks the hash (same pattern as
+    * [[approxDistinctChecked]]). */
+  def approxPercentilesChecked(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val qs = Seq(0.25, 0.5, 0.9)
+    val orders = Tables.orders(spark, dir)
+    val est = orders.groupBy(col("o_orderstatus"))
+      .agg(
+        expr(s"approx_percentile(o_totalprice, array(${qs.mkString(", ")}), $acc)").as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus").as("g"), col("n"),
+        posexplode(col("ap")).as(Seq("qi", "v")))
+    val p = when(col("qi") === 0, qs(0)).when(col("qi") === 1, qs(1)).otherwise(qs(2))
+    val eps = lit(1.0) / acc
+    val checked = orders
+      .join(broadcast(est), col("o_orderstatus") === col("g"))
+      .groupBy(col("o_orderstatus"), col("qi"), col("n"))
+      .agg(
+        sum(when(col("o_totalprice") <= col("v"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("o_totalprice") < col("v"), 1L).otherwise(0L)).as("n_lt"))
+      .select(col("o_orderstatus"), col("qi"), col("n"),
+        (col("n_le") >= floor((p - eps) * col("n")) - 1 &&
+          col("n_lt") <= ceil((p + eps) * col("n")) + 1).as("ok"))
+    checked.groupBy(col("o_orderstatus"), col("n"))
+      .agg(
+        max(when(col("qi") === 0, col("ok"))).as("ok_p25"),
+        max(when(col("qi") === 1, col("ok"))).as("ok_p50"),
+        max(when(col("qi") === 2, col("ok"))).as("ok_p90"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  def approxPercentilesCheckedSql: String = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p90
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** HLL++ sketch cardinality (SURVEY.md §2.4 ABSENT→built-in
     * approx_count_distinct). Engine-specific sketch ⇒ no cross-engine
     * oracle; the driver records a rows-only check and ApproxSpec bounds

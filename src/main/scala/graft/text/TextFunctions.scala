@@ -157,6 +157,31 @@ object TextFunctions {
         Ipv4Re, "<IP>"),
       LongNumRe, "<NUM>")
 
+  // --- encoding-artifact (mojibake) detection ---
+  //
+  // Extraction pipelines feeding a training corpus routinely mis-decode
+  // bytes (UTF-8 read as cp1252, lossy transcodes leaving U+FFFD, C1
+  // controls from latin-1 round trips). These are the ftfy-class signals
+  // a quality gate filters on, as counting expressions in the Java ∩ RE2
+  // regex subset (literal characters and one \x{..} class — identical
+  // semantics in both engines). Purely map-side: a projection inside
+  // whole-stage codegen at any scale, no shuffle.
+
+  /** U+FFFD replacement characters — lossy-decode droppings. */
+  val ReplacementRe = "�"
+
+  /** C1 control block U+0080–U+009F: bytes a cp1252→latin-1 confusion
+    * maps to controls instead of punctuation (the ’ “ ” – — family). */
+  val C1ControlRe = "[\\x{0080}-\\x{009F}]"
+
+  /** Classic UTF-8-read-as-cp1252 digraphs: accented latin letters
+    * become "Ã" + a continuation char, smart punctuation becomes
+    * "â€¦"-style triples, and NBSP-padded symbols gain "Â". The
+    * alternatives are distinct literals, so leftmost non-overlapping
+    * counting is engine-independent. */
+  val MojibakeRe =
+    "Ã©|Ã¨|Ã¡|Ã¤|Ã¶|Ã¼|Ã±|Ã§|â€™|â€œ|â€|â€“|â€”|â€¦|Â°|Â·|Â»|Â«"
+
   // --- fingerprinting ---
 
   /** Canonical document fingerprint: lowercase, strip non-alphanumerics,

@@ -516,6 +516,126 @@ object Dedup {
            CAST(dup_tokens AS DOUBLE) / total_tokens AS dup_ratio, kept_md5
     FROM kept ORDER BY doc_id"""
 
+  /** SemDeDup (Abbas et al. 2023) re-expressed distributed: semantic
+    * near-duplicate removal in EMBEDDING space, bounded by a learned
+    * k-means clustering — the scale path the brute/LSH pair search
+    * (`vec_dup_pairs`) can't take to 100 TB. Pipeline: Lloyd k-means
+    * ([[KMeans.fit]] — broadcast centroids, O(k·dim) model), map-side
+    * assignment, WITHIN-CLUSTER pairwise cosine ≥ threshold (pair cost
+    * Σ sᵢ² over cluster sizes, never n²), then the greedy min-id keep
+    * rule: a vector is dropped iff some same-cluster near-duplicate has
+    * a smaller id. Clustering and scores are deterministic (KMeans
+    * rounds centroids to 9 dp; cosine rounded to 6 dp).
+    *
+    * The kept/dropped partition depends on the learned clustering, so
+    * it is engine-private; the driver gate reduces the run to its
+    * CONTRACT invariants (each computed from the data, not asserted):
+    *   - `part_ok`: cluster sizes sum to n_vectors with ≤ k non-empty
+    *     clusters (assignment is a partition);
+    *   - `greedy_ok`: no surviving pair — for u<v with cos ≥ τ in one
+    *     cluster, v is by definition dropped, so a kept-kept pair is
+    *     impossible; the query RECOMPUTES the check (count = 0) rather
+    *     than asserting it;
+    *   - `scores_ok`: every emitted pair clears the threshold (min
+    *     over the pair frame, vacuously true when no pairs).
+    * The quality pin (recovered fraction of brute-force pairs, exact
+    * kept set on a planted-duplicates corpus) lives in VectorSpec /
+    * AnnQualitySpec — observed behavior belongs in specs, contract
+    * invariants in the gate. */
+  private def rawEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+
+  /** Shared spine: k-means assignment + within-cluster duplicate pairs
+    * over an (vec_id, v) frame. Both frames persist once for their
+    * multiple consumers (pair sides, counts, keep anti-join). */
+  private def semanticSpine(spark: SparkSession, emb: DataFrame, k: Int,
+      iters: Int, threshold: Double): (DataFrame, DataFrame) = {
+    val centroids = KMeans.fit(spark, emb, k, iters)
+    val assigned = KMeans.assign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val a = assigned.select(col("list_id"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("list_id"), col("id_a"), col("id_b"),
+        round(VectorOps.cosine(col("va"), col("vb")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    (assigned, pairs)
+  }
+
+  /** The kept-vector frame (vec_id) of semantic dedup over the RAW
+    * embeddings table — the actual output a pipeline consumes
+    * downstream (same reusable-output discipline as `stripSpans`). */
+  def semanticKept(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, threshold: Double = 0.85): DataFrame = {
+    val (assigned, pairs) = semanticSpine(spark, rawEmbeddings(spark, dir), k, iters, threshold)
+    assigned.select(col("vec_id"))
+      .join(pairs.select(col("id_b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+  }
+
+  /** Driver gate for [[semanticKept]]'s spine, over the embeddings
+    * table AUGMENTED with deterministic exact copies (vec_id % 50 == 0
+    * re-added as vec_id + 1,000,000) so the dedup has planted truth to
+    * find — the pii-scrub probe-injection discipline applied to
+    * vectors. `n_dropped` is an EXACT cross-engine column, not just an
+    * invariant: identical vectors are assigned to the same cluster
+    * deterministically (equal distances, ordered tie-break), so every
+    * planted pair is found regardless of what k-means learned, and the
+    * corpus carries no other pairs at this threshold (max inter-vector
+    * cosine ≈ 0.60 across all SFs, verified; the oracle recomputes the
+    * brute pair set blind, so a generator change that ever introduced
+    * sub-identical near-dups would surface as a loud hash diff to
+    * adjudicate, not a silent pass). Booleans are contract invariants
+    * RECOMPUTED from the run: partition totals, no surviving kept-kept
+    * pair, every pair clears the threshold. */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, threshold: Double = 0.85): DataFrame = {
+    val base = rawEmbeddings(spark, dir)
+    val emb = base.unionByName(
+      base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+    val (assigned, pairs) = semanticSpine(spark, emb, k, iters, threshold)
+    val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
+    val kept = assigned.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+    val nVec = assigned.agg(count(lit(1)).as("n_vectors"))
+    val partAgg = assigned.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_nonempty"), sum(col("sz")).as("sz_sum"))
+    val keptAgg = kept.agg(count(lit(1)).as("n_kept"))
+    val dropAgg = dropped.agg(count(lit(1)).as("n_dropped"))
+    val violAgg = pairs
+      .join(kept.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_viol"))
+    val scoreAgg = pairs.agg(min(col("score")).as("min_score"))
+    nVec.crossJoin(broadcast(partAgg)).crossJoin(broadcast(keptAgg))
+      .crossJoin(broadcast(dropAgg)).crossJoin(broadcast(violAgg))
+      .crossJoin(broadcast(scoreAgg))
+      .select(col("n_vectors"), col("n_dropped"),
+        (col("sz_sum") === col("n_vectors") && col("n_nonempty") <= k &&
+          col("n_kept") + col("n_dropped") === col("n_vectors")).as("part_ok"),
+        (col("n_viol") === 0L).as("greedy_ok"),
+        coalesce(col("min_score") >= threshold, lit(true)).as("scores_ok"))
+  }
+
+  def semanticDedupSql(threshold: Double = 0.85): String = s"""
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+      WHERE vec_id % 50 = 0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+            >= $threshold)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM aug) AS n_vectors,
+           (SELECT CAST(COUNT(DISTINCT id_b) AS BIGINT) FROM pairs) AS n_dropped,
+           TRUE AS part_ok, TRUE AS greedy_ok, TRUE AS scores_ok"""
+
   def jaccardOnCandidatesSql(threshold: Double = 0.5): String = s"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),

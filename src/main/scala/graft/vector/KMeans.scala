@@ -69,6 +69,13 @@ object KMeans {
     centroids.toDF("list_id", "cv")
   }
 
+  /** Map-side nearest-centroid assignment: the input frame plus a
+    * `list_id` column. Centroids broadcast (O(k·dim)); no shuffle. */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroidArr(centroids)))
+      .withColumn("list_id", nearestCentroid(col("v")))
+      .drop("centroid_arr")
+
   /** Mean within-cluster squared distance (inertia) of an assignment —
     * the convergence metric. */
   def inertia(emb: DataFrame, centroids: DataFrame): Double = {

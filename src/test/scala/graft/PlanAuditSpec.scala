@@ -163,6 +163,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!bad, "token strings must be hashed to int64 before shuffling")
   }
 
+  test("mojibake detection is one map-side counting projection") {
+    val s = simpleString(SparkEntry.queries("text_mojibake")(spark, sf))
+    // three regexp_count columns + one division: all in the scan's
+    // codegen stage; the only exchange is the presentation sort's
+    assert(!s.contains("Exchange hashpartitioning"),
+      "artifact counting must not shuffle")
+  }
+
+  test("bigram LM shuffles token hashes, never token strings") {
+    val df = SparkEntry.queries("text_lm_perplexity")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // every hash exchange must key on the int64 hash pairs (or doc_id);
+    // a partitioning expression still computing the tokenizer would
+    // mean strings reached the shuffle
+    val bad = s.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .exists(l => l.contains("split(") || l.contains("lower("))
+    assert(!bad, "tokenization must stay map-side; only hashes shuffle")
+  }
+
   test("normalization chain stays in one codegen stage with the scan") {
     val df = Tables.documents(spark, sf)
       .select(functions.Nfkc.nfkc(text.TextFunctions.normalize(

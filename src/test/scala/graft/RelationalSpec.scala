@@ -44,6 +44,16 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile rank bounds hold for every group and quantile") {
+    val rows = relational.Relational.approxPercentilesChecked(spark, sf)
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, n, ok25, ok50, ok90) =>
+      assert(n > 0 && ok25 && ok50 && ok90,
+        s"sketch rank bound violated for group $g")
+    }
+  }
+
   test("skewSafeDistinctCount equals COUNT(DISTINCT) and plans without Expand") {
     val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
     val salted = relational.Relational

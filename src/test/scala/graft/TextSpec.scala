@@ -86,6 +86,38 @@ class TextSpec extends SparkSpec {
       (2L, 2L, 4L, 4.0 / 2 / 5, 1.0 / 2)))  // a,c → 3+1
   }
 
+  test("mojibake counts: replacement chars, C1 controls, cp1252 digraphs") {
+    val tmp = java.nio.file.Files.createTempDirectory("mj").toString
+    // doc 0 (no injected probes: 0 % k == 0): one U+FFFD, one C1
+    // control, three digraphs (Ã©, Â°, â€™)
+    val t0 = "ok Ã© bad � x  plain Â° q â€™"
+    // doc 12 (also probe-free): clean text → keep
+    val t12 = "clean text with no artifacts " * 4
+    Seq((0L, t0), (5L, ""), (12L, t12)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("text_mojibake")(spark, tmp)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(rows(0) == ((0L, 1L, 1L, 3L, 5.0 / t0.length, false)))
+    // doc 5: empty text, injected probes only — 5%3=2 U+FFFD, 5%2=1 Ã©,
+    // 5%4=1 C1 → 5 chars, 4 bad
+    assert(rows(1) == ((5L, 2L, 1L, 1L, 4.0 / 5, false)))
+    assert(rows(2) == ((12L, 0L, 0L, 0L, 0.0, true)))
+  }
+
+  test("bigram LM: hand-computed add-one-smoothed cross-entropy") {
+    val tmp = java.nio.file.Files.createTempDirectory("lm").toString
+    Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // uni: a=3, b=2; V=2. bigrams: (a,b)×2, (b,a)×1.
+    // q(a,b) = floor(1e4·ln((3+2)/(2+1))) = floor(1e4·ln(5/3)) = 5108
+    // q(b,a) = floor(1e4·ln((2+2)/(1+1))) = floor(1e4·ln 2)     = 6931
+    val rows = SparkEntry.queries("text_lm_perplexity")(spark, tmp)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 2L, 12039L, 12039.0 / 2 / 10000),  // (a,b) + (b,a)
+      (2L, 1L, 5108L, 5108.0 / 1 / 10000)))   // (a,b)
+  }
+
   test("piiScrub order: email digits never half-match the number pattern") {
     val out = Seq("user123456789@example.com done").toDF("t")
       .select(piiScrub(col("t"))).as[String].collect().head

@@ -177,6 +177,36 @@ class VectorSpec extends SparkSpec {
     assert(tight.nonEmpty && tight.size <= 10)
   }
 
+  test("semantic dedup: planted duplicate groups keep exactly the min ids") {
+    val tmp = java.nio.file.Files.createTempDirectory("sd").toString
+    def v(x: Double*): Seq[Float] = x.map(_.toFloat)
+    // groups: {0,1,2} exact copies, {3,4} exact copies — every other
+    // vector pairwise-dissimilar at τ=0.98. Only EXACT copies are
+    // planted: a sub-identical near-dup can seed its own centroid and
+    // land cross-cluster (observed with (0.999, 0.001, 0, 0) here) —
+    // the documented within-cluster contract miss, pinned by the
+    // augmented driver gate's identical-copy argument instead
+    Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(1, 0, 0, 0)), (2L, v(1, 0, 0, 0)),
+      (3L, v(0, 1, 0, 0)), (4L, v(0, 1, 0, 0)),
+      (5L, v(0, 0, 1, 0)), (6L, v(0, 0, 0, 1)), (7L, v(1, 1, 1, 1)),
+    ).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val kept = Dedup.semanticKept(spark, tmp, k = 3, iters = 2, threshold = 0.98)
+      .as[Long].collect().toSet
+    // identical/near-identical vectors co-cluster (equal distances,
+    // ordered tie-break), so the greedy rule keeps each group's min id
+    assert(kept == Set(0L, 3L, 5L, 6L, 7L))
+  }
+
+  test("semantic dedup gate: exact planted-copy drop count, invariants recomputed") {
+    val inv = Dedup.semanticDedup(spark, sf)
+      .as[(Long, Long, Boolean, Boolean, Boolean)].head()
+    // sf0.001: 500 vectors + 10 planted copies (vec_id % 50 == 0); each
+    // copy is the sole dropped member of its pair
+    assert(inv == ((510L, 10L, true, true, true)))
+  }
+
   test("upsert is idempotent and last-writer-wins (J2 semantics)") {
     val existing = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
     val updates = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")
