@@ -156,6 +156,7 @@ object SparkEntry {
     "meta_snapshot_maintain" -> ((s, d) => snapshotMaintainCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
+    "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
@@ -305,6 +306,7 @@ object SparkEntry {
     "meta_snapshot_maintain" -> snapshotMaintainCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
     "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
+    "meta_snapshot_incr_view" -> snapshotIncrViewCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
@@ -1777,6 +1779,81 @@ object SparkEntry {
              CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
       FROM base WHERE doc_id % 7 = 0)
     ORDER BY _commit_version, _change_type, doc_id"""
+
+  /** INCREMENTAL MATERIALIZED VIEW over CDC
+    * ([[graft.meta.IncrementalView]]), gated end to end: a grouped
+    * COUNT/SUM view created at v1 and advanced by refreshes across an
+    * append → merge → delete → group-drop lifecycle — the base table
+    * is never re-read after creation (each refresh aggregates only the
+    * CDC window and merges by group key). The oracle is the view's
+    * relational definition over the FINAL table state, so any delta
+    * mis-accounting (sign error, missed dv delta, double-applied
+    * window) lands in the exact per-group values and breaks the hash.
+    * The booleans pin what the values can't: each refresh consumed
+    * exactly its window (incl. a multi-version one) and a replay
+    * consumed nothing; the cursor rode the commits to the final
+    * version; maintained state equals a full recompute (exceptAll both
+    * ways, RECOMPUTED not asserted); the emptied group's tombstone was
+    * physically purged. */
+  private def snapshotIncrViewCycle(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snapiv").toString
+    val tbl = s"$tmp/tbl"
+    val vw = s"$tmp/view"
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_orderkey") % 100).as("grp"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.sources.SnapshotTable.create(s, tbl,                         // v1
+      base.filter(col("o_orderkey") % 4 =!= 0), statsKey = Some("o_orderkey"))
+    graft.meta.IncrementalView.create(s, tbl, vw, "grp", "cents")
+    graft.sources.SnapshotTable.append(s, tbl,                         // v2
+      base.filter(col("o_orderkey") % 4 === 0))
+    val c1 = graft.meta.IncrementalView.refresh(s, tbl, vw)
+    graft.sources.SnapshotTable.merge(s, tbl,                          // v3
+      base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("cents", col("cents") + 777L),
+      key = "o_orderkey")
+    val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw)
+    graft.sources.SnapshotTable.deleteWhere(s, tbl,                    // v4
+      col("o_orderkey") % 7 === 0)
+    graft.sources.SnapshotTable.deleteWhere(s, tbl, col("grp") === 42L) // v5
+    val c3 = graft.meta.IncrementalView.refresh(s, tbl, vw) // 2-version window
+    val c4 = graft.meta.IncrementalView.refresh(s, tbl, vw) // replay: no-op
+    graft.meta.IncrementalView.purgeTombstones(s, vw)
+    val consumedOk = c1 == 1 && c2 == 1 && c3 == 2 && c4 == 0
+    val cursorOk =
+      graft.sources.SnapshotTable.lastTxnBatchId(s, vw).contains(5L)
+    val view = graft.meta.IncrementalView.read(s, vw)
+    val recompute = graft.sources.SnapshotTable.read(s, tbl)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("view_cnt"), sum(col("cents")).as("view_sum"))
+    val ivmOk = view.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(view).isEmpty
+    val purgedOk = graft.sources.SnapshotTable.read(s, vw)
+      .filter(col("grp") === 42L).isEmpty
+    val out = view
+      .withColumn("consumed_ok", lit(consumedOk))
+      .withColumn("cursor_ok", lit(cursorOk))
+      .withColumn("ivm_ok", lit(ivmOk))
+      .withColumn("purged_ok", lit(purgedOk))
+      .orderBy(col("grp"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
+  }
+
+  private def snapshotIncrViewCycleSql: String = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderkey % 100 AS grp,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    upd AS (
+      SELECT o_orderkey, grp,
+             CASE WHEN o_orderkey % 10 = 0 THEN cents + 777 ELSE cents END AS cents
+      FROM base),
+    fin AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0 AND grp <> 42)
+    SELECT grp, COUNT(*) AS view_cnt, CAST(SUM(cents) AS BIGINT) AS view_sum,
+           TRUE AS consumed_ok, TRUE AS cursor_ok, TRUE AS ivm_ok,
+           TRUE AS purged_ok
+    FROM fin GROUP BY grp ORDER BY grp"""
 
   /** TABLE→TABLE MIRROR, gated end to end: the streaming SOURCE and
     * the transactional streaming SINK composed into one-line

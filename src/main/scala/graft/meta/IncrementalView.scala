@@ -1,0 +1,140 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import graft.sources.SnapshotTable
+
+/** Incrementally-maintained materialized aggregate view over a
+  * [[SnapshotTable]] — the lakehouse piece that makes CDC pay for
+  * itself. The reference recomputes every derived artifact from the
+  * full corpus each run (the re-index loop, index_manager.py:347-368);
+  * at 100 TB a derived `GROUP BY` that re-reads the base table per
+  * refresh is the single largest recurring cost in the pipeline. This
+  * module maintains `SELECT g, COUNT(*), SUM(x) GROUP BY g` with
+  * refresh cost proportional to the CHANGED rows, never to table size:
+  * the delta is one aggregate over [[SnapshotTable.readChanges]]'s
+  * bounded window, merged into the stored state by group key.
+  *
+  * Design (classic counting-algorithm incremental view maintenance —
+  * Gupta & Mumick's delta rules — shaped for Spark):
+  *
+  *   - '''State is itself a snapshot table''' at `viewRoot`, keyed on
+  *     the group column (`statsKey` = group ⇒ point-group reads prune
+  *     files). One row per group: `(g, view_cnt, view_sum)`.
+  *   - '''COUNT and SUM are self-maintainable''': each CDC row
+  *     contributes +1/+x on `insert`, −1/−x on `delete` (an update is
+  *     its delete+insert pair, so it nets to the value change). The
+  *     delta aggregate touches only the change stream; affected groups
+  *     then merge with their stored row (`coalesce(old, 0) + delta`).
+  *   - '''Tombstones, not in-place deletes''': a group whose count
+  *     reaches zero keeps its `view_cnt = 0` row (the MERGE that
+  *     refreshes it is one atomic commit; a separate delete would
+  *     split the refresh across two). [[read]] filters tombstones;
+  *     [[purgeTombstones]] is the maintenance op that reclaims them
+  *     (merge-on-read `deleteWhere`, cost ∝ tombstone count).
+  *   - '''The cursor rides the commit''': the refresh MERGE records
+  *     the source version it consumed through as the view manifest's
+  *     `txnBatchId` — the same idempotence marker the transactional
+  *     streaming sink uses. A crashed refresh that committed is a
+  *     no-op on rerun (cursor already advanced); one that didn't
+  *     re-reads the same window. State and cursor can never disagree
+  *     because they are the same commit.
+  *
+  * Contracts: one refresher at a time (the scheduler's contract, same
+  * as the streaming sink's single-query checkpoint); the sum column
+  * must be integral — an IEEE double sum is order-dependent and a
+  * ±delta replay of it drifts, so a float measure must be quantized
+  * upstream (the repo-wide hash-stability discipline); base-table
+  * retention must outlive the refresh cadence ([[SnapshotTable.readChanges]]'s
+  * window contract).
+  */
+object IncrementalView {
+
+  private def specPath(viewRoot: String) =
+    java.nio.file.Paths.get(viewRoot, "_view.json")
+
+  /** Immutable view definition, written once at [[create]]. */
+  final case class ViewSpec(groupCol: String, sumCol: String, tableRoot: String)
+
+  private def writeSpec(viewRoot: String, spec: ViewSpec): Unit = {
+    val json = s"""{"groupCol":"${spec.groupCol}","sumCol":"${spec.sumCol}",""" +
+      s""""tableRoot":"${spec.tableRoot}"}"""
+    java.nio.file.Files.write(specPath(viewRoot),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readSpec(viewRoot: String): ViewSpec = {
+    val json = new String(java.nio.file.Files.readAllBytes(specPath(viewRoot)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def field(k: String) =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).get.group(1)
+    ViewSpec(field("groupCol"), field("sumCol"), field("tableRoot"))
+  }
+
+  /** Full compute at the base table's CURRENT version; the view is
+    * born with its cursor at that version. Returns the source version
+    * the view reflects. */
+  def create(spark: SparkSession, tableRoot: String, viewRoot: String,
+      groupCol: String, sumCol: String): Int = {
+    val v = SnapshotTable.versions(spark, tableRoot).last
+    val base = SnapshotTable.read(spark, tableRoot, Some(v))
+    val sumType = base.schema(sumCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(sumType),
+      s"sum column $sumCol is $sumType — incremental ±delta maintenance " +
+        "needs an integral measure (quantize floats upstream)")
+    val agg = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("view_cnt"),
+      sum(col(sumCol).cast("long")).as("view_sum"))
+    SnapshotTable.create(spark, viewRoot, agg,
+      statsKey = Some(groupCol), txnBatchId = Some(v.toLong))
+    writeSpec(viewRoot, ViewSpec(groupCol, sumCol, tableRoot))
+    v
+  }
+
+  /** Advance the view to the base table's current version by applying
+    * the CDC window `(cursor, latest]`. Returns the number of source
+    * versions consumed (0 = already current). One atomic MERGE commit:
+    * only affected groups' rows rewrite, and the view table's own
+    * key-range pruning bounds that rewrite to the files those groups
+    * live in. */
+  def refresh(spark: SparkSession, tableRoot: String, viewRoot: String): Int = {
+    val spec = readSpec(viewRoot)
+    require(spec.tableRoot == tableRoot,
+      s"view at $viewRoot tracks ${spec.tableRoot}, not $tableRoot")
+    val cursor = SnapshotTable.lastTxnBatchId(spark, viewRoot).getOrElse(
+      throw new IllegalStateException(
+        s"view at $viewRoot carries no cursor — not created by IncrementalView?")
+    ).toInt
+    val latest = SnapshotTable.versions(spark, tableRoot).last
+    if (latest <= cursor) return 0
+    val g = spec.groupCol
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = SnapshotTable
+      .readChanges(spark, tableRoot, fromVersion = cursor, Some(latest))
+      .groupBy(col(g))
+      .agg(sum(sign).as("d_cnt"),
+        sum(sign * col(spec.sumCol).cast("long")).as("d_sum"))
+    // stored rows for ONLY the affected groups (left join from the
+    // delta side); new groups coalesce from zero. Shuffle is bounded
+    // by |affected| + |view|, never by base-table size.
+    val newState = delta
+      .join(SnapshotTable.read(spark, viewRoot), Seq(g), "left")
+      .select(col(g),
+        (coalesce(col("view_cnt"), lit(0L)) + col("d_cnt")).as("view_cnt"),
+        (coalesce(col("view_sum"), lit(0L)) + col("d_sum")).as("view_sum"))
+    SnapshotTable.merge(spark, viewRoot, newState, key = g,
+      txnBatchId = Some(latest.toLong))
+    latest - cursor
+  }
+
+  /** The view's live rows — tombstoned (emptied) groups filtered. */
+  def read(spark: SparkSession, viewRoot: String): DataFrame =
+    SnapshotTable.read(spark, viewRoot).filter(col("view_cnt") > 0L)
+
+  /** Maintenance: reclaim tombstoned groups without touching live
+    * rows — merge-on-read delete, cost ∝ tombstone count. Returns the
+    * committed version (None when there was nothing to purge). */
+  def purgeTombstones(spark: SparkSession, viewRoot: String): Option[Int] =
+    SnapshotTable.deleteWhere(spark, viewRoot, col("view_cnt") === 0L)
+}

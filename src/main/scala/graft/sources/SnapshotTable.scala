@@ -829,7 +829,7 @@ object SnapshotTable {
     * file (correct, just unpruned). */
   def merge(spark: SparkSession, root: String, updates: DataFrame, key: String,
       maxPruneKeys: Int = 100000, allowWiden: Boolean = false,
-      statsKey2: Option[String] = None): Int = {
+      statsKey2: Option[String] = None, txnBatchId: Option[Long] = None): Int = {
     // updates' files are written once; survivors re-derive per attempt.
     // The secondary stats key inherits from the manifest at write time;
     // a lost race CAN change it (compact/append/retainWhere all accept
@@ -891,7 +891,7 @@ object SnapshotTable {
       // the fresh effKey2 and stay correct as-is.
       Pending(fixCarried(untouched) ++
         rewritten ++ reconcileUpdateStats(updateFiles, key2AtStart, effKey2),
-        evolved, Some(key), effKey2)
+        evolved, Some(key), effKey2, txnBatchId)
     }
   }
 
