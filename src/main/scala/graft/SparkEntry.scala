@@ -94,6 +94,7 @@ object SparkEntry {
     "text_term_commonness" -> ((s, d) => termCommonnessQuery(s, d)),
     "text_mojibake" -> ((s, d) => mojibakeQuery(s, d)),
     "text_lm_perplexity" -> ((s, d) => lmPerplexityQuery(s, d)),
+    "text_quality_classifier" -> ((s, d) => qualityClassifierQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "sample_quality_filter" -> ((s, d) => qualityFilterQuery(s, d)),
     "sample_weighted_mix" -> ((s, d) => weightedMixQuery(s, d)),
@@ -255,6 +256,7 @@ object SparkEntry {
     "text_term_commonness" -> termCommonnessSql,
     "text_mojibake" -> mojibakeSql,
     "text_lm_perplexity" -> lmPerplexitySql,
+    "text_quality_classifier" -> qualityClassifierSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_quality_filter" -> qualityFilterSql,
     "sample_weighted_mix" -> weightedMixSql,
@@ -452,6 +454,48 @@ object SparkEntry {
            CAST(sum_freq AS DOUBLE) / n_tokens / corpus_tokens AS commonness,
            CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_frac
     FROM perdoc, total ORDER BY doc_id"""
+
+  /** TRAINED quality-classifier gate ([[graft.text.QualityClassifier]])
+    * — hashed-n-gram logistic regression, the fastText-shaped filter
+    * the published corpus pipelines place before data selection,
+    * trained HERE by distributed full-batch GD. Labels are planted
+    * deterministically (doc parity) and each class gets a distinct
+    * marker trigram appended, so the corpus is separable and the
+    * learned decision is fully predictable: the oracle asserts every
+    * prediction equals its planted label. The weights themselves are
+    * engine-private float sums (order-dependent); what the gate pins
+    * are DECISIONS and a recomputed robustness margin — |p − ½| ≥ 0.05
+    * on every doc, so a last-ulp drift in the gradient sums can never
+    * flip a prediction and break the hash (the sketch-gate discipline
+    * of `agg_approx_distinct`/`vec_embed_infer`). Scale shape: the
+    * featurized frame persists once; each epoch is ONE job over it
+    * (weights broadcast out as a plan literal, gradients aggregate
+    * back bounded by dim); scoring is map-only. */
+  private def qualityClassifierQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.text.QualityClassifier
+    val docs = Tables.documents(s, d).transform(graft.Parallelism.ensure(s))
+    val marked = docs.select(col("doc_id"),
+      (col("doc_id") % 2 === 0).cast("long").as("y"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(" qualmark qualmark qualmark"))
+          .otherwise(lit(" junkmark junkmark junkmark"))).as("t"))
+    val feats = marked
+      .select(col("doc_id"), col("y").cast("double").as("y"),
+        array_distinct(QualityClassifier.featurize(col("t"))).as("feat"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val model = QualityClassifier.train(s, feats, epochs = 24, lr = 4.0)
+    QualityClassifier.score(feats, model)
+      .select(col("doc_id"), col("y").cast("long").as("y"), col("pred"),
+        (col("pred") === (col("y") === 1.0)).as("correct"),
+        (abs(col("p") - 0.5) >= 0.05).as("margin_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qualityClassifierSql: String = """
+    SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+           doc_id % 2 = 0 AS pred, TRUE AS correct, TRUE AS margin_ok
+    FROM documents ORDER BY doc_id"""
 
   /** Encoding-artifact (mojibake) detection — the ftfy-class corpus
     * quality signal: U+FFFD replacement characters (lossy decodes), C1

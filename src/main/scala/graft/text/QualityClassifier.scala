@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A TRAINED document-quality classifier at the corpus-filter boundary
+  * — the fastText-shaped linear model the published LLM data pipelines
+  * (GPT-3's WebText-vs-Common-Crawl filter, CCNet, RefinedWeb) put in
+  * front of training-data selection, built from the same public
+  * ingredients as [[graft.vector.HashingEmbedder]]:
+  *
+  *   1. Feature hashing (Weinberger et al. 2009): word unigrams AND
+  *      adjacent bigrams hash into `dim` buckets — vocabulary-free, so
+  *      the model is `dim + 1` doubles no matter the corpus.
+  *   2. Logistic regression by full-batch gradient descent, executed
+  *      as the classic distributed-GD loop: weights broadcast OUT as a
+  *      plan literal (executors score map-side), gradients aggregate
+  *      BACK through one bucket-keyed sum per epoch. The driver only
+  *      ever holds the `dim`-bounded gradient — the same bounded-model
+  *      contract as k-means centroids and the IDF table.
+  *   3. A −1 sentinel bucket rides the same explode as the features,
+  *      so the bias gradient shares the epoch's single aggregation
+  *      (no second pass — at 100 TB an extra corpus scan per epoch
+  *      doubles the training bill).
+  *
+  * The caller materializes the featurized frame ONCE ([[featurize]] is
+  * a map-side projection; persist it) and every epoch is one job over
+  * it: no shuffle of text, no per-row UDF, gradient exchange bounded
+  * by `dim`. Training is deterministic up to float-sum order (the
+  * per-bucket gradient sum); consumers pin DECISIONS (predictions,
+  * margins), not raw weights — the repo-wide sketch discipline. */
+object QualityClassifier {
+
+  val DefaultDim = 4096
+
+  /** Learned model: `dim` bucket weights + bias. */
+  final case class Model(dim: Int, w: Array[Double], bias: Double)
+
+  /** Word unigrams + adjacent bigrams, hashed to `[0, dim)` with
+    * duplicates kept (bag counts). One codegen'd projection — token
+    * strings never outlive it. For classification over documents of
+    * very different lengths, wrap in `array_distinct` (presence
+    * features): raw counts let a long document's common words swamp
+    * the decision, the classic reason fastText length-normalizes. */
+  def featurize(text: Column, dim: Int = DefaultDim): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bi = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    transform(concat(toks, bi),
+      g => pmod(xxhash64(g), lit(dim.toLong)).cast("int"))
+  }
+
+  private def dot(feat: Column, m: Model): Column =
+    aggregate(feat, lit(0.0),
+      (acc, i) => acc + element_at(typedLit(m.w.toSeq), i + 1)) + lit(m.bias)
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Full-batch GD over a featurized frame `(feat: array<int>,
+    * y: double ∈ {0,1})`. One distributed job per epoch; the collect
+    * is ≤ `dim + 1` rows by construction. */
+  def train(spark: SparkSession, feats: DataFrame, dim: Int = DefaultDim,
+      epochs: Int = 8, lr: Double = 0.5): Model = {
+    import spark.implicits._
+    val n = feats.count().toDouble
+    require(n > 0, "cannot train on an empty corpus")
+    var m = Model(dim, new Array[Double](dim), 0.0)
+    for (_ <- 1 to epochs) {
+      val resid = (sigmoid(dot(col("feat"), m)) - col("y")).as("r")
+      // sentinel −1 carries the bias gradient through the SAME
+      // aggregation as the feature gradients: one job per epoch
+      val g = feats.select(resid,
+          explode(concat(array(lit(-1)), col("feat"))).as("j"))
+        .groupBy(col("j")).agg(sum(col("r")).as("g"))
+        .as[(Int, Double)].collect()
+      val w = m.w.clone()
+      var b = m.bias
+      g.foreach { case (j, gj) =>
+        if (j < 0) b -= lr * gj / n else w(j) -= lr * gj / n
+      }
+      m = Model(dim, w, b)
+    }
+    m
+  }
+
+  /** Map-side inference: adds `p` (probability) and `pred` (≥ 0.5) to
+    * a featurized frame. Model rides the plan as a literal — no join,
+    * no shuffle, whole-stage codegen. */
+  def score(feats: DataFrame, m: Model): DataFrame = {
+    val p = sigmoid(dot(col("feat"), m))
+    feats.withColumn("p", p).withColumn("pred", col("p") >= 0.5)
+  }
+}

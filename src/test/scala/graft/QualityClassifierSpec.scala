@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.QualityClassifier
+
+/** [[graft.text.QualityClassifier]]: featurization shape, separable
+  * training to 100% accuracy with real margins, bias-only learning via
+  * the sentinel bucket, and the gate's marker-collision guard. */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("featurize emits unigram+bigram bag hashed into [0, dim)") {
+    val out = Seq("a b c").toDF("t")
+      .select(QualityClassifier.featurize(col("t"), 64).as("f"))
+      .as[Seq[Int]].head()
+    assert(out.size == 5) // a, b, c, "a b", "b c"
+    assert(out.forall(i => i >= 0 && i < 64))
+    // bag semantics: duplicates kept
+    val dup = Seq("x x x").toDF("t")
+      .select(QualityClassifier.featurize(col("t"), 64).as("f"))
+      .as[Seq[Int]].head()
+    assert(dup.size == 5 && dup.take(3).distinct.size == 1)
+  }
+
+  test("separable planted corpus trains to 100% accuracy with margin") {
+    val docs = (0L until 40L).map { i =>
+      val marker = if (i % 2 == 0) "qualmark qualmark" else "junkmark junkmark"
+      (i, if (i % 2 == 0) 1.0 else 0.0, s"common words doc $i $marker")
+    }.toDF("doc_id", "y", "t")
+    val feats = docs.select(col("doc_id"), col("y"),
+      QualityClassifier.featurize(col("t")).as("feat"))
+    val m = QualityClassifier.train(spark, feats)
+    val scored = QualityClassifier.score(feats, m)
+      .select(col("y"), col("pred"), abs(col("p") - 0.5).as("margin"))
+      .as[(Double, Boolean, Double)].collect()
+    assert(scored.forall { case (y, pred, _) => pred == (y == 1.0) })
+    assert(scored.forall(_._3 >= 0.05),
+      s"weak margin: ${scored.map(_._3).min}")
+  }
+
+  test("bias sentinel learns the class prior on featureless rows") {
+    // no features at all: only the bias can move, via the -1 sentinel
+    val feats = Seq.fill(8)((Seq.empty[Int], 1.0)).toDF("feat", "y")
+    val m = QualityClassifier.train(spark, feats, epochs = 20, lr = 1.0)
+    assert(m.bias > 0.5, s"bias did not learn the all-positive prior: ${m.bias}")
+    assert(m.w.forall(_ == 0.0))
+  }
+
+  test("gate query on the real corpus: every decision correct with margin") {
+    val rows = SparkEntry.queries("text_quality_classifier")(spark, sf)
+      .select(col("correct"), col("margin_ok")).as[(Boolean, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall { case (c, m) => c && m })
+  }
+
+  test("gate markers hash to distinct buckets at the default dim") {
+    val idx = Seq("qualmark", "junkmark", "qualmark qualmark", "junkmark junkmark")
+      .toDF("t").select(QualityClassifier.featurize(col("t")).as("f"))
+      .as[Seq[Int]].collect().map(_.head)
+    assert(idx(0) != idx(1), "unigram markers collide — gate would be vacuous")
+  }
+}
