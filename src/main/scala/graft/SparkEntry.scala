@@ -177,6 +177,7 @@ object SparkEntry {
     "agg_unpivot_balances" -> ((s, d) => Relational.unpivotBalances(s, d)),
     "agg_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "agg_approx_percentiles" -> ((s, d) => Relational.approxPercentilesChecked(s, d)),
+    "agg_heavy_hitters" -> ((s, d) => heavyHittersQuery(s, d)),
     // --- faithful recursive chunker (§2.9 C2, custom Generator) ---
     "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
     // --- semantic + token-window chunkers (§2.9 C3/C4) ---
@@ -326,6 +327,7 @@ object SparkEntry {
     "agg_unpivot_balances" -> Relational.unpivotBalancesSql,
     "agg_percentiles" -> Relational.percentilesSql,
     "agg_approx_percentiles" -> Relational.approxPercentilesCheckedSql,
+    "agg_heavy_hitters" -> heavyHittersSql,
     // engine-side sketches / fixpoints / trained models are checked via
     // invariant oracles: the engine-private values (HLL estimate, chunk
     // boundaries, merged rects, learned merges, trained centroids) are
@@ -1883,6 +1885,55 @@ object SparkEntry {
       .orderBy(col("grp"))
     graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
   }
+
+  /** Misra–Gries heavy hitters ([[graft.relational.HeavyHitters]])
+    * over a deterministically SKEWED key (a third of the orders fold
+    * into 5 hot values; the rest spread over ~900 cold ones). The
+    * sketch content is merge-order private, so the gate emits the
+    * DETERMINISTIC heavy set — values whose exact count exceeds n/k,
+    * recomputed — which DuckDB reproduces exactly, plus the sketch's
+    * contract RECOMPUTED as booleans: every candidate's estimate within
+    * [true − n/k, true], every >n/k value covered by the candidate
+    * list, candidate count ≤ k − 1, and the sketch's n equal to the
+    * true stream length. The exact re-count is the VERIFICATION, not
+    * the operator: the sketch's one aggregation moved only k-bounded
+    * state per partition. */
+  private def heavyHittersQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 20
+    val skew = when(col("o_orderkey") % 3 === 0, col("o_orderkey") % 5)
+      .otherwise(col("o_orderkey") % 1000 + 100)
+    val v = Tables.orders(s, d).select(skew.cast("long").as("val"))
+    val sk = graft.relational.HeavyHitters.sketch(s, v.as[Long], k)
+    val cand = sk.items.toDF().withColumnRenamed("value", "val")
+    val exact = v.groupBy(col("val")).agg(count(lit(1)).as("exact_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val n = exact.agg(sum(col("exact_cnt"))).head().getLong(0)
+    val boundOk = exact.join(broadcast(cand), Seq("val"))
+      .filter(!(col("est") <= col("exact_cnt") &&
+        col("est") * k >= col("exact_cnt") * k - lit(n))).isEmpty
+    val heavy = exact.filter(col("exact_cnt") * k > lit(n))
+    val coverOk = heavy
+      .join(broadcast(cand), Seq("val"), "left_anti").isEmpty
+    val candOk = sk.items.size <= k - 1 && sk.n == n
+    heavy
+      .withColumn("bound_ok", lit(boundOk))
+      .withColumn("cover_ok", lit(coverOk))
+      .withColumn("cand_ok", lit(candOk))
+      .orderBy(col("val"))
+  }
+
+  private def heavyHittersSql: String = """
+    WITH v AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 5
+                  ELSE o_orderkey % 1000 + 100 END AS val
+      FROM orders),
+    c AS (SELECT val, COUNT(*) AS exact_cnt FROM v GROUP BY val),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+    SELECT val, exact_cnt, TRUE AS bound_ok, TRUE AS cover_ok,
+           TRUE AS cand_ok
+    FROM c, t WHERE exact_cnt * 20 > n ORDER BY val"""
 
   private def snapshotIncrViewCycleSql: String = """
     WITH base AS (
