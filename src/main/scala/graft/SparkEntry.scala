@@ -199,6 +199,7 @@ object SparkEntry {
     "events_sliding" -> ((s, d) => EventWindows.sliding(s, d)),
     "events_session" -> ((s, d) => EventWindows.sessions(s, d)),
     "events_dedup_watermark" -> ((s, d) => EventWindows.dedupWithinWatermark(s, d)),
+    "events_interval_join" -> ((s, d) => EventWindows.intervalJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -353,6 +354,7 @@ object SparkEntry {
     "events_sliding" -> EventWindows.slidingSql,
     "events_session" -> EventWindows.sessionsSql,
     "events_dedup_watermark" -> EventWindows.dedupWithinWatermarkSql,
+    "events_interval_join" -> EventWindows.intervalJoinSql,
   )
 
   // --- text-layer query bodies (kept here because they are thin

@@ -105,4 +105,38 @@ object EventWindows {
            (epoch_us(ts) - epoch_us(ts) % 60000000) AS minute_us,
            MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
     FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** Interval (stream-stream) join, batch analog: every click a user
+    * makes within 30 minutes AFTER a view — the attribution shape
+    * whose streaming form is watermark-bounded state on BOTH sides
+    * ([[StreamingRunner.runStreamStreamJoin]] runs this identical
+    * condition under two readStreams; StreamingSpec proves row
+    * equality). Inclusive bounds on both ends, matching Spark's
+    * `BETWEEN`-style range condition. Scale shape: an equi-join on
+    * user_id carries the range predicate as a post-join filter — the
+    * shuffle keys on the user, never on time, and the state bound in
+    * the streaming form is the watermark horizon. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def side(kind: String, a: String) = ev.filter(col("event_type") === kind)
+      .select(col("user_id").as(s"${a}_user"), col("event_id").as(s"${a}_id"),
+        col("ts").as(s"${a}_ts"))
+    side("view", "v").join(side("click", "c"),
+        col("v_user") === col("c_user") && col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("v_id"), col("c_id"),
+        unix_micros(col("v_ts")).as("view_us"),
+        unix_micros(col("c_ts")).as("click_us"))
+      .orderBy(col("user_id"), col("v_id"), col("c_id"))
+  }
+
+  def intervalJoinSql: String = """
+    SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id,
+           epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+    FROM events v JOIN events c
+      ON v.event_type = 'view' AND c.event_type = 'click'
+     AND v.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(v.ts)
+     AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+    ORDER BY user_id, v_id, c_id"""
 }

@@ -270,15 +270,9 @@ class StreamingSpec extends SparkSpec {
       .runStreamStreamJoin(spark, sf, "graft_ssj_spec")
       .orderBy("user_id", "v_id", "c_id")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
-    val ev = Tables.events(spark, sf)
-    def side(kind: String, a: String) = ev.filter(col("event_type") === kind)
-      .select(col("user_id").as(s"${a}_user"), col("event_id").as(s"${a}_id"), col("ts").as(s"${a}_ts"))
-    val batch = side("view", "v").join(side("click", "c"),
-        col("v_user") === col("c_user") && col("c_ts") >= col("v_ts") &&
-          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("v_user"), col("v_id"), col("c_id"),
-        unix_micros(col("v_ts")), unix_micros(col("c_ts")))
-      .orderBy("v_user", "v_id", "c_id")
+    // the gated batch analog (`events_interval_join`) IS the
+    // comparison side: one definition for oracle and streaming proof
+    val batch = streaming.EventWindows.intervalJoin(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(streamed == batch)
     assert(batch.nonEmpty)
