@@ -178,6 +178,7 @@ object SparkEntry {
     "agg_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "agg_approx_percentiles" -> ((s, d) => Relational.approxPercentilesChecked(s, d)),
     "agg_heavy_hitters" -> ((s, d) => heavyHittersQuery(s, d)),
+    "graph_pagerank" -> ((s, d) => pageRankQuery(s, d)),
     // --- faithful recursive chunker (§2.9 C2, custom Generator) ---
     "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
     // --- semantic + token-window chunkers (§2.9 C3/C4) ---
@@ -329,6 +330,7 @@ object SparkEntry {
     "agg_percentiles" -> Relational.percentilesSql,
     "agg_approx_percentiles" -> Relational.approxPercentilesCheckedSql,
     "agg_heavy_hitters" -> heavyHittersSql,
+    "graph_pagerank" -> pageRankSql,
     // engine-side sketches / fixpoints / trained models are checked via
     // invariant oracles: the engine-private values (HLL estimate, chunk
     // boundaries, merged rects, learned merges, trained centroids) are
@@ -1936,6 +1938,56 @@ object SparkEntry {
     SELECT val, exact_cnt, TRUE AS bound_ok, TRUE AS cover_ok,
            TRUE AS cand_ok
     FROM c, t WHERE exact_cnt * 20 > n ORDER BY val"""
+
+  /** Integer-arithmetic PageRank ([[graft.geom.PageRank]]) over the
+    * deterministic modular link graph on doc_ids — 5 message-passing
+    * rounds whose floor arithmetic makes the ranks BIT-IDENTICAL
+    * across engines, partitionings, and cluster sizes, so the oracle
+    * replays the exact iteration as 5 chained CTEs and compares raw
+    * longs (no tolerance, no invariant reduction — the strongest gate
+    * an iterative float algorithm can never have). Edges and nodes
+    * persist once; each round is one join + one groupBy on node ids. */
+  private def pageRankQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.geom.PageRank
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val nodes = ids.select(col("doc_id").as("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val edges = PageRank.modularEdges(ids, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    PageRank.run(nodes, edges, iters = 5)
+      .select(col("node").as("doc_id"), col("r").as("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def pageRankSql: String = {
+    val iter = (k: Int) => s"""
+    r$k AS (
+      SELECT i.doc_id AS node,
+             CAST(150000 + COALESCE(s.mass, 0) * 17 // 20 AS BIGINT) AS r
+      FROM ids i LEFT JOIN (
+        SELECT e.dst, SUM(p.r // d.outdeg) AS mass
+        FROM edges e JOIN deg d ON e.src = d.src
+        JOIN r${k - 1} p ON p.node = e.src
+        GROUP BY e.dst) s ON s.dst = i.doc_id)"""
+    s"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    m AS (SELECT MAX(doc_id) + 1 AS m FROM ids),
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % m AS dst FROM ids, m
+      UNION
+      SELECT doc_id, (doc_id * 13 + 3) % m FROM ids, m
+      UNION
+      SELECT doc_id, (doc_id * 29 + 7) % m FROM ids, m),
+    edges AS (
+      SELECT src, dst FROM e0
+      WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM ids),
+    ${(1 to 5).map(iter).mkString(",")}
+    SELECT node AS doc_id, r AS rank FROM r5 ORDER BY doc_id"""
+  }
 
   private def snapshotIncrViewCycleSql: String = """
     WITH base AS (

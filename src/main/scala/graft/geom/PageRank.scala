@@ -1,0 +1,73 @@
+package graft.geom
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank in EXACT integer arithmetic — the
+  * link-analysis half of graph utilities (the other half is
+  * [[ConnectedComponents]]): rank documents by citation/link structure,
+  * the quality prior web-corpus pipelines mix into data selection.
+  *
+  * Why integers: float PageRank sums partition-ordered doubles, so two
+  * runs (or two engines) can disagree in the last ulp — unverifiable
+  * by a hash gate. Here ranks are scaled longs (`Scale` = 10^6) and
+  * every step is floor arithmetic:
+  *
+  *   contrib(u→v) = r(u) div outdeg(u)
+  *   r'(v)        = floor(0.15·S) + (17 · Σ contribs) div 20
+  *
+  * Long sums are exact and order-free, `div` is truncating on
+  * non-negatives in both Spark and DuckDB — so a fixed iteration
+  * count yields BIT-IDENTICAL ranks on any engine, partitioning, or
+  * cluster size. Rounding leaks a little mass (ranks are a fixpoint
+  * of the floored operator, not of exact PageRank; the difference is
+  * bounded by iterations · (outdeg + 1) scale units) — the standard
+  * trade for replayable data-pipeline scoring.
+  *
+  * Scale shape: each iteration is one equi-join of the rank frame with
+  * the (persisted) edge list plus one groupBy on dst — the classic
+  * message-passing round, all shuffles on node ids. No global indexing
+  * step (node ids are used as-is), no driver-side graph state; the
+  * iteration count is fixed, so the lineage stays bounded. Dangling
+  * nodes' mass evaporates by design (same determinism argument). */
+object PageRank {
+
+  val Scale = 1000000L
+
+  /** `iters` message-passing rounds over `edges` (src, dst — assumed
+    * deduped, self-loop-free) starting from uniform `Scale` per node.
+    * Returns (node, rank). */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, Seq("src"))
+    var ranks = nodes.select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("coalesce(in_mass, cast(0 as bigint)) * 17 div 20")).as("r"))
+    }
+    ranks
+  }
+
+  /** Deterministic synthetic link graph over a set of ids: each id
+    * links to three modular neighbors in the id DOMAIN `[0, max+1)`;
+    * self-loops drop, duplicate targets collapse, and targets that
+    * don't exist in the set drop by semi-join (no global re-indexing
+    * pass — ids join as-is, which is what survives non-contiguous id
+    * spaces and 100 TB). */
+  def modularEdges(ids: DataFrame, idCol: String): DataFrame = {
+    val m = broadcast(ids.agg((max(col(idCol)) + 1L).as("m")))
+    val e = ids.select(col(idCol).as("src")).crossJoin(m)
+      .select(col("src"), explode(array(
+        (col("src") * 7 + 1) % col("m"),
+        (col("src") * 13 + 3) % col("m"),
+        (col("src") * 29 + 7) % col("m"))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    e.join(ids.select(col(idCol).as("dst")), Seq("dst"), "left_semi")
+  }
+}
