@@ -98,6 +98,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "sample_quality_filter" -> ((s, d) => qualityFilterQuery(s, d)),
     "sample_weighted_mix" -> ((s, d) => weightedMixQuery(s, d)),
+    "sample_reservoir" -> ((s, d) => reservoirSampleQuery(s, d)),
     "sample_shard_shuffle" -> ((s, d) => shardShuffleQuery(s, d)),
     "chunk_cdc" -> ((s, d) => cdcChunksQuery(s, d)),
     "text_page_anchors" -> ((s, d) => pageAnchorsQuery(s, d)),
@@ -263,6 +264,7 @@ object SparkEntry {
     "sample_stratified" -> stratifiedSampleSql,
     "sample_quality_filter" -> qualityFilterSql,
     "sample_weighted_mix" -> weightedMixSql,
+    "sample_reservoir" -> reservoirSampleSql,
     "sample_shard_shuffle" -> shardShuffleSql,
     "chunk_cdc" -> cdcChunksSql,
     "text_page_anchors" -> pageAnchorsSql,
@@ -2365,6 +2367,33 @@ object SparkEntry {
            CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM assigned GROUP BY source ORDER BY source"""
+
+  /** Fixed-BUDGET deterministic sample — the reservoir-sampling shape
+    * at rest: exactly `k` documents regardless of corpus size, chosen
+    * as the k smallest seeded content hashes (every row's inclusion is
+    * a pure function of its key, so the sample is reproducible across
+    * runs, engines, and resharding — what an actual 100 TB pipeline
+    * needs where a stateful reservoir would not parallelize). The plan
+    * matters: sort+limit collapses to TakeOrderedAndProject — each
+    * partition keeps its local top-k and only k rows per partition
+    * reach the driver-side merge, no global sort, no full shuffle
+    * (plan-audited). */
+  private def reservoirSampleQuery(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    val hkey = md5(concat(lit("rsv1|"), col("doc_id").cast("string")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), hkey.as("hkey"))
+      .orderBy(col("hkey")).limit(k)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def reservoirSampleSql: String = """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars
+      FROM documents
+      ORDER BY md5('rsv1|' || CAST(doc_id AS VARCHAR)) LIMIT 100)
+    ORDER BY doc_id"""
 
   /** J3b interval-containment join: orders bucketed into price ranges
     * via a broadcast range join against a generated bounds table. */

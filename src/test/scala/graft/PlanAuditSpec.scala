@@ -171,6 +171,16 @@ class PlanAuditSpec extends SparkSpec {
       "artifact counting must not shuffle")
   }
 
+  test("reservoir sample plans as top-k, never a global sort") {
+    val s = simpleString(SparkEntry.queries("sample_reservoir")(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"),
+      "budget sample must be per-partition top-k (TakeOrderedAndProject)")
+    // the inner k-selection must not pay a range exchange; only the
+    // outer presentation sort may
+    assert(s.linesIterator.count(_.contains("Exchange rangepartitioning")) <= 1,
+      "global sort leaked into the k-selection")
+  }
+
   test("bigram LM shuffles token hashes, never token strings") {
     val df = SparkEntry.queries("text_lm_perplexity")(spark, sf)
     df.collect()

@@ -124,6 +124,48 @@ class StreamingSpec extends SparkSpec {
       "empty and compact-only windows must not commit to the derived table")
   }
 
+  test("incremental view tracks a table fed by the streaming sink") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivstream").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val vw = s"$tmp/view"
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), (col("doc_id") % 10).as("g"), col("n_chars"))
+    sources.SnapshotTable.create(spark, src,
+      all.filter(col("doc_id") < 200L), statsKey = Some("doc_id"))
+    def mirror(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", src).load()
+        .writeStream.format("graft-table").option("path", dst)
+        .option("statsKey", "doc_id")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def recompute() = sources.SnapshotTable.read(spark, dst).groupBy(col("g"))
+      .agg(count(lit(1)).as("view_cnt"), sum(col("n_chars")).as("view_sum"))
+    def viewMatches(): Boolean = {
+      val v = meta.IncrementalView.read(spark, vw); val r = recompute()
+      v.exceptAll(r).isEmpty && r.exceptAll(v).isEmpty
+    }
+    mirror()
+    meta.IncrementalView.create(spark, dst, vw, "g", "n_chars")
+    assert(viewMatches())
+    // two upstream appends arrive through the streaming sink; the view
+    // catches up on the CDC of the SINK's commits, not the source's
+    sources.SnapshotTable.append(spark, src,
+      all.filter(col("doc_id") >= 200L && col("doc_id") < 350L))
+    mirror()
+    assert(meta.IncrementalView.refresh(spark, dst, vw) >= 1)
+    assert(viewMatches())
+    sources.SnapshotTable.append(spark, src, all.filter(col("doc_id") >= 350L))
+    mirror()
+    mirror() // drained replay: sink commits nothing
+    assert(meta.IncrementalView.refresh(spark, dst, vw) >= 1)
+    assert(meta.IncrementalView.refresh(spark, dst, vw) == 0)
+    assert(viewMatches())
+    Scratch.deleteRecursively(tmp)
+  }
+
   test("table streaming sink: txnBatchId makes a replayed batch a no-op (exactly-once)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-tsink").toString + "/t"
