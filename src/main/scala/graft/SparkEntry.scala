@@ -180,6 +180,7 @@ object SparkEntry {
     "agg_approx_percentiles" -> ((s, d) => Relational.approxPercentilesChecked(s, d)),
     "agg_heavy_hitters" -> ((s, d) => heavyHittersQuery(s, d)),
     "graph_pagerank" -> ((s, d) => pageRankQuery(s, d)),
+    "join_asof_time" -> ((s, d) => asofTimeJoinQuery(s, d)),
     // --- faithful recursive chunker (§2.9 C2, custom Generator) ---
     "chunk_recursive" -> ((s, d) => chunkRecursiveQuery(s, d)),
     // --- semantic + token-window chunkers (§2.9 C3/C4) ---
@@ -333,6 +334,7 @@ object SparkEntry {
     "agg_approx_percentiles" -> Relational.approxPercentilesCheckedSql,
     "agg_heavy_hitters" -> heavyHittersSql,
     "graph_pagerank" -> pageRankSql,
+    "join_asof_time" -> asofTimeJoinSql,
     // engine-side sketches / fixpoints / trained models are checked via
     // invariant oracles: the engine-private values (HLL estimate, chunk
     // boundaries, merged rects, learned merges, trained centroids) are
@@ -1990,6 +1992,51 @@ object SparkEntry {
     ${(1 to 5).map(iter).mkString(",")}
     SELECT node AS doc_id, r AS rank FROM r5 ORDER BY doc_id"""
   }
+
+  /** TRUE temporal as-of join ([[graft.relational.AsofJoin]]): every
+    * click matched to the user's LATEST view at-or-before it, within a
+    * 3-hour tolerance — merge_asof semantics, complementing the
+    * rank-matching `join_asof_rank` and the all-pairs
+    * `events_interval_join`. The oracle replays the identical one-pass
+    * construction (tagged union, last-ignore-nulls carry over the same
+    * (ts, side, id) order), so a tie-break or inclusivity drift breaks
+    * the hash. One shuffle on user_id; no θ-join blowup. */
+  private def asofTimeJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("eid"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("eid"), col("ts").as("vts"))
+    graft.relational.AsofJoin
+      .asof(clicks, views, Seq("user_id"), "ts", "vts", "eid",
+        toleranceUs = Some(10800000000L))
+      .filter(col("asof").isNotNull)
+      .select(col("user_id"), col("eid").as("click_id"),
+        col("asof.eid").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.vts"))).as("gap_us"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  private def asofTimeJoinSql: String = """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 FROM events WHERE event_type = 'click'),
+    carried AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+             LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vts
+      FROM tagged)
+    SELECT user_id, event_id AS click_id, view_id,
+           epoch_us(ts) - epoch_us(vts) AS gap_us
+    FROM carried
+    WHERE side = 1 AND vts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(vts) <= 10800000000
+    ORDER BY user_id, click_id"""
 
   private def snapshotIncrViewCycleSql: String = """
     WITH base AS (
