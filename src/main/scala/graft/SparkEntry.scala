@@ -160,6 +160,7 @@ object SparkEntry {
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
+    "sink_partitioned_export" -> ((s, d) => partitionedExportCycle(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
     "meta_upsert" -> ((s, d) => Upsert.upsertDemo(s, d)),
@@ -317,6 +318,7 @@ object SparkEntry {
     "meta_snapshot_incr_view" -> snapshotIncrViewCycleSql,
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
+    "sink_partitioned_export" -> partitionedExportCycleSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
     "meta_upsert" -> Upsert.upsertDemoSql,
@@ -2253,6 +2255,67 @@ object SparkEntry {
     * magic/XML branch (same regex, same RE2/Java semantics), so every
     * compared row exercises the text decode; the magic branches are
     * covered byte-for-byte by SourcesSpec. */
+  /** Hive-partitioned EXPORT sink, gated end to end: write the corpus
+    * `partitionBy("source", "lang")` (the layout downstream training
+    * jobs read selectively), then read ONE partition back through
+    * partition discovery and prove the physical layout. The oracle is
+    * the partition's relational definition; the booleans pin what SQL
+    * can't see — every file of the selective read lives under the
+    * `source=.../lang=...` directory pair (no cross-contamination),
+    * and a partition-pruned scan touches only that directory's files
+    * (the at-scale point of the layout: pruning happens from paths,
+    * before any footer is opened). Dynamic partition overwrite mode
+    * replaces ONLY rewritten partitions on a second write — the
+    * idempotent re-export contract — proven by overwriting one source
+    * with marked rows and checking the others kept their bytes. */
+  private def partitionedExportCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
+    docs.write.mode("overwrite")
+      .partitionBy("source", "lang").parquet(root)
+    // files an EXECUTED scan actually touched (inputFiles ignores
+    // filters; input_file_name reflects partition pruning)
+    def scannedFiles(df: DataFrame): Set[String] =
+      df.select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+    // selective read: partition filters prune to one directory pair
+    val files = scannedFiles(s.read.parquet(root)
+      .filter(col("source") === "src1" && col("lang") === "en"))
+    val layoutOk = files.nonEmpty &&
+      files.forall(f => f.contains("/source=src1/") && f.contains("/lang=en/"))
+    // dynamic overwrite: re-export src1 with bumped n_chars; other
+    // sources' files must survive untouched (same paths)
+    val beforeOthers = scannedFiles(s.read.parquet(root)
+      .filter(col("source") =!= "src1"))
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try docs.filter(col("source") === "src1")
+      .withColumn("n_chars", col("n_chars") + 1000000L)
+      .write.mode("overwrite").partitionBy("source", "lang").parquet(root)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val afterOthers = scannedFiles(s.read.parquet(root)
+      .filter(col("source") =!= "src1"))
+    val overwriteOk = afterOthers == beforeOthers
+    val out = s.read.parquet(root)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("layout_ok", lit(layoutOk))
+      .withColumn("overwrite_ok", lit(overwriteOk))
+      .orderBy(col("source"), col("lang"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(root))
+  }
+
+  private def partitionedExportCycleSql: String = """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN source = 'src1' THEN n_chars + 1000000
+                         ELSE n_chars END) AS BIGINT) AS sum_chars,
+           TRUE AS layout_ok, TRUE AS overwrite_ok
+    FROM documents GROUP BY source, lang ORDER BY source, lang"""
+
   private def sourceConvertCycle(s: SparkSession, d: String): DataFrame = {
     // explicit whitespace class — Java \s and RE2 \s disagree on \x0B
     val magicHead = "^[%P<\\u001F\\uFEFF \\t\\r\\n\\f\\x0B]"
