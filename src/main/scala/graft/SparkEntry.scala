@@ -150,6 +150,7 @@ object SparkEntry {
     "meta_snapshot_changes" -> ((s, d) => snapshotChangesCycle(s, d)),
     "meta_snapshot_stream_read" -> ((s, d) => snapshotStreamReadCycle(s, d)),
     "meta_snapshot_compact_incr" -> ((s, d) => snapshotCompactIncrCycle(s, d)),
+    "meta_snapshot_compact_range" -> ((s, d) => snapshotCompactRangeCycle(s, d)),
     "meta_snapshot_mirror" -> ((s, d) => snapshotMirrorCycle(s, d)),
     "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
     "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
@@ -308,6 +309,7 @@ object SparkEntry {
     "meta_snapshot_changes" -> snapshotChangesCycleSql,
     "meta_snapshot_stream_read" -> snapshotStreamReadCycleSql,
     "meta_snapshot_compact_incr" -> snapshotCompactIncrCycleSql,
+    "meta_snapshot_compact_range" -> snapshotCompactRangeCycleSql,
     "meta_snapshot_mirror" -> snapshotMirrorCycleSql,
     "meta_snapshot_zorder_read" -> snapshotZorderReadCycleSql,
     "meta_snapshot_delete" -> snapshotDeleteCycleSql,
@@ -1835,6 +1837,65 @@ object SparkEntry {
              CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
       FROM base WHERE doc_id % 7 = 0)
     ORDER BY _commit_version, _change_type, doc_id"""
+
+  /** RANGE-scoped compaction ([[graft.sources.SnapshotTable.compactRange]]),
+    * gated end to end: a clustered table takes dv churn in its LOW key
+    * region, then one `compactRange` over that region. The oracle is
+    * the table's full relational content (delete applied) — a
+    * mis-selected or mis-read file loses rows and breaks the hash —
+    * and the booleans pin the surgical contract: files outside the
+    * range carry BY NAME, the range's files are all replaced, the
+    * materialization cleared every deletion vector (the churn was in
+    * range), a cold-range pruned read touches only carried files, and
+    * CDC is silent over the compact (row-preserving). */
+  private def snapshotCompactRangeCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapcr").toString
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    // the hot third of the keyspace — spans ~3 of the 8 range files at
+    // any SF (a fixed cutoff would collapse to ≤1 file and a no-op)
+    val cut = li.agg(max(col("l_orderkey"))).head().getLong(0) / 3
+    graft.sources.SnapshotTable.create(s, root,                        // v1
+      li.repartitionByRange(8, col("l_orderkey")), statsKey = Some("l_orderkey"))
+    graft.sources.SnapshotTable.deleteWhere(s, root,                   // v2
+      col("l_orderkey") <= cut && col("l_linenumber") === 1)
+    // normalize URI forms (inputFiles says file:/x, input_file_name
+    // file:///x) to bare paths so the two sources compare
+    def norm(f: String) = new java.net.URI(f).getPath
+    def dataFiles() = graft.sources.SnapshotTable.read(s, root)
+      .inputFiles.filter(_.contains("/data/")).map(norm).toSet
+    val before = dataFiles()
+    val v = graft.sources.SnapshotTable.compactRange(s, root, 0L, cut) // v3
+    val after = dataFiles()
+    val carried = before.intersect(after)
+    val rewritten = after.diff(before)
+    val det = graft.sources.SnapshotTable.describeDetail(s, root)
+    val surgicalOk = v.isDefined && carried.nonEmpty && rewritten.nonEmpty
+    val dvClearedOk = det.dvFiles == 0 && det.dvRows == 0L
+    val coldScan = graft.sources.SnapshotTable.readIndexed(s, root)
+      .filter(col("l_orderkey") > 2L * cut)
+      .select(input_file_name()).distinct().collect()
+      .map(r => norm(r.getString(0))).toSet
+    val coldPruneOk = coldScan.nonEmpty && coldScan.subsetOf(carried)
+    val silentOk = v.forall(ver =>
+      graft.sources.SnapshotTable.readChanges(s, root, ver - 1, v).isEmpty)
+    graft.Scratch.registerForCleanup(root)
+    graft.sources.SnapshotTable.read(s, root)
+      .withColumn("surgical_ok", lit(surgicalOk))
+      .withColumn("dv_cleared_ok", lit(dvClearedOk))
+      .withColumn("cold_prune_ok", lit(coldPruneOk))
+      .withColumn("silent_ok", lit(silentOk))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private def snapshotCompactRangeCycleSql: String = """
+    WITH cut AS (SELECT MAX(l_orderkey) // 3 AS c FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           TRUE AS surgical_ok, TRUE AS dv_cleared_ok,
+           TRUE AS cold_prune_ok, TRUE AS silent_ok
+    FROM lineitem, cut
+    WHERE NOT (l_orderkey <= c AND l_linenumber = 1)
+    ORDER BY l_orderkey, l_linenumber"""
 
   /** INCREMENTAL MATERIALIZED VIEW over CDC
     * ([[graft.meta.IncrementalView]]), gated end to end: a grouped

@@ -1045,6 +1045,49 @@ object SnapshotTable {
     }) catch { case NothingToCompact => None }
   }
 
+  /** RANGE-scoped compaction: re-layout ONLY the files whose recorded
+    * key range intersects `[lo, hi]`, carrying every other file
+    * forward BY NAME — the surgical member of the maintenance family
+    * (whole-table [[compact]], size-cut [[compactSmall]], debt-cut
+    * [[materializeDv]]). The operational shape it exists for: a table
+    * clustered long ago, with churn concentrated in one key region
+    * (the streaming dedup index's recent-fingerprint span, a tenant's
+    * id block) — re-clustering THAT region restores its pruning power
+    * at cost proportional to the region, while a 100 TB cold remainder
+    * is never read. Selection is driver-side manifest metadata (the
+    * same recorded min/max the reader prunes with — zero I/O to
+    * decide); entries without integral key stats conservatively HIT
+    * (rewrite-once beats carrying unmeasured files outside every
+    * future range forever, and the rewrite records fresh stats so it
+    * happens once). Needs a recorded integral statsKey — refused
+    * loudly otherwise, like z-order. Rewritten files' deletion vectors
+    * materialize (effective read); commits op "compact", so CDC and
+    * the streaming source stay silent. Returns None — committing
+    * nothing — when ≤1 file intersects. */
+  def compactRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+      targetFiles: Int = 4, cluster: Boolean = true): Option[Int] = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    try Some(retrying(spark, root, op = "compact") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      require(m.statsKey.isDefined,
+        "compactRange needs a recorded statsKey (integral stats to select by)")
+      val schema = schemaOf(spark, root, m)
+      val (effKey, effKey2, fixCarried) = resolveStatsKeys(m, None, None)
+      val (hit, carry) = m.entries.partition { e =>
+        (e.minKey, e.maxKey) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true // unmeasured: rewrite once, gain stats
+        }
+      }
+      if (hit.size <= 1) throw NothingToCompact
+      val current = readEntries(spark, root, schema, hit)
+      Pending(fixCarried(carry) ++ writeDataFiles(spark, root,
+        clusterLayout(current, targetFiles, effKey, effKey2, cluster,
+          zorder = false),
+        effKey, effKey2), schema, effKey, effKey2)
+    }) catch { case NothingToCompact => None }
+  }
+
   /** One scheduled MAINTENANCE cycle, composed from the incremental
     * primitives — the single call a table scheduler (or a streaming
     * loop) runs between writes: materialize over-bound deletion-vector
