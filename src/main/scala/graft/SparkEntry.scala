@@ -118,6 +118,7 @@ object SparkEntry {
     "dedup_span_find" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_span_strip" -> ((s, d) => Dedup.spanStripSummary(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "dedup_fuzzy_verify" -> ((s, d) => Dedup.fuzzyVerify(s, d)),
     // --- vector retrieval (§2.11) ---
     "vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
@@ -285,6 +286,7 @@ object SparkEntry {
     "dedup_span_find" -> Dedup.duplicateSpansSql(),
     "dedup_span_strip" -> Dedup.spanStripSummarySql(),
     "dedup_semantic" -> Dedup.semanticDedupSql(),
+    "dedup_fuzzy_verify" -> Dedup.fuzzyVerifySql(),
     "vec_cosine_topk" -> VectorOps.cosineTopKSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),

@@ -333,6 +333,50 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** EDIT-DISTANCE verify stage over the MinHash candidates — the
+    * other classic verifier next to [[jaccardOnCandidates]]: token-set
+    * Jaccard is blind to order (a shuffled boilerplate block scores
+    * 1.0), Levenshtein is not. Distance is computed over a bounded
+    * PREFIX of the normalized text: per-pair cost O(prefix²) instead
+    * of O(len²) — the standard production bound that makes
+    * quadratic-per-pair verification affordable when candidates are
+    * already LSH-pruned (never all-pairs; same scale argument as the
+    * Jaccard verifier, whose semi-filtered candidate-doc caching this
+    * reuses). Both engines implement character-level unit-cost
+    * Levenshtein, so the distances hash-compare exactly. */
+  def fuzzyVerify(spark: SparkSession, dir: String, prefix: Int = 120,
+      maxDist: Int = 30): DataFrame = {
+    val cand = minhashCandidatePairs(spark, dir)
+      .select(col("id_a"), col("id_b")).distinct()
+      .cache()
+      .transform(graft.CacheScope.register)
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val docs = Tables.documents(spark, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        substring(trim(lower(col("text"))), 1, prefix).as("p"))
+      .cache()
+      .transform(graft.CacheScope.register)
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("p").as("pa")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("p").as("pb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def fuzzyVerifySql(prefix: Int = 120, maxDist: Int = 30): String = s"""
+    WITH cand AS (SELECT DISTINCT id_a, id_b
+                  FROM (${minhashCandidatePairsSql().replace("ORDER BY 1, 2, 3", "")}) c),
+    p AS (SELECT doc_id, substr(trim(lower(text)), 1, $prefix) AS p FROM documents)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+    FROM cand c JOIN p a ON c.id_a = a.doc_id JOIN p b ON c.id_b = b.doc_id
+    WHERE levenshtein(a.p, b.p) <= $maxDist
+    ORDER BY id_a, id_b"""
+
   // --- span-level (substring) dedup ---------------------------------
   //
   // The one dedup granularity the doc-level family above cannot express:

@@ -207,6 +207,33 @@ class VectorSpec extends SparkSpec {
     assert(inv == ((510L, 10L, true, true, true)))
   }
 
+  test("fuzzy verify: edit distance over candidate prefixes, order-sensitive") {
+    val tmp = java.nio.file.Files.createTempDirectory("fz").toString
+    // 40 distinct tokens: a one-char edit early in the text stays a
+    // near-dup (bands together, tiny distance); a half-rotation keeps
+    // ~90% of shingles (still a CANDIDATE) but wrecks the prefix —
+    // the order-blind failure mode Jaccard can't reject and
+    // Levenshtein must
+    val words = (0 until 40).map(i => f"tok$i%02d")
+    val base = words.mkString(" ")
+    val nearDup = base.replace("tok03", "tok03x")
+    val rotated = (words.drop(20) ++ words.take(20)).mkString(" ")
+    Seq((1L, base), (2L, nearDup), (3L, rotated))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cands = Dedup.minhashCandidatePairs(spark, tmp)
+      .select(col("id_a"), col("id_b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)) && cands.exists(_._2 == 3L),
+      s"banding must propose both the near-dup and the rotation: $cands")
+    val rows = Dedup.fuzzyVerify(spark, tmp, prefix = 120, maxDist = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.exists { case (a, b, d) => a == 1L && b == 2L && d > 0 && d <= 4 },
+      s"near-dup pair missing or misdistanced: $rows")
+    assert(!rows.exists { case (a, b, _) => b == 3L || a == 3L },
+      s"rotated copy must fail the edit-distance verify: $rows")
+  }
+
   test("upsert is idempotent and last-writer-wins (J2 semantics)") {
     val existing = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
     val updates = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")
