@@ -158,6 +158,7 @@ object SparkEntry {
     "meta_snapshot_delete" -> ((s, d) => snapshotDeleteCycle(s, d)),
     "meta_snapshot_bloom_read" -> ((s, d) => snapshotBloomReadCycle(s, d)),
     "meta_snapshot_maintain" -> ((s, d) => snapshotMaintainCycle(s, d)),
+    "meta_snapshot_delta_log" -> ((s, d) => snapshotDeltaLogCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
@@ -317,6 +318,7 @@ object SparkEntry {
     "meta_snapshot_delete" -> snapshotDeleteCycleSql,
     "meta_snapshot_bloom_read" -> snapshotBloomReadCycleSql,
     "meta_snapshot_maintain" -> snapshotMaintainCycleSql,
+    "meta_snapshot_delta_log" -> snapshotDeltaLogCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
     "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
     "meta_snapshot_incr_view" -> snapshotIncrViewCycleSql,
@@ -2163,6 +2165,71 @@ object SparkEntry {
     * breaks the hash; the file-level claims (big file untouched, debt
     * packed to one output, no-op fixpoint) are scan-metric-proven in
     * SnapshotTableSpec. */
+  /** DELTA MANIFESTS (format 8), gated end to end: a lifecycle whose
+    * small commits must ride O(touched-files) manifest deltas — three
+    * micro appends, a narrow merge, a dv delete — followed by retention
+    * that cuts the chain (shadow checkpoint) and a vacuum. What the
+    * hash gates, beyond the final logical state matching DuckDB
+    * replaying the same edits on the raw parquet: `delta_log` (every
+    * small commit's manifest physically lists ≤2 entry lines and names
+    * its base — the commit-cost-∝-touched-files property at the heart
+    * of 100 TB metadata scaling), `resolves` (time travel through the
+    * chain reproduces each version's exact row count), and `ckpt_used`
+    * (after expiry the retained delta's shadow checkpoint exists and
+    * carries the reads). A resolution bug — dropped carry, duplicated
+    * entry, broken chain — flips a boolean or changes the row multiset
+    * and breaks the hash. */
+  private def snapshotDeltaLogCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapdeltalog").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val snap = graft.sources.SnapshotTable
+    snap.create(s, root,                                               // v1: bulk, 4 files
+      docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id")),
+      statsKey = Some("doc_id"))
+    (0 until 3).foreach { i =>                                         // v2..v4: micro appends
+      snap.append(s, root,
+        docs.filter(col("doc_id") >= 400L + 10L * i &&
+          col("doc_id") < 400L + 10L * (i + 1)).coalesce(1))
+    }
+    snap.merge(s, root,                                                // v5: narrow update
+      docs.filter(col("doc_id") % 397 === 0 && col("doc_id") < 400L)
+        .withColumn("n_chars", lit(-1L)), key = "doc_id")
+    snap.deleteWhere(s, root, col("doc_id") % 101 === 0)               // v6: dv delete
+    def raw(v: Int): java.util.List[String] = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json"))
+    // physical: the appends are deltas of ONE entry line (header +
+    // schema + 1), and the narrow merge/delete stayed delta too
+    val deltaLog = (2 to 4).forall(v =>
+      raw(v).get(0).contains("\"base\"") && raw(v).size <= 3) &&
+      (5 to 6).forall(v => raw(v).get(0).contains("\"base\""))
+    // chain resolution: each version's row count is its exact state
+    val c400 = docs.filter(col("doc_id") < 400L).count()
+    val c430 = docs.filter(col("doc_id") < 430L).count()
+    val resolves = snap.read(s, root, Some(1)).count() == c400 &&
+      snap.read(s, root, Some(4)).count() == c430 &&
+      snap.read(s, root, Some(5)).count() == c430
+    snap.expireVersions(s, root, keepLast = 2)                         // cuts v5's chain
+    snap.vacuum(s, root, minAgeMs = 0L)
+    val ckptUsed = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_snapshots", "v0000005.ckpt.json")) &&
+      snap.read(s, root, Some(5)).count() == c430
+    graft.Scratch.registerForCleanup(root)
+    snap.read(s, root)
+      .withColumn("delta_log", lit(deltaLog))
+      .withColumn("resolves", lit(resolves))
+      .withColumn("ckpt_used", lit(ckptUsed))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotDeltaLogCycleSql: String = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 397 = 0 AND doc_id < 400 THEN CAST(-1 AS BIGINT)
+                ELSE n_chars END AS n_chars,
+           TRUE AS delta_log, TRUE AS resolves, TRUE AS ckpt_used
+    FROM documents
+    WHERE doc_id < 430 AND doc_id % 101 <> 0
+    ORDER BY doc_id"""
+
   private def snapshotCompactIncrCycle(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-snapci").toString
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))

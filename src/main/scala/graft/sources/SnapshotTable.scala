@@ -87,8 +87,31 @@ object SnapshotTable {
     * space, so until maintenance re-clusters, range stats keep every
     * fresh file and the bloom is the only thing standing between a
     * point probe and a full scan. Small files only (the gap is fresh
-    * micro-batches; big files are either clustered or worth scanning). */
-  private val ManifestFormat = 7
+    * micro-batches; big files are either clustered or worth scanning);
+    * 8 = DELTA manifests: a commit whose blast radius is small relative
+    * to the table may record only its CHANGES against a base version
+    * (`"base":B,"depth":D` in the header) — added/changed entry lines
+    * plus `R\t<path>` removal lines — instead of re-listing every live
+    * file. Readers resolve the chain: entries(v) = entries(base) minus
+    * removed/changed paths, plus the listed entries (carried entries
+    * keep base order; listed ones append — exactly the order a full
+    * append manifest would have written). This is what makes COMMIT
+    * COST ∝ TOUCHED FILES: at 1M live files, a streaming micro-batch
+    * append writes a 3-line manifest, not a 1M-line one (the same
+    * economics as Delta's JSON log + checkpoints / Iceberg's manifest
+    * lists). Every chain is bounded by [[MaxChainDepth]] — a commit
+    * whose parent sits at the cap writes a FULL manifest (a
+    * checkpoint), so read-side resolution is O(depth) small metadata
+    * reads, never O(history). Header fields (op/schema/statsKey/
+    * statsKey2/txnBatchId) are always the version's OWN — only the
+    * entry list is inherited. */
+  private val ManifestFormat = 8
+
+  /** Longest delta chain a reader may have to walk: a commit whose
+    * parent already sits at this depth writes a full checkpoint
+    * manifest. 15 bounds resolution at ≤16 small reads while keeping
+    * >90% of steady-state streaming commits O(touched files). */
+  private[sources] val MaxChainDepth = 15
 
   /** One manifest data-file line: relative path + optional min/max of
     * the table's primary stats key (long for integral keys, base64
@@ -241,7 +264,9 @@ object SnapshotTable {
       entries: Seq[FileEntry],
       statsKey: Option[String],
       statsKey2: Option[String],
-      txnBatchId: Option[Long] = None)
+      txnBatchId: Option[Long] = None,
+      base: Option[Int] = None,
+      depth: Int = 0)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -258,7 +283,8 @@ object SnapshotTable {
       // zero-length = claimed but not yet published (see commit)
       .filter(_.getLen > 0)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      // exact match: shadow checkpoints (vN.ckpt.json) are not versions
+      .filter(_.matches("v\\d+\\.json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
       .sorted.toSeq
   }
@@ -269,8 +295,12 @@ object SnapshotTable {
     * needing more than one field use THIS — a manifest read is a
     * filesystem round trip on the commit critical path, not something
     * to repeat per field. */
-  private def manifestFull(spark: SparkSession, root: String, v: Int): Manifest = {
-    val in = fs(spark, root).open(manifestPath(root, v))
+  private[sources] def manifestFull(spark: SparkSession, root: String, v: Int): Manifest = {
+    // prefer the shadow checkpoint when retention has published one —
+    // after an expiry the delta chain may no longer exist (format 8)
+    val fsys = fs(spark, root)
+    val ck = checkpointPath(root, v)
+    val in = fsys.open(if (fsys.exists(ck)) ck else manifestPath(root, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val allLines = text.linesIterator.toSeq
     val header = allLines.headOption.getOrElse("")
@@ -288,16 +318,46 @@ object SnapshotTable {
     val statsKey = """"statsKey":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
     val statsKey2 = """"statsKey2":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
     val txn = """"txnBatchId":(-?\d+)""".r.findFirstMatchIn(header).map(_.group(1).toLong)
+    val base = """"base":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt)
+    val depth = """"depth":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt).getOrElse(0)
     val lines = allLines.drop(1).filter(_.nonEmpty)
     val schema = lines.find(_.startsWith("S{"))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val entries = lines.filterNot(_.startsWith("S{")).map(parseEntry)
-    Manifest(op, schema, entries, statsKey, statsKey2, txn)
+    val body = lines.filterNot(_.startsWith("S{"))
+    val listed = body.filterNot(_.startsWith(RemovalPrefix)).map(parseEntry)
+    // DELTA resolution (format 8): the listed entries are this commit's
+    // adds/changes; entries carried from the base keep the base's order
+    // (what a full manifest would have preserved) and the listed ones
+    // append. Chain depth is writer-bounded at [[MaxChainDepth]] — the
+    // recursion here is O(depth) small metadata reads, never O(history).
+    val entries = base match {
+      case None => listed
+      case Some(b) =>
+        val removed = body.filter(_.startsWith(RemovalPrefix))
+          .map(_.stripPrefix(RemovalPrefix)).toSet
+        val shadowed = removed ++ listed.map(_.path)
+        manifestFull(spark, root, b).entries
+          .filterNot(e => shadowed.contains(e.path)) ++ listed
+    }
+    Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth)
   }
+
+  /** Line prefix naming a base entry a delta manifest REMOVES. The tab
+    * keeps it unambiguous against data-file lines: entry paths are
+    * writer-generated relative paths that never contain tabs, and the
+    * first tab in an entry line always follows the full path. */
+  private val RemovalPrefix = "R\t"
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] =
     manifestFull(spark, root, v).entries
+
+  /** TEST/DIAGNOSTIC surface: the data-file paths version `v` resolves
+    * to — delta chains and shadow checkpoints applied, i.e. the LOGICAL
+    * file set, which under format 8 is no longer the set of lines
+    * physically present in `vN.json`. */
+  private[graft] def dataFilePaths(spark: SparkSession, root: String, v: Int): Seq[String] =
+    manifestFull(spark, root, v).entries.map(_.path)
 
   /** The schema recorded in version `v`'s manifest, if any (manifests
     * written before schema tracking carry none — their reads fall back
@@ -548,10 +608,39 @@ object SnapshotTable {
     // would drop or misorder evolved columns)
     def kf(name: String, v: Option[String]): String =
       v.map(k => s""","$name":"$k"""").getOrElse("")
+    // DELTA-vs-FULL decision (format 8): diff the commit's file list
+    // against the parent's RESOLVED entries and write only the changes
+    // when that is strictly smaller — commit cost ∝ touched files, the
+    // property that keeps a 1M-file table's streaming appends O(batch).
+    // Entries compare by their rendered line (canonical: FileEntry
+    // holds byte arrays, whose case-class equality is referential), so
+    // "changed" means the line a full manifest would write differs.
+    // A parent at the chain cap forces a full checkpoint, bounding
+    // read-side resolution at MaxChainDepth+1 metadata reads. Ops that
+    // rewrite most of the table (compact, retainWhere) fail the
+    // strictly-smaller test and naturally checkpoint.
+    val delta: Option[(Int, Seq[String])] =
+      if (expected < 1) None
+      else {
+        val pm = manifestFull(spark, root, expected)
+        if (pm.depth >= MaxChainDepth) None
+        else {
+          val oldLines = pm.entries.map(e => e.path -> e.render).toMap
+          val newPaths = files.map(_.path).toSet
+          val removed = pm.entries.map(_.path).filterNot(newPaths.contains)
+          val changed = files.filter(e => !oldLines.get(e.path).contains(e.render))
+          if (removed.size + changed.size < files.size)
+            Some((pm.depth + 1,
+              changed.map(_.render) ++ removed.map(RemovalPrefix + _)))
+          else None
+        }
+      }
     val header = s"""{"version":$v,"format":$ManifestFormat,"op":"$op"""" +
       kf("statsKey", statsKey) + kf("statsKey2", statsKey2) +
-      txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
-    val body = (header +: s"S${schema.json}" +: files.map(_.render)).mkString("\n")
+      txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") +
+      delta.map { case (d, _) => s""","base":$expected,"depth":$d""" }.getOrElse("") + "}"
+    val entryLines = delta.map(_._2).getOrElse(files.map(_.render))
+    val body = (header +: s"S${schema.json}" +: entryLines).mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
     val publisher: CommitPublisher =
@@ -1221,13 +1310,81 @@ object SnapshotTable {
 
   /** Drop all snapshots except the last `keepLast` (their manifests are
     * deleted; time travel to them fails afterwards). Run [[vacuum]] to
-    * reclaim the data files only they referenced. */
+    * reclaim the data files only they referenced.
+    *
+    * DELTA-CHAIN CONTRACT (format 8): a retained delta manifest is only
+    * readable while its base chain is, so before deleting anything,
+    * retention publishes a full SHADOW CHECKPOINT (`vN.ckpt.json`,
+    * resolved entries, no base pointer) for every retained version
+    * whose chain crosses the expiry boundary — [[manifestFull]] prefers
+    * the checkpoint, so the retained version stays readable after its
+    * bases vanish. Checkpoints are new immutable files published with
+    * the same create-if-absent primitive as manifests (never a
+    * rewrite-in-place a concurrent reader could see torn); the original
+    * delta file stays, carrying the version's commit instant for
+    * [[versionAsOf]]. */
   def expireVersions(spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val f = fs(spark, root)
-    val expired = versions(spark, root).dropRight(keepLast)
-    expired.foreach(v => f.delete(manifestPath(root, v), false))
+    val all = versions(spark, root)
+    val expired = all.dropRight(keepLast)
+    protectRetained(spark, root, all.takeRight(keepLast), expired.toSet)
+    expired.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(checkpointPath(root, v), false)
+    }
     expired
+  }
+
+  private def checkpointPath(root: String, v: Int): Path =
+    new Path(root, f"$SnapshotDir/v$v%07d.ckpt.json")
+
+  /** Publish full shadow checkpoints for every version in `retained`
+    * whose resolution chain passes through a version in `dying` — the
+    * pre-deletion step that keeps retained versions readable. Walks
+    * exactly the chain [[manifestFull]] would read (a checkpointed
+    * version terminates it), so cost is O(retained · depth) small
+    * metadata reads, only when an expiry actually crosses a chain. */
+  private def protectRetained(spark: SparkSession, root: String,
+      retained: Seq[Int], dying: Set[Int]): Unit =
+    if (dying.nonEmpty) retained.foreach { v =>
+      val f = fs(spark, root)
+      var cur = v
+      var crosses = false
+      var cont = !f.exists(checkpointPath(root, v))
+      while (cont && !crosses) {
+        if (dying.contains(cur)) crosses = true
+        else manifestFull(spark, root, cur).base match {
+          case Some(b) if !f.exists(checkpointPath(root, b)) => cur = b
+          case Some(b) => crosses = dying.contains(b); cont = false
+          case None => cont = false
+        }
+      }
+      if (crosses) writeCheckpoint(spark, root, v)
+    }
+
+  /** Write `v`'s resolved state as a full checkpoint file. Content is
+    * deterministic (resolution order is), so concurrent protectors race
+    * benignly: create-if-absent, losers verify existence and move on. */
+  private def writeCheckpoint(spark: SparkSession, root: String, v: Int): Unit = {
+    val m = manifestFull(spark, root, v)
+    def kf(name: String, value: Option[String]): String =
+      value.map(k => s""","$name":"$k"""").getOrElse("")
+    val header = s"""{"version":$v,"format":$ManifestFormat,"op":"${m.op}"""" +
+      kf("statsKey", m.statsKey) + kf("statsKey2", m.statsKey2) +
+      m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
+    val schemaLine = m.schema.map(s => s"S${s.json}").toSeq
+    val body = ((header +: schemaLine) ++ m.entries.map(_.render)).mkString("\n")
+    val p = checkpointPath(root, v)
+    val scheme = p.toUri.getScheme
+    val publisher: CommitPublisher =
+      if (scheme == null || scheme == "file") CommitPublisher.localLink
+      else CommitPublisher.renameIfAbsent(fs(spark, root))
+    try publisher.publish(root, p, body.getBytes("UTF-8"))
+    catch {
+      case e: java.io.IOException =>
+        if (!fs(spark, root).exists(p)) throw e // lost race = already done
+    }
   }
 
   /** TIME-based retention: drop every version whose manifest was
@@ -1244,9 +1401,16 @@ object SnapshotTable {
     require(keepLast >= 1, "must keep at least the latest version")
     val f = fs(spark, root)
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    val expired = versions(spark, root).dropRight(keepLast)
+    val all = versions(spark, root)
+    val expired = all.dropRight(keepLast)
       .filter(v => f.getFileStatus(manifestPath(root, v)).getModificationTime < cutoff)
-    expired.foreach(v => f.delete(manifestPath(root, v), false))
+    // age-retained versions may chain through older-than-cutoff bases:
+    // checkpoint any retained version whose chain the expiry would cut
+    protectRetained(spark, root, all.filterNot(expired.contains), expired.toSet)
+    expired.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(checkpointPath(root, v), false)
+    }
     expired
   }
 
@@ -1313,20 +1477,28 @@ object SnapshotTable {
   def vacuum(spark: SparkSession, root: String,
       minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
     val f = fs(spark, root)
-    val live = versions(spark, root).flatMap(v => readManifest(spark, root, v))
+    val liveVersions = versions(spark, root)
+    val live = liveVersions.flatMap(v => readManifest(spark, root, v))
+    val liveVs = liveVersions.toSet
     val referenced = live.map(_.path).toSet
     // deletion-vector sidecar DIRS any live version still points at
     val referencedDv = live.flatMap(_.dv).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = Seq.newBuilder[String]
     // log-dir garbage: anything that is not a committed v*.json
-    // manifest. Zero-length manifest-name files are left to the
-    // stale-claim reclaim path — deleting one here would race it.
+    // manifest or a LIVE version's shadow checkpoint. Zero-length
+    // manifest-name files are left to the stale-claim reclaim path —
+    // deleting one here would race it.
+    val CkptName = "v(\\d+)\\.ckpt\\.json".r
+    def liveCkpt(n: String): Boolean = n match {
+      case CkptName(v) => liveVs.contains(v.toInt)
+      case _ => false
+    }
     val snapDir = new Path(root, SnapshotDir)
     if (f.exists(snapDir)) f.listStatus(snapDir).foreach { s =>
       val n = s.getPath.getName
-      if (!n.matches("v\\d+\\.json") && s.getModificationTime < cutoff &&
-        f.delete(s.getPath, false))
+      if (!n.matches("v\\d+\\.json") && !liveCkpt(n) &&
+        s.getModificationTime < cutoff && f.delete(s.getPath, false))
         deleted += s"$SnapshotDir/$n"
     }
     // deletion-vector sidecars: referenced as whole batch DIRS, so the

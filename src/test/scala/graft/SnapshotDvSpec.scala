@@ -20,14 +20,11 @@ class SnapshotDvSpec extends SparkSpec {
 
   private def tmp(): String = Files.createTempDirectory("graft-dv").toString
 
-  /** Data-file paths named by version `v`'s manifest. */
-  private def manifestFiles(root: String, v: Int): Set[String] = {
-    val p = java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json")
-    scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(p)).asScala.drop(1)
-      .filterNot(_.startsWith("S{"))
-      .map(_.split('\t').head).toSet
-  }
+  /** Data-file paths version `v` RESOLVES to (format-8 delta chains
+    * applied): the logical file set the physical invariants below are
+    * about — a carried file may not be relisted in `vN.json` at all. */
+  private def manifestFiles(root: String, v: Int): Set[String] =
+    sources.SnapshotTable.dataFilePaths(spark, root, v).toSet
 
   private def clustered400(root: String): Unit =
     SnapshotTable.create(spark, root,

@@ -101,12 +101,15 @@ class SnapshotTableSpec extends SparkSpec {
     val base = (0L until 400L).map(i => (i, s"row$i")).toDF("id", "v")
       .repartitionByRange(4, col("id"))
     SnapshotTable.create(spark, root, base, statsKey = Some("id"))
-    def manifestFiles(v: Int): Set[String] = {
+    // resolved (logical) file set vs the raw lines physically present:
+    // under format-8 delta manifests a carried file may not be relisted
+    def manifestFiles(v: Int): Set[String] =
+      SnapshotTable.dataFilePaths(spark, root, v).toSet
+    def rawLines(v: Int): Seq[String] = {
       val p = java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json")
       scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(p)).asScala.drop(1)
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq.drop(1)
         .filterNot(_.startsWith("S{")) // the version's schema line
-        .map(_.split('\t').head).toSet
     }
     val v1 = manifestFiles(1)
     assert(v1.size == 4, "expected one data file per range partition")
@@ -117,6 +120,13 @@ class SnapshotTableSpec extends SparkSpec {
     val carried = v1.intersect(v2)
     assert(carried.size == 3,
       s"three untouched files must carry forward by name, got ${carried.size}")
+    // the delta property itself: the commit wrote its blast radius
+    // (1 removal + the replacement adds), not the live file list
+    val raw2 = rawLines(2)
+    assert(raw2.count(_.startsWith("R\t")) == 1,
+      s"one touched file must be removed by name, got $raw2")
+    assert(raw2.size < v2.size,
+      "a small merge's manifest must be smaller than the table's file list")
     // correctness is untouched by the pruning
     val now = SnapshotTable.read(spark, root)
     assert(now.count() == 400)

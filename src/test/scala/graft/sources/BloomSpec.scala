@@ -42,12 +42,10 @@ class BloomSpec extends SparkSpec {
   private def scramble(i: Int): Long = i * 0x9E3779B97F4A7C15L
 
   private def entriesOf(root: String): Seq[SnapshotTable.FileEntry] = {
-    import scala.jdk.CollectionConverters._
+    // resolved entries (format-8 delta chains applied): blooms of
+    // carried files live on entries the latest vN.json may not relist
     val v = SnapshotTable.versions(spark, root).last
-    val p = java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json")
-    Files.readAllLines(p).asScala.toSeq.drop(1)
-      .filter(l => l.nonEmpty && !l.startsWith("S{"))
-      .map(SnapshotTable.parseEntry)
+    SnapshotTable.manifestFull(spark, root, v).entries
   }
 
   test("manifest line round-trip: bloom field (format 7), with and without dv") {
