@@ -159,6 +159,7 @@ object SparkEntry {
     "meta_snapshot_bloom_read" -> ((s, d) => snapshotBloomReadCycle(s, d)),
     "meta_snapshot_maintain" -> ((s, d) => snapshotMaintainCycle(s, d)),
     "meta_snapshot_delta_log" -> ((s, d) => snapshotDeltaLogCycle(s, d)),
+    "meta_snapshot_restore" -> ((s, d) => snapshotRestoreCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
@@ -319,6 +320,7 @@ object SparkEntry {
     "meta_snapshot_bloom_read" -> snapshotBloomReadCycleSql,
     "meta_snapshot_maintain" -> snapshotMaintainCycleSql,
     "meta_snapshot_delta_log" -> snapshotDeltaLogCycleSql,
+    "meta_snapshot_restore" -> snapshotRestoreCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
     "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
     "meta_snapshot_incr_view" -> snapshotIncrViewCycleSql,
@@ -2179,6 +2181,69 @@ object SparkEntry {
     * carries the reads). A resolution bug — dropped carry, duplicated
     * entry, broken chain — flips a boolean or changes the row multiset
     * and breaks the hash. */
+  /** RESTORE (rollback), gated end to end: good state (create +
+    * append), then a corrupting merge AND a bad delete, then
+    * `restore` back to the pre-corruption version. The hash gates the
+    * restored state matching DuckDB's replay of ONLY the good edits,
+    * plus three physical invariants inside the result: `zero_copy`
+    * (the rollback wrote no data files — it is one manifest commit
+    * whatever the table size), `history_kept` (the bad versions stay
+    * live and time-travelable; the head's op is "restore"), and
+    * `cdc_rollback` (replaying the restore commit's change stream on
+    * the corrupt snapshot reproduces the restored state — incremental
+    * consumers converge instead of diverging). */
+  private def snapshotRestoreCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snaprestore").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val snap = graft.sources.SnapshotTable
+    snap.create(s, root,                                               // v1
+      docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id")),
+      statsKey = Some("doc_id"))
+    snap.append(s, root,                                               // v2: good head
+      docs.filter(col("doc_id") >= 400L && col("doc_id") < 430L).coalesce(1))
+    snap.merge(s, root,                                                // v3: corruption
+      docs.filter(col("doc_id") % 61 === 0 && col("doc_id") < 430L)
+        .withColumn("n_chars", lit(-999L)), key = "doc_id")
+    snap.deleteWhere(s, root, col("doc_id") % 113 === 0)               // v4: bad delete
+    def dataFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+    val before = dataFiles()
+    snap.restore(s, root, 2)                                           // v5: rollback
+    val zeroCopy = dataFiles() == before
+    // corrupt rows still visible at v4 = merged keys minus the bad
+    // delete's hits (exact count: robust to corpora where the modulus
+    // hits nothing, e.g. the adversarial edge corpus)
+    val expectedCorrupt = docs.filter(col("doc_id") % 61 === 0 &&
+      col("doc_id") < 430L && col("doc_id") % 113 =!= 0).count()
+    val historyKept = snap.versions(s, root) == Seq(1, 2, 3, 4, 5) &&
+      snap.history(s, root).last.op == "restore" &&
+      snap.read(s, root, Some(4)).filter(col("n_chars") === -999L).count() == expectedCorrupt
+    val base = snap.read(s, root, Some(4)).select(col("doc_id"), col("n_chars"))
+    val cs = snap.readChanges(s, root, 4, Some(5))
+    val replayed = base
+      .unionAll(cs.filter(col("_change_type") === "insert").select(col("doc_id"), col("n_chars")))
+      .exceptAll(cs.filter(col("_change_type") === "delete").select(col("doc_id"), col("n_chars")))
+    val now = snap.read(s, root).select(col("doc_id"), col("n_chars"))
+    val cdcRollback = replayed.exceptAll(now).isEmpty && now.exceptAll(replayed).isEmpty
+    graft.Scratch.registerForCleanup(root)
+    now
+      .withColumn("zero_copy", lit(zeroCopy))
+      .withColumn("history_kept", lit(historyKept))
+      .withColumn("cdc_rollback", lit(cdcRollback))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotRestoreCycleSql: String = """
+    SELECT doc_id, n_chars,
+           TRUE AS zero_copy, TRUE AS history_kept, TRUE AS cdc_rollback
+    FROM documents
+    WHERE doc_id < 430
+    ORDER BY doc_id"""
+
   private def snapshotDeltaLogCycle(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-snapdeltalog").toString
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))

@@ -1606,6 +1606,28 @@ object SnapshotTable {
     * its broadcast decision. */
   private def knownDv(e: FileEntry): Boolean = e.dv.isEmpty || e.dvRows.isDefined
 
+  /** RESTORE the table to an earlier version's logical state as a NEW
+    * commit (op "restore") — the rollback a bad batch needs. The
+    * restored version's resolved entries (files, stats, deletion
+    * vectors) are carried forward BY NAME under the target's own
+    * schema and stats identity: zero data I/O, one manifest write,
+    * whatever the table size. History is preserved — nothing is
+    * deleted, the bad versions stay time-travelable until retention
+    * drops them — and CDC sees the rollback as ordinary row-level
+    * changes (op "restore" diffs like any data commit), so incremental
+    * consumers converge on the restored state instead of silently
+    * diverging. The target must still be live (not expired), which
+    * also guarantees its data files survived every vacuum. */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    require(versions(spark, root).contains(toVersion),
+      s"version $toVersion is not live at $root — restore needs its manifest")
+    retrying(spark, root, op = "restore") { _ =>
+      val target = manifestFull(spark, root, toVersion)
+      Pending(target.entries, schemaOf(spark, root, target),
+        target.statsKey, target.statsKey2)
+    }
+  }
+
   /** Read the table at `version` (default: latest). Time travel: any
     * committed version stays readable — its files are immutable, and
     * each version reads with ITS OWN recorded schema (a version

@@ -995,6 +995,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("expired"))
   }
 
+  test("restore rolls back to an earlier version: zero data I/O, history kept, CDC-visible") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,                                  // v1: good state
+      (0L until 400L).map(i => (i, s"row$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsKey = Some("id"))
+    SnapshotTable.merge(spark, root,                                   // v2: bad batch
+      Seq((10L, "CORRUPT"), (250L, "CORRUPT")).toDF("id", "v"), key = "id")
+    SnapshotTable.deleteWhere(spark, root, col("id") === 42L)          // v3: bad delete
+    def dataFiles(): Set[String] = {
+      val d = java.nio.file.Paths.get(root, "data")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    }
+    val before = dataFiles()
+    assert(SnapshotTable.restore(spark, root, 1) == 4)
+    // zero data I/O: the restore wrote a manifest, not one data file
+    assert(dataFiles() == before, "restore must not write or delete data files")
+    // the head IS v1's state again
+    val now = SnapshotTable.read(spark, root)
+    assert(now.count() == 400)
+    assert(now.filter(col("id") === 10L).head().getString(1) == "row10")
+    assert(now.filter(col("id") === 42L).count() == 1)
+    // nothing was erased: the bad versions stay time-travelable
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3, 4))
+    assert(SnapshotTable.read(spark, root, Some(3))
+      .filter(col("id") === 10L).head().getString(1) == "CORRUPT")
+    assert(SnapshotTable.history(spark, root).last.op == "restore")
+    // CDC replay across the rollback converges on the restored state
+    val base = SnapshotTable.read(spark, root, Some(3)).select("id", "v")
+    val cs = SnapshotTable.readChanges(spark, root, 3, Some(4))
+    val ins = cs.filter(col("_change_type") === "insert").select("id", "v")
+    val del = cs.filter(col("_change_type") === "delete").select("id", "v")
+    val replayed = base.unionAll(ins).exceptAll(del)
+    assert(replayed.exceptAll(now.select("id", "v")).isEmpty &&
+      now.select("id", "v").exceptAll(replayed).isEmpty,
+      "replaying the restore's change stream must reproduce the rollback")
+    // restoring an expired version refuses loudly
+    SnapshotTable.expireVersions(spark, root, keepLast = 2)
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, root, 1)
+    }
+    assert(err.getMessage.contains("not live"))
+  }
+
   test("readChanges: schema evolution inside the window null-fills pre-evolution deletes") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
