@@ -165,6 +165,8 @@ object SparkEntry {
     "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "sink_partitioned_export" -> ((s, d) => partitionedExportCycle(s, d)),
+    "join_bucketed_colocated" -> ((s, d) => bucketedColocatedJoin(s, d)),
+    "join_dpp_partitioned" -> ((s, d) => dppPartitionedJoin(s, d)),
     "meta_json_roundtrip" -> ((s, d) => jsonRoundtripQuery(s, d)),
     "meta_path_ops" -> ((s, d) => pathOpsQuery(s, d)),
     "meta_upsert" -> ((s, d) => Upsert.upsertDemo(s, d)),
@@ -327,6 +329,8 @@ object SparkEntry {
     "meta_snapshot_string_merge" -> snapshotStringMergeCycleSql,
     "meta_source_convert" -> sourceConvertCycleSql,
     "sink_partitioned_export" -> partitionedExportCycleSql,
+    "join_bucketed_colocated" -> bucketedColocatedJoinSql,
+    "join_dpp_partitioned" -> dppPartitionedJoinSql,
     "meta_json_roundtrip" -> jsonRoundtripSql,
     "meta_path_ops" -> pathOpsSql,
     "meta_upsert" -> Upsert.upsertDemoSql,
@@ -2463,6 +2467,138 @@ object SparkEntry {
     * replaces ONLY rewritten partitions on a second write — the
     * idempotent re-export contract — proven by overwriting one source
     * with marked rows and checking the others kept their bytes. */
+  /** Shuffle exchanges in the EXECUTED plan (AQE-resolved). The
+    * co-location proofs below hinge on this being zero: a bucketed or
+    * dynamically-pruned plan that silently re-shuffles has lost the
+    * property the layout was built for. */
+  private def countShuffles(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan).count(_.isInstanceOf[ShuffleExchangeExec])
+  }
+
+  /** BUCKETED CO-LOCATED JOIN, gated end to end: both fact tables are
+    * written `bucketBy(8, orderkey)` + sorted, then joined and
+    * aggregated ON THE BUCKET KEY. At 100 TB this is the difference
+    * between moving terabytes twice (shuffle both sides, shuffle
+    * again for the agg) and moving NOTHING: the join consumes the
+    * buckets' co-partitioning and the agg consumes the join's. The
+    * `colocated` boolean pins the physical property — with broadcast
+    * disabled, the executed join+agg plan contains ZERO shuffle
+    * exchanges — and the hash gates the joined numbers against DuckDB
+    * running the same join shuffle-free in its own world. */
+  private def bucketedColocatedJoin(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketjoin").toString
+    s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/li").mode("overwrite").saveAsTable("graft_li_bucketed")
+    Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/ord").mode("overwrite").saveAsTable("graft_ord_bucketed")
+    def joined = s.table("graft_li_bucketed")
+      .join(s.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.Exact.exactSum(col("l_extendedprice")).as("revenue"),
+        max(col("o_totalprice")).as("total_price"))
+    // the physical proof: broadcast off (so the join would otherwise
+    // shuffle both sides), executed plan — zero exchanges end to end
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val colocated = try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = joined
+      q.count()
+      countShuffles(q) == 0
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val out = joined.withColumn("colocated", lit(colocated))
+      .orderBy(col("l_orderkey"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
+  }
+
+  private def bucketedColocatedJoinSql: String = s"""
+    SELECT l.l_orderkey, COUNT(*) AS n_items,
+           ${graft.Exact.sqlSum("l.l_extendedprice")} AS revenue,
+           MAX(o.o_totalprice) AS total_price,
+           TRUE AS colocated
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey ORDER BY l.l_orderkey"""
+
+  /** DYNAMIC PARTITION PRUNING, gated end to end: the corpus is
+    * exported Hive-partitioned by `lang`, the dimension (a lang
+    * attribute table, also on parquet) is filtered on a NON-partition
+    * attribute, and the join prunes the fact scan to the surviving
+    * partitions at RUNTIME — the partition values are only known
+    * after the dim filter runs, so static pruning cannot do this. At
+    * 100 TB this is what keeps a dimension-filtered fact query from
+    * reading every partition. `dpp_pruned` pins the physical half:
+    * the executed fact scan's `numFiles` metric equals the matching
+    * partition's file count, strictly fewer than the table's, and the
+    * plan carries a dynamicpruning subquery on the partition column. */
+  private def dppPartitionedJoin(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/fact")
+    // dim: one row per lang, with the tier attribute the query filters
+    // on (only 'en' is tier 'keep' — but the QUERY doesn't know that)
+    docs.select(col("lang")).distinct()
+      .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    def query = s.read.parquet(s"$tmp/fact")
+      .join(broadcast(s.read.parquet(s"$tmp/dim").filter(col("tier") === "keep")), "lang")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    val q = query
+    // execute THIS QueryExecution (q.count() would plan and run a
+    // separate derived query, leaving q's own scan metrics at zero)
+    q.collect()
+    // physical proof from the executed plan: the fact scan read only
+    // the pruned partition's files, via a dynamicpruning subquery.
+    // AQE clones stage plans — recurse into QueryStageExec.plan, not
+    // children, to reach the nodes that actually ran
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val factScan = nodes(q.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("fact")) => f }
+    // static file count straight from the layout (inputFiles ignores
+    // filters — the recorded gotcha — so walk the directory)
+    def parquetsUnder(p: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val enFiles = parquetsUnder(s"$tmp/fact/lang=en")
+    val dppPruned = factScan.exists { f =>
+      f.metrics("numFiles").value == enFiles &&
+        f.metrics("numFiles").value < f.metrics("staticFilesNum").value &&
+        f.partitionFilters.exists(_.toString.contains("dynamicpruning"))
+    }
+    val out = query.withColumn("dpp_pruned", lit(dppPruned))
+      .orderBy(col("source"))
+    graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
+  }
+
+  private def dppPartitionedJoinSql: String = """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS dpp_pruned
+    FROM documents WHERE lang = 'en'
+    GROUP BY source ORDER BY source"""
+
   private def partitionedExportCycle(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-export").toString
     val docs = Tables.documents(s, d)

@@ -43,4 +43,39 @@ class BucketingSpec extends SparkSpec {
         s"bucketed join should not shuffle, found $shuffles exchanges")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("dynamic partition pruning: a dim-filtered join reads only surviving partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dppspec").toString
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/fact")
+    docs.select(col("lang")).distinct()
+      .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    // the filter is on the dim ATTRIBUTE — the surviving partition
+    // values are only known at runtime, so static pruning can't help
+    val q = spark.read.parquet(s"$tmp/fact")
+      .join(broadcast(spark.read.parquet(s"$tmp/dim").filter(col("tier") === "keep")), "lang")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // execute THIS QueryExecution (an action like .count() plans a
+    // separate derived query and leaves q's scan metrics untouched)
+    q.collect()
+    def nodesQ(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodesQ(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodesQ(qs.plan)
+      case other => other +: other.children.flatMap(nodesQ)
+    }
+    val scan = nodesQ(q.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("fact")) => f
+    }.getOrElse(fail("no fact scan in the executed plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"expected a dynamicpruning subquery, got ${scan.partitionFilters}")
+    assert(scan.metrics("numFiles").value < scan.metrics("staticFilesNum").value,
+      s"runtime file count must undercut the static table: ${scan.metrics}")
+    assert(scan.metrics("numPartitions").value == 1,
+      "only the 'en' partition survives the dim filter")
+    graft.Scratch.registerForCleanup(tmp)
+  }
 }
