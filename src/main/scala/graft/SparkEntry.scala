@@ -160,6 +160,7 @@ object SparkEntry {
     "meta_snapshot_maintain" -> ((s, d) => snapshotMaintainCycle(s, d)),
     "meta_snapshot_delta_log" -> ((s, d) => snapshotDeltaLogCycle(s, d)),
     "meta_snapshot_restore" -> ((s, d) => snapshotRestoreCycle(s, d)),
+    "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
@@ -323,6 +324,7 @@ object SparkEntry {
     "meta_snapshot_maintain" -> snapshotMaintainCycleSql,
     "meta_snapshot_delta_log" -> snapshotDeltaLogCycleSql,
     "meta_snapshot_restore" -> snapshotRestoreCycleSql,
+    "meta_snapshot_constraints" -> snapshotConstraintsCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
     "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
     "meta_snapshot_incr_view" -> snapshotIncrViewCycleSql,
@@ -2171,6 +2173,62 @@ object SparkEntry {
     * breaks the hash; the file-level claims (big file untouched, debt
     * packed to one output, no-op fixpoint) are scan-metric-proven in
     * SnapshotTableSpec. */
+  /** CHECK CONSTRAINTS, gated end to end: the ingest-time data-quality
+    * contract a training-data table needs — a poisoned batch is
+    * rejected at the door, loudly, with nothing committed. The
+    * lifecycle: declare two constraints, take a good append, REJECT a
+    * violating append (enforcement rides the write — zero extra jobs)
+    * and a violating merge (one validation job naming every violated
+    * rule and its row count), refuse a constraint existing data
+    * already violates (a constraint is a fact, not an aspiration),
+    * then drop a rule and prove it lifted with a marker row. The hash
+    * gates the final state — good rows plus the post-drop marker,
+    * none of the rejected rows — with `rejected`/`fact_checked`/
+    * `persisted` invariants inside the result. */
+  private def snapshotConstraintsCycle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snapcheck").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val snap = graft.sources.SnapshotTable
+    snap.create(s, root,                                               // v1
+      docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id")),
+      statsKey = Some("doc_id"))
+    snap.addConstraint(s, root, "chars_nonneg", "n_chars >= 0")        // v2
+    snap.addConstraint(s, root, "id_present", "doc_id IS NOT NULL")    // v3
+    snap.append(s, root,                                               // v4: clean batch
+      docs.filter(col("doc_id") >= 400L && col("doc_id") < 430L).coalesce(1))
+    val cleanCount = snap.read(s, root).count()
+    // a poisoned append and a poisoned merge both bounce, atomically
+    val appendRejected = scala.util.Try(snap.append(s, root,
+      Seq((-7777L, -5L)).toDF("doc_id", "n_chars"))).isFailure &&
+      snap.read(s, root).count() == cleanCount
+    val mergeRejected = scala.util.Try(snap.merge(s, root,
+      Seq((0L, -1L)).toDF("doc_id", "n_chars"), key = "doc_id")).isFailure &&
+      snap.read(s, root).filter(col("n_chars") < 0).count() == 0
+    val rejected = appendRejected && mergeRejected
+    // a rule today's data violates is refused outright
+    val factChecked = scala.util.Try(
+      snap.addConstraint(s, root, "impossible", "n_chars < 0")).isFailure &&
+      snap.constraints(s, root).map(_._1) == Seq("chars_nonneg", "id_present")
+    snap.dropConstraint(s, root, "chars_nonneg")                       // v5
+    snap.append(s, root, Seq((9999L, -5L)).toDF("doc_id", "n_chars")) // now legal
+    val persisted = snap.constraints(s, root) == Seq("id_present" -> "doc_id IS NOT NULL")
+    graft.Scratch.registerForCleanup(root)
+    snap.read(s, root)
+      .withColumn("rejected", lit(rejected))
+      .withColumn("fact_checked", lit(factChecked))
+      .withColumn("persisted", lit(persisted))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotConstraintsCycleSql: String = """
+    SELECT doc_id, n_chars,
+           TRUE AS rejected, TRUE AS fact_checked, TRUE AS persisted
+    FROM documents WHERE doc_id < 430
+    UNION ALL
+    SELECT 9999, -5, TRUE, TRUE, TRUE
+    ORDER BY doc_id"""
+
   /** DELTA MANIFESTS (format 8), gated end to end: a lifecycle whose
     * small commits must ride O(touched-files) manifest deltas — three
     * micro appends, a narrow merge, a dv delete — followed by retention

@@ -266,7 +266,8 @@ object SnapshotTable {
       statsKey2: Option[String],
       txnBatchId: Option[Long] = None,
       base: Option[Int] = None,
-      depth: Int = 0)
+      depth: Int = 0,
+      constraints: Seq[(String, String)] = Seq.empty)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -324,7 +325,15 @@ object SnapshotTable {
     val schema = lines.find(_.startsWith("S{"))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.drop(1))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val body = lines.filterNot(_.startsWith("S{"))
+    val body0 = lines.filterNot(_.startsWith("S{"))
+    // C-lines: CHECK constraints, base64(name)\tbase64(exprSql) — the
+    // encoding keeps arbitrary SQL out of the line grammar entirely
+    val constraints = body0.filter(_.startsWith(ConstraintPrefix)).map { l =>
+      val Array(n, e) = l.drop(ConstraintPrefix.length).split("\t", 2)
+      (new String(java.util.Base64.getDecoder.decode(n), "UTF-8"),
+        new String(java.util.Base64.getDecoder.decode(e), "UTF-8"))
+    }
+    val body = body0.filterNot(_.startsWith(ConstraintPrefix))
     val listed = body.filterNot(_.startsWith(RemovalPrefix)).map(parseEntry)
     // DELTA resolution (format 8): the listed entries are this commit's
     // adds/changes; entries carried from the base keep the base's order
@@ -340,7 +349,7 @@ object SnapshotTable {
         manifestFull(spark, root, b).entries
           .filterNot(e => shadowed.contains(e.path)) ++ listed
     }
-    Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth)
+    Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth, constraints)
   }
 
   /** Line prefix naming a base entry a delta manifest REMOVES. The tab
@@ -348,6 +357,22 @@ object SnapshotTable {
     * writer-generated relative paths that never contain tabs, and the
     * first tab in an entry line always follows the full path. */
   private val RemovalPrefix = "R\t"
+
+  /** Line prefix for a CHECK constraint: `C!` then base64(name), tab,
+    * base64(exprSql). `!` cannot appear in a writer-generated relative
+    * path, so the prefix never collides with an entry line. Every
+    * manifest (delta included) carries the version's FULL constraint
+    * set — constraints are header-like state, small and never
+    * inherited through a base chain. */
+  private val ConstraintPrefix = "C!"
+
+  private def constraintLines(cs: Seq[(String, String)]): Seq[String] = {
+    val b64 = java.util.Base64.getEncoder.withoutPadding
+    cs.map { case (n, e) =>
+      s"$ConstraintPrefix${b64.encodeToString(n.getBytes("UTF-8"))}\t${
+        b64.encodeToString(e.getBytes("UTF-8"))}"
+    }
+  }
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] =
     manifestFull(spark, root, v).entries
@@ -598,7 +623,8 @@ object SnapshotTable {
   private def commit(spark: SparkSession, root: String, files: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType, expected: Int,
       op: String, statsKey: Option[String], statsKey2: Option[String],
-      txnBatchId: Option[Long] = None): Int = {
+      txnBatchId: Option[Long] = None,
+      constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
     val v = expected + 1
     // header (format revision + version + operation + stats identity),
     // then the version's SCHEMA (S-prefixed json line): every version
@@ -619,10 +645,15 @@ object SnapshotTable {
     // read-side resolution at MaxChainDepth+1 metadata reads. Ops that
     // rewrite most of the table (compact, retainWhere) fail the
     // strictly-smaller test and naturally checkpoint.
+    val parent: Option[Manifest] =
+      if (expected < 1) None else Some(manifestFull(spark, root, expected))
+    // CHECK constraints are version state, carried forward verbatim
+    // unless this commit is the one changing them (addConstraint/
+    // dropConstraint pass an override)
+    val effConstraints =
+      constraintsOverride.orElse(parent.map(_.constraints)).getOrElse(Seq.empty)
     val delta: Option[(Int, Seq[String])] =
-      if (expected < 1) None
-      else {
-        val pm = manifestFull(spark, root, expected)
+      parent.flatMap { pm =>
         if (pm.depth >= MaxChainDepth) None
         else {
           val oldLines = pm.entries.map(e => e.path -> e.render).toMap
@@ -640,7 +671,8 @@ object SnapshotTable {
       txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") +
       delta.map { case (d, _) => s""","base":$expected,"depth":$d""" }.getOrElse("") + "}"
     val entryLines = delta.map(_._2).getOrElse(files.map(_.render))
-    val body = (header +: s"S${schema.json}" +: entryLines).mkString("\n")
+    val body = ((header +: s"S${schema.json}" +:
+      constraintLines(effConstraints)) ++ entryLines).mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
     val publisher: CommitPublisher =
@@ -882,7 +914,10 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val evolved = evolveSchema(schemaOf(spark, root, m), df.schema, allowWiden)
       val (effKey, effKey2, fixCarried) = resolveStatsKeys(m, statsKey, statsKey2)
-      val newFiles = writeDataFiles(spark, root, alignTo(df, evolved), effKey, effKey2,
+      // CHECK constraints ride the write itself (no extra job): the
+      // first violating row fails the append before anything commits
+      val newFiles = writeDataFiles(spark, root,
+        constrained(alignTo(df, evolved), m.constraints), effKey, effKey2,
         bloomKey)
       written = newFiles
       // skip only on POSITIVE evidence of emptiness: every file's
@@ -942,6 +977,10 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
       val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
+      // the update batch was written before this loop, so constraints
+      // are enforced with one explicit validation job (aligned frame:
+      // absent columns null-fill, and NULL passes — SQL CHECK)
+      validateConstraints(alignTo(updates, evolved), m.constraints)
       val (_, effKey2, fixCarried) = resolveStatsKeys(m, Some(key), statsKey2)
       // stats identity check: prune only with ranges measured on `key`
       val canPrune = sameKey(m.statsKey, key)
@@ -1374,7 +1413,8 @@ object SnapshotTable {
       kf("statsKey", m.statsKey) + kf("statsKey2", m.statsKey2) +
       m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
     val schemaLine = m.schema.map(s => s"S${s.json}").toSeq
-    val body = ((header +: schemaLine) ++ m.entries.map(_.render)).mkString("\n")
+    val body = ((header +: schemaLine) ++ constraintLines(m.constraints) ++
+      m.entries.map(_.render)).mkString("\n")
     val p = checkpointPath(root, v)
     val scheme = p.toUri.getScheme
     val publisher: CommitPublisher =
@@ -1542,7 +1582,8 @@ object SnapshotTable {
   private final case class Pending(files: Seq[FileEntry],
       schema: org.apache.spark.sql.types.StructType,
       statsKey: Option[String], statsKey2: Option[String],
-      txnBatchId: Option[Long] = None)
+      txnBatchId: Option[Long] = None,
+      constraints: Option[Seq[(String, String)]] = None)
 
   /** Optimistic-concurrency loop: build the file list + schema against
     * the latest version, try to commit latest+1; on a lost race,
@@ -1556,7 +1597,7 @@ object SnapshotTable {
         throw new IllegalStateException(s"no table at $root"))
       val p = build(latest)
       try return commit(spark, root, p.files, p.schema, latest, op,
-        p.statsKey, p.statsKey2, p.txnBatchId)
+        p.statsKey, p.statsKey2, p.txnBatchId, p.constraints)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1
@@ -1625,6 +1666,93 @@ object SnapshotTable {
       val target = manifestFull(spark, root, toVersion)
       Pending(target.entries, schemaOf(spark, root, target),
         target.statsKey, target.statsKey2)
+    }
+  }
+
+  /** CHECK constraints — the ingest-time data-quality contract. A
+    * constraint is a named boolean SQL expression every INCOMING row
+    * must satisfy; a violating append/merge fails loudly and commits
+    * nothing, which on a training-data table is the difference between
+    * one rejected batch and a poisoned corpus. SQL CHECK semantics:
+    * NULL (unknown) passes — reject nulls explicitly with IS NOT NULL.
+    * The set is version state (C-lines in every manifest, deltas and
+    * shadow checkpoints included), so it survives restarts, time
+    * travel shows each version's own rules, and a concurrent writer
+    * that loses a race re-reads the fresh set before retrying.
+    *
+    * [[addConstraint]] refuses if EXISTING live rows violate the new
+    * rule (one validation scan) — a constraint is a fact about the
+    * whole table from its commit on, never an aspiration. */
+  def addConstraint(spark: SparkSession, root: String,
+      name: String, exprSql: String): Int = {
+    require(name.nonEmpty && exprSql.nonEmpty, "constraint needs a name and an expression")
+    retrying(spark, root, op = "constraint") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      require(!m.constraints.exists(_._1 == name),
+        s"constraint '$name' already exists at $root")
+      val next = m.constraints :+ (name -> exprSql)
+      // the new rule must already hold over the live table
+      validateConstraints(
+        readEntries(spark, root, schemaOf(spark, root, m), m.entries),
+        Seq(name -> exprSql))
+      Pending(m.entries, schemaOf(spark, root, m), m.statsKey, m.statsKey2,
+        constraints = Some(next))
+    }
+  }
+
+  /** Drop constraint `name` (no-op error if absent): a new commit
+    * carrying the same entries under the reduced rule set. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Int =
+    retrying(spark, root, op = "constraint") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      require(m.constraints.exists(_._1 == name),
+        s"no constraint '$name' at $root (have ${m.constraints.map(_._1).mkString(",")})")
+      Pending(m.entries, schemaOf(spark, root, m), m.statsKey, m.statsKey2,
+        constraints = Some(m.constraints.filterNot(_._1 == name)))
+    }
+
+  /** The latest version's CHECK constraints, in declaration order. */
+  def constraints(spark: SparkSession, root: String): Seq[(String, String)] =
+    versions(spark, root).lastOption
+      .map(v => manifestFull(spark, root, v).constraints).getOrElse(Seq.empty)
+
+  /** One-pass validation job: per-constraint violation counts over
+    * `df`, all in a single aggregate; throws naming every violated
+    * constraint. Used where the batch is written BEFORE the commit
+    * loop (merge paths) and by [[addConstraint]]'s existing-data scan. */
+  private def validateConstraints(df: DataFrame,
+      cs: Seq[(String, String)]): Unit = if (cs.nonEmpty) {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, expr => fnExpr, lit => fnLit, sum => fnSum, when => fnWhen}
+    val checks = cs.flatMap { case (n, sql) =>
+      // a constraint whose columns the batch doesn't carry resolves
+      // against the ALIGNED frame; callers pass aligned frames, so an
+      // analysis failure here is a genuinely broken expression
+      Some((n, sql,
+        fnSum(fnWhen(fnCoalesce(fnExpr(sql).cast("boolean"), fnLit(true)), 0L)
+          .otherwise(1L))))
+    }
+    val row = df.agg(checks.head._3.as("c0"),
+      checks.tail.zipWithIndex.map { case (c, i) => c._3.as(s"c${i + 1}") }: _*).head()
+    val bad = checks.zipWithIndex.collect {
+      case ((n, sql, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"'$n' ($sql): ${row.getLong(i)} row(s)"
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"CHECK constraint violation(s) — nothing committed: ${bad.mkString("; ")}")
+  }
+
+  /** Wrap an aligned batch so the WRITE job itself fails on the first
+    * violating row — constraint enforcement rides the append's own
+    * pass over the data (zero extra jobs on the streaming hot path).
+    * The error carries the row as JSON; a failed write's orphan files
+    * are ordinary vacuum food, and nothing was committed. */
+  private def constrained(df: DataFrame, cs: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col => fnCol, concat => fnConcat, expr => fnExpr, lit => fnLit, raise_error => fnRaise, struct => fnStruct, to_json => fnToJson, when => fnWhen}
+    cs.foldLeft(df) { case (d, (name, sql)) =>
+      d.where(fnWhen(fnCoalesce(fnExpr(sql).cast("boolean"), fnLit(true)), fnLit(true))
+        .otherwise(fnRaise(fnConcat(
+          fnLit(s"CHECK constraint '$name' ($sql) violated by row "),
+          fnToJson(fnStruct(d.columns.toSeq.map(fnCol): _*))))))
     }
   }
 
@@ -2196,6 +2324,9 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
       val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
+      // same enforcement as copy-on-write merge: batch written before
+      // the loop, so constraints pay one explicit validation job
+      validateConstraints(alignTo(updates, evolved), m.constraints)
       val (_, effKey2, fixCarried) = resolveStatsKeys(m, Some(key), statsKey2)
       val canPrune = sameKey(m.statsKey, key)
       val (touched, untouched) = (updateKeys, updateStrKeys) match {
