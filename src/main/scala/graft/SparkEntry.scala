@@ -161,6 +161,7 @@ object SparkEntry {
     "meta_snapshot_delta_log" -> ((s, d) => snapshotDeltaLogCycle(s, d)),
     "meta_snapshot_restore" -> ((s, d) => snapshotRestoreCycle(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
+    "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
     "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
@@ -325,6 +326,7 @@ object SparkEntry {
     "meta_snapshot_delta_log" -> snapshotDeltaLogCycleSql,
     "meta_snapshot_restore" -> snapshotRestoreCycleSql,
     "meta_snapshot_constraints" -> snapshotConstraintsCycleSql,
+    "meta_snapshot_files" -> snapshotFilesTableCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
     "meta_snapshot_merge_on_read" -> snapshotMergeOnReadCycleSql,
     "meta_snapshot_incr_view" -> snapshotIncrViewCycleSql,
@@ -2173,6 +2175,52 @@ object SparkEntry {
     * breaks the hash; the file-level claims (big file untouched, debt
     * packed to one output, no-op fixpoint) are scan-metric-proven in
     * SnapshotTableSpec. */
+  /** FILES METADATA TABLE, gated end to end: `filesDf` exposes the
+    * manifest as a queryable frame (the `.files` surface — Iceberg's
+    * metadata tables), so the gate ANSWERS OPERATOR QUESTIONS with
+    * plain SQL over it: how many recorded rows, how much dv debt and
+    * in how many files, do all files carry skipping stats and known
+    * sizes. Hashed against DuckDB computing the same answers from the
+    * raw corpus; `files_ok` pins the file count to the lifecycle's
+    * layout (range files + each non-empty append), `stats_cover` and
+    * `bytes_pos` pin the metadata completeness the planner relies on.
+    * All zero data I/O — the point of a metadata table. */
+  private def snapshotFilesTableCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapfiles").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val snap = graft.sources.SnapshotTable
+    snap.create(s, root,
+      docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id")),
+      statsKey = Some("doc_id"))
+    val c1 = docs.filter(col("doc_id") >= 400L && col("doc_id") < 415L).count()
+    val c2 = docs.filter(col("doc_id") >= 415L && col("doc_id") < 430L).count()
+    snap.append(s, root,
+      docs.filter(col("doc_id") >= 400L && col("doc_id") < 415L).coalesce(1))
+    snap.append(s, root,
+      docs.filter(col("doc_id") >= 415L && col("doc_id") < 430L).coalesce(1))
+    snap.deleteWhere(s, root, col("doc_id") === 0L)
+    val files = snap.filesDf(s, root)
+    val expectedFiles = 4L + (if (c1 > 0) 1L else 0L) + (if (c2 > 0) 1L else 0L)
+    val filesOk = files.count() == expectedFiles
+    val statsCover = files.filter(col("min_key").isNull || col("max_key").isNull).count() == 0
+    val bytesPos = files.filter(col("bytes").isNull || col("bytes") <= 0L).count() == 0
+    graft.Scratch.registerForCleanup(root)
+    files.agg(
+        sum(col("rows")).as("recorded_rows"),
+        (sum(col("rows")) - coalesce(sum(col("dv_rows")), lit(0L))).as("live_rows"),
+        count(col("dv")).as("dv_files"),
+        coalesce(sum(col("dv_rows")), lit(0L)).as("dv_rows"))
+      .withColumn("files_ok", lit(filesOk))
+      .withColumn("stats_cover", lit(statsCover))
+      .withColumn("bytes_pos", lit(bytesPos))
+  }
+
+  private def snapshotFilesTableCycleSql: String = """
+    SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 430) AS recorded_rows,
+           (SELECT COUNT(*) FROM documents WHERE doc_id < 430) - 1 AS live_rows,
+           CAST(1 AS BIGINT) AS dv_files, CAST(1 AS BIGINT) AS dv_rows,
+           TRUE AS files_ok, TRUE AS stats_cover, TRUE AS bytes_pos"""
+
   /** CHECK CONSTRAINTS, gated end to end: the ingest-time data-quality
     * contract a training-data table needs — a poisoned batch is
     * rejected at the door, loudly, with nothing committed. The

@@ -1669,6 +1669,47 @@ object SnapshotTable {
     }
   }
 
+  /** The manifest as a QUERYABLE DataFrame — the `.files` metadata
+    * table (Iceberg's `table.files` / Delta's detail at file
+    * granularity): one row per live data file of `version` (default
+    * latest) with its recorded row count, byte size, primary/secondary
+    * key ranges, and deletion-vector state. Everything comes from the
+    * manifest the driver already holds — zero data I/O, so operators
+    * can answer "which files hold key range X", "where is the dv
+    * debt", "what does compaction owe" with plain SQL over this frame
+    * instead of bespoke APIs. Columns with no recorded value are null
+    * (pre-stats manifests), never zero. */
+  def filesDf(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val m = manifestFull(spark, root, version.getOrElse(vs.last))
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = true),
+      StructField("min_key", LongType, nullable = true),
+      StructField("max_key", LongType, nullable = true),
+      StructField("min_key2", LongType, nullable = true),
+      StructField("max_key2", LongType, nullable = true),
+      StructField("has_string_stats", BooleanType, nullable = false),
+      StructField("has_bloom", BooleanType, nullable = false),
+      StructField("dv", StringType, nullable = true),
+      StructField("dv_rows", LongType, nullable = true)))
+    val data = m.entries.map { e =>
+      Row(e.path, e.rows.map(Long.box).orNull, e.bytes.map(Long.box).orNull,
+        e.minKey.map(Long.box).orNull, e.maxKey.map(Long.box).orNull,
+        e.min2.map(Long.box).orNull, e.max2.map(Long.box).orNull,
+        Boolean.box(e.minStr.isDefined || e.maxStr.isDefined),
+        Boolean.box(e.bloom.isDefined),
+        e.dv.orNull, e.dvRows.map(Long.box).orNull)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(data).asJava), schema)
+  }
+
   /** CHECK constraints — the ingest-time data-quality contract. A
     * constraint is a named boolean SQL expression every INCOMING row
     * must satisfy; a violating append/merge fails loudly and commits

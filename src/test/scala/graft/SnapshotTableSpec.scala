@@ -995,6 +995,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("expired"))
   }
 
+  test("filesDf: the manifest as a queryable metadata table, zero data I/O") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      (0L until 400L).map(i => (i, s"row$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), statsKey = Some("id"))
+    SnapshotTable.append(spark, root, Seq((400L, "x")).toDF("id", "v").coalesce(1))
+    SnapshotTable.deleteWhere(spark, root, col("id") === 7L)
+    val f = SnapshotTable.filesDf(spark, root)
+    assert(f.count() == 5, "4 range files + 1 append")
+    assert(f.agg(sum(col("rows"))).head().getLong(0) == 401,
+      "recorded rows are footer counts (dv-deleted rows still recorded)")
+    assert(f.filter(col("dv").isNotNull).count() == 1)
+    assert(f.agg(sum(col("dv_rows"))).head().getLong(0) == 1)
+    assert(f.filter(col("min_key").isNull || col("max_key").isNull).count() == 0,
+      "every file carries primary stats")
+    assert(f.filter(col("bytes").isNull || col("bytes") <= 0).count() == 0)
+    // time travel: the metadata table of an old version is that
+    // version's manifest, not the head's
+    assert(SnapshotTable.filesDf(spark, root, Some(1)).count() == 4)
+    assert(SnapshotTable.filesDf(spark, root, Some(1))
+      .filter(col("dv").isNotNull).count() == 0)
+  }
+
   test("restore rolls back to an earlier version: zero data I/O, history kept, CDC-visible") {
     val root = tmp()
     SnapshotTable.create(spark, root,                                  // v1: good state
