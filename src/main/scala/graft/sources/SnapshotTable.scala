@@ -345,9 +345,7 @@ object SnapshotTable {
       case Some(b) =>
         val removed = body.filter(_.startsWith(RemovalPrefix))
           .map(_.stripPrefix(RemovalPrefix)).toSet
-        val shadowed = removed ++ listed.map(_.path)
-        manifestFull(spark, root, b).entries
-          .filterNot(e => shadowed.contains(e.path)) ++ listed
+        resolveDelta(manifestFull(spark, root, b).entries, listed, removed)
     }
     Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth, constraints)
   }
@@ -365,6 +363,32 @@ object SnapshotTable {
     * set — constraints are header-like state, small and never
     * inherited through a base chain. */
   private val ConstraintPrefix = "C!"
+
+  /** PURE half of delta resolution: the base's entries minus everything
+    * this commit removed or relisted, in base order, then the listed
+    * entries — exactly the order a full append manifest would have
+    * written. Pure so [[deltaAgainst]]∘resolveDelta is property-testable
+    * without a filesystem (ManifestBoundsSpec). */
+  private[sources] def resolveDelta(base: Seq[FileEntry],
+      listed: Seq[FileEntry], removed: Set[String]): Seq[FileEntry] = {
+    val shadowed = removed ++ listed.map(_.path)
+    base.filterNot(e => shadowed.contains(e.path)) ++ listed
+  }
+
+  /** PURE half of the commit-side diff: the (changed-or-added entries,
+    * removed paths) a delta manifest would record for `files` against
+    * `parent`, or None when the delta would not be strictly smaller
+    * than the full list (the caller then writes a full checkpoint).
+    * Entries compare by rendered line — the canonical form (FileEntry
+    * holds arrays, whose case-class equality is referential). */
+  private[sources] def deltaAgainst(parent: Seq[FileEntry],
+      files: Seq[FileEntry]): Option[(Seq[FileEntry], Seq[String])] = {
+    val oldLines = parent.map(e => e.path -> e.render).toMap
+    val newPaths = files.map(_.path).toSet
+    val removed = parent.map(_.path).filterNot(newPaths.contains)
+    val changed = files.filter(e => !oldLines.get(e.path).contains(e.render))
+    if (removed.size + changed.size < files.size) Some((changed, removed)) else None
+  }
 
   private def constraintLines(cs: Seq[(String, String)]): Seq[String] = {
     val b64 = java.util.Base64.getEncoder.withoutPadding
@@ -655,15 +679,8 @@ object SnapshotTable {
     val delta: Option[(Int, Seq[String])] =
       parent.flatMap { pm =>
         if (pm.depth >= MaxChainDepth) None
-        else {
-          val oldLines = pm.entries.map(e => e.path -> e.render).toMap
-          val newPaths = files.map(_.path).toSet
-          val removed = pm.entries.map(_.path).filterNot(newPaths.contains)
-          val changed = files.filter(e => !oldLines.get(e.path).contains(e.render))
-          if (removed.size + changed.size < files.size)
-            Some((pm.depth + 1,
-              changed.map(_.render) ++ removed.map(RemovalPrefix + _)))
-          else None
+        else deltaAgainst(pm.entries, files).map { case (changed, removed) =>
+          (pm.depth + 1, changed.map(_.render) ++ removed.map(RemovalPrefix + _))
         }
       }
     val header = s"""{"version":$v,"format":$ManifestFormat,"op":"$op"""" +

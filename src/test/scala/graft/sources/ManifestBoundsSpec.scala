@@ -18,6 +18,67 @@ class ManifestBoundsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("PROPERTY: delta diff∘resolve reproduces the committed file list exactly") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    // distinct-path entries (the writer's invariant: one line per file)
+    def entry(i: Int, rows: Long, dv: Option[String]): SnapshotTable.FileEntry =
+      SnapshotTable.FileEntry(s"data/b$i/part-0.parquet", Some(i.toLong),
+        Some(i.toLong + 10), Some(rows), Some(rows * 100),
+        dv = dv, dvRows = dv.map(_ => 1L))
+    val genParent: Gen[Seq[SnapshotTable.FileEntry]] = for {
+      n <- Gen.chooseNum(0, 12)
+      rows <- Gen.listOfN(n, Gen.chooseNum(1L, 999L))
+    } yield rows.zipWithIndex.map { case (r, i) => entry(i, r, None) }
+    // a random edit of the parent: drop a subset, mutate a subset
+    // (dv repoint — the deleteWhere shape), add fresh files
+    val genCase: Gen[(Seq[SnapshotTable.FileEntry], Seq[SnapshotTable.FileEntry])] = for {
+      parent <- genParent
+      keepMask <- Gen.listOfN(parent.size, Gen.prob(0.8))
+      dvMask <- Gen.listOfN(parent.size, Gen.prob(0.2))
+      nAdd <- Gen.chooseNum(0, 5)
+      addRows <- Gen.listOfN(nAdd, Gen.chooseNum(1L, 999L))
+    } yield {
+      val kept = parent.zip(keepMask).collect { case (e, true) => e }
+      val mutated = kept.zip(dvMask).map { case (e, flip) =>
+        if (flip) e.copy(dv = Some("deletes/d1"), dvRows = Some(1L)) else e }
+      val added = addRows.zipWithIndex.map { case (r, i) =>
+        entry(1000 + i, r, None) }
+      (parent, mutated ++ added)
+    }
+    def renders(es: Seq[SnapshotTable.FileEntry]): Set[String] = es.map(_.render).toSet
+    check(Prop.forAll(genCase) { case (parent, files) =>
+      SnapshotTable.deltaAgainst(parent, files) match {
+        case Some((changed, removed)) =>
+          // strictly smaller, removed really gone, changed really new/different
+          val resolved = SnapshotTable.resolveDelta(parent, changed, removed.toSet)
+          (changed.size + removed.size < files.size) :| "strictly smaller" &&
+          (renders(resolved) == renders(files)) :| "diff∘resolve = identity (lines)" &&
+          (resolved.map(_.path) == resolved.map(_.path).distinct) :| "no duplicate paths" &&
+          removed.forall(p => !files.exists(_.path == p)) :| "removed ∉ files"
+        case None =>
+          // the delta really would not have been smaller
+          val oldLines = parent.map(e => e.path -> e.render).toMap
+          val removedN = parent.count(e => !files.exists(_.path == e.path))
+          val changedN = files.count(e => !oldLines.get(e.path).contains(e.render))
+          (removedN + changedN >= files.size) :| "full write only when delta ≥ full"
+      }
+    })
+    // the append shape preserves EXACT order, not just the set
+    check(Prop.forAll(genParent, Gen.chooseNum(1, 4)) { (parent, nAdd) =>
+      val added = (0 until nAdd).map(i => entry(2000 + i, 7L, None))
+      val files = parent ++ added
+      SnapshotTable.deltaAgainst(parent, files) match {
+        case Some((changed, removed)) =>
+          (removed.isEmpty :| "append removes nothing") &&
+          (changed.map(_.render) == added.map(_.render)) :| "delta = the batch" &&
+          (SnapshotTable.resolveDelta(parent, changed, removed.toSet)
+            .map(_.render) == files.map(_.render)) :| "append order exact"
+        case None => (parent.isEmpty :| "only an empty parent forces full")
+      }
+    })
+  }
+
   test("PROPERTY: every legal FileEntry round-trips render→parse exactly") {
     import org.scalacheck.{Gen, Prop}
     // manifest-legal path/dir shapes: the writers mint uuid-derived
