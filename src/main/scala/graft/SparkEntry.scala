@@ -121,6 +121,7 @@ object SparkEntry {
     "dedup_fuzzy_verify" -> ((s, d) => Dedup.fuzzyVerify(s, d)),
     // --- vector retrieval (§2.11) ---
     "vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
+    "vec_range_search" -> ((s, d) => VectorOps.rangeSearch(s, d)),
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
@@ -294,6 +295,7 @@ object SparkEntry {
     "dedup_semantic" -> Dedup.semanticDedupSql(),
     "dedup_fuzzy_verify" -> Dedup.fuzzyVerifySql(),
     "vec_cosine_topk" -> VectorOps.cosineTopKSql(),
+    "vec_range_search" -> VectorOps.rangeSearchSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
     "vec_ivf_topk" -> VectorOps.ivfTopKSql(),

@@ -138,6 +138,34 @@ object VectorOps {
     FROM embeddings, q
     ORDER BY score DESC, vec_id LIMIT $k"""
 
+  /** RADIUS (range) search: every vector within a cosine-similarity
+    * threshold of the query — the "all near-duplicates of X" / recall
+    * primitive top-k cannot express (k is unknown; the answer is a
+    * neighborhood, not a ranking). Plan: broadcast the query vector,
+    * one map-side filter over the corpus — NO sort, NO limit, NO
+    * shuffle of the embedding column at any scale; the output is the
+    * matching rows only. The threshold compares the ROUNDED score
+    * (6 dp), the same canonicalization the top-k family hashes, so
+    * both engines agree at the boundary. */
+  def rangeSearch(spark: SparkSession, dir: String, queryId: Long = 0,
+      minScore: Double = 0.2): DataFrame =
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(asDouble(col("embedding")), col("qvec")), 6).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy(col("vec_id"))
+
+  def rangeSearchSql(queryId: Long = 0, minScore: Double = 0.2): String = s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = $queryId)
+    SELECT vec_id, CAST(label AS BIGINT) AS label, score FROM (
+      SELECT vec_id, label,
+             ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
+                   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(qvec, qvec))), 6) AS score
+      FROM embeddings, q)
+    WHERE score >= $minScore ORDER BY vec_id"""
+
   /** R2: brute-force squared-L2 top-k (ascending). */
   def l2TopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 20): DataFrame =
     Tables.embeddings(spark, dir)

@@ -16,6 +16,28 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(score(Seq(1, 0), Seq(-1, 0)) + 1.0) < 1e-12)
   }
 
+  test("rangeSearch: the cosine neighborhood, map-side (no exchange in the plan)") {
+    val hits = VectorOps.rangeSearch(spark, sf, queryId = 0, minScore = 0.2)
+    val all = VectorOps.cosineTopK(spark, sf, queryId = 0, k = Int.MaxValue)
+    val expected = all.filter(col("score") >= 0.2).select("vec_id")
+      .as[Long].collect().toSet
+    assert(hits.select("vec_id").as[Long].collect().toSet == expected)
+    assert(hits.filter(col("score") < 0.2).count() == 0)
+    // the query itself is included (cosine with itself = 1.0)
+    assert(hits.filter(col("vec_id") === 0L).count() == 1)
+    // scale shape: a filter over the scan — no shuffle exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case o => o +: o.children.flatMap(nodes)
+    }
+    val noSort = VectorOps.rangeSearch(spark, sf).queryExecution.executedPlan
+    assert(!nodes(noSort).exists(n => n.isInstanceOf[ShuffleExchangeExec] &&
+      n.toString.contains("hashpartitioning")),
+      "range search must not hash-shuffle the corpus")
+  }
+
   test("l2Squared matches manual computation") {
     val d = Seq((Seq(1.0, 2.0), Seq(4.0, 6.0))).toDF("a", "b")
       .select(VectorOps.l2Squared(col("a"), col("b"))).as[Double].head()
