@@ -375,7 +375,18 @@ class StreamingSpec extends SparkSpec {
     // fingerprints are unique by construction of the ingest
     assert(idx.select(col("fp")).distinct().count() == 4)
     // appends happened only for novelty: at most one version per batch
-    assert(sources.SnapshotTable.versions(spark, indexRoot).size <= 3)
+    val vs = sources.SnapshotTable.versions(spark, indexRoot)
+    assert(vs.size <= 3)
+    // and every post-create micro-batch append rode a FORMAT-8 DELTA:
+    // the streaming hot path writes O(batch) manifest lines, not the
+    // index's live file list — the commit-cost property that keeps a
+    // 1M-file dedup index's ingest metadata O(batch) at 100 TB
+    vs.drop(1).foreach { v =>
+      val head = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(indexRoot, "_snapshots", f"v$v%07d.json")).get(0)
+      assert(head.contains("\"base\""),
+        s"micro-batch append v$v must be a delta manifest, got header $head")
+    }
   }
 
   test("streaming upsert maintenance keeps file count bounded across 12 micro-batches") {
