@@ -1481,7 +1481,8 @@ object SnapshotTable {
   final case class TableDetail(version: Int, liveVersions: Int, nFiles: Int,
       totalBytes: Long, smallFiles: Int, nRows: Long,
       statsKey: Option[String], statsKey2: Option[String],
-      dvFiles: Int = 0, dvRows: Long = 0L)
+      dvFiles: Int = 0, dvRows: Long = 0L,
+      chainDepth: Int = 0, nConstraints: Int = 0)
 
   def describeDetail(spark: SparkSession, root: String,
       smallBytes: Long = 0L): TableDetail = {
@@ -1507,7 +1508,13 @@ object SnapshotTable {
       statsKey2 = m.statsKey2,
       dvFiles = m.entries.count(_.dv.isDefined),
       dvRows = if (m.entries.forall(knownDv)) m.entries.flatMap(_.dvRows).sum
-               else -1L)
+               else -1L,
+      // the head's delta-chain length = metadata reads every fresh
+      // read pays (writer-bounded at MaxChainDepth; a compact or any
+      // rewrite-most commit resets it to 0), and the live CHECK rule
+      // count — both zero-cost here, both maintenance-relevant
+      chainDepth = m.depth,
+      nConstraints = m.constraints.size)
   }
 
   /** Garbage-collect files referenced by NO live manifest — leftovers

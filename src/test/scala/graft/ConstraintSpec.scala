@@ -123,6 +123,8 @@ class ConstraintSpec extends SparkSpec {
     SnapshotTable.append(spark, root, Seq((7L, 70L)).toDF("id", "n"))
     SnapshotTable.expireVersions(spark, root, keepLast = 2)
     assert(SnapshotTable.constraints(spark, root) == Seq("n_nonneg" -> "n >= 0"))
+    assert(SnapshotTable.describeDetail(spark, root).nConstraints == 1,
+      "the maintenance surface reports the live rule count")
     intercept[Exception] {
       SnapshotTable.append(spark, root, Seq((8L, -80L)).toDF("id", "n"))
     }

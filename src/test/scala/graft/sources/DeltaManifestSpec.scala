@@ -128,6 +128,11 @@ class DeltaManifestSpec extends SparkSpec {
     assert(depths.nonEmpty && depths.max <= SnapshotTable.MaxChainDepth,
       s"depths=$depths")
     assert(SnapshotTable.read(spark, root).count() == n + 1)
+    // the scheduler's view of chain health: describeDetail reports the
+    // HEAD's resolution cost, and a compact resets it to zero
+    assert(SnapshotTable.describeDetail(spark, root).chainDepth > 0)
+    SnapshotTable.compact(spark, root, targetFiles = 1)
+    assert(SnapshotTable.describeDetail(spark, root).chainDepth == 0)
   }
 
   test("expire across a chain: shadow checkpoint keeps retained versions readable") {
