@@ -181,6 +181,57 @@ class DeltaManifestSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, Some(4)).count() == 4)
   }
 
+  test("randomized lifecycle equals the in-memory model at every version") {
+    import spark.implicits._
+    // a deterministic pseudo-random op sequence (fixed seed: the point
+    // is interaction coverage — deltas × dv × merges × compaction ×
+    // expiry — not fresh randomness per run) applied BOTH to the table
+    // and to an in-memory model; the table must agree after every op
+    // and at every still-live historical version at the end.
+    val rnd = new scala.util.Random(4242)
+    val root = tmp()
+    var model = Map[Long, String]((0L until 40L).map(i => i -> s"v0-$i"): _*)
+    val history = scala.collection.mutable.ArrayBuffer[(Int, Map[Long, String])]()
+    SnapshotTable.create(spark, root,
+      model.toSeq.toDF("id", "v").repartitionByRange(3, col("id")),
+      statsKey = Some("id"))
+    history += 1 -> model
+    var nextId = 100L
+    (0 until 14).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // append fresh ids
+          val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1; id -> s"a$step-$id" }
+          SnapshotTable.append(spark, root, batch.toDF("id", "v").coalesce(1))
+          model = model ++ batch
+        case 1 => // merge: update a random live key + insert one
+          val upd = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size)) -> s"m$step"
+          val ins = { val id = nextId; nextId += 1; id -> s"mi$step-$id" }
+          SnapshotTable.merge(spark, root, Seq(upd, ins).toDF("id", "v"), key = "id")
+          model = model + upd + ins
+        case 2 => // dv delete of a random live key
+          val victim = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          SnapshotTable.deleteWhere(spark, root, col("id") === victim)
+          model = model - victim
+        case 3 => // maintenance flavor: compact or expire
+          if (rnd.nextBoolean()) SnapshotTable.compact(spark, root, targetFiles = 2)
+          else SnapshotTable.expireVersions(spark, root,
+            keepLast = 1 + rnd.nextInt(3))
+      }
+      val vs = SnapshotTable.versions(spark, root)
+      if (history.lastOption.forall(_._1 != vs.last)) history += vs.last -> model
+      val now = SnapshotTable.read(spark, root).as[(Long, String)].collect().toMap
+      assert(now == model, s"divergence after step $step (${vs.last} versions)")
+    }
+    // every still-live non-compact version must replay its own state
+    val live = SnapshotTable.versions(spark, root).toSet
+    history.filter { case (v, _) => live.contains(v) }.foreach { case (v, st) =>
+      val got = SnapshotTable.read(spark, root, Some(v))
+        .as[(Long, String)].collect().toMap
+      assert(got == st, s"time travel to v$v diverged")
+    }
+  }
+
   test("CDC over delta commits: per-version diffs match the logical state exactly") {
     val root = tmp()
     def rows(r: (Long, String)*) = r.toDF("id", "v")
