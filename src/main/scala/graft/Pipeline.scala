@@ -30,6 +30,13 @@ object Pipeline {
       minhashHashes: Int = 8,
       minhashBandSize: Int = 2,
       distance: String = "cosine", // | "euclid" (index_manager.py:111)
+      // the reference's retrieval_mode switch (index_manager.py:317-319,
+      // threaded from etl_processor.py:55-56): dense (vector top-k) |
+      // sparse (BM25 over the text) | hybrid (reciprocal-rank fusion
+      // of both). `queryTerms` is the sparse/hybrid query's term set
+      // (dense addresses the query by its embedding row instead).
+      retrievalMode: String = "dense",
+      queryTerms: Seq[String] = Seq.empty,
       // dense-vector source: "table" joins the precomputed embeddings
       // table; "hashing" runs real batched inference (HashingEmbedder)
       // over each document — the injected-model seam the reference has
@@ -158,12 +165,30 @@ object Pipeline {
     exact.unionByName(near).orderBy(col("kind"), col("id_a"))
   }
 
-  /** Retrieval over the built index: brute-force or LSH-pruned top-k
-    * (distance per config — index_manager.py:111). */
+  /** Retrieval over the built index, dispatched on the config's
+    * `retrievalMode` — the reference's per-app retrieval switch
+    * (index_manager.py:317-319, threaded from etl_processor.py:55-56):
+    *  - dense: vector top-k (distance per `distance` —
+    *    index_manager.py:111);
+    *  - sparse: BM25 over the corpus text (`queryTerms`);
+    *  - hybrid: reciprocal-rank fusion of both rankings.
+    * Each mode returns exactly its standalone operator's ranking
+    * (PipelineSpec pins the equivalence), so the seam adds dispatch,
+    * never a second implementation. */
   def search(spark: SparkSession, dir: String, queryId: Long, k: Int,
       cfg: EtlConfig = EtlConfig()): DataFrame =
-    cfg.distance match {
-      case "euclid" => VectorOps.l2TopK(spark, dir, queryId, k)
-      case _ => VectorOps.cosineTopK(spark, dir, queryId, k)
+    cfg.retrievalMode match {
+      case "sparse" =>
+        require(cfg.queryTerms.nonEmpty, "sparse retrieval needs cfg.queryTerms")
+        graft.vector.Bm25.bm25TopK(spark, dir, cfg.queryTerms, k)
+      case "hybrid" =>
+        require(cfg.queryTerms.nonEmpty, "hybrid retrieval needs cfg.queryTerms")
+        graft.vector.Bm25.hybridRrf(spark, dir, cfg.queryTerms, queryId, k)
+      case "dense" => cfg.distance match {
+        case "euclid" => VectorOps.l2TopK(spark, dir, queryId, k)
+        case _ => VectorOps.cosineTopK(spark, dir, queryId, k)
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown retrieval_mode '$other' (dense | sparse | hybrid)")
     }
 }

@@ -161,6 +161,7 @@ object SparkEntry {
     "meta_snapshot_maintain" -> ((s, d) => snapshotMaintainCycle(s, d)),
     "meta_snapshot_delta_log" -> ((s, d) => snapshotDeltaLogCycle(s, d)),
     "meta_snapshot_restore" -> ((s, d) => snapshotRestoreCycle(s, d)),
+    "meta_snapshot_column_map" -> ((s, d) => snapshotColumnMapCycle(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
@@ -327,6 +328,7 @@ object SparkEntry {
     "meta_snapshot_maintain" -> snapshotMaintainCycleSql,
     "meta_snapshot_delta_log" -> snapshotDeltaLogCycleSql,
     "meta_snapshot_restore" -> snapshotRestoreCycleSql,
+    "meta_snapshot_column_map" -> snapshotColumnMapCycleSql,
     "meta_snapshot_constraints" -> snapshotConstraintsCycleSql,
     "meta_snapshot_files" -> snapshotFilesTableCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
@@ -2039,7 +2041,10 @@ object SparkEntry {
     val edges = PageRank.modularEdges(ids, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
-    PageRank.run(nodes, edges, iters = 5)
+    // 12 rounds — comfortably past the old 5 now that the rank frame
+    // localCheckpoints each round (plan depth constant in iters);
+    // integer arithmetic keeps DuckDB bit-identical at any count
+    PageRank.run(nodes, edges, iters = 12)
       .select(col("node").as("doc_id"), col("r").as("rank"))
       .orderBy(col("doc_id"))
   }
@@ -2068,8 +2073,8 @@ object SparkEntry {
       WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)),
     deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
     r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM ids),
-    ${(1 to 5).map(iter).mkString(",")}
-    SELECT node AS doc_id, r AS rank FROM r5 ORDER BY doc_id"""
+    ${(1 to 12).map(iter).mkString(",")}
+    SELECT node AS doc_id, r AS rank FROM r12 ORDER BY doc_id"""
   }
 
   /** TRUE temporal as-of join ([[graft.relational.AsofJoin]]): every
@@ -2194,15 +2199,23 @@ object SparkEntry {
     snap.create(s, root,
       docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id")),
       statsKey = Some("doc_id"))
+    // derive the create's file count from the TABLE (repartitionByRange
+    // yields fewer than 4 files when <4 ranges are non-empty — robust
+    // to sparse/edge corpora, like the restore gate's hardening)
+    val createFiles = snap.filesDf(s, root).count()
     val c1 = docs.filter(col("doc_id") >= 400L && col("doc_id") < 415L).count()
     val c2 = docs.filter(col("doc_id") >= 415L && col("doc_id") < 430L).count()
     snap.append(s, root,
       docs.filter(col("doc_id") >= 400L && col("doc_id") < 415L).coalesce(1))
     snap.append(s, root,
       docs.filter(col("doc_id") >= 415L && col("doc_id") < 430L).coalesce(1))
+    // the dv expectations gate on doc 0 actually existing (deleteWhere
+    // commits nothing on a no-hit predicate) — the oracle derives
+    // dv_files/dv_rows/live_rows from the same doc_id=0 count
     snap.deleteWhere(s, root, col("doc_id") === 0L)
     val files = snap.filesDf(s, root)
-    val expectedFiles = 4L + (if (c1 > 0) 1L else 0L) + (if (c2 > 0) 1L else 0L)
+    val expectedFiles = createFiles +
+      (if (c1 > 0) 1L else 0L) + (if (c2 > 0) 1L else 0L)
     val filesOk = files.count() == expectedFiles
     val statsCover = files.filter(col("min_key").isNull || col("max_key").isNull).count() == 0
     val bytesPos = files.filter(col("bytes").isNull || col("bytes") <= 0L).count() == 0
@@ -2219,8 +2232,10 @@ object SparkEntry {
 
   private def snapshotFilesTableCycleSql: String = """
     SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 430) AS recorded_rows,
-           (SELECT COUNT(*) FROM documents WHERE doc_id < 430) - 1 AS live_rows,
-           CAST(1 AS BIGINT) AS dv_files, CAST(1 AS BIGINT) AS dv_rows,
+           (SELECT COUNT(*) FROM documents WHERE doc_id < 430)
+             - (SELECT COUNT(*) FROM documents WHERE doc_id = 0) AS live_rows,
+           (SELECT COUNT(*) FROM documents WHERE doc_id = 0) AS dv_files,
+           (SELECT COUNT(*) FROM documents WHERE doc_id = 0) AS dv_rows,
            TRUE AS files_ok, TRUE AS stats_cover, TRUE AS bytes_pos"""
 
   /** CHECK CONSTRAINTS, gated end to end: the ingest-time data-quality
@@ -2355,6 +2370,84 @@ object SparkEntry {
     FROM documents
     WHERE doc_id < 430
     ORDER BY doc_id"""
+
+  /** COLUMN MAPPING (format 9), gated end to end: rename a
+    * STATS-KEYED column and drop another — both ZERO-COPY metadata
+    * commits (`zero_copy`: the data directory is byte-identical across
+    * both DDLs) — then prove the renamed key still PRUNES from the
+    * executed plan's own scan metrics (`pruned`: a point probe on the
+    * renamed name reads 1 of 4 clustered files — the per-file stats
+    * were measured on the physical column the rename never touched),
+    * that TIME TRAVEL shows each version's own names (`names_travel`),
+    * and that post-DDL writers interoperate: an append and a key-merge
+    * addressed by the NEW name land correctly (the final row set is
+    * the hash). DuckDB replays the lifecycle logically on the raw
+    * corpus — a translation bug (wrong column read under a mapped
+    * name, resurrection of dropped bytes, lost rename on the merge
+    * path) changes values or flips a boolean and breaks the hash.
+    * Reference analog: chunking_manager.py:170-176 (metadata-schema
+    * replacement while stored data stands still). */
+  private def snapshotColumnMapCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapcolmap").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+    val snap = graft.sources.SnapshotTable
+    snap.create(s, root,                                               // v1
+      docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id")),
+      statsKey = Some("doc_id"))
+    def dataFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+    val before = dataFiles()
+    snap.renameColumn(s, root, "doc_id", "document_id")                // v2
+    snap.dropColumn(s, root, "lang")                                   // v3
+    val zeroCopy = dataFiles() == before
+    // pruning proof on the RENAMED key, from the executed plan itself
+    val probeId = docs.filter(col("doc_id") < 400L).agg(min(col("doc_id"))).head().getLong(0)
+    val probe = snap.readIndexed(s, root, "document_id")
+      .filter(col("document_id") === probeId)
+    probe.collect() // execute THIS QueryExecution (the DPP-gate gotcha)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val nTableFiles = before.size
+    val pruned = scans(probe.queryExecution.executedPlan) match {
+      case Nil => false
+      case ss => ss.map(_.metrics("numFiles").value).max == 1 && nTableFiles > 1
+    }
+    // each version reads under ITS OWN recorded names
+    val namesTravel =
+      snap.read(s, root, Some(1)).columns.toSeq == Seq("doc_id", "n_chars", "lang") &&
+      snap.read(s, root).columns.toSeq == Seq("document_id", "n_chars")
+    // writers after the DDL, addressed by the NEW name
+    snap.append(s, root,                                               // v4
+      docs.filter(col("doc_id") >= 400L && col("doc_id") < 430L)
+        .select(col("doc_id").as("document_id"), col("n_chars")).coalesce(1))
+    snap.merge(s, root,                                                // v5
+      docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 430L)
+        .select(col("doc_id").as("document_id"),
+          (col("n_chars") + 1000000L).as("n_chars")), key = "document_id")
+    graft.Scratch.registerForCleanup(root)
+    snap.read(s, root)
+      .withColumn("zero_copy", lit(zeroCopy))
+      .withColumn("pruned", lit(pruned))
+      .withColumn("names_travel", lit(namesTravel))
+      .orderBy(col("document_id"))
+  }
+
+  private def snapshotColumnMapCycleSql: String = """
+    SELECT doc_id AS document_id,
+           CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000000 ELSE n_chars END AS n_chars,
+           TRUE AS zero_copy, TRUE AS pruned, TRUE AS names_travel
+    FROM documents WHERE doc_id < 430
+    ORDER BY document_id"""
 
   private def snapshotDeltaLogCycle(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-snapdeltalog").toString
@@ -2617,17 +2710,25 @@ object SparkEntry {
         graft.Exact.exactSum(col("l_extendedprice")).as("revenue"),
         max(col("o_totalprice")).as("total_price"))
     // the physical proof: broadcast off (so the join would otherwise
-    // shuffle both sides), executed plan — zero exchanges end to end
+    // shuffle both sides), executed plan — zero exchanges end to end.
+    // collect() on q ITSELF: count() plans a separate derived
+    // QueryExecution, leaving q's own AQE plan un-executed (the same
+    // gotcha the DPP gate documents)
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val colocated = try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val q = joined
-      q.count()
+      q.collect()
       countShuffles(q) == 0
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     val out = joined.withColumn("colocated", lit(colocated))
       .orderBy(col("l_orderkey"))
-    graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
+    val localized = graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
+    // the catalog entries point at the deleted tmp paths — drop them
+    // so the session's catalog never holds dangling tables
+    s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    localized
   }
 
   private def bucketedColocatedJoinSql: String = s"""
@@ -2690,10 +2791,15 @@ object SparkEntry {
         .iterator().asScala.count(_.toString.endsWith(".parquet"))
     }
     val enFiles = parquetsUnder(s"$tmp/fact/lang=en")
+    // dynamicpruning check FIRST (short-circuit) and staticFilesNum
+    // via get: FileSourceScanExec only registers that metric when DPP
+    // planned — a non-DPP plan must report dpp_pruned=false, not crash
+    // on Map.apply (e.g. a single-lang corpus where numFiles happens
+    // to equal enFiles)
     val dppPruned = factScan.exists { f =>
-      f.metrics("numFiles").value == enFiles &&
-        f.metrics("numFiles").value < f.metrics("staticFilesNum").value &&
-        f.partitionFilters.exists(_.toString.contains("dynamicpruning"))
+      f.partitionFilters.exists(_.toString.contains("dynamicpruning")) &&
+        f.metrics("numFiles").value == enFiles &&
+        f.metrics.get("staticFilesNum").exists(f.metrics("numFiles").value < _.value)
     }
     val out = query.withColumn("dpp_pruned", lit(dppPruned))
       .orderBy(col("source"))

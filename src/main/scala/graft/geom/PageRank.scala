@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * the (persisted) edge list plus one groupBy on dst — the classic
   * message-passing round, all shuffles on node ids. No global indexing
   * step (node ids are used as-is), no driver-side graph state; the
-  * iteration count is fixed, so the lineage stays bounded. Dangling
-  * nodes' mass evaporates by design (same determinism argument). */
+  * rank frame localCheckpoints each round, so plan depth is CONSTANT
+  * in the iteration count (50-round runs plan as fast as 5-round
+  * ones). Dangling nodes' mass evaporates by design (same
+  * determinism argument). */
 object PageRank {
 
   val Scale = 1000000L
@@ -39,16 +41,23 @@ object PageRank {
     * Returns (node, rank). */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, Seq("src"))
-    var ranks = nodes.select(col("node"), lit(Scale).as("r"))
+    // localCheckpoint, not cache: the loop re-reads this frame every
+    // round AND the rank lineage must not grow by one join per
+    // iteration — at 50+ rounds a recursive plan blows up planning
+    // time long before execution does (the same discipline as
+    // ConnectedComponents.labelPropagation)
+    val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(Scale).as("r")).localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      // cut the lineage each round: the plan stays depth-constant
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("coalesce(in_mass, cast(0 as bigint)) * 17 div 20")).as("r"))
+        .localCheckpoint()
     }
     ranks
   }

@@ -104,8 +104,24 @@ object SnapshotTable {
     * checkpoint), so read-side resolution is O(depth) small metadata
     * reads, never O(history). Header fields (op/schema/statsKey/
     * statsKey2/txnBatchId) are always the version's OWN — only the
-    * entry list is inherited. */
-  private val ManifestFormat = 8
+    * entry list is inherited;
+    * 9 = COLUMN MAPPING: the manifest may carry a logical→physical
+    * column-name map (`M!` lines, base64 pairs — same line grammar as
+    * constraints, full set in every manifest, never inherited through
+    * a delta base). Data files always store PHYSICAL names; the
+    * recorded schema, stats keys, and constraints are LOGICAL. This is
+    * what makes [[renameColumn]] and [[dropColumn]] ZERO-COPY metadata
+    * commits — schema identity changes while 100 TB of data stands
+    * still (the same trick as Delta's column mapping / Iceberg's field
+    * IDs; reference analog: the wholesale metadata-schema replacement
+    * in chunking_manager.py:170-176). The map is absent (identity)
+    * until the first rename/drop activates it; a column ADDED after
+    * activation gets a MINTED physical name, so re-adding a dropped
+    * column's logical name can never resurrect the dropped column's
+    * bytes from old files. The format bump is load-bearing: a format-8
+    * reader would read physical files under logical names and silently
+    * null-fill every renamed column. */
+  private val ManifestFormat = 9
 
   /** Longest delta chain a reader may have to walk: a commit whose
     * parent already sits at this depth writes a full checkpoint
@@ -267,7 +283,8 @@ object SnapshotTable {
       txnBatchId: Option[Long] = None,
       base: Option[Int] = None,
       depth: Int = 0,
-      constraints: Seq[(String, String)] = Seq.empty)
+      constraints: Seq[(String, String)] = Seq.empty,
+      colmap: Map[String, String] = Map.empty)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -296,12 +313,40 @@ object SnapshotTable {
     * needing more than one field use THIS — a manifest read is a
     * filesystem round trip on the commit critical path, not something
     * to repeat per field. */
+  /** Resolved-manifest MEMO, keyed by the chosen file's path and
+    * validated by (mtime, length): manifests and shadow checkpoints
+    * are immutable once published (create-if-absent; nothing in the
+    * commit protocol ever replaces one), so a validated entry can
+    * never be stale — the guard only defends against external
+    * tampering. This kills the O(V·depth) small-read pattern in
+    * [[history]]/CDC loops: each base of a delta chain parses ONCE
+    * per process, so history() over V versions with depth-D chains
+    * OPENS ≤ V + D manifest files, not V·D (each call still pays one
+    * getFileStatus for validation — a namenode RPC, not a read).
+    * Bounded: cleared wholesale past [[ManifestCacheMax]] entries
+    * (re-warming is one open per live manifest). */
+  private val ManifestCacheMax = 512
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Manifest)]()
+
+  /** TEST instrument: physical manifest opens (memo misses). */
+  private[graft] val manifestOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** TEST hook: forget everything memoized (cold-reader simulation). */
+  private[graft] def clearManifestMemo(): Unit = manifestCache.clear()
+
   private[sources] def manifestFull(spark: SparkSession, root: String, v: Int): Manifest = {
     // prefer the shadow checkpoint when retention has published one —
     // after an expiry the delta chain may no longer exist (format 8)
     val fsys = fs(spark, root)
     val ck = checkpointPath(root, v)
-    val in = fsys.open(if (fsys.exists(ck)) ck else manifestPath(root, v))
+    val p = if (fsys.exists(ck)) ck else manifestPath(root, v)
+    val st = fsys.getFileStatus(p)
+    val cached = manifestCache.get(p.toString)
+    if (cached != null && cached._1 == st.getModificationTime && cached._2 == st.getLen)
+      return cached._3
+    manifestOpens.incrementAndGet()
+    val in = fsys.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val allLines = text.linesIterator.toSeq
     val header = allLines.headOption.getOrElse("")
@@ -333,7 +378,15 @@ object SnapshotTable {
       (new String(java.util.Base64.getDecoder.decode(n), "UTF-8"),
         new String(java.util.Base64.getDecoder.decode(e), "UTF-8"))
     }
-    val body = body0.filterNot(_.startsWith(ConstraintPrefix))
+    // M-lines: column mapping, base64(logical)\tbase64(physical) —
+    // full set per manifest, like constraints (header-like state)
+    val colmap = body0.filter(_.startsWith(ColmapPrefix)).map { l =>
+      val Array(lg, ph) = l.drop(ColmapPrefix.length).split("\t", 2)
+      (new String(java.util.Base64.getDecoder.decode(lg), "UTF-8"),
+        new String(java.util.Base64.getDecoder.decode(ph), "UTF-8"))
+    }.toMap
+    val body = body0.filterNot(l =>
+      l.startsWith(ConstraintPrefix) || l.startsWith(ColmapPrefix))
     val listed = body.filterNot(_.startsWith(RemovalPrefix)).map(parseEntry)
     // DELTA resolution (format 8): the listed entries are this commit's
     // adds/changes; entries carried from the base keep the base's order
@@ -347,7 +400,11 @@ object SnapshotTable {
           .map(_.stripPrefix(RemovalPrefix)).toSet
         resolveDelta(manifestFull(spark, root, b).entries, listed, removed)
     }
-    Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth, constraints)
+    val m = Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth,
+      constraints, colmap)
+    if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
+    manifestCache.put(p.toString, (st.getModificationTime, st.getLen, m))
+    m
   }
 
   /** Line prefix naming a base entry a delta manifest REMOVES. The tab
@@ -363,6 +420,15 @@ object SnapshotTable {
     * set — constraints are header-like state, small and never
     * inherited through a base chain. */
   private val ConstraintPrefix = "C!"
+
+  /** Line prefix for one COLUMN-MAPPING pair (format 9): `M!` then
+    * base64(logical name), tab, base64(physical name). Same grammar
+    * rationale as constraints (`!` never appears in writer-generated
+    * paths); the FULL map rides every manifest — deltas and shadow
+    * checkpoints included — because like constraints it is header-like
+    * version state, small and never inherited through a base chain.
+    * An absent map means identity (mapping not yet activated). */
+  private val ColmapPrefix = "M!"
 
   /** PURE half of delta resolution: the base's entries minus everything
     * this commit removed or relisted, in base order, then the listed
@@ -398,6 +464,63 @@ object SnapshotTable {
     }
   }
 
+  /** Sorted for a deterministic manifest body (maps have no order). */
+  private def colmapLines(cm: Map[String, String]): Seq[String] = {
+    val b64 = java.util.Base64.getEncoder.withoutPadding
+    cm.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"$ColmapPrefix${b64.encodeToString(l.getBytes("UTF-8"))}\t${
+        b64.encodeToString(p.getBytes("UTF-8"))}"
+    }
+  }
+
+  /** PHYSICAL name of logical column `logical` under `cm` (identity
+    * when unmapped — covers both an inactive map and pre-activation
+    * columns, whose physical name IS their logical name). Lookup is
+    * case-insensitive, matching Spark's resolution. */
+  private[sources] def physFor(cm: Map[String, String], logical: String): String =
+    if (cm.isEmpty) logical
+    else cm.collectFirst { case (l, p) if norm(l) == norm(logical) => p }
+      .getOrElse(logical)
+
+  /** The LOGICAL schema's physical twin: top-level names translated
+    * through `cm` — the schema data files are actually written and
+    * read with. Identity (same object) when the map is inactive. */
+  private def physSchemaOf(cm: Map[String, String],
+      sch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    if (cm.isEmpty) sch
+    else org.apache.spark.sql.types.StructType(
+      sch.fields.map(f => f.copy(name = physFor(cm, f.name))))
+
+  /** Alias a physically-named frame back to `sch`'s logical names,
+    * KEEPING any extra columns in `keep` (scan-position helpers). */
+  private def toLogical(df: DataFrame, sch: org.apache.spark.sql.types.StructType,
+      cm: Map[String, String], keep: Seq[String] = Seq.empty): DataFrame =
+    if (cm.isEmpty) df
+    else df.select((sch.fields.toIndexedSeq.map(f =>
+      df(physFor(cm, f.name)).as(f.name)) ++ keep.map(df(_))): _*)
+
+  /** Translate a logically-named batch to physical names for a write.
+    * Identity (no projection at all) when the map is inactive. */
+  private def toPhysical(df: DataFrame, cm: Map[String, String]): DataFrame =
+    if (cm.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c => df(c).as(physFor(cm, c))): _*)
+
+  /** Extend an ACTIVE map with minted physical names for the logical
+    * columns `evolved` adds: a fresh `c_<uuid>` can never collide with
+    * a live or DROPPED physical column still present in old files —
+    * which is exactly how re-adding a dropped column's name yields a
+    * new (null-filled-in-old-files) column instead of resurrecting the
+    * dropped bytes. An inactive map stays inactive (identity): new
+    * columns keep logical = physical, zero overhead. */
+  private def evolveColmap(cm: Map[String, String],
+      evolved: org.apache.spark.sql.types.StructType): Map[String, String] =
+    if (cm.isEmpty) cm
+    else {
+      val have = cm.keySet.map(norm)
+      cm ++ evolved.fields.filterNot(f => have.contains(norm(f.name)))
+        .map(f => f.name -> s"c_${java.util.UUID.randomUUID().toString.take(8)}")
+    }
+
   private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] =
     manifestFull(spark, root, v).entries
 
@@ -429,10 +552,18 @@ object SnapshotTable {
     * thousands-of-files compaction batch doesn't serialize on
     * round-trip latency. Any unreadable/statless footer degrades to
     * no-stats (conservative rewrite), never to a wrong range. */
-  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
+  private def writeDataFiles(spark: SparkSession, root: String, df0: DataFrame,
       statsKey: Option[String] = None,
       statsKey2: Option[String] = None,
-      bloomKey: Boolean = false): Seq[FileEntry] = {
+      bloomKey: Boolean = false,
+      colmap: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    // column mapping (format 9): batches arrive LOGICAL, files store
+    // PHYSICAL — one projection here keeps every caller logical-only.
+    // Stats keys translate the same way: the footer reader and the
+    // bloom builder both address the column as the file spells it.
+    val df = toPhysical(df0, colmap)
+    val physKey = statsKey.map(physFor(colmap, _))
+    val physKey2 = statsKey2.map(physFor(colmap, _))
     val batch = s"data/batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
     val f = fs(spark, root)
@@ -446,7 +577,7 @@ object SnapshotTable {
     // keyKind: Some((name, isString)) when the stats key is a type we
     // can range-prune on — integral (long stats) or string (binary
     // min/max in unsigned byte order); anything else disables stats
-    val keyKind: Option[(String, Boolean)] = statsKey.flatMap { k =>
+    val keyKind: Option[(String, Boolean)] = physKey.flatMap { k =>
       colType(k) match {
         case Some(org.apache.spark.sql.types.LongType |
                   org.apache.spark.sql.types.IntegerType) => Some((k, false))
@@ -456,7 +587,7 @@ object SnapshotTable {
     }
     // the secondary stats key admits the same types as the primary:
     // integral (long stats) or string (binary stats, format 5)
-    val key2Kind: Option[(String, Boolean)] = statsKey2.flatMap { k =>
+    val key2Kind: Option[(String, Boolean)] = physKey2.flatMap { k =>
       colType(k) match {
         case Some(org.apache.spark.sql.types.LongType |
                   org.apache.spark.sql.types.IntegerType) => Some((k, false))
@@ -648,7 +779,8 @@ object SnapshotTable {
       schema: org.apache.spark.sql.types.StructType, expected: Int,
       op: String, statsKey: Option[String], statsKey2: Option[String],
       txnBatchId: Option[Long] = None,
-      constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
+      constraintsOverride: Option[Seq[(String, String)]] = None,
+      colmapOverride: Option[Map[String, String]] = None): Int = {
     val v = expected + 1
     // header (format revision + version + operation + stats identity),
     // then the version's SCHEMA (S-prefixed json line): every version
@@ -676,6 +808,10 @@ object SnapshotTable {
     // dropConstraint pass an override)
     val effConstraints =
       constraintsOverride.orElse(parent.map(_.constraints)).getOrElse(Seq.empty)
+    // column mapping is likewise version state: carried forward
+    // verbatim unless this commit changes it (rename/drop/evolution)
+    val effColmap =
+      colmapOverride.orElse(parent.map(_.colmap)).getOrElse(Map.empty[String, String])
     val delta: Option[(Int, Seq[String])] =
       parent.flatMap { pm =>
         if (pm.depth >= MaxChainDepth) None
@@ -689,7 +825,8 @@ object SnapshotTable {
       delta.map { case (d, _) => s""","base":$expected,"depth":$d""" }.getOrElse("") + "}"
     val entryLines = delta.map(_._2).getOrElse(files.map(_.render))
     val body = ((header +: s"S${schema.json}" +:
-      constraintLines(effConstraints)) ++ entryLines).mkString("\n")
+      (constraintLines(effConstraints) ++ colmapLines(effColmap))) ++
+      entryLines).mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
     val publisher: CommitPublisher =
@@ -931,17 +1068,21 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val evolved = evolveSchema(schemaOf(spark, root, m), df.schema, allowWiden)
       val (effKey, effKey2, fixCarried) = resolveStatsKeys(m, statsKey, statsKey2)
+      // an ACTIVE column map extends with minted physical names for
+      // any genuinely new batch columns (inactive stays inactive)
+      val effCm = evolveColmap(m.colmap, evolved)
       // CHECK constraints ride the write itself (no extra job): the
       // first violating row fails the append before anything commits
       val newFiles = writeDataFiles(spark, root,
         constrained(alignTo(df, evolved), m.constraints), effKey, effKey2,
-        bloomKey)
+        bloomKey, effCm)
       written = newFiles
       // skip only on POSITIVE evidence of emptiness: every file's
       // footer row count known and zero (or no files at all) — an
       // unreadable footer conservatively commits
       if (skipIfEmpty && newFiles.forall(_.rows.contains(0L))) throw EmptyBatch
-      Pending(fixCarried(m.entries) ++ newFiles, evolved, effKey, effKey2, txnBatchId)
+      Pending(fixCarried(m.entries) ++ newFiles, evolved, effKey, effKey2, txnBatchId,
+        colmap = if (effCm.isEmpty) None else Some(effCm))
     })
     catch {
       case EmptyBatch =>
@@ -977,10 +1118,20 @@ object SnapshotTable {
     // an explicit statsKey2), so each commit attempt re-checks the
     // fresh manifest's key against this one and strips the update
     // files' secondary stats on mismatch — see safeUpdates below.
-    val key2AtStart = statsKey2.orElse(
-      versions(spark, root).lastOption.flatMap(v =>
-        manifestFull(spark, root, v).statsKey2))
-    val updateFiles = writeDataFiles(spark, root, updates, Some(key), key2AtStart)
+    val mAtStart = versions(spark, root).lastOption.map(v =>
+      manifestFull(spark, root, v))
+    val key2AtStart = statsKey2.orElse(mAtStart.flatMap(_.statsKey2))
+    // column mapping captured at start: the update batch is written
+    // ONCE, before the commit loop, so its files must spell physical
+    // names — including MINTED ones for any new batch columns (those
+    // minted names are reconciled into each attempt's committed map,
+    // see reconcileColmap). Concurrent schema DDL racing a merge is
+    // outside the supported envelope (single-writer DDL), same as
+    // every table format.
+    val cmAtStart = evolveColmap(
+      mAtStart.map(_.colmap).getOrElse(Map.empty), updates.schema)
+    val updateFiles = writeDataFiles(spark, root, updates, Some(key), key2AtStart,
+      colmap = cmAtStart)
     // the update batch's distinct keys, for file pruning — gated on the
     // key TYPE (a lossy cast would yield nulls and wrongly prune
     // everything): integral keys prune on the long range, STRING keys
@@ -994,6 +1145,7 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
       val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
+      val effCm = reconcileColmap(m.colmap, cmAtStart, evolved)
       // the update batch was written before this loop, so constraints
       // are enforced with one explicit validation job (aligned frame:
       // absent columns null-fill, and NULL passes — SQL CHECK)
@@ -1016,12 +1168,13 @@ object SnapshotTable {
           // and previously dv-deleted rows must not resurrect in the
           // rewrite — which also MATERIALIZES their deletions: the
           // rewritten entries carry no dv reference)
-          val current = readEntries(spark, root, tableSchema, touched)
+          val current = readEntries(spark, root, tableSchema, touched, m.colmap)
           // alias, not rename: `key` may be a nested path (metadata.doc_id)
           val survivors = current.join(
             updates.select(updates(key).as("__mk")).distinct(),
             current(key) === col("__mk"), "left_anti")
-          writeDataFiles(spark, root, alignTo(survivors, evolved), Some(key), effKey2)
+          writeDataFiles(spark, root, alignTo(survivors, evolved), Some(key), effKey2,
+            colmap = effCm)
         }
       // the update files were written ONCE, before the commit loop,
       // with min2/max2 measured on key2AtStart — but effKey2 re-derives
@@ -1036,9 +1189,28 @@ object SnapshotTable {
       // the fresh effKey2 and stay correct as-is.
       Pending(fixCarried(untouched) ++
         rewritten ++ reconcileUpdateStats(updateFiles, key2AtStart, effKey2),
-        evolved, Some(key), effKey2, txnBatchId)
+        evolved, Some(key), effKey2, txnBatchId,
+        colmap = if (effCm.isEmpty) None else Some(effCm))
     }
   }
+
+  /** The column map a merge ATTEMPT commits: the fresh manifest's map
+    * extended — for batch columns the evolution adds — with the
+    * physical names the WRITE-AHEAD batch actually used (`preWrite`,
+    * captured before the commit loop; falls back to identity when the
+    * batch predates a concurrent activation, which matches how its
+    * files were spelled). Mirrors [[reconcileUpdateStats]]'s role for
+    * the same write-once-commit-many shape. An inactive current map
+    * stays inactive. */
+  private def reconcileColmap(current: Map[String, String],
+      preWrite: Map[String, String],
+      evolved: org.apache.spark.sql.types.StructType): Map[String, String] =
+    if (current.isEmpty) Map.empty
+    else {
+      val have = current.keySet.map(norm)
+      current ++ evolved.fields.filterNot(f => have.contains(norm(f.name)))
+        .map(f => f.name -> physFor(preWrite, f.name))
+    }
 
   /** Compaction: rewrite the CURRENT snapshot into ~`targetFiles`
     * larger files and commit the result as a new version — the
@@ -1089,10 +1261,10 @@ object SnapshotTable {
       // effective read: dv-deleted rows drop out of the rewrite, so a
       // full compaction is also the dv MATERIALIZATION op — the new
       // version's files carry no deletion vectors at all
-      val current = readEntries(spark, root, schema, m.entries)
+      val current = readEntries(spark, root, schema, m.entries, m.colmap)
       Pending(writeDataFiles(spark, root,
         clusterLayout(current, targetFiles, effKey, effKey2, cluster, zorder),
-        effKey, effKey2), schema, effKey, effKey2)
+        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
     }
 
   private object NothingToCompact extends Exception
@@ -1134,12 +1306,12 @@ object SnapshotTable {
       // effective read: a small file's recorded deletions materialize
       // in the packed output (large dv-bearing files keep theirs —
       // their debt waits for a full compact or a merge that hits them)
-      val current = readEntries(spark, root, schema, small)
+      val current = readEntries(spark, root, schema, small, m.colmap)
       val outFiles = math.max(1, math.ceil(
         small.flatMap(_.bytes).sum.toDouble / smallBytes).toInt)
       Pending(fixCarried(large) ++ writeDataFiles(spark, root,
         clusterLayout(current, outFiles, effKey, effKey2, cluster, zorder = false),
-        effKey, effKey2), schema, effKey, effKey2)
+        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
     }) catch { case NothingToCompact => None }
 
   /** Targeted DV MATERIALIZATION: rewrite ONLY the files whose
@@ -1180,13 +1352,13 @@ object SnapshotTable {
         })
       }
       if (debt.isEmpty) throw NothingToCompact
-      val current = readEntries(spark, root, schema, debt)
+      val current = readEntries(spark, root, schema, debt, m.colmap)
       // one output per rewritten input: materialization changes a
       // file's LIVE content, not the table's file granularity
       Pending(fixCarried(carry) ++ writeDataFiles(spark, root,
         clusterLayout(current, debt.size, effKey, effKey2, cluster && effKey.isDefined,
           zorder = false),
-        effKey, effKey2), schema, effKey, effKey2)
+        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
     }) catch { case NothingToCompact => None }
   }
 
@@ -1225,11 +1397,11 @@ object SnapshotTable {
         }
       }
       if (hit.size <= 1) throw NothingToCompact
-      val current = readEntries(spark, root, schema, hit)
+      val current = readEntries(spark, root, schema, hit, m.colmap)
       Pending(fixCarried(carry) ++ writeDataFiles(spark, root,
         clusterLayout(current, targetFiles, effKey, effKey2, cluster,
           zorder = false),
-        effKey, effKey2), schema, effKey, effKey2)
+        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
     }) catch { case NothingToCompact => None }
   }
 
@@ -1358,10 +1530,10 @@ object SnapshotTable {
       val (effKey, effKey2, _) = resolveStatsKeys(m, statsKey, statsKey2)
       // effective read: dv-deleted rows stay deleted whatever `keep`
       // says about them, and the rewrite materializes the vectors
-      val kept = readEntries(spark, root, schema, m.entries).filter(keep)
+      val kept = readEntries(spark, root, schema, m.entries, m.colmap).filter(keep)
       Pending(writeDataFiles(spark, root,
         clusterLayout(kept, targetFiles, effKey, effKey2, cluster, zorder),
-        effKey, effKey2), schema, effKey, effKey2)
+        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
     }
 
   /** Drop all snapshots except the last `keepLast` (their manifests are
@@ -1431,7 +1603,7 @@ object SnapshotTable {
       m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
     val schemaLine = m.schema.map(s => s"S${s.json}").toSeq
     val body = ((header +: schemaLine) ++ constraintLines(m.constraints) ++
-      m.entries.map(_.render)).mkString("\n")
+      colmapLines(m.colmap) ++ m.entries.map(_.render)).mkString("\n")
     val p = checkpointPath(root, v)
     val scheme = p.toUri.getScheme
     val publisher: CommitPublisher =
@@ -1607,7 +1779,8 @@ object SnapshotTable {
       schema: org.apache.spark.sql.types.StructType,
       statsKey: Option[String], statsKey2: Option[String],
       txnBatchId: Option[Long] = None,
-      constraints: Option[Seq[(String, String)]] = None)
+      constraints: Option[Seq[(String, String)]] = None,
+      colmap: Option[Map[String, String]] = None)
 
   /** Optimistic-concurrency loop: build the file list + schema against
     * the latest version, try to commit latest+1; on a lost race,
@@ -1621,7 +1794,7 @@ object SnapshotTable {
         throw new IllegalStateException(s"no table at $root"))
       val p = build(latest)
       try return commit(spark, root, p.files, p.schema, latest, op,
-        p.statsKey, p.statsKey2, p.txnBatchId, p.constraints)
+        p.statsKey, p.statsKey2, p.txnBatchId, p.constraints, p.colmap)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1
@@ -1682,16 +1855,152 @@ object SnapshotTable {
     * changes (op "restore" diffs like any data commit), so incremental
     * consumers converge on the restored state instead of silently
     * diverging. The target must still be live (not expired), which
-    * also guarantees its data files survived every vacuum. */
+    * also guarantees its data files survived every vacuum.
+    *
+    * METADATA RESTORES WITH THE DATA: the new commit carries the
+    * TARGET version's CHECK constraints and column map, not the
+    * head's (Delta's RESTORE semantics). Restoring the data under the
+    * head's newer rule set would silently break addConstraint's
+    * invariant — e.g. v1 holds rows a later cleanup removed, v3 adds
+    * a constraint those rows violate: a restore to v1 that kept v3's
+    * constraint would leave violating rows live under an "always
+    * held" rule. Rolling the rules back WITH the rows keeps every
+    * version's (entries, constraints) pair internally consistent;
+    * re-adding a dropped-by-restore rule is one explicit
+    * [[addConstraint]], which then validates as always. */
   def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
     require(versions(spark, root).contains(toVersion),
       s"version $toVersion is not live at $root — restore needs its manifest")
     retrying(spark, root, op = "restore") { _ =>
       val target = manifestFull(spark, root, toVersion)
       Pending(target.entries, schemaOf(spark, root, target),
-        target.statsKey, target.statsKey2)
+        target.statsKey, target.statsKey2,
+        constraints = Some(target.constraints),
+        colmap = Some(target.colmap))
     }
   }
+
+  /** [[restore]] to the newest version committed at or before `tsMs` —
+    * the rollback as operators actually phrase it ("roll back to
+    * before the bad deploy at 14:03"), resolved through
+    * [[versionAsOf]] (the same commit-instant clock retention keys
+    * on). Fails loudly when no version existed at that instant, or
+    * when the resolved version has since been expired — a silent
+    * nearest-live fallback would misrepresent history. Returns the
+    * NEW head version. */
+  def restoreAsOf(spark: SparkSession, root: String, tsMs: Long): Int =
+    versionAsOf(spark, root, tsMs) match {
+      case Some(v) => restore(spark, root, v)
+      case None => throw new IllegalArgumentException(
+        s"no version of $root was committed at or before $tsMs " +
+          s"(live versions: ${versions(spark, root)})")
+    }
+
+  /** RENAME a column — a ZERO-COPY metadata commit (op "rename"):
+    * no data file is touched, whatever the table size. Activates
+    * column mapping (format 9) on first use: the manifest records a
+    * logical→physical name map, the schema/stats-keys/constraints
+    * stay LOGICAL, and files keep their immutable PHYSICAL names.
+    * The STATS KEYS FOLLOW THE RENAME — that is the subtle case: the
+    * per-file min/max (and blooms) were measured on the physical
+    * column, which the rename does not touch, so under the renamed
+    * logical key every pruning path keeps working (readIndexed
+    * translates the key to its physical spelling before matching
+    * pushed filters). Time travel shows each version's own names —
+    * the pre-rename versions' manifests still carry the old schema.
+    * CDC sees nothing (entries unchanged — values did not move).
+    * Refused when `to` already exists (case-insensitive, Spark's
+    * resolution) or when a CHECK constraint still references `from`
+    * (SQL text can't be rewritten safely; drop and re-add the rule
+    * around the rename). Reference analog: metadata-schema
+    * replacement while data stands still, chunking_manager.py:170-176. */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String): Int = {
+    require(to.nonEmpty && to.trim == to, s"invalid column name '$to'")
+    retrying(spark, root, op = "rename") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val sch = schemaOf(spark, root, m)
+      val fld = sch.fields.find(f => norm(f.name) == norm(from)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$from' at $root (have ${sch.fieldNames.mkString(", ")})"))
+      require(!sch.fields.exists(f => norm(f.name) == norm(to)),
+        s"column '$to' already exists at $root")
+      val newSch = org.apache.spark.sql.types.StructType(
+        sch.fields.map(f => if (norm(f.name) == norm(from)) f.copy(name = to) else f))
+      requireConstraintsResolve(spark, newSch, m.constraints,
+        s"rename '$from' -> '$to'")
+      // activate lazily: identity for every live column, then repoint
+      val cm0 = if (m.colmap.isEmpty) sch.fieldNames.map(n => n -> n).toMap
+                else m.colmap
+      val phys = physFor(cm0, fld.name)
+      val cm = cm0.filterNot { case (l, _) => norm(l) == norm(fld.name) } + (to -> phys)
+      val k1 = m.statsKey.map(k => if (norm(k) == norm(from)) to else k)
+      val k2 = m.statsKey2.map(k => if (norm(k) == norm(from)) to else k)
+      Pending(m.entries, newSch, k1, k2, colmap = Some(cm))
+    }
+  }
+
+  /** DROP a column — likewise a ZERO-COPY metadata commit (op "drop"):
+    * the physical column stays in existing files (readers simply never
+    * select it; the bytes go as rewrites naturally churn the files),
+    * and a later ADD of the same logical name gets a MINTED physical
+    * name, so the dropped values can never resurrect. Refused for the
+    * recorded stats key(s) — re-key explicitly (a compact/append with
+    * a new statsKey) before dropping the column the table prunes on —
+    * for constraint-referenced columns, and for the last column. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+    retrying(spark, root, op = "drop") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val sch = schemaOf(spark, root, m)
+      val fld = sch.fields.find(f => norm(f.name) == norm(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' at $root (have ${sch.fieldNames.mkString(", ")})"))
+      require(sch.fields.length > 1, s"cannot drop the last column of $root")
+      require(!sameKey(m.statsKey, name) && !sameKey(m.statsKey2, name),
+        s"'$name' is a recorded stats key of $root — re-key the table " +
+          "(compact/append with a different statsKey) before dropping it")
+      val newSch = org.apache.spark.sql.types.StructType(
+        sch.fields.filterNot(f => norm(f.name) == norm(name)))
+      requireConstraintsResolve(spark, newSch, m.constraints, s"drop column '$name'")
+      val cm0 = if (m.colmap.isEmpty) sch.fieldNames.map(n => n -> n).toMap
+                else m.colmap
+      val cm = cm0.filterNot { case (l, _) => norm(l) == norm(fld.name) }
+      Pending(m.entries, newSch, m.statsKey, m.statsKey2, colmap = Some(cm))
+    }
+
+  /** Every CHECK constraint must still ANALYZE against the schema a
+    * rename/drop would leave behind — the safe alternative to
+    * rewriting constraint SQL (refuse loudly; the caller drops and
+    * re-adds the rule around the DDL). */
+  private def requireConstraintsResolve(spark: SparkSession,
+      sch: org.apache.spark.sql.types.StructType,
+      cs: Seq[(String, String)], what: String): Unit =
+    cs.foreach { case (n, sql) =>
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+      try empty.select(org.apache.spark.sql.functions.expr(sql).cast("boolean"))
+        .queryExecution.analyzed
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"$what refused: CHECK constraint '$n' ($sql) would no longer " +
+          s"resolve — drop it first (${e.getMessage})") }
+    }
+
+  /** The latest version's logical→physical column map (empty =
+    * identity / mapping inactive) — what a locked-schema consumer
+    * (the streaming table source) captures alongside the schema so
+    * it can read data files, which always spell PHYSICAL names. */
+  private[graft] def currentColmap(spark: SparkSession, root: String): Map[String, String] =
+    versions(spark, root).lastOption
+      .map(v => manifestFull(spark, root, v).colmap).getOrElse(Map.empty)
+
+  /** Read raw data `files` under logical `sch` through `colmap` — the
+    * streaming source's file-level batch read ([[addedFiles]] feeds
+    * it absolute paths; appended files hold exactly the commit's new
+    * rows, so no dv handling is needed — appends never carry one). */
+  private[graft] def readFilesAs(spark: SparkSession,
+      sch: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String], files: Seq[String]): DataFrame =
+    toLogical(spark.read.schema(physSchemaOf(colmap, sch)).parquet(files: _*),
+      sch, colmap)
 
   /** The manifest as a QUERYABLE DataFrame — the `.files` metadata
     * table (Iceberg's `table.files` / Delta's detail at file
@@ -1758,7 +2067,7 @@ object SnapshotTable {
       val next = m.constraints :+ (name -> exprSql)
       // the new rule must already hold over the live table
       validateConstraints(
-        readEntries(spark, root, schemaOf(spark, root, m), m.entries),
+        readEntries(spark, root, schemaOf(spark, root, m), m.entries, m.colmap),
         Seq(name -> exprSql))
       Pending(m.entries, schemaOf(spark, root, m), m.statsKey, m.statsKey2,
         constraints = Some(next))
@@ -2019,7 +2328,8 @@ object SnapshotTable {
       s"versions ${needed.filterNot(vs.contains).mkString(",")} expired — " +
         "change reads need every manifest in the window (retention must " +
         "outlive consumers)")
-    val sch = schemaOf(spark, root, manifestFull(spark, root, to))
+    val mTo = manifestFull(spark, root, to)
+    val sch = schemaOf(spark, root, mTo)
     def tag(df: DataFrame, v: Int, kind: String): DataFrame =
       df.select(
         org.apache.spark.sql.functions.lit(v).cast("int").as("_commit_version") +:
@@ -2046,11 +2356,15 @@ object SnapshotTable {
           prevByPath.get(e.path).forall(p => p.dv != e.dv))
         val changedOld = prevEntries.filter(e =>
           curByPath.get(e.path).forall(c => c.dv != e.dv))
+        // files of every version read through the TO version's colmap:
+        // physical names are immutable from mint to vacuum, so the
+        // newest map addresses every older file correctly (columns
+        // minted later null-fill in older files, like any evolution)
         if (m.op == "append" || m.op == "create")
-          frames += tag(readEntries(spark, root, sch, changedNew), v, "insert")
+          frames += tag(readEntries(spark, root, sch, changedNew, mTo.colmap), v, "insert")
         else {
-          val a = readEntries(spark, root, sch, changedNew)
-          val r = readEntries(spark, root, sch, changedOld)
+          val a = readEntries(spark, root, sch, changedNew, mTo.colmap)
+          val r = readEntries(spark, root, sch, changedOld, mTo.colmap)
           frames += tag(a.exceptAll(r), v, "insert")
           frames += tag(r.exceptAll(a), v, "delete")
         }
@@ -2108,10 +2422,18 @@ object SnapshotTable {
     // the secondary always prunes under its own recorded name (it is
     // self-attributed — independent of what the caller asked for)
     val primary = m.statsKey.filter(r => sameKey(Some(r), key))
-    val index = new ManifestFileIndex(spark, root, m.entries, primary, m.statsKey2)
-    applyDvIndexed(spark, root,
-      org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index, schema),
-      m.entries)
+    // the scan (and the filters Catalyst pushes through the logical-
+    // alias projection) is PHYSICAL: index keys translate, the dv
+    // anti-join runs over physical columns, and the logical aliasing
+    // is the outermost projection — user predicates on logical names
+    // still reach the scan (alias substitution), so pruning survives
+    // a rename of the stats-keyed column untouched
+    val index = new ManifestFileIndex(spark, root, m.entries,
+      primary.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)))
+    toLogical(applyDvIndexed(spark, root,
+      org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
+        physSchemaOf(m.colmap, schema)),
+      m.entries), schema, m.colmap)
   }
 
   /** Deletion vectors over the CATALYST-indexed read: the single
@@ -2148,11 +2470,13 @@ object SnapshotTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val m = manifestFull(spark, root, vs.last)
-    val index = new ManifestFileIndex(spark, root, m.entries, m.statsKey, m.statsKey2)
-    applyDvIndexed(spark, root,
+    val sch = schemaOf(spark, root, m)
+    val index = new ManifestFileIndex(spark, root, m.entries,
+      m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)))
+    toLogical(applyDvIndexed(spark, root,
       org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
-        schemaOf(spark, root, m)),
-      m.entries)
+        physSchemaOf(m.colmap, sch)),
+      m.entries), sch, m.colmap)
   }
 
   /** Deleted-position sidecar schema: the target data file's
@@ -2237,26 +2561,34 @@ object SnapshotTable {
     * recorded set out. Keeping the split means a table that has never
     * seen a merge-on-read delete pays zero for the feature. */
   private def readEntries(spark: SparkSession, root: String,
-      sch: org.apache.spark.sql.types.StructType, entries: Seq[FileEntry]): DataFrame = {
+      sch: org.apache.spark.sql.types.StructType, entries: Seq[FileEntry],
+      colmap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (entries.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     val (withDv, plain) = entries.partition(_.dv.isDefined)
+    // column mapping: files store PHYSICAL names — read with the
+    // physical twin of the logical schema, alias back after. Files
+    // predating a column's minting simply null-fill its physical name,
+    // exactly like any evolved column.
+    val physSch = physSchemaOf(colmap, sch)
     val cols = sch.fieldNames.toIndexedSeq.map(col)
     val plainDf =
       if (plain.isEmpty) None
-      else Some(spark.read.schema(sch).parquet(plain.map(e => s"$root/${e.path}"): _*))
+      else Some(toLogical(
+        spark.read.schema(physSch).parquet(plain.map(e => s"$root/${e.path}"): _*),
+        sch, colmap))
     val effDf =
       if (withDv.isEmpty) None
       else {
-        val raw = spark.read.schema(sch).parquet(withDv.map(e => s"$root/${e.path}"): _*)
+        val raw = spark.read.schema(physSch).parquet(withDv.map(e => s"$root/${e.path}"): _*)
           .withColumn("__rel", relPathCol)
           .withColumn("__idx", col("_metadata.row_index"))
         val dv = dvPositions(spark, root, withDv).get
         // -1 = unknown (a pre-dvRows line): don't broadcast blind
         val total =
           if (withDv.forall(_.dvRows.isDefined)) withDv.flatMap(_.dvRows).sum else -1L
-        Some(antiJoinDv(raw, dv, total).select(cols: _*))
+        Some(toLogical(antiJoinDv(raw, dv, total), sch, colmap).select(cols: _*))
       }
     (plainDf, effDf) match {
       case (Some(p), Some(e)) => p.select(cols: _*).unionAll(e)
@@ -2309,11 +2641,17 @@ object SnapshotTable {
       // table scans the one file its key lands in, not the table
       // (conservative exactly like every read: unbounded predicates
       // keep every file, kept files still row-filter)
-      val index = new ManifestFileIndex(spark, root, m.entries, m.statsKey, m.statsKey2)
-      val raw = org.apache.spark.sql.graftbridge.Bridge
-        .parquetRelation(spark, index, sch)
+      // the scan is PHYSICAL (files spell physical names; the index
+      // prunes on the stats keys as the FILTERS will spell them after
+      // Catalyst pushes them through the logical-alias projection —
+      // i.e. physically); `pred` evaluates over the logical aliases
+      val index = new ManifestFileIndex(spark, root, m.entries,
+        m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)))
+      val raw = toLogical(org.apache.spark.sql.graftbridge.Bridge
+        .parquetRelation(spark, index, physSchemaOf(m.colmap, sch))
         .withColumn("__rel", relPathCol)
-        .withColumn("__idx", col("_metadata.row_index"))
+        .withColumn("__idx", col("_metadata.row_index")),
+        sch, m.colmap, keep = Seq("__rel", "__idx"))
       val live = dvPositions(spark, root, m.entries) match {
         case Some(dv) =>
           val total =
@@ -2380,15 +2718,20 @@ object SnapshotTable {
       maxPruneKeys: Int = 100000, allowWiden: Boolean = false,
       statsKey2: Option[String] = None): Int = {
     import org.apache.spark.sql.functions.col
-    val key2AtStart = statsKey2.orElse(
-      versions(spark, root).lastOption.flatMap(v =>
-        manifestFull(spark, root, v).statsKey2))
-    val updateFiles = writeDataFiles(spark, root, updates, Some(key), key2AtStart)
+    val mAtStart = versions(spark, root).lastOption.map(v =>
+      manifestFull(spark, root, v))
+    val key2AtStart = statsKey2.orElse(mAtStart.flatMap(_.statsKey2))
+    // same write-ahead column-map capture as copy-on-write merge
+    val cmAtStart = evolveColmap(
+      mAtStart.map(_.colmap).getOrElse(Map.empty), updates.schema)
+    val updateFiles = writeDataFiles(spark, root, updates, Some(key), key2AtStart,
+      colmap = cmAtStart)
     val (updateKeys, updateStrKeys) = pruneKeySets(updates, key, maxPruneKeys)
     retrying(spark, root, op = "merge") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
       val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
+      val effCm = reconcileColmap(m.colmap, cmAtStart, evolved)
       // same enforcement as copy-on-write merge: batch written before
       // the loop, so constraints pay one explicit validation job
       validateConstraints(alignTo(updates, evolved), m.constraints)
@@ -2404,10 +2747,11 @@ object SnapshotTable {
       val touchedOut =
         if (touched.isEmpty) Seq.empty[FileEntry]
         else {
-          val raw = spark.read.schema(tableSchema)
+          val raw = toLogical(spark.read.schema(physSchemaOf(m.colmap, tableSchema))
             .parquet(touched.map(e => s"$root/${e.path}"): _*)
             .withColumn("__rel", relPathCol)
-            .withColumn("__idx", col("_metadata.row_index"))
+            .withColumn("__idx", col("_metadata.row_index")),
+            tableSchema, m.colmap, keep = Seq("__rel", "__idx"))
           // rows whose key the update batch carries → newly deleted
           // positions; a bounded key set broadcasts (map-side semi)
           val keyFrame = updates.select(updates(key).as("__mk")).distinct()
@@ -2442,7 +2786,8 @@ object SnapshotTable {
         }
       Pending(fixCarried(untouched) ++ touchedOut ++
         reconcileUpdateStats(updateFiles, key2AtStart, effKey2),
-        evolved, Some(key), effKey2)
+        evolved, Some(key), effKey2,
+        colmap = if (effCm.isEmpty) None else Some(effCm))
     }
   }
 
@@ -2487,7 +2832,7 @@ object SnapshotTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist (have $vs)")
     val m = manifestFull(spark, root, v)
-    readEntries(spark, root, schemaOf(spark, root, m), prune(m))
+    readEntries(spark, root, schemaOf(spark, root, m), prune(m), m.colmap)
   }
 }
 

@@ -147,6 +147,15 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     case other => other.json.trim.toInt
   }
 
+  // locked alongside the schema: data files spell PHYSICAL names
+  // (format 9 column mapping), and physical names are immutable from
+  // mint to vacuum — so the map captured at source creation addresses
+  // every file this stream will ever read, even across a mid-stream
+  // rename (the locked logical names keep their physical spelling; a
+  // column dropped and re-added mid-stream is a DIFFERENT column and
+  // correctly null-fills under the locked map)
+  private val colmap: Map[String, String] = SnapshotTable.currentColmap(spark, root)
+
   // ---- pacing state (used only when maxVersionsPerTrigger > 0) ----
   private lazy val paceDir: Option[org.apache.hadoop.fs.Path] =
     if (maxVersionsPerTrigger <= 0) None
@@ -209,7 +218,10 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     }
     val files = SnapshotTable.addedFiles(spark, root, from, version(end)).flatMap {
       case (_, "append" | "create", added) => added
-      case (_, "compact", _) => Seq.empty
+      // row-preserving commits deliver nothing: layout ("compact") and
+      // metadata-only DDL ("rename"/"drop"/"constraint" — entries
+      // carried verbatim; this stream keeps its LOCKED column names)
+      case (_, "compact" | "rename" | "drop" | "constraint", _) => Seq.empty
       case _ if ignoreChanges => Nil
       case (v, op, _) =>
         throw new IllegalStateException(
@@ -221,7 +233,7 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     val batch =
       if (files.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      else SnapshotTable.readFilesAs(spark, schema, colmap, files)
     org.apache.spark.sql.graftbridge.Bridge.asStreaming(spark, batch)
   }
 

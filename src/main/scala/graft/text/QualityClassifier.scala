@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *      the model is `dim + 1` doubles no matter the corpus.
   *   2. Logistic regression by full-batch gradient descent, executed
   *      as the classic distributed-GD loop: weights broadcast OUT as a
-  *      plan literal (executors score map-side), gradients aggregate
-  *      BACK through one bucket-keyed sum per epoch. The driver only
-  *      ever holds the `dim`-bounded gradient — the same bounded-model
-  *      contract as k-means centroids and the IDF table.
+  *      real Spark BROADCAST (executors score map-side through one
+  *      deterministic scalar fn — never a dim-sized plan literal, so
+  *      plan serialization and codegen stay O(1) as dim grows to a
+  *      realistic 65k+), gradients aggregate BACK through one
+  *      bucket-keyed sum per epoch. The driver only ever holds the
+  *      `dim`-bounded gradient — the same bounded-model contract as
+  *      k-means centroids and the IDF table.
   *   3. A −1 sentinel bucket rides the same explode as the features,
   *      so the bias gradient shares the epoch's single aggregation
   *      (no second pass — at 100 TB an extra corpus scan per epoch
@@ -51,9 +54,23 @@ object QualityClassifier {
       g => pmod(xxhash64(g), lit(dim.toLong)).cast("int"))
   }
 
-  private def dot(feat: Column, m: Model): Column =
-    aggregate(feat, lit(0.0),
-      (acc, i) => acc + element_at(typedLit(m.w.toSeq), i + 1)) + lit(m.bias)
+  /** w·x + b with the weight vector as a BROADCAST, consumed by a
+    * deterministic scalar fn — the plan carries a handle, not `dim`
+    * doubles (a `typedLit` embeds the whole vector into every epoch's
+    * serialized plan and its codegen; at dim 65536 that is ~0.5 MB of
+    * literal per plan for zero benefit). The fold runs in array order,
+    * exactly like the `aggregate` form it replaces, so decisions are
+    * bit-identical. */
+  private def dot(spark: SparkSession, feat: Column, m: Model): Column = {
+    val bw = spark.sparkContext.broadcast(m.w)
+    val dotFn = udf { idxs: Seq[Int] =>
+      val w = bw.value
+      var s = 0.0
+      idxs.foreach(i => s += w(i))
+      s
+    }
+    dotFn(feat) + lit(m.bias)
+  }
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
@@ -67,7 +84,7 @@ object QualityClassifier {
     require(n > 0, "cannot train on an empty corpus")
     var m = Model(dim, new Array[Double](dim), 0.0)
     for (_ <- 1 to epochs) {
-      val resid = (sigmoid(dot(col("feat"), m)) - col("y")).as("r")
+      val resid = (sigmoid(dot(spark, col("feat"), m)) - col("y")).as("r")
       // sentinel −1 carries the bias gradient through the SAME
       // aggregation as the feature gradients: one job per epoch
       val g = feats.select(resid,
@@ -85,10 +102,10 @@ object QualityClassifier {
   }
 
   /** Map-side inference: adds `p` (probability) and `pred` (≥ 0.5) to
-    * a featurized frame. Model rides the plan as a literal — no join,
-    * no shuffle, whole-stage codegen. */
+    * a featurized frame. Model rides a broadcast — no join, no
+    * shuffle, no dim-sized plan literal. */
   def score(feats: DataFrame, m: Model): DataFrame = {
-    val p = sigmoid(dot(col("feat"), m))
+    val p = sigmoid(dot(feats.sparkSession, col("feat"), m))
     feats.withColumn("p", p).withColumn("pred", col("p") >= 0.5)
   }
 }

@@ -1,0 +1,258 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** COLUMN MAPPING (manifest format 9): rename/drop as ZERO-COPY
+  * metadata commits — schema identity changes while the data files
+  * stand still. The matrix pins the load-bearing claims: no data file
+  * is written by either DDL; stats (and therefore pruning, proven by
+  * executed-plan scan metrics) SURVIVE a rename of the stats-keyed
+  * column; a column re-added after a drop can never resurrect the
+  * dropped bytes (minted physical names); every version time-travels
+  * under its own names; writers after the DDL interoperate (append /
+  * merge / compact / CDC / streaming source); and the refusal edges
+  * (constraint-referenced columns, stats-key drops, collisions) fail
+  * loudly instead of corrupting.
+  *
+  * Reference analog: metadata-schema replacement while stored data is
+  * untouched (chunking_manager.py:170-176); design analog: Delta
+  * column mapping / Iceberg field IDs. */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-colmap").toString
+
+  private def dataFiles(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root, "data")
+    if (!java.nio.file.Files.exists(p)) Set.empty
+    else java.nio.file.Files.walk(p).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+  }
+
+  /** 400 rows range-clustered on `id` into 4 disjoint-range files. */
+  private def clustered400(root: String): Unit =
+    SnapshotTable.create(spark, root,
+      spark.range(400).select(col("id"), concat(lit("r"), col("id")).as("v"))
+        .repartitionByRange(4, col("id")),
+      statsKey = Some("id"))
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame):
+      Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+  }
+
+  test("rename is zero-copy and every version time-travels under its own names") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
+    val before = dataFiles(root)
+    val v2 = SnapshotTable.renameColumn(spark, root, "payload", "body")
+    assert(v2 == 2)
+    assert(dataFiles(root) == before, "rename must write no data file")
+    // head reads under the new name, values untouched
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "body"))
+    assert(SnapshotTable.read(spark, root).orderBy("id").select("body")
+      .as[String].collect().toSeq == Seq("a", "b"))
+    // v1 still reads under ITS OWN recorded name
+    assert(SnapshotTable.read(spark, root, Some(1)).columns.toSeq == Seq("id", "payload"))
+    assert(SnapshotTable.history(spark, root).last.op == "rename")
+  }
+
+  test("stats survive a rename of the stats-keyed column: pruning proven by scan metrics") {
+    val root = tmp()
+    clustered400(root)
+    SnapshotTable.renameColumn(spark, root, "id", "doc_id")
+    // the indexed read resolves the RENAMED key against the manifest
+    val probe = SnapshotTable.readIndexed(spark, root, "doc_id")
+      .filter(col("doc_id") === 125L)
+    assert(probe.collect().map(_.getString(1)).toSeq == Seq("r125"))
+    val dataScans = fileScans(probe).filter(_.schema.fieldNames.contains("v"))
+    assert(dataScans.nonEmpty, "plan must contain the table's file scan")
+    assert(dataScans.map(_.metrics("numFiles").value).max == 1,
+      "point predicate on the RENAMED key must still prune to 1 of 4 files " +
+        "(per-file stats were measured on the physical column the rename never touched)")
+    // the explicit point-probe API prunes identically (readKeys bounds
+    // FILES; the caller row-filters — the probe contract)
+    val keyed = SnapshotTable.readKeys(spark, root, "doc_id", Array(125L))
+    assert(keyed.inputFiles.length == 1, "readKeys must keep exactly 1 of 4 files")
+    assert(keyed.filter(col("doc_id") === 125L).count() == 1)
+  }
+
+  test("append and merge after a rename interoperate (key-addressed by the new name)") {
+    val root = tmp()
+    clustered400(root)
+    SnapshotTable.renameColumn(spark, root, "id", "doc_id")
+    SnapshotTable.append(spark, root,
+      Seq((400L, "r400"), (401L, "r401")).toDF("doc_id", "v"))
+    SnapshotTable.merge(spark, root,
+      Seq((125L, "UPDATED")).toDF("doc_id", "v"), key = "doc_id")
+    val now = SnapshotTable.read(spark, root)
+    assert(now.count() == 402)
+    assert(now.filter(col("doc_id") === 125L).select("v")
+      .as[String].collect().toSeq == Seq("UPDATED"))
+    assert(now.filter(col("doc_id") === 400L).count() == 1)
+    // old files (physical name "id") and new files (same physical
+    // name — appends translate) read as ONE coherent column
+    assert(now.agg(countDistinct(col("doc_id"))).as[Long].head() == 402L)
+  }
+
+  test("drop is zero-copy; re-adding the name can NEVER resurrect the dropped bytes") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      Seq((1L, "keep1", 111L), (2L, "keep2", 222L)).toDF("id", "payload", "n"))
+    val before = dataFiles(root)
+    SnapshotTable.dropColumn(spark, root, "n")
+    assert(dataFiles(root) == before, "drop must write no data file")
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "payload"))
+    // v1 time-travels WITH the column
+    assert(SnapshotTable.read(spark, root, Some(1)).columns.toSeq ==
+      Seq("id", "payload", "n"))
+    assert(SnapshotTable.read(spark, root, Some(1))
+      .filter(col("id") === 1L).select("n").as[Long].head() == 111L)
+    // re-ADD a column of the same logical name: minted physical name,
+    // so rows written before the re-add are NULL — never 111/222
+    SnapshotTable.append(spark, root, Seq((3L, "new3", 999L)).toDF("id", "payload", "n"))
+    val n = SnapshotTable.read(spark, root).orderBy("id")
+      .select(col("n")).collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(n.toSeq == Seq(-1L, -1L, 999L),
+      s"dropped bytes must not resurrect under the re-added name (got ${n.toSeq})")
+  }
+
+  test("refusal edges: collision, stats-key drop, constraint-referenced DDL, last column") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      Seq((1L, "a", 10L)).toDF("id", "payload", "n"), statsKey = Some("id"))
+    SnapshotTable.addConstraint(spark, root, "n_pos", "n >= 0")
+    // rename onto an existing name (case-insensitive)
+    assert(scala.util.Try(
+      SnapshotTable.renameColumn(spark, root, "payload", "N")).isFailure)
+    // drop the recorded stats key
+    assert(scala.util.Try(SnapshotTable.dropColumn(spark, root, "id")).isFailure)
+    // rename/drop a constraint-referenced column: refused loudly
+    assert(scala.util.Try(
+      SnapshotTable.renameColumn(spark, root, "n", "count")).isFailure)
+    assert(scala.util.Try(SnapshotTable.dropColumn(spark, root, "n")).isFailure)
+    // after dropping the rule, the DDL goes through
+    SnapshotTable.dropConstraint(spark, root, "n_pos")
+    SnapshotTable.renameColumn(spark, root, "n", "count")
+    assert(SnapshotTable.read(spark, root).columns.toSeq ==
+      Seq("id", "payload", "count"))
+    // a missing source column
+    assert(scala.util.Try(
+      SnapshotTable.renameColumn(spark, root, "ghost", "x")).isFailure)
+  }
+
+  test("compact after rename/drop materializes cleanly and keeps pruning") {
+    val root = tmp()
+    clustered400(root)
+    SnapshotTable.append(spark, root,
+      spark.range(400, 420).select(col("id"), concat(lit("r"), col("id")).as("v")))
+    SnapshotTable.renameColumn(spark, root, "id", "doc_id")
+    SnapshotTable.compact(spark, root, targetFiles = 4, cluster = true)
+    val now = SnapshotTable.read(spark, root)
+    assert(now.columns.toSeq == Seq("doc_id", "v") && now.count() == 420)
+    val probe = SnapshotTable.readIndexed(spark, root, "doc_id")
+      .filter(col("doc_id") === 7L)
+    assert(probe.collect().map(_.getString(1)).toSeq == Seq("r7"))
+    assert(fileScans(probe).filter(_.schema.fieldNames.contains("v"))
+      .map(_.metrics("numFiles").value).max == 1,
+      "re-clustered post-rename files must point-prune again")
+  }
+
+  test("deleteWhere and CDC across a rename stay coherent") {
+    val root = tmp()
+    clustered400(root)                                     // v1
+    SnapshotTable.renameColumn(spark, root, "id", "doc_id") // v2
+    SnapshotTable.deleteWhere(spark, root, col("doc_id") === 5L) // v3
+    assert(SnapshotTable.read(spark, root).count() == 399)
+    val cs = SnapshotTable.readChanges(spark, root, 1)
+    // the rename version emits NOTHING (no row moved); the delete
+    // emits exactly its row, under the TO version's names
+    assert(cs.filter(col("_commit_version") === 2).count() == 0)
+    val deleted = cs.filter(col("_commit_version") === 3)
+    assert(deleted.columns.contains("doc_id"))
+    assert(deleted.select("_change_type", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("delete", 5L)))
+  }
+
+  test("streaming table source reads a renamed table (locked colmap, mixed-era files)") {
+    val root = tmp()
+    val out = tmp()
+    SnapshotTable.create(spark, root,
+      Seq((1L, "a")).toDF("id", "v"), statsKey = Some("id"))    // v1: physical "v"
+    SnapshotTable.renameColumn(spark, root, "v", "body")        // v2: metadata-only
+    SnapshotTable.append(spark, root,
+      Seq((2L, "b")).toDF("id", "body"))                        // v3: ALSO physical "v"
+    // one query spanning all three versions: the locked schema is the
+    // renamed one (id, body), the locked colmap maps body→v, and the
+    // rename version must deliver NOTHING (entry-preserving DDL) —
+    // both data files, either side of the rename, read coherently
+    val q = spark.readStream.format("graft-table").option("path", root).load()
+      .writeStream.format("parquet").option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$out/sink").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")),
+      s"locked-colmap stream must deliver both eras' rows under 'body' (got $got)")
+  }
+
+  test("schema evolution after activation mints physical names (manifest-level)") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.renameColumn(spark, root, "v", "body") // activates mapping
+    SnapshotTable.append(spark, root, Seq((2L, "b", 7L)).toDF("id", "body", "extra"))
+    val cm = SnapshotTable.currentColmap(spark, root)
+    assert(cm("body") == "v", "renamed column keeps its original physical name")
+    assert(cm("id") == "id", "untouched columns map to themselves")
+    assert(cm.contains("extra") && cm("extra") != "extra" &&
+      cm("extra").startsWith("c_"),
+      s"post-activation columns get minted physical names (got ${cm.get("extra")})")
+    val now = SnapshotTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(now.toSeq == Seq((1L, "a", -1L), (2L, "b", 7L)))
+  }
+
+  test("M-line grammar round-trips hostile names (unicode, spaces, tabs, quotes)") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // names the line grammar must survive: the base64 encoding keeps
+    // arbitrary content out of the manifest's tab/newline structure
+    val hostile = "döc \"id\"\t✓"
+    SnapshotTable.renameColumn(spark, root, "v", hostile)
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", hostile))
+    assert(SnapshotTable.currentColmap(spark, root)(hostile) == "v")
+    assert(SnapshotTable.read(spark, root)
+      .select(col("`" + hostile + "`")).as[String].head() == "a")
+    // and back to a sane name
+    SnapshotTable.renameColumn(spark, root, hostile, "w")
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "w"))
+    assert(SnapshotTable.currentColmap(spark, root)("w") == "v")
+  }
+
+  test("restore rolls metadata back WITH the data (schema, names, constraints)") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a", 5L)).toDF("id", "v", "n")) // v1
+    SnapshotTable.renameColumn(spark, root, "v", "body")                        // v2
+    SnapshotTable.dropColumn(spark, root, "n")                                  // v3
+    SnapshotTable.restore(spark, root, 1)                                       // v4
+    val now = SnapshotTable.read(spark, root)
+    assert(now.columns.toSeq == Seq("id", "v", "n"),
+      "restore must bring back the target version's own names and columns")
+    assert(now.filter(col("id") === 1L).select("n").as[Long].head() == 5L)
+  }
+}

@@ -109,6 +109,34 @@ class ConstraintSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).filter(col("n") < 0).count() == 0)
   }
 
+  test("restore rolls the constraint set back WITH the data (Delta RESTORE semantics)") {
+    val root = tmp()
+    // v1 holds a row a LATER rule would forbid; v2 cleans it up; v3
+    // declares the rule (valid against v2's state). A restore to v1
+    // brings the violating row back — under the HEAD's rule set that
+    // would silently break addConstraint's 'a constraint is a fact
+    // about the whole table from its commit on' invariant, so restore
+    // carries the TARGET's (empty) set instead: rows and rules stay
+    // internally consistent at every version.
+    SnapshotTable.create(spark, root,
+      Seq((1L, 5L), (2L, -3L)).toDF("id", "n"))                    // v1
+    SnapshotTable.deleteWhere(spark, root, col("n") < 0)           // v2
+    SnapshotTable.addConstraint(spark, root, "n_nonneg", "n >= 0") // v3
+    SnapshotTable.restore(spark, root, 1)                          // v4
+    assert(SnapshotTable.constraints(spark, root).isEmpty,
+      "restore must carry the target version's constraint set, not the head's")
+    assert(SnapshotTable.read(spark, root).filter(col("n") < 0).count() == 1,
+      "the restored state is v1's rows, violating row included")
+    // re-declaring the rule now VALIDATES against the restored rows
+    // and refuses — the invariant holds by construction
+    assert(scala.util.Try(
+      SnapshotTable.addConstraint(spark, root, "n_nonneg", "n >= 0")).isFailure)
+    // clean up again and the rule takes
+    SnapshotTable.deleteWhere(spark, root, col("n") < 0)           // v5
+    SnapshotTable.addConstraint(spark, root, "n_nonneg", "n >= 0") // v6
+    assert(SnapshotTable.constraints(spark, root) == Seq("n_nonneg" -> "n >= 0"))
+  }
+
   test("constraints persist through deltas, compaction, and retention checkpoints") {
     val root = tmp()
     SnapshotTable.create(spark, root,

@@ -40,6 +40,20 @@ class PageRankSpec extends SparkSpec {
     assert(ranks(1) == ranks(7))
   }
 
+  test("plan depth is CONSTANT in the iteration count (localCheckpoint discipline)") {
+    import spark.implicits._
+    val nodes = (0L to 5L).toDF("node")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    val shallow = planNodes(PageRank.run(nodes, edges, iters = 2))
+    val deep = planNodes(PageRank.run(nodes, edges, iters = 10))
+    assert(deep == shallow,
+      s"10-round plan ($deep nodes) must not outgrow the 2-round plan " +
+        s"($shallow nodes) — each round's localCheckpoint cuts the lineage")
+  }
+
   test("modularEdges: no self-loops, no duplicates, no absent targets") {
     val ids = Seq(0L, 3L, 5L, 9L).toDF("doc_id") // non-contiguous
     val e = PageRank.modularEdges(ids, "doc_id")

@@ -74,6 +74,28 @@ class PipelineSpec extends SparkSpec {
     assert(cos.head().getLong(0) == 0L && l2.head().getLong(0) == 0L)
   }
 
+  test("search dispatches on retrieval_mode; each mode equals its standalone operator") {
+    val terms = Seq("spark", "window", "merge", "stream")
+    def ranking(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(df.columns.head).collect().map(_.getLong(0)).toSeq
+    // dense (default) ≡ VectorOps.cosineTopK
+    assert(ranking(Pipeline.search(spark, sf, 0, 5)) ==
+      ranking(graft.vector.VectorOps.cosineTopK(spark, sf, 0, 5)))
+    // sparse ≡ Bm25.bm25TopK
+    val sparseCfg = Pipeline.EtlConfig(retrievalMode = "sparse", queryTerms = terms)
+    assert(ranking(Pipeline.search(spark, sf, 0, 5, sparseCfg)) ==
+      ranking(graft.vector.Bm25.bm25TopK(spark, sf, terms, 5)))
+    // hybrid ≡ Bm25.hybridRrf
+    val hybridCfg = Pipeline.EtlConfig(retrievalMode = "hybrid", queryTerms = terms)
+    assert(ranking(Pipeline.search(spark, sf, 0, 5, hybridCfg)) ==
+      ranking(graft.vector.Bm25.hybridRrf(spark, sf, terms, 0, 5)))
+    // refusal edges: unknown mode; sparse/hybrid without terms
+    assert(scala.util.Try(Pipeline.search(spark, sf, 0, 5,
+      Pipeline.EtlConfig(retrievalMode = "faiss"))).isFailure)
+    assert(scala.util.Try(Pipeline.search(spark, sf, 0, 5,
+      Pipeline.EtlConfig(retrievalMode = "sparse"))).isFailure)
+  }
+
   test("dedupReport flags the exact-dup groups found by fingerprinting") {
     val rep = Pipeline.dedupReport(spark, sf)
     assert(rep.columns.toSeq == Seq("kind", "id_a", "weight"))

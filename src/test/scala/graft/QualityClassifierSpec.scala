@@ -38,6 +38,28 @@ class QualityClassifierSpec extends SparkSpec {
       s"weak margin: ${scored.map(_._3).min}")
   }
 
+  test("dim=65536 trains and scores (weights ride a broadcast, not a plan literal)") {
+    // the plan-bloat regression guard: at a realistic feature-hashing
+    // dim, a typedLit weight vector would serialize ~0.5 MB into every
+    // epoch's plan (and its codegen); the broadcast form keeps the
+    // plan O(1) in dim — this smoke completes in seconds, and the
+    // separable corpus still classifies perfectly
+    val docs = (0L until 20L).map { i =>
+      val marker = if (i % 2 == 0) "qualmark qualmark" else "junkmark junkmark"
+      (i, if (i % 2 == 0) 1.0 else 0.0, s"common words doc $i $marker")
+    }.toDF("doc_id", "y", "t")
+    val dim = 65536
+    val feats = docs.select(col("doc_id"), col("y"),
+      QualityClassifier.featurize(col("t"), dim).as("feat")).persist()
+    try {
+      val m = QualityClassifier.train(spark, feats, dim = dim, epochs = 4, lr = 1.0)
+      assert(m.w.length == dim)
+      val scored = QualityClassifier.score(feats, m)
+        .select(col("y"), col("pred")).as[(Double, Boolean)].collect()
+      assert(scored.forall { case (y, pred) => pred == (y == 1.0) })
+    } finally feats.unpersist()
+  }
+
   test("bias sentinel learns the class prior on featureless rows") {
     // no features at all: only the bias can move, via the -1 sentinel
     val feats = Seq.fill(8)((Seq.empty[Int], 1.0)).toDF("feat", "y")

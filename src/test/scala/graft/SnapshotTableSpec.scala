@@ -82,6 +82,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versionAsOf(spark, root, t - 1).isEmpty)
   }
 
+  test("restoreAsOf: rollback addressed in time, loud on pre-table instants") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "good")).toDF("id", "v"))   // v1
+    SnapshotTable.merge(spark, root,
+      Seq((1L, "corrupt")).toDF("id", "v"), key = "id")                     // v2
+    val t = System.currentTimeMillis()
+    def pin(v: Int, ts: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    pin(1, t - 10000); pin(2, t) // v1 ← "before the bad deploy", v2 ← the deploy
+    val v3 = SnapshotTable.restoreAsOf(spark, root, t - 1)
+    assert(v3 == 3)
+    assert(SnapshotTable.read(spark, root).head().getString(1) == "good")
+    assert(SnapshotTable.history(spark, root).last.op == "restore")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restoreAsOf(spark, root, t - 20000) // pre-table instant
+    }
+  }
+
   test("a lost commit race retries onto the next version without losing rows") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))

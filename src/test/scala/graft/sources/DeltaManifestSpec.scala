@@ -181,6 +181,40 @@ class DeltaManifestSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, Some(4)).count() == 4)
   }
 
+  test("manifest memo: a cold history() opens ≤ V + depth files, a warm one zero") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"),
+      statsKey = Some("id"))
+    // 20 micro appends: chains build to the depth cap and checkpoint,
+    // so naive per-version resolution would re-walk each chain —
+    // Σ(depth+1) ≈ 130 opens for 21 versions; the memo parses each
+    // manifest once, so a cold full-history read is ≤ V + depth
+    (1 to 20).foreach(i =>
+      SnapshotTable.append(spark, root, Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    val vCount = SnapshotTable.versions(spark, root).size
+    assert(vCount == 21)
+    SnapshotTable.clearManifestMemo()
+    val cold0 = SnapshotTable.manifestOpens.get()
+    val h = SnapshotTable.history(spark, root)
+    val coldOpens = SnapshotTable.manifestOpens.get() - cold0
+    assert(h.size == vCount)
+    assert(coldOpens <= vCount + SnapshotTable.MaxChainDepth,
+      s"cold history() opened $coldOpens manifests for $vCount versions — " +
+        "the memo must bound this at V + depth, never V·depth")
+    // warm: manifests are immutable, the memo serves everything
+    val warm0 = SnapshotTable.manifestOpens.get()
+    SnapshotTable.history(spark, root)
+    assert(SnapshotTable.manifestOpens.get() - warm0 == 0,
+      "a second history() over unchanged manifests must open nothing")
+    // a NEW commit invalidates nothing: one fresh manifest, one open
+    SnapshotTable.append(spark, root, Seq((99L, "new")).toDF("id", "v"))
+    val after0 = SnapshotTable.manifestOpens.get()
+    val h2 = SnapshotTable.history(spark, root)
+    assert(h2.size == vCount + 1)
+    assert(SnapshotTable.manifestOpens.get() - after0 <= 1,
+      "history() after one commit re-opens only the new manifest")
+  }
+
   test("randomized lifecycle equals the in-memory model at every version") {
     import spark.implicits._
     // a deterministic pseudo-random op sequence (fixed seed: the point
