@@ -2090,6 +2090,34 @@ object SnapshotTable {
     versions(spark, root).lastOption
       .map(v => manifestFull(spark, root, v).constraints).getOrElse(Seq.empty)
 
+  /** PRE-FLIGHT constraint check: per-rule violation counts of `df`
+    * against the table's live constraint set, WITHOUT attempting a
+    * commit — the dry run a pipeline runs on a candidate batch before
+    * deciding to quarantine vs append (enforcement itself stays on
+    * the write path). One aggregate job whose width is the rule
+    * count; same alignment semantics as enforcement (absent columns
+    * null-fill, NULL passes — SQL CHECK). Empty when the table has no
+    * constraints. */
+  def violations(spark: SparkSession, root: String,
+      df: DataFrame): Seq[(String, Long)] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val m = manifestFull(spark, root, vs.last)
+    if (m.constraints.isEmpty) return Seq.empty
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, expr => fnExpr, lit => fnLit, sum => fnSum, when => fnWhen}
+    val aligned = alignTo(df,
+      evolveSchema(schemaOf(spark, root, m), df.schema, allowWiden = true))
+    val checks = m.constraints.map { case (_, sql) =>
+      fnSum(fnWhen(fnCoalesce(fnExpr(sql).cast("boolean"), fnLit(true)), 0L)
+        .otherwise(1L))
+    }
+    val row = aligned.agg(checks.head.as("c0"),
+      checks.tail.zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }: _*).head()
+    m.constraints.zipWithIndex.map { case ((n, _), i) =>
+      n -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+  }
+
   /** One-pass validation job: per-constraint violation counts over
     * `df`, all in a single aggregate; throws naming every violated
     * constraint. Used where the batch is written BEFORE the commit

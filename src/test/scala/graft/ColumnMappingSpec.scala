@@ -244,6 +244,52 @@ class ColumnMappingSpec extends SparkSpec {
     assert(SnapshotTable.currentColmap(spark, root)("w") == "v")
   }
 
+  test("blooms after a rename: built on the physical column, probed by the logical key") {
+    val root = tmp()
+    SnapshotTable.create(spark, root,
+      spark.range(100).select(col("id"), concat(lit("r"), col("id")).as("v"))
+        .repartitionByRange(4, col("id")),
+      statsKey = Some("id"), bloomKey = true)
+    SnapshotTable.renameColumn(spark, root, "id", "doc_id")
+    // fresh UNCLUSTERED append post-rename: ids span ~the whole key
+    // space, so range stats keep the file — only the bloom (built on
+    // the physical column through the colmap) can prune it
+    SnapshotTable.append(spark, root,
+      Seq(3L, 500003L, 1000003L).toDF("doc_id")
+        .select(col("doc_id") * 2L + 1L, lit("odd").as("v"))
+        .toDF("doc_id", "v").coalesce(1), bloomKey = true)
+    // an ABSENT even key: range stats of the fresh file span it, the
+    // bloom says no — the probe must prune the fresh file
+    val probe = SnapshotTable.readKeys(spark, root, "doc_id", Array(999998L))
+    assert(probe.inputFiles.isEmpty || probe.inputFiles.forall(!_.contains("odd")),
+      "absent-key probe must not keep the fresh bloom-carrying file")
+    assert(probe.count() == 0)
+    // a PRESENT fresh key keeps its file and returns its row
+    val hit = SnapshotTable.readKeys(spark, root, "doc_id", Array(1000007L))
+    assert(hit.filter(col("doc_id") === 1000007L).count() == 1)
+  }
+
+  test("incremental view over a mapped base: untracked rename harmless, tracked rename loud") {
+    val root = tmp(); val view = tmp() + "/view"
+    SnapshotTable.create(spark, root,
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("g", "n", "note"),
+      statsKey = Some("g"))
+    graft.meta.IncrementalView.create(spark, root, view, "g", "n")
+    // renaming an UNTRACKED column doesn't disturb the view's refresh
+    SnapshotTable.renameColumn(spark, root, "note", "comment")
+    SnapshotTable.append(spark, root, Seq((1L, 5L, "z")).toDF("g", "n", "comment"))
+    graft.meta.IncrementalView.refresh(spark, root, view)
+    val state = graft.meta.IncrementalView.read(spark, view)
+      .orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(state.toSeq == Seq((1L, 2L, 15L), (2L, 1L, 20L)))
+    // renaming a TRACKED column fails the next refresh LOUDLY (the
+    // spec's column no longer resolves) — never silent drift
+    SnapshotTable.renameColumn(spark, root, "n", "amount")
+    SnapshotTable.append(spark, root, Seq((2L, 7L, "w")).toDF("g", "amount", "comment"))
+    assert(scala.util.Try(
+      graft.meta.IncrementalView.refresh(spark, root, view)).isFailure)
+  }
+
   test("restore rolls metadata back WITH the data (schema, names, constraints)") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a", 5L)).toDF("id", "v", "n")) // v1

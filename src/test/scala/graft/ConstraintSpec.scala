@@ -109,6 +109,25 @@ class ConstraintSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).filter(col("n") < 0).count() == 0)
   }
 
+  test("violations(df): pre-flight dry run counts per rule, commits nothing") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, 5L)).toDF("id", "n"))
+    SnapshotTable.addConstraint(spark, root, "n_nonneg", "n >= 0")
+    SnapshotTable.addConstraint(spark, root, "id_present", "id IS NOT NULL")
+    val candidate = Seq((2L, 3L), (3L, -1L), (4L, -2L)).toDF("id", "n")
+    val report = SnapshotTable.violations(spark, root, candidate)
+    assert(report == Seq("n_nonneg" -> 2L, "id_present" -> 0L))
+    // the dry run committed nothing and enforced nothing
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2, 3))
+    assert(SnapshotTable.read(spark, root).count() == 1)
+    // a clean batch reports all-zero; an unconstrained table, empty
+    val clean = SnapshotTable.violations(spark, root, Seq((9L, 9L)).toDF("id", "n"))
+    assert(clean.forall(_._2 == 0L))
+    val root2 = tmp()
+    SnapshotTable.create(spark, root2, Seq((1L, 1L)).toDF("id", "n"))
+    assert(SnapshotTable.violations(spark, root2, candidate).isEmpty)
+  }
+
   test("restore rolls the constraint set back WITH the data (Delta RESTORE semantics)") {
     val root = tmp()
     // v1 holds a row a LATER rule would forbid; v2 cleans it up; v3
