@@ -1709,9 +1709,17 @@ object SnapshotTable {
     * zero-age vacuum in the streaming maintenance loops is safe only
     * under their single-writer, no-external-reader serialization —
     * both sites document it; SnapshotRaceSpec pins the failure mode.
-    * Returns the deleted relative paths. */
+    * Returns the deleted relative paths.
+    *
+    * `dryRun = true` returns what WOULD be deleted and touches
+    * NOTHING — the pre-flight an operator runs before an irreversible
+    * sweep (Delta's VACUUM DRY RUN): same liveness walk, same age
+    * cut, zero filesystem mutations. */
   def vacuum(spark: SparkSession, root: String,
-      minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
+      minAgeMs: Long = 60L * 60 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    def reap(p: Path, recursive: Boolean, f: FileSystem): Boolean =
+      dryRun || (try f.delete(p, recursive) catch { case _: Exception => false })
     val f = fs(spark, root)
     val liveVersions = versions(spark, root)
     val live = liveVersions.flatMap(v => readManifest(spark, root, v))
@@ -1734,7 +1742,7 @@ object SnapshotTable {
     if (f.exists(snapDir)) f.listStatus(snapDir).foreach { s =>
       val n = s.getPath.getName
       if (!n.matches("v\\d+\\.json") && !liveCkpt(n) &&
-        s.getModificationTime < cutoff && f.delete(s.getPath, false))
+        s.getModificationTime < cutoff && reap(s.getPath, false, f))
         deleted += s"$SnapshotDir/$n"
     }
     // deletion-vector sidecars: referenced as whole batch DIRS, so the
@@ -1747,7 +1755,7 @@ object SnapshotTable {
       if (!referencedDv.contains(rel) &&
         batch.getModificationTime < cutoff &&
         f.listStatus(batch.getPath).forall(_.getModificationTime < cutoff) &&
-        f.delete(batch.getPath, true))
+        reap(batch.getPath, true, f))
         deleted += rel
     }
     val dataDir = new Path(root, "data")
@@ -1760,12 +1768,13 @@ object SnapshotTable {
         .foreach { file =>
           val rel = s"data/${batch.getPath.getName}/${file.getPath.getName}"
           // count as reclaimed only what the filesystem confirms gone
+          // (dry run: report the candidate without touching it)
           if (!referenced.contains(rel) && file.getModificationTime < cutoff &&
-            f.delete(file.getPath, false))
+            reap(file.getPath, false, f))
             deleted += rel
         }
       val remaining = f.listStatus(batch.getPath)
-      if (!remaining.exists(_.getPath.getName.endsWith(".parquet")) &&
+      if (!dryRun && !remaining.exists(_.getPath.getName.endsWith(".parquet")) &&
         remaining.forall(_.getModificationTime < cutoff))
         f.delete(batch.getPath, true)
     }

@@ -82,6 +82,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versionAsOf(spark, root, t - 1).isEmpty)
   }
 
+  test("vacuum dryRun: reports exactly the real sweep's candidates, touches nothing") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    SnapshotTable.merge(spark, root, Seq((1L, "a2")).toDF("id", "v"), key = "id")
+    SnapshotTable.expireVersions(spark, root, keepLast = 1)
+    val wouldGo = SnapshotTable.vacuum(spark, root, minAgeMs = 0L, dryRun = true)
+    assert(wouldGo.nonEmpty, "v1's orphaned files must be sweep candidates")
+    // the dry run deleted NOTHING
+    wouldGo.foreach(rel => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root, rel)),
+      s"dry run must not delete $rel"))
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    // the real sweep reclaims exactly the reported set
+    val gone = SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
+    assert(gone.toSet == wouldGo.toSet,
+      s"real sweep ${gone.toSet} must equal the dry run's ${wouldGo.toSet}")
+    gone.foreach(rel => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(root, rel))))
+    assert(SnapshotTable.read(spark, root).count() == 2, "live table untouched")
+  }
+
   test("restoreAsOf: rollback addressed in time, loud on pre-table instants") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "good")).toDF("id", "v"))   // v1
