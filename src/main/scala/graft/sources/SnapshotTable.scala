@@ -1208,8 +1208,23 @@ object SnapshotTable {
     if (current.isEmpty) Map.empty
     else {
       val have = current.keySet.map(norm)
+      val taken = current.values.map(norm).toSet
       current ++ evolved.fields.filterNot(f => have.contains(norm(f.name)))
-        .map(f => f.name -> physFor(preWrite, f.name))
+        .map { f =>
+          val phys = physFor(preWrite, f.name)
+          // a new column's physical spelling colliding with a LIVE
+          // column's physical name would make two logical columns read
+          // one physical column — refuse loudly; the batch's files are
+          // already written under that spelling, so there is no safe
+          // remap here (the realistic race: a merge written before a
+          // concurrent rename/drop activated mapping, whose batch ALSO
+          // adds a column named like an existing physical column)
+          require(!taken.contains(norm(phys)),
+            s"merge batch adds column '${f.name}' whose physical spelling " +
+              s"'$phys' collides with a live column's physical name under " +
+              "the concurrently-changed column mapping — re-run the merge")
+          f.name -> phys
+        }
     }
 
   /** Compaction: rewrite the CURRENT snapshot into ~`targetFiles`

@@ -244,6 +244,24 @@ class ColumnMappingSpec extends SparkSpec {
     assert(SnapshotTable.currentColmap(spark, root)("w") == "v")
   }
 
+  test("rename chains: a logical name may take over another column's OLD name") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, 10L, 20L)).toDF("id", "a", "b"))
+    SnapshotTable.renameColumn(spark, root, "a", "x")  // x → physical a
+    SnapshotTable.renameColumn(spark, root, "b", "a")  // a → physical b (!)
+    val cm = SnapshotTable.currentColmap(spark, root)
+    assert(cm("x") == "a" && cm("a") == "b",
+      s"logical and physical namespaces are independent (got $cm)")
+    val row = SnapshotTable.read(spark, root).select("id", "x", "a").head()
+    assert((row.getLong(1), row.getLong(2)) == (10L, 20L),
+      "logical 'a' must now carry the OLD b's values, 'x' the old a's")
+    // writers under the twisted names land correctly
+    SnapshotTable.append(spark, root, Seq((2L, 11L, 21L)).toDF("id", "x", "a"))
+    val rows = SnapshotTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 10L, 20L), (2L, 11L, 21L)))
+  }
+
   test("blooms after a rename: built on the physical column, probed by the logical key") {
     val root = tmp()
     SnapshotTable.create(spark, root,
