@@ -1991,6 +1991,32 @@ object SnapshotTable {
       Pending(m.entries, newSch, m.statsKey, m.statsKey2, colmap = Some(cm))
     }
 
+  /** ADD a column — the declarative third of the DDL triad
+    * (add/rename/drop), likewise a ZERO-COPY metadata commit (op
+    * "addcol"): the new column null-fills in every existing file and
+    * starts accepting data on the next write, which is how a pipeline
+    * declares a column BEFORE its producer ships (schema-first,
+    * instead of the first carrying batch evolving the schema as a
+    * side effect). Under an active column mapping the new column gets
+    * a MINTED physical name — identical to evolution-by-append, so a
+    * previously DROPPED column of the same name can never resurrect.
+    * Refused when the name already exists (case-insensitive). */
+  def addColumn(spark: SparkSession, root: String,
+      name: String, dataType: org.apache.spark.sql.types.DataType): Int = {
+    require(name.nonEmpty && name.trim == name, s"invalid column name '$name'")
+    retrying(spark, root, op = "addcol") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val sch = schemaOf(spark, root, m)
+      require(!sch.fields.exists(f => norm(f.name) == norm(name)),
+        s"column '$name' already exists at $root")
+      val newSch = widened(org.apache.spark.sql.types.StructType(
+        sch.fields :+ org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true)))
+      Pending(m.entries, newSch, m.statsKey, m.statsKey2,
+        colmap = Some(evolveColmap(m.colmap, newSch)))
+    }
+  }
+
   /** Every CHECK constraint must still ANALYZE against the schema a
     * rename/drop would leave behind — the safe alternative to
     * rewriting constraint SQL (refuse loudly; the caller drops and

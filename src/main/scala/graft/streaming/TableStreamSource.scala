@@ -219,9 +219,9 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     val files = SnapshotTable.addedFiles(spark, root, from, version(end)).flatMap {
       case (_, "append" | "create", added) => added
       // row-preserving commits deliver nothing: layout ("compact") and
-      // metadata-only DDL ("rename"/"drop"/"constraint" — entries
-      // carried verbatim; this stream keeps its LOCKED column names)
-      case (_, "compact" | "rename" | "drop" | "constraint", _) => Seq.empty
+      // metadata-only DDL ("rename"/"drop"/"addcol"/"constraint" —
+      // entries carried verbatim; this stream keeps its LOCKED names)
+      case (_, "compact" | "rename" | "drop" | "addcol" | "constraint", _) => Seq.empty
       case _ if ignoreChanges => Nil
       case (v, op, _) =>
         throw new IllegalStateException(

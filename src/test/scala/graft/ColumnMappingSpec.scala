@@ -244,6 +244,33 @@ class ColumnMappingSpec extends SparkSpec {
     assert(SnapshotTable.currentColmap(spark, root)("w") == "v")
   }
 
+  test("addColumn: schema-first declaration, zero-copy, minted under mapping") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val before = dataFiles(root)
+    SnapshotTable.addColumn(spark, root, "score",
+      org.apache.spark.sql.types.LongType)
+    assert(dataFiles(root) == before, "addColumn must write no data file")
+    // existing rows null-fill; the next batch may carry it
+    val r1 = SnapshotTable.read(spark, root).head()
+    assert(r1.isNullAt(2))
+    SnapshotTable.append(spark, root, Seq((2L, "b", 9L)).toDF("id", "v", "score"))
+    assert(SnapshotTable.read(spark, root).filter(col("score") === 9L).count() == 1)
+    // duplicate declaration refused
+    assert(scala.util.Try(SnapshotTable.addColumn(spark, root, "SCORE",
+      org.apache.spark.sql.types.LongType)).isFailure)
+    // under an ACTIVE mapping (after a drop), add of the dropped name
+    // mints — the declarative path has the same resurrection defense
+    SnapshotTable.dropColumn(spark, root, "score")
+    SnapshotTable.addColumn(spark, root, "score",
+      org.apache.spark.sql.types.LongType)
+    val cm = SnapshotTable.currentColmap(spark, root)
+    assert(cm("score").startsWith("c_"),
+      s"re-declared dropped column must mint a fresh physical name (got $cm)")
+    assert(SnapshotTable.read(spark, root).filter(col("score").isNotNull).count() == 0,
+      "the dropped column's bytes must not resurrect through addColumn")
+  }
+
   test("rename chains: a logical name may take over another column's OLD name") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, 10L, 20L)).toDF("id", "a", "b"))
