@@ -2042,6 +2042,14 @@ object SnapshotTable {
     versions(spark, root).lastOption
       .map(v => manifestFull(spark, root, v).colmap).getOrElse(Map.empty)
 
+  /** Version `v`'s logical→physical map (empty = identity). */
+  private[graft] def colmapAt(spark: SparkSession, root: String, v: Int): Map[String, String] =
+    manifestFull(spark, root, v).colmap
+
+  /** [[physFor]] for cross-package consumers (the streaming source). */
+  private[graft] def physNameFor(cm: Map[String, String], logical: String): String =
+    physFor(cm, logical)
+
   /** Read raw data `files` under logical `sch` through `colmap` — the
     * streaming source's file-level batch read ([[addedFiles]] feeds
     * it absolute paths; appended files hold exactly the commit's new

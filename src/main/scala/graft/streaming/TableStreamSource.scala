@@ -211,10 +211,29 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     if (changeFeed) {
       // the CDC form: every op delivers its row-level diff, with the
       // locked column set (a mid-stream evolution widens readChanges'
-      // frame; selecting the locked fields keeps the consumer's shape)
-      val cs = SnapshotTable.readChanges(spark, root, from, Some(version(end)))
-      return org.apache.spark.sql.graftbridge.Bridge.asStreaming(spark,
-        cs.select(schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*))
+      // frame; selecting the locked fields keeps the consumer's shape).
+      // A mid-stream RENAME is survived through the PHYSICAL names:
+      // readChanges emits the window-end version's logical names, so
+      // each locked field resolves locked-logical → physical (locked
+      // map) → end-version logical (end map) and aliases back — the
+      // consumer keeps its locked shape across the rename. A column
+      // genuinely DROPPED in the window still fails loudly (it has no
+      // end-version name), never silently null-fills.
+      val endV = version(end)
+      val cs = SnapshotTable.readChanges(spark, root, from, Some(endV))
+      val endCm = SnapshotTable.colmapAt(spark, root, endV)
+      val cols = schema.fieldNames.toSeq.map { n =>
+        if (n == "_commit_version" || n == "_change_type")
+          org.apache.spark.sql.functions.col(n)
+        else {
+          val phys = SnapshotTable.physNameFor(colmap, n)
+          val endLogical = endCm.collectFirst {
+            case (l, p) if p == phys => l
+          }.getOrElse(n)
+          org.apache.spark.sql.functions.col(endLogical).as(n)
+        }
+      }
+      return org.apache.spark.sql.graftbridge.Bridge.asStreaming(spark, cs.select(cols: _*))
     }
     val files = SnapshotTable.addedFiles(spark, root, from, version(end)).flatMap {
       case (_, "append" | "create", added) => added

@@ -211,6 +211,37 @@ class ColumnMappingSpec extends SparkSpec {
       s"locked-colmap stream must deliver both eras' rows under 'body' (got $got)")
   }
 
+  test("changeFeed stream with a pre-rename locked shape spans the rename") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val root = tmp(); val out = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))      // v1
+    SnapshotTable.renameColumn(spark, root, "v", "body")                    // v2
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("id", "body"))    // v3
+    // the consumer LOCKS the pre-rename shape explicitly (a CDC
+    // subscriber whose schema was fixed before the DDL): each locked
+    // field resolves through physical identity to the window-end name
+    // and aliases back, so the stream delivers — not crashes — across
+    // the rename; both eras' inserts arrive under the locked name 'v'
+    val locked = StructType(Seq(
+      StructField("_commit_version", IntegerType, nullable = false),
+      StructField("_change_type", StringType, nullable = false),
+      StructField("id", LongType), StructField("v", StringType)))
+    val q = spark.readStream.format("graft-table").schema(locked)
+      .option("path", root).option("changeFeed", "true").load()
+      .writeStream.format("parquet").option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$out/sink")
+    assert(got.columns.toSeq == locked.fieldNames.toSeq,
+      "the consumer keeps its LOCKED shape across the rename")
+    val rows = got.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq((1, "insert", 1L, "a"), (3, "insert", 2L, "b")),
+      s"both eras' inserts deliver under the locked name 'v' (got ${rows.toSeq})")
+  }
+
   test("schema evolution after activation mints physical names (manifest-level)") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
