@@ -1669,7 +1669,8 @@ object SnapshotTable {
       totalBytes: Long, smallFiles: Int, nRows: Long,
       statsKey: Option[String], statsKey2: Option[String],
       dvFiles: Int = 0, dvRows: Long = 0L,
-      chainDepth: Int = 0, nConstraints: Int = 0)
+      chainDepth: Int = 0, nConstraints: Int = 0,
+      mappedColumns: Int = 0)
 
   def describeDetail(spark: SparkSession, root: String,
       smallBytes: Long = 0L): TableDetail = {
@@ -1701,7 +1702,9 @@ object SnapshotTable {
       // rewrite-most commit resets it to 0), and the live CHECK rule
       // count — both zero-cost here, both maintenance-relevant
       chainDepth = m.depth,
-      nConstraints = m.constraints.size)
+      nConstraints = m.constraints.size,
+      // 0 = mapping inactive (logical names ARE the physical ones)
+      mappedColumns = m.colmap.size)
   }
 
   /** Garbage-collect files referenced by NO live manifest — leftovers

@@ -273,6 +273,8 @@ class ColumnMappingSpec extends SparkSpec {
     SnapshotTable.renameColumn(spark, root, hostile, "w")
     assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "w"))
     assert(SnapshotTable.currentColmap(spark, root)("w") == "v")
+    // the operator surface reports the active mapping's size
+    assert(SnapshotTable.describeDetail(spark, root).mappedColumns == 2)
   }
 
   test("addColumn: schema-first declaration, zero-copy, minted under mapping") {
