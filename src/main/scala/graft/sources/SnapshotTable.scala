@@ -284,7 +284,8 @@ object SnapshotTable {
       base: Option[Int] = None,
       depth: Int = 0,
       constraints: Seq[(String, String)] = Seq.empty,
-      colmap: Map[String, String] = Map.empty)
+      colmap: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -385,8 +386,14 @@ object SnapshotTable {
       (new String(java.util.Base64.getDecoder.decode(lg), "UTF-8"),
         new String(java.util.Base64.getDecoder.decode(ph), "UTF-8"))
     }.toMap
+    // X-lines: logical names retired by a rename (tombstones)
+    val retired = body0.filter(_.startsWith(RetiredPrefix)).map { l =>
+      new String(java.util.Base64.getDecoder.decode(
+        l.drop(RetiredPrefix.length)), "UTF-8")
+    }.toSet
     val body = body0.filterNot(l =>
-      l.startsWith(ConstraintPrefix) || l.startsWith(ColmapPrefix))
+      l.startsWith(ConstraintPrefix) || l.startsWith(ColmapPrefix) ||
+        l.startsWith(RetiredPrefix))
     val listed = body.filterNot(_.startsWith(RemovalPrefix)).map(parseEntry)
     // DELTA resolution (format 8): the listed entries are this commit's
     // adds/changes; entries carried from the base keep the base's order
@@ -401,7 +408,7 @@ object SnapshotTable {
         resolveDelta(manifestFull(spark, root, b).entries, listed, removed)
     }
     val m = Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth,
-      constraints, colmap)
+      constraints, colmap, retired)
     if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
     manifestCache.put(p.toString, (st.getModificationTime, st.getLen, m))
     m
@@ -429,6 +436,16 @@ object SnapshotTable {
     * version state, small and never inherited through a base chain.
     * An absent map means identity (mapping not yet activated). */
   private val ColmapPrefix = "M!"
+
+  /** Line prefix for one RETIRED logical name (format 9): `X!` then
+    * base64(name). A rename RETIRES its old name — the realistic DDL
+    * race is a stale producer still appending under it, which without
+    * the tombstone would silently FORK the column (the batch's old
+    * name reads as a brand-new column; data lands beside, not in, the
+    * renamed one). Writers refuse batches that would implicitly
+    * re-introduce a retired name; [[addColumn]] re-opens it
+    * deliberately. Same carry-in-full policy as the map. */
+  private val RetiredPrefix = "X!"
 
   /** PURE half of delta resolution: the base's entries minus everything
     * this commit removed or relisted, in base order, then the listed
@@ -462,6 +479,12 @@ object SnapshotTable {
       s"$ConstraintPrefix${b64.encodeToString(n.getBytes("UTF-8"))}\t${
         b64.encodeToString(e.getBytes("UTF-8"))}"
     }
+  }
+
+  private def retiredLines(rs: Set[String]): Seq[String] = {
+    val b64 = java.util.Base64.getEncoder.withoutPadding
+    rs.toSeq.sorted.map(n =>
+      s"$RetiredPrefix${b64.encodeToString(n.getBytes("UTF-8"))}")
   }
 
   /** Sorted for a deterministic manifest body (maps have no order). */
@@ -780,7 +803,8 @@ object SnapshotTable {
       op: String, statsKey: Option[String], statsKey2: Option[String],
       txnBatchId: Option[Long] = None,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      colmapOverride: Option[Map[String, String]] = None): Int = {
+      colmapOverride: Option[Map[String, String]] = None,
+      retiredOverride: Option[Set[String]] = None): Int = {
     val v = expected + 1
     // header (format revision + version + operation + stats identity),
     // then the version's SCHEMA (S-prefixed json line): every version
@@ -812,6 +836,8 @@ object SnapshotTable {
     // verbatim unless this commit changes it (rename/drop/evolution)
     val effColmap =
       colmapOverride.orElse(parent.map(_.colmap)).getOrElse(Map.empty[String, String])
+    val effRetired =
+      retiredOverride.orElse(parent.map(_.retired)).getOrElse(Set.empty[String])
     val delta: Option[(Int, Seq[String])] =
       parent.flatMap { pm =>
         if (pm.depth >= MaxChainDepth) None
@@ -825,7 +851,8 @@ object SnapshotTable {
       delta.map { case (d, _) => s""","base":$expected,"depth":$d""" }.getOrElse("") + "}"
     val entryLines = delta.map(_._2).getOrElse(files.map(_.render))
     val body = ((header +: s"S${schema.json}" +:
-      (constraintLines(effConstraints) ++ colmapLines(effColmap))) ++
+      (constraintLines(effConstraints) ++ colmapLines(effColmap) ++
+        retiredLines(effRetired))) ++
       entryLines).mkString("\n")
     val p = manifestPath(root, v)
     val scheme = p.toUri.getScheme
@@ -914,6 +941,26 @@ object SnapshotTable {
       case _ => None
     }
   }
+
+  /** Refuse a batch that would IMPLICITLY re-introduce a name a
+    * rename retired: the realistic race is a producer that hasn't
+    * caught up with the DDL — without this, its data forks into a
+    * brand-new column beside the renamed one (silent schema
+    * pollution). Only genuinely-new batch columns count (a live
+    * column's name is never retired); [[addColumn]] is the deliberate
+    * re-introduction path. */
+  private def requireNoRetired(m: Manifest,
+      table: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType): Unit =
+    if (m.retired.nonEmpty) {
+      val live = table.fieldNames.map(norm).toSet
+      val hits = batch.fieldNames.filter(n =>
+        !live.contains(norm(n)) && m.retired.exists(r => norm(r) == norm(n)))
+      require(hits.isEmpty,
+        s"batch column(s) ${hits.mkString(", ")} were retired by a rename — " +
+          "update the producer to the renamed column(s), or re-introduce " +
+          "the name deliberately with addColumn")
+    }
 
   /** Union of table and batch schemas by top-level column name
     * (case-insensitive, matching Spark's resolution): table columns
@@ -1066,7 +1113,9 @@ object SnapshotTable {
     var written: Seq[FileEntry] = Seq.empty
     try Some(retrying(spark, root, op = "append") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
-      val evolved = evolveSchema(schemaOf(spark, root, m), df.schema, allowWiden)
+      val tableSch = schemaOf(spark, root, m)
+      requireNoRetired(m, tableSch, df.schema)
+      val evolved = evolveSchema(tableSch, df.schema, allowWiden)
       val (effKey, effKey2, fixCarried) = resolveStatsKeys(m, statsKey, statsKey2)
       // an ACTIVE column map extends with minted physical names for
       // any genuinely new batch columns (inactive stays inactive)
@@ -1144,6 +1193,7 @@ object SnapshotTable {
     retrying(spark, root, op = "merge") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
+      requireNoRetired(m, tableSchema, updates.schema)
       val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
       val effCm = reconcileColmap(m.colmap, cmAtStart, evolved)
       // the update batch was written before this loop, so constraints
@@ -1618,7 +1668,8 @@ object SnapshotTable {
       m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
     val schemaLine = m.schema.map(s => s"S${s.json}").toSeq
     val body = ((header +: schemaLine) ++ constraintLines(m.constraints) ++
-      colmapLines(m.colmap) ++ m.entries.map(_.render)).mkString("\n")
+      colmapLines(m.colmap) ++ retiredLines(m.retired) ++
+      m.entries.map(_.render)).mkString("\n")
     val p = checkpointPath(root, v)
     val scheme = p.toUri.getScheme
     val publisher: CommitPublisher =
@@ -1807,7 +1858,8 @@ object SnapshotTable {
       statsKey: Option[String], statsKey2: Option[String],
       txnBatchId: Option[Long] = None,
       constraints: Option[Seq[(String, String)]] = None,
-      colmap: Option[Map[String, String]] = None)
+      colmap: Option[Map[String, String]] = None,
+      retired: Option[Set[String]] = None)
 
   /** Optimistic-concurrency loop: build the file list + schema against
     * the latest version, try to commit latest+1; on a lost race,
@@ -1821,7 +1873,8 @@ object SnapshotTable {
         throw new IllegalStateException(s"no table at $root"))
       val p = build(latest)
       try return commit(spark, root, p.files, p.schema, latest, op,
-        p.statsKey, p.statsKey2, p.txnBatchId, p.constraints, p.colmap)
+        p.statsKey, p.statsKey2, p.txnBatchId, p.constraints, p.colmap,
+        p.retired)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1
@@ -1903,7 +1956,8 @@ object SnapshotTable {
       Pending(target.entries, schemaOf(spark, root, target),
         target.statsKey, target.statsKey2,
         constraints = Some(target.constraints),
-        colmap = Some(target.colmap))
+        colmap = Some(target.colmap),
+        retired = Some(target.retired))
     }
   }
 
@@ -1962,7 +2016,10 @@ object SnapshotTable {
       val cm = cm0.filterNot { case (l, _) => norm(l) == norm(fld.name) } + (to -> phys)
       val k1 = m.statsKey.map(k => if (norm(k) == norm(from)) to else k)
       val k2 = m.statsKey2.map(k => if (norm(k) == norm(from)) to else k)
-      Pending(m.entries, newSch, k1, k2, colmap = Some(cm))
+      // the old name is RETIRED (stale producers refuse instead of
+      // forking the column); taking a retired name makes it live again
+      val rt = m.retired.filterNot(r => norm(r) == norm(to)) + fld.name
+      Pending(m.entries, newSch, k1, k2, colmap = Some(cm), retired = Some(rt))
     }
   }
 
@@ -2015,8 +2072,12 @@ object SnapshotTable {
       val newSch = widened(org.apache.spark.sql.types.StructType(
         sch.fields :+ org.apache.spark.sql.types.StructField(name, dataType,
           nullable = true)))
+      // the EXPLICIT path re-opens a name a rename retired — that is
+      // the deliberate-reintroduction escape hatch the tombstone's
+      // writer refusal points at
       Pending(m.entries, newSch, m.statsKey, m.statsKey2,
-        colmap = Some(evolveColmap(m.colmap, newSch)))
+        colmap = Some(evolveColmap(m.colmap, newSch)),
+        retired = Some(m.retired.filterNot(r => norm(r) == norm(name))))
     }
   }
 
@@ -2819,6 +2880,7 @@ object SnapshotTable {
     retrying(spark, root, op = "merge") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
+      requireNoRetired(m, tableSchema, updates.schema)
       val evolved = evolveSchema(tableSchema, updates.schema, allowWiden)
       val effCm = reconcileColmap(m.colmap, cmAtStart, evolved)
       // same enforcement as copy-on-write merge: batch written before

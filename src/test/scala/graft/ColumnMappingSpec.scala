@@ -304,6 +304,32 @@ class ColumnMappingSpec extends SparkSpec {
       "the dropped column's bytes must not resurrect through addColumn")
   }
 
+  test("rename tombstones: a stale producer's old-name batch refuses; addColumn re-opens") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.renameColumn(spark, root, "v", "body")
+    // the realistic race: a producer that hasn't caught up with the
+    // DDL still ships the OLD name — without the tombstone its data
+    // would silently fork into a brand-new column beside the renamed
+    // one; with it, both write paths refuse loudly, nothing commits
+    assert(scala.util.Try(SnapshotTable.append(spark, root,
+      Seq((2L, "stale")).toDF("id", "v"))).isFailure)
+    assert(scala.util.Try(SnapshotTable.merge(spark, root,
+      Seq((1L, "stale")).toDF("id", "v"), key = "id")).isFailure)
+    assert(SnapshotTable.versions(spark, root) == Seq(1, 2))
+    assert(SnapshotTable.read(spark, root).count() == 1)
+    // the DELIBERATE path re-opens the name as a fresh column
+    SnapshotTable.addColumn(spark, root, "v",
+      org.apache.spark.sql.types.StringType)
+    SnapshotTable.append(spark, root,
+      Seq((2L, "b2", "v2")).toDF("id", "body", "v"))
+    val rows = SnapshotTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "a", null), (2L, "b2", "v2")),
+      s"re-opened 'v' is a FRESH column — old rows null-fill (got ${rows.toSeq})")
+  }
+
   test("rename chains: a logical name may take over another column's OLD name") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, 10L, 20L)).toDF("id", "a", "b"))
