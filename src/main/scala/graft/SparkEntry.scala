@@ -2404,24 +2404,24 @@ object SparkEntry {
     snap.renameColumn(s, root, "doc_id", "document_id")                // v2
     snap.dropColumn(s, root, "lang")                                   // v3
     val zeroCopy = dataFiles() == before
-    // pruning proof on the RENAMED key, from the executed plan itself
-    val probeId = docs.filter(col("doc_id") < 400L).agg(min(col("doc_id"))).head().getLong(0)
-    val probe = snap.readIndexed(s, root, "document_id")
-      .filter(col("document_id") === probeId)
-    probe.collect() // execute THIS QueryExecution (the DPP-gate gotcha)
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case qs: QueryStageExec => scans(qs.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
+    // pruning proof on the RENAMED key, from the executed plan itself.
+    // Degenerate layouts prove nothing and pass trivially (robust to
+    // sparse/edge corpora, like the sibling gates' hardening): an
+    // empty sub-400 slice has no key to probe, and a ≤1-file table
+    // has nothing to prune.
+    val minRow = docs.filter(col("doc_id") < 400L).agg(min(col("doc_id"))).head()
     val nTableFiles = before.size
-    val pruned = scans(probe.queryExecution.executedPlan) match {
-      case Nil => false
-      case ss => ss.map(_.metrics("numFiles").value).max == 1 && nTableFiles > 1
-    }
+    val pruned =
+      if (minRow.isNullAt(0) || nTableFiles <= 1) true
+      else {
+        val probe = snap.readIndexed(s, root, "document_id")
+          .filter(col("document_id") === minRow.getLong(0))
+        probe.collect() // execute THIS QueryExecution (the DPP-gate gotcha)
+        graft.PlanWalk.fileScans(probe) match {
+          case Nil => false
+          case ss => ss.map(_.metrics("numFiles").value).max == 1
+        }
+      }
     // each version reads under ITS OWN recorded names
     val namesTravel =
       snap.read(s, root, Some(1)).columns.toSeq == Seq("doc_id", "n_chars", "lang") &&
@@ -2770,19 +2770,10 @@ object SparkEntry {
     // separate derived query, leaving q's own scan metrics at zero)
     q.collect()
     // physical proof from the executed plan: the fact scan read only
-    // the pruned partition's files, via a dynamicpruning subquery.
-    // AQE clones stage plans — recurse into QueryStageExec.plan, not
-    // children, to reach the nodes that actually ran
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case qs: QueryStageExec => qs +: nodes(qs.plan)
-      case other => other +: other.children.flatMap(nodes)
-    }
-    val factScan = nodes(q.queryExecution.executedPlan)
-      .collectFirst { case f: FileSourceScanExec
-        if f.relation.location.rootPaths.exists(_.toString.contains("fact")) => f }
+    // the pruned partition's files, via a dynamicpruning subquery
+    // (AQE stage descent lives in the shared graft.PlanWalk)
+    val factScan = graft.PlanWalk.fileScans(q)
+      .find(f => f.relation.location.rootPaths.exists(_.toString.contains("fact")))
     // static file count straight from the layout (inputFiles ignores
     // filters — the recorded gotcha — so walk the directory)
     def parquetsUnder(p: String): Int = {

@@ -53,7 +53,12 @@ object PageRank {
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      // cut the lineage each round: the plan stays depth-constant
+      // cut the lineage each round: the plan stays depth-constant.
+      // Superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once their Dataset refs drop out of this loop
+      // (same discipline as ConnectedComponents.labelPropagation) —
+      // peak residency is O(active rounds awaiting GC), not O(iters)
+      // pinned forever.
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("coalesce(in_mass, cast(0 as bigint)) * 17 div 20")).as("r"))

@@ -149,12 +149,52 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
 
   // locked alongside the schema: data files spell PHYSICAL names
   // (format 9 column mapping), and physical names are immutable from
-  // mint to vacuum — so the map captured at source creation addresses
+  // mint to vacuum — so the map captured at FIRST start addresses
   // every file this stream will ever read, even across a mid-stream
   // rename (the locked logical names keep their physical spelling; a
   // column dropped and re-added mid-stream is a DIFFERENT column and
-  // correctly null-fills under the locked map)
-  private val colmap: Map[String, String] = SnapshotTable.currentColmap(spark, root)
+  // correctly null-fills under the locked map). The lock must SURVIVE
+  // RESTARTS: a restarted query re-creates the source, and re-deriving
+  // the map from the table HEAD would silently null-fill any column
+  // renamed since the first start (the locked name no longer keys the
+  // head's map). So the first start persists the map next to the
+  // checkpoint (create-if-absent, like the pacing markers) and every
+  // restart reads it back; only checkpoint-less direct constructions
+  // fall back to the head's map.
+  private val colmap: Map[String, String] = {
+    val fromCheckpoint = metadataPath.flatMap { mp =>
+      val file = new org.apache.hadoop.fs.Path(mp, "graft-colmap")
+      val f = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def parse(): Map[String, String] = {
+        val in = f.open(file)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(lg, ph) = l.split("\t", 2)
+          (new String(java.util.Base64.getDecoder.decode(lg), "UTF-8"),
+            new String(java.util.Base64.getDecoder.decode(ph), "UTF-8"))
+        }.toMap
+      }
+      if (f.exists(file)) Some(parse())
+      else {
+        val cm = SnapshotTable.currentColmap(spark, root)
+        val b64 = java.util.Base64.getEncoder.withoutPadding
+        val body = cm.toSeq.sortBy(_._1).map { case (l, p) =>
+          s"${b64.encodeToString(l.getBytes("UTF-8"))}\t${
+            b64.encodeToString(p.getBytes("UTF-8"))}"
+        }.mkString("\n")
+        try {
+          f.mkdirs(new org.apache.hadoop.fs.Path(mp))
+          val out = f.create(file, false) // atomic claim; losers re-read
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          Some(cm)
+        } catch { case _: java.io.IOException =>
+          if (f.exists(file)) Some(parse()) else Some(cm)
+        }
+      }
+    }
+    fromCheckpoint.getOrElse(SnapshotTable.currentColmap(spark, root))
+  }
 
   // ---- pacing state (used only when maxVersionsPerTrigger > 0) ----
   private lazy val paceDir: Option[org.apache.hadoop.fs.Path] =

@@ -54,22 +54,29 @@ object QualityClassifier {
       g => pmod(xxhash64(g), lit(dim.toLong)).cast("int"))
   }
 
-  /** w·x + b with the weight vector as a BROADCAST, consumed by a
-    * deterministic scalar fn — the plan carries a handle, not `dim`
+  /** w·x + b against an already-broadcast weight vector, consumed by
+    * a deterministic scalar fn — the plan carries a handle, not `dim`
     * doubles (a `typedLit` embeds the whole vector into every epoch's
     * serialized plan and its codegen; at dim 65536 that is ~0.5 MB of
     * literal per plan for zero benefit). The fold runs in array order,
     * exactly like the `aggregate` form it replaces, so decisions are
-    * bit-identical. */
-  private def dot(spark: SparkSession, feat: Column, m: Model): Column = {
-    val bw = spark.sparkContext.broadcast(m.w)
+    * bit-identical; a NULL feature array yields NULL, also exactly
+    * like `aggregate` (null text must surface as an unscored row,
+    * never a task-killing NPE). Broadcast lifecycle is the CALLER's:
+    * [[train]] destroys each epoch's broadcast once its job has
+    * collected; [[score]]'s lives as long as its lazy frame may run. */
+  private def dotWith(bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      feat: Column, bias: Double): Column = {
     val dotFn = udf { idxs: Seq[Int] =>
-      val w = bw.value
-      var s = 0.0
-      idxs.foreach(i => s += w(i))
-      s
+      if (idxs == null) None
+      else {
+        val w = bw.value
+        var s = 0.0
+        idxs.foreach(i => s += w(i))
+        Some(s)
+      }
     }
-    dotFn(feat) + lit(m.bias)
+    dotFn(feat) + lit(bias)
   }
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
@@ -84,28 +91,36 @@ object QualityClassifier {
     require(n > 0, "cannot train on an empty corpus")
     var m = Model(dim, new Array[Double](dim), 0.0)
     for (_ <- 1 to epochs) {
-      val resid = (sigmoid(dot(spark, col("feat"), m)) - col("y")).as("r")
-      // sentinel −1 carries the bias gradient through the SAME
-      // aggregation as the feature gradients: one job per epoch
-      val g = feats.select(resid,
-          explode(concat(array(lit(-1)), col("feat"))).as("j"))
-        .groupBy(col("j")).agg(sum(col("r")).as("g"))
-        .as[(Int, Double)].collect()
-      val w = m.w.clone()
-      var b = m.bias
-      g.foreach { case (j, gj) =>
-        if (j < 0) b -= lr * gj / n else w(j) -= lr * gj / n
-      }
-      m = Model(dim, w, b)
+      val bw = spark.sparkContext.broadcast(m.w)
+      try {
+        val resid = (sigmoid(dotWith(bw, col("feat"), m.bias)) - col("y")).as("r")
+        // sentinel −1 carries the bias gradient through the SAME
+        // aggregation as the feature gradients: one job per epoch
+        val g = feats.select(resid,
+            explode(concat(array(lit(-1)), col("feat"))).as("j"))
+          .groupBy(col("j")).agg(sum(col("r")).as("g"))
+          .as[(Int, Double)].collect()
+        val w = m.w.clone()
+        var b = m.bias
+        g.foreach { case (j, gj) =>
+          if (j < 0) b -= lr * gj / n else w(j) -= lr * gj / n
+        }
+        m = Model(dim, w, b)
+      } finally bw.destroy() // the epoch's job has collected — no leak
     }
     m
   }
 
   /** Map-side inference: adds `p` (probability) and `pred` (≥ 0.5) to
     * a featurized frame. Model rides a broadcast — no join, no
-    * shuffle, no dim-sized plan literal. */
+    * shuffle, no dim-sized plan literal. The broadcast stays alive
+    * with the returned LAZY frame (one dim-sized block per score()
+    * call, reclaimed by the ContextCleaner once the frame is
+    * unreachable — never destroyed eagerly, which would break a
+    * not-yet-executed plan). */
   def score(feats: DataFrame, m: Model): DataFrame = {
-    val p = sigmoid(dot(feats.sparkSession, col("feat"), m))
+    val bw = feats.sparkSession.sparkContext.broadcast(m.w)
+    val p = sigmoid(dotWith(bw, col("feat"), m.bias))
     feats.withColumn("p", p).withColumn("pred", col("p") >= 0.5)
   }
 }

@@ -42,17 +42,8 @@ class ColumnMappingSpec extends SparkSpec {
       statsKey = Some("id"))
 
   private def fileScans(df: org.apache.spark.sql.DataFrame):
-      Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    def scans(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan)
-  }
+      Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    graft.PlanWalk.fileScans(df)
 
   test("rename is zero-copy and every version time-travels under its own names") {
     val root = tmp()
@@ -209,6 +200,36 @@ class ColumnMappingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "a"), (2L, "b")),
       s"locked-colmap stream must deliver both eras' rows under 'body' (got $got)")
+  }
+
+  test("stream restart after a FURTHER rename: the locked colmap survives via the checkpoint") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmp(); val out = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))   // v1
+    SnapshotTable.renameColumn(spark, root, "v", "body")                 // v2: map {body→v}
+    // the consumer locks (id, body) — a POST-activation name
+    val locked = StructType(Seq(StructField("id", LongType),
+      StructField("body", StringType)))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table").schema(locked)
+        .option("path", root).load()
+        .writeStream.format("parquet").option("path", s"$out/sink")
+        .option("checkpointLocation", s"$out/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // first start: persists the {body→v} lock next to the checkpoint
+    // a FURTHER rename removes 'body' from the table head's map — a
+    // restarted source re-deriving the map from the head would read a
+    // nonexistent physical column and silently null-fill the data
+    SnapshotTable.renameColumn(spark, root, "body", "w")                 // v3
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("id", "w"))    // v4
+    drain() // restart: the persisted lock must still address physical 'v'
+    val got = spark.read.parquet(s"$out/sink").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")),
+      s"the restarted stream must read both eras' values, never nulls (got ${got.toSeq})")
   }
 
   test("changeFeed stream with a pre-rename locked shape spans the rename") {

@@ -60,6 +60,22 @@ class QualityClassifierSpec extends SparkSpec {
     } finally feats.unpersist()
   }
 
+  test("NULL text surfaces as an unscored row, never a task-killing NPE") {
+    val docs = Seq((1L, 1.0, "qualmark good"), (2L, 0.0, "junkmark bad"),
+      (3L, 1.0, null.asInstanceOf[String])).toDF("doc_id", "y", "t")
+    val feats = docs.select(col("doc_id"), col("y"),
+      QualityClassifier.featurize(col("t"), 64).as("feat"))
+    // training over a frame with a NULL feature array completes (the
+    // null row contributes no gradient), and scoring yields NULL p —
+    // the same propagation the old aggregate() form had
+    val m = QualityClassifier.train(spark,
+      feats.filter(col("feat").isNotNull), dim = 64, epochs = 2)
+    val scored = QualityClassifier.score(feats, m)
+      .orderBy("doc_id").select("p").collect()
+    assert(!scored(0).isNullAt(0) && !scored(1).isNullAt(0))
+    assert(scored(2).isNullAt(0), "null text must score as NULL, not crash")
+  }
+
   test("bias sentinel learns the class prior on featureless rows") {
     // no features at all: only the bias can move, via the -1 sentinel
     val feats = Seq.fill(8)((Seq.empty[Int], 1.0)).toDF("feat", "y")
