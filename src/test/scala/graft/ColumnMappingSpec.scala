@@ -415,6 +415,122 @@ class ColumnMappingSpec extends SparkSpec {
       graft.meta.IncrementalView.refresh(spark, root, view)).isFailure)
   }
 
+  test("randomized DDL lifecycle equals the in-memory model at every version") {
+    // the model-equivalence harness the delta-manifest table already
+    // has, applied to COLUMN MAPPING: a seeded random interleaving of
+    // renames, drops, adds, appends, merges, compactions, and stale
+    // old-name appends, checked against a trivial in-memory model
+    // after EVERY op and time-travel-checked against recorded
+    // snapshots at the end. Any translation bug — wrong physical
+    // column under a mapped name, resurrection after drop, a lost
+    // rename on a write path, tombstone leak — diverges from the
+    // model and names the op index that broke it.
+    val root = tmp()
+    val rnd = new scala.util.Random(4242)
+    // model: live value-columns in order; rows: id -> (colName -> value)
+    var cols = Vector("c0", "c1")
+    var rows = Map[Long, Map[String, Long]](
+      1L -> Map("c0" -> 10L, "c1" -> 100L), 2L -> Map("c0" -> 20L, "c1" -> 200L))
+    var retired = Set[String]()
+    var nextCol = 2
+    var nextId = 3L
+    def frame(ids: Seq[Long], vals: Map[Long, Map[String, Long]]) = {
+      val sch = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val data = ids.map(i => org.apache.spark.sql.Row.fromSeq(
+        i +: cols.map(c => vals(i).get(c).map(Long.box).orNull)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), sch)
+    }
+    SnapshotTable.create(spark, root, frame(rows.keys.toSeq.sorted, rows),
+      statsKey = Some("id"))
+    def check(opIdx: Int, op: String): Unit = {
+      val df = SnapshotTable.read(spark, root)
+      assert(df.columns.toSeq == ("id" +: cols),
+        s"op #$opIdx ($op): schema ${df.columns.toSeq} != model ${"id" +: cols}")
+      val got = df.collect().map { r =>
+        r.getLong(0) -> cols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(i + 1)) None else Some(c -> r.getLong(i + 1))
+        }.toMap
+      }.toMap
+      assert(got == rows, s"op #$opIdx ($op): table $got != model $rows")
+    }
+    val snapshots = scala.collection.mutable.ArrayBuffer[(Int, Vector[String], Map[Long, Map[String, Long]])]()
+    (1 to 40).foreach { i =>
+      val op = rnd.nextInt(8) match {
+        case 0 | 1 => // append fresh rows (current names)
+          val ids = (0 until 1 + rnd.nextInt(3)).map(_ => { val x = nextId; nextId += 1; x })
+          val add = ids.map(id => id -> cols.map(c => c -> (id * 7 + c.length)).toMap).toMap
+          rows ++= add
+          SnapshotTable.append(spark, root, frame(ids, add)); "append"
+        case 2 => // rename a random column
+          val from = cols(rnd.nextInt(cols.size))
+          val to = s"c$nextCol"; nextCol += 1
+          cols = cols.map(c => if (c == from) to else c)
+          rows = rows.view.mapValues(m =>
+            m.map { case (k, v) => (if (k == from) to else k) -> v }).toMap
+          retired = retired - to + from
+          SnapshotTable.renameColumn(spark, root, from, to); s"rename $from->$to"
+        case 3 if cols.size > 1 => // drop a random column
+          val victim = cols(rnd.nextInt(cols.size))
+          cols = cols.filterNot(_ == victim)
+          rows = rows.view.mapValues(_ - victim).toMap
+          SnapshotTable.dropColumn(spark, root, victim); s"drop $victim"
+        case 4 => // add a column — half the time a RETIRED name (un-retire)
+          val name = if (retired.nonEmpty && rnd.nextBoolean()) retired.head
+                     else { val n = s"c$nextCol"; nextCol += 1; n }
+          retired -= name
+          cols = cols :+ name
+          SnapshotTable.addColumn(spark, root, name,
+            org.apache.spark.sql.types.LongType); s"add $name"
+        case 5 => // merge: rewrite a random live id under current names
+          val id = rows.keys.toSeq.sorted.apply(rnd.nextInt(rows.size))
+          val upd = Map(id -> cols.map(c => c -> (id * 13 + c.length)).toMap)
+          rows ++= upd
+          SnapshotTable.merge(spark, root, frame(Seq(id), upd), key = "id"); s"merge $id"
+        case 6 => // compact (row-preserving; model unchanged)
+          SnapshotTable.compact(spark, root, targetFiles = 2,
+            cluster = true); "compact"
+        case _ => // stale producer: a retired-name batch must REFUSE
+          if (retired.nonEmpty) {
+            val stale = retired.head
+            val before = SnapshotTable.versions(spark, root).size
+            val sch = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField(stale,
+                org.apache.spark.sql.types.LongType, nullable = true)))
+            val bad = spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(
+                  Seq(org.apache.spark.sql.Row(999999L, Long.box(1L)))).asJava), sch)
+            assert(scala.util.Try(SnapshotTable.append(spark, root, bad)).isFailure,
+              s"op #$i: stale append under retired '$stale' must refuse")
+            assert(SnapshotTable.versions(spark, root).size == before)
+            s"stale-refused $stale"
+          } else "noop"
+      }
+      check(i, op)
+      if (i % 10 == 0)
+        snapshots += ((SnapshotTable.versions(spark, root).last, cols, rows))
+    }
+    // time travel: each recorded snapshot reads under ITS OWN names
+    snapshots.foreach { case (v, snapCols, snapRows) =>
+      val df = SnapshotTable.read(spark, root, Some(v))
+      assert(df.columns.toSeq == ("id" +: snapCols), s"v$v names drifted")
+      val got = df.collect().map { r =>
+        r.getLong(0) -> snapCols.zipWithIndex.flatMap { case (c, ix) =>
+          if (r.isNullAt(ix + 1)) None else Some(c -> r.getLong(ix + 1))
+        }.toMap
+      }.toMap
+      assert(got == snapRows, s"v$v state drifted from its model snapshot")
+    }
+  }
+
   test("restore rolls metadata back WITH the data (schema, names, constraints)") {
     val root = tmp()
     SnapshotTable.create(spark, root, Seq((1L, "a", 5L)).toDF("id", "v", "n")) // v1
