@@ -193,6 +193,15 @@ object Bench {
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(NPART)")
       .replaceAll("(hash|range)partitioning\\((.*?), \\d+\\)", "$1partitioning($2, NPART)")
       .replaceAll("#\\d+", "#N")
+      // lambda-variable ORDINALS (`lambda x_12#N`) come from Spark's
+      // process-global NamedLambdaVariable counter — run-order-coupled
+      // across QUERIES in one JVM, so an earlier query changing its
+      // lambda count shifts every later query's ordinals (observed
+      // r10→r11: six dedup fingerprints churned because a classifier
+      // rewrite consumed different counter values upstream). Collapse
+      // the ordinal, keep the positional name letter — same blanket
+      // rationale as `#N`
+      .replaceAll("\\b(lambda [a-z]+)_\\d+#", "$1#")
       // qualified-name@hex = a JVM object identity, wherever it appears
       .replaceAll("([A-Za-z_$][A-Za-z0-9_$]*(?:[.$][A-Za-z0-9_$]+)+)@[0-9a-f]{4,16}\\b", "$1@ID")
 

@@ -50,6 +50,18 @@ class BenchCanonSpec extends AnyFunSuite {
     assert(ops == Set(x.toString, big.toString))
   }
 
+  test("lambda-variable ordinals collapse (process-global counter, run-order-coupled)") {
+    // the SAME higher-order expression renders with different x_N
+    // ordinals depending on how many lambdas earlier queries minted in
+    // the JVM — the canon must not let that shift a later query's
+    // fingerprint (observed r10→r11 on six dedup queries)
+    val a = Bench.canonText("transform(hs#42, lambdafunction(substring(lambda x_1#43, 1, 4), lambda x_1#43, false))")
+    val b = Bench.canonText("transform(hs#99, lambdafunction(substring(lambda x_731#7, 1, 4), lambda x_731#7, false))")
+    assert(a == b)
+    // the positional name letter survives (x vs y = different arg slots)
+    assert(Bench.canonText("lambda y_12#3") != Bench.canonText("lambda x_12#3"))
+  }
+
   test("@hex collapse keys on the token shape: qualified-name@hex, wherever it renders") {
     // the whitelist this replaced missed identity-rendering operators
     // it had never seen (aggregator/encoder objects on HashAggregate
