@@ -114,7 +114,7 @@ final class SnapshotTableSourceProvider extends StreamSourceProvider
       case None => 0
     }
     new SnapshotTableSource(spark, r,
-      schema.getOrElse(lockedSchema(spark, parameters)),
+      schema, lockedSchema(spark, parameters),
       startingVersion,
       parameters.get("ignoreChanges").exists(_.toBoolean),
       changeFeed(parameters),
@@ -136,10 +136,13 @@ final class SnapshotTableSourceProvider extends StreamSourceProvider
   * offered offset therefore never falls below anything the engine
   * already committed (offsets never regress, batches never overlap). */
 final class SnapshotTableSource(spark: SparkSession, root: String,
-    override val schema: StructType, startingVersion: Int,
+    userSchema: Option[StructType], headSchema: => StructType,
+    startingVersion: Int,
     ignoreChanges: Boolean, changeFeed: Boolean = false,
     maxVersionsPerTrigger: Int = 0,
     metadataPath: Option[String] = None) extends Source {
+
+  override val schema: StructType = userSchema.getOrElse(headSchema)
 
   private def version(o: Offset): Int = o match {
     case l: LongOffset => l.offset.toInt
@@ -147,53 +150,79 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     case other => other.json.trim.toInt
   }
 
-  // locked alongside the schema: data files spell PHYSICAL names
-  // (format 9 column mapping), and physical names are immutable from
-  // mint to vacuum — so the map captured at FIRST start addresses
-  // every file this stream will ever read, even across a mid-stream
-  // rename (the locked logical names keep their physical spelling; a
-  // column dropped and re-added mid-stream is a DIFFERENT column and
-  // correctly null-fills under the locked map). The lock must SURVIVE
-  // RESTARTS: a restarted query re-creates the source, and re-deriving
-  // the map from the table HEAD would silently null-fill any column
-  // renamed since the first start (the locked name no longer keys the
-  // head's map). So the first start persists the map next to the
-  // checkpoint (create-if-absent, like the pacing markers) and every
-  // restart reads it back; only checkpoint-less direct constructions
-  // fall back to the head's map.
-  private val colmap: Map[String, String] = {
-    val fromCheckpoint = metadataPath.flatMap { mp =>
-      val file = new org.apache.hadoop.fs.Path(mp, "graft-colmap")
-      val f = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def parse(): Map[String, String] = {
-        val in = f.open(file)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        text.linesIterator.filter(_.nonEmpty).map { l =>
-          val Array(lg, ph) = l.split("\t", 2)
-          (new String(java.util.Base64.getDecoder.decode(lg), "UTF-8"),
-            new String(java.util.Base64.getDecoder.decode(ph), "UTF-8"))
-        }.toMap
-      }
-      if (f.exists(file)) Some(parse())
-      else {
-        val cm = SnapshotTable.currentColmap(spark, root)
-        val b64 = java.util.Base64.getEncoder.withoutPadding
-        val body = cm.toSeq.sortBy(_._1).map { case (l, p) =>
-          s"${b64.encodeToString(l.getBytes("UTF-8"))}\t${
-            b64.encodeToString(p.getBytes("UTF-8"))}"
-        }.mkString("\n")
-        try {
-          f.mkdirs(new org.apache.hadoop.fs.Path(mp))
-          val out = f.create(file, false) // atomic claim; losers re-read
-          try out.write(body.getBytes("UTF-8")) finally out.close()
-          Some(cm)
-        } catch { case _: java.io.IOException =>
-          if (f.exists(file)) Some(parse()) else Some(cm)
+  // The map MUST pair with whoever chose the schema — mixing a
+  // head-derived schema with a first-start map silently null-fills
+  // any column renamed between the two (DSv1 checkpoints do not
+  // persist source schemas, so a schema-less restart re-derives the
+  // schema from the table HEAD and gets the NEW logical names).
+  //
+  //  * schema from the HEAD (no .schema() given): pair it with the
+  //    head's CURRENT map. Physical names are immutable from mint to
+  //    vacuum, so the head pairing addresses every live file — old
+  //    and new era alike — and a restart after a rename delivers the
+  //    renamed column's values under its new name (arity changes,
+  //    e.g. a dropped column, fail loudly in the engine's positional
+  //    check rather than null-filling).
+  //  * schema from the USER: the user's logical names are frozen, so
+  //    the map that resolves them must be frozen WITH them — the
+  //    first start persists the map next to the checkpoint
+  //    (create-if-absent, like the pacing markers) and every restart
+  //    reads it back; re-deriving from the head would orphan any name
+  //    renamed since the first start. Only checkpoint-less direct
+  //    constructions fall back to the head's map.
+  private val colmap: Map[String, String] = userSchema match {
+    case None => SnapshotTable.currentColmap(spark, root)
+    case Some(locked) =>
+      val persisted = metadataPath.flatMap { mp =>
+        val file = new org.apache.hadoop.fs.Path(mp, "graft-colmap")
+        val f = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def parse(): Map[String, String] = {
+          val in = f.open(file)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.linesIterator.filter(_.nonEmpty).map { l =>
+            val Array(lg, ph) = l.split("\t", 2)
+            (new String(java.util.Base64.getDecoder.decode(lg), "UTF-8"),
+              new String(java.util.Base64.getDecoder.decode(ph), "UTF-8"))
+          }.toMap
+        }
+        if (f.exists(file)) Some(parse())
+        else {
+          val cm = SnapshotTable.currentColmap(spark, root)
+          val b64 = java.util.Base64.getEncoder.withoutPadding
+          val body = cm.toSeq.sortBy(_._1).map { case (l, p) =>
+            s"${b64.encodeToString(l.getBytes("UTF-8"))}\t${
+              b64.encodeToString(p.getBytes("UTF-8"))}"
+          }.mkString("\n")
+          try {
+            f.mkdirs(new org.apache.hadoop.fs.Path(mp))
+            val out = f.create(file, false) // atomic claim; losers re-read
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            Some(cm)
+          } catch { case _: java.io.IOException =>
+            if (f.exists(file)) Some(parse()) else Some(cm)
+          }
         }
       }
-    }
-    fromCheckpoint.getOrElse(SnapshotTable.currentColmap(spark, root))
+      val cm = persisted.getOrElse(SnapshotTable.currentColmap(spark, root))
+      // Loud guard: every locked field must resolve to a physical name
+      // some era of the table can actually spell — either through the
+      // lock itself or through the head (identity names included). A
+      // field outside both (a typo, or a schema swapped between
+      // restarts) would otherwise null-fill every row forever.
+      val headCm = SnapshotTable.currentColmap(spark, root)
+      val headPhys = SnapshotTable.tableSchema(spark, root)
+        .fieldNames.map(n => SnapshotTable.physNameFor(headCm, n)).toSet
+      val cdc = Set("_commit_version", "_change_type")
+      val orphans = locked.fieldNames.filterNot(cdc).filterNot { n =>
+        cm.contains(n) || headPhys.contains(SnapshotTable.physNameFor(cm, n))
+      }
+      require(orphans.isEmpty,
+        s"locked schema field(s) ${orphans.mkString(", ")} resolve to no physical " +
+          s"column of $root under either the checkpoint's column map or the table " +
+          "head — the schema does not match the one this checkpoint was started " +
+          "with; restart from a fresh checkpoint or supply the original schema.")
+      cm
   }
 
   // ---- pacing state (used only when maxVersionsPerTrigger > 0) ----

@@ -232,6 +232,58 @@ class ColumnMappingSpec extends SparkSpec {
       s"the restarted stream must read both eras' values, never nulls (got ${got.toSeq})")
   }
 
+  test("SCHEMA-LESS stream restart after a rename: head schema pairs with head map") {
+    val root = tmp(); val out = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))      // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", root).load()
+        .writeStream.format("parquet").option("path", s"$out/sink")
+        .option("checkpointLocation", s"$out/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // first start: head schema (id, v), identity map
+    // A rename between runs: a schema-less RESTART re-derives its
+    // schema from the head (DSv1 checkpoints persist no source
+    // schema), so it sees the NEW name 'body' — and must pair it with
+    // the HEAD's map {body→v}, not the first start's identity map,
+    // which knows no 'body' and would null-fill every row (the bug
+    // this test pins closed).
+    SnapshotTable.renameColumn(spark, root, "v", "body")                    // v2
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("id", "body"))    // v3
+    drain() // restart: delivers row 2's value, never a null
+    val got = spark.read.option("mergeSchema", "true").parquet(s"$out/sink")
+      .withColumn("text", coalesce(col("v"), col("body")))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("text"))) null else r.getString(r.fieldIndex("text"))))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")),
+      s"the schema-less restart must deliver real values under the head pairing (got ${got.toSeq})")
+  }
+
+  test("a locked schema that matches no era of the table refuses loudly") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmp(); val out = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val bogus = StructType(Seq(StructField("id", LongType),
+      StructField("no_such_column", StringType)))
+    val q = spark.readStream.format("graft-table").schema(bogus)
+      .option("path", root).load()
+      .writeStream.format("parquet").option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(err).exists(c => Option(c.getMessage).exists(
+        _.contains("no_such_column"))),
+      s"the orphan field must be named in the refusal (got ${err.getMessage})")
+  }
+
   test("changeFeed stream with a pre-rename locked shape spans the rename") {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     val root = tmp(); val out = tmp()
