@@ -38,31 +38,44 @@ object PageRank {
 
   /** `iters` message-passing rounds over `edges` (src, dst — assumed
     * deduped, self-loop-free) starting from uniform `Scale` per node.
-    * Returns (node, rank). */
-  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    * Returns (node, rank).
+    *
+    * EAGER, and not executor-fault-tolerant: every `checkpointEvery`
+    * rounds (and once at the end, so the returned frame's plan is a
+    * checkpoint scan regardless of `iters`) the rank frame
+    * localCheckpoints — each such cut runs a job NOW, and the blocks
+    * it pins are unreplicated, so losing an executor mid-run fails the
+    * whole computation rather than recomputing (localCheckpoint
+    * discards lineage by design). That is the deliberate trade for
+    * constant plan depth: a recursive 50-round plan blows up planning
+    * time long before execution does. Callers needing a lazy,
+    * recomputable result should persist the INPUTS and re-derive;
+    * callers on lossy clusters should lower `checkpointEvery`'s cost
+    * by checkpointing to replicated storage outside this utility. */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1 (got $checkpointEvery)")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // localCheckpoint, not cache: the loop re-reads this frame every
-    // round AND the rank lineage must not grow by one join per
-    // iteration — at 50+ rounds a recursive plan blows up planning
-    // time long before execution does (the same discipline as
-    // ConnectedComponents.labelPropagation)
+    // round, and the rank lineage is cut every K rounds — plan depth
+    // stays bounded by K joins while the per-round job overhead of
+    // checkpointing EVERY round is amortized away (the same
+    // discipline as ConnectedComponents.labelPropagation).
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
     var ranks = nodes.select(col("node"), lit(Scale).as("r")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      // cut the lineage each round: the plan stays depth-constant.
-      // Superseded rounds' checkpoint blocks are reclaimed by the
-      // ContextCleaner once their Dataset refs drop out of this loop
-      // (same discipline as ConnectedComponents.labelPropagation) —
+      // Superseded checkpoints' blocks are reclaimed by the
+      // ContextCleaner once their Dataset refs drop out of this loop —
       // peak residency is O(active rounds awaiting GC), not O(iters)
       // pinned forever.
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("coalesce(in_mass, cast(0 as bigint)) * 17 div 20")).as("r"))
-        .localCheckpoint()
+      ranks = if (i % checkpointEvery == 0 || i == iters) next.localCheckpoint() else next
     }
     ranks
   }

@@ -324,17 +324,43 @@ object SnapshotTable {
     * per process, so history() over V versions with depth-D chains
     * OPENS ≤ V + D manifest files, not V·D (each call still pays one
     * getFileStatus for validation — a namenode RPC, not a read).
-    * Bounded: cleared wholesale past [[ManifestCacheMax]] entries
-    * (re-warming is one open per live manifest). */
-  private val ManifestCacheMax = 512
+    * Bounded by CONTENT, not entry count: a resolved Manifest's
+    * weight is its file-entry list, so the budget sums cached entry
+    * counts ([[ManifestCacheEntryBudget]]) and clears wholesale when
+    * exceeded (re-warming is one open per live manifest) — 512 cached
+    * manifests of a 100k-file table would otherwise dominate driver
+    * memory while 512 tiny ones waste the cap. Same-path RE-CREATE
+    * (drop + create at the same root, the rapid test/CI churn
+    * pattern) is invalidated explicitly by [[create]]; cross-process
+    * recreates start from an empty cache by construction. */
+  private val ManifestCacheEntryBudget = 4L << 20
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Manifest)]()
+  private val manifestCacheWeight = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** TEST instrument: physical manifest opens (memo misses). */
   private[graft] val manifestOpens = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** TEST hook: forget everything memoized (cold-reader simulation). */
-  private[graft] def clearManifestMemo(): Unit = manifestCache.clear()
+  private[graft] def clearManifestMemo(): Unit = {
+    manifestCache.clear()
+    manifestCacheWeight.set(0L)
+  }
+
+  /** Drop every memoized manifest under `root` — called by [[create]]
+    * so a same-JVM drop-and-recreate at the same path can never serve
+    * the dead table's manifest through an (mtime,length) coincidence. */
+  private def invalidateManifestMemo(root: String): Unit = {
+    val prefix = manifestPath(root, 0).getParent.toString
+    val it = manifestCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        manifestCacheWeight.addAndGet(-(e.getValue._3.entries.size + 1).toLong)
+        it.remove()
+      }
+    }
+  }
 
   private[sources] def manifestFull(spark: SparkSession, root: String, v: Int): Manifest = {
     // prefer the shadow checkpoint when retention has published one —
@@ -409,8 +435,9 @@ object SnapshotTable {
     }
     val m = Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth,
       constraints, colmap, retired)
-    if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
-    manifestCache.put(p.toString, (st.getModificationTime, st.getLen, m))
+    if (manifestCacheWeight.get > ManifestCacheEntryBudget) clearManifestMemo()
+    if (manifestCache.put(p.toString, (st.getModificationTime, st.getLen, m)) == null)
+      manifestCacheWeight.addAndGet((m.entries.size + 1).toLong)
     m
   }
 
@@ -528,9 +555,28 @@ object SnapshotTable {
     if (cm.isEmpty) df
     else df.select(df.columns.toIndexedSeq.map(c => df(c).as(physFor(cm, c))): _*)
 
+  /** Mint a fresh physical column name, CHECKED against `avoid` (the
+    * live physical namespace plus whatever the caller already minted
+    * this batch) with a re-draw loop — collision with a live column,
+    * or with a pre-activation user column literally named
+    * `c_<hex>`, is refused by construction, not assumed away. The
+    * draw is 16 hex chars of a random UUID, so collision with a
+    * HISTORICAL physical name (a dropped column's bytes still present
+    * in old files — not in any live map) is a birthday bound around
+    * 2^32 mints: unreachable, and the only class the avoid-set cannot
+    * see without walking all history. `draw` is injectable so the
+    * spec can force the collision path. */
+  private[graft] def mintPhysical(avoid: Set[String],
+      draw: () => String = () =>
+        java.util.UUID.randomUUID().toString.replace("-", "").take(16)): String = {
+    var c = s"c_${draw()}"
+    while (avoid.contains(c)) c = s"c_${draw()}"
+    c
+  }
+
   /** Extend an ACTIVE map with minted physical names for the logical
-    * columns `evolved` adds: a fresh `c_<uuid>` can never collide with
-    * a live or DROPPED physical column still present in old files —
+    * columns `evolved` adds ([[mintPhysical]] — checked against every
+    * live logical and physical name and this batch's own mints) —
     * which is exactly how re-adding a dropped column's name yields a
     * new (null-filled-in-old-files) column instead of resurrecting the
     * dropped bytes. An inactive map stays inactive (identity): new
@@ -540,8 +586,13 @@ object SnapshotTable {
     if (cm.isEmpty) cm
     else {
       val have = cm.keySet.map(norm)
+      var avoid = cm.values.toSet ++ cm.keySet
       cm ++ evolved.fields.filterNot(f => have.contains(norm(f.name)))
-        .map(f => f.name -> s"c_${java.util.UUID.randomUUID().toString.take(8)}")
+        .map { f =>
+          val p = mintPhysical(avoid)
+          avoid += p
+          f.name -> p
+        }
     }
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Seq[FileEntry] =
@@ -845,7 +896,12 @@ object SnapshotTable {
           (pm.depth + 1, changed.map(_.render) ++ removed.map(RemovalPrefix + _))
         }
       }
-    val header = s"""{"version":$v,"format":$ManifestFormat,"op":"$op"""" +
+    // Reader-requirement discipline (Delta/Iceberg style): format 9
+    // exists only for column mapping (M/X lines), so a commit carrying
+    // neither stays at format 8 — a mapping-free table never locks out
+    // a format-8 reader just because this writer is newer.
+    val fmtOut = if (effColmap.isEmpty && effRetired.isEmpty) 8 else ManifestFormat
+    val header = s"""{"version":$v,"format":$fmtOut,"op":"$op"""" +
       kf("statsKey", statsKey) + kf("statsKey2", statsKey2) +
       txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") +
       delta.map { case (d, _) => s""","base":$expected,"depth":$d""" }.getOrElse("") + "}"
@@ -1071,6 +1127,7 @@ object SnapshotTable {
       statsKey: Option[String] = None, statsKey2: Option[String] = None,
       txnBatchId: Option[Long] = None, bloomKey: Boolean = false): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
+    invalidateManifestMemo(root) // a same-path recreate must never see the dead table
     commit(spark, root,
       writeDataFiles(spark, root, df, statsKey, statsKey2, bloomKey),
       widened(df.schema), expected = 0, op = "create", statsKey, statsKey2,
@@ -1663,7 +1720,10 @@ object SnapshotTable {
     val m = manifestFull(spark, root, v)
     def kf(name: String, value: Option[String]): String =
       value.map(k => s""","$name":"$k"""").getOrElse("")
-    val header = s"""{"version":$v,"format":$ManifestFormat,"op":"${m.op}"""" +
+    // same reader-requirement discipline as commit(): format 9 only
+    // when the checkpointed state actually carries column mapping
+    val fmtOut = if (m.colmap.isEmpty && m.retired.isEmpty) 8 else ManifestFormat
+    val header = s"""{"version":$v,"format":$fmtOut,"op":"${m.op}"""" +
       kf("statsKey", m.statsKey) + kf("statsKey2", m.statsKey2) +
       m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
     val schemaLine = m.schema.map(s => s"S${s.json}").toSeq

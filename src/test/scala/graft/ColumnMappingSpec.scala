@@ -594,4 +594,21 @@ class ColumnMappingSpec extends SparkSpec {
       "restore must bring back the target version's own names and columns")
     assert(now.filter(col("id") === 1L).select("n").as[Long].head() == 5L)
   }
+
+  test("mintPhysical re-draws until the name clears the avoid set") {
+    // forced collision path: the first two draws are names the live
+    // namespace already holds; the loop must skip both
+    val scripted = Iterator("aaaa", "bbbb", "cccc")
+    assert(SnapshotTable.mintPhysical(Set("c_aaaa", "c_bbbb"),
+      () => scripted.next()) == "c_cccc")
+    // property: over a deliberately tiny draw space (collisions
+    // guaranteed), the mint is NEVER a member of the avoid set
+    val r = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val avoid = (1 to 6).map(_ => s"c_${r.nextInt(8).toHexString}").toSet
+      val m = SnapshotTable.mintPhysical(avoid, () => r.nextInt(8).toHexString)
+      assert(m.startsWith("c_") && !avoid.contains(m),
+        s"minted '$m' collides with $avoid")
+    }
+  }
 }

@@ -287,4 +287,35 @@ class DeltaManifestSpec extends SparkSpec {
       (4, "delete", 3L, "c")))
     assert(SnapshotTable.read(spark, root).count() == 3)
   }
+
+  test("mapping-free commits stay format 8; column-mapping activation bumps to 9") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    assert((1 to 2).forall(v => header(root, v).contains("\"format\":8")),
+      "a table that never activates column mapping must not demand a format-9 " +
+        s"reader (got ${header(root, 1)} / ${header(root, 2)})")
+    SnapshotTable.renameColumn(spark, root, "v", "body") // activates mapping
+    SnapshotTable.append(spark, root, Seq((3L, "c")).toDF("id", "body"))
+    assert((3 to 4).forall(v => header(root, v).contains("\"format\":9")),
+      "commits carrying a column map must bump the reader requirement")
+  }
+
+  test("same-path drop + re-create never serves the dead table's manifest") {
+    val root = tmp()
+    SnapshotTable.create(spark, root, Seq((1L, "old")).toDF("id", "v"))
+    assert(SnapshotTable.read(spark, root).select("v").as[String].collect()
+      .toSeq == Seq("old")) // memoize the v1 manifest
+    // drop = external rm -rf (there is no drop API — the CI churn pattern);
+    // the recreated v1 manifest may coincide in (mtime, length), so only
+    // create()'s explicit invalidation makes this deterministic
+    val dir = Paths.get(root)
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    Files.createDirectories(dir)
+    SnapshotTable.create(spark, root, Seq((1L, "new")).toDF("id", "v"))
+    assert(SnapshotTable.read(spark, root).select("v").as[String].collect()
+      .toSeq == Seq("new"),
+      "the recreated table's read must never resolve through the dead table's memo")
+  }
 }
