@@ -26,4 +26,11 @@ object PlanWalk {
   def fileScans(df: DataFrame): Seq[FileSourceScanExec] =
     executedNodes(df.queryExecution.executedPlan)
       .collect { case f: FileSourceScanExec => f }
+
+  /** The executed plan's DSv2 scans (the SQL-catalog read path) —
+    * same AQE discipline as [[fileScans]]. */
+  def batchScans(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+    executedNodes(df.queryExecution.executedPlan)
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
 }

@@ -162,6 +162,7 @@ object SparkEntry {
     "meta_snapshot_delta_log" -> ((s, d) => snapshotDeltaLogCycle(s, d)),
     "meta_snapshot_restore" -> ((s, d) => snapshotRestoreCycle(s, d)),
     "meta_snapshot_column_map" -> ((s, d) => snapshotColumnMapCycle(s, d)),
+    "meta_snapshot_sql" -> ((s, d) => snapshotSqlCycle(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
@@ -329,6 +330,7 @@ object SparkEntry {
     "meta_snapshot_delta_log" -> snapshotDeltaLogCycleSql,
     "meta_snapshot_restore" -> snapshotRestoreCycleSql,
     "meta_snapshot_column_map" -> snapshotColumnMapCycleSql,
+    "meta_snapshot_sql" -> snapshotSqlCycleSql,
     "meta_snapshot_constraints" -> snapshotConstraintsCycleSql,
     "meta_snapshot_files" -> snapshotFilesTableCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
@@ -1934,19 +1936,30 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft-snapiv").toString
     val tbl = s"$tmp/tbl"
     val vw = s"$tmp/view"
-    val base = Tables.orders(s, d).select(
-      col("o_orderkey"),
-      (col("o_orderkey") % 100).as("grp"),
-      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    // fixture sized to measure the ENGINE, not the staging (r11
+    // verdict: 13 s, ~12% of the bench, was commit churn): a third of
+    // the orders, and every commit lays out a HANDFUL of files instead
+    // of one per shuffle partition — the refresh/merge/delete
+    // mechanics and all five invariants are unchanged (the spec suite
+    // covers the mechanics at full width)
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        col("o_orderkey"),
+        (col("o_orderkey") % 100).as("grp"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
     graft.sources.SnapshotTable.create(s, tbl,                         // v1
-      base.filter(col("o_orderkey") % 4 =!= 0), statsKey = Some("o_orderkey"))
+      base.filter(col("o_orderkey") % 4 =!= 0)
+        .repartitionByRange(4, col("o_orderkey")),
+      statsKey = Some("o_orderkey"))
     graft.meta.IncrementalView.create(s, tbl, vw, "grp", "cents")
     graft.sources.SnapshotTable.append(s, tbl,                         // v2
-      base.filter(col("o_orderkey") % 4 === 0))
+      base.filter(col("o_orderkey") % 4 === 0).repartition(2))
     val c1 = graft.meta.IncrementalView.refresh(s, tbl, vw)
     graft.sources.SnapshotTable.merge(s, tbl,                          // v3
       base.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("cents", col("cents") + 777L),
+        .withColumn("cents", col("cents") + 777L)
+        .repartition(2),
       key = "o_orderkey")
     val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw)
     graft.sources.SnapshotTable.deleteWhere(s, tbl,                    // v4
@@ -2126,7 +2139,7 @@ object SparkEntry {
     WITH base AS (
       SELECT o_orderkey, o_orderkey % 100 AS grp,
              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders),
+      FROM orders WHERE o_orderkey % 3 = 0),
     upd AS (
       SELECT o_orderkey, grp,
              CASE WHEN o_orderkey % 10 = 0 THEN cents + 777 ELSE cents END AS cents
@@ -2219,6 +2232,12 @@ object SparkEntry {
     val filesOk = files.count() == expectedFiles
     val statsCover = files.filter(col("min_key").isNull || col("max_key").isNull).count() == 0
     val bytesPos = files.filter(col("bytes").isNull || col("bytes") <= 0L).count() == 0
+    // the stats IDENTITY rides every row (r11 verdict task: "keyed on
+    // what?" was the one question filesDf couldn't answer): recorded
+    // key on every file, no phantom secondary
+    val keyIdentity = files.filter(
+      col("stats_key").isNull || col("stats_key") =!= "doc_id" ||
+        col("stats_key2").isNotNull).count() == 0
     graft.Scratch.registerForCleanup(root)
     files.agg(
         sum(col("rows")).as("recorded_rows"),
@@ -2228,6 +2247,7 @@ object SparkEntry {
       .withColumn("files_ok", lit(filesOk))
       .withColumn("stats_cover", lit(statsCover))
       .withColumn("bytes_pos", lit(bytesPos))
+      .withColumn("key_identity", lit(keyIdentity))
   }
 
   private def snapshotFilesTableCycleSql: String = """
@@ -2236,7 +2256,8 @@ object SparkEntry {
              - (SELECT COUNT(*) FROM documents WHERE doc_id = 0) AS live_rows,
            (SELECT COUNT(*) FROM documents WHERE doc_id = 0) AS dv_files,
            (SELECT COUNT(*) FROM documents WHERE doc_id = 0) AS dv_rows,
-           TRUE AS files_ok, TRUE AS stats_cover, TRUE AS bytes_pos"""
+           TRUE AS files_ok, TRUE AS stats_cover, TRUE AS bytes_pos,
+           TRUE AS key_identity"""
 
   /** CHECK CONSTRAINTS, gated end to end: the ingest-time data-quality
     * contract a training-data table needs — a poisoned batch is
@@ -2447,6 +2468,113 @@ object SparkEntry {
            CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000000 ELSE n_chars END AS n_chars,
            TRUE AS zero_copy, TRUE AS pruned, TRUE AS names_travel
     FROM documents WHERE doc_id < 430
+    ORDER BY document_id"""
+
+  /** One shared DSv2 catalog per JVM: the catalog instance is cached
+    * by Spark on first reference, warehouse included, so the warehouse
+    * directory must be stable across a session's repeated gate runs
+    * (the gate DROPs and recreates its TABLE each run instead). */
+  private object SqlCat {
+    val name = "graft_sql"
+    @volatile private var wh: String = _
+    def ensure(s: SparkSession): String = synchronized {
+      if (wh == null) wh = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      wh
+    }
+  }
+
+  /** The snapshot table driven PURELY through `spark.sql` on a stock
+    * session — the DSv2 catalog surface ([[graft.catalog.GraftCatalog]])
+    * end to end: CREATE TABLE → INSERT → metadata-only DELETE (dv) →
+    * MERGE INTO (group-based copy-on-write) → ALTER TABLE RENAME
+    * COLUMN (zero-copy column mapping) → time travel (VERSION AS OF) →
+    * SELECT, with the same executed-evidence booleans as the sibling
+    * gates: the dv delete and the rename move no data bytes, time
+    * travel counts match each version's state, and a point probe on
+    * the RENAMED key plans exactly one file through the DSv2 scan
+    * (manifest pruning — [[graft.catalog.GraftScan]]). Reference
+    * analog: the name-addressed collection lifecycle of
+    * index_manager.py:288-323, SQL-fronted. */
+  private def snapshotSqlCycle(s: SparkSession, d: String): DataFrame = {
+    val wh = SqlCat.ensure(s)
+    val t = s"${SqlCat.name}.g.docs_sql"
+    val snap = graft.sources.SnapshotTable
+    val root = s"$wh/g/docs_sql"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='doc_id')")                          // v1
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id"))
+      .createOrReplaceTempView("graft_sql_src")
+    s.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM graft_sql_src") // v2
+    val vInsert = snap.versions(s, root).last
+    val cInsert = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+    def dataFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root, "data")
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else java.nio.file.Files.walk(p).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    }
+    // metadata-only DELETE: Spark's OptimizeMetadataOnlyDeleteFromTable
+    // routes the translatable predicate to SupportsDelete → a dv
+    // commit; no data file may move
+    val beforeDelete = dataFiles()
+    s.sql(s"DELETE FROM $t WHERE doc_id >= 100 AND doc_id < 150")      // v3 (if any row)
+    val dvZeroCopy = dataFiles() == beforeDelete
+    val vDelete = snap.versions(s, root).last
+    val cDelete = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+    // MERGE INTO: updates touch existing keys, inserts extend the table
+    s.sql(
+      s"""MERGE INTO $t tgt
+         |USING (SELECT doc_id, n_chars + 1000000 AS n_chars FROM graft_sql_src
+         |       WHERE doc_id % 97 = 0
+         |         AND NOT (doc_id >= 100 AND doc_id < 150)) src
+         |ON tgt.doc_id = src.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)               // v4
+    // zero-copy DDL through SQL
+    val beforeRename = dataFiles()
+    s.sql(s"ALTER TABLE $t RENAME COLUMN doc_id TO document_id")       // v5
+    val ddlZeroCopy = dataFiles() == beforeRename
+    // time travel reads each version's own state (and, pre-rename,
+    // its own column names)
+    val ttOk =
+      s.sql(s"SELECT count(*) FROM $t VERSION AS OF $vInsert").head().getLong(0) == cInsert &&
+      s.sql(s"SELECT count(*) FROM $t VERSION AS OF $vDelete").head().getLong(0) == cDelete &&
+      s.sql(s"SELECT count(*) FROM $t VERSION AS OF $vInsert WHERE doc_id >= 100 AND doc_id < 150")
+        .head().getLong(0) == cInsert - cDelete
+    // executed-plan pruning proof on the RENAMED key through the DSv2
+    // scan; degenerate layouts (≤1 file, empty slice) pass trivially
+    val minRow = docs.filter(col("doc_id") < 400L).agg(min(col("doc_id"))).head()
+    val pruned =
+      if (minRow.isNullAt(0) || beforeRename.size <= 1) true
+      else {
+        val probe = s.sql(
+          s"SELECT * FROM $t WHERE document_id = ${minRow.getLong(0)}")
+        probe.collect()
+        val gs = graft.PlanWalk.batchScans(probe).map(_.scan)
+          .collect { case g: graft.catalog.GraftScan => g }
+        gs.nonEmpty && gs.map(_.keptFileCount).max == 1
+      }
+    graft.Scratch.registerForCleanup(root)
+    s.sql(s"SELECT document_id, n_chars FROM $t")
+      .withColumn("dv_zero_copy", lit(dvZeroCopy))
+      .withColumn("ddl_zero_copy", lit(ddlZeroCopy))
+      .withColumn("time_travel", lit(ttOk))
+      .withColumn("pruned", lit(pruned))
+      .orderBy(col("document_id"))
+  }
+
+  private def snapshotSqlCycleSql: String = """
+    SELECT doc_id AS document_id,
+           CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000000 ELSE n_chars END AS n_chars,
+           TRUE AS dv_zero_copy, TRUE AS ddl_zero_copy,
+           TRUE AS time_travel, TRUE AS pruned
+    FROM documents
+    WHERE doc_id < 400 AND NOT (doc_id >= 100 AND doc_id < 150)
     ORDER BY document_id"""
 
   private def snapshotDeltaLogCycle(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,131 @@
+package graft.catalog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Translations between the three filter dialects the DSv2 catalog
+  * speaks:
+  *
+  *  - V1 [[org.apache.spark.sql.sources.Filter]] — what Spark pushes
+  *    into a [[org.apache.spark.sql.connector.read.SupportsPushDownFilters]]
+  *    scan builder and hands a
+  *    [[org.apache.spark.sql.connector.catalog.SupportsDelete]];
+  *  - catalyst [[Expression]] conjuncts — what the manifest's shared
+  *    bounds extractor ([[graft.sources]]' `ManifestFileIndex.bounds`)
+  *    reads, so DSv2 scans prune files with EXACTLY the same decision
+  *    procedure as every other read path;
+  *  - [[Column]] — what [[graft.sources.SnapshotTable.deleteWhere]]
+  *    takes for the metadata-only (deletion-vector) DELETE.
+  *
+  * All three are CONSERVATIVE: an untranslatable filter contributes
+  * nothing (pruning keeps more files / the delete refuses and falls
+  * back to the copy-on-write row-level plan) — never a wrong answer.
+  * Reference analog: the select/delete-by-filename predicates of
+  * /root/reference/src/managers/metadata_manager.py (the catalog makes
+  * them SQL-addressable). */
+private[catalog] object FilterBridge {
+
+  /** Rewrite a V1 filter's attribute names (logical → physical, for
+    * parquet row-group pushdown against files that spell minted
+    * physical names). None when the filter shape is unknown — dropped
+    * from the pushdown, never guessed. */
+  def rename(f: Filter, r: String => String): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(r(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(r(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(r(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(r(a), v))
+    case LessThan(a, v) => Some(LessThan(r(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(r(a), v))
+    case In(a, vs) => Some(In(r(a), vs))
+    case IsNull(a) => Some(IsNull(r(a)))
+    case IsNotNull(a) => Some(IsNotNull(r(a)))
+    case StringStartsWith(a, v) => Some(StringStartsWith(r(a), v))
+    case StringEndsWith(a, v) => Some(StringEndsWith(r(a), v))
+    case StringContains(a, v) => Some(StringContains(r(a), v))
+    case And(l, rr) => for { a <- rename(l, r); b <- rename(rr, r) } yield And(a, b)
+    case Or(l, rr) => for { a <- rename(l, r); b <- rename(rr, r) } yield Or(a, b)
+    case Not(c) => rename(c, r).map(Not)
+    case _: AlwaysTrue | _: AlwaysFalse => Some(f)
+    case _ => None
+  }
+
+  /** V1 filter → catalyst conjunct over PHYSICAL attribute names, for
+    * the manifest bounds extractor. Only the bound-imposing shapes
+    * translate (equality, comparisons, IN of literals, AND); inside an
+    * AND a lone translatable side stands alone — `A AND unknown`
+    * implies `A`, so pruning with `A` is still conservative. OR/NOT
+    * impose no file bound and translate to None. */
+  def toCatalystBound(f: Filter, fieldType: String => Option[DataType],
+      phys: String => String): Option[Expression] = {
+    def attr(n: String): Option[AttributeReference] =
+      fieldType(n).map(t => AttributeReference(phys(n), t)())
+    def l(v: Any): Option[Expression] =
+      if (v == null) None else scala.util.Try(Literal(v)).toOption
+    f match {
+      case EqualTo(a, v) =>
+        for { x <- attr(a); y <- l(v) } yield expressions.EqualTo(x, y)
+      case EqualNullSafe(a, v) =>
+        for { x <- attr(a); y <- l(v) } yield expressions.EqualNullSafe(x, y)
+      case GreaterThan(a, v) =>
+        for { x <- attr(a); y <- l(v) } yield expressions.GreaterThan(x, y)
+      case GreaterThanOrEqual(a, v) =>
+        for { x <- attr(a); y <- l(v) } yield expressions.GreaterThanOrEqual(x, y)
+      case LessThan(a, v) =>
+        for { x <- attr(a); y <- l(v) } yield expressions.LessThan(x, y)
+      case LessThanOrEqual(a, v) =>
+        for { x <- attr(a); y <- l(v) } yield expressions.LessThanOrEqual(x, y)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        for { x <- attr(a); ys <- traverse(vs.toSeq.map(l)) }
+          yield expressions.In(x, ys)
+      case And(lf, rf) =>
+        (toCatalystBound(lf, fieldType, phys), toCatalystBound(rf, fieldType, phys)) match {
+          case (Some(a), Some(b)) => Some(expressions.And(a, b))
+          case (one @ Some(_), None) => one
+          case (None, one @ Some(_)) => one
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** V1 filter → [[Column]] over LOGICAL names — the predicate
+    * [[graft.sources.SnapshotTable.deleteWhere]] evaluates. Fully
+    * recursive (OR/NOT/null tests included): a DELETE predicate must
+    * translate EXACTLY or not at all ([[toColumn]] = None makes
+    * `canDeleteWhere` false, routing the statement to the row-level
+    * copy-on-write plan instead — correct either way, never both). */
+  def toColumn(f: Filter): Option[Column] = {
+    def c(n: String): Column = col(s"`$n`")
+    f match {
+      case EqualTo(a, v) => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v) => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case In(a, vs) => Some(c(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(c(a).isNull)
+      case IsNotNull(a) => Some(c(a).isNotNull)
+      case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case StringContains(a, v) => Some(c(a).contains(v))
+      case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+      case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+      case Not(x) => toColumn(x).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** Case-insensitive field lookup (Spark's default resolution). */
+  def fieldOf(schema: StructType, name: String): Option[org.apache.spark.sql.types.StructField] =
+    schema.fields.find(_.name.equalsIgnoreCase(name))
+
+  private def traverse(xs: Seq[Option[Expression]]): Option[Seq[Expression]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+}

@@ -1,0 +1,246 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+
+/** A DSv2 [[TableCatalog]] over snapshot tables: tables are addressed
+  * BY NAME in plain SQL on a stock session — no extensions, one conf:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+  * spark.sql("CREATE TABLE graft.corpus.docs (doc_id BIGINT, body STRING)" +
+  *   " TBLPROPERTIES ('statsKey'='doc_id')")
+  * spark.sql("INSERT INTO graft.corpus.docs SELECT ...")
+  * spark.sql("SELECT * FROM graft.corpus.docs VERSION AS OF 3")
+  * spark.sql("DELETE FROM graft.corpus.docs WHERE doc_id = 7")   // dv, metadata-only
+  * spark.sql("MERGE INTO graft.corpus.docs t USING u ON t.doc_id = u.doc_id" +
+  *   " WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+  * spark.sql("ALTER TABLE graft.corpus.docs RENAME COLUMN body TO text")  // zero-copy
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace…>/<table>` — a table IS its root
+  * directory (the `_snapshots` manifest dir marks it), so the catalog
+  * holds no state of its own: listing is a directory walk, existence
+  * is a manifest check, and every capability the path-addressed API
+  * has (time travel, CDC, maintenance) applies to the same roots.
+  * Reference analog: the name-addressed collection lifecycle of
+  * /root/reference/src/managers/index_manager.py:288-323 (load/create
+  * by name), generalized to a warehouse of ACID tables.
+  *
+  * `ALTER TABLE ADD/RENAME/DROP COLUMN` map onto the zero-copy
+  * column-mapping DDL ([[SnapshotTable.renameColumn]] et al.) —
+  * top-level fields only, nested paths refuse loudly (same contract as
+  * the DDL itself). Identifier parts must be `[A-Za-z0-9_]+`: names
+  * become directory names, and a catalog that lets `..` or `/` into a
+  * path is an escape hatch, not a catalog. */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("main")
+
+  private val SafePart = "[A-Za-z0-9_]+".r.pattern
+  private def checkParts(parts: Seq[String]): Unit =
+    parts.foreach(p => require(SafePart.matcher(p).matches(),
+      s"identifier part '$p' is not allowed (letters, digits, underscore only " +
+        "— parts become warehouse directory names)"))
+
+  private def nsPath(namespace: Array[String]): Path = {
+    checkParts(namespace.toIndexedSeq)
+    namespace.foldLeft(new Path(warehouse))((p, n) => new Path(p, n))
+  }
+
+  private def tablePath(ident: Identifier): Path = {
+    checkParts(ident.namespace.toIndexedSeq :+ ident.name)
+    new Path(nsPath(ident.namespace), ident.name)
+  }
+
+  private def isTable(p: Path): Boolean = fs.exists(new Path(p, "_snapshots"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    fs.listStatus(dir).filter(s => s.isDirectory && isTable(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try isTable(tablePath(ident)) catch { case _: IllegalArgumentException => false }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, p.toString, fullName(ident), None)
+  }
+
+  /** `VERSION AS OF <v>` — the table pinned to a committed version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF takes a numeric snapshot version; got '$version'")
+    }
+    new GraftTable(spark, p.toString, fullName(ident), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` (micros since epoch from the engine) — the
+    * newest version committed at or before that instant, resolved by
+    * the same clock retention uses. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val tsMs = timestampMicros / 1000L
+    val v = SnapshotTable.versionAsOf(spark, p.toString, tsMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of ${fullName(ident)} was committed at or before $tsMs ms"))
+    new GraftTable(spark, p.toString, fullName(ident), Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables take no PARTITIONED BY: layout lives in the manifest " +
+        "(set TBLPROPERTIES ('statsKey'='<col>') and use table maintenance to cluster)")
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    fs.mkdirs(p.getParent)
+    val statsKey = Option(properties.get("statsKey"))
+    val statsKey2 = Option(properties.get("statsKey2"))
+    (statsKey.toSeq ++ statsKey2).foreach(k => require(
+      schema.fields.exists(_.name.equalsIgnoreCase(k)),
+      s"statsKey '$k' names no column of the table schema"))
+    SnapshotTable.create(spark, p.toString,
+      spark.createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](), schema),
+      statsKey, statsKey2)
+    new GraftTable(spark, p.toString, fullName(ident), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val root = p.toString
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        SnapshotTable.renameColumn(spark, root, singleField(c.fieldNames, "RENAME"),
+          c.newName)
+      case c: TableChange.DeleteColumn =>
+        SnapshotTable.dropColumn(spark, root, singleField(c.fieldNames, "DROP"))
+      case c: TableChange.AddColumn =>
+        SnapshotTable.addColumn(spark, root, singleField(c.fieldNames, "ADD"),
+          c.dataType)
+      case c: TableChange.SetProperty =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE SET TBLPROPERTIES ('${c.property}') is not supported; " +
+            "statsKey is fixed at CREATE (re-key via SnapshotTable.compact)")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported " +
+            "on graft tables")
+    }
+    new GraftTable(spark, root, fullName(ident), None)
+  }
+
+  private def singleField(fieldNames: Array[String], what: String): String = {
+    require(fieldNames.length == 1,
+      s"ALTER TABLE $what COLUMN supports top-level columns only; " +
+        s"'${fieldNames.mkString(".")}' is a nested path (column mapping is " +
+        "top-level — the same refusal the DDL API makes)")
+    fieldNames.head
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTable(p)) false
+    else {
+      SnapshotTable.forgetTable(p.toString)
+      fs.delete(p, true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    SnapshotTable.forgetTable(from.toString)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(s => s.isDirectory && !isTable(s.getPath))
+      .map(s => Array(s.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = nsPath(namespace)
+      if (!fs.exists(dir)) throw new NoSuchNamespaceException(catalogName +: namespace)
+      fs.listStatus(dir).filter(s => s.isDirectory && !isTable(s.getPath))
+        .map(s => namespace :+ s.getPath.getName)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (fs.exists(nsPath(namespace)) && !isTable(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(nsPath(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) false
+    else {
+      require(cascade || fs.listStatus(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      fs.delete(dir, true)
+    }
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+}

@@ -1,0 +1,134 @@
+package graft.catalog
+
+import java.util.{Collections, Set => JSet}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+
+/** The snapshot table as a DSv2 [[Table]] — the object the catalog
+  * hands the engine for `SELECT`/`INSERT`/`DELETE`/`MERGE`/`UPDATE`,
+  * optionally pinned to a historical version (`VERSION AS OF` /
+  * `TIMESTAMP AS OF` resolve in [[GraftCatalog.loadTable]]).
+  *
+  * Read: [[GraftScanBuilder]] (manifest-pruned stock parquet batches).
+  * Write: [[GraftWriteBuilder]] (V1 insert through the table's own
+  * commit machinery). DELETE: filter-translatable predicates take the
+  * metadata-only deletion-vector path ([[SnapshotTable.deleteWhere]] —
+  * no data file rewritten); everything else falls to the row-level
+  * copy-on-write plan, exactly Spark's own
+  * `OptimizeMetadataOnlyDeleteFromTable` / `RewriteDeleteFromTable`
+  * split. MERGE/UPDATE: group-based [[RowLevelOperation]] (files are
+  * the groups; the scan records what it read, the write replaces
+  * exactly those files).
+  *
+  * A time-travel pin makes the table read-only, loudly. */
+private[catalog] final class GraftTable(spark: SparkSession, val root: String,
+    ident: String, pinnedVersion: Option[Int])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
+
+  /** Resolved fresh per Table instance (the catalog loads a new Table
+    * per statement, so DDL between statements is always visible). */
+  private[catalog] lazy val snap: SnapshotTable.SqlSnapshot =
+    SnapshotTable.sqlSnapshot(spark, root, pinnedVersion)
+
+  override def name(): String = ident
+
+  override def schema(): StructType = snap.schema
+
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("location", root)
+    m.put("format", "graft-snapshot")
+    snap.statsKey.foreach(m.put("statsKey", _))
+    snap.statsKey2.foreach(m.put("statsKey2", _))
+    pinnedVersion.foreach(v => m.put("versionAsOf", v.toString))
+    m
+  }
+
+  override def capabilities(): JSet[TableCapability] = {
+    val caps = java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      // appends/overwrite-by-filter ride the V1 write (the table's own
+      // commit machinery); BATCH_WRITE is additionally declared because
+      // dynamic overwrite has no V1 exec — its Write exposes a real
+      // BatchWrite (executor parquet writers), and the capability check
+      // requires BATCH_WRITE specifically for that plan
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+    Collections.unmodifiableSet(caps)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, snap, groupScan = false)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable()
+    new GraftWriteBuilder(spark, root)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(f => FilterBridge.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable()
+    val pred = filters.flatMap(FilterBridge.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotTable.deleteWhere(spark, root, pred)
+    ()
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable()
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(spark, snap, info.command)
+    }
+  }
+
+  private def requireWritable(): Unit =
+    require(pinnedVersion.isEmpty,
+      s"table $ident is pinned to version ${pinnedVersion.get} (time travel) " +
+        "and cannot be written; address the table without VERSION AS OF")
+}
+
+/** Group-based copy-on-write row-level operation: the scan is a
+  * [[GraftScanBuilder]] in group mode (filters prune FILES — the
+  * replacement groups — but never rows: a rewrite must carry unmatched
+  * rows of touched files through), and it RECORDS the (version, files)
+  * it planned; the write ([[GraftReplaceWrite]]) publishes new files
+  * replacing exactly that set, refusing if the table moved in between.
+  * This is the engine behind SQL `MERGE INTO` and `UPDATE` (and
+  * `DELETE` whose predicate can't translate to filters). */
+private[catalog] final class GraftRowLevelOperation(spark: SparkSession,
+    snap: SnapshotTable.SqlSnapshot,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  @volatile private var scannedFiles: Set[String] = Set.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, snap, groupScan = true,
+      onPlan = (_, files) => scannedFiles = files)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceWrite(spark, snap, () => scannedFiles, info.schema())
+    }
+
+  override def description(): String = s"GraftRowLevel($cmd, ${snap.root})"
+}

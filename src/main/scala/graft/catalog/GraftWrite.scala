@@ -1,0 +1,313 @@
+package graft.catalog
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetOutputFormat
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+
+import graft.sources.SnapshotTable
+
+/** INSERT INTO / INSERT OVERWRITE / CTAS-append for the snapshot
+  * table, as a [[V1Write]]: the engine hands the fully-planned batch
+  * frame to [[InsertableRelation.insert]], and the table's own commit
+  * machinery does what it always does — footer-measured stats, CHECK
+  * constraints riding the write, column-map translation, schema
+  * alignment, optimistic retry. One write path, two front doors.
+  * Overwrite commits op "rewrite" (whole-snapshot replace — CDC and
+  * the streaming source see it honestly); append commits "append". */
+private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String)
+  extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with SupportsDynamicOverwrite {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  /** The table has no partition columns, so "overwrite the partitions
+    * present in the data" (a session running
+    * `partitionOverwriteMode=dynamic`) degenerates to the one
+    * partition there is: the whole table. */
+  override def overwriteDynamicPartitions(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "graft tables support INSERT OVERWRITE of the whole table only " +
+        "(partition-scoped overwrite has no partition directories to scope to); " +
+        "use MERGE INTO or DELETE + INSERT for a predicate-scoped rewrite")
+    overwriteAll = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          if (overwriteAll || overwrite) SnapshotTable.sqlOverwrite(spark, root, data)
+          else SnapshotTable.append(spark, root, data)
+          ()
+        }
+      }
+    // dynamic overwrite has no V1 exec in Spark: it plans through
+    // OverwritePartitionsDynamicExec, which drives a real BatchWrite —
+    // executor parquet writers + a whole-snapshot "rewrite" commit
+    override def toBatch: BatchWrite = {
+      val snap = SnapshotTable.sqlSnapshot(spark, root)
+      new GraftFileBatchWrite(spark, snap, snap.schema, { files =>
+        SnapshotTable.sqlValidateWritten(spark, snap.root, files.map(_.relPath))
+        SnapshotTable.sqlOverwriteFiles(spark, snap.root, files)
+        ()
+      })
+    }
+  }
+}
+
+/** One written data file, as the executor reported it: path, row
+  * count, byte size, and the min/max it measured over the table's
+  * stats key(s) while writing — a manifest entry's worth of facts with
+  * zero post-write footer reads. */
+private[catalog] final case class GraftCommitMessage(relPath: String,
+    rows: Long, bytes: Long,
+    minL: Option[Long], maxL: Option[Long],
+    minB: Option[Array[Byte]], maxB: Option[Array[Byte]],
+    min2L: Option[Long], max2L: Option[Long],
+    min2B: Option[Array[Byte]], max2B: Option[Array[Byte]])
+  extends WriterCommitMessage
+
+/** Which write-schema ordinal feeds which stats slot, and how. */
+private[catalog] final case class StatsSpec(ordinal: Int, isString: Boolean,
+    secondary: Boolean)
+
+/** The row-level (group-based copy-on-write) write: MERGE INTO /
+  * UPDATE / non-filter DELETE land here. Executor tasks write parquet
+  * files (Spark's own [[ParquetWriteSupport]] under parquet-hadoop's
+  * writer — the same bytes `df.write.parquet` produces) and report
+  * per-file stats in their commit messages; the driver-side commit
+  * validates CHECK constraints over the written files and publishes
+  * ONE manifest version replacing exactly the files the operation's
+  * scan read ([[SnapshotTable.sqlReplaceFiles]] — carried files, dv
+  * references included, ride verbatim). A concurrent commit between
+  * scan and write REFUSES loudly; the task-commit coordinator
+  * deduplicates speculative attempts before any file reaches the
+  * manifest. */
+private[catalog] final class GraftReplaceWrite(spark: SparkSession,
+    snap: SnapshotTable.SqlSnapshot, scanned: () => Set[String],
+    writeSchema: StructType) extends Write {
+
+  override def toBatch: BatchWrite =
+    new GraftFileBatchWrite(spark, snap, writeSchema, { files =>
+      // CHECK constraints: the rows were written by executor tasks, so
+      // validation is one explicit job over just the new files —
+      // a violation aborts with nothing published
+      SnapshotTable.sqlValidateWritten(spark, snap.root, files.map(_.relPath))
+      SnapshotTable.sqlReplaceFiles(spark, snap.root, snap.version, scanned(), files)
+      ()
+    })
+}
+
+/** The shared file-producing half of every DSv2 batch write: executor
+  * tasks stream rows into parquet ([[GraftParquetWriter]]) and report
+  * per-file facts; `commitFiles` decides what manifest commit those
+  * files become (replace-scanned for row-level operations, whole
+  * snapshot for dynamic overwrite). */
+private[catalog] final class GraftFileBatchWrite(spark: SparkSession,
+    snap: SnapshotTable.SqlSnapshot, writeSchema: StructType,
+    commitFiles: Seq[SnapshotTable.SqlWrittenFile] => Unit) extends BatchWrite {
+
+  private val batchDir = s"data/sql-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // files spell physical names; the batch arrives logical
+    val physWrite = StructType(writeSchema.fields.map(f =>
+      f.copy(name = snap.physName(f.name))))
+    def spec(key: Option[String], secondary: Boolean): Option[StatsSpec] =
+      key.flatMap { k =>
+        writeSchema.fields.zipWithIndex.collectFirst {
+          case (f, i) if f.name.equalsIgnoreCase(k) => (f.dataType, i)
+        }.collect {
+          case (LongType | IntegerType, i) => StatsSpec(i, isString = false, secondary)
+          case (StringType, i) => StatsSpec(i, isString = true, secondary)
+        }
+      }
+    GraftWriterFactory(
+      new SerializableHadoopConf(GraftParquetWriter.confWithSessionKeys(
+        spark.sparkContext.hadoopConfiguration)),
+      snap.root, batchDir, physWrite,
+      Seq(spec(snap.statsKey, secondary = false),
+        spec(snap.statsKey2, secondary = true)).flatten)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case m: GraftCommitMessage if m.rows > 0 => m
+    }.sortBy(_.relPath).toIndexedSeq
+    commitFiles(files.map(m => SnapshotTable.SqlWrittenFile(m.relPath, m.rows,
+      m.bytes, m.minL, m.maxL, m.minB, m.maxB, m.min2L, m.max2L, m.min2B, m.max2B)))
+    // zero-row attempts may have left nothing; empty dirs are inert
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(snap.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try f.delete(new Path(snap.root, batchDir), true)
+    catch { case _: Exception => () }
+    ()
+  }
+}
+
+/** Serializable Hadoop conf (the stock helper is private[spark]):
+  * ships the driver's configuration to writer tasks via Hadoop's own
+  * Writable form. */
+private[catalog] final class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[catalog] final case class GraftWriterFactory(conf: SerializableHadoopConf,
+    root: String, batchDir: String, physSchema: StructType, stats: Seq[StatsSpec])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftParquetWriter(conf.value, root,
+      s"$batchDir/part-$partitionId-$taskId.parquet", physSchema, stats)
+}
+
+/** One task's parquet writer: rows stream straight into Spark's
+  * [[ParquetWriteSupport]] (no Row conversion, no buffering), stats
+  * accumulate in the loop (min/max per configured key — long widened
+  * from int, strings as UTF-8 bytes in unsigned order, exactly the
+  * manifest's stats semantics). A task that saw no rows writes no file
+  * at all. Speculative duplicates are excluded by Spark's commit
+  * coordinator; the losers' files die in [[DataWriter.abort]]. */
+private[catalog] final class GraftParquetWriter(conf: Configuration, root: String,
+    relPath: String, physSchema: StructType, stats: Seq[StatsSpec])
+  extends DataWriter[InternalRow] {
+
+  import org.apache.hadoop.mapreduce.RecordWriter
+
+  private var writer: RecordWriter[Void, InternalRow] = _
+  private var rows = 0L
+  private var minL, maxL, min2L, max2L = null: java.lang.Long
+  private var minB, maxB, min2B, max2B = null: Array[Byte]
+  private val ord = java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])
+
+  private def open(): RecordWriter[Void, InternalRow] = {
+    val c = new Configuration(conf)
+    ParquetWriteSupport.setSchema(physSchema, c)
+    c.set(ParquetOutputFormat.WRITE_SUPPORT_CLASS, classOf[ParquetWriteSupport].getName)
+    new ParquetOutputFormat[InternalRow]().getRecordWriter(
+      c, new Path(root, relPath), CompressionCodecName.SNAPPY)
+  }
+
+  /** Rows arrive either exactly as the write schema, or (group-based
+    * ReplaceData with no metadata projection — Spark hands the raw
+    * MergeRows output) prefixed with one int operation-marker column.
+    * Detected once from the first row's arity; the marker is projected
+    * away before parquet sees the row. */
+  private var fieldOffset = -1
+  private var trim: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
+
+  override def write(row0: InternalRow): Unit = {
+    if (fieldOffset < 0) {
+      fieldOffset = row0.numFields - physSchema.length
+      require(fieldOffset == 0 || fieldOffset == 1,
+        s"writer expected ${physSchema.length} (or +1 marker) fields, " +
+          s"got ${row0.numFields}")
+      if (fieldOffset == 1)
+        trim = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          physSchema.fields.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i + 1, f.dataType, nullable = true) }.toIndexedSeq)
+    }
+    val row = if (fieldOffset == 0) row0 else trim(row0)
+    if (writer == null) writer = open()
+    stats.foreach { s =>
+      if (!row.isNullAt(s.ordinal)) {
+        if (s.isString) {
+          val v = row.getUTF8String(s.ordinal).getBytes.clone()
+          if (s.secondary) {
+            if (min2B == null || ord(v, min2B) < 0) min2B = v
+            if (max2B == null || ord(v, max2B) > 0) max2B = v
+          } else {
+            if (minB == null || ord(v, minB) < 0) minB = v
+            if (maxB == null || ord(v, maxB) > 0) maxB = v
+          }
+        } else {
+          val v = physSchema.fields(s.ordinal).dataType match {
+            case IntegerType => row.getInt(s.ordinal).toLong
+            case _ => row.getLong(s.ordinal)
+          }
+          if (s.secondary) {
+            if (min2L == null || v < min2L) min2L = v
+            if (max2L == null || v > max2L) max2L = v
+          } else {
+            if (minL == null || v < minL) minL = v
+            if (maxL == null || v > maxL) maxL = v
+          }
+        }
+      }
+    }
+    rows += 1
+    writer.write(null, row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null)
+      return GraftCommitMessage(relPath, 0L, 0L, None, None, None, None,
+        None, None, None, None)
+    writer.close(null)
+    val p = new Path(root, relPath)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    GraftCommitMessage(relPath, rows, len,
+      Option(minL).map(_.longValue), Option(maxL).map(_.longValue),
+      Option(minB), Option(maxB),
+      Option(min2L).map(_.longValue), Option(max2L).map(_.longValue),
+      Option(min2B), Option(max2B))
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) try writer.close(null) catch { case _: Exception => () }
+    val p = new Path(root, relPath)
+    try p.getFileSystem(conf).delete(p, false)
+    catch { case _: IOException => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+private[catalog] object GraftParquetWriter {
+  /** [[ParquetWriteSupport]] and its schema converter ASSERT a set of
+    * session keys are present in the hadoop conf (the V1 write path
+    * plants them in `prepareWrite`); bake the DRIVER session's values
+    * in before the conf ships to writer tasks. */
+  def confWithSessionKeys(base: Configuration): Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new Configuration(base)
+    val sql = SQLConf.get
+    Seq(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG
+    ).foreach { e =>
+      if (c.get(e.key) == null)
+        c.set(e.key, sql.getConfString(e.key, e.defaultValueString))
+    }
+    c
+  }
+}

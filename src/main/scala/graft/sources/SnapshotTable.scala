@@ -347,6 +347,11 @@ object SnapshotTable {
     manifestCacheWeight.set(0L)
   }
 
+  /** [[invalidateManifestMemo]] for callers that REMOVE a table out
+    * from under this JVM (the SQL catalog's DROP/RENAME): the memo
+    * must not outlive the path. */
+  private[graft] def forgetTable(root: String): Unit = invalidateManifestMemo(root)
+
   /** Drop every memoized manifest under `root` — called by [[create]]
     * so a same-JVM drop-and-recreate at the same path can never serve
     * the dead table's manifest through an (mtime,length) coincidence. */
@@ -2057,12 +2062,15 @@ object SnapshotTable {
     * replacement while data stands still, chunking_manager.py:170-176. */
   def renameColumn(spark: SparkSession, root: String, from: String, to: String): Int = {
     require(to.nonEmpty && to.trim == to, s"invalid column name '$to'")
+    requireNotNestedPath(to, "RENAME COLUMN")
     retrying(spark, root, op = "rename") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val sch = schemaOf(spark, root, m)
-      val fld = sch.fields.find(f => norm(f.name) == norm(from)).getOrElse(
+      val fld = sch.fields.find(f => norm(f.name) == norm(from)).getOrElse {
+        requireNotNestedPath(from, "RENAME COLUMN", Some(sch))
         throw new IllegalArgumentException(
-          s"no column '$from' at $root (have ${sch.fieldNames.mkString(", ")})"))
+          s"no column '$from' at $root (have ${sch.fieldNames.mkString(", ")})")
+      }
       require(!sch.fields.exists(f => norm(f.name) == norm(to)),
         s"column '$to' already exists at $root")
       val newSch = org.apache.spark.sql.types.StructType(
@@ -2095,9 +2103,11 @@ object SnapshotTable {
     retrying(spark, root, op = "drop") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val sch = schemaOf(spark, root, m)
-      val fld = sch.fields.find(f => norm(f.name) == norm(name)).getOrElse(
+      val fld = sch.fields.find(f => norm(f.name) == norm(name)).getOrElse {
+        requireNotNestedPath(name, "DROP COLUMN", Some(sch))
         throw new IllegalArgumentException(
-          s"no column '$name' at $root (have ${sch.fieldNames.mkString(", ")})"))
+          s"no column '$name' at $root (have ${sch.fieldNames.mkString(", ")})")
+      }
       require(sch.fields.length > 1, s"cannot drop the last column of $root")
       require(!sameKey(m.statsKey, name) && !sameKey(m.statsKey2, name),
         s"'$name' is a recorded stats key of $root — re-key the table " +
@@ -2121,9 +2131,32 @@ object SnapshotTable {
     * a MINTED physical name — identical to evolution-by-append, so a
     * previously DROPPED column of the same name can never resurrect.
     * Refused when the name already exists (case-insensitive). */
+  /** Column-mapping DDL is TOP-LEVEL only (the documented format-9
+    * limitation, SURVEY §2.20): a dotted name that parses as a path
+    * into an existing struct column refuses with the real reason
+    * instead of a misleading "no column", and ADD refuses dotted names
+    * outright — a top-level column spelled `metadata.filename` would
+    * be indistinguishable from a nested path in every later statement.
+    * Delta's column mapping covers nested fields; closing that gap
+    * means path-keyed maps through every read/write/stats surface and
+    * is tracked, not faked. */
+  private def requireNotNestedPath(name: String, what: String,
+      sch: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+    if (name.contains('.')) {
+      val head = name.takeWhile(_ != '.')
+      val intoStruct = sch.forall(_.fields.exists(f =>
+        norm(f.name) == norm(head) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]))
+      if (intoStruct || sch.isEmpty) throw new UnsupportedOperationException(
+        s"$what '$name': column mapping is TOP-LEVEL only — nested field " +
+          "paths are not supported (rename/drop the whole struct column, or " +
+          "rewrite via a select that reshapes the struct)")
+    }
+
   def addColumn(spark: SparkSession, root: String,
       name: String, dataType: org.apache.spark.sql.types.DataType): Int = {
     require(name.nonEmpty && name.trim == name, s"invalid column name '$name'")
+    requireNotNestedPath(name, "ADD COLUMN")
     retrying(spark, root, op = "addcol") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val sch = schemaOf(spark, root, m)
@@ -2211,14 +2244,21 @@ object SnapshotTable {
       StructField("has_string_stats", BooleanType, nullable = false),
       StructField("has_bloom", BooleanType, nullable = false),
       StructField("dv", StringType, nullable = true),
-      StructField("dv_rows", LongType, nullable = true)))
+      StructField("dv_rows", LongType, nullable = true),
+      // the stats IDENTITY (manifest header, LOGICAL names): which
+      // column the min/max ranges were measured on — without it the
+      // per-file ranges are numbers with no referent, and answering
+      // "keyed on what?" needed a separate describeDetail call
+      StructField("stats_key", StringType, nullable = true),
+      StructField("stats_key2", StringType, nullable = true)))
     val data = m.entries.map { e =>
       Row(e.path, e.rows.map(Long.box).orNull, e.bytes.map(Long.box).orNull,
         e.minKey.map(Long.box).orNull, e.maxKey.map(Long.box).orNull,
         e.min2.map(Long.box).orNull, e.max2.map(Long.box).orNull,
         Boolean.box(e.minStr.isDefined || e.maxStr.isDefined),
         Boolean.box(e.bloom.isDefined),
-        e.dv.orNull, e.dvRows.map(Long.box).orNull)
+        e.dv.orNull, e.dvRows.map(Long.box).orNull,
+        m.statsKey.orNull, m.statsKey2.orNull)
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
@@ -3034,6 +3074,198 @@ object SnapshotTable {
       case _ => None
     }
     (longs, strs)
+  }
+
+  // ------------------------------------------------------------------
+  // DSv2 catalog seams (graft.catalog) — the narrow, read-mostly surface
+  // the SQL layer plans against. Everything here is metadata already in
+  // the manifest; the one collect (dv positions) is bounded and loud.
+  // ------------------------------------------------------------------
+
+  /** A data file of one snapshot version as the DSv2 planner sees it:
+    * manifest-relative path, recorded size, recorded row count, and
+    * whether a deletion vector applies (the scan must position-filter
+    * its rows). */
+  private[graft] final case class SqlDataFile(relPath: String, bytes: Long,
+      rows: Option[Long], hasDv: Boolean)
+
+  /** A file the DSv2 [[graft.catalog]] write path produced: enough to
+    * mint a manifest [[FileEntry]] without re-reading footers (the
+    * executor writers measured rows and key ranges as they wrote). */
+  private[graft] final case class SqlWrittenFile(relPath: String, rows: Long,
+      bytes: Long, minL: Option[Long], maxL: Option[Long],
+      minB: Option[Array[Byte]], maxB: Option[Array[Byte]],
+      min2L: Option[Long], max2L: Option[Long],
+      min2B: Option[Array[Byte]], max2B: Option[Array[Byte]])
+
+  /** Above this many recorded deleted positions across the files one
+    * DSv2 scan keeps, the scan refuses rather than materializing the
+    * position sets on the driver (the broadcast the per-file readers
+    * filter with). The V1 read path shuffles instead of broadcasting at
+    * this size; for the SQL path the answer is maintenance —
+    * [[compact]]/[[maintain]] rewrite the debt away. Loud, never wrong. */
+  private[graft] val SqlDvCollectCap = 8L * 1000 * 1000
+
+  /** One resolved snapshot version for the DSv2 planner: schema (its
+    * own recorded one — time travel reads old shapes), column map,
+    * stats identity, and manifest-pruned file listing. Driver-side
+    * metadata only; no Spark jobs. */
+  private[graft] final class SqlSnapshot(spark: SparkSession, val root: String,
+      val version: Int, m: Manifest) {
+    val schema: org.apache.spark.sql.types.StructType = schemaOf(spark, root, m)
+    /** Files spell PHYSICAL names; the scan reads physical, aliases
+      * logical (same discipline as [[readEntries]]). */
+    val physSchema: org.apache.spark.sql.types.StructType = physSchemaOf(m.colmap, schema)
+    def physName(logical: String): String = physFor(m.colmap, logical)
+    def statsKey: Option[String] = m.statsKey
+    def statsKey2: Option[String] = m.statsKey2
+    def constraints: Seq[(String, String)] = m.constraints
+    def sizeInBytes: Long = m.entries.flatMap(_.bytes).sum
+    def rowCount: Option[Long] = {
+      val rs = m.entries.map(e => e.rows.map(r => r - e.dvRows.getOrElse(0L)))
+      if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None
+    }
+
+    /** The files kept under `dataFilters` (catalyst conjuncts over
+      * PHYSICAL attribute names) — exactly [[ManifestFileIndex.listFiles]]'s
+      * decision, shared so the DSv2 scan prunes like every other path:
+      * verified stats only, point sets probe blooms, absent stats keep
+      * the file. */
+    def keptFiles(dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+        Seq[SqlDataFile] = {
+      val pb = m.statsKey.map(k => ManifestFileIndex.bounds(dataFilters, physFor(m.colmap, k)))
+      val sb = m.statsKey2.map(k => ManifestFileIndex.bounds(dataFilters, physFor(m.colmap, k)))
+      val pbHashes: Option[Array[(Long, Long)]] = pb.flatMap(b =>
+        b.longPoints.map(_.map(bloomHashLong))
+          .orElse(b.strPoints.map(_.map(bloomHashBytes))))
+      val kept =
+        if (pb.exists(ManifestPruning.contradictory) ||
+            sb.exists(ManifestPruning.contradictory)) Seq.empty
+        else m.entries.filter { e =>
+          pb.forall(ManifestPruning.keepPrimary(e, _)) &&
+            pbHashes.forall(ManifestPruning.bloomKeeps(e, _)) &&
+            sb.forall(ManifestPruning.keepSecondary(e, _))
+        }
+      lazy val f = fs(spark, root)
+      kept.map { e =>
+        val len = e.bytes.getOrElse(f.getFileStatus(new Path(root, e.path)).getLen)
+        SqlDataFile(e.path, len, e.rows, e.dv.isDefined)
+      }
+    }
+
+    /** Deleted positions of the dv-carrying files among `relPaths`, as
+      * path → sorted ordinals — what the DSv2 readers filter with.
+      * Bounded by [[SqlDvCollectCap]], loudly. */
+    def dvPositionMap(relPaths: Seq[String]): Map[String, Array[Long]] = {
+      val want = relPaths.toSet
+      val withDv = m.entries.filter(e => e.dv.isDefined && want(e.path))
+      if (withDv.isEmpty) Map.empty
+      else {
+        val known = withDv.flatMap(_.dvRows)
+        require(known.size < withDv.size || known.sum <= SqlDvCollectCap,
+          s"table $root carries ${known.sum} recorded deleted rows across the " +
+            s"scanned files — beyond the SQL scan's driver bound ($SqlDvCollectCap). " +
+            "Run SnapshotTable.maintain/compact to materialize the deletes first.")
+        val rows = dvPositions(spark, root, withDv).get.collect()
+        require(rows.length <= SqlDvCollectCap,
+          s"deletion-vector sidecars of $root hold ${rows.length} positions — beyond " +
+            s"the SQL scan's driver bound ($SqlDvCollectCap); compact the table first.")
+        rows.groupBy(_.getString(0)).map { case (p, rs) =>
+          val a = rs.map(_.getLong(1)); java.util.Arrays.sort(a); p -> a
+        }
+      }
+    }
+  }
+
+  /** Resolve `version` (default latest) for the DSv2 planner. */
+  private[graft] def sqlSnapshot(spark: SparkSession, root: String,
+      version: Option[Int] = None): SqlSnapshot = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v does not exist (have $vs)")
+    new SqlSnapshot(spark, root, v, manifestFull(spark, root, v))
+  }
+
+  /** INSERT OVERWRITE: one commit whose entries are exactly the new
+    * batch's files — the whole previous snapshot is dropped (still
+    * time-travelable until expiry). Op "rewrite": data-changing, so CDC
+    * and the streaming source treat it honestly. */
+  private[graft] def sqlOverwrite(spark: SparkSession, root: String,
+      df: DataFrame): Int =
+    retrying(spark, root, op = "rewrite") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val tableSch = schemaOf(spark, root, m)
+      requireNoRetired(m, tableSch, df.schema)
+      val evolved = evolveSchema(tableSch, df.schema, allowWiden = false)
+      val effCm = evolveColmap(m.colmap, evolved)
+      val files = writeDataFiles(spark, root,
+        constrained(alignTo(df, evolved), m.constraints),
+        m.statsKey, m.statsKey2, bloomKey = false, effCm)
+      Pending(files, evolved, m.statsKey, m.statsKey2,
+        colmap = if (effCm.isEmpty) None else Some(effCm))
+    }
+
+  /** The DSv2 row-level (group-based, copy-on-write) commit: replace
+    * exactly the files the operation's scan read with the files its
+    * write produced — MERGE INTO / UPDATE land here. Pinned to the
+    * scanned version: a concurrent commit in between REFUSES (the
+    * replacement rows were computed against a snapshot that no longer
+    * heads the table — retrying optimistically would need the whole
+    * read-rewrite to rerun, which is the engine caller's decision, not
+    * a silent loop here). Carried files keep their entries (and dv
+    * references) verbatim; replaced files' dv debt dies with them —
+    * the rewrite materialized it. */
+  private[graft] def sqlReplaceFiles(spark: SparkSession, root: String,
+      expectedVersion: Int, scannedRel: Set[String],
+      written: Seq[SqlWrittenFile]): Int =
+    retrying(spark, root, op = "merge") { (latest: Int) =>
+      require(latest == expectedVersion,
+        s"concurrent write detected on $root: the row-level operation scanned " +
+          s"version $expectedVersion but the table is now at $latest; re-run the " +
+          "statement against the new snapshot.")
+      val m = manifestFull(spark, root, latest)
+      val carried = m.entries.filterNot(e => scannedRel(e.path))
+      val fresh = written.map { w =>
+        FileEntry(w.relPath, w.minL, w.maxL, Some(w.rows), Some(w.bytes),
+          w.minB, w.maxB, w.min2L, w.max2L, w.min2B, w.max2B)
+      }
+      Pending(carried ++ fresh, schemaOf(spark, root, m), m.statsKey, m.statsKey2,
+        colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
+    }
+
+  /** [[sqlOverwrite]]'s file-level twin for the DSv2 BATCH write path
+    * (dynamic overwrite: the rows were already written by executor
+    * tasks, so the commit just publishes the file list as the whole
+    * new snapshot — op "rewrite"). Schema unchanged by contract
+    * (Spark aligned the query to the table before writing). */
+  private[graft] def sqlOverwriteFiles(spark: SparkSession, root: String,
+      written: Seq[SqlWrittenFile]): Int =
+    retrying(spark, root, op = "rewrite") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val fresh = written.map { w =>
+        FileEntry(w.relPath, w.minL, w.maxL, Some(w.rows), Some(w.bytes),
+          w.minB, w.maxB, w.min2L, w.max2L, w.min2B, w.max2B)
+      }
+      Pending(fresh, schemaOf(spark, root, m), m.statsKey, m.statsKey2,
+        colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
+    }
+
+  /** Post-write CHECK-constraint validation for the DSv2 row-level
+    * path (whose rows were written by executor-side writers, not
+    * [[writeDataFiles]]): one validation job over just the written
+    * files. Called BEFORE [[sqlReplaceFiles]] commits — a violation
+    * aborts with nothing published. */
+  private[graft] def sqlValidateWritten(spark: SparkSession, root: String,
+      written: Seq[String]): Unit = {
+    val m = manifestFull(spark, root, versions(spark, root).last)
+    if (m.constraints.nonEmpty && written.nonEmpty) {
+      val sch = schemaOf(spark, root, m)
+      val df = toLogical(
+        spark.read.schema(physSchemaOf(m.colmap, sch))
+          .parquet(written.map(p => s"$root/$p"): _*), sch, m.colmap)
+      validateConstraints(df, m.constraints)
+    }
   }
 
   private def readPruned(spark: SparkSession, root: String, version: Option[Int],

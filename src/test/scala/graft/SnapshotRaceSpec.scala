@@ -157,6 +157,71 @@ class SnapshotRaceSpec extends SparkSpec {
     assert(SnapshotTable.describeDetail(spark, root).nRows == expected.size.toLong)
   }
 
+  test("maintain racing a LIVE streaming sink: exactly-once survives the interleave") {
+    val root = Files.createTempDirectory("graft-race-s").toString
+    val goFile = s"$root/.go"
+    // fragmented seed + dv debt: the racing maintain has real work
+    // (materializeDv + compactSmall + expire + vacuum) while the sink
+    // commits micro-batches through the SAME optimistic protocol
+    SnapshotTable.create(spark, root,
+      (100L until 140L).map(i => (i, s"seed$i")).toDF("id", "v").repartition(8),
+      statsKey = Some("id"))
+    SnapshotTable.deleteWhere(spark, root, col("id") < 110)
+    val sinkRounds = 4
+    val ps = Seq(launch(root, goFile, 1, sinkRounds, "sink"),
+      launch(root, goFile, 2, 3, "maintain"))
+    Files.createFile(Paths.get(goFile))
+    await(root, ps)
+
+    // every staged row landed exactly once; deleted rows stayed deleted
+    val staged = (for { i <- 0 until sinkRounds; j <- 0 until 5 }
+      yield (2000L + 10L * i + j) -> s"w1-s$i-$j").toSet
+    val expected = (110L until 140L).map(i => i -> s"seed$i").toSet ++ staged
+    def tableRows(): Set[(Long, String)] = SnapshotTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tableRows() == expected,
+      "sink batches must land exactly once under a racing maintain")
+    val vs = SnapshotTable.versions(spark, root)
+    assert(vs == (vs.head to vs.last), s"versions must be contiguous, got $vs")
+    assert(SnapshotTable.describeDetail(spark, root).nRows == expected.size.toLong)
+
+    // SAME checkpoint, no new data: a restarted stream delivers nothing
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    def drain(ckpt: String): Unit =
+      spark.readStream.schema(sch).parquet(s"$root/_stage")
+        .writeStream.format("graft-table")
+        .option("path", root).option("checkpointLocation", ckpt)
+        .option("statsKey", "id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain(s"$root/_ckpt")
+    assert(tableRows() == expected, "a caught-up restart must deliver nothing")
+
+    // one more staged round with no maintain racing: the table's
+    // NEWEST version now provably carries the sink's txn marker (the
+    // racing maintain could legitimately have expired older markers —
+    // retention must outlive the replay window, same contract as the
+    // source side)
+    val extra = (0 until 5).map(j => (2000L + 10L * sinkRounds + j,
+      s"w1-s$sinkRounds-$j"))
+    extra.toDF("id", "v").coalesce(1).write.mode("append").parquet(s"$root/_stage")
+    drain(s"$root/_ckpt")
+    val expected2 = expected ++ extra.toSet
+    assert(tableRows() == expected2)
+
+    // FRESH checkpoint (the lost-checkpoint disaster): the file source
+    // replays EVERY staged batch from scratch; the replay's batch ids
+    // restart at 0, at or below the surviving marker, so the sink's
+    // txnBatchId cursor drops every one — no double-delivery
+    drain(s"$root/_ckpt_replay")
+    assert(tableRows() == expected2,
+      "a replay from a fresh checkpoint must be dropped by the txn cursor")
+  }
+
   test("read-retention contract: expire+vacuum under a pinned reader fails LOUDLY, never partially") {
     val root = Files.createTempDirectory("graft-race-r").toString
     SnapshotTable.create(spark, root,

@@ -21,7 +21,14 @@ import graft.sources.SnapshotTable
   *    one surviving row) is what the commit order must guarantee;
   *  - mode "append": n appends only (clean row-set expectation);
   *  - mode "compact": n full-table compactions — maintenance racing a
-  *    concurrent writer, the classic copy-on-write conflict shape.
+  *    concurrent writer, the classic copy-on-write conflict shape;
+  *  - mode "sink": n STREAMING micro-batch rounds through the
+  *    transactional `graft-table` sink — each round stages a
+  *    deterministic parquet batch under `<root>/_stage` and drains it
+  *    with an AvailableNow file-stream into the table against the
+  *    FIXED checkpoint `<root>/_ckpt` (both dirs outside vacuum's
+  *    sweep), so a concurrently-maintaining process interleaves with
+  *    real exactly-once sink commits, checkpoint advance included.
   * Spins on `goFile` after session startup so both processes enter the
   * commit loop together.
   */
@@ -60,6 +67,25 @@ object RaceWriter {
         (0 until n).foreach { _ =>
           SnapshotTable.maintain(spark, root, smallBytes = 1L << 20,
             keepVersions = 4, statsKey = Some("id"))
+        }
+      case "sink" =>
+        val stage = s"$root/_stage"
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        (0 until n).foreach { i =>
+          (0 until 5).map(j => (2000L * wid + 10L * i + j, s"w$wid-s$i-$j"))
+            .toDF("id", "v").coalesce(1)
+            .write.mode("append").parquet(stage)
+          spark.readStream.schema(sch).parquet(stage)
+            .writeStream.format("graft-table")
+            .option("path", root)
+            .option("checkpointLocation", s"$root/_ckpt")
+            .option("statsKey", "id")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
         }
       case "mix" =>
         (0 until n).foreach { i =>
