@@ -1052,6 +1052,10 @@ class SnapshotTableSpec extends SparkSpec {
     assert(f.filter(col("min_key").isNull || col("max_key").isNull).count() == 0,
       "every file carries primary stats")
     assert(f.filter(col("bytes").isNull || col("bytes") <= 0).count() == 0)
+    // the stats IDENTITY rides every row: these ranges were measured
+    // on `id`, and there is no phantom secondary
+    assert(f.filter(col("stats_key") === "id").count() == 5)
+    assert(f.filter(col("stats_key2").isNotNull).count() == 0)
     // time travel: the metadata table of an old version is that
     // version's manifest, not the head's
     assert(SnapshotTable.filesDf(spark, root, Some(1)).count() == 4)
