@@ -292,11 +292,15 @@ object Bench {
                 val runs = Seq.fill(TimedRuns)(time(fn(spark, sfDir).count())).sorted
                 val m3 = runs(TimedRuns / 2)
                 prior.get(name) match {
-                  // variance guard: same plan, median outside last
-                  // round's spread → re-measure at median-of-GuardRuns
+                  // variance guard: same plan, median ABOVE last
+                  // round's spread (an apparent slowdown that cannot
+                  // be a re-plan) → re-measure at median-of-GuardRuns
                   // (the 3 runs already taken plus fresh ones), record
-                  // BOTH medians in the dump
-                  case Some((lo, hi, p)) if p == plan && (m3 < lo || m3 > hi) =>
+                  // BOTH medians in the dump. Faster-than-spread needs
+                  // no defense — nobody reads a speedup as a
+                  // regression, and guarding both sides re-measured
+                  // half the suite on a globally faster box.
+                  case Some((_, hi, p)) if p == plan && m3 > hi =>
                     val extra = Seq.fill(GuardRuns - TimedRuns)(
                       time(fn(spark, sfDir).count()))
                     val all = (runs ++ extra).sorted

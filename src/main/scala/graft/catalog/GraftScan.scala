@@ -4,17 +4,34 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionSpec, PartitionedFile, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.paths.SparkPath
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.SnapshotTable
+
+/** The `_graft_file` metadata column: each row's manifest-relative
+  * data-file path. Selectable by users (`SELECT _graft_file, * FROM
+  * t` — Delta's `_metadata.file_path` shape) and, more importantly,
+  * the GROUP identity the row-level runtime filter collects: Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` runs the MERGE/UPDATE
+  * condition once, gathers the DISTINCT matching `_graft_file`
+  * values, and hands them back to the scan — so a join-keyed MERGE
+  * over a 100 TB table rewrites only the files that actually hold
+  * matches, with a runtime collect bounded by the FILE count, never
+  * the key count. */
+private[catalog] object GraftFileColumn {
+  val Name = "_graft_file"
+}
 
 /** The snapshot table's DSv2 scan: manifest-pruned file planning in
   * front of Spark's own vectorized parquet batch machinery.
@@ -41,7 +58,12 @@ import graft.sources.SnapshotTable
   *    column; a per-file sorted position set (broadcast) filters
   *    deleted ordinals at the READER — the DSv2 form of merge-on-read,
   *    position-filter-at-the-reader like Delta's DV readers, zero cost
-  *    when the table carries no dv debt.
+  *    when the table carries no dv debt;
+  *  - when [[GraftFileColumn]] is requested (a user projection, or a
+  *    row-level operation's required metadata), every file plans as a
+  *    whole-file row partition and the reader tags rows with their
+  *    file's path — which also arms RUNTIME GROUP FILTERING
+  *    ([[GraftScan.filter]]).
   *
   * `groupScan = true` is the row-level-operation mode (MERGE/UPDATE
   * copy-on-write): filters still prune FILES (file = replacement
@@ -53,13 +75,18 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = snap.schema
+  private var withFileCol: Boolean = false
   private var pushed: Array[Filter] = Array.empty
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // match by top-level name against the logical schema (nested
-    // pruning stays parquet's job via the physical read schema)
+    // pruning stays parquet's job via the physical read schema); the
+    // metadata column is ours, not the files'
+    withFileCol = requiredSchema.fields.exists(
+      _.name.equalsIgnoreCase(GraftFileColumn.Name))
     required = StructType(requiredSchema.fields.flatMap(f =>
       FilterBridge.fieldOf(snap.schema, f.name)))
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -81,43 +108,98 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
     val parquetFilters =
       if (groupScan) Array.empty[Filter]
       else pushed.flatMap(FilterBridge.rename(_, snap.physName))
-    new GraftScan(spark, snap, required, kept, parquetFilters)
+    new GraftScan(spark, snap, required, kept, parquetFilters, withFileCol, onPlan)
   }
 }
 
 /** See [[GraftScanBuilder]]. One instance = one planned version of one
-  * table, with its kept-file list fixed at build time (the manifest is
-  * immutable; the plan is exact). */
+  * table. The kept-file list starts at the manifest-pruned set and may
+  * NARROW once more at execution via [[filter]] (runtime group
+  * filtering); every `planInputPartitions`/`createReaderFactory` call
+  * derives from the CURRENT set, so a post-filter re-plan sees the
+  * narrowed files. */
 private[graft] final class GraftScan(spark: SparkSession,
     snap: SnapshotTable.SqlSnapshot, required: StructType,
-    kept: Seq[SnapshotTable.SqlDataFile], parquetFilters: Array[Filter])
-  extends Scan with Batch with SupportsReportStatistics {
+    initialKept: Seq[SnapshotTable.SqlDataFile], parquetFilters: Array[Filter],
+    withFileCol: Boolean, onPlan: (Int, Set[String]) => Unit)
+  extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
-  /** Exposed for the pruning spec: how many files this scan planned. */
+  @volatile private var kept: Seq[SnapshotTable.SqlDataFile] = initialKept
+
+  /** Exposed for the pruning specs: how many files this scan plans NOW
+    * (manifest pruning, then any runtime group filter). */
   def keptFileCount: Int = kept.size
   def keptRelPaths: Seq[String] = kept.map(_.relPath)
 
   private val physRequired = StructType(required.fields.map(f =>
     f.copy(name = snap.physName(f.name))))
-  private val (dvFiles, plainFiles) = kept.partition(_.hasDv)
+  private val dataTypes = physRequired.fields.map(_.dataType)
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (!withFileCol) required
+    else StructType(required.fields :+
+      StructField(GraftFileColumn.Name, StringType, nullable = false))
 
   override def description(): String =
-    s"GraftScan ${snap.root} v${snap.version} files=${kept.size} (dv=${dvFiles.size})"
+    s"GraftScan ${snap.root} v${snap.version} files=${kept.size}"
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, kept.map(_.bytes).sum))
     override def numRows(): java.util.OptionalLong = {
       val rs = kept.map(_.rows)
-      if (rs.nonEmpty && rs.forall(_.isDefined) && dvFiles.isEmpty)
+      if (rs.nonEmpty && rs.forall(_.isDefined) && !kept.exists(_.hasDv))
         java.util.OptionalLong.of(rs.flatten.sum)
       else java.util.OptionalLong.empty()
     }
   }
 
+  // ---- runtime group filtering ----
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (withFileCol) Array(Expressions.column(GraftFileColumn.Name))
+    else Array.empty
+
+  /** Narrow the kept set to the files the runtime subquery proved can
+    * hold matching rows — `IN (_graft_file, v1..vk)` / `= v` shapes,
+    * conjunctive. Unrecognized predicates narrow nothing (keeping a
+    * file is always correct); the recorded scanned set follows the
+    * narrowing so a row-level WRITE replaces exactly what was read. */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def fileRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case n: NamedReference =>
+          n.fieldNames().mkString(".").equalsIgnoreCase(GraftFileColumn.Name)
+        case _ => false
+      }
+    def strVal(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Option(l.value).map(String.valueOf)
+        case _ => None
+      }
+    val allowSets = predicates.toSeq.flatMap { p =>
+      val ch = p.children()
+      p.name() match {
+        case "IN" if ch.nonEmpty && fileRef(ch.head) =>
+          val vs = ch.tail.flatMap(strVal)
+          if (vs.length == ch.length - 1) Some(vs.toSet) else None
+        case "=" if ch.length == 2 && fileRef(ch.head) => strVal(ch(1)).map(Set(_))
+        case "=" if ch.length == 2 && fileRef(ch(1)) => strVal(ch.head).map(Set(_))
+        case _ => None
+      }
+    }
+    if (allowSets.nonEmpty) {
+      val allow = allowSets.reduce(_ intersect _)
+      kept = kept.filter(f => allow.contains(f.relPath))
+      onPlan(snap.version, kept.map(_.relPath).toSet)
+    }
+  }
+
   override def toBatch: Batch = this
+
+  // ---- physical planning (recomputed from the CURRENT kept set) ----
 
   private def status(f: SnapshotTable.SqlDataFile): FileStatus =
     new FileStatus(f.bytes, false, 1, math.max(f.bytes, 1L), 0L,
@@ -125,58 +207,76 @@ private[graft] final class GraftScan(spark: SparkSession,
 
   private def parquetScanOver(files: Seq[SnapshotTable.SqlDataFile],
       readSchema: StructType, filters: Array[Filter]): ParquetScan =
-    new ParquetScan(spark, spark.sparkContext.hadoopConfiguration,
+    // a PRIVATE conf copy per scan: ParquetScan.createReaderFactory
+    // WRITES its requested-schema keys into the conf it was given and
+    // broadcasts it lazily — two scans sharing the session conf would
+    // clobber each other's read schema (a one-column batch under a
+    // two-column converter; found the hard way on MERGE, whose plan
+    // holds the target scan AND the runtime-filter subquery scan)
+    new ParquetScan(spark,
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration),
       new StaticFileIndex(spark, new Path(snap.root), files.map(status)),
       snap.physSchema, readSchema, new StructType(), filters,
       CaseInsensitiveStringMap.empty(), None, Seq.empty, Seq.empty,
       Array.empty)
 
-  private lazy val plainBatch: Option[Batch] =
-    if (plainFiles.isEmpty) None
-    else Some(parquetScanOver(plainFiles, physRequired, parquetFilters).toBatch)
-
   /** dv files read with parquet's generated row-index column appended
     * (correct ordinals under splits and row-group structure alike) and
     * NO pushed filters — the reader-level position filter must see the
     * true ordinal stream, and the residual Filter above re-applies
-    * predicates anyway. */
-  private lazy val dvBatch: Option[Batch] =
-    if (dvFiles.isEmpty) None
-    else Some(parquetScanOver(dvFiles,
-      // nullable: the column is absent from the file by construction —
-      // the reader null-fills it as "missing", then its row-index
-      // generator overwrites the vector with true ordinals
-      StructType(physRequired.fields :+ StructField(
-        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)),
-      Array.empty).toBatch)
+    * predicates anyway. The field is nullable: absent from the file by
+    * construction, the reader null-fills it as "missing", then its
+    * row-index generator overwrites the vector with true ordinals. */
+  private def dvReadSchema: StructType =
+    StructType(physRequired.fields :+ StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
+
+  private def wholeFile(f: SnapshotTable.SqlDataFile, idx: Int): FilePartition =
+    FilePartition(idx, Array(PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(new Path(snap.root, f.relPath).toString),
+      0L, f.bytes, Array.empty, 0L, f.bytes, Map.empty)))
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val plain = plainBatch.map(_.planInputPartitions()).getOrElse(Array.empty[InputPartition])
-    // one whole-file partition per dv file: the position set is
-    // per-file, so the reader must know which file it is draining
-    val dv = dvFiles.zipWithIndex.map { case (f, i) =>
-      val pf = PartitionedFile(InternalRow.empty,
-        SparkPath.fromPathString(new Path(snap.root, f.relPath).toString),
-        0L, f.bytes, Array.empty, 0L, f.bytes, Map.empty)
-      GraftDvPartition(FilePartition(plain.length + i, Array(pf)), f.relPath)
-        : InputPartition
-    }.toArray
-    plain ++ dv
+    val files = kept
+    if (withFileCol) {
+      // file-tagged mode: one whole-file row partition per file — the
+      // reader must know which file it drains (path column + dv set)
+      files.zipWithIndex.map { case (f, i) =>
+        GraftTaggedPartition(wholeFile(f, i), f.relPath, f.hasDv): InputPartition
+      }.toArray
+    } else {
+      val (dvFiles, plainFiles) = files.partition(_.hasDv)
+      val plain =
+        if (plainFiles.isEmpty) Array.empty[InputPartition]
+        else parquetScanOver(plainFiles, physRequired, parquetFilters)
+          .toBatch.planInputPartitions()
+      val dv = dvFiles.zipWithIndex.map { case (f, i) =>
+        GraftDvPartition(wholeFile(f, plain.length + i), f.relPath): InputPartition
+      }.toArray
+      plain ++ dv
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    val files = kept
+    val (dvFiles, plainFiles) = files.partition(_.hasDv)
     val dvPos: Option[Broadcast[Map[String, Array[Long]]]] =
       if (dvFiles.isEmpty) None
       else Some(spark.sparkContext.broadcast(
         snap.dvPositionMap(dvFiles.map(_.relPath))))
-    GraftReaderFactory(
-      plainBatch.map(_.createReaderFactory()),
-      dvBatch.map(_.createReaderFactory()),
-      dvPos, physRequired.fields.map(_.dataType),
+    val plainFactory =
+      if (plainFiles.isEmpty && !withFileCol) None
+      else Some(parquetScanOver(if (withFileCol) files else plainFiles,
+        physRequired, parquetFilters).toBatch.createReaderFactory())
+    val dvFactory =
+      if (dvFiles.isEmpty) None
+      else Some(parquetScanOver(dvFiles, dvReadSchema, Array.empty)
+        .toBatch.createReaderFactory())
+    GraftReaderFactory(plainFactory, dvFactory, dvPos, dataTypes,
       // BatchScanExec refuses mixed row/columnar partitions: any dv
-      // file in the plan forces the whole scan row-based (dv debt is
-      // transitional — maintenance rewrites restore the columnar path)
-      forceRow = dvFiles.nonEmpty)
+      // file (or file tagging) forces the whole scan row-based
+      forceRow = dvFiles.nonEmpty || withFileCol)
   }
 }
 
@@ -186,9 +286,15 @@ private[graft] final class GraftScan(spark: SparkSession,
 private[graft] final case class GraftDvPartition(inner: FilePartition,
     relPath: String) extends InputPartition
 
+/** A whole-file partition in file-tagged mode ([[GraftFileColumn]]
+  * requested): rows get the file's path appended, and the dv position
+  * filter applies when the file carries one. */
+private[graft] final case class GraftTaggedPartition(inner: FilePartition,
+    relPath: String, hasDv: Boolean) extends InputPartition
+
 /** Routes plain partitions to the stock parquet reader factory
-  * (columnar included) and dv partitions to a row-based reader wrapped
-  * with the position filter. */
+  * (columnar included) and dv/tagged partitions to row-based readers
+  * wrapped with the position filter and/or the file-path tag. */
 private[catalog] final case class GraftReaderFactory(
     plain: Option[PartitionReaderFactory], dv: Option[PartitionReaderFactory],
     dvPos: Option[Broadcast[Map[String, Array[Long]]]],
@@ -197,16 +303,23 @@ private[catalog] final case class GraftReaderFactory(
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !forceRow && (partition match {
-      case _: GraftDvPartition => false
+      case _: GraftDvPartition | _: GraftTaggedPartition => false
       case other => plain.exists(_.supportColumnarReads(other))
     })
+
+  private def deleted(rel: String): Array[Long] =
+    dvPos.map(_.value.getOrElse(rel, Array.emptyLongArray))
+      .getOrElse(Array.emptyLongArray)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case GraftDvPartition(inner, rel) =>
-        val deleted = dvPos.map(_.value.getOrElse(rel, Array.emptyLongArray))
-          .getOrElse(Array.emptyLongArray)
-        new DvFilteringReader(dv.get.createReader(inner), deleted, dataTypes)
+        new DvFilteringReader(dv.get.createReader(inner), deleted(rel), dataTypes)
+      case GraftTaggedPartition(inner, rel, hasDv) =>
+        val base: PartitionReader[InternalRow] =
+          if (hasDv) new DvFilteringReader(dv.get.createReader(inner), deleted(rel), dataTypes)
+          else plain.get.createReader(inner)
+        new FileTaggingReader(base, rel)
       case other => plain.get.createReader(other)
     }
 
@@ -243,6 +356,22 @@ private[catalog] final class DvFilteringReader(
   }
 
   override def get(): InternalRow = current
+  override def close(): Unit = delegate.close()
+}
+
+/** Appends the partition's constant file path as the LAST column
+  * (the [[GraftFileColumn]] slot). The joined view is consumed
+  * immediately by the scan exec's unsafe projection. */
+private[catalog] final class FileTaggingReader(
+    delegate: PartitionReader[InternalRow], relPath: String)
+  extends PartitionReader[InternalRow] {
+
+  private val tag = new GenericInternalRow(
+    Array[Any](UTF8String.fromString(relPath)))
+  private val joined = new JoinedRow
+
+  override def next(): Boolean = delegate.next()
+  override def get(): InternalRow = joined(delegate.get(), tag)
   override def close(): Unit = delegate.close()
 }
 

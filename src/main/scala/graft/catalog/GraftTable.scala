@@ -32,7 +32,7 @@ import graft.sources.SnapshotTable
 private[catalog] final class GraftTable(spark: SparkSession, val root: String,
     ident: String, pinnedVersion: Option[Int])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   /** Resolved fresh per Table instance (the catalog loads a new Table
     * per statement, so DDL between statements is always visible). */
@@ -68,6 +68,20 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
       TableCapability.OVERWRITE_DYNAMIC)
     Collections.unmodifiableSet(caps)
   }
+
+  /** `_graft_file`: each row's manifest-relative data-file path —
+    * user-selectable (Delta's `_metadata.file_path` shape) and the
+    * group identity runtime group filtering collects for row-level
+    * operations. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftFileColumn.Name
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest-relative path of the data file this row came from"
+    })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, snap, groupScan = false)
@@ -123,6 +137,17 @@ private[catalog] final class GraftRowLevelOperation(spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, snap, groupScan = true,
       onPlan = (_, files) => scannedFiles = files)
+
+  /** Requiring the file column arms RUNTIME GROUP FILTERING: Spark
+    * evaluates the operation's condition once, collects the DISTINCT
+    * matching `_graft_file` values (bounded by the file count, never
+    * the key count), and the scan narrows to exactly those files —
+    * which [[scannedFiles]] tracks, so the replacing write stays
+    * aligned with what was actually read. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftFileColumn.Name))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -38,6 +38,14 @@ class GraftCatalogSpec extends SparkSpec {
       .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
   }
 
+  /** The LIVE file set (manifest-relative paths) — what the head
+    * version actually references; replaced files stay on DISK until
+    * vacuum, so carried-vs-rewritten questions must ask the manifest,
+    * not the directory. */
+  private def liveFiles(name: String): Set[String] =
+    graft.sources.SnapshotTable.filesDf(spark, s"$wh/main/$name")
+      .select("path").collect().map(_.getString(0)).toSet
+
   test("create, insert, select, insert-overwrite by name") {
     val t = freshTable("t_basic")
     sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
@@ -159,22 +167,58 @@ class GraftCatalogSpec extends SparkSpec {
       sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) " +
         s"FROM range(${i * 100}, ${i * 100 + 100})")
     }
-    val before = dataFiles("t_mprune")
+    val before = liveFiles("t_mprune")
     assert(before.size == 4)
-    // literal-bounded merge condition → static file pruning possible.
-    // (A join-keyed MERGE has no static target bound — documented gap:
-    // runtime group filtering is not implemented.)
+    // literal-bounded merge condition → static file pruning
     sql(s"""MERGE INTO $t tgt
            |USING (SELECT id, 'u' AS v FROM range(150, 160)) src
            |ON tgt.id = src.id AND tgt.id >= 150 AND tgt.id < 160
            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-    val after = dataFiles("t_mprune")
-    // at least two original files must have survived untouched if the
-    // group scan pruned; a full rewrite would replace all four
-    assert(before.intersect(after).size >= 2,
+    val after = liveFiles("t_mprune")
+    // the three untouched range files must CARRY by name in the new
+    // manifest; a full rewrite would replace all four
+    assert(before.intersect(after).size == 3,
       s"carried ${before.intersect(after).size} of ${before.size} files")
     assert(sql(s"SELECT count(*) FROM $t WHERE v = 'u'").head().getLong(0) == 10L)
     assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 400L)
+  }
+
+  test("join-keyed MERGE prunes via RUNTIME group filtering (_graft_file)") {
+    val t = freshTable("t_rtprune")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val before = liveFiles("t_rtprune")
+    assert(before.size == 4)
+    // NO static target bound: only the runtime subquery (collecting
+    // the matching rows' _graft_file values) can prune the groups —
+    // the update keys all live in ONE of the four range-disjoint files
+    sql(s"""MERGE INTO $t tgt
+           |USING (SELECT id, 'rt' AS v FROM range(250, 260)) src
+           |ON tgt.id = src.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val after = liveFiles("t_rtprune")
+    assert(before.intersect(after).size == 3,
+      s"runtime group filter must carry the 3 untouched files; " +
+        s"carried ${before.intersect(after).size} of ${before.size}")
+    assert(sql(s"SELECT count(*) FROM $t WHERE v = 'rt'").head().getLong(0) == 10L)
+    assert(sql(s"SELECT count(*) FROM $t").head().getLong(0) == 400L)
+  }
+
+  test("_graft_file metadata column is user-selectable") {
+    val t = freshTable("t_filecol")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(0, 10)")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(10, 20)")
+    val rows = sql(s"SELECT _graft_file, id FROM $t").collect()
+    assert(rows.length == 20)
+    val byFile = rows.groupBy(_.getString(0))
+    assert(byFile.size == 2, s"expected 2 distinct file tags, got ${byFile.keySet}")
+    assert(byFile.values.forall(_.length == 10))
+    assert(byFile.keys.forall(_.startsWith("data/")), s"${byFile.keySet}")
+    // and it composes with dv: deleted rows vanish, tags stay right
+    sql(s"DELETE FROM $t WHERE id = 5")
+    assert(sql(s"SELECT _graft_file FROM $t").collect().length == 19)
   }
 
   test("UPDATE rewrites through the same row-level plan") {
