@@ -1950,16 +1950,20 @@ object SparkEntry {
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
     graft.sources.SnapshotTable.create(s, tbl,                         // v1
       base.filter(col("o_orderkey") % 4 =!= 0)
-        .repartitionByRange(4, col("o_orderkey")),
+        .repartitionByRange(2, col("o_orderkey")),
       statsKey = Some("o_orderkey"))
     graft.meta.IncrementalView.create(s, tbl, vw, "grp", "cents")
     graft.sources.SnapshotTable.append(s, tbl,                         // v2
-      base.filter(col("o_orderkey") % 4 === 0).repartition(2))
+      base.filter(col("o_orderkey") % 4 === 0).coalesce(1))
     val c1 = graft.meta.IncrementalView.refresh(s, tbl, vw)
+    // the merge is RANGE-BOUNDED (a fixed key prefix): the update's
+    // whereabouts prune to the files that hold it, so the rewrite and
+    // its CDC diff measure the delta machinery, not a table-wide
+    // rewrite — the delta-accounting invariants are untouched
     graft.sources.SnapshotTable.merge(s, tbl,                          // v3
-      base.filter(col("o_orderkey") % 10 === 0)
+      base.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 4000L)
         .withColumn("cents", col("cents") + 777L)
-        .repartition(2),
+        .coalesce(1),
       key = "o_orderkey")
     val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw)
     graft.sources.SnapshotTable.deleteWhere(s, tbl,                    // v4
@@ -2142,7 +2146,8 @@ object SparkEntry {
       FROM orders WHERE o_orderkey % 3 = 0),
     upd AS (
       SELECT o_orderkey, grp,
-             CASE WHEN o_orderkey % 10 = 0 THEN cents + 777 ELSE cents END AS cents
+             CASE WHEN o_orderkey % 10 = 0 AND o_orderkey < 4000
+                  THEN cents + 777 ELSE cents END AS cents
       FROM base),
     fin AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0 AND grp <> 42)
     SELECT grp, COUNT(*) AS view_cnt, CAST(SUM(cents) AS BIGINT) AS view_sum,

@@ -93,21 +93,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     try isTable(tablePath(ident)) catch { case _: IllegalArgumentException => false }
 
+  /** Resolve `ns.tbl.files` / `ns.tbl.history` — an identifier whose
+    * LAST part names a metadata relation of the table the REST of the
+    * identifier names (Iceberg's metadata-table addressing). A real
+    * table always wins over the suffix interpretation. */
+  private def metadataTable(ident: Identifier,
+      version: Option[Int]): Option[Table] =
+    if (!GraftMetadataTable.Kinds(ident.name.toLowerCase(java.util.Locale.ROOT))
+      || ident.namespace.isEmpty) None
+    else {
+      val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val pp = tablePath(parent)
+      if (!isTable(pp)) None
+      else Some(new GraftMetadataTable(spark, pp.toString, fullName(ident),
+        ident.name.toLowerCase(java.util.Locale.ROOT), version))
+    }
+
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
-    new GraftTable(spark, p.toString, fullName(ident), None)
+    if (isTable(p)) new GraftTable(spark, p.toString, fullName(ident), None)
+    else metadataTable(ident, None).getOrElse(throw new NoSuchTableException(ident))
   }
 
-  /** `VERSION AS OF <v>` — the table pinned to a committed version. */
+  /** `VERSION AS OF <v>` — the table pinned to a committed version
+    * (composes with the `files` metadata relation: an old version's
+    * manifest is that version's file list). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"VERSION AS OF takes a numeric snapshot version; got '$version'")
     }
-    new GraftTable(spark, p.toString, fullName(ident), Some(v))
+    val p = tablePath(ident)
+    if (isTable(p)) new GraftTable(spark, p.toString, fullName(ident), Some(v))
+    else metadataTable(ident, Some(v)).getOrElse(throw new NoSuchTableException(ident))
   }
 
   /** `TIMESTAMP AS OF <t>` (micros since epoch from the engine) — the

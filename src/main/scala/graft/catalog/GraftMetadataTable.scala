@@ -1,0 +1,85 @@
+package graft.catalog
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+
+/** Iceberg-style METADATA TABLES: a snapshot table's own metadata,
+  * queryable by name through the same catalog —
+  *
+  * {{{
+  * SELECT * FROM graft.ns.tbl.files     -- per-file manifest facts
+  * SELECT * FROM graft.ns.tbl.history   -- one row per live version
+  * }}}
+  *
+  * The underlying facts are [[SnapshotTable.filesDf]] (path, rows,
+  * bytes, key ranges, stats identity, dv state) and
+  * [[SnapshotTable.history]] (version, op, file/column/row counts) —
+  * driver-side manifest reads, no data I/O. The scan is a
+  * [[LocalScan]]: metadata is bounded by the file/version count, so
+  * it plans as a local table and every downstream filter/aggregate is
+  * ordinary Spark. `VERSION AS OF` composes with `files` (an old
+  * version's manifest is that version's file list). Reference analog:
+  * the collection-status introspection of index_manager.py:288-323,
+  * made a queryable relation. */
+private[catalog] final class GraftMetadataTable(spark: SparkSession,
+    root: String, ident: String, kind: String, pinnedVersion: Option[Int])
+  extends Table with SupportsRead {
+
+  override def name(): String = ident
+
+  override def schema(): StructType = kind match {
+    case "files" =>
+      SnapshotTable.filesDf(spark, root, pinnedVersion).schema
+    case "history" => GraftMetadataTable.HistorySchema
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.unmodifiableSet(java.util.EnumSet.of(TableCapability.BATCH_READ))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema()
+        override def rows(): Array[InternalRow] = kind match {
+          case "files" =>
+            GraftMetadataTable.collectRows(
+              SnapshotTable.filesDf(spark, root, pinnedVersion))
+          case "history" =>
+            import org.apache.spark.sql.Row
+            GraftMetadataTable.collectRows(spark.createDataFrame(
+              new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+                .SeqHasAsJava(SnapshotTable.history(spark, root).map(h =>
+                  Row(h.version, h.op, h.nFiles, h.nColumns, h.withStats,
+                    h.nRows))).asJava),
+              GraftMetadataTable.HistorySchema))
+        }
+        override def description(): String = s"GraftMetadata($kind, $root)"
+      }
+    }
+}
+
+private[catalog] object GraftMetadataTable {
+  /** The metadata relations addressable as `<table>.<name>`. */
+  val Kinds: Set[String] = Set("files", "history")
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_columns", IntegerType, nullable = false),
+    StructField("with_stats", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+
+  /** Driver-rows for a LocalScan — bounded by the manifest's file or
+    * version count by construction. */
+  def collectRows(df: org.apache.spark.sql.DataFrame): Array[InternalRow] =
+    df.queryExecution.executedPlan.executeCollect()
+}

@@ -318,6 +318,34 @@ class GraftCatalogSpec extends SparkSpec {
       .filter("id = 6").count() == 0L)
   }
 
+  test("metadata tables: SELECT from tbl.files and tbl.history by name") {
+    val t = freshTable("t_meta")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(0, 50)")
+    sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(50, 100)")
+    sql(s"DELETE FROM $t WHERE id = 7")
+    // files: per-file manifest facts, stats identity included
+    val files = sql(s"SELECT path, rows, stats_key, dv_rows FROM $t.files ORDER BY path")
+      .collect()
+    assert(files.length == 2)
+    assert(files.forall(_.getString(2) == "id"))
+    assert(files.map(r => Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)).sum == 1L)
+    // aggregates over metadata are ordinary Spark
+    assert(sql(s"SELECT sum(rows) FROM $t.files").head().getLong(0) == 100L)
+    // history: one row per live version with the committing op
+    val ops = sql(s"SELECT op FROM $t.history ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("create", "append", "append", "delete"), s"ops: $ops")
+    // VERSION AS OF composes: the old manifest had one file, no dv
+    assert(sql(s"SELECT count(*) FROM $t.files VERSION AS OF 2").head().getLong(0) == 1L)
+    assert(sql(s"SELECT count(*) FROM $t.files VERSION AS OF 2 WHERE dv IS NOT NULL")
+      .head().getLong(0) == 0L)
+    // a REAL table named like a metadata relation wins over the suffix
+    sql("CREATE TABLE IF NOT EXISTS gsql.main.history (k BIGINT)")
+    sql("INSERT INTO gsql.main.history VALUES (1)")
+    assert(sql("SELECT k FROM gsql.main.history").head().getLong(0) == 1L)
+    sql("DROP TABLE gsql.main.history")
+  }
+
   test("dv partitions and plain partitions mix in one scan") {
     val t = freshTable("t_mix")
     sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(0, 100)")
