@@ -318,6 +318,34 @@ class GraftCatalogSpec extends SparkSpec {
       .filter("id = 6").count() == 0L)
   }
 
+  test("batch-write stats survive an ACTIVE column mapping (post-rename MERGE)") {
+    val t = freshTable("t_cmwrite")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    sql(s"ALTER TABLE $t RENAME COLUMN id TO doc_id") // colmap active, stats key follows
+    // the MERGE's replacement files are written by the DSv2 batch
+    // writer under PHYSICAL names, measuring stats on the RENAMED
+    // logical key — the rewritten file must still point-prune
+    sql(s"""MERGE INTO $t tgt
+           |USING (SELECT id AS doc_id, 'cm' AS v FROM range(250, 260)) src
+           |ON tgt.doc_id = src.doc_id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(sql(s"SELECT count(*) FROM $t WHERE v = 'cm'").head().getLong(0) == 10L)
+    // probe INSIDE the rewritten range: the new sql-written file must
+    // carry usable stats under the mapping (kept files == 1)
+    val probe = sql(s"SELECT * FROM $t WHERE doc_id = 255")
+    val rows = probe.collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "cm")
+    val gs = PlanWalk.batchScans(probe).map(_.scan).collect { case g: GraftScan => g }
+    assert(gs.nonEmpty && gs.map(_.keptFileCount).max == 1,
+      s"post-rename batch-written file must prune; kept ${gs.map(_.keptFileCount)}")
+    // and the manifest attributes the stats to the renamed key
+    assert(sql(s"SELECT count(*) FROM $t.files WHERE stats_key <> 'doc_id' OR min_key IS NULL")
+      .head().getLong(0) == 0L)
+  }
+
   test("metadata tables: SELECT from tbl.files and tbl.history by name") {
     val t = freshTable("t_meta")
     sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(0, 50)")
