@@ -71,7 +71,8 @@ private[catalog] object GraftFileColumn {
   * must see every row of every kept file, carried rows included. */
 private[catalog] final class GraftScanBuilder(spark: SparkSession,
     snap: SnapshotTable.SqlSnapshot, groupScan: Boolean,
-    onPlan: (Int, Set[String]) => Unit = (_, _) => ())
+    onPlan: (Int, Set[String]) => Unit = (_, _) => (),
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = snap.schema
@@ -108,7 +109,8 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
     val parquetFilters =
       if (groupScan) Array.empty[Filter]
       else pushed.flatMap(FilterBridge.rename(_, snap.physName))
-    new GraftScan(spark, snap, required, kept, parquetFilters, withFileCol, onPlan)
+    new GraftScan(spark, snap, required, kept, parquetFilters, withFileCol,
+      onPlan, options)
   }
 }
 
@@ -121,7 +123,8 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
 private[graft] final class GraftScan(spark: SparkSession,
     snap: SnapshotTable.SqlSnapshot, required: StructType,
     initialKept: Seq[SnapshotTable.SqlDataFile], parquetFilters: Array[Filter],
-    withFileCol: Boolean, onPlan: (Int, Set[String]) => Unit)
+    withFileCol: Boolean, onPlan: (Int, Set[String]) => Unit,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -198,6 +201,13 @@ private[graft] final class GraftScan(spark: SparkSession,
   }
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table(name)` — versions become micro-batches
+    * (see [[GraftMicroBatchStream]]); the schema and column map lock
+    * here, at stream start, from the snapshot this scan resolved. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, snap, physRequired, options)
 
   // ---- physical planning (recomputed from the CURRENT kept set) ----
 

@@ -65,7 +65,11 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // name-addressed Structured Streaming: versions as micro-batches
+      // in, one atomic txn-marked append per epoch out
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
     Collections.unmodifiableSet(caps)
   }
 
@@ -84,7 +88,7 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, snap, groupScan = false)
+    new GraftScanBuilder(spark, snap, groupScan = false, options = options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()

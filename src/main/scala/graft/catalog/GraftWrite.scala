@@ -66,6 +66,64 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
         ()
       })
     }
+
+    /** `writeStream.toTable(name)` — each epoch is one atomic append
+      * carrying the epoch id as the manifest's `txnBatchId`: the same
+      * replay cursor as the V1 streaming sink, so a crash between the
+      * table commit and the checkpoint commit replays into a
+      * recognized-and-dropped epoch. Executor parquet writers measure
+      * the stats-key ranges in the write loop; CHECK constraints
+      * validate over just the epoch's files before anything publishes.
+      * Contract: one streaming query (one checkpoint) writes a table. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        private val snap = SnapshotTable.sqlSnapshot(spark, root)
+        private val batch = new GraftFileBatchWrite(spark, snap, snap.schema,
+          _ => throw new IllegalStateException("streaming commits go through commit(epoch, ...)"))
+
+        override def createStreamingWriterFactory(
+            info: PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+          batch.createBatchWriterFactory(info)
+            .asInstanceOf[GraftWriterFactory]
+
+        override def commit(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = {
+          val files = messages.collect {
+            case m: GraftCommitMessage if m.rows > 0 => m
+          }.sortBy(_.relPath).toIndexedSeq
+          // replay (crash between table commit and checkpoint commit):
+          // recognized by the cursor, dropped; this attempt's files are
+          // unreferenced and die in the next vacuum
+          if (SnapshotTable.lastTxnBatchId(spark, root).exists(_ >= epochId)) {
+            files.foreach { m =>
+              val p = new Path(root, m.relPath)
+              try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(p, false)
+              catch { case _: Exception => () }
+            }
+            return
+          }
+          if (files.nonEmpty) {
+            SnapshotTable.sqlValidateWritten(spark, root, files.map(_.relPath))
+            SnapshotTable.sqlAppendFiles(spark, root,
+              files.map(m => SnapshotTable.SqlWrittenFile(m.relPath, m.rows,
+                m.bytes, m.minL, m.maxL, m.minB, m.maxB, m.min2L, m.max2L,
+                m.min2B, m.max2B)),
+              txnBatchId = epochId)
+            ()
+          }
+        }
+
+        override def abort(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit =
+          messages.collect { case m: GraftCommitMessage if m.relPath != null =>
+            val p = new Path(root, m.relPath)
+            try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, false)
+            catch { case _: Exception => () }
+          }
+      }
   }
 }
 
@@ -179,10 +237,17 @@ private[catalog] final class SerializableHadoopConf(@transient var value: Config
 
 private[catalog] final case class GraftWriterFactory(conf: SerializableHadoopConf,
     root: String, batchDir: String, physSchema: StructType, stats: Seq[StatsSpec])
-  extends DataWriterFactory {
+  extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftParquetWriter(conf.value, root,
       s"$batchDir/part-$partitionId-$taskId.parquet", physSchema, stats)
+  // streaming twin: the task id is globally unique per attempt, so the
+  // same naming scheme keeps every epoch's files distinct
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftParquetWriter(conf.value, root,
+      s"$batchDir/part-$partitionId-$taskId-e$epochId.parquet", physSchema, stats)
 }
 
 /** One task's parquet writer: rows stream straight into Spark's

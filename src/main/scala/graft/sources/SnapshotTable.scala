@@ -3251,6 +3251,24 @@ object SnapshotTable {
         colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
     }
 
+  /** [[sqlOverwriteFiles]]'s APPEND twin — the DSv2 STREAMING sink's
+    * commit: the epoch's executor-written files join the snapshot as
+    * one atomic append carrying the epoch id as `txnBatchId` (the same
+    * replay cursor the V1 streaming sink uses — the caller checks
+    * [[lastTxnBatchId]] before calling). */
+  private[graft] def sqlAppendFiles(spark: SparkSession, root: String,
+      written: Seq[SqlWrittenFile], txnBatchId: Long): Int =
+    retrying(spark, root, op = "append") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val fresh = written.map { w =>
+        FileEntry(w.relPath, w.minL, w.maxL, Some(w.rows), Some(w.bytes),
+          w.minB, w.maxB, w.min2L, w.max2L, w.min2B, w.max2B)
+      }
+      Pending(m.entries ++ fresh, schemaOf(spark, root, m), m.statsKey,
+        m.statsKey2, txnBatchId = Some(txnBatchId),
+        colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
+    }
+
   /** Post-write CHECK-constraint validation for the DSv2 row-level
     * path (whose rows were written by executor-side writers, not
     * [[writeDataFiles]]): one validation job over just the written

@@ -374,6 +374,80 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE gsql.main.history")
   }
 
+  test("name-addressed streaming: readStream.table follows, toTable exactly-once") {
+    wh
+    Seq("s_src", "s_out").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.s_src (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.s_out (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.s_src SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(0, 10)")
+    sql("INSERT INTO gsql.main.s_src SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(10, 20)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqlstream").toString
+    def drain(): Unit =
+      spark.readStream.table("gsql.main.s_src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gsql.main.s_out").awaitTermination()
+    drain()
+    assert(sql("SELECT count(*) FROM gsql.main.s_out").head().getLong(0) == 20L)
+    // incremental follow: only the new slice delivers
+    sql("INSERT INTO gsql.main.s_src SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(20, 25)")
+    drain()
+    assert(sql("SELECT count(*), sum(id) FROM gsql.main.s_out").head() match {
+      case r => r.getLong(0) == 25L && r.getLong(1) == (0 until 25).map(_.toLong).sum
+    })
+    // caught-up restart delivers nothing — no new out version
+    val outRoot = s"$wh/main/s_out"
+    val versBefore = graft.sources.SnapshotTable.versions(spark, outRoot)
+    drain()
+    assert(graft.sources.SnapshotTable.versions(spark, outRoot) == versBefore,
+      "a caught-up restart must commit nothing")
+    // epoch appends carry stats: a point probe over the streamed table
+    // prunes to the one file holding the key
+    val probe = sql("SELECT * FROM gsql.main.s_out WHERE id = 22")
+    assert(probe.collect().length == 1)
+    val gs = PlanWalk.batchScans(probe).map(_.scan).collect { case g: GraftScan => g }
+    assert(gs.nonEmpty && gs.map(_.keptFileCount).max == 1,
+      s"streamed appends must carry usable stats; kept ${gs.map(_.keptFileCount)}")
+  }
+
+  test("streaming source: AvailableNow pacing and data-changing refusal") {
+    wh
+    Seq("p_src", "p_out").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.p_src (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.p_out (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    (0 until 3).foreach { i =>
+      sql(s"INSERT INTO gsql.main.p_src SELECT /*+ REPARTITION(1) */ id, " +
+        s"CAST(id AS STRING) FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqlpace").toString
+    def drain(ignoreChanges: Boolean = false): Unit = {
+      val r = spark.readStream.option("maxVersionsPerTrigger", "1")
+      (if (ignoreChanges) r.option("ignoreChanges", "true") else r)
+        .table("gsql.main.p_src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gsql.main.p_out").awaitTermination()
+    }
+    drain()
+    assert(sql("SELECT count(*) FROM gsql.main.p_out").head().getLong(0) == 30L)
+    // pacing: one source version per epoch → the three carrying
+    // versions committed as three separate out appends
+    val outRoot = s"$wh/main/p_out"
+    val dataOps = graft.sources.SnapshotTable.history(spark, outRoot)
+      .map(_.op).count(_ == "append")
+    assert(dataOps == 3, s"expected 3 paced epoch appends, got $dataOps")
+    // a data-changing commit refuses loudly...
+    sql("UPDATE gsql.main.p_src SET v = 'x' WHERE id = 5")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    def hasDataChanging(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("data-changing")) ||
+        hasDataChanging(t.getCause))
+    assert(hasDataChanging(e), s"got $e")
+    // ...and ignoreChanges skips it without delivering stale rows
+    drain(ignoreChanges = true)
+    assert(sql("SELECT count(*) FROM gsql.main.p_out").head().getLong(0) == 30L)
+  }
+
   test("dv partitions and plain partitions mix in one scan") {
     val t = freshTable("t_mix")
     sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(0, 100)")
