@@ -1966,8 +1966,10 @@ object SparkEntry {
         .coalesce(1),
       key = "o_orderkey")
     val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw)
+    // delete 1 is key-bounded (its predicate scan prunes by range);
+    // delete 2 (group drop) is inherently table-wide — both shapes stay
     graft.sources.SnapshotTable.deleteWhere(s, tbl,                    // v4
-      col("o_orderkey") % 7 === 0)
+      col("o_orderkey") % 7 === 0 && col("o_orderkey") < 4000L)
     graft.sources.SnapshotTable.deleteWhere(s, tbl, col("grp") === 42L) // v5
     val c3 = graft.meta.IncrementalView.refresh(s, tbl, vw) // 2-version window
     val c4 = graft.meta.IncrementalView.refresh(s, tbl, vw) // replay: no-op
@@ -2149,7 +2151,8 @@ object SparkEntry {
              CASE WHEN o_orderkey % 10 = 0 AND o_orderkey < 4000
                   THEN cents + 777 ELSE cents END AS cents
       FROM base),
-    fin AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0 AND grp <> 42)
+    fin AS (SELECT * FROM upd
+            WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey < 4000) AND grp <> 42)
     SELECT grp, COUNT(*) AS view_cnt, CAST(SUM(cents) AS BIGINT) AS view_sum,
            TRUE AS consumed_ok, TRUE AS cursor_ok, TRUE AS ivm_ok,
            TRUE AS purged_ok
