@@ -162,6 +162,7 @@ object SparkEntry {
     "meta_snapshot_delta_log" -> ((s, d) => snapshotDeltaLogCycle(s, d)),
     "meta_snapshot_restore" -> ((s, d) => snapshotRestoreCycle(s, d)),
     "meta_snapshot_column_map" -> ((s, d) => snapshotColumnMapCycle(s, d)),
+    "meta_snapshot_nested_map" -> ((s, d) => snapshotNestedMapCycle(s, d)),
     "meta_snapshot_sql" -> ((s, d) => snapshotSqlCycle(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
@@ -330,6 +331,7 @@ object SparkEntry {
     "meta_snapshot_delta_log" -> snapshotDeltaLogCycleSql,
     "meta_snapshot_restore" -> snapshotRestoreCycleSql,
     "meta_snapshot_column_map" -> snapshotColumnMapCycleSql,
+    "meta_snapshot_nested_map" -> snapshotNestedMapCycleSql,
     "meta_snapshot_sql" -> snapshotSqlCycleSql,
     "meta_snapshot_constraints" -> snapshotConstraintsCycleSql,
     "meta_snapshot_files" -> snapshotFilesTableCycleSql,
@@ -2477,6 +2479,105 @@ object SparkEntry {
            TRUE AS zero_copy, TRUE AS pruned, TRUE AS names_travel
     FROM documents WHERE doc_id < 430
     ORDER BY document_id"""
+
+  /** NESTED column mapping (manifest format 10) as a gated lifecycle:
+    * struct-FIELD paths through the same zero-copy DDL discipline the
+    * flat gate proves. v1 seeds a struct column `meta(lang, n_chars)`
+    * range-clustered on the stats key; then, all metadata-only:
+    * rename `meta.lang` -> `language` (nested leaf), rename `meta` ->
+    * `info` (ANCESTOR rename — the nested map key re-roots under the
+    * new struct name), add `info.flag` (schema-first, minted physical
+    * leaf under the active map), and rename it once data exists so
+    * the final read spans files from BOTH physical eras (v1 files
+    * null-fill the minted leaf; the post-DDL append carries it). A
+    * deletion-vector delete predicated ON a renamed nested field
+    * proves predicates translate through the struct cast. Booleans
+    * ride the rows: the three DDLs moved no data bytes (`zero_copy`),
+    * a stats-key point probe still plans exactly one file with the
+    * nested map active (`pruned`, executed-plan numFiles), and every
+    * version time-travels under its own nested names (`names_travel`).
+    * Reference analog: the reference's chunk metadata IS a struct
+    * (chunking_manager.py:82-87) — renaming inside it without
+    * rewriting stored chunks is this exact operation. */
+  private def snapshotNestedMapCycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapnested").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val snap = graft.sources.SnapshotTable
+    snap.create(s, root,                                               // v1
+      docs.filter(col("doc_id") < 400L)
+        .select(col("doc_id"),
+          struct(col("lang"), col("n_chars")).as("meta"))
+        .repartitionByRange(4, col("doc_id")),
+      statsKey = Some("doc_id"))
+    def dataFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+    val before = dataFiles()
+    snap.renameColumn(s, root, "meta.lang", "language")                // v2
+    snap.renameColumn(s, root, "meta", "info")                         // v3
+    snap.addColumn(s, root, "info.flag",                               // v4
+      org.apache.spark.sql.types.LongType)
+    val zeroCopy = dataFiles() == before
+    // post-DDL append ships the NEW logical shape; its files spell
+    // the minted/original PHYSICAL leaves
+    snap.append(s, root,                                               // v5
+      docs.filter(col("doc_id") >= 400L && col("doc_id") < 430L)
+        .select(col("doc_id"),
+          struct(col("lang").as("language"), col("n_chars"),
+            (col("doc_id") % 7).as("flag")).as("info"))
+        .coalesce(1))
+    snap.renameColumn(s, root, "info.flag", "mark")                    // v6
+    // dv delete predicated on a RENAMED nested field: the predicate
+    // must match rows through the struct translation in every era
+    snap.deleteWhere(s, root, col("info.n_chars") % 5 === 0)           // v7
+    // pruning proof on the top-level stats key with the NESTED map
+    // active, from the executed plan (degenerate layouts pass
+    // trivially, same hardening as the flat gate)
+    val minRow = docs.filter(col("doc_id") < 400L).agg(min(col("doc_id"))).head()
+    val pruned =
+      if (minRow.isNullAt(0) || before.size <= 1) true
+      else {
+        val probe = snap.readIndexed(s, root, "doc_id")
+          .filter(col("doc_id") === minRow.getLong(0))
+          .select(col("doc_id"), col("info.language"))
+        probe.collect() // execute THIS QueryExecution (the DPP-gate gotcha)
+        // the dv anti-join puts a SECOND parquet scan in the plan (the
+        // position sidecar, one file per write partition) — judge only
+        // the TABLE scan, identified by the probed key in its output
+        graft.PlanWalk.fileScans(probe)
+          .filter(_.output.exists(_.name == "doc_id")) match {
+          case Nil => false
+          case ss => ss.map(_.metrics("numFiles").value).max == 1
+        }
+      }
+    // each version reads under ITS OWN recorded nested names
+    def nestedNames(v: Option[Int], c: String): Seq[String] =
+      snap.read(s, root, v).schema(c).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val namesTravel =
+      nestedNames(Some(1), "meta") == Seq("lang", "n_chars") &&
+      nestedNames(Some(2), "meta") == Seq("language", "n_chars") &&
+      nestedNames(None, "info") == Seq("language", "n_chars", "mark")
+    graft.Scratch.registerForCleanup(root)
+    snap.read(s, root)
+      .select(col("doc_id"), col("info.language").as("language"),
+        col("info.n_chars").as("n_chars"), col("info.mark").as("mark"))
+      .withColumn("zero_copy", lit(zeroCopy))
+      .withColumn("pruned", lit(pruned))
+      .withColumn("names_travel", lit(namesTravel))
+      .orderBy(col("doc_id"))
+  }
+
+  private def snapshotNestedMapCycleSql: String = """
+    SELECT doc_id, lang AS language, n_chars,
+           CASE WHEN doc_id >= 400 THEN doc_id % 7 END AS mark,
+           TRUE AS zero_copy, TRUE AS pruned, TRUE AS names_travel
+    FROM documents
+    WHERE doc_id < 430 AND n_chars % 5 <> 0
+    ORDER BY doc_id"""
 
   /** One shared DSv2 catalog per JVM: the catalog instance is cached
     * by Spark on first reference, warehouse included, so the warehouse

@@ -31,21 +31,25 @@ private[catalog] object FilterBridge {
 
   /** Rewrite a V1 filter's attribute names (logical → physical, for
     * parquet row-group pushdown against files that spell minted
-    * physical names). None when the filter shape is unknown — dropped
-    * from the pushdown, never guessed. */
-  def rename(f: Filter, r: String => String): Option[Filter] = f match {
-    case EqualTo(a, v) => Some(EqualTo(r(a), v))
-    case EqualNullSafe(a, v) => Some(EqualNullSafe(r(a), v))
-    case GreaterThan(a, v) => Some(GreaterThan(r(a), v))
-    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(r(a), v))
-    case LessThan(a, v) => Some(LessThan(r(a), v))
-    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(r(a), v))
-    case In(a, vs) => Some(In(r(a), vs))
-    case IsNull(a) => Some(IsNull(r(a)))
-    case IsNotNull(a) => Some(IsNotNull(r(a)))
-    case StringStartsWith(a, v) => Some(StringStartsWith(r(a), v))
-    case StringEndsWith(a, v) => Some(StringEndsWith(r(a), v))
-    case StringContains(a, v) => Some(StringContains(r(a), v))
+    * physical names). Attribute references may be NESTED dotted paths
+    * (Spark pushes those to V2 sources); the resolver returns None
+    * for a reference it cannot translate and the whole filter drops
+    * from the pushdown — never guessed: an untranslated name could
+    * address a DROPPED column's buried bytes in old files. Unknown
+    * filter shapes likewise drop. */
+  def rename(f: Filter, r: String => Option[String]): Option[Filter] = f match {
+    case EqualTo(a, v) => r(a).map(EqualTo(_, v))
+    case EqualNullSafe(a, v) => r(a).map(EqualNullSafe(_, v))
+    case GreaterThan(a, v) => r(a).map(GreaterThan(_, v))
+    case GreaterThanOrEqual(a, v) => r(a).map(GreaterThanOrEqual(_, v))
+    case LessThan(a, v) => r(a).map(LessThan(_, v))
+    case LessThanOrEqual(a, v) => r(a).map(LessThanOrEqual(_, v))
+    case In(a, vs) => r(a).map(In(_, vs))
+    case IsNull(a) => r(a).map(IsNull(_))
+    case IsNotNull(a) => r(a).map(IsNotNull(_))
+    case StringStartsWith(a, v) => r(a).map(StringStartsWith(_, v))
+    case StringEndsWith(a, v) => r(a).map(StringEndsWith(_, v))
+    case StringContains(a, v) => r(a).map(StringContains(_, v))
     case And(l, rr) => for { a <- rename(l, r); b <- rename(rr, r) } yield And(a, b)
     case Or(l, rr) => for { a <- rename(l, r); b <- rename(rr, r) } yield Or(a, b)
     case Not(c) => rename(c, r).map(Not)

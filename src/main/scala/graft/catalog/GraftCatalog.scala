@@ -166,13 +166,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = p.toString
     changes.foreach {
       case c: TableChange.RenameColumn =>
-        SnapshotTable.renameColumn(spark, root, singleField(c.fieldNames, "RENAME"),
-          c.newName)
+        SnapshotTable.renameColumn(spark, root, pathOf(c.fieldNames), c.newName)
       case c: TableChange.DeleteColumn =>
-        SnapshotTable.dropColumn(spark, root, singleField(c.fieldNames, "DROP"))
+        SnapshotTable.dropColumn(spark, root, pathOf(c.fieldNames))
       case c: TableChange.AddColumn =>
-        SnapshotTable.addColumn(spark, root, singleField(c.fieldNames, "ADD"),
-          c.dataType)
+        SnapshotTable.addColumn(spark, root, pathOf(c.fieldNames), c.dataType)
       case c: TableChange.SetProperty =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE SET TBLPROPERTIES ('${c.property}') is not supported; " +
@@ -185,13 +183,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(spark, root, fullName(ident), None)
   }
 
-  private def singleField(fieldNames: Array[String], what: String): String = {
-    require(fieldNames.length == 1,
-      s"ALTER TABLE $what COLUMN supports top-level columns only; " +
-        s"'${fieldNames.mkString(".")}' is a nested path (column mapping is " +
-        "top-level — the same refusal the DDL API makes)")
-    fieldNames.head
-  }
+  /** A DSv2 field reference as the DDL API's dotted path — nested
+    * struct paths are first-class (format 10); the API resolves a
+    * LITERAL dotted top-level column first, matching SQL's own
+    * resolution order. */
+  private def pathOf(fieldNames: Array[String]): String = fieldNames.mkString(".")
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

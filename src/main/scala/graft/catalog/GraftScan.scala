@@ -80,13 +80,13 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // match by top-level name against the logical schema (nested
-    // pruning stays parquet's job via the physical read schema); the
-    // metadata column is ours, not the files'
+    // keep the engine's pruned SUBTREE (nested schema pruning reaches
+    // the parquet reader), canonicalizing only the top-level name's
+    // case; the metadata column is ours, not the files'
     withFileCol = requiredSchema.fields.exists(
       _.name.equalsIgnoreCase(GraftFileColumn.Name))
     required = StructType(requiredSchema.fields.flatMap(f =>
-      FilterBridge.fieldOf(snap.schema, f.name)))
+      FilterBridge.fieldOf(snap.schema, f.name).map(tf => f.copy(name = tf.name))))
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -108,7 +108,7 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
     // row index, but row-group skips are skipped conservatively too)
     val parquetFilters =
       if (groupScan) Array.empty[Filter]
-      else pushed.flatMap(FilterBridge.rename(_, snap.physName))
+      else pushed.flatMap(FilterBridge.rename(_, snap.physNameOpt))
     new GraftScan(spark, snap, required, kept, parquetFilters, withFileCol,
       onPlan, options)
   }
@@ -135,8 +135,10 @@ private[graft] final class GraftScan(spark: SparkSession,
   def keptFileCount: Int = kept.size
   def keptRelPaths: Seq[String] = kept.map(_.relPath)
 
-  private val physRequired = StructType(required.fields.map(f =>
-    f.copy(name = snap.physName(f.name))))
+  // the physical twin of the (possibly nested-pruned) read schema:
+  // same tree SHAPE, physical names at every struct level — readers
+  // emit positional rows, so the logical names above cost nothing
+  private val physRequired = snap.physSchemaFor(required)
   private val dataTypes = physRequired.fields.map(_.dataType)
 
   override def readSchema(): StructType =

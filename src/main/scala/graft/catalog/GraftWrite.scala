@@ -182,9 +182,9 @@ private[catalog] final class GraftFileBatchWrite(spark: SparkSession,
   private val batchDir = s"data/sql-${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // files spell physical names; the batch arrives logical
-    val physWrite = StructType(writeSchema.fields.map(f =>
-      f.copy(name = snap.physName(f.name))))
+    // files spell physical names (at every struct level); the batch
+    // arrives logical
+    val physWrite = snap.physSchemaFor(writeSchema)
     def spec(key: Option[String], secondary: Boolean): Option[StatsSpec] =
       key.flatMap { k =>
         writeSchema.fields.zipWithIndex.collectFirst {

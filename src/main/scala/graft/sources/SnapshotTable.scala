@@ -120,8 +120,25 @@ object SnapshotTable {
     * column's logical name can never resurrect the dropped column's
     * bytes from old files. The format bump is load-bearing: a format-8
     * reader would read physical files under logical names and silently
-    * null-fill every renamed column. */
-  private val ManifestFormat = 9
+    * null-fill every renamed column;
+    * 10 = NESTED column mapping: map keys and tombstones may be
+    * struct-field PATHS (segments joined with [[PathSep]]), so a
+    * rename/drop/add of `metadata.filename` is the same zero-copy
+    * metadata commit as a top-level one. Written only when a nested
+    * path actually exists ([[writeFormat]]) — top-level-only tables
+    * stay at 9, mapping-free tables at 8. */
+  private val ManifestFormat = 10
+
+  /** Reader-requirement discipline (Delta/Iceberg style): write the
+    * LOWEST format that expresses the manifest — 8 for mapping-free
+    * tables (older readers stay compatible), 9 once a top-level map
+    * or tombstone exists, 10 only when any NESTED path (a key or
+    * tombstone carrying the path separator) appears. */
+  private def writeFormat(cm: Map[String, String], rt: Set[String]): Int =
+    if (cm.isEmpty && rt.isEmpty) 8
+    else if (cm.keysIterator.exists(_.indexOf(PathSep.toInt) >= 0) ||
+             rt.exists(_.indexOf(PathSep.toInt) >= 0)) ManifestFormat
+    else 9
 
   /** Longest delta chain a reader may have to walk: a commit whose
     * parent already sits at this depth writes a full checkpoint
@@ -531,34 +548,95 @@ object SnapshotTable {
   /** PHYSICAL name of logical column `logical` under `cm` (identity
     * when unmapped — covers both an inactive map and pre-activation
     * columns, whose physical name IS their logical name). Lookup is
-    * case-insensitive, matching Spark's resolution. */
+    * case-insensitive, matching Spark's resolution. TOP-LEVEL names
+    * only — nested fields resolve through [[physLeaf]]. */
   private[sources] def physFor(cm: Map[String, String], logical: String): String =
     if (cm.isEmpty) logical
     else cm.collectFirst { case (l, p) if norm(l) == norm(logical) => p }
       .getOrElse(logical)
 
-  /** The LOGICAL schema's physical twin: top-level names translated
-    * through `cm` — the schema data files are actually written and
-    * read with. Identity (same object) when the map is inactive. */
-  private def physSchemaOf(cm: Map[String, String],
+  /** Separator for NESTED map keys (format 10): a nested field's
+    * logical PATH is its segments joined with NUL — a character no
+    * real column name carries (DDL refuses it), so a nested key can
+    * never collide with a literal top-level column whose name happens
+    * to contain dots (legal in Spark, and such columns keep plain
+    * whole-string keys exactly as format 9 wrote them). */
+  private val PathSep = '\u0000'
+
+  private def pathKey(segs: Seq[String]): String = segs.mkString(PathSep.toString)
+
+  private def normKey(key: String): String =
+    key.split(PathSep).map(norm).mkString(PathSep.toString)
+
+  /** Physical LEAF name of the nested field at logical path `segs`
+    * (identity fallback = the leaf segment, like [[physFor]]). The
+    * physical PATH of a nested field is each ancestor's own physical
+    * name followed by this leaf — parents translate independently. */
+  private def physLeaf(cm: Map[String, String], segs: Seq[String]): String =
+    if (cm.isEmpty || segs.length == 1) physFor(cm, segs.last)
+    else {
+      val k = normKey(pathKey(segs))
+      cm.collectFirst { case (l, p) if normKey(l) == k => p }.getOrElse(segs.last)
+    }
+
+  /** The physical twin of field `f` at logical path `segs`: its own
+    * name translated, and — through STRUCT children only — every
+    * descendant's. Mappings below arrays/maps cannot exist (the DDL
+    * refuses such paths), so other types pass through untouched. */
+  private def physField(cm: Map[String, String], segs: Seq[String],
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
+    val dt = f.dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.map(c => physField(cm, segs :+ c.name, c)))
+      case other => other
+    }
+    f.copy(name = physLeaf(cm, segs), dataType = dt)
+  }
+
+  /** The LOGICAL schema's physical twin: names translated through
+    * `cm` at every struct level — the schema data files are actually
+    * written and read with. Identity (same object) when the map is
+    * inactive. Also correct for SUB-schemas (a pruned scan schema):
+    * translation keys off field paths, which a pruned subtree
+    * preserves. */
+  private[sources] def physSchemaOf(cm: Map[String, String],
       sch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     if (cm.isEmpty) sch
     else org.apache.spark.sql.types.StructType(
-      sch.fields.map(f => f.copy(name = physFor(cm, f.name))))
+      sch.fields.map(f => physField(cm, Seq(f.name), f)))
+
+  /** Backtick-quote a column name for resolution (names may contain
+    * dots; `Dataset.apply` would otherwise walk them as paths). */
+  private def q(n: String): String = "`" + n.replace("`", "``") + "`"
 
   /** Alias a physically-named frame back to `sch`'s logical names,
-    * KEEPING any extra columns in `keep` (scan-position helpers). */
+    * KEEPING any extra columns in `keep` (scan-position helpers).
+    * A column whose SUBTREE carries nested renames converts via a
+    * struct cast (positional, null-preserving — a null struct stays
+    * null, which a named_struct rebuild would not honor); plain
+    * top-level renames stay simple aliases so filter pushdown through
+    * the projection is untouched. */
   private def toLogical(df: DataFrame, sch: org.apache.spark.sql.types.StructType,
       cm: Map[String, String], keep: Seq[String] = Seq.empty): DataFrame =
     if (cm.isEmpty) df
-    else df.select((sch.fields.toIndexedSeq.map(f =>
-      df(physFor(cm, f.name)).as(f.name)) ++ keep.map(df(_))): _*)
+    else df.select((sch.fields.toIndexedSeq.map { f =>
+      val pf = physField(cm, Seq(f.name), f)
+      val c = df(q(pf.name))
+      (if (pf.dataType == f.dataType) c else c.cast(f.dataType)).as(f.name)
+    } ++ keep.map(df(_))): _*)
 
-  /** Translate a logically-named batch to physical names for a write.
-    * Identity (no projection at all) when the map is inactive. */
+  /** Translate a logically-named batch to physical names for a write
+    * (the inverse of [[toLogical]], same cast discipline for nested
+    * renames). Identity (no projection at all) when the map is
+    * inactive. */
   private def toPhysical(df: DataFrame, cm: Map[String, String]): DataFrame =
     if (cm.isEmpty) df
-    else df.select(df.columns.toIndexedSeq.map(c => df(c).as(physFor(cm, c))): _*)
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
+      val pf = physField(cm, Seq(f.name), f)
+      val c = df(q(f.name))
+      (if (pf.dataType == f.dataType) c else c.cast(pf.dataType)).as(pf.name)
+    }: _*)
 
   /** Mint a fresh physical column name, CHECKED against `avoid` (the
     * live physical namespace plus whatever the caller already minted
@@ -594,6 +672,10 @@ object SnapshotTable {
       var avoid = cm.values.toSet ++ cm.keySet
       cm ++ evolved.fields.filterNot(f => have.contains(norm(f.name)))
         .map { f =>
+          // a NUL in a column name would later parse as a nested map
+          // key (format 10's path separator) — refuse at the door
+          require(!f.name.contains(PathSep),
+            s"column name '${f.name}' contains U+0000 — unsupported")
           val p = mintPhysical(avoid)
           avoid += p
           f.name -> p
@@ -905,7 +987,7 @@ object SnapshotTable {
     // exists only for column mapping (M/X lines), so a commit carrying
     // neither stays at format 8 — a mapping-free table never locks out
     // a format-8 reader just because this writer is newer.
-    val fmtOut = if (effColmap.isEmpty && effRetired.isEmpty) 8 else ManifestFormat
+    val fmtOut = writeFormat(effColmap, effRetired)
     val header = s"""{"version":$v,"format":$fmtOut,"op":"$op"""" +
       kf("statsKey", statsKey) + kf("statsKey2", statsKey2) +
       txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") +
@@ -1010,13 +1092,32 @@ object SnapshotTable {
     * pollution). Only genuinely-new batch columns count (a live
     * column's name is never retired); [[addColumn]] is the deliberate
     * re-introduction path. */
+  /** Every struct path of `sch` as canonical segments — top-level
+    * columns and every nested struct field (array/map interiors
+    * excluded: mapping entries below those cannot exist). */
+  private def structPathsOf(sch: org.apache.spark.sql.types.StructType): Seq[Seq[String]] = {
+    def walk(st: org.apache.spark.sql.types.StructType): Seq[Seq[String]] =
+      st.fields.toSeq.flatMap { f =>
+        Seq(Seq(f.name)) ++ (f.dataType match {
+          case s: org.apache.spark.sql.types.StructType => walk(s).map(f.name +: _)
+          case _ => Seq.empty
+        })
+      }
+    walk(sch)
+  }
+
   private def requireNoRetired(m: Manifest,
       table: org.apache.spark.sql.types.StructType,
       batch: org.apache.spark.sql.types.StructType): Unit =
     if (m.retired.nonEmpty) {
-      val live = table.fieldNames.map(norm).toSet
-      val hits = batch.fieldNames.filter(n =>
-        !live.contains(norm(n)) && m.retired.exists(r => norm(r) == norm(n)))
+      val live = structPathsOf(table).map(p => normKey(pathKey(p))).toSet
+      val rt = m.retired.map(normKey)
+      val hits = structPathsOf(batch)
+        .filter { p =>
+          val k = normKey(pathKey(p))
+          !live.contains(k) && rt.contains(k)
+        }
+        .map(_.mkString("."))
       require(hits.isEmpty,
         s"batch column(s) ${hits.mkString(", ")} were retired by a rename — " +
           "update the producer to the renamed column(s), or re-introduce " +
@@ -1335,6 +1436,8 @@ object SnapshotTable {
             s"merge batch adds column '${f.name}' whose physical spelling " +
               s"'$phys' collides with a live column's physical name under " +
               "the concurrently-changed column mapping — re-run the merge")
+          require(!f.name.contains(PathSep),
+            s"column name '${f.name}' contains U+0000 — unsupported")
           f.name -> phys
         }
     }
@@ -1727,7 +1830,7 @@ object SnapshotTable {
       value.map(k => s""","$name":"$k"""").getOrElse("")
     // same reader-requirement discipline as commit(): format 9 only
     // when the checkpointed state actually carries column mapping
-    val fmtOut = if (m.colmap.isEmpty && m.retired.isEmpty) 8 else ManifestFormat
+    val fmtOut = writeFormat(m.colmap, m.retired)
     val header = s"""{"version":$v,"format":$fmtOut,"op":"${m.op}"""" +
       kf("statsKey", m.statsKey) + kf("statsKey2", m.statsKey2) +
       m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
@@ -2042,136 +2145,279 @@ object SnapshotTable {
           s"(live versions: ${versions(spark, root)})")
     }
 
-  /** RENAME a column — a ZERO-COPY metadata commit (op "rename"):
-    * no data file is touched, whatever the table size. Activates
-    * column mapping (format 9) on first use: the manifest records a
-    * logical→physical name map, the schema/stats-keys/constraints
+  /** Resolve a DDL column reference to the canonical path segments of
+    * an EXISTING field. A LITERAL top-level column wins over the path
+    * interpretation of the same string (a column may legally be named
+    * `a.b`; DDL on it keeps working exactly as before nested support),
+    * otherwise a dotted name walks struct fields level by level.
+    * Refuses unknown segments, paths through non-structs, and paths
+    * through array/map elements (mapping entries below those cannot
+    * be expressed — rewrite the column to reshape element types). */
+  private def resolveDdlPath(sch: org.apache.spark.sql.types.StructType,
+      name: String, what: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    sch.fields.find(f => norm(f.name) == norm(name)) match {
+      case Some(f) => Seq(f.name)
+      case None if !name.contains('.') =>
+        throw new IllegalArgumentException(
+          s"no column '$name' (have ${sch.fieldNames.mkString(", ")})")
+      case None =>
+        val segs = name.split('.').toSeq
+        require(segs.nonEmpty && segs.forall(s => s.nonEmpty && s.trim == s),
+          s"$what: invalid column path '$name'")
+        val canon = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cur: org.apache.spark.sql.types.DataType = sch
+        segs.foreach { s =>
+          cur match {
+            case st: StructType =>
+              val f = st.fields.find(x => norm(x.name) == norm(s)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"$what '$name': no field '$s' under " +
+                    s"'${if (canon.isEmpty) "<root>" else canon.mkString(".")}' " +
+                    s"(have ${st.fieldNames.mkString(", ")})"))
+              canon += f.name; cur = f.dataType
+            case _: ArrayType | _: MapType =>
+              throw new UnsupportedOperationException(
+                s"$what '$name': column-mapping paths through array/map " +
+                  "elements are not supported — rewrite the column to " +
+                  "reshape element types")
+            case other =>
+              throw new IllegalArgumentException(
+                s"$what '$name': '${canon.mkString(".")}' is " +
+                  s"${other.simpleString}, not a struct")
+          }
+        }
+        canon.toSeq
+    }
+  }
+
+  /** Rebuild `sch` with the struct at `parentSegs` transformed by
+    * `f` (identity path = transform the root). */
+  private def mapStructAt(sch: org.apache.spark.sql.types.StructType,
+      parentSegs: Seq[String])(
+      f: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    if (parentSegs.isEmpty) f(sch)
+    else StructType(sch.fields.map { fld =>
+      if (norm(fld.name) == norm(parentSegs.head))
+        fld.copy(dataType = mapStructAt(
+          fld.dataType.asInstanceOf[StructType], parentSegs.tail)(f))
+      else fld
+    })
+  }
+
+  /** Re-root every map key / retired path under logical path `from`
+    * to live under `to` instead — what keeps DESCENDANT entries
+    * correct when an ancestor renames (their physical leaves don't
+    * move; their logical paths do). */
+  private def rekeyUnder(keys: Iterable[String], from: Seq[String],
+      to: Seq[String]): Map[String, String] = {
+    val fn = from.map(norm)
+    keys.flatMap { k =>
+      val segs = k.split(PathSep).toSeq
+      if (segs.length > fn.length && segs.take(fn.length).map(norm) == fn)
+        Some(k -> pathKey(to ++ segs.drop(fn.length)))
+      else None
+    }.toMap
+  }
+
+  /** Does map/tombstone key `k` name exactly logical path `segs`? */
+  private def keyIs(k: String, segs: Seq[String]): Boolean =
+    normKey(k) == normKey(pathKey(segs))
+
+  /** RENAME a column or nested struct field — a ZERO-COPY metadata
+    * commit (op "rename"): no data file is touched, whatever the
+    * table size. Activates column mapping on first use: the manifest
+    * records a logical→physical name map (format 9 top-level, format
+    * 10 once any NESTED path maps), the schema/stats-keys/constraints
     * stay LOGICAL, and files keep their immutable PHYSICAL names.
-    * The STATS KEYS FOLLOW THE RENAME — that is the subtle case: the
-    * per-file min/max (and blooms) were measured on the physical
-    * column, which the rename does not touch, so under the renamed
-    * logical key every pruning path keeps working (readIndexed
-    * translates the key to its physical spelling before matching
-    * pushed filters). Time travel shows each version's own names —
-    * the pre-rename versions' manifests still carry the old schema.
-    * CDC sees nothing (entries unchanged — values did not move).
-    * Refused when `to` already exists (case-insensitive, Spark's
+    * `from` may be a dotted path into structs (`metadata.filename`);
+    * `to` is always the new LEAF name. The STATS KEYS FOLLOW THE
+    * RENAME — that is the subtle case: the per-file min/max (and
+    * blooms) were measured on the physical column, which the rename
+    * does not touch, so under the renamed logical key every pruning
+    * path keeps working (readIndexed translates the key to its
+    * physical spelling before matching pushed filters). Renaming a
+    * struct RE-ROOTS its descendants' map keys and tombstones (their
+    * physical leaves don't move; their logical paths do). Time travel
+    * shows each version's own names — the pre-rename versions'
+    * manifests still carry the old schema. CDC sees nothing (entries
+    * unchanged — values did not move). Refused when `to` already
+    * exists among the field's siblings (case-insensitive, Spark's
     * resolution) or when a CHECK constraint still references `from`
     * (SQL text can't be rewritten safely; drop and re-add the rule
     * around the rename). Reference analog: metadata-schema
-    * replacement while data stands still, chunking_manager.py:170-176. */
+    * replacement while data stands still, chunking_manager.py:170-176
+    * — whose ChunkMetadata is itself a struct (chunking_manager.py:82-87),
+    * the reason nested paths are first-class here. */
   def renameColumn(spark: SparkSession, root: String, from: String, to: String): Int = {
-    require(to.nonEmpty && to.trim == to, s"invalid column name '$to'")
-    requireNotNestedPath(to, "RENAME COLUMN")
+    require(to.nonEmpty && to.trim == to && !to.contains(PathSep),
+      s"invalid column name '$to'")
+    require(!to.contains('.'),
+      s"RENAME COLUMN target '$to' must be a plain LEAF name — the field " +
+        "stays at its path; only its name changes")
     retrying(spark, root, op = "rename") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val sch = schemaOf(spark, root, m)
-      val fld = sch.fields.find(f => norm(f.name) == norm(from)).getOrElse {
-        requireNotNestedPath(from, "RENAME COLUMN", Some(sch))
-        throw new IllegalArgumentException(
-          s"no column '$from' at $root (have ${sch.fieldNames.mkString(", ")})")
-      }
-      require(!sch.fields.exists(f => norm(f.name) == norm(to)),
-        s"column '$to' already exists at $root")
-      val newSch = org.apache.spark.sql.types.StructType(
-        sch.fields.map(f => if (norm(f.name) == norm(from)) f.copy(name = to) else f))
+      val segs = resolveDdlPath(sch, from, "RENAME COLUMN")
+      val parent = segs.init
+      val siblings =
+        if (parent.isEmpty) sch
+        else segs.init.foldLeft(sch: org.apache.spark.sql.types.DataType) {
+          case (st: org.apache.spark.sql.types.StructType, s) =>
+            st.fields.find(f => norm(f.name) == norm(s)).get.dataType
+          case (dt, _) => dt
+        }.asInstanceOf[org.apache.spark.sql.types.StructType]
+      val fld = siblings.fields.find(f => norm(f.name) == norm(segs.last)).get
+      require(!siblings.fields.exists(f => norm(f.name) == norm(to)),
+        s"column '${(parent :+ to).mkString(".")}' already exists at $root")
+      val newSch = mapStructAt(sch, parent)(st =>
+        org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          if (norm(f.name) == norm(segs.last)) f.copy(name = to) else f)))
       requireConstraintsResolve(spark, newSch, m.constraints,
         s"rename '$from' -> '$to'")
-      // activate lazily: identity for every live column, then repoint
+      // activate lazily: identity for every live top-level column
+      // (nested fields default to identity by absence), then repoint
       val cm0 = if (m.colmap.isEmpty) sch.fieldNames.map(n => n -> n).toMap
                 else m.colmap
-      val phys = physFor(cm0, fld.name)
-      val cm = cm0.filterNot { case (l, _) => norm(l) == norm(fld.name) } + (to -> phys)
+      val newSegs = parent :+ to
+      val phys = physLeaf(cm0, segs)
+      val rk = rekeyUnder(cm0.keys, segs, newSegs)
+      val cm = cm0.filterNot { case (l, _) => keyIs(l, segs) || rk.contains(l) } ++
+        rk.map { case (old, nk) => nk -> cm0(old) } +
+        (pathKey(newSegs) -> phys)
       val k1 = m.statsKey.map(k => if (norm(k) == norm(from)) to else k)
       val k2 = m.statsKey2.map(k => if (norm(k) == norm(from)) to else k)
-      // the old name is RETIRED (stale producers refuse instead of
-      // forking the column); taking a retired name makes it live again
-      val rt = m.retired.filterNot(r => norm(r) == norm(to)) + fld.name
+      // the old PATH is RETIRED (stale producers refuse instead of
+      // forking the column); taking a retired path makes it live
+      // again, and tombstones under a renamed struct re-root with it
+      val rtRk = rekeyUnder(m.retired, segs, newSegs)
+      val rt = m.retired.filterNot(r => keyIs(r, newSegs) || rtRk.contains(r)) ++
+        rtRk.values + pathKey(segs)
       Pending(m.entries, newSch, k1, k2, colmap = Some(cm), retired = Some(rt))
     }
   }
 
-  /** DROP a column — likewise a ZERO-COPY metadata commit (op "drop"):
-    * the physical column stays in existing files (readers simply never
-    * select it; the bytes go as rewrites naturally churn the files),
-    * and a later ADD of the same logical name gets a MINTED physical
-    * name, so the dropped values can never resurrect. Refused for the
-    * recorded stats key(s) — re-key explicitly (a compact/append with
-    * a new statsKey) before dropping the column the table prunes on —
-    * for constraint-referenced columns, and for the last column. */
+  /** DROP a column or nested struct field — likewise a ZERO-COPY
+    * metadata commit (op "drop"): the physical column stays in
+    * existing files (readers simply never select it; the bytes go as
+    * rewrites naturally churn the files), and a later ADD of the same
+    * logical path gets a MINTED physical name, so the dropped values
+    * can never resurrect. `name` may be a dotted path; dropping a
+    * struct drops its whole subtree (map entries and tombstones under
+    * it go too). Refused for the recorded stats key(s) — re-key
+    * explicitly (a compact/append with a new statsKey) before
+    * dropping the column the table prunes on — for
+    * constraint-referenced columns, for the last column, and for a
+    * struct's last field (drop the struct itself instead). */
   def dropColumn(spark: SparkSession, root: String, name: String): Int =
     retrying(spark, root, op = "drop") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val sch = schemaOf(spark, root, m)
-      val fld = sch.fields.find(f => norm(f.name) == norm(name)).getOrElse {
-        requireNotNestedPath(name, "DROP COLUMN", Some(sch))
-        throw new IllegalArgumentException(
-          s"no column '$name' at $root (have ${sch.fieldNames.mkString(", ")})")
-      }
-      require(sch.fields.length > 1, s"cannot drop the last column of $root")
+      val segs = resolveDdlPath(sch, name, "DROP COLUMN")
+      val parent = segs.init
+      if (parent.isEmpty)
+        require(sch.fields.length > 1, s"cannot drop the last column of $root")
       require(!sameKey(m.statsKey, name) && !sameKey(m.statsKey2, name),
         s"'$name' is a recorded stats key of $root — re-key the table " +
           "(compact/append with a different statsKey) before dropping it")
-      val newSch = org.apache.spark.sql.types.StructType(
-        sch.fields.filterNot(f => norm(f.name) == norm(name)))
+      val newSch = mapStructAt(sch, parent) { st =>
+        require(st.fields.length > 1,
+          s"cannot drop '$name' — the last field of its struct; drop the " +
+            s"struct column '${parent.mkString(".")}' instead")
+        org.apache.spark.sql.types.StructType(
+          st.fields.filterNot(f => norm(f.name) == norm(segs.last)))
+      }
       requireConstraintsResolve(spark, newSch, m.constraints, s"drop column '$name'")
       val cm0 = if (m.colmap.isEmpty) sch.fieldNames.map(n => n -> n).toMap
                 else m.colmap
-      val cm = cm0.filterNot { case (l, _) => norm(l) == norm(fld.name) }
-      Pending(m.entries, newSch, m.statsKey, m.statsKey2, colmap = Some(cm))
+      val gone = rekeyUnder(cm0.keys, segs, segs).keySet // descendants
+      val cm = cm0.filterNot { case (l, _) => keyIs(l, segs) || gone.contains(l) }
+      val rtGone = rekeyUnder(m.retired, segs, segs).keySet
+      val rt = m.retired.filterNot(r => keyIs(r, segs) || rtGone.contains(r))
+      Pending(m.entries, newSch, m.statsKey, m.statsKey2, colmap = Some(cm),
+        retired = Some(rt))
     }
 
-  /** ADD a column — the declarative third of the DDL triad
-    * (add/rename/drop), likewise a ZERO-COPY metadata commit (op
-    * "addcol"): the new column null-fills in every existing file and
-    * starts accepting data on the next write, which is how a pipeline
-    * declares a column BEFORE its producer ships (schema-first,
-    * instead of the first carrying batch evolving the schema as a
-    * side effect). Under an active column mapping the new column gets
-    * a MINTED physical name — identical to evolution-by-append, so a
-    * previously DROPPED column of the same name can never resurrect.
+  /** ADD a column or nested struct field — the declarative third of
+    * the DDL triad (add/rename/drop), likewise a ZERO-COPY metadata
+    * commit (op "addcol"): the new column null-fills in every
+    * existing file and starts accepting data on the next write, which
+    * is how a pipeline declares a column BEFORE its producer ships
+    * (schema-first, instead of the first carrying batch evolving the
+    * schema as a side effect). A dotted `name` whose parent resolves
+    * to an existing STRUCT column adds a field to that struct (new
+    * fields append at the end; old files null-fill them exactly like
+    * a new top-level column); a dotted name with no such parent is
+    * refused — a top-level column spelled `metadata.filename` would
+    * be indistinguishable from a nested path in every later
+    * statement. Under an active column mapping the new field gets a
+    * MINTED physical name — identical to evolution-by-append, so a
+    * previously DROPPED path's values can never resurrect.
     * Refused when the name already exists (case-insensitive). */
-  /** Column-mapping DDL is TOP-LEVEL only (the documented format-9
-    * limitation, SURVEY §2.20): a dotted name that parses as a path
-    * into an existing struct column refuses with the real reason
-    * instead of a misleading "no column", and ADD refuses dotted names
-    * outright — a top-level column spelled `metadata.filename` would
-    * be indistinguishable from a nested path in every later statement.
-    * Delta's column mapping covers nested fields; closing that gap
-    * means path-keyed maps through every read/write/stats surface and
-    * is tracked, not faked. */
-  private def requireNotNestedPath(name: String, what: String,
-      sch: Option[org.apache.spark.sql.types.StructType] = None): Unit =
-    if (name.contains('.')) {
-      val head = name.takeWhile(_ != '.')
-      val intoStruct = sch.forall(_.fields.exists(f =>
-        norm(f.name) == norm(head) &&
-          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]))
-      if (intoStruct || sch.isEmpty) throw new UnsupportedOperationException(
-        s"$what '$name': column mapping is TOP-LEVEL only — nested field " +
-          "paths are not supported (rename/drop the whole struct column, or " +
-          "rewrite via a select that reshapes the struct)")
-    }
-
   def addColumn(spark: SparkSession, root: String,
       name: String, dataType: org.apache.spark.sql.types.DataType): Int = {
-    require(name.nonEmpty && name.trim == name, s"invalid column name '$name'")
-    requireNotNestedPath(name, "ADD COLUMN")
+    require(name.nonEmpty && name.trim == name && !name.contains(PathSep),
+      s"invalid column name '$name'")
     retrying(spark, root, op = "addcol") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val sch = schemaOf(spark, root, m)
       require(!sch.fields.exists(f => norm(f.name) == norm(name)),
         s"column '$name' already exists at $root")
-      val newSch = widened(org.apache.spark.sql.types.StructType(
-        sch.fields :+ org.apache.spark.sql.types.StructField(name, dataType,
-          nullable = true)))
+      val (parent, leaf) =
+        if (!name.contains('.')) (Seq.empty[String], name)
+        else {
+          val segs = name.split('.').toSeq
+          val p = resolveDdlPath(sch, segs.init.mkString("."), "ADD COLUMN")
+          val pt = p.foldLeft(sch: org.apache.spark.sql.types.DataType) {
+            case (st: org.apache.spark.sql.types.StructType, s) =>
+              st.fields.find(f => norm(f.name) == norm(s)).get.dataType
+            case (dt, _) => dt
+          }
+          require(pt.isInstanceOf[org.apache.spark.sql.types.StructType],
+            s"ADD COLUMN '$name': '${p.mkString(".")}' is " +
+              s"${pt.simpleString}, not a struct")
+          (p, segs.last)
+        }
+      require(leaf.nonEmpty && leaf.trim == leaf,
+        s"ADD COLUMN: invalid field name '$leaf'")
+      val newSch = widened(mapStructAt(sch, parent) { st =>
+        require(!st.fields.exists(f => norm(f.name) == norm(leaf)),
+          s"column '$name' already exists at $root")
+        org.apache.spark.sql.types.StructType(st.fields :+
+          org.apache.spark.sql.types.StructField(leaf, dataType, nullable = true))
+      })
+      val segs = parent :+ leaf
       // the EXPLICIT path re-opens a name a rename retired — that is
       // the deliberate-reintroduction escape hatch the tombstone's
       // writer refusal points at
+      val cm =
+        if (parent.isEmpty) evolveColmap(m.colmap, newSch)
+        else if (m.colmap.isEmpty) m.colmap // inactive: identity, no drop ever happened
+        else {
+          val avoid = m.colmap.values.toSet ++ m.colmap.keySet ++
+            allFieldNames(physSchemaOf(m.colmap, sch))
+          m.colmap + (pathKey(segs) -> mintPhysical(avoid))
+        }
       Pending(m.entries, newSch, m.statsKey, m.statsKey2,
-        colmap = Some(evolveColmap(m.colmap, newSch)),
-        retired = Some(m.retired.filterNot(r => norm(r) == norm(name))))
+        colmap = Some(cm),
+        retired = Some(m.retired.filterNot(r => keyIs(r, segs))))
     }
+  }
+
+  /** Every field name at every struct level of `sch` — a mint-time
+    * avoid set (global, deliberately over-conservative: physical leaf
+    * names only need uniqueness within their parent struct). */
+  private def allFieldNames(sch: org.apache.spark.sql.types.StructType): Set[String] = {
+    def walk(dt: org.apache.spark.sql.types.DataType): Seq[String] = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq.flatMap(f => f.name +: walk(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => walk(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => walk(m.keyType) ++ walk(m.valueType)
+      case _ => Seq.empty
+    }
+    walk(sch).toSet
   }
 
   /** Every CHECK constraint must still ANALYZE against the schema a
@@ -2206,6 +2452,13 @@ object SnapshotTable {
   /** [[physFor]] for cross-package consumers (the streaming source). */
   private[graft] def physNameFor(cm: Map[String, String], logical: String): String =
     physFor(cm, logical)
+
+  /** TOP-LEVEL reverse lookup: the logical column `cm` maps to
+    * physical name `phys` — ignoring NESTED entries, whose physical
+    * LEAF may legitimately coincide with a top-level physical name
+    * (leaves are only unique within their parent struct). */
+  private[graft] def logicalTopFor(cm: Map[String, String], phys: String): Option[String] =
+    cm.collectFirst { case (l, p) if l.indexOf(PathSep.toInt) < 0 && p == phys => l }
 
   /** Read raw data `files` under logical `sch` through `colmap` — the
     * streaming source's file-level batch read ([[addedFiles]] feeds
@@ -3117,6 +3370,48 @@ object SnapshotTable {
       * logical (same discipline as [[readEntries]]). */
     val physSchema: org.apache.spark.sql.types.StructType = physSchemaOf(m.colmap, schema)
     def physName(logical: String): String = physFor(m.colmap, logical)
+
+    /** The physical twin of a (possibly nested-PRUNED) sub-schema —
+      * translation keys off field paths, which pruning preserves. */
+    def physSchemaFor(sub: org.apache.spark.sql.types.StructType):
+        org.apache.spark.sql.types.StructType = physSchemaOf(m.colmap, sub)
+
+    /** Physical spelling of a pushed-filter attribute reference: a
+      * literal top-level column translates whole; a dotted reference
+      * walks struct fields, translating every segment (an ancestor
+      * struct may be renamed independently of its leaf). None when
+      * the reference doesn't resolve — the caller DROPS the filter
+      * from parquet pushdown rather than guessing: an untranslated
+      * name could accidentally address a DROPPED column's buried
+      * bytes in old files (e.g. drop struct `meta`, rename another
+      * struct to `meta` — a pushed `meta.x` filter must follow the
+      * RENAME, never the corpse). */
+    def physNameOpt(ref: String): Option[String] = {
+      if (ref.contains('`')) return None // quoted V1 shapes: decline
+      schema.fields.find(f => norm(f.name) == norm(ref)) match {
+        case Some(f) => Some(physFor(m.colmap, f.name))
+        case None if !ref.contains('.') => None
+        case None =>
+          val segs = ref.split('.').toSeq
+          var cur: org.apache.spark.sql.types.DataType = schema
+          val canon = scala.collection.mutable.ArrayBuffer.empty[String]
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          segs.foreach { s =>
+            cur match {
+              case st: org.apache.spark.sql.types.StructType =>
+                st.fields.find(x => norm(x.name) == norm(s)) match {
+                  case Some(f) =>
+                    canon += f.name
+                    out += physLeaf(m.colmap, canon.toSeq)
+                    cur = f.dataType
+                  case None => return None
+                }
+              case _ => return None
+            }
+          }
+          Some(out.mkString("."))
+      }
+    }
     def statsKey: Option[String] = m.statsKey
     def statsKey2: Option[String] = m.statsKey2
     def constraints: Seq[(String, String)] = m.constraints

@@ -291,15 +291,24 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
       val endV = version(end)
       val cs = SnapshotTable.readChanges(spark, root, from, Some(endV))
       val endCm = SnapshotTable.colmapAt(spark, root, endV)
-      val cols = schema.fieldNames.toSeq.map { n =>
+      val cols = schema.fields.toSeq.map { f =>
+        val n = f.name
         if (n == "_commit_version" || n == "_change_type")
           org.apache.spark.sql.functions.col(n)
         else {
+          // TOP-LEVEL reverse lookup only: a nested entry's physical
+          // LEAF may coincide with a top-level physical name
           val phys = SnapshotTable.physNameFor(colmap, n)
-          val endLogical = endCm.collectFirst {
-            case (l, p) if p == phys => l
-          }.getOrElse(n)
-          org.apache.spark.sql.functions.col(endLogical).as(n)
+          val endLogical = SnapshotTable.logicalTopFor(endCm, phys).getOrElse(n)
+          val c = org.apache.spark.sql.functions.col(endLogical)
+          // a mid-stream NESTED rename moves field names INSIDE a
+          // struct: cast back to the locked shape (positional, null-
+          // preserving — legal exactly when the shape is unchanged,
+          // which is what a rename guarantees; a nested drop/add
+          // changes the shape and fails the cast LOUDLY, matching the
+          // dropped-column contract above)
+          val endType = cs.schema.find(_.name.equalsIgnoreCase(endLogical)).map(_.dataType)
+          (if (endType.exists(_ != f.dataType)) c.cast(f.dataType) else c).as(n)
         }
       }
       return org.apache.spark.sql.graftbridge.Bridge.asStreaming(spark, cs.select(cols: _*))

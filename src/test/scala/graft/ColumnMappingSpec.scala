@@ -595,37 +595,29 @@ class ColumnMappingSpec extends SparkSpec {
     assert(now.filter(col("id") === 1L).select("n").as[Long].head() == 5L)
   }
 
-  test("nested field paths refuse LOUDLY: column mapping is top-level only") {
-    // the reference's chunk metadata is a struct (chunking_manager.py
-    // :82-87); until format 9 grows path-keyed maps, a nested rename
-    // must refuse with the REAL reason, never a misleading "no column"
-    // and never a silent top-level column spelled like a path
+  test("path refusal edges that REMAIN with nested mapping (format 10)") {
+    // nested struct paths are first-class now (NestedMappingSpec);
+    // what still refuses, refuses loudly with the real reason
     val root = tmp()
     SnapshotTable.create(spark, root,
-      Seq((1L, ("f.md", 7L), "x")).toDF("id", "metadata", "v"))
-    val rn = intercept[UnsupportedOperationException](
-      SnapshotTable.renameColumn(spark, root, "metadata._1", "metadata.filename"))
-    assert(rn.getMessage.contains("TOP-LEVEL only"), rn.getMessage)
-    val dr = intercept[UnsupportedOperationException](
-      SnapshotTable.dropColumn(spark, root, "metadata._1"))
-    assert(dr.getMessage.contains("TOP-LEVEL only"), dr.getMessage)
-    val ad = intercept[UnsupportedOperationException](
-      SnapshotTable.addColumn(spark, root, "metadata.score",
-        org.apache.spark.sql.types.DoubleType))
-    assert(ad.getMessage.contains("TOP-LEVEL only"), ad.getMessage)
-    // renaming TO a dotted name is equally refused (it would mint a
-    // top-level column indistinguishable from a path)
-    val to = intercept[UnsupportedOperationException](
+      Seq((1L, ("f.md", 7L), "x", Seq(("a", 1L)))).toDF("id", "metadata", "v", "tags"))
+    // a path through an ARRAY's element structs has no mapping story
+    val ar = intercept[UnsupportedOperationException](
+      SnapshotTable.renameColumn(spark, root, "tags._1", "name"))
+    assert(ar.getMessage.contains("array/map"), ar.getMessage)
+    // renaming TO a dotted name is refused (the new name is a LEAF;
+    // the field stays at its path)
+    val to = intercept[IllegalArgumentException](
       SnapshotTable.renameColumn(spark, root, "v", "metadata.v"))
-    assert(to.getMessage.contains("TOP-LEVEL only"), to.getMessage)
-    // a dotted name whose head is NOT a struct still reports no-column
+    assert(to.getMessage.contains("LEAF"), to.getMessage)
+    // a dotted name whose head is NOT a struct reports the real shape
     val nc = intercept[IllegalArgumentException](
       SnapshotTable.renameColumn(spark, root, "id.sub", "x"))
-    assert(nc.getMessage.contains("no column"), nc.getMessage)
-    // the struct column itself renames fine — whole-column DDL is the
-    // supported surface
+    assert(nc.getMessage.contains("not a struct"), nc.getMessage)
+    // the struct column itself renames fine — whole-column DDL
     SnapshotTable.renameColumn(spark, root, "metadata", "meta")
-    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "meta", "v"))
+    assert(SnapshotTable.read(spark, root).columns.toSeq ==
+      Seq("id", "meta", "v", "tags"))
   }
 
   test("mintPhysical re-draws until the name clears the avoid set") {

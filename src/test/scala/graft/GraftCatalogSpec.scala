@@ -279,11 +279,50 @@ class GraftCatalogSpec extends SparkSpec {
       s"rename broke pruning: kept ${gs.map(_.keptFileCount)}")
   }
 
-  test("DDL refusals: nested rename, time-travel write, set property") {
+  test("DDL refusals: path into a non-struct, time-travel write, set property") {
     val t = freshTable("t_refuse")
+    // nested paths are first-class (see the nested DDL test) — but a
+    // path INTO a scalar column still reports the real shape
     intercept[Exception](sql(s"ALTER TABLE $t RENAME COLUMN v.inner TO x"))
     intercept[Exception](sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsKey'='v')"))
     intercept[Exception](sql(s"DELETE FROM $t VERSION AS OF 1 WHERE id = 1"))
+  }
+
+  test("nested DDL through SQL: rename/add/drop struct fields, zero-copy") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.t_nested")
+    sql("CREATE TABLE gsql.main.t_nested " +
+      "(id BIGINT, meta STRUCT<filename: STRING, page: BIGINT>) " +
+      "TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_nested " +
+      "SELECT id, named_struct('filename', concat('f', id), 'page', id * 10) " +
+      "FROM range(0, 8)")
+    sql("ALTER TABLE gsql.main.t_nested RENAME COLUMN meta.filename TO fname")
+    // old files (physical leaf 'filename') serve the renamed name
+    assert(sql("SELECT meta.fname FROM gsql.main.t_nested WHERE id = 3")
+      .head().getString(0) == "f3")
+    // filters on the renamed nested field keep matching
+    assert(sql("SELECT id FROM gsql.main.t_nested WHERE meta.fname = 'f5'")
+      .head().getLong(0) == 5L)
+    sql("ALTER TABLE gsql.main.t_nested ADD COLUMN meta.score DOUBLE")
+    assert(sql("SELECT meta.score FROM gsql.main.t_nested WHERE id = 3")
+      .head().isNullAt(0), "schema-first nested add must null-fill old files")
+    sql("ALTER TABLE gsql.main.t_nested DROP COLUMN meta.page")
+    assert(sql("SELECT meta FROM gsql.main.t_nested").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("fname", "score"))
+    // post-DDL inserts land physical; both eras agree
+    sql("INSERT INTO gsql.main.t_nested " +
+      "SELECT id, named_struct('fname', concat('f', id), 'score', 0.5D) " +
+      "FROM range(8, 10)")
+    assert(sql("SELECT count(*) FROM gsql.main.t_nested WHERE meta.fname IS NOT NULL")
+      .head().getLong(0) == 10L)
+    // time travel shows v1's own nested names
+    assert(sql("SELECT meta FROM gsql.main.t_nested VERSION AS OF 2")
+      .schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("filename", "page"))
+    sql("DROP TABLE gsql.main.t_nested")
   }
 
   test("catalog surface: SHOW TABLES / DROP / namespace lifecycle") {
