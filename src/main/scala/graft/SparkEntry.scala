@@ -1935,6 +1935,12 @@ object SparkEntry {
     * ways, RECOMPUTED not asserted); the emptied group's tombstone was
     * physically purged. */
   private def snapshotIncrViewCycle(s: SparkSession, d: String): DataFrame = {
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = {
+      val t1 = System.nanoTime()
+      Console.err.println(f"[ivtime] $tag%-12s ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
     val tmp = java.nio.file.Files.createTempDirectory("graft-snapiv").toString
     val tbl = s"$tmp/tbl"
     val vw = s"$tmp/view"
@@ -1954,10 +1960,14 @@ object SparkEntry {
       base.filter(col("o_orderkey") % 4 =!= 0)
         .repartitionByRange(2, col("o_orderkey")),
       statsKey = Some("o_orderkey"))
+    lap("create")
     graft.meta.IncrementalView.create(s, tbl, vw, "grp", "cents")
+    lap("viewcreate")
     graft.sources.SnapshotTable.append(s, tbl,                         // v2
       base.filter(col("o_orderkey") % 4 === 0).coalesce(1))
+    lap("append")
     val c1 = graft.meta.IncrementalView.refresh(s, tbl, vw)
+    lap("refresh1")
     // the merge is RANGE-BOUNDED (a fixed key prefix): the update's
     // whereabouts prune to the files that hold it, so the rewrite and
     // its CDC diff measure the delta machinery, not a table-wide
@@ -1967,15 +1977,21 @@ object SparkEntry {
         .withColumn("cents", col("cents") + 777L)
         .coalesce(1),
       key = "o_orderkey")
+    lap("merge")
     val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw)
+    lap("refresh2")
     // delete 1 is key-bounded (its predicate scan prunes by range);
     // delete 2 (group drop) is inherently table-wide — both shapes stay
     graft.sources.SnapshotTable.deleteWhere(s, tbl,                    // v4
       col("o_orderkey") % 7 === 0 && col("o_orderkey") < 4000L)
+    lap("delete1")
     graft.sources.SnapshotTable.deleteWhere(s, tbl, col("grp") === 42L) // v5
+    lap("delete2")
     val c3 = graft.meta.IncrementalView.refresh(s, tbl, vw) // 2-version window
+    lap("refresh3")
     val c4 = graft.meta.IncrementalView.refresh(s, tbl, vw) // replay: no-op
     graft.meta.IncrementalView.purgeTombstones(s, vw)
+    lap("purge")
     val consumedOk = c1 == 1 && c2 == 1 && c3 == 2 && c4 == 0
     val cursorOk =
       graft.sources.SnapshotTable.lastTxnBatchId(s, vw).contains(5L)
@@ -1985,6 +2001,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("view_cnt"), sum(col("cents")).as("view_sum"))
     val ivmOk = view.exceptAll(recompute).isEmpty &&
       recompute.exceptAll(view).isEmpty
+    lap("ivmOk")
     val purgedOk = graft.sources.SnapshotTable.read(s, vw)
       .filter(col("grp") === 42L).isEmpty
     val out = view
@@ -1993,7 +2010,9 @@ object SparkEntry {
       .withColumn("ivm_ok", lit(ivmOk))
       .withColumn("purged_ok", lit(purgedOk))
       .orderBy(col("grp"))
-    graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
+    val r = graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
+    lap("localize")
+    r
   }
 
   /** Misra–Gries heavy hitters ([[graft.relational.HeavyHitters]])
