@@ -292,15 +292,18 @@ object Bench {
                 val runs = Seq.fill(TimedRuns)(time(fn(spark, sfDir).count())).sorted
                 val m3 = runs(TimedRuns / 2)
                 prior.get(name) match {
-                  // variance guard: same plan, median ABOVE last
-                  // round's spread (an apparent slowdown that cannot
-                  // be a re-plan) → re-measure at median-of-GuardRuns
-                  // (the 3 runs already taken plus fresh ones), record
-                  // BOTH medians in the dump. Faster-than-spread needs
-                  // no defense — nobody reads a speedup as a
-                  // regression, and guarding both sides re-measured
-                  // half the suite on a globally faster box.
-                  case Some((_, hi, p)) if p == plan && m3 > hi =>
+                  // variance guard: same plan, median OUTSIDE last
+                  // round's spread in EITHER direction (a shift that
+                  // cannot be a re-plan) → re-measure at
+                  // median-of-GuardRuns (the 3 runs already taken plus
+                  // fresh ones), record BOTH medians in the dump.
+                  // SYMMETRIC on purpose: guarding only slow outliers
+                  // systematically biases round-over-round totals
+                  // downward (slowdowns get damped, speedups kept) —
+                  // on a globally faster box this re-measures more
+                  // queries, at two extra runs each, and the totals
+                  // stay honest.
+                  case Some((lo, hi, p)) if p == plan && (m3 > hi || m3 < lo) =>
                     val extra = Seq.fill(GuardRuns - TimedRuns)(
                       time(fn(spark, sfDir).count()))
                     val all = (runs ++ extra).sorted
@@ -332,8 +335,21 @@ object Bench {
       .collect { case (k, r) if r.firstMedian.isDefined =>
         "\"" + k + "\":[" + fmt(r.firstMedian.get) + "," + fmt(r.median) + "]" }
       .mkString("{", ",", "}")
+    // GENERATED fingerprint audit (so "N changed vs last round" is an
+    // artifact, never a hand count): every query whose fingerprint
+    // differs from the prior committed BENCH_FULL.json, classified —
+    // "new" (no prior entry) vs "replan" (prior fingerprint differs).
+    // Whether a "replan" is a deliberate plan change or residual canon
+    // churn still takes the two-dump protocol, but the LIST is now
+    // self-reporting.
+    val fpChanged = results
+      .collect {
+        case (k, r) if !prior.contains(k) => "\"" + k + "\":\"new\""
+        case (k, r) if prior(k)._3 != r.plan => "\"" + k + "\":\"replan\""
+      }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${toJson(medians)},"spread":$spreads,"plan_fingerprints":$plans,"remeasured":$remeasured,"sf":"$sfDir","mode":"median_of_${TimedRuns}_after_warmup"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${toJson(medians)},"spread":$spreads,"plan_fingerprints":$plans,"remeasured":$remeasured,"fp_changed":$fpChanged,"sf":"$sfDir","mode":"median_of_${TimedRuns}_after_warmup"}"""
     // diagnostic runs must not clobber the real artifact
     if (fpDump.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -101,25 +101,41 @@ private[catalog] object FilterBridge {
     * recursive (OR/NOT/null tests included): a DELETE predicate must
     * translate EXACTLY or not at all ([[toColumn]] = None makes
     * `canDeleteWhere` false, routing the statement to the row-level
-    * copy-on-write plan instead — correct either way, never both). */
-  def toColumn(f: Filter): Option[Column] = {
+    * copy-on-write plan instead — correct either way, never both).
+    *
+    * Attribute references resolve against the TABLE SCHEMA, and only a
+    * real TOP-LEVEL column translates: Spark's V1 filter conversion
+    * spells a nested reference as a dotted name (`info.n_chars`), which
+    * backtick-quoting whole would mis-address as one top-level name —
+    * and an attribute that arrives already quoted would double-quote.
+    * Declining both shapes routes a struct-field DELETE to the
+    * row-level plan, which handles it correctly; a literal dotted
+    * TOP-LEVEL column (the schema says so) still translates whole. */
+  def toColumn(f: Filter, schema: StructType): Option[Column] = {
+    def topLevel(n: String): Option[String] =
+      if (n.contains('`')) None
+      else schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.name)
     def c(n: String): Column = col(s"`$n`")
+    def one(a: String)(mk: Column => Column): Option[Column] =
+      topLevel(a).map(n => mk(c(n)))
     f match {
-      case EqualTo(a, v) => Some(c(a) === lit(v))
-      case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
-      case GreaterThan(a, v) => Some(c(a) > lit(v))
-      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
-      case LessThan(a, v) => Some(c(a) < lit(v))
-      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
-      case In(a, vs) => Some(c(a).isInCollection(vs.toSeq))
-      case IsNull(a) => Some(c(a).isNull)
-      case IsNotNull(a) => Some(c(a).isNotNull)
-      case StringStartsWith(a, v) => Some(c(a).startsWith(v))
-      case StringEndsWith(a, v) => Some(c(a).endsWith(v))
-      case StringContains(a, v) => Some(c(a).contains(v))
-      case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
-      case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
-      case Not(x) => toColumn(x).map(!_)
+      case EqualTo(a, v) => one(a)(_ === lit(v))
+      case EqualNullSafe(a, v) => one(a)(_ <=> lit(v))
+      case GreaterThan(a, v) => one(a)(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => one(a)(_ >= lit(v))
+      case LessThan(a, v) => one(a)(_ < lit(v))
+      case LessThanOrEqual(a, v) => one(a)(_ <= lit(v))
+      case In(a, vs) => one(a)(_.isInCollection(vs.toSeq))
+      case IsNull(a) => one(a)(_.isNull)
+      case IsNotNull(a) => one(a)(_.isNotNull)
+      case StringStartsWith(a, v) => one(a)(_.startsWith(v))
+      case StringEndsWith(a, v) => one(a)(_.endsWith(v))
+      case StringContains(a, v) => one(a)(_.contains(v))
+      case And(l, r) =>
+        for { a <- toColumn(l, schema); b <- toColumn(r, schema) } yield a && b
+      case Or(l, r) =>
+        for { a <- toColumn(l, schema); b <- toColumn(r, schema) } yield a || b
+      case Not(x) => toColumn(x, schema).map(!_)
       case _: AlwaysTrue => Some(lit(true))
       case _: AlwaysFalse => Some(lit(false))
       case _ => None

@@ -164,13 +164,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val root = p.toString
+    // validate ALL change kinds BEFORE applying any: each change is its
+    // own table commit (the manifest has no multi-statement
+    // transaction), so an unsupported kind later in the list must not
+    // leave earlier changes already published with no rollback. A
+    // SUPPORTED change can still fail mid-list on table state (name
+    // conflict, lossy cast) — that refusal names the partial-commit
+    // semantics loudly.
     changes.foreach {
-      case c: TableChange.RenameColumn =>
-        SnapshotTable.renameColumn(spark, root, pathOf(c.fieldNames), c.newName)
-      case c: TableChange.DeleteColumn =>
-        SnapshotTable.dropColumn(spark, root, pathOf(c.fieldNames))
-      case c: TableChange.AddColumn =>
-        SnapshotTable.addColumn(spark, root, pathOf(c.fieldNames), c.dataType)
+      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+           _: TableChange.AddColumn | _: TableChange.UpdateColumnType => ()
       case c: TableChange.SetProperty =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE SET TBLPROPERTIES ('${c.property}') is not supported; " +
@@ -179,6 +182,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new UnsupportedOperationException(
           s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported " +
             "on graft tables")
+    }
+    def applyOne(c: TableChange): Unit = c match {
+      case c: TableChange.RenameColumn =>
+        SnapshotTable.renameColumn(spark, root, pathOf(c.fieldNames), c.newName)
+        ()
+      case c: TableChange.DeleteColumn =>
+        SnapshotTable.dropColumn(spark, root, pathOf(c.fieldNames))
+        ()
+      case c: TableChange.AddColumn =>
+        SnapshotTable.addColumn(spark, root, pathOf(c.fieldNames), c.dataType)
+        ()
+      case c: TableChange.UpdateColumnType =>
+        // `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the zero-copy
+        // widen DDL (lossless int->bigint / float->double only; the
+        // DDL itself refuses lossy casts loudly)
+        SnapshotTable.widenColumn(spark, root, pathOf(c.fieldNames), c.newDataType)
+        ()
+      case _ => () // unreachable: validated above
+    }
+    changes.zipWithIndex.foreach { case (c, i) =>
+      try applyOne(c)
+      catch {
+        case e: Exception if i > 0 =>
+          throw new IllegalStateException(
+            s"ALTER TABLE ${fullName(ident)}: change ${i + 1} of " +
+              s"${changes.length} failed AFTER the first $i change(s) " +
+              "committed (each change is its own table commit; there is " +
+              s"no rollback). Cause: ${e.getMessage}", e)
+      }
     }
     new GraftTable(spark, root, fullName(ident), None)
   }

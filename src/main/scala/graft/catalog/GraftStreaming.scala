@@ -88,7 +88,7 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
       case (_, "append" | "create", added) => added
       // row-preserving commits deliver nothing: layout ("compact") and
       // metadata-only DDL — entries carried verbatim
-      case (_, "compact" | "rename" | "drop" | "addcol" | "constraint", _) => Seq.empty
+      case (_, "compact" | "rename" | "drop" | "addcol" | "widen" | "constraint", _) => Seq.empty
       case _ if ignoreChanges => Nil
       case (v, op, _) =>
         throw new IllegalStateException(

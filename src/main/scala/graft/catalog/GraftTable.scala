@@ -96,11 +96,12 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinnedVersion.isEmpty && filters.forall(f => FilterBridge.toColumn(f).isDefined)
+    pinnedVersion.isEmpty &&
+      filters.forall(f => FilterBridge.toColumn(f, snap.schema).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable()
-    val pred = filters.flatMap(FilterBridge.toColumn)
+    val pred = filters.flatMap(FilterBridge.toColumn(_, snap.schema))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     SnapshotTable.deleteWhere(spark, root, pred)

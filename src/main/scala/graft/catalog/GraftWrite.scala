@@ -67,14 +67,19 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
       })
     }
 
-    /** `writeStream.toTable(name)` — each epoch is one atomic append
+    /** `writeStream.toTable(name)` — each epoch is one atomic commit
       * carrying the epoch id as the manifest's `txnBatchId`: the same
       * replay cursor as the V1 streaming sink, so a crash between the
       * table commit and the checkpoint commit replays into a
-      * recognized-and-dropped epoch. Executor parquet writers measure
-      * the stats-key ranges in the write loop; CHECK constraints
-      * validate over just the epoch's files before anything publishes.
-      * Contract: one streaming query (one checkpoint) writes a table. */
+      * recognized-and-dropped epoch. Append/Update output modes APPEND
+      * the epoch's rows; Complete output mode (the engine called
+      * [[SupportsTruncate.truncate]] on this builder) REPLACES the
+      * whole snapshot each epoch — every epoch carries the full result
+      * by Spark's contract, so re-appending it would silently
+      * duplicate rows. Executor parquet writers measure the stats-key
+      * ranges in the write loop; CHECK constraints validate over just
+      * the epoch's files before anything publishes. Contract: one
+      * streaming query (one checkpoint) writes a table. */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         private val snap = SnapshotTable.sqlSnapshot(spark, root)
@@ -104,12 +109,21 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
             }
             return
           }
-          if (files.nonEmpty) {
+          if (files.nonEmpty)
             SnapshotTable.sqlValidateWritten(spark, root, files.map(_.relPath))
-            SnapshotTable.sqlAppendFiles(spark, root,
-              files.map(m => SnapshotTable.SqlWrittenFile(m.relPath, m.rows,
-                m.bytes, m.minL, m.maxL, m.minB, m.maxB, m.min2L, m.max2L,
-                m.min2B, m.max2B)),
+          val written = files.map(m => SnapshotTable.SqlWrittenFile(m.relPath,
+            m.rows, m.bytes, m.minL, m.maxL, m.minB, m.maxB, m.min2L, m.max2L,
+            m.min2B, m.max2B))
+          if (overwriteAll) {
+            // Complete output mode: this epoch IS the full result —
+            // replace the snapshot (op "rewrite"; an empty result
+            // honestly empties the table). Appending here would
+            // re-deliver every prior epoch's rows.
+            SnapshotTable.sqlOverwriteFiles(spark, root, written,
+              txnBatchId = Some(epochId))
+            ()
+          } else if (files.nonEmpty) {
+            SnapshotTable.sqlAppendFiles(spark, root, written,
               txnBatchId = epochId)
             ()
           }

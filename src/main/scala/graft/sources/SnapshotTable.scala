@@ -2406,6 +2406,51 @@ object SnapshotTable {
     }
   }
 
+  /** WIDEN a column's (or nested field's) type — the fourth zero-copy
+    * metadata DDL (op "widen", SQL surface: `ALTER TABLE t ALTER
+    * COLUMN c TYPE <wider>`): the schema commit changes only the
+    * recorded type, and every existing file upcasts on read exactly
+    * like a widened-by-append evolution (parquet INT32 under a LONG
+    * read schema). LOSSLESS upcasts only — int→long, float→double,
+    * applied recursively through matching struct/array/map shapes —
+    * anything lossy or shape-changing refuses loudly, because a silent
+    * narrowing cast on a 100 TB table is how data dies. Row-preserving
+    * by construction (entries carried verbatim), so CDC and the
+    * streaming sources treat a "widen" commit like the rest of the DDL
+    * triad: it delivers nothing. */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Int =
+    retrying(spark, root, op = "widen") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val sch = schemaOf(spark, root, m)
+      val segs = resolveDdlPath(sch, name, "ALTER COLUMN TYPE")
+      val cur = segs.foldLeft(sch: org.apache.spark.sql.types.DataType) {
+        case (st: org.apache.spark.sql.types.StructType, s) =>
+          st.fields.find(f => norm(f.name) == norm(s)).get.dataType
+        case (dt, _) => dt
+      }
+      val wide = widenType(cur, to, allowWiden = true).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN TYPE '$name': ${cur.simpleString} cannot widen to " +
+            s"${to.simpleString} — only lossless upcasts (int->bigint, " +
+            "float->double, recursively through matching shapes) are allowed"))
+      // widenType reconciles to the WIDER side; a request that resolves
+      // back to the current type is a narrowing (long->int) in disguise
+      require(wide == deepNullable(to),
+        s"ALTER COLUMN TYPE '$name': ${to.simpleString} is narrower than the " +
+          s"current ${cur.simpleString} — widening is one-way")
+      require(wide != deepNullable(cur),
+        s"ALTER COLUMN TYPE '$name': column is already ${cur.simpleString}")
+      val newSch = widened(mapStructAt(sch, segs.init)(st =>
+        org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          if (norm(f.name) == norm(segs.last))
+            f.copy(dataType = wide, nullable = true)
+          else f))))
+      requireConstraintsResolve(spark, newSch, m.constraints,
+        s"widen column '$name'")
+      Pending(m.entries, newSch, m.statsKey, m.statsKey2)
+    }
+
   /** Every field name at every struct level of `sch` — a mint-time
     * avoid set (global, deliberately over-conservative: physical leaf
     * names only need uniqueness within their parent struct). */
@@ -3535,7 +3580,7 @@ object SnapshotTable {
     * new snapshot — op "rewrite"). Schema unchanged by contract
     * (Spark aligned the query to the table before writing). */
   private[graft] def sqlOverwriteFiles(spark: SparkSession, root: String,
-      written: Seq[SqlWrittenFile]): Int =
+      written: Seq[SqlWrittenFile], txnBatchId: Option[Long] = None): Int =
     retrying(spark, root, op = "rewrite") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val fresh = written.map { w =>
@@ -3543,6 +3588,7 @@ object SnapshotTable {
           w.minB, w.maxB, w.min2L, w.max2L, w.min2B, w.max2B)
       }
       Pending(fresh, schemaOf(spark, root, m), m.statsKey, m.statsKey2,
+        txnBatchId = txnBatchId,
         colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
     }
 

@@ -316,9 +316,13 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     val files = SnapshotTable.addedFiles(spark, root, from, version(end)).flatMap {
       case (_, "append" | "create", added) => added
       // row-preserving commits deliver nothing: layout ("compact") and
-      // metadata-only DDL ("rename"/"drop"/"addcol"/"constraint" —
-      // entries carried verbatim; this stream keeps its LOCKED names)
-      case (_, "compact" | "rename" | "drop" | "addcol" | "constraint", _) => Seq.empty
+      // metadata-only DDL ("rename"/"drop"/"addcol"/"widen"/
+      // "constraint" — entries carried verbatim; this stream keeps its
+      // LOCKED names. Files appended AFTER a widen carry the wider
+      // physical type, which the locked narrower read schema cannot
+      // decode — that read fails loudly at the parquet reader, the
+      // restart-the-stream contract every shape-changing DDL has.)
+      case (_, "compact" | "rename" | "drop" | "addcol" | "widen" | "constraint", _) => Seq.empty
       case _ if ignoreChanges => Nil
       case (v, op, _) =>
         throw new IllegalStateException(

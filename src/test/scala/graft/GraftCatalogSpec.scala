@@ -487,6 +487,99 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM gsql.main.p_out").head().getLong(0) == 30L)
   }
 
+  test("Complete output mode REPLACES the snapshot per epoch (no duplication)") {
+    wh
+    Seq("c_src", "c_agg").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.c_src (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    (0 until 3).foreach { i =>
+      sql(s"INSERT INTO gsql.main.c_src SELECT /*+ REPARTITION(1) */ id, " +
+        s"CAST(id % 4 AS STRING) FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqlcomplete").toString
+    // maxVersionsPerTrigger=1 forces MULTIPLE epochs in one drain; each
+    // Complete epoch carries the FULL aggregate — before the fix every
+    // epoch re-APPENDED it, tripling the counts
+    spark.readStream.option("maxVersionsPerTrigger", "1").table("gsql.main.c_src")
+      .groupBy("v").count()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gsql.main.c_agg").awaitTermination()
+    val rows = sql("SELECT v, count FROM gsql.main.c_agg ORDER BY v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ids 0..29 by id%4: 8,8,7,7 — an epoch-duplicating sink triples these
+    assert(rows == Seq("0" -> 8L, "1" -> 8L, "2" -> 7L, "3" -> 7L),
+      s"Complete epochs duplicated rows: $rows")
+    // each epoch committed as a REWRITE, not an append
+    val ops = graft.sources.SnapshotTable.history(spark, s"$wh/main/c_agg")
+      .map(_.op).filterNot(_ == "create")
+    assert(ops.nonEmpty && ops.forall(_ == "rewrite"), s"ops=$ops")
+  }
+
+  test("DELETE on a nested struct field routes to the row-level plan") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.t_nestdel")
+    sql("CREATE TABLE gsql.main.t_nestdel (id BIGINT, " +
+      "info STRUCT<n_chars: BIGINT, lang: STRING>)")
+    sql("INSERT INTO gsql.main.t_nestdel VALUES " +
+      "(1, named_struct('n_chars', 3L, 'lang', 'en')), " +
+      "(2, named_struct('n_chars', 9L, 'lang', 'de')), " +
+      "(3, named_struct('n_chars', 12L, 'lang', 'en'))")
+    // before the FilterBridge fix: canDeleteWhere said yes, then
+    // deleteWhere exploded on the backtick-quoted dotted name — a
+    // legitimate statement failing instead of falling back
+    sql("DELETE FROM gsql.main.t_nestdel WHERE info.n_chars > 5")
+    assert(sql("SELECT id FROM gsql.main.t_nestdel").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // and it went through the group-based rewrite (op "merge"), not dv
+    val ops = graft.sources.SnapshotTable.history(spark, s"$wh/main/t_nestdel").map(_.op)
+    assert(ops.contains("merge") && !ops.contains("delete"), s"ops=$ops")
+    // a TOP-LEVEL filter still takes the metadata-only dv path
+    sql("DELETE FROM gsql.main.t_nestdel WHERE id = 1")
+    val ops2 = graft.sources.SnapshotTable.history(spark, s"$wh/main/t_nestdel").map(_.op)
+    assert(ops2.contains("delete"), s"ops=$ops2")
+    assert(sql("SELECT count(*) FROM gsql.main.t_nestdel").head().getLong(0) == 0L)
+  }
+
+  test("ALTER COLUMN TYPE: zero-copy lossless widening; lossy refuses") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.t_widen")
+    sql("CREATE TABLE gsql.main.t_widen (id BIGINT, n INT, " +
+      "m STRUCT<a: INT, b: STRING>) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_widen VALUES (1, 7, named_struct('a', 1, 'b', 'x'))")
+    val filesBefore = dataFiles("t_widen")
+    sql("ALTER TABLE gsql.main.t_widen ALTER COLUMN n TYPE BIGINT")
+    sql("ALTER TABLE gsql.main.t_widen ALTER COLUMN m.a TYPE BIGINT") // nested
+    assert(dataFiles("t_widen") == filesBefore, "widen must be zero-copy")
+    // old INT32 files upcast on read; new appends land as INT64
+    sql("INSERT INTO gsql.main.t_widen VALUES (2, 7000000000, named_struct('a', 8000000000, 'b', 'y'))")
+    val r = sql("SELECT sum(n), sum(m.a) FROM gsql.main.t_widen").head()
+    assert(r.getLong(0) == 7000000007L && r.getLong(1) == 8000000001L)
+    val ops = graft.sources.SnapshotTable.history(spark, s"$wh/main/t_widen").map(_.op)
+    assert(ops.count(_ == "widen") == 2, s"ops=$ops")
+    // refusals: narrowing and non-numeric casts
+    val e1 = intercept[Exception](
+      sql("ALTER TABLE gsql.main.t_widen ALTER COLUMN n TYPE INT"))
+    assert(e1.getMessage.contains("narrower") || e1.getMessage.contains("widen"))
+    val e2 = intercept[Exception](
+      sql("ALTER TABLE gsql.main.t_widen ALTER COLUMN m.b TYPE BIGINT"))
+    assert(e2.getMessage.contains("widen") || e2.getMessage.contains("lossless"))
+  }
+
+  test("multi-change ALTER validates kinds up front (no partial commit)") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.t_multi")
+    sql("CREATE TABLE gsql.main.t_multi (id BIGINT, n INT)")
+    // TYPE + COMMENT in one statement = UpdateColumnType (supported) +
+    // UpdateColumnComment (unsupported): the statement must refuse
+    // BEFORE the widen commits
+    intercept[Exception](sql(
+      "ALTER TABLE gsql.main.t_multi ALTER COLUMN n TYPE BIGINT COMMENT 'nope'"))
+    val t = sql("SELECT * FROM gsql.main.t_multi")
+    assert(t.schema("n").dataType == org.apache.spark.sql.types.IntegerType,
+      s"partial ALTER leaked: ${t.schema}")
+  }
+
   test("dv partitions and plain partitions mix in one scan") {
     val t = freshTable("t_mix")
     sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) FROM range(0, 100)")
