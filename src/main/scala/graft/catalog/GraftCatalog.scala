@@ -43,7 +43,8 @@ import graft.sources.SnapshotTable
   * the DDL itself). Identifier parts must be `[A-Za-z0-9_]+`: names
   * become directory names, and a catalog that lets `..` or `/` into a
   * path is an escape hatch, not a catalog. */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -239,6 +240,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     SnapshotTable.forgetTable(from.toString)
     require(fs.rename(from, to), s"rename $from -> $to failed")
   }
+
+  // ---- functions ----
+  // One system function, visible in every namespace: `bucket(n, key)`
+  // — what the storage-partitioned-join machinery resolves when a scan
+  // reports KeyGroupedPartitioning over the bucketed layout
+  // ([[GraftBucketFunction]]).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---- namespaces ----
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionSpec, PartitionedFile, PartitioningAwareFileIndex}
@@ -73,11 +74,13 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
     snap: SnapshotTable.SqlSnapshot, groupScan: Boolean,
     onPlan: (Int, Set[String]) => Unit = (_, _) => (),
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = snap.schema
   private var withFileCol: Boolean = false
   private var pushed: Array[Filter] = Array.empty
+  private var aggScan: Option[GraftManifestAggScan] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep the engine's pruned SUBTREE (nested schema pruning reaches
@@ -96,7 +99,84 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ---- aggregate pushdown: answered from the MANIFEST, zero data I/O ----
+  // `SELECT COUNT(*) / MIN(k) / MAX(k) FROM t` over a dv-free snapshot
+  // is a metadata question: every entry records its row count, and the
+  // stats keys carry per-file attained bounds measured in the write
+  // loop. At 100 TB that is the difference between a driver-side
+  // manifest fold and a full-table scan. Refused (→ real scan, never a
+  // wrong answer) on: group-bys, any dv debt (a deletion vector hides
+  // uncounted deletions and possibly the attained extreme), residual
+  // filters (Spark itself only pushes aggregates when no post-scan
+  // filter remains — belt and braces here), non-stats-key MIN/MAX, or
+  // any entry missing the fact.
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case Some((sch, row)) =>
+        aggScan = Some(new GraftManifestAggScan(sch, Array(row),
+          agg.aggregateExpressions.mkString(", "), snap))
+        true
+      case None => false
+    }
+
+  private def translateAgg(agg: Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    if (groupScan || pushed.nonEmpty || agg.groupByExpressions.nonEmpty)
+      return None
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames().head)
+      case _ => None
+    }
+    // (output type, value, nullable) per aggregate — int stats are
+    // recorded widened to long, so an int column's extreme casts back
+    // losslessly; strings come back as the full recorded value
+    def bound(name: String, wantMax: Boolean)
+        : Option[(org.apache.spark.sql.types.DataType, Any)] =
+      FilterBridge.fieldOf(snap.schema, name).map(_.dataType).flatMap {
+        case org.apache.spark.sql.types.IntegerType =>
+          snap.exactLongBounds(name).map(b =>
+            (org.apache.spark.sql.types.IntegerType,
+              (if (wantMax) b._2 else b._1).toInt: Any))
+        case LongType =>
+          snap.exactLongBounds(name).map(b =>
+            (LongType, (if (wantMax) b._2 else b._1): Any))
+        case StringType =>
+          snap.exactStringBounds(name).map(b =>
+            (StringType, UTF8String.fromBytes(if (wantMax) b._2 else b._1): Any))
+        case _ => None
+      }
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        snap.exactRows.map(n => (LongType: org.apache.spark.sql.types.DataType,
+          n: Any, false))
+      case mn: Min =>
+        colName(mn.column).flatMap(bound(_, wantMax = false))
+          .map { case (dt, v) => (dt, v, true) }
+      case mx: Max =>
+        colName(mx.column).flatMap(bound(_, wantMax = true))
+          .map { case (dt, v) => (dt, v, true) }
+      case _ => None
+    }
+    if (vals.isEmpty || vals.exists(_.isEmpty)) None
+    else {
+      val fs = vals.flatten
+      val sch = StructType(fs.zipWithIndex.map { case ((dt, _, nullable), i) =>
+        StructField(s"agg_$i", dt, nullable) })
+      Some((sch, new GenericInternalRow(fs.map(_._2).toArray)))
+    }
+  }
+
   override def build(): Scan = {
+    aggScan match {
+      case Some(s) => return s
+      case None => ()
+    }
     val fieldType = (n: String) => FilterBridge.fieldOf(snap.schema, n).map(_.dataType)
     val bounds = pushed.flatMap(
       FilterBridge.toCatalystBound(_, fieldType, snap.physName)).toSeq
@@ -126,9 +206,46 @@ private[graft] final class GraftScan(spark: SparkSession,
     withFileCol: Boolean, onPlan: (Int, Set[String]) => Unit,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private var kept: Seq[SnapshotTable.SqlDataFile] = initialKept
+
+  // ---- storage-partitioned planning (bucketed layout) ----
+
+  /** The kept files grouped by bucket id, iff this scan can plan
+    * KEY-GROUPED: the snapshot carries the bucketed layout
+    * ([[SnapshotTable.SqlSnapshot.bucketLayout]] — bucket count and
+    * per-file ids ride in the file paths), the bucket key survives in
+    * the read schema (the reported transform must resolve against the
+    * relation output), no kept file carries a dv (dv reads are
+    * whole-file row-based partitions — incompatible with per-bucket
+    * grouping; transient debt, `maintain` clears it), and the scan is
+    * not file-tagged. One InputPartition per present bucket, each
+    * declaring its id via [[HasPartitionKey]]: a join of two tables
+    * bucketed on same-typed keys with the same count plans ZERO
+    * shuffle exchanges (Spark SPJ, `spark.sql.sources.v2.bucketing
+    * .enabled`). */
+  private def bucketedGroups: Option[(Int, String, Seq[(Int, Seq[SnapshotTable.SqlDataFile])])] =
+    if (withFileCol || kept.exists(_.hasDv)) None
+    else snap.bucketLayout.flatMap { case (n, byPath) =>
+      val keyName = snap.statsKey.flatMap(k =>
+        FilterBridge.fieldOf(required, k).map(_.name))
+      keyName.map { k =>
+        (n, k, kept.groupBy(f => byPath(f.relPath)).toSeq.sortBy(_._1))
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketedGroups match {
+      case Some((n, key, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, key)), groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          kept.size)
+    }
 
   /** Exposed for the pruning specs: how many files this scan plans NOW
     * (manifest pruning, then any runtime group filter). */
@@ -251,6 +368,19 @@ private[graft] final class GraftScan(spark: SparkSession,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = kept
+    bucketedGroups match {
+      case Some((_, _, groups)) =>
+        // one partition per present bucket, whole files (the SPJ
+        // contract: partition boundaries ARE the bucket boundaries)
+        return groups.zipWithIndex.map { case ((b, fs), i) =>
+          GraftBucketPartition(FilePartition(i, fs.map(f =>
+            PartitionedFile(InternalRow.empty,
+              SparkPath.fromPathString(new Path(snap.root, f.relPath).toString),
+              0L, f.bytes, Array.empty, 0L, f.bytes, Map.empty)).toArray),
+            b): InputPartition
+        }.toArray
+      case None => ()
+    }
     if (withFileCol) {
       // file-tagged mode: one whole-file row partition per file — the
       // reader must know which file it drains (path column + dv set)
@@ -292,11 +422,40 @@ private[graft] final class GraftScan(spark: SparkSession,
   }
 }
 
+/** A fully-pushed aggregate answered from the manifest: the one result
+  * row was computed on the DRIVER from recorded per-file facts, so the
+  * engine plans a [[org.apache.spark.sql.execution.LocalTableScanExec]]
+  * — zero input partitions, zero parquet files opened, zero Spark
+  * jobs. The executed-plan proof in GraftCatalogSpec asserts exactly
+  * that (no BatchScan anywhere in the plan). */
+private[graft] final class GraftManifestAggScan(schema: StructType,
+    data: Array[InternalRow], pushedAggs: String,
+    snap: SnapshotTable.SqlSnapshot) extends LocalScan {
+  override def rows(): Array[InternalRow] = data
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftManifestAggScan ${snap.root} v${snap.version} pushed=[$pushedAggs]"
+}
+
 /** A dv-carrying file's scan unit: the stock [[FilePartition]] the
   * parquet reader consumes plus the manifest-relative path whose
   * deleted-position set applies. */
 private[graft] final case class GraftDvPartition(inner: FilePartition,
     relPath: String) extends InputPartition
+
+/** One BUCKET of a bucketed snapshot as a single scan unit: the stock
+  * [[FilePartition]] over the bucket's (whole) files, declaring its
+  * bucket id through [[org.apache.spark.sql.connector.read
+  * .HasPartitionKey]] so the engine's key-grouped machinery can line
+  * it up against the other join side's same-id partition. Reads stay
+  * columnar — the reader factory routes the inner partition to the
+  * stock parquet factory. */
+private[graft] final case class GraftBucketPartition(inner: FilePartition,
+    bucketId: Int) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
 
 /** A whole-file partition in file-tagged mode ([[GraftFileColumn]]
   * requested): rows get the file's path appended, and the dv position
@@ -316,6 +475,8 @@ private[catalog] final case class GraftReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !forceRow && (partition match {
       case _: GraftDvPartition | _: GraftTaggedPartition => false
+      case GraftBucketPartition(inner, _) =>
+        plain.exists(_.supportColumnarReads(inner))
       case other => plain.exists(_.supportColumnarReads(other))
     })
 
@@ -332,12 +493,16 @@ private[catalog] final case class GraftReaderFactory(
           if (hasDv) new DvFilteringReader(dv.get.createReader(inner), deleted(rel), dataTypes)
           else plain.get.createReader(inner)
         new FileTaggingReader(base, rel)
+      case GraftBucketPartition(inner, _) => plain.get.createReader(inner)
       case other => plain.get.createReader(other)
     }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    plain.get.createColumnarReader(partition) // only reachable for plain parts
+    partition match { // only reachable for plain/bucketed parts
+      case GraftBucketPartition(inner, _) => plain.get.createColumnarReader(inner)
+      case other => plain.get.createColumnarReader(other)
+    }
 }
 
 /** Drops rows whose parquet row ordinal (the generated row-index

@@ -49,6 +49,13 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
   private val root = snap.root
   private val ignoreChanges = options.getBoolean("ignoreChanges", false)
   private val maxVersions = options.getInt("maxVersionsPerTrigger", 0)
+  /** Byte-based admission: cap each batch at roughly this many bytes
+    * of ADDED data files (manifest-recorded sizes — exact, zero I/O).
+    * Versions are a weak proxy when append sizes vary by 100×; bytes
+    * are what executor memory and batch latency actually scale with.
+    * Soft cap, Delta-style: the first version past the start always
+    * admits (else a single oversized append would stall the stream). */
+  private val maxBytes = options.getLong("maxBytesPerTrigger", 0L)
   private def latestVersion: Int =
     SnapshotTable.versions(spark, root).lastOption.getOrElse(0)
   private val startingVersion: Int = Option(options.get("startingVersion")) match {
@@ -71,6 +78,21 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
     var latest = latestVersion
     availableNowTarget.foreach(t => latest = math.min(latest, t))
     if (maxVersions > 0) latest = math.min(latest, from + maxVersions)
+    if (maxBytes > 0 && latest > from) {
+      // greedy prefix under the byte budget; composes with the
+      // version cap above (both bounds hold)
+      var admitted = from
+      var acc = 0L
+      var stop = false
+      SnapshotTable.addedBytesByVersion(spark, root, from, latest).foreach {
+        case (v, b) =>
+          if (!stop) {
+            if (admitted == from || acc + b <= maxBytes) { admitted = v; acc += b }
+            else stop = true
+          }
+      }
+      latest = admitted
+    }
     GraftOffset(math.max(latest, from))
   }
 

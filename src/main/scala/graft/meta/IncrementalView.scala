@@ -123,9 +123,20 @@ object IncrementalView {
       .select(col(g),
         (coalesce(col("view_cnt"), lit(0L)) + col("d_cnt")).as("view_cnt"),
         (coalesce(col("view_sum"), lit(0L)) + col("d_sum")).as("view_sum"))
-    SnapshotTable.merge(spark, viewRoot, newState, key = g,
-      txnBatchId = Some(latest.toLong))
-    latest - cursor
+      // materialized ONCE: merge() consumes its updates frame several
+      // times (the batch write, the prune-key collect, the survivor
+      // anti-join) and this frame is |affected groups| rows sitting on
+      // top of the window's whole CDC plan — re-deriving it per
+      // consumer re-runs the change read itself
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      SnapshotTable.merge(spark, viewRoot, newState, key = g,
+        txnBatchId = Some(latest.toLong))
+      latest - cursor
+    } finally {
+      newState.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** The view's live rows — tombstoned (emptied) groups filtered. */

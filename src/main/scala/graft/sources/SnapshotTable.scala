@@ -794,6 +794,124 @@ object SnapshotTable {
     }
   }
 
+  /** The bucketed layout's file naming: files of a bucketed rewrite
+    * live at `data/bkt<N>-<uuid>/_graft_bucket=<i>/part-*.parquet`, so
+    * BOTH facts storage-partitioned planning needs — the bucket count
+    * and each file's bucket id — ride in the PATH the manifest already
+    * records: no manifest format change, old readers read the files as
+    * plain entries. A snapshot "is bucketed" iff EVERY live entry
+    * parses this shape with one consistent count ([[SqlSnapshot
+    * .bucketLayout]]); any later plain append or partial rewrite
+    * dissolves the claim (the scan just stops reporting partitioning —
+    * conservative, never wrong), and the next [[compactBucketed]]
+    * re-establishes it. */
+  private[sources] val BucketPathRe =
+    """^data/bkt(\d+)-[A-Za-z0-9]+/_graft_bucket=(\d+)/[^/]+\.parquet$""".r
+
+  /** Write `df0` as ONE file per hash bucket of the (physical) stats
+    * key: `pmod(murmur3_hash(key), buckets)` — the same function the
+    * catalog exposes as `bucket(n, key)`
+    * ([[graft.catalog.GraftBucketFunction]]), so the written layout
+    * and the reported partitioning can never disagree. Range-
+    * repartitioning on the bucket value puts each bucket's rows in
+    * exactly one task (equal values cannot straddle a range boundary)
+    * and `partitionBy` makes the bucket id a DIRECTORY, not a column —
+    * files hold only table columns. Rows sort by key within each
+    * bucket, so row-group stats stay selective. */
+  private def writeBucketedFiles(spark: SparkSession, root: String,
+      df0: DataFrame, buckets: Int, key: String, key2: Option[String],
+      colmap: Map[String, String]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val df = toPhysical(df0, colmap)
+    val physKey = physFor(colmap, key)
+    val physKey2 = key2.map(physFor(colmap, _))
+    val batch = s"data/bkt$buckets-${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}"
+    df.withColumn("_graft_bucket", pmod(hash(col(physKey)), lit(buckets)))
+      .repartitionByRange(buckets, col("_graft_bucket"))
+      .sortWithinPartitions(col("_graft_bucket"), col(physKey))
+      .write.partitionBy("_graft_bucket").parquet(s"$root/$batch")
+    val f = fs(spark, root)
+    val paths = f.listStatus(new Path(root, batch))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_graft_bucket="))
+      .flatMap(d => f.listStatus(d.getPath)
+        .filter(s => s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s"$batch/${d.getPath.getName}/${s.getPath.getName}", s.getLen)))
+      .sortBy(_._1).toSeq
+    def colType(k: String): Option[org.apache.spark.sql.types.DataType] =
+      try Some(df.select(df(k)).schema.head.dataType) catch { case _: Exception => None }
+    def kind(k: Option[String]): Option[(String, Boolean)] = k.flatMap { kk =>
+      colType(kk) match {
+        case Some(org.apache.spark.sql.types.LongType |
+                  org.apache.spark.sql.types.IntegerType) => Some((kk, false))
+        case Some(org.apache.spark.sql.types.StringType) => Some((kk, true))
+        case _ => None
+      }
+    }
+    val keyKind = kind(Some(physKey))
+    val key2Kind = kind(physKey2)
+    if (paths.isEmpty) Seq.empty
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, paths.size)))
+      try {
+        val futures = paths.map { case (rel, len) =>
+          pool.submit(new java.util.concurrent.Callable[FileEntry] {
+            override def call(): FileEntry = {
+              val (rows, st, stS, st2, st2S) =
+                try footerInfo(conf, new Path(root, rel), keyKind, key2Kind)
+                catch { case _: Exception => (None, None, None, None, None) }
+              FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len),
+                stS.map(_._1), stS.map(_._2), st2.map(_._1), st2.map(_._2),
+                st2S.map(_._1), st2S.map(_._2))
+            }
+          })
+        }
+        futures.map(_.get()).filterNot(_.rows.contains(0L))
+      } finally pool.shutdown()
+    }
+  }
+
+  /** BUCKETED whole-table re-layout (op "compact" — row-preserving,
+    * dv debt materializes like any full compact): every data file
+    * holds exactly one bucket of `pmod(murmur3_hash(statsKey),
+    * buckets)`, encoded in its path ([[BucketPathRe]]). This is the
+    * layout behind STORAGE-PARTITIONED JOINS: two tables bucketed on
+    * same-typed keys with the same count join through plain
+    * `spark.sql` with ZERO shuffle exchanges (the DSv2 scan reports
+    * `KeyGroupedPartitioning(bucket(n, key))`, Spark's SPJ machinery
+    * does the rest under `spark.sql.sources.v2.bucketing.enabled`).
+    * The bucket key IS the recorded primary stats key — one clustering
+    * identity per table, and renames already follow it. At 100 TB this
+    * is the difference between re-shuffling both fact tables on every
+    * join and never shuffling them at all; the reference's
+    * filename-keyed upsert join (etl_processor.py:163-165) is the
+    * shape that motivates it. */
+  def compactBucketed(spark: SparkSession, root: String, buckets: Int): Int = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    retrying(spark, root, op = "compact") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val schema = schemaOf(spark, root, m)
+      require(m.statsKey.isDefined,
+        "compactBucketed needs a recorded statsKey (the bucket key); " +
+          "create/append with statsKey first")
+      val key = m.statsKey.get
+      val kt = schema.fields.find(f => norm(f.name) == norm(key)).map(_.dataType)
+      require(kt.exists(t => t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.StringType),
+        s"compactBucketed: stats key '$key' is ${kt.map(_.simpleString).getOrElse("?")} — " +
+          "bucketing hashes int/bigint/string keys only")
+      require(!schema.fields.exists(f => norm(f.name) == "_graft_bucket") &&
+          !m.colmap.valuesIterator.contains("_graft_bucket"),
+        "compactBucketed: the table already has a column named _graft_bucket")
+      val current = readEntries(spark, root, schema, m.entries, m.colmap)
+      Pending(writeBucketedFiles(spark, root, current, buckets, key,
+        m.statsKey2, m.colmap), schema, m.statsKey, m.statsKey2)
+    }
+  }
+
   /** Per-file bloom filters over the primary stats key (format 7,
     * opt-in): ONE extra job reading ONLY the key column of the
     * just-written small files (column-pruned scan of data still hot in
@@ -2830,6 +2948,29 @@ object SnapshotTable {
     }
   }
 
+  /** Per-version DELIVERABLE byte totals in `(fromVersion, toVersion]`
+    * — streaming admission control's input (`maxBytesPerTrigger`):
+    * the sum of recorded sizes of the files each version ADDED, zero
+    * for row-preserving commits (layout, metadata DDL — they deliver
+    * nothing). Manifest bytes are EXACT and already on the driver, so
+    * byte-based pacing costs no I/O beyond the manifest reads the
+    * batch planning pays anyway; a (legacy) entry with no recorded
+    * size counts 0 — admitting freely, conservative toward progress.
+    * Same retention contract as [[addedFiles]]. */
+  private[graft] def addedBytesByVersion(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): Seq[(Int, Long)] = {
+    var prevPaths: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else manifestFull(spark, root, fromVersion).entries.map(_.path).toSet
+    ((fromVersion + 1) to toVersion).map { v =>
+      val m = manifestFull(spark, root, v)
+      val added = m.entries.filterNot(e => prevPaths.contains(e.path))
+      prevPaths = m.entries.map(_.path).toSet
+      val deliverable = m.op == "append" || m.op == "create"
+      (v, if (deliverable) added.map(_.bytes.getOrElse(0L)).sum else 0L)
+    }
+  }
+
   /** INCREMENTAL change read (CDC): every row-level change committed
     * in versions `(fromVersion, toVersion]`, as the table's columns
     * plus `_commit_version` (which commit produced the change) and
@@ -2908,9 +3049,61 @@ object SnapshotTable {
         // physical names are immutable from mint to vacuum, so the
         // newest map addresses every older file correctly (columns
         // minted later null-fill in older files, like any evolution)
+        val dvOnly = changedNew.nonEmpty &&
+          m.entries.map(_.path).toSet == prevEntries.map(_.path).toSet
         if (m.op == "append" || m.op == "create")
           frames += tag(readEntries(spark, root, sch, changedNew, mTo.colmap), v, "insert")
-        else {
+        else if (dvOnly) {
+          // DV-ONLY commit (deleteWhere, streaming TTL eviction, dv
+          // restore): the file SET is unchanged and files are
+          // immutable, so the row-level diff is EXACTLY the position
+          // delta between the two dv states — read the touched files
+          // ONCE and inner-join the (deletion-sized) delta, instead of
+          // reading both versions' effective rows and exceptAll-ing
+          // full contents (two scans + two content-hash shuffles).
+          // Grown positions are deletes; shrunk positions (a restore
+          // re-opening rows) are inserts. Content-level netting can't
+          // differ from the exceptAll form here: no rows were added,
+          // so every position in the delta changes table content.
+          val oldPos = dvPositions(spark, root, changedOld)
+          val newPos = dvPositions(spark, root, changedNew)
+          def posOrEmpty(p: Option[DataFrame]): DataFrame = p.getOrElse {
+            val s = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(DvPathCol,
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField(DvPosCol,
+                org.apache.spark.sql.types.LongType)))
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+          }
+          val o = posOrEmpty(oldPos).select(col(DvPathCol), col(DvPosCol))
+          val n = posOrEmpty(newPos).select(col(DvPathCol), col(DvPosCol))
+          val ctCol = "__graft_ct"
+          val delta0 = n.exceptAll(o)
+              .withColumn(ctCol, org.apache.spark.sql.functions.lit("delete"))
+            .unionAll(o.exceptAll(n)
+              .withColumn(ctCol, org.apache.spark.sql.functions.lit("insert")))
+          // broadcast when the recorded deletion counts bound the delta
+          // (same discipline as antiJoinDv); unknown counts → planner
+          val counted = (changedNew ++ changedOld).forall(e =>
+            e.dv.isEmpty || e.dvRows.isDefined)
+          val totalDv = (changedNew ++ changedOld).flatMap(_.dvRows).sum
+          val delta =
+            if (counted && totalDv <= BroadcastDvRows)
+              org.apache.spark.sql.functions.broadcast(delta0)
+            else delta0
+          val raw = spark.read.schema(physSchemaOf(mTo.colmap, sch))
+            .parquet(changedNew.map(e => s"$root/${e.path}"): _*)
+            .withColumn("__rel", relPathCol)
+            .withColumn("__idx", col("_metadata.row_index"))
+          val rows = toLogical(
+            raw.join(delta,
+              raw("__rel") === delta(DvPathCol) && raw("__idx") === delta(DvPosCol)),
+            sch, mTo.colmap, keep = Seq(ctCol))
+          frames += rows.select(
+            org.apache.spark.sql.functions.lit(v).cast("int").as("_commit_version") +:
+            col(ctCol).as("_change_type") +:
+            sch.fieldNames.toSeq.map(rows(_)): _*)
+        } else {
           val a = readEntries(spark, root, sch, changedNew, mTo.colmap)
           val r = readEntries(spark, root, sch, changedOld, mTo.colmap)
           frames += tag(a.exceptAll(r), v, "insert")
@@ -3074,11 +3267,21 @@ object SnapshotTable {
     // manifest order, deterministic — keeps read plans fingerprint-stable
     val dirs = entries.flatMap(_.dv).distinct
     if (dirs.isEmpty) None
-    else Some(dirs.map { d =>
-      val pointing = entries.collect { case e if e.dv.contains(d) => e.path }
-      spark.read.parquet(s"$root/$d")
-        .filter(col(DvPathCol).isInCollection(pointing))
-    }.reduce(_ unionAll _))
+    else {
+      // sidecar shape is fixed by the writer — an explicit schema
+      // skips a plan-time footer inference per dir (dv-heavy windows
+      // read several dirs; the driver latency adds up)
+      val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(DvPathCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(DvPosCol,
+          org.apache.spark.sql.types.LongType)))
+      Some(dirs.map { d =>
+        val pointing = entries.collect { case e if e.dv.contains(d) => e.path }
+        spark.read.schema(dvSchema).parquet(s"$root/$d")
+          .filter(col(DvPathCol).isInCollection(pointing))
+      }.reduce(_ unionAll _))
+    }
   }
 
   /** Drop `df`'s rows whose (file, position) appears in `dv` — the
@@ -3465,6 +3668,88 @@ object SnapshotTable {
       val rs = m.entries.map(e => e.rows.map(r => r - e.dvRows.getOrElse(0L)))
       if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None
     }
+
+    // ---- manifest-answered aggregates (SupportsPushDownAggregates) ----
+    // All three return None whenever the manifest cannot answer
+    // EXACTLY; the caller then falls through to a real scan — never a
+    // wrong answer. The common refusal is dv debt: a deletion vector
+    // hides rows the recorded per-file facts still count (and the
+    // recorded bounds may no longer be ATTAINED by any live row), so
+    // metadata answers require zero dv across the snapshot. Reference
+    // analog: get_n_documents_in_vectorstore
+    // (/root/reference/src/managers/index_manager.py:300-302) — a pure
+    // metadata count, generalized to MIN/MAX over the stats keys.
+
+    /** EXACT live row count: every entry records its rows, none
+      * carries a dv. */
+    def exactRows: Option[Long] =
+      if (m.entries.exists(e => e.rows.isEmpty || e.dv.isDefined)) None
+      else Some(m.entries.flatMap(_.rows).sum)
+
+    /** Which stats slot `logical` names: Some(false)=primary,
+      * Some(true)=secondary, None=not a recorded stats key (its
+      * entries carry no verified bounds for this column). */
+    private def keySlot(logical: String): Option[Boolean] =
+      if (m.statsKey.exists(k => norm(k) == norm(logical))) Some(false)
+      else if (m.statsKey2.exists(k => norm(k) == norm(logical))) Some(true)
+      else None
+
+    /** EXACT attained (min, max) of an integral stats-key column:
+      * every entry carries both bounds (measured at write over the
+      * file's actual rows — attained, not estimated), zero dv debt. */
+    def exactLongBounds(logical: String): Option[(Long, Long)] =
+      keySlot(logical).flatMap { sec =>
+        if (m.entries.isEmpty || m.entries.exists(_.dv.isDefined)) None
+        else {
+          val bs = m.entries.map(e =>
+            if (sec) e.min2.zip(e.max2) else e.minKey.zip(e.maxKey))
+          if (bs.exists(_.isEmpty)) None
+          else Some((bs.flatten.map(_._1).min, bs.flatten.map(_._2).max))
+        }
+      }
+
+    /** The snapshot's BUCKET layout, iff it has one: `Some((buckets,
+      * relPath -> bucketId))` when a stats key is recorded and EVERY
+      * live entry's path parses the bucketed naming ([[BucketPathRe]])
+      * with one consistent count and in-range ids. Any plain append or
+      * partial rewrite after a [[compactBucketed]] fails the
+      * every-entry test and the claim dissolves — the scan stops
+      * reporting `KeyGroupedPartitioning` (a join falls back to
+      * shuffling; never wrong) until the next bucketed compact. */
+    def bucketLayout: Option[(Int, Map[String, Int])] =
+      if (m.entries.isEmpty || m.statsKey.isEmpty) None
+      else {
+        val parsed = m.entries.map(e => e.path match {
+          case BucketPathRe(n, b) => Some((e.path, n.toInt, b.toInt))
+          case _ => None
+        })
+        if (parsed.exists(_.isEmpty)) None
+        else {
+          val ps = parsed.flatten
+          val ns = ps.map(_._2).distinct
+          if (ns.length != 1 || ps.exists(_._3 >= ns.head)) None
+          else Some((ns.head, ps.map(p => p._1 -> p._3).toMap))
+        }
+      }
+
+    /** String twin of [[exactLongBounds]] (bounds in unsigned byte
+      * order — Spark's own string order; values are the full strings,
+      * parquet chunk statistics are untruncated at default config). */
+    def exactStringBounds(logical: String): Option[(Array[Byte], Array[Byte])] =
+      keySlot(logical).flatMap { sec =>
+        if (m.entries.isEmpty || m.entries.exists(_.dv.isDefined)) None
+        else {
+          val bs = m.entries.map(e =>
+            if (sec) e.min2Str.zip(e.max2Str) else e.minStr.zip(e.maxStr))
+          if (bs.exists(_.isEmpty)) None
+          else {
+            val cmp = (a: Array[Byte], b: Array[Byte]) =>
+              java.util.Arrays.compareUnsigned(a, b)
+            Some((bs.flatten.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+              bs.flatten.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+          }
+        }
+      }
 
     /** The files kept under `dataFilters` (catalyst conjuncts over
       * PHYSICAL attribute names) — exactly [[ManifestFileIndex.listFiles]]'s

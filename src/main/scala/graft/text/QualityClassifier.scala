@@ -83,13 +83,25 @@ object QualityClassifier {
 
   /** Full-batch GD over a featurized frame `(feat: array<int>,
     * y: double ∈ {0,1})`. One distributed job per epoch; the collect
-    * is ≤ `dim + 1` rows by construction. */
+    * is ≤ `dim + 1` rows by construction.
+    *
+    * `lrDecay` < 1 geometrically shrinks the step per epoch (epoch e
+    * runs at `lr * lrDecay^(e-1)`) — the classic schedule that lets a
+    * LARGE initial step cover most of the distance while damping the
+    * period-2 weight oscillation a large FIXED step falls into on
+    * separable data (measured here: fixed lr 16 converged or flipped
+    * every decision depending on epoch parity). Fewer epochs at a
+    * decayed large step reach the fixed-small-step margins at a
+    * fraction of the jobs — and each epoch is one corpus job, so at
+    * 100 TB the epoch count IS the training bill. */
   def train(spark: SparkSession, feats: DataFrame, dim: Int = DefaultDim,
-      epochs: Int = 8, lr: Double = 0.5): Model = {
+      epochs: Int = 8, lr: Double = 0.5, lrDecay: Double = 1.0): Model = {
     import spark.implicits._
+    require(lrDecay > 0 && lrDecay <= 1.0, s"lrDecay in (0, 1], got $lrDecay")
     val n = feats.count().toDouble
     require(n > 0, "cannot train on an empty corpus")
     var m = Model(dim, new Array[Double](dim), 0.0)
+    var lrE = lr
     for (_ <- 1 to epochs) {
       val bw = spark.sparkContext.broadcast(m.w)
       try {
@@ -103,10 +115,11 @@ object QualityClassifier {
         val w = m.w.clone()
         var b = m.bias
         g.foreach { case (j, gj) =>
-          if (j < 0) b -= lr * gj / n else w(j) -= lr * gj / n
+          if (j < 0) b -= lrE * gj / n else w(j) -= lrE * gj / n
         }
         m = Model(dim, w, b)
       } finally bw.destroy() // the epoch's job has collected — no leak
+      lrE *= lrDecay
     }
     m
   }

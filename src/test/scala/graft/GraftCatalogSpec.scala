@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.datasources.FilePartition
 
-import graft.catalog.{GraftCatalog, GraftDvPartition, GraftScan}
+import graft.catalog.{GraftBucketPartition, GraftCatalog, GraftDvPartition, GraftScan}
 
 /** The DSv2 catalog end to end on a STOCK session (no extensions, one
   * conf pair): name-addressed CREATE/INSERT/SELECT, time travel,
@@ -578,6 +578,138 @@ class GraftCatalogSpec extends SparkSpec {
     val t = sql("SELECT * FROM gsql.main.t_multi")
     assert(t.schema("n").dataType == org.apache.spark.sql.types.IntegerType,
       s"partial ALTER leaked: ${t.schema}")
+  }
+
+  test("storage-partitioned join: co-bucketed catalog tables, ZERO exchanges") {
+    wh
+    Seq("t_spj_a", "t_spj_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.t_spj_a (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.t_spj_b (id BIGINT, w STRING) TBLPROPERTIES ('statsKey'='id')")
+    (0 until 3).foreach { i =>
+      sql(s"INSERT INTO gsql.main.t_spj_a SELECT id, CAST(id AS STRING) " +
+        s"FROM range(${i * 400}, ${i * 400 + 400})")
+    }
+    sql("INSERT INTO gsql.main.t_spj_b SELECT id, concat('w', id) FROM range(500, 1500)")
+    graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_spj_a", 8)
+    graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_spj_b", 8)
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = sql("SELECT a.id, a.v, b.w FROM gsql.main.t_spj_a a " +
+        "JOIN gsql.main.t_spj_b b ON a.id = b.id")
+      assert(j.count() == 700L) // ids 500..1199 overlap
+      val nodes = PlanWalk.executedNodes(j.queryExecution.executedPlan)
+      val shuffles = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      assert(shuffles == 0,
+        s"co-bucketed SPJ must plan zero exchanges, found $shuffles:\n" +
+          j.queryExecution.executedPlan)
+      // and it really ran key-grouped: every scan partition is a bucket
+      val parts = PlanWalk.batchScans(j).flatMap(_.inputRDD.partitions.map(
+        _.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition]
+          .inputPartitions)).flatten
+      assert(parts.nonEmpty && parts.forall(_.isInstanceOf[GraftBucketPartition]),
+        s"got ${parts.map(_.getClass.getSimpleName).distinct}")
+      // rows land where the bucket function says: spot-check via SQL
+      val ids = sql("SELECT id FROM gsql.main.t_spj_a WHERE id < 10").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == (0L until 10L).toSet)
+      // a plain append DISSOLVES the claim (conservative fallback)
+      sql("INSERT INTO gsql.main.t_spj_a VALUES (5000, 'x')")
+      val j2 = sql("SELECT a.id, b.w FROM gsql.main.t_spj_a a " +
+        "JOIN gsql.main.t_spj_b b ON a.id = b.id")
+      assert(j2.count() == 700L)
+      val scans2 = PlanWalk.batchScans(j2)
+      def bucketParts(b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec) =
+        b.inputRDD.partitions.map(
+          _.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition]
+            .inputPartitions).flatten.count(_.isInstanceOf[GraftBucketPartition])
+      val aScan = scans2.find(_.scan.description().contains("t_spj_a")).get
+      val bScan = scans2.find(_.scan.description().contains("t_spj_b")).get
+      assert(bucketParts(aScan) == 0,
+        "side A's mixed layout must not report key-grouped partitioning")
+      assert(bucketParts(bScan) > 0, "side B's intact claim should persist")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("byte-based admission: maxBytesPerTrigger packs versions by manifest bytes") {
+    wh
+    Seq("b_src", "b_out1", "b_out2").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.b_src (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO gsql.main.b_src SELECT /*+ REPARTITION(1) */ id, " +
+        s"CAST(id AS STRING) FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    val srcRoot = s"$wh/main/b_src"
+    val last = graft.sources.SnapshotTable.versions(spark, srcRoot).last
+    val sizes = graft.sources.SnapshotTable
+      .addedBytesByVersion(spark, srcRoot, 0, last).map(_._2)
+    assert(sizes.head == 0L && sizes.tail.forall(_ > 0L), s"sizes=$sizes") // create, 4 appends
+    def drain(out: String, budget: Long): Int = {
+      sql(s"CREATE TABLE gsql.main.$out (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-bytepace-$out").toString
+      spark.readStream.option("maxBytesPerTrigger", budget.toString)
+        .table("gsql.main.b_src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"gsql.main.$out").awaitTermination()
+      assert(sql(s"SELECT count(*) FROM gsql.main.$out").head().getLong(0) == 4000L)
+      graft.sources.SnapshotTable.history(spark, s"$wh/main/$out")
+        .map(_.op).count(_ == "append")
+    }
+    // budget below any single append: every version drains alone
+    // (soft cap — the first version past the cursor always admits)
+    assert(drain("b_out1", 1L) == 4)
+    // budget = two appends (+slack for parquet size jitter): the four
+    // near-equal appends pack pairwise → exactly 2 epochs
+    assert(drain("b_out2", sizes(1) + sizes(2) + 64L) == 2)
+  }
+
+  test("COUNT/MIN/MAX pushed to the manifest: zero data files read") {
+    val t = freshTable("t_aggpush")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, CAST(id AS STRING) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    def isLocalOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+      PlanWalk.batchScans(df).isEmpty &&
+        df.queryExecution.executedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    val q = sql(s"SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM $t")
+    val r = q.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((400L, 0L, 399L)))
+    assert(isLocalOnly(q), s"expected manifest-answered LocalTableScan:\n" +
+      q.queryExecution.executedPlan)
+    // a WHERE keeps residual filters → Spark does not push the
+    // aggregate; the real scan still answers correctly
+    val f = sql(s"SELECT count(*) FROM $t WHERE id >= 200")
+    assert(f.head().getLong(0) == 200L && PlanWalk.batchScans(f).nonEmpty)
+    // GROUP BY refuses the metadata answer
+    val g = sql(s"SELECT v, count(*) FROM $t GROUP BY v")
+    assert(g.collect().length == 400 && PlanWalk.batchScans(g).nonEmpty)
+    // MIN/MAX on a non-stats column scans (no recorded bounds)
+    val nv = sql(s"SELECT max(v) FROM $t")
+    assert(nv.head().getString(0) == "99" && PlanWalk.batchScans(nv).nonEmpty)
+    // dv debt refuses: the deleted row may HOLD the recorded extreme
+    sql(s"DELETE FROM $t WHERE id = 0")
+    val d = sql(s"SELECT count(*) AS n, min(id) AS lo FROM $t")
+    val dr = d.head()
+    assert((dr.getLong(0), dr.getLong(1)) == ((399L, 1L)), s"got $dr")
+    assert(PlanWalk.batchScans(d).nonEmpty,
+      "dv debt must fall back to a real scan")
+    // time travel composes: the PRE-delete version answers from ITS manifest
+    val vs = graft.sources.SnapshotTable.versions(spark, s"$wh/main/t_aggpush")
+    val tt = sql(s"SELECT count(*) AS n, min(id) AS lo FROM $t VERSION AS OF ${vs.init.last}")
+    val tr = tt.head()
+    assert((tr.getLong(0), tr.getLong(1)) == ((400L, 0L)))
+    assert(isLocalOnly(tt))
   }
 
   test("dv partitions and plain partitions mix in one scan") {

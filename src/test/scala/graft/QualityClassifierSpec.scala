@@ -22,6 +22,14 @@ class QualityClassifierSpec extends SparkSpec {
     assert(dup.size == 5 && dup.take(3).distinct.size == 1)
   }
 
+  test("gate decisions hold: sampled training still classifies every doc") {
+    val out = SparkEntry.queries("text_quality_classifier")(spark, sf)
+      .select(col("correct"), col("margin_ok"))
+      .as[(Boolean, Boolean)].collect()
+    assert(out.nonEmpty && out.forall(r => r._1 && r._2),
+      s"${out.count(!_._1)} wrong, ${out.count(!_._2)} weak margins of ${out.length}")
+  }
+
   test("separable planted corpus trains to 100% accuracy with margin") {
     val docs = (0L until 40L).map { i =>
       val marker = if (i % 2 == 0) "qualmark qualmark" else "junkmark junkmark"
