@@ -222,6 +222,18 @@ object Bench {
 
   private[graft] def canonText(rendered: String): String =
     rendered
+      // EIGHTH leak class (round-13 probe-vs-suite diff on
+      // dedup_decontaminate): truncatedString cuts long expression
+      // lists (`DataFilters: [...]`) at a CHARACTER budget, and the
+      // raw pre-canon text upstream of the cut contains run-order-
+      // coupled tokens whose WIDTH varies (lambda-ordinal digit
+      // counts) — so the same plan renders `THEN...` in one JVM and
+      // `T...` in another. No token-level normalization can fix a
+      // shifted cut; collapse the non-space run ENDING in a
+      // truncation ellipsis instead (idempotent: a bare `...` stays).
+      // Information loss is nil — everything at a truncation point is
+      // already half a token.
+      .replaceAll("\\S*\\.\\.\\.", "...")
       .replaceAll("/tmp/graft-[A-Za-z0-9_.-]*", "/tmp/graft-SCRATCH")
       .replaceAll("batch-[0-9a-f]{8}", "batch-UUID")
       .replaceAll("part-\\d{5}-[0-9a-f-]{36}", "part-N-UUID")

@@ -517,6 +517,17 @@ object SparkEntry {
     * back bounded by dim); scoring is map-only. */
   private def qualityClassifierQuery(s: SparkSession, d: String): DataFrame = {
     import graft.text.QualityClassifier
+    // every GD epoch is one job whose gradient exchange carries ≤ dim
+    // rows — at the session's width (and under AQE's per-stage
+    // re-planning) the 12 epochs are mostly scheduling tax; scope both
+    // down and restore (the incr_view gate's discipline). Decisions
+    // are partition-count-robust: margins are 3–8× the gate threshold
+    // and float-sum order only perturbs the last bits.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val docs = Tables.documents(s, d).transform(graft.Parallelism.ensure(s))
     val marked = docs.select(col("doc_id"),
       (col("doc_id") % 2 === 0).cast("long").as("y"),
@@ -549,6 +560,10 @@ object SparkEntry {
         (col("pred") === (col("y") === 1.0)).as("correct"),
         (abs(col("p") - 0.5) >= 0.05).as("margin_ok"))
       .orderBy(col("doc_id"))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   private def qualityClassifierSql: String = """

@@ -213,35 +213,36 @@ private[graft] final class GraftScan(spark: SparkSession,
 
   // ---- storage-partitioned planning (bucketed layout) ----
 
-  /** The kept files grouped by bucket id, iff this scan can plan
+  /** The kept files with their bucket ids, iff this scan can plan
     * KEY-GROUPED: the snapshot carries the bucketed layout
     * ([[SnapshotTable.SqlSnapshot.bucketLayout]] — bucket count and
     * per-file ids ride in the file paths), the bucket key survives in
     * the read schema (the reported transform must resolve against the
     * relation output), no kept file carries a dv (dv reads are
-    * whole-file row-based partitions — incompatible with per-bucket
-    * grouping; transient debt, `maintain` clears it), and the scan is
-    * not file-tagged. One InputPartition per present bucket, each
-    * declaring its id via [[HasPartitionKey]]: a join of two tables
-    * bucketed on same-typed keys with the same count plans ZERO
-    * shuffle exchanges (Spark SPJ, `spark.sql.sources.v2.bucketing
-    * .enabled`). */
-  private def bucketedGroups: Option[(Int, String, Seq[(Int, Seq[SnapshotTable.SqlDataFile])])] =
+    * whole-file row-based partitions — incompatible with key-grouped
+    * planning; transient debt, `maintain` clears it), and the scan is
+    * not file-tagged. Partitions stay ONE PER FILE, each declaring
+    * its bucket via [[HasPartitionKey]]: a standalone scan keeps full
+    * file-level parallelism, and when `spark.sql.sources.v2.bucketing
+    * .enabled` arms SPJ, Spark's own exec GROUPS same-key partitions —
+    * a join of two tables bucketed on same-typed keys with the same
+    * count plans ZERO shuffle exchanges. */
+  private def bucketedFiles: Option[(Int, String, Seq[(Int, SnapshotTable.SqlDataFile)])] =
     if (withFileCol || kept.exists(_.hasDv)) None
     else snap.bucketLayout.flatMap { case (n, byPath) =>
       val keyName = snap.statsKey.flatMap(k =>
         FilterBridge.fieldOf(required, k).map(_.name))
       keyName.map { k =>
-        (n, k, kept.groupBy(f => byPath(f.relPath)).toSeq.sortBy(_._1))
+        (n, k, kept.map(f => byPath(f.relPath) -> f).sortBy(_._1))
       }
     }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    bucketedGroups match {
-      case Some((n, key, groups)) =>
+    bucketedFiles match {
+      case Some((n, key, files)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(Expressions.bucket(n, key)), groups.size)
+          Array(Expressions.bucket(n, key)), files.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           kept.size)
@@ -368,16 +369,12 @@ private[graft] final class GraftScan(spark: SparkSession,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = kept
-    bucketedGroups match {
-      case Some((_, _, groups)) =>
-        // one partition per present bucket, whole files (the SPJ
-        // contract: partition boundaries ARE the bucket boundaries)
-        return groups.zipWithIndex.map { case ((b, fs), i) =>
-          GraftBucketPartition(FilePartition(i, fs.map(f =>
-            PartitionedFile(InternalRow.empty,
-              SparkPath.fromPathString(new Path(snap.root, f.relPath).toString),
-              0L, f.bytes, Array.empty, 0L, f.bytes, Map.empty)).toArray),
-            b): InputPartition
+    bucketedFiles match {
+      case Some((_, _, bucketed)) =>
+        // one whole-file partition per file, bucket id attached; the
+        // exec groups same-key partitions when SPJ is armed
+        return bucketed.zipWithIndex.map { case ((b, f), i) =>
+          GraftBucketPartition(wholeFile(f, i), b): InputPartition
         }.toArray
       case None => ()
     }

@@ -62,6 +62,19 @@ class BenchCanonSpec extends AnyFunSuite {
     assert(Bench.canonText("lambda y_12#3") != Bench.canonText("lambda x_12#3"))
   }
 
+  test("truncation cut points collapse (width of upstream tokens is run-order-coupled)") {
+    // truncatedString cuts expression lists at a CHAR budget; a
+    // lambda ordinal's digit count upstream of the cut shifts where
+    // the tail is severed — the same plan rendered `THEN...` in a
+    // fresh JVM and `T...` mid-suite (round-13 probe diff on
+    // dedup_decontaminate). The canon collapses the severed token.
+    val a = Bench.canonText("DataFilters: [(size(split(text#12, x)) < 8) THEN..., Format: Parquet")
+    val b = Bench.canonText("DataFilters: [(size(split(text#9876, x)) < 8) T..., Format: Parquet")
+    assert(a == b, s"$a\nvs\n$b")
+    // a standalone ellipsis (e.g. '... 4 more fields') is untouched
+    assert(Bench.canonText("a ... b") == "a ... b")
+  }
+
   test("@hex collapse keys on the token shape: qualified-name@hex, wherever it renders") {
     // the whitelist this replaced missed identity-rendering operators
     // it had never seen (aggregator/encoder objects on HashAggregate
