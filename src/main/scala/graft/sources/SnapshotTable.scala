@@ -886,7 +886,15 @@ object SnapshotTable {
     * is the difference between re-shuffling both fact tables on every
     * join and never shuffling them at all; the reference's
     * filename-keyed upsert join (etl_processor.py:163-165) is the
-    * shape that motivates it. */
+    * shape that motivates it.
+    *
+    * Maintenance note: any op that writes non-bucket paths (append,
+    * merge rewrite, compactSmall, materializeDv) DISSOLVES the claim
+    * until the next bucketed compact — conservative, never wrong. For
+    * a bucketed table, THIS op is the maintenance rewrite: it reads
+    * effective rows (materializing dv debt like any full compact) and
+    * re-packs every bucket, so schedule `compactBucketed` where a
+    * range-clustered table would schedule `compact(cluster = true)`. */
   def compactBucketed(spark: SparkSession, root: String, buckets: Int): Int = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in [1, 65536], got $buckets")
@@ -3680,11 +3688,19 @@ object SnapshotTable {
     // (/root/reference/src/managers/index_manager.py:300-302) — a pure
     // metadata count, generalized to MIN/MAX over the stats keys.
 
-    /** EXACT live row count: every entry records its rows, none
-      * carries a dv. */
+    /** EXACT live row count: every entry records its rows, and every
+      * dv-carrying entry records its deletion count (dvRows is
+      * measured from the sidecar's effective position set at commit —
+      * exact, and a fully-deleted file drops from the manifest
+      * entirely), so COUNT(*) stays a metadata answer THROUGH
+      * deleteWhere debt: Σ rows − Σ dvRows. Only a legacy pre-dvRows
+      * line refuses. MIN/MAX are different — a deletion may have held
+      * the attained extreme, so [[exactLongBounds]] refuses under any
+      * dv. */
     def exactRows: Option[Long] =
-      if (m.entries.exists(e => e.rows.isEmpty || e.dv.isDefined)) None
-      else Some(m.entries.flatMap(_.rows).sum)
+      if (m.entries.exists(e =>
+          e.rows.isEmpty || (e.dv.isDefined && e.dvRows.isEmpty))) None
+      else Some(m.entries.flatMap(_.rows).sum - m.entries.flatMap(_.dvRows).sum)
 
     /** Which stats slot `logical` names: Some(false)=primary,
       * Some(true)=secondary, None=not a recorded stats key (its

@@ -119,7 +119,9 @@ final class SnapshotTableSourceProvider extends StreamSourceProvider
       parameters.get("ignoreChanges").exists(_.toBoolean),
       changeFeed(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(0),
-      Some(metadataPath))
+      maxBytesPerTrigger =
+        parameters.get("maxBytesPerTrigger").map(_.toLong).getOrElse(0L),
+      metadataPath = Some(metadataPath))
   }
 }
 
@@ -140,6 +142,7 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
     startingVersion: Int,
     ignoreChanges: Boolean, changeFeed: Boolean = false,
     maxVersionsPerTrigger: Int = 0,
+    maxBytesPerTrigger: Long = 0L,
     metadataPath: Option[String] = None) extends Source {
 
   override val schema: StructType = userSchema.getOrElse(headSchema)
@@ -225,9 +228,10 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
       cm
   }
 
-  // ---- pacing state (used only when maxVersionsPerTrigger > 0) ----
+  // ---- pacing state (used only when a trigger cap is configured) ----
+  private def pacingOn: Boolean = maxVersionsPerTrigger > 0 || maxBytesPerTrigger > 0
   private lazy val paceDir: Option[org.apache.hadoop.fs.Path] =
-    if (maxVersionsPerTrigger <= 0) None
+    if (!pacingOn) None
     else metadataPath.map(p => new org.apache.hadoop.fs.Path(p, "graft-pace"))
   private def paceFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -267,10 +271,28 @@ final class SnapshotTableSource(spark: SparkSession, root: String,
   override def getOffset: Option[Offset] =
     SnapshotTable.versions(spark, root).lastOption
       .filter(_ > startingVersion).map { latest =>
-        val capped =
+        var capped =
           if (maxVersionsPerTrigger > 0)
             math.min(latest, paceFloor + maxVersionsPerTrigger)
           else latest
+        // byte-based admission (the DSv2 source's contract verbatim):
+        // greedy version prefix whose ADDED manifest bytes fit the
+        // budget; soft cap — the first version past the floor always
+        // admits, so one oversized append can't stall the stream
+        if (maxBytesPerTrigger > 0 && capped > paceFloor) {
+          var admitted = paceFloor
+          var acc = 0L
+          var stop = false
+          SnapshotTable.addedBytesByVersion(spark, root, paceFloor, capped)
+            .foreach { case (v, b) =>
+              if (!stop) {
+                if (admitted == paceFloor || acc + b <= maxBytesPerTrigger) {
+                  admitted = v; acc += b
+                } else stop = true
+              }
+            }
+          capped = admitted
+        }
         LongOffset(math.max(capped, paceFloor).toLong)
       }
 

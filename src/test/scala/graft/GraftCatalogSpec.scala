@@ -639,6 +639,44 @@ class GraftCatalogSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("SPJ with MISSING buckets on one side stays correct (and shuffle-free)") {
+    wh
+    Seq("t_spjm_a", "t_spjm_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.t_spjm_a (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.t_spjm_b (id BIGINT, w STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_spjm_a SELECT id, CAST(id AS STRING) FROM range(0, 800)")
+    // four distinct keys: side B occupies at most 4 of 8 buckets —
+    // the sides' partition VALUES differ, the case
+    // pushPartValues.enabled exists for
+    sql("INSERT INTO gsql.main.t_spjm_b VALUES (3, 'w3'), (97, 'w97'), (211, 'w211'), (512, 'w512')")
+    graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_spjm_a", 8)
+    graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_spjm_b", 8)
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.take(2).foreach(spark.conf.set(_, "true"))
+      spark.conf.set(keys(2), "-1")
+      val j = sql("SELECT a.id, b.w FROM gsql.main.t_spjm_a a " +
+        "JOIN gsql.main.t_spjm_b b ON a.id = b.id ORDER BY a.id")
+      assert(j.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq(3L -> "w3", 97L -> "w97", 211L -> "w211", 512L -> "w512"))
+      val shuffles = PlanWalk.executedNodes(j.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      // ORDER BY adds its own range exchange; the JOIN itself must not
+      // shuffle its inputs — so at most the one sort exchange survives
+      assert(shuffles <= 1,
+        s"mismatched-bucket SPJ shuffled its inputs:\n${j.queryExecution.executedPlan}")
+      // an outer join over the mismatch keeps unmatched rows
+      val oj = sql("SELECT a.id, b.w FROM gsql.main.t_spjm_a a " +
+        "LEFT JOIN gsql.main.t_spjm_b b ON a.id = b.id")
+      assert(oj.count() == 800L)
+      assert(oj.filter("w IS NOT NULL").count() == 4L)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("byte-based admission: maxBytesPerTrigger packs versions by manifest bytes") {
     wh
     Seq("b_src", "b_out1", "b_out2").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
@@ -697,13 +735,20 @@ class GraftCatalogSpec extends SparkSpec {
     // MIN/MAX on a non-stats column scans (no recorded bounds)
     val nv = sql(s"SELECT max(v) FROM $t")
     assert(nv.head().getString(0) == "99" && PlanWalk.batchScans(nv).nonEmpty)
-    // dv debt refuses: the deleted row may HOLD the recorded extreme
+    // dv debt: COUNT(*) stays a metadata answer (dvRows are recorded
+    // exactly), but MIN/MAX refuse — the deleted row may HOLD the
+    // recorded extreme
     sql(s"DELETE FROM $t WHERE id = 0")
+    val dc = sql(s"SELECT count(*) AS n FROM $t")
+    assert(dc.head().getLong(0) == 399L)
+    assert(isLocalOnly(dc),
+      s"count under recorded dv debt should stay metadata:\n" +
+        dc.queryExecution.executedPlan)
     val d = sql(s"SELECT count(*) AS n, min(id) AS lo FROM $t")
     val dr = d.head()
     assert((dr.getLong(0), dr.getLong(1)) == ((399L, 1L)), s"got $dr")
     assert(PlanWalk.batchScans(d).nonEmpty,
-      "dv debt must fall back to a real scan")
+      "MIN under dv debt must fall back to a real scan")
     // time travel composes: the PRE-delete version answers from ITS manifest
     val vs = graft.sources.SnapshotTable.versions(spark, s"$wh/main/t_aggpush")
     val tt = sql(s"SELECT count(*) AS n, min(id) AS lo FROM $t VERSION AS OF ${vs.init.last}")

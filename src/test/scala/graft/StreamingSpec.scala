@@ -88,6 +88,41 @@ class StreamingSpec extends SparkSpec {
       s"restart must keep throttling (3 versions → ≥2 batches of ≤2): $sizes2")
   }
 
+  test("table source maxBytesPerTrigger packs catch-up versions by manifest bytes") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tbyte").toString
+    val root = s"$tmp/table"
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), col("id").cast("string").as("v")).coalesce(1)
+    sources.SnapshotTable.create(spark, root, rows(0, 500))             // v1
+    (1 to 3).foreach(i =>
+      sources.SnapshotTable.append(spark, root, rows(i * 500, i * 500 + 500))) // v2..v4
+    val perVersion = sources.SnapshotTable
+      .addedBytesByVersion(spark, root, 0, 4).map(_._2)
+    assert(perVersion.forall(_ > 0))
+    def drain(cp: String, budget: Long): Int = {
+      val batches = new java.util.concurrent.atomic.AtomicInteger()
+      val total = new java.util.concurrent.atomic.AtomicLong()
+      val q = spark.readStream.format("graft-table")
+        .option("path", root).option("maxBytesPerTrigger", budget.toString).load()
+        .writeStream.queryName(s"tbyte_$budget")
+        .option("checkpointLocation", s"$tmp/$cp")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = batch.count()
+          if (n > 0) { batches.incrementAndGet(); total.addAndGet(n); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(total.get() == 2000L, s"all rows must arrive, got ${total.get()}")
+      batches.get()
+    }
+    // budget below any single version: every version drains alone
+    // (soft cap — the first version past the floor always admits)
+    assert(drain("cp1", 1L) == 4)
+    // budget of two near-equal versions (+jitter slack): pairs → 2 batches
+    assert(drain("cp2", perVersion(0) + perVersion(1) + 64L) == 2)
+  }
+
   test("follow pipeline: a derived chunk table tracks the documents table incrementally") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-follow").toString
