@@ -920,6 +920,41 @@ object SnapshotTable {
     }
   }
 
+  /** APPEND into a bucketed table WITHOUT dissolving its layout claim:
+    * the batch's rows are written bucket-per-file under the SAME
+    * bucket count the table already carries (read from the head's
+    * layout — [[SqlSnapshot.bucketLayout]]'s consistency rule admits
+    * multiple generations at one count: every bucket-i file holds only
+    * bucket-i rows, whichever commit wrote it), so storage-partitioned
+    * joins and key-grouped aggregations survive ingest instead of
+    * falling back to shuffles until the next full re-bucket. Costs one
+    * shuffle of the BATCH (never the table) on the bucket value.
+    * Refused when the table has no live bucketed layout — a plain
+    * [[append]] is strictly cheaper there, and silently bucketing into
+    * a dissolved layout would imply a claim the other files can't
+    * honor. Schema must match exactly (no evolution: a new column
+    * would change what the bucket files spell mid-generation; evolve
+    * via append + compactBucketed instead). */
+  def appendBucketed(spark: SparkSession, root: String, df: DataFrame): Int =
+    retrying(spark, root, op = "append") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val schema = schemaOf(spark, root, m)
+      val layout = new SqlSnapshot(spark, root, latest, m).bucketLayout
+      require(layout.isDefined,
+        s"appendBucketed: $root carries no live bucketed layout " +
+          "(run compactBucketed first; plain append is cheaper otherwise)")
+      val n = layout.get._1
+      require(widened(df.schema) == widened(schema),
+        s"appendBucketed: batch schema ${df.schema.simpleString} must match " +
+          s"the table schema ${schema.simpleString} exactly (evolve via " +
+          "append + compactBucketed)")
+      requireNoRetired(m, schema, df.schema)
+      Pending(m.entries ++ writeBucketedFiles(spark, root,
+        constrained(alignTo(df, schema), m.constraints),
+        n, m.statsKey.get, m.statsKey2, m.colmap),
+        schema, m.statsKey, m.statsKey2)
+    }
+
   /** Per-file bloom filters over the primary stats key (format 7,
     * opt-in): ONE extra job reading ONLY the key column of the
     * just-written small files (column-pruned scan of data still hot in

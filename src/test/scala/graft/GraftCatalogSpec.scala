@@ -639,6 +639,56 @@ class GraftCatalogSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("appendBucketed keeps the layout claim: SPJ and GROUP BY survive ingest") {
+    wh
+    Seq("t_spji_a", "t_spji_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.t_spji_a (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.t_spji_b (id BIGINT, w STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_spji_a SELECT id, CAST(id AS STRING) FROM range(0, 500)")
+    sql("INSERT INTO gsql.main.t_spji_b SELECT id, concat('w', id) FROM range(0, 1000)")
+    val rootA = s"$wh/main/t_spji_a"
+    graft.sources.SnapshotTable.compactBucketed(spark, rootA, 8)
+    graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_spji_b", 8)
+    // ingest AFTER bucketing — bucket-per-file under the same count,
+    // so the claim holds across generations
+    import spark.implicits._
+    graft.sources.SnapshotTable.appendBucketed(spark, rootA,
+      spark.range(500, 1000).select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("id").cast("string").as("v")))
+    val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count()
+        PlanWalk.executedNodes(df.queryExecution.executedPlan).count(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      }
+      val j = sql("SELECT a.id, b.w FROM gsql.main.t_spji_a a " +
+        "JOIN gsql.main.t_spji_b b ON a.id = b.id")
+      assert(j.count() == 1000L, "both generations' rows must join")
+      assert(shuffles(j) == 0,
+        s"SPJ must survive appendBucketed:\n${j.queryExecution.executedPlan}")
+      // key-grouped aggregation rides the same report: no exchange
+      val g = sql("SELECT id, count(*) AS n FROM gsql.main.t_spji_a GROUP BY id")
+      assert(g.count() == 1000L && shuffles(g) == 0,
+        s"bucketed GROUP BY must not shuffle:\n${g.queryExecution.executedPlan}")
+      // refusals: no live layout (a never-bucketed table), schema drift
+      sql("DROP TABLE IF EXISTS gsql.main.t_spji_plain")
+      sql("CREATE TABLE gsql.main.t_spji_plain (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('statsKey'='id')")
+      sql("INSERT INTO gsql.main.t_spji_plain VALUES (1, 'a')")
+      val e1 = intercept[Exception](graft.sources.SnapshotTable.appendBucketed(
+        spark, s"$wh/main/t_spji_plain", Seq((1L, "x")).toDF("id", "v")))
+      assert(e1.getMessage.contains("bucketed layout"))
+      val e2 = intercept[Exception](graft.sources.SnapshotTable.appendBucketed(
+        spark, rootA, Seq((1L, "x", 2L)).toDF("id", "v", "extra")))
+      assert(e2.getMessage.contains("match"))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("SPJ with MISSING buckets on one side stays correct (and shuffle-free)") {
     wh
     Seq("t_spjm_a", "t_spjm_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
