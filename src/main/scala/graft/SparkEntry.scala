@@ -2729,25 +2729,25 @@ object SparkEntry {
     * /root/reference/src/etl_processor.py:163-165. */
   private def spjCatalogJoin(s: SparkSession, d: String): DataFrame = {
     val wh = SqlCat.ensure(s)
-    val snap = graft.sources.SnapshotTable
     val ta = s"${SqlCat.name}.g.spj_orders"
     val tb = s"${SqlCat.name}.g.spj_cust"
     val rootA = s"$wh/g/spj_orders"
     val rootB = s"$wh/g/spj_cust"
     s.sql(s"DROP TABLE IF EXISTS $ta")
     s.sql(s"DROP TABLE IF EXISTS $tb")
+    // bucketing DECLARED at create: every INSERT writes bucket-per-file
+    // on the stats key — the layout is established purely through SQL,
+    // no maintenance call anywhere in this gate
     s.sql(s"CREATE TABLE $ta (o_custkey BIGINT, o_totalprice DOUBLE) " +
-      "TBLPROPERTIES ('statsKey'='o_custkey')")
+      "TBLPROPERTIES ('statsKey'='o_custkey', 'buckets'='8')")
     s.sql(s"CREATE TABLE $tb (c_custkey BIGINT, c_name STRING) " +
-      "TBLPROPERTIES ('statsKey'='c_custkey')")
+      "TBLPROPERTIES ('statsKey'='c_custkey', 'buckets'='8')")
     Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
       .createOrReplaceTempView("graft_spj_orders_src")
     Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
       .createOrReplaceTempView("graft_spj_cust_src")
     s.sql(s"INSERT INTO $ta SELECT o_custkey, o_totalprice FROM graft_spj_orders_src")
     s.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src")
-    snap.compactBucketed(s, rootA, 8)
-    snap.compactBucketed(s, rootB, 8)
     val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
       "spark.sql.autoBroadcastJoinThreshold")

@@ -155,9 +155,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     (statsKey.toSeq ++ statsKey2).foreach(k => require(
       schema.fields.exists(_.name.equalsIgnoreCase(k)),
       s"statsKey '$k' names no column of the table schema"))
+    // TBLPROPERTIES('buckets'='N') declares the storage-partitioned
+    // layout at birth: every INSERT writes bucket-per-file on the
+    // stats key, so co-declared tables join (and GROUP BY the key)
+    // with zero shuffles purely through SQL
+    val buckets = Option(properties.get("buckets")).map { b =>
+      try b.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"TBLPROPERTIES buckets must be an integer, got '$b'")
+      }
+    }
     SnapshotTable.create(spark, p.toString,
       spark.createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](), schema),
-      statsKey, statsKey2)
+      statsKey, statsKey2, buckets = buckets)
     new GraftTable(spark, p.toString, fullName(ident), None)
   }
 

@@ -49,6 +49,7 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
     m.put("format", "graft-snapshot")
     snap.statsKey.foreach(m.put("statsKey", _))
     snap.statsKey2.foreach(m.put("statsKey2", _))
+    snap.declaredBuckets.foreach(b => m.put("buckets", b.toString))
     pinnedVersion.foreach(v => m.put("versionAsOf", v.toString))
     m
   }

@@ -302,7 +302,16 @@ object SnapshotTable {
       depth: Int = 0,
       constraints: Seq[(String, String)] = Seq.empty,
       colmap: Map[String, String] = Map.empty,
-      retired: Set[String] = Set.empty)
+      retired: Set[String] = Set.empty,
+      /** DECLARED bucket count (CREATE-time, `buckets` property):
+        * every append/overwrite writes bucket-per-file on the stats
+        * key, so the storage-partitioned layout never dissolves on
+        * the write paths that honor it. Optional header field —
+        * regex-parsed readers ignore unknown keys, so no manifest
+        * format bump. Distinct from the OPPORTUNISTIC layout a bare
+        * [[compactBucketed]] creates (which any plain append
+        * dissolves). */
+      buckets: Option[Int] = None)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -413,6 +422,7 @@ object SnapshotTable {
     val statsKey = """"statsKey":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
     val statsKey2 = """"statsKey2":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
     val txn = """"txnBatchId":(-?\d+)""".r.findFirstMatchIn(header).map(_.group(1).toLong)
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt)
     val base = """"base":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt)
     val depth = """"depth":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt).getOrElse(0)
     val lines = allLines.drop(1).filter(_.nonEmpty)
@@ -456,7 +466,7 @@ object SnapshotTable {
         resolveDelta(manifestFull(spark, root, b).entries, listed, removed)
     }
     val m = Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth,
-      constraints, colmap, retired)
+      constraints, colmap, retired, buckets)
     if (manifestCacheWeight.get > ManifestCacheEntryBudget) clearManifestMemo()
     if (manifestCache.put(p.toString, (st.getModificationTime, st.getLen, m)) == null)
       manifestCacheWeight.addAndGet((m.entries.size + 1).toLong)
@@ -849,27 +859,33 @@ object SnapshotTable {
     }
     val keyKind = kind(Some(physKey))
     val key2Kind = kind(physKey2)
-    if (paths.isEmpty) Seq.empty
-    else {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(16, paths.size)))
-      try {
-        val futures = paths.map { case (rel, len) =>
-          pool.submit(new java.util.concurrent.Callable[FileEntry] {
-            override def call(): FileEntry = {
-              val (rows, st, stS, st2, st2S) =
-                try footerInfo(conf, new Path(root, rel), keyKind, key2Kind)
-                catch { case _: Exception => (None, None, None, None, None) }
-              FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len),
-                stS.map(_._1), stS.map(_._2), st2.map(_._1), st2.map(_._2),
-                st2S.map(_._1), st2S.map(_._2))
-            }
-          })
-        }
-        futures.map(_.get()).filterNot(_.rows.contains(0L))
-      } finally pool.shutdown()
-    }
+    val live: Seq[FileEntry] =
+      if (paths.isEmpty) Seq.empty
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(16, paths.size)))
+        try {
+          val futures = paths.map { case (rel, len) =>
+            pool.submit(new java.util.concurrent.Callable[FileEntry] {
+              override def call(): FileEntry = {
+                val (rows, st, stS, st2, st2S) =
+                  try footerInfo(conf, new Path(root, rel), keyKind, key2Kind)
+                  catch { case _: Exception => (None, None, None, None, None) }
+                FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len),
+                  stS.map(_._1), stS.map(_._2), st2.map(_._1), st2.map(_._2),
+                  st2S.map(_._1), st2S.map(_._2))
+              }
+            })
+          }
+          futures.map(_.get()).filterNot(_.rows.contains(0L))
+        } finally pool.shutdown()
+      }
+    if (live.isEmpty)
+      // zero live files (empty batch): the staging dir holds at most a
+      // _SUCCESS marker — drop it, nothing will ever reference it
+      try f.delete(new Path(root, batch), true) catch { case _: Exception => () }
+    live
   }
 
   /** BUCKETED whole-table re-layout (op "compact" — row-preserving,
@@ -895,6 +911,19 @@ object SnapshotTable {
     * effective rows (materializing dv debt like any full compact) and
     * re-packs every bucket, so schedule `compactBucketed` where a
     * range-clustered table would schedule `compact(cluster = true)`. */
+  /** Declared-count twin: re-bucket at the table's CREATE-time
+    * declaration (the maintenance call for a declared-bucket table
+    * whose layout a row-level rewrite dissolved). */
+  def compactBucketed(spark: SparkSession, root: String): Int = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val declared = manifestFull(spark, root, vs.last).buckets
+    require(declared.isDefined,
+      s"$root declares no bucket count (pass one explicitly, or declare " +
+        "'buckets' at create)")
+    compactBucketed(spark, root, declared.get)
+  }
+
   def compactBucketed(spark: SparkSession, root: String, buckets: Int): Int = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in [1, 65536], got $buckets")
@@ -940,10 +969,12 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val schema = schemaOf(spark, root, m)
       val layout = new SqlSnapshot(spark, root, latest, m).bucketLayout
+        .map(_._1).orElse(m.buckets)
       require(layout.isDefined,
-        s"appendBucketed: $root carries no live bucketed layout " +
-          "(run compactBucketed first; plain append is cheaper otherwise)")
-      val n = layout.get._1
+        s"appendBucketed: $root carries no live bucketed layout and no " +
+          "bucket declaration (run compactBucketed first, or declare " +
+          "buckets at create; plain append is cheaper otherwise)")
+      val n = layout.get
       require(widened(df.schema) == widened(schema),
         s"appendBucketed: batch schema ${df.schema.simpleString} must match " +
           s"the table schema ${schema.simpleString} exactly (evolve via " +
@@ -1103,7 +1134,8 @@ object SnapshotTable {
       txnBatchId: Option[Long] = None,
       constraintsOverride: Option[Seq[(String, String)]] = None,
       colmapOverride: Option[Map[String, String]] = None,
-      retiredOverride: Option[Set[String]] = None): Int = {
+      retiredOverride: Option[Set[String]] = None,
+      bucketsDeclared: Option[Int] = None): Int = {
     val v = expected + 1
     // header (format revision + version + operation + stats identity),
     // then the version's SCHEMA (S-prefixed json line): every version
@@ -1137,6 +1169,9 @@ object SnapshotTable {
       colmapOverride.orElse(parent.map(_.colmap)).getOrElse(Map.empty[String, String])
     val effRetired =
       retiredOverride.orElse(parent.map(_.retired)).getOrElse(Set.empty[String])
+    // a CREATE-time bucket declaration is version state, carried
+    // forward verbatim forever (only create sets it)
+    val effBuckets = bucketsDeclared.orElse(parent.flatMap(_.buckets))
     val delta: Option[(Int, Seq[String])] =
       parent.flatMap { pm =>
         if (pm.depth >= MaxChainDepth) None
@@ -1152,6 +1187,7 @@ object SnapshotTable {
     val header = s"""{"version":$v,"format":$fmtOut,"op":"$op"""" +
       kf("statsKey", statsKey) + kf("statsKey2", statsKey2) +
       txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") +
+      effBuckets.map(b => s""","buckets":$b""").getOrElse("") +
       delta.map { case (d, _) => s""","base":$expected,"depth":$d""" }.getOrElse("") + "}"
     val entryLines = delta.map(_._2).getOrElse(files.map(_.render))
     val body = ((header +: s"S${schema.json}" +:
@@ -1392,13 +1428,28 @@ object SnapshotTable {
     * point-prune a chunk table). */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None, statsKey2: Option[String] = None,
-      txnBatchId: Option[Long] = None, bloomKey: Boolean = false): Int = {
+      txnBatchId: Option[Long] = None, bloomKey: Boolean = false,
+      buckets: Option[Int] = None): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
+    buckets.foreach { n =>
+      require(n > 0 && n <= 65536, s"buckets must be in [1, 65536], got $n")
+      val kt = statsKey.flatMap(k =>
+        df.schema.fields.find(f => norm(f.name) == norm(k)).map(_.dataType))
+      require(kt.exists(t => t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.StringType),
+        "a bucket declaration needs a statsKey of type int/bigint/string " +
+          "(the bucket key IS the stats key)")
+    }
     invalidateManifestMemo(root) // a same-path recreate must never see the dead table
     commit(spark, root,
-      writeDataFiles(spark, root, df, statsKey, statsKey2, bloomKey),
+      buckets match {
+        case Some(n) => writeBucketedFiles(spark, root, df, n, statsKey.get,
+          statsKey2, Map.empty)
+        case None => writeDataFiles(spark, root, df, statsKey, statsKey2, bloomKey)
+      },
       widened(df.schema), expected = 0, op = "create", statsKey, statsKey2,
-      txnBatchId)
+      txnBatchId, bucketsDeclared = buckets)
   }
 
   /** Append rows: new files + all files of the snapshot appended onto.
@@ -1445,10 +1496,20 @@ object SnapshotTable {
       // any genuinely new batch columns (inactive stays inactive)
       val effCm = evolveColmap(m.colmap, evolved)
       // CHECK constraints ride the write itself (no extra job): the
-      // first violating row fails the append before anything commits
-      val newFiles = writeDataFiles(spark, root,
-        constrained(alignTo(df, evolved), m.constraints), effKey, effKey2,
-        bloomKey, effCm)
+      // first violating row fails the append before anything commits.
+      // A DECLARED bucket count routes the batch to the bucketed
+      // writer (bucket-per-file on the stats key — one shuffle of the
+      // BATCH), so the storage-partitioned layout survives ingest.
+      val newFiles = m.buckets match {
+        case Some(n) => writeBucketedFiles(spark, root,
+          constrained(alignTo(df, evolved), m.constraints), n,
+          effKey.getOrElse(throw new IllegalStateException(
+            s"bucket-declared table $root lost its stats key")),
+          effKey2, effCm)
+        case None => writeDataFiles(spark, root,
+          constrained(alignTo(df, evolved), m.constraints), effKey, effKey2,
+          bloomKey, effCm)
+      }
       written = newFiles
       // skip only on POSITIVE evidence of emptiness: every file's
       // footer row count known and zero (or no files at all) — an
@@ -3705,6 +3766,7 @@ object SnapshotTable {
     }
     def statsKey: Option[String] = m.statsKey
     def statsKey2: Option[String] = m.statsKey2
+    def declaredBuckets: Option[Int] = m.buckets
     def constraints: Seq[(String, String)] = m.constraints
     def sizeInBytes: Long = m.entries.flatMap(_.bytes).sum
     def rowCount: Option[Long] = {
@@ -3875,9 +3937,16 @@ object SnapshotTable {
       requireNoRetired(m, tableSch, df.schema)
       val evolved = evolveSchema(tableSch, df.schema, allowWiden = false)
       val effCm = evolveColmap(m.colmap, evolved)
-      val files = writeDataFiles(spark, root,
-        constrained(alignTo(df, evolved), m.constraints),
-        m.statsKey, m.statsKey2, bloomKey = false, effCm)
+      // a declared bucket count re-buckets the replacement snapshot —
+      // INSERT OVERWRITE keeps the storage-partitioned layout
+      val files = m.buckets match {
+        case Some(n) => writeBucketedFiles(spark, root,
+          constrained(alignTo(df, evolved), m.constraints), n,
+          m.statsKey.get, m.statsKey2, effCm)
+        case None => writeDataFiles(spark, root,
+          constrained(alignTo(df, evolved), m.constraints),
+          m.statsKey, m.statsKey2, bloomKey = false, effCm)
+      }
       Pending(files, evolved, m.statsKey, m.statsKey2,
         colmap = if (effCm.isEmpty) None else Some(effCm))
     }

@@ -639,6 +639,68 @@ class GraftCatalogSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("DECLARED bucketing: TBLPROPERTIES('buckets') makes SPJ pure SQL") {
+    wh
+    Seq("t_decl_a", "t_decl_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.t_decl_a (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='8')")
+    sql("CREATE TABLE gsql.main.t_decl_b (id BIGINT, w STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='8')")
+    // every INSERT buckets — no maintenance call anywhere in this test
+    (0 until 2).foreach { i =>
+      sql(s"INSERT INTO gsql.main.t_decl_a SELECT id, CAST(id AS STRING) " +
+        s"FROM range(${i * 500}, ${i * 500 + 500})")
+    }
+    sql("INSERT INTO gsql.main.t_decl_b SELECT id, concat('w', id) FROM range(0, 1000)")
+    val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count()
+        PlanWalk.executedNodes(df.queryExecution.executedPlan).count(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      }
+      val j = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
+        "JOIN gsql.main.t_decl_b b ON a.id = b.id")
+      assert(j.count() == 1000L && shuffles(j) == 0,
+        s"declared-bucket SQL join must plan zero exchanges:\n" +
+          j.queryExecution.executedPlan)
+      // INSERT OVERWRITE re-buckets the replacement snapshot
+      sql("INSERT OVERWRITE gsql.main.t_decl_a SELECT id, CAST(id AS STRING) FROM range(0, 600)")
+      val j2 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
+        "JOIN gsql.main.t_decl_b b ON a.id = b.id")
+      assert(j2.count() == 600L && shuffles(j2) == 0,
+        "INSERT OVERWRITE must keep the declared layout")
+      // a row-level rewrite (MERGE) dissolves the layout until
+      // maintenance; the declared-default compactBucketed restores it
+      sql("MERGE INTO gsql.main.t_decl_a t USING (SELECT 5L AS id, 'x' AS v) s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *")
+      val j3 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
+        "JOIN gsql.main.t_decl_b b ON a.id = b.id")
+      assert(j3.count() == 600L)
+      assert(shuffles(j3) > 0, "a merge rewrite must dissolve the claim")
+      graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_decl_a")
+      val j4 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
+        "JOIN gsql.main.t_decl_b b ON a.id = b.id")
+      assert(j4.count() == 600L && shuffles(j4) == 0,
+        "declared-default compactBucketed must restore the layout")
+      // the declaration is visible table metadata
+      val props = spark.sessionState.catalogManager.catalog("gsql")
+        .asInstanceOf[GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("main"), "t_decl_a")).properties()
+      assert(props.get("buckets") == "8")
+      // refusal: buckets without a hashable stats key
+      val e = intercept[Exception](sql(
+        "CREATE TABLE gsql.main.t_decl_bad (id BIGINT, v STRING) " +
+          "TBLPROPERTIES ('buckets'='8')"))
+      assert(e.getMessage.contains("statsKey") || e.getMessage.contains("stats key"))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("appendBucketed keeps the layout claim: SPJ and GROUP BY survive ingest") {
     wh
     Seq("t_spji_a", "t_spji_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
