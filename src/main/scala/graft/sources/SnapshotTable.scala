@@ -2111,7 +2111,15 @@ object SnapshotTable {
       statsKey: Option[String], statsKey2: Option[String],
       dvFiles: Int = 0, dvRows: Long = 0L,
       chainDepth: Int = 0, nConstraints: Int = 0,
-      mappedColumns: Int = 0)
+      mappedColumns: Int = 0,
+      /** CREATE-time bucket declaration, if any. */
+      declaredBuckets: Option[Int] = None,
+      /** The LIVE storage-partitioned layout's count — None when any
+        * file is off-layout (the scheduler's RE-BUCKET signal on a
+        * declared table: declaredBuckets set but bucketedLayout
+        * None means a row-level rewrite dissolved the claim and
+        * `compactBucketed()` would restore zero-shuffle joins). */
+      bucketedLayout: Option[Int] = None)
 
   def describeDetail(spark: SparkSession, root: String,
       smallBytes: Long = 0L): TableDetail = {
@@ -2145,7 +2153,10 @@ object SnapshotTable {
       chainDepth = m.depth,
       nConstraints = m.constraints.size,
       // 0 = mapping inactive (logical names ARE the physical ones)
-      mappedColumns = m.colmap.size)
+      mappedColumns = m.colmap.size,
+      declaredBuckets = m.buckets,
+      bucketedLayout =
+        new SqlSnapshot(spark, root, vs.last, m).bucketLayout.map(_._1))
   }
 
   /** Garbage-collect files referenced by NO live manifest — leftovers

@@ -653,10 +653,17 @@ class GraftCatalogSpec extends SparkSpec {
     }
     sql("INSERT INTO gsql.main.t_decl_b SELECT id, concat('w', id) FROM range(0, 1000)")
     val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
-      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+      "spark.sql.autoBroadcastJoinThreshold",
+      // static pins INSERT OVERWRITE to the V1 write (which honors the
+      // declaration); DYNAMIC mode plans the executor batch writer,
+      // which — like any row-level rewrite — dissolves the layout
+      // until maintenance
+      "spark.sql.sources.partitionOverwriteMode").map(k =>
+      k -> spark.conf.getOption(k))
     try {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
       def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
         df.count()
         PlanWalk.executedNodes(df.queryExecution.executedPlan).count(
@@ -681,7 +688,14 @@ class GraftCatalogSpec extends SparkSpec {
         "JOIN gsql.main.t_decl_b b ON a.id = b.id")
       assert(j3.count() == 600L)
       assert(shuffles(j3) > 0, "a merge rewrite must dissolve the claim")
+      // the maintenance surface reports the dissolution (zero jobs):
+      // declared set, live layout gone = the RE-BUCKET signal
+      val det = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
+      assert(det.declaredBuckets.contains(8) && det.bucketedLayout.isEmpty,
+        s"got declared=${det.declaredBuckets} layout=${det.bucketedLayout}")
       graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_decl_a")
+      val det2 = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
+      assert(det2.bucketedLayout.contains(8))
       val j4 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
         "JOIN gsql.main.t_decl_b b ON a.id = b.id")
       assert(j4.count() == 600L && shuffles(j4) == 0,

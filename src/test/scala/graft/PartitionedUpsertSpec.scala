@@ -14,7 +14,13 @@ class PartitionedUpsertSpec extends SparkSpec {
 
   test("dynamic partition overwrite rewrites only the touched bucket") {
     val dir = Files.createTempDirectory("graft-dpo").toString
+    // scoped + restored: leaking dynamic mode changes which WRITE PATH
+    // later suites' INSERT OVERWRITEs take (found the hard way — the
+    // declared-bucketing test's overwrite silently went through the
+    // executor batch writer and dissolved its layout)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
     val idx = Pipeline.buildIndex(spark, sf)
       .withColumn("bucket", col("metadata.doc_id") % 8)
     idx.write.partitionBy("bucket").mode("overwrite").parquet(dir)
@@ -37,5 +43,7 @@ class PartitionedUpsertSpec extends SparkSpec {
     val untouchedAfter = after.filter(col("bucket") === 1)
       .select(input_file_name()).distinct().as[String].collect().toSet
     assert(untouchedAfter == untouched)
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 }
