@@ -1501,11 +1501,22 @@ object SnapshotTable {
       // writer (bucket-per-file on the stats key — one shuffle of the
       // BATCH), so the storage-partitioned layout survives ingest.
       val newFiles = m.buckets match {
-        case Some(n) => writeBucketedFiles(spark, root,
-          constrained(alignTo(df, evolved), m.constraints), n,
-          effKey.getOrElse(throw new IllegalStateException(
-            s"bucket-declared table $root lost its stats key")),
-          effKey2, effCm)
+        case Some(n) =>
+          val key = effKey.getOrElse(throw new IllegalStateException(
+            s"bucket-declared table $root lost its stats key"))
+          // the bucket key's TYPE is part of the hash: a widening
+          // evolution (int batch key arriving as long) would re-type
+          // every new file's bucket assignment against the old ones
+          def keyType(s: org.apache.spark.sql.types.StructType) =
+            s.fields.find(f => norm(f.name) == norm(key)).map(_.dataType)
+          require(keyType(evolved) == keyType(tableSch),
+            s"append to bucket-declared table $root would WIDEN the bucket " +
+              s"key '$key' (${keyType(tableSch).map(_.simpleString).getOrElse("?")} -> " +
+              s"${keyType(evolved).map(_.simpleString).getOrElse("?")}): old buckets " +
+              "were hashed at the old type. Compact, widen, re-bucket instead.")
+          writeBucketedFiles(spark, root,
+            constrained(alignTo(df, evolved), m.constraints), n, key,
+            effKey2, effCm)
         case None => writeDataFiles(spark, root,
           constrained(alignTo(df, evolved), m.constraints), effKey, effKey2,
           bloomKey, effCm)
@@ -2674,6 +2685,20 @@ object SnapshotTable {
           s"current ${cur.simpleString} — widening is one-way")
       require(wide != deepNullable(cur),
         s"ALTER COLUMN TYPE '$name': column is already ${cur.simpleString}")
+      // widening the BUCKET KEY would silently re-type its hash:
+      // murmur3(5: int) != murmur3(5L), so files bucketed under the
+      // old type would disagree with every post-widen hash — a join
+      // or bucket-prune would silently lose rows. Refuse while a
+      // declaration or a live layout exists; re-bucket after.
+      if (segs.length == 1 && sameKey(m.statsKey, segs.head)) {
+        val bucketed = m.buckets.isDefined ||
+          new SqlSnapshot(spark, root, latest, m).bucketLayout.isDefined
+        require(!bucketed,
+          s"ALTER COLUMN TYPE '$name': the column is the BUCKET key of a " +
+            "bucketed layout, and widening re-types its hash (old files " +
+            "would disagree with every new bucket assignment). Rewrite the " +
+            "layout first (compact), widen, then compactBucketed.")
+      }
       val newSch = widened(mapStructAt(sch, segs.init)(st =>
         org.apache.spark.sql.types.StructType(st.fields.map(f =>
           if (norm(f.name) == norm(segs.last))
@@ -3887,7 +3912,7 @@ object SnapshotTable {
       val pbHashes: Option[Array[(Long, Long)]] = pb.flatMap(b =>
         b.longPoints.map(_.map(bloomHashLong))
           .orElse(b.strPoints.map(_.map(bloomHashBytes))))
-      val kept =
+      val kept0 =
         if (pb.exists(ManifestPruning.contradictory) ||
             sb.exists(ManifestPruning.contradictory)) Seq.empty
         else m.entries.filter { e =>
@@ -3895,6 +3920,38 @@ object SnapshotTable {
             pbHashes.forall(ManifestPruning.bloomKeeps(e, _)) &&
             sb.forall(ManifestPruning.keepSecondary(e, _))
         }
+      // BUCKET PRUNING: a bucketed file's key RANGE is hash-scattered
+      // (nearly table-wide), so stats can't skip it — but a point set
+      // on the bucket key maps each literal to exactly one bucket id
+      // (the writer's hash), and every file of every OTHER bucket
+      // drops. The point read a clustered table answers with ranges,
+      // a bucketed table answers with arithmetic.
+      val kept = (bucketLayout, pb) match {
+        case (Some((n, byPath)), Some(b)) =>
+          val kt = schema.fields.find(f =>
+            m.statsKey.exists(k => norm(k) == norm(f.name))).map(_.dataType)
+          val allowed: Option[Set[Int]] = kt.flatMap {
+            case org.apache.spark.sql.types.IntegerType =>
+              // points arrive widened to Long; an int column's literal
+              // always fits (analysis casts), but guard anyway
+              b.longPoints.filter(_.forall(v =>
+                v >= Int.MinValue && v <= Int.MaxValue)).map(_.map(v =>
+                bucketOfValue(v.toInt, org.apache.spark.sql.types.IntegerType, n)).toSet)
+            case org.apache.spark.sql.types.LongType =>
+              b.longPoints.map(_.map(v =>
+                bucketOfValue(v, org.apache.spark.sql.types.LongType, n)).toSet)
+            case org.apache.spark.sql.types.StringType =>
+              b.strPoints.map(_.map(bs => bucketOfValue(
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(bs),
+                org.apache.spark.sql.types.StringType, n)).toSet)
+            case _ => None
+          }
+          allowed match {
+            case Some(bs) => kept0.filter(e => bs.contains(byPath(e.path)))
+            case None => kept0
+          }
+        case _ => kept0
+      }
       lazy val f = fs(spark, root)
       kept.map { e =>
         val len = e.bytes.getOrElse(f.getFileStatus(new Path(root, e.path)).getLen)
@@ -3924,6 +3981,18 @@ object SnapshotTable {
         }
       }
     }
+  }
+
+  /** The writer's bucket assignment for one literal —
+    * `pmod(murmur3(value), n)` with the hash TYPED like the column
+    * (the bucket function's own discipline: murmur3(5: int) !=
+    * murmur3(5L)). Driver-side, used by bucket pruning. */
+  private def bucketOfValue(value: Any,
+      dt: org.apache.spark.sql.types.DataType, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value, dt)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % n) + n) % n
   }
 
   /** Resolve `version` (default latest) for the DSv2 planner. */

@@ -639,6 +639,45 @@ class GraftCatalogSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("bucket pruning: a point probe on a bucketed table keeps ONE bucket") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.t_bprune")
+    sql("CREATE TABLE gsql.main.t_bprune (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='8')")
+    sql("INSERT INTO gsql.main.t_bprune SELECT id, CAST(id AS STRING) FROM range(0, 4000)")
+    def keptOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.batchScans(q).map(_.scan).collect { case g: GraftScan => g }
+        .map(_.keptFileCount).max
+    }
+    // a bucketed file's key range is table-wide (hash scatter), so this
+    // is pure bucket arithmetic: 8 files, exactly 1 survives
+    val total = graft.sources.SnapshotTable
+      .filesDf(spark, s"$wh/main/t_bprune").count()
+    assert(total >= 8, s"expected >=8 bucket files, got $total")
+    val probe = sql("SELECT * FROM gsql.main.t_bprune WHERE id = 1234")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    assert(keptOf(probe) == 1, s"point probe kept ${keptOf(probe)} of $total files")
+    // IN-lists prune to the union of their buckets
+    val in = sql("SELECT count(*) FROM gsql.main.t_bprune WHERE id IN (7, 99, 3001)")
+    assert(in.head().getLong(0) == 3L)
+    // range predicates can't bucket-prune (hash scatter) — still correct
+    assert(sql("SELECT count(*) FROM gsql.main.t_bprune WHERE id < 100")
+      .head().getLong(0) == 100L)
+    // widening the bucket key is REFUSED while the layout lives:
+    // murmur3 is typed, old files would disagree with every new hash
+    sql("DROP TABLE IF EXISTS gsql.main.t_bprune_i")
+    sql("CREATE TABLE gsql.main.t_bprune_i (id INT, v STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='4')")
+    sql("INSERT INTO gsql.main.t_bprune_i VALUES (1, 'a'), (2, 'b')")
+    val e2 = intercept[Exception](
+      sql("ALTER TABLE gsql.main.t_bprune_i ALTER COLUMN id TYPE BIGINT"))
+    assert(e2.getMessage.contains("BUCKET key"), e2.getMessage)
+    // int-keyed point probe prunes with the INT hash
+    val p2 = sql("SELECT v FROM gsql.main.t_bprune_i WHERE id = 2")
+    assert(p2.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("DECLARED bucketing: TBLPROPERTIES('buckets') makes SPJ pure SQL") {
     wh
     Seq("t_decl_a", "t_decl_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
