@@ -833,6 +833,13 @@ object SnapshotTable {
       colmap: Map[String, String]): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val df = toPhysical(df0, colmap)
+    // guarded at the shared choke point (compact, declared appends,
+    // appendBucketed all land here): withColumn REPLACES an existing
+    // column of the same name — a user column literally named
+    // `_graft_bucket` would be silently destroyed
+    require(!df.columns.exists(_.equalsIgnoreCase("_graft_bucket")),
+      "bucketed writes reserve the column name _graft_bucket " +
+        "(it becomes the bucket directory); rename the column first")
     val physKey = physFor(colmap, key)
     val physKey2 = key2.map(physFor(colmap, _))
     val batch = s"data/bkt$buckets-${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}"
