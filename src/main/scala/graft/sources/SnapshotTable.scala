@@ -3317,7 +3317,10 @@ object SnapshotTable {
     // still reach the scan (alias substitution), so pruning survives
     // a rename of the stats-keyed column untouched
     val index = new ManifestFileIndex(spark, root, m.entries,
-      primary.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)))
+      primary.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)),
+      // bucket pruning is keyed on the recorded stats key: valid only
+      // when that IS the key this read was asked to prune on
+      if (primary.isDefined) bucketedFor(m, schema) else None)
     toLogical(applyDvIndexed(spark, root,
       org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
         physSchemaOf(m.colmap, schema)),
@@ -3360,7 +3363,8 @@ object SnapshotTable {
     val m = manifestFull(spark, root, vs.last)
     val sch = schemaOf(spark, root, m)
     val index = new ManifestFileIndex(spark, root, m.entries,
-      m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)))
+      m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)),
+      bucketedFor(m, sch))
     toLogical(applyDvIndexed(spark, root,
       org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
         physSchemaOf(m.colmap, sch)),
@@ -3544,7 +3548,9 @@ object SnapshotTable {
       // Catalyst pushes them through the logical-alias projection —
       // i.e. physically); `pred` evaluates over the logical aliases
       val index = new ManifestFileIndex(spark, root, m.entries,
-        m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)))
+        m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)),
+        // a point DELETE on a bucketed table scans one bucket
+        bucketedFor(m, sch))
       val raw = toLogical(org.apache.spark.sql.graftbridge.Bridge
         .parquetRelation(spark, index, physSchemaOf(m.colmap, sch))
         .withColumn("__rel", relPathCol)
@@ -3873,20 +3879,7 @@ object SnapshotTable {
       * reporting `KeyGroupedPartitioning` (a join falls back to
       * shuffling; never wrong) until the next bucketed compact. */
     def bucketLayout: Option[(Int, Map[String, Int])] =
-      if (m.entries.isEmpty || m.statsKey.isEmpty) None
-      else {
-        val parsed = m.entries.map(e => e.path match {
-          case BucketPathRe(n, b) => Some((e.path, n.toInt, b.toInt))
-          case _ => None
-        })
-        if (parsed.exists(_.isEmpty)) None
-        else {
-          val ps = parsed.flatten
-          val ns = ps.map(_._2).distinct
-          if (ns.length != 1 || ps.exists(_._3 >= ns.head)) None
-          else Some((ns.head, ps.map(p => p._1 -> p._3).toMap))
-        }
-      }
+      bucketLayoutOf(m.entries, m.statsKey)
 
     /** String twin of [[exactLongBounds]] (bounds in unsigned byte
       * order — Spark's own string order; values are the full strings,
@@ -3990,12 +3983,47 @@ object SnapshotTable {
     }
   }
 
+  /** [[SqlSnapshot.bucketLayout]]'s static form — shared with the V1
+    * read path's [[ManifestFileIndex]]. */
+  private[sources] def bucketLayoutOf(entries: Seq[FileEntry],
+      statsKey: Option[String]): Option[(Int, Map[String, Int])] =
+    if (entries.isEmpty || statsKey.isEmpty) None
+    else {
+      val parsed = entries.map(e => e.path match {
+        case BucketPathRe(n, b) => Some((e.path, n.toInt, b.toInt))
+        case _ => None
+      })
+      if (parsed.exists(_.isEmpty)) None
+      else {
+        val ps = parsed.flatten
+        val ns = ps.map(_._2).distinct
+        if (ns.length != 1 || ps.exists(_._3 >= ns.head)) None
+        else Some((ns.head, ps.map(p => p._1 -> p._3).toMap))
+      }
+    }
+
+  /** The bucket-pruning context for a V1 [[ManifestFileIndex]] over
+    * `m`'s entries: the live layout plus the bucket key's LOGICAL
+    * type (renames never change it) — None unless the layout holds
+    * and the type is hashable. */
+  private def bucketedFor(m: Manifest,
+      sch: org.apache.spark.sql.types.StructType)
+      : Option[(Int, Map[String, Int], org.apache.spark.sql.types.DataType)] =
+    bucketLayoutOf(m.entries, m.statsKey).flatMap { case (n, byPath) =>
+      m.statsKey.flatMap(k =>
+        sch.fields.find(f => norm(f.name) == norm(k)).map(_.dataType)).collect {
+        case dt @ (org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.StringType) => (n, byPath, dt)
+      }
+    }
+
   /** The writer's bucket assignment for one literal —
     * `pmod(murmur3(value), n)` with the hash TYPED like the column
     * (the bucket function's own discipline: murmur3(5: int) !=
     * murmur3(5L)). Driver-side, used by bucket pruning. */
-  private def bucketOfValue(value: Any,
-      dt: org.apache.spark.sql.types.DataType, n: Int): Int = {
+  private[sources] def bucketOfValue(value: Any,
+    dt: org.apache.spark.sql.types.DataType, n: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal(value, dt)), 42)
       .eval(null).asInstanceOf[Int]
@@ -4309,7 +4337,12 @@ private[sources] final class ManifestFileIndex(
     root: String,
     entries: Seq[SnapshotTable.FileEntry],
     key: Option[String],
-    key2: Option[String] = None)
+    key2: Option[String] = None,
+    /** Live bucket layout (count, relPath→id, key's LOGICAL type):
+      * point sets on the key prune by bucket arithmetic — the typed
+      * murmur3 the writer used — where hash-scattered stats ranges
+      * keep every file. */
+    bucketed: Option[(Int, Map[String, Int], org.apache.spark.sql.types.DataType)] = None)
   extends org.apache.spark.sql.execution.datasources.FileIndex {
 
   import org.apache.hadoop.fs.FileStatus
@@ -4342,7 +4375,7 @@ private[sources] final class ManifestFileIndex(
     val pbHashes: Option[Array[(Long, Long)]] = pb.flatMap(b =>
       b.longPoints.map(_.map(SnapshotTable.bloomHashLong))
         .orElse(b.strPoints.map(_.map(SnapshotTable.bloomHashBytes))))
-    val kept =
+    val kept0 =
       if (pb.exists(ManifestPruning.contradictory) ||
           sb.exists(ManifestPruning.contradictory)) Seq.empty
       else fileStatuses.filter { case (_, e) =>
@@ -4350,6 +4383,29 @@ private[sources] final class ManifestFileIndex(
           pbHashes.forall(ManifestPruning.bloomKeeps(e, _)) &&
           sb.forall(ManifestPruning.keepSecondary(e, _))
       }
+    // bucket pruning (the DSv2 scan's keptFiles discipline): each
+    // point literal maps to one bucket id; other buckets' files drop
+    val kept = (bucketed, pb) match {
+      case (Some((n, byPath, dt)), Some(b)) =>
+        val allowed: Option[Set[Int]] = dt match {
+          case org.apache.spark.sql.types.IntegerType =>
+            b.longPoints.filter(_.forall(v =>
+              v >= Int.MinValue && v <= Int.MaxValue)).map(_.map(v =>
+              SnapshotTable.bucketOfValue(v.toInt, dt, n)).toSet)
+          case org.apache.spark.sql.types.LongType =>
+            b.longPoints.map(_.map(v =>
+              SnapshotTable.bucketOfValue(v, dt, n)).toSet)
+          case org.apache.spark.sql.types.StringType =>
+            b.strPoints.map(_.map(bs => SnapshotTable.bucketOfValue(
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(bs), dt, n)).toSet)
+          case _ => None
+        }
+        allowed match {
+          case Some(bs) => kept0.filter { case (_, e) => bs.contains(byPath(e.path)) }
+          case None => kept0
+        }
+      case _ => kept0
+    }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
 

@@ -676,6 +676,17 @@ class GraftCatalogSpec extends SparkSpec {
     // int-keyed point probe prunes with the INT hash
     val p2 = sql("SELECT v FROM gsql.main.t_bprune_i WHERE id = 2")
     assert(p2.collect().map(_.getString(0)).toSeq == Seq("b"))
+    // the V1 path prunes with the same arithmetic: point reads and
+    // point DELETEs through the path API scan one bucket
+    val root = s"$wh/main/t_bprune"
+    val v1 = graft.sources.SnapshotTable.readIndexed(spark, root)
+      .filter(org.apache.spark.sql.functions.col("id") === 1234L)
+    assert(v1.collect().length == 1)
+    org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+    val v1Files = v1.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).getOrElse(-1L)
+    assert(v1Files == 1, s"V1 point probe scanned $v1Files files")
   }
 
   test("DECLARED bucketing: TBLPROPERTIES('buckets') makes SPJ pure SQL") {
