@@ -145,7 +145,7 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
   * count, byte size, and the min/max it measured over the table's
   * stats key(s) while writing — a manifest entry's worth of facts with
   * zero post-write footer reads. */
-private[catalog] final case class GraftCommitMessage(relPath: String,
+private[graft] final case class GraftCommitMessage(relPath: String,
     rows: Long, bytes: Long,
     minL: Option[Long], maxL: Option[Long],
     minB: Option[Array[Byte]], maxB: Option[Array[Byte]],
@@ -154,7 +154,7 @@ private[catalog] final case class GraftCommitMessage(relPath: String,
   extends WriterCommitMessage
 
 /** Which write-schema ordinal feeds which stats slot, and how. */
-private[catalog] final case class StatsSpec(ordinal: Int, isString: Boolean,
+private[graft] final case class StatsSpec(ordinal: Int, isString: Boolean,
     secondary: Boolean)
 
 /** The row-level (group-based copy-on-write) write: MERGE INTO /
@@ -236,7 +236,7 @@ private[catalog] final class GraftFileBatchWrite(spark: SparkSession,
 /** Serializable Hadoop conf (the stock helper is private[spark]):
   * ships the driver's configuration to writer tasks via Hadoop's own
   * Writable form. */
-private[catalog] final class SerializableHadoopConf(@transient var value: Configuration)
+private[graft] final class SerializableHadoopConf(@transient var value: Configuration)
   extends Serializable {
   private def writeObject(out: ObjectOutputStream): Unit = {
     out.defaultWriteObject()
@@ -271,7 +271,7 @@ private[catalog] final case class GraftWriterFactory(conf: SerializableHadoopCon
   * manifest's stats semantics). A task that saw no rows writes no file
   * at all. Speculative duplicates are excluded by Spark's commit
   * coordinator; the losers' files die in [[DataWriter.abort]]. */
-private[catalog] final class GraftParquetWriter(conf: Configuration, root: String,
+private[graft] final class GraftParquetWriter(conf: Configuration, root: String,
     relPath: String, physSchema: StructType, stats: Seq[StatsSpec])
   extends DataWriter[InternalRow] {
 
@@ -367,7 +367,7 @@ private[catalog] final class GraftParquetWriter(conf: Configuration, root: Strin
   override def close(): Unit = ()
 }
 
-private[catalog] object GraftParquetWriter {
+private[graft] object GraftParquetWriter {
   /** [[ParquetWriteSupport]] and its schema converter ASSERT a set of
     * session keys are present in the hadoop conf (the V1 write path
     * plants them in `prepareWrite`); bake the DRIVER session's values

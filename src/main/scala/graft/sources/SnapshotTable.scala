@@ -818,19 +818,30 @@ object SnapshotTable {
   private[sources] val BucketPathRe =
     """^data/bkt(\d+)-[A-Za-z0-9]+/_graft_bucket=(\d+)/[^/]+\.parquet$""".r
 
-  /** Write `df0` as ONE file per hash bucket of the (physical) stats
+  /** Write `df0` bucket-per-file on the hash of the (physical) stats
     * key: `pmod(murmur3_hash(key), buckets)` — the same function the
     * catalog exposes as `bucket(n, key)`
     * ([[graft.catalog.GraftBucketFunction]]), so the written layout
     * and the reported partitioning can never disagree. Range-
-    * repartitioning on the bucket value puts each bucket's rows in
-    * exactly one task (equal values cannot straddle a range boundary)
-    * and `partitionBy` makes the bucket id a DIRECTORY, not a column —
-    * files hold only table columns. Rows sort by key within each
-    * bucket, so row-group stats stay selective. */
+    * repartitioning on (bucket, salt) keeps every file single-bucket
+    * (equal values cannot straddle a range boundary) while letting one
+    * bucket span SEVERAL files: `targetFileBytes` + `inputBytes`
+    * derive a salt width, so file size and write parallelism are not
+    * welded to the join-partitioning count (Iceberg's bucketed writes
+    * split within buckets the same way; the scan's layout rule already
+    * admits many files per bucket id). Rows sort by key within each
+    * file, so row-group stats stay selective.
+    *
+    * Executor tasks write through [[graft.catalog.GraftParquetWriter]]
+    * and measure rows + stats-key min/max IN the write loop — the
+    * per-file facts return as the job result, so the manifest entries
+    * cost ZERO post-write footer reads (the r13 path re-read every
+    * footer through a 16-thread driver pool; at thousands of buckets
+    * that was thousands of driver reads per re-layout). */
   private def writeBucketedFiles(spark: SparkSession, root: String,
       df0: DataFrame, buckets: Int, key: String, key2: Option[String],
-      colmap: Map[String, String]): Seq[FileEntry] = {
+      colmap: Map[String, String], targetFileBytes: Option[Long] = None,
+      inputBytes: Option[Long] = None): Seq[FileEntry] = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val df = toPhysical(df0, colmap)
     // guarded at the shared choke point (compact, declared appends,
@@ -842,57 +853,90 @@ object SnapshotTable {
         "(it becomes the bucket directory); rename the column first")
     val physKey = physFor(colmap, key)
     val physKey2 = key2.map(physFor(colmap, _))
+    val physSchema = df.schema
     val batch = s"data/bkt$buckets-${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}"
-    df.withColumn("_graft_bucket", pmod(hash(col(physKey)), lit(buckets)))
-      .repartitionByRange(buckets, col("_graft_bucket"))
-      .sortWithinPartitions(col("_graft_bucket"), col(physKey))
-      .write.partitionBy("_graft_bucket").parquet(s"$root/$batch")
-    val f = fs(spark, root)
-    val paths = f.listStatus(new Path(root, batch))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_graft_bucket="))
-      .flatMap(d => f.listStatus(d.getPath)
-        .filter(s => s.getPath.getName.endsWith(".parquet"))
-        .map(s => (s"$batch/${d.getPath.getName}/${s.getPath.getName}", s.getLen)))
-      .sortBy(_._1).toSeq
-    def colType(k: String): Option[org.apache.spark.sql.types.DataType] =
-      try Some(df.select(df(k)).schema.head.dataType) catch { case _: Exception => None }
-    def kind(k: Option[String]): Option[(String, Boolean)] = k.flatMap { kk =>
-      colType(kk) match {
-        case Some(org.apache.spark.sql.types.LongType |
-                  org.apache.spark.sql.types.IntegerType) => Some((kk, false))
-        case Some(org.apache.spark.sql.types.StringType) => Some((kk, true))
-        case _ => None
-      }
+    // salt width: enough extra splits that each (bucket, salt) file
+    // lands near the target size. Salt is a second hash OF THE KEY, so
+    // a file still holds whole key groups (bucket semantics intact); a
+    // single pathological hot key stays one file — acceptable, the cap
+    // bounds the blast radius either way.
+    val saltN: Int = (targetFileBytes, inputBytes) match {
+      case (Some(t), Some(b)) if t > 0 && b > 0 =>
+        math.min(4096L, (b + t * buckets.toLong - 1) / (t * buckets.toLong)).toInt
+      case _ => 1
     }
-    val keyKind = kind(Some(physKey))
-    val key2Kind = kind(physKey2)
-    val live: Seq[FileEntry] =
-      if (paths.isEmpty) Seq.empty
-      else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.max(1, math.min(16, paths.size)))
-        try {
-          val futures = paths.map { case (rel, len) =>
-            pool.submit(new java.util.concurrent.Callable[FileEntry] {
-              override def call(): FileEntry = {
-                val (rows, st, stS, st2, st2S) =
-                  try footerInfo(conf, new Path(root, rel), keyKind, key2Kind)
-                  catch { case _: Exception => (None, None, None, None, None) }
-                FileEntry(rel, st.map(_._1), st.map(_._2), rows, Some(len),
-                  stS.map(_._1), stS.map(_._2), st2.map(_._1), st2.map(_._2),
-                  st2S.map(_._1), st2S.map(_._2))
-              }
-            })
-          }
-          futures.map(_.get()).filterNot(_.rows.contains(0L))
-        } finally pool.shutdown()
+    val withBucket = df
+      .withColumn("_graft_bucket", pmod(hash(col(physKey)), lit(buckets)))
+      .withColumn("_graft_salt",
+        if (saltN <= 1) lit(0) else pmod(hash(col(physKey), lit(saltN)), lit(saltN)))
+    val prepared = withBucket
+      .repartitionByRange(buckets * saltN, col("_graft_bucket"), col("_graft_salt"))
+      .sortWithinPartitions(col("_graft_bucket"), col("_graft_salt"), col(physKey))
+    // stats specs over the data columns (bucket/salt are trimmed before
+    // parquet sees the row): same types the manifest can prune on
+    def spec(k: Option[String], secondary: Boolean): Option[graft.catalog.StatsSpec] =
+      k.flatMap { kk =>
+        physSchema.fields.zipWithIndex.collectFirst {
+          case (fld, i) if fld.name.equalsIgnoreCase(kk) => (fld.dataType, i)
+        }.collect {
+          case (org.apache.spark.sql.types.LongType |
+                org.apache.spark.sql.types.IntegerType, i) =>
+            graft.catalog.StatsSpec(i, isString = false, secondary)
+          case (org.apache.spark.sql.types.StringType, i) =>
+            graft.catalog.StatsSpec(i, isString = true, secondary)
+        }
       }
-    if (live.isEmpty)
-      // zero live files (empty batch): the staging dir holds at most a
-      // _SUCCESS marker — drop it, nothing will ever reference it
-      try f.delete(new Path(root, batch), true) catch { case _: Exception => () }
-    live
+    val stats = Seq(spec(Some(physKey), secondary = false),
+      spec(physKey2, secondary = true)).flatten
+    val nCols = physSchema.length
+    val shipConf = new graft.catalog.SerializableHadoopConf(
+      graft.catalog.GraftParquetWriter.confWithSessionKeys(
+        spark.sparkContext.hadoopConfiguration))
+    val facts: Array[Seq[graft.catalog.GraftCommitMessage]] =
+      spark.sparkContext.runJob(prepared.queryExecution.toRdd,
+        (ctx: org.apache.spark.TaskContext,
+         it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+          val out = scala.collection.mutable.ArrayBuffer.empty[graft.catalog.GraftCommitMessage]
+          // trim the bucket/salt columns: files hold only table columns
+          val trim = UnsafeProjection.create(physSchema.fields.zipWithIndex.map {
+            case (fld, i) => BoundReference(i, fld.dataType, nullable = true)
+          }.toIndexedSeq)
+          var cur: graft.catalog.GraftParquetWriter = null
+          var curB = -1
+          var curS = -1
+          var fileIdx = 0
+          try {
+            it.foreach { row =>
+              val b = row.getInt(nCols)
+              val s = row.getInt(nCols + 1)
+              if (b != curB || s != curS || cur == null) {
+                if (cur != null)
+                  out += cur.commit().asInstanceOf[graft.catalog.GraftCommitMessage]
+                curB = b; curS = s
+                // attempt id in the name: a retried/speculative task can
+                // never collide with another attempt's file — losers'
+                // files are unreferenced (only the winning attempt's
+                // facts return) and die in the next vacuum
+                cur = new graft.catalog.GraftParquetWriter(shipConf.value, root,
+                  s"$batch/_graft_bucket=$b/part-${ctx.partitionId}-${ctx.taskAttemptId}-$fileIdx.parquet",
+                  physSchema, stats)
+                fileIdx += 1
+              }
+              cur.write(trim(row))
+            }
+            if (cur != null)
+              out += cur.commit().asInstanceOf[graft.catalog.GraftCommitMessage]
+            out.toSeq
+          } catch {
+            case e: Throwable =>
+              if (cur != null) try cur.abort() catch { case _: Exception => () }
+              throw e
+          }
+        })
+    facts.toSeq.flatten.sortBy(_.relPath).map(m =>
+      FileEntry(m.relPath, m.minL, m.maxL, Some(m.rows), Some(m.bytes),
+        m.minB, m.maxB, m.min2L, m.max2L, m.min2B, m.max2B))
   }
 
   /** BUCKETED whole-table re-layout (op "compact" — row-preserving,
@@ -931,7 +975,22 @@ object SnapshotTable {
     compactBucketed(spark, root, declared.get)
   }
 
-  def compactBucketed(spark: SparkSession, root: String, buckets: Int): Int = {
+  /** Re-bucket splitting each bucket toward `targetFileBytes`-sized
+    * files: file size and write parallelism decouple from the bucket
+    * count (a 10 TB table at 64 buckets need not mean 160 GB files and
+    * 64 write tasks — the scan's layout rule groups however many files
+    * share a bucket id). */
+  def compactBucketed(spark: SparkSession, root: String, buckets: Int,
+      targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    compactBucketedImpl(spark, root, buckets, Some(targetFileBytes))
+  }
+
+  def compactBucketed(spark: SparkSession, root: String, buckets: Int): Int =
+    compactBucketedImpl(spark, root, buckets, None)
+
+  private def compactBucketedImpl(spark: SparkSession, root: String,
+      buckets: Int, targetFileBytes: Option[Long]): Int = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in [1, 65536], got $buckets")
     retrying(spark, root, op = "compact") { (latest: Int) =>
@@ -951,8 +1010,12 @@ object SnapshotTable {
           !m.colmap.valuesIterator.contains("_graft_bucket"),
         "compactBucketed: the table already has a column named _graft_bucket")
       val current = readEntries(spark, root, schema, m.entries, m.colmap)
+      // the live snapshot's recorded bytes approximate the rewrite's
+      // input (dv debt shrinks it slightly — salt rounds up anyway)
+      val inputBytes = Some(m.entries.flatMap(_.bytes).sum).filter(_ > 0L)
       Pending(writeBucketedFiles(spark, root, current, buckets, key,
-        m.statsKey2, m.colmap), schema, m.statsKey, m.statsKey2)
+        m.statsKey2, m.colmap, targetFileBytes, inputBytes),
+        schema, m.statsKey, m.statsKey2)
     }
   }
 

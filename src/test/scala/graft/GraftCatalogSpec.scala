@@ -815,6 +815,60 @@ class GraftCatalogSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("targetFileBytes: several files per bucket in ONE generation keep SPJ") {
+    wh
+    Seq("t_split_a", "t_split_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.t_split_a (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.t_split_b (id BIGINT, w STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_split_a SELECT id, repeat(CAST(id AS STRING), 20) FROM range(0, 4000)")
+    sql("INSERT INTO gsql.main.t_split_b SELECT id, concat('w', id) FROM range(0, 4000)")
+    val rootA = s"$wh/main/t_split_a"
+    // a tiny target forces the salt wide: every bucket must split
+    graft.sources.SnapshotTable.compactBucketed(spark, rootA, 4, targetFileBytes = 8 * 1024L)
+    graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_split_b", 4)
+    val files = graft.sources.SnapshotTable.filesDf(spark, rootA).collect()
+    val bucketRe = """_graft_bucket=(\d+)/""".r
+    val byBucket = files.groupBy(r =>
+      bucketRe.findFirstMatchIn(r.getString(0)).get.group(1).toInt)
+    assert(byBucket.keySet == (0 until 4).toSet)
+    assert(byBucket.values.exists(_.length > 1),
+      s"the tiny target must split at least one bucket; got " +
+        byBucket.view.mapValues(_.length).toMap)
+    // write-loop facts: every entry carries rows/bytes/min/max with no
+    // post-write footer read — totals and global bounds must be exact
+    assert(files.forall(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+      !r.isNullAt(3) && !r.isNullAt(4)), "every entry needs in-loop stats")
+    assert(files.map(_.getLong(1)).sum == 4000L)
+    assert(files.map(_.getLong(3)).min == 0L && files.map(_.getLong(4)).max == 3999L)
+    // the layout claim survives the split: key-grouped planning + SPJ
+    assert(graft.sources.SnapshotTable.describeDetail(spark, rootA)
+      .bucketedLayout.contains(4))
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.take(2).foreach(spark.conf.set(_, "true"))
+      spark.conf.set(keys(2), "-1")
+      val j = sql("SELECT a.id, b.w FROM gsql.main.t_split_a a " +
+        "JOIN gsql.main.t_split_b b ON a.id = b.id")
+      assert(j.count() == 4000L)
+      val shuffles = PlanWalk.executedNodes(j.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      assert(shuffles == 0,
+        s"split buckets must still join zero-exchange:\n${j.queryExecution.executedPlan}")
+      // a point probe still prunes to ONE bucket's files (all its salts)
+      val p = sql("SELECT id, v FROM gsql.main.t_split_a WHERE id = 1234")
+      assert(p.count() == 1L)
+      val scanned = PlanWalk.batchScans(p).map(_.scan)
+        .collectFirst { case g: GraftScan => g.keptFileCount }.get
+      val oneBucket = byBucket.values.map(_.length).max
+      assert(scanned <= oneBucket,
+        s"point probe kept $scanned files; one bucket holds at most $oneBucket")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("SPJ with MISSING buckets on one side stays correct (and shuffle-free)") {
     wh
     Seq("t_spjm_a", "t_spjm_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
