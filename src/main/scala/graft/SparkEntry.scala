@@ -339,8 +339,10 @@ object SparkEntry {
       "max(doc_id) AS max_id, min(lang) AS min_lang, max(lang) AS max_lang, " +
       "TRUE AS meta_answered FROM documents"),
     "join_spj_catalog" -> ("SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, " +
-      "o.o_totalprice AS o_totalprice, TRUE AS zero_exchange " +
-      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"),
+      "o.o_totalprice AS o_totalprice, TRUE AS zero_exchange, " +
+      "TRUE AS zero_exchange_post_cdc " +
+      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "WHERE c.c_custkey <> 1"),
     "meta_snapshot_constraints" -> snapshotConstraintsCycleSql,
     "meta_snapshot_files" -> snapshotFilesTableCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
@@ -2738,15 +2740,15 @@ object SparkEntry {
     // bucketing DECLARED at create: every INSERT writes bucket-per-file
     // on the stats key — the layout is established purely through SQL,
     // no maintenance call anywhere in this gate
-    s.sql(s"CREATE TABLE $ta (o_custkey BIGINT, o_totalprice DOUBLE) " +
+    s.sql(s"CREATE TABLE $ta (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
       "TBLPROPERTIES ('statsKey'='o_custkey', 'buckets'='8')")
     s.sql(s"CREATE TABLE $tb (c_custkey BIGINT, c_name STRING) " +
       "TBLPROPERTIES ('statsKey'='c_custkey', 'buckets'='8')")
-    Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .createOrReplaceTempView("graft_spj_orders_src")
     Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
       .createOrReplaceTempView("graft_spj_cust_src")
-    s.sql(s"INSERT INTO $ta SELECT o_custkey, o_totalprice FROM graft_spj_orders_src")
+    s.sql(s"INSERT INTO $ta SELECT o_orderkey, o_custkey, o_totalprice FROM graft_spj_orders_src")
     s.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src")
     val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
@@ -2756,16 +2758,33 @@ object SparkEntry {
       s.conf.set(keys(0), "true")
       s.conf.set(keys(1), "true")
       s.conf.set(keys(2), "-1") // broadcast off: a shuffle is the only alternative
-      val j = s.sql(s"SELECT b.c_custkey AS c_custkey, b.c_name AS c_name, " +
+      def zeroExchangeOf(df: DataFrame): Boolean = {
+        df.count() // materialize AQE stages so the executed plan is final
+        graft.PlanWalk.executedNodes(df.queryExecution.executedPlan)
+          .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0
+      }
+      val joinSql = s"SELECT b.c_custkey AS c_custkey, b.c_name AS c_name, " +
         s"a.o_totalprice AS o_totalprice FROM $ta a JOIN $tb b " +
-        "ON a.o_custkey = b.c_custkey")
-      j.count() // materialize AQE stages so the executed plan is final
-      val zeroExchange = graft.PlanWalk
-        .executedNodes(j.queryExecution.executedPlan)
-        .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0
+        "ON a.o_custkey = b.c_custkey"
+      val zeroExchange = zeroExchangeOf(s.sql(joinSql))
+      // steady-state CDC: a MERGE rewrites files on the declared table
+      // (value-neutral so the oracle stays a plain join), a point
+      // DELETE leaves deletion-vector debt on the other side — and the
+      // co-located join must STILL plan zero exchanges, with no
+      // maintenance call anywhere (the replacing write re-buckets, the
+      // scan serves dv files under their bucket ids)
+      s.sql(s"""MERGE INTO $ta t
+        |USING (SELECT o_orderkey, o_custkey, o_totalprice
+        |       FROM graft_spj_orders_src WHERE o_orderkey % 32 = 0) src
+        |ON t.o_orderkey = src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      s.sql(s"DELETE FROM $tb WHERE c_custkey = 1")
+      val j2 = s.sql(joinSql)
+      val zeroExchangePostCdc = zeroExchangeOf(j2)
       graft.Scratch.registerForCleanup(rootA)
       graft.Scratch.registerForCleanup(rootB)
-      j.withColumn("zero_exchange", lit(zeroExchange))
+      j2.withColumn("zero_exchange", lit(zeroExchange))
+        .withColumn("zero_exchange_post_cdc", lit(zeroExchangePostCdc))
     } finally prev.foreach { case (k, v) =>
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }

@@ -218,17 +218,23 @@ private[graft] final class GraftScan(spark: SparkSession,
     * ([[SnapshotTable.SqlSnapshot.bucketLayout]] — bucket count and
     * per-file ids ride in the file paths), the bucket key survives in
     * the read schema (the reported transform must resolve against the
-    * relation output), no kept file carries a dv (dv reads are
-    * whole-file row-based partitions — incompatible with key-grouped
-    * planning; transient debt, `maintain` clears it), and the scan is
-    * not file-tagged. Partitions stay ONE PER FILE, each declaring
-    * its bucket via [[HasPartitionKey]]: a standalone scan keeps full
-    * file-level parallelism, and when `spark.sql.sources.v2.bucketing
-    * .enabled` arms SPJ, Spark's own exec GROUPS same-key partitions —
-    * a join of two tables bucketed on same-typed keys with the same
-    * count plans ZERO shuffle exchanges. */
+    * relation output), and the scan is not file-tagged. Partitions
+    * stay ONE PER FILE, each declaring its bucket via
+    * [[HasPartitionKey]]: a standalone scan keeps full file-level
+    * parallelism, and when `spark.sql.sources.v2.bucketing.enabled`
+    * arms SPJ, Spark's own exec GROUPS same-key partitions — a join of
+    * two tables bucketed on same-typed keys with the same count plans
+    * ZERO shuffle exchanges.
+    *
+    * DELETION-VECTOR debt does NOT refuse: a dv hides rows, it never
+    * moves one to another bucket, so a dv-bearing file still honors
+    * its path's bucket id — it just plans as a row-based partition
+    * whose reader filters deleted ordinals (the whole scan drops to
+    * row-based, the mixed-partition rule). Before this, one point
+    * DELETE anywhere downgraded every co-located join to a full
+    * shuffle until `materializeDv`. */
   private def bucketedFiles: Option[(Int, String, Seq[(Int, SnapshotTable.SqlDataFile)])] =
-    if (withFileCol || kept.exists(_.hasDv)) None
+    if (withFileCol) None
     else snap.bucketLayout.flatMap { case (n, byPath) =>
       val keyName = snap.statsKey.flatMap(k =>
         FilterBridge.fieldOf(required, k).map(_.name))
@@ -372,9 +378,12 @@ private[graft] final class GraftScan(spark: SparkSession,
     bucketedFiles match {
       case Some((_, _, bucketed)) =>
         // one whole-file partition per file, bucket id attached; the
-        // exec groups same-key partitions when SPJ is armed
+        // exec groups same-key partitions when SPJ is armed. A dv
+        // file rides under the same key — its reader drops deleted
+        // ordinals, so grouping stays sound (a dv never re-buckets a
+        // surviving row).
         return bucketed.zipWithIndex.map { case ((b, f), i) =>
-          GraftBucketPartition(wholeFile(f, i), b): InputPartition
+          GraftBucketPartition(wholeFile(f, i), b, f.relPath, f.hasDv): InputPartition
         }.toArray
       case None => ()
     }
@@ -445,10 +454,12 @@ private[graft] final case class GraftDvPartition(inner: FilePartition,
   * bucket id through [[org.apache.spark.sql.connector.read
   * .HasPartitionKey]] so the engine's key-grouped machinery can line
   * it up against the other join side's same-id partition. Reads stay
-  * columnar — the reader factory routes the inner partition to the
-  * stock parquet factory. */
+  * columnar unless the file carries a deletion vector — then its
+  * reader filters deleted ordinals row-based under the SAME partition
+  * key (dv debt hides rows, it never re-buckets one). */
 private[graft] final case class GraftBucketPartition(inner: FilePartition,
-    bucketId: Int) extends InputPartition
+    bucketId: Int, relPath: String = null, hasDv: Boolean = false)
+  extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucketId))
@@ -472,7 +483,7 @@ private[catalog] final case class GraftReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !forceRow && (partition match {
       case _: GraftDvPartition | _: GraftTaggedPartition => false
-      case GraftBucketPartition(inner, _) =>
+      case GraftBucketPartition(inner, _, _, _) =>
         plain.exists(_.supportColumnarReads(inner))
       case other => plain.exists(_.supportColumnarReads(other))
     })
@@ -490,14 +501,16 @@ private[catalog] final case class GraftReaderFactory(
           if (hasDv) new DvFilteringReader(dv.get.createReader(inner), deleted(rel), dataTypes)
           else plain.get.createReader(inner)
         new FileTaggingReader(base, rel)
-      case GraftBucketPartition(inner, _) => plain.get.createReader(inner)
+      case GraftBucketPartition(inner, _, rel, hasDv) =>
+        if (hasDv) new DvFilteringReader(dv.get.createReader(inner), deleted(rel), dataTypes)
+        else plain.get.createReader(inner)
       case other => plain.get.createReader(other)
     }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    partition match { // only reachable for plain/bucketed parts
-      case GraftBucketPartition(inner, _) => plain.get.createColumnarReader(inner)
+    partition match { // only reachable for plain/dv-free bucketed parts
+      case GraftBucketPartition(inner, _, _, _) => plain.get.createColumnarReader(inner)
       case other => plain.get.createColumnarReader(other)
     }
 }

@@ -153,6 +153,25 @@ private[graft] final case class GraftCommitMessage(relPath: String,
     min2B: Option[Array[Byte]], max2B: Option[Array[Byte]])
   extends WriterCommitMessage
 
+private[graft] object GraftCommitMessage {
+  /** Per-file facts from a mixed message array: plain writers report
+    * one file each, bucketed writers report one message carrying
+    * several files. */
+  def flatten(messages: Iterable[WriterCommitMessage]): Seq[GraftCommitMessage] =
+    messages.toSeq.flatMap {
+      case m: GraftCommitMessage => Seq(m)
+      case GraftMultiCommitMessage(ms) => ms
+      case _ => Seq.empty
+    }
+}
+
+/** A bucketed task's commit message: one fact row per file it wrote
+  * (a task usually writes exactly one bucket's file — the write's
+  * required distribution clusters by the bucket key — but correctness
+  * never assumes it). */
+private[graft] final case class GraftMultiCommitMessage(
+    files: Seq[GraftCommitMessage]) extends WriterCommitMessage
+
 /** Which write-schema ordinal feeds which stats slot, and how. */
 private[graft] final case class StatsSpec(ordinal: Int, isString: Boolean,
     secondary: Boolean)
@@ -171,7 +190,59 @@ private[graft] final case class StatsSpec(ordinal: Int, isString: Boolean,
   * manifest. */
 private[catalog] final class GraftReplaceWrite(spark: SparkSession,
     snap: SnapshotTable.SqlSnapshot, scanned: () => Set[String],
-    writeSchema: StructType) extends Write {
+    writeSchema: StructType) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** DECLARED-bucket tables keep their storage-partitioned layout
+    * THROUGH row-level rewrites: the replacement files are written
+    * bucket-per-file at the declared count (same path shape as
+    * [[SnapshotTable.compactBucketed]]), so a steady-state MERGE/CDC
+    * workload never pays the one remaining O(table) maintenance op a
+    * dissolved layout used to demand. Armed only when the declared
+    * count, a hashable stats key in the write schema, and a clean
+    * `_graft_bucket` name all line up — otherwise the plain write
+    * runs and dissolution stays the conservative safety net. */
+  private val bucketSpec: Option[(Int, String, Int, DataType)] =
+    for {
+      n <- snap.declaredBuckets
+      key <- snap.statsKey
+      (f, i) <- writeSchema.fields.zipWithIndex
+        .find(_._1.name.equalsIgnoreCase(key))
+      if (f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == StringType) &&
+        !writeSchema.fields.exists(_.name.equalsIgnoreCase("_graft_bucket"))
+    } yield (n, f.name, i, f.dataType)
+
+  // cluster the replacement rows by the bucket key into exactly
+  // `buckets` partitions: Spark's hash partitioning IS the bucket
+  // function (pmod(murmur3(key, seed 42), n)), so each writer task
+  // receives one bucket and opens one file. The writer still derives
+  // each row's bucket itself — the distribution only bounds file
+  // count, never correctness.
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    bucketSpec match {
+      case Some((_, keyName, _, _)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .column(keyName)))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+
+  override def requiredNumPartitions(): Int =
+    bucketSpec.map(_._1).getOrElse(0)
+
+  // sort by key within each bucket file: row-group stats stay selective
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketSpec match {
+      case Some((_, keyName, _, _)) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(keyName),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None => Array.empty
+    }
 
   override def toBatch: BatchWrite =
     new GraftFileBatchWrite(spark, snap, writeSchema, { files =>
@@ -181,7 +252,7 @@ private[catalog] final class GraftReplaceWrite(spark: SparkSession,
       SnapshotTable.sqlValidateWritten(spark, snap.root, files.map(_.relPath))
       SnapshotTable.sqlReplaceFiles(spark, snap.root, snap.version, scanned(), files)
       ()
-    })
+    }, bucketSpec.map { case (n, _, i, dt) => (n, i, dt) })
 }
 
 /** The shared file-producing half of every DSv2 batch write: executor
@@ -191,9 +262,17 @@ private[catalog] final class GraftReplaceWrite(spark: SparkSession,
   * snapshot for dynamic overwrite). */
 private[catalog] final class GraftFileBatchWrite(spark: SparkSession,
     snap: SnapshotTable.SqlSnapshot, writeSchema: StructType,
-    commitFiles: Seq[SnapshotTable.SqlWrittenFile] => Unit) extends BatchWrite {
+    commitFiles: Seq[SnapshotTable.SqlWrittenFile] => Unit,
+    bucketed: Option[(Int, Int, DataType)] = None) extends BatchWrite {
 
-  private val batchDir = s"data/sql-${java.util.UUID.randomUUID().toString.take(8)}"
+  // a bucketed replace write spells its bucket count in the batch path
+  // ([[SnapshotTable]]'s BucketPathRe), so the layout claim survives
+  // the rewrite with no manifest format change
+  private val batchDir = bucketed match {
+    case Some((n, _, _)) =>
+      s"data/bkt$n-${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}"
+    case None => s"data/sql-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // files spell physical names (at every struct level); the batch
@@ -213,13 +292,13 @@ private[catalog] final class GraftFileBatchWrite(spark: SparkSession,
         spark.sparkContext.hadoopConfiguration)),
       snap.root, batchDir, physWrite,
       Seq(spec(snap.statsKey, secondary = false),
-        spec(snap.statsKey2, secondary = true)).flatten)
+        spec(snap.statsKey2, secondary = true)).flatten,
+      bucketed)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect {
-      case m: GraftCommitMessage if m.rows > 0 => m
-    }.sortBy(_.relPath).toIndexedSeq
+    val files = GraftCommitMessage.flatten(messages)
+      .filter(_.rows > 0).sortBy(_.relPath).toIndexedSeq
     commitFiles(files.map(m => SnapshotTable.SqlWrittenFile(m.relPath, m.rows,
       m.bytes, m.minL, m.maxL, m.minB, m.maxB, m.min2L, m.max2L, m.min2B, m.max2B)))
     // zero-row attempts may have left nothing; empty dirs are inert
@@ -250,18 +329,108 @@ private[graft] final class SerializableHadoopConf(@transient var value: Configur
 }
 
 private[catalog] final case class GraftWriterFactory(conf: SerializableHadoopConf,
-    root: String, batchDir: String, physSchema: StructType, stats: Seq[StatsSpec])
+    root: String, batchDir: String, physSchema: StructType, stats: Seq[StatsSpec],
+    bucketed: Option[(Int, Int, DataType)] = None)
   extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftParquetWriter(conf.value, root,
-      s"$batchDir/part-$partitionId-$taskId.parquet", physSchema, stats)
+    bucketed match {
+      case Some((n, keyOrdinal, keyType)) =>
+        new GraftBucketedDataWriter(conf.value, root, batchDir, physSchema,
+          stats, n, keyOrdinal, keyType, partitionId, taskId)
+      case None =>
+        new GraftParquetWriter(conf.value, root,
+          s"$batchDir/part-$partitionId-$taskId.parquet", physSchema, stats)
+    }
   // streaming twin: the task id is globally unique per attempt, so the
   // same naming scheme keeps every epoch's files distinct
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftParquetWriter(conf.value, root,
       s"$batchDir/part-$partitionId-$taskId-e$epochId.parquet", physSchema, stats)
+}
+
+/** A row-level write task on a DECLARED-bucket table: routes each row
+  * to its bucket's file (`pmod(murmur3_hash(key), n)` — the writer's
+  * exact typed hash, [[GraftBucketFunction]]'s twin) under the
+  * bucketed path shape, measuring stats in the write loop like the
+  * plain writer. The write's required distribution clusters rows by
+  * the key into `n` partitions, so a task normally holds ONE bucket;
+  * if the engine hands it more anyway, open writers are capped — the
+  * overflow closes them all and reappearing buckets start new files
+  * (multiple files per bucket id are a legal layout). */
+private[catalog] final class GraftBucketedDataWriter(conf: Configuration,
+    root: String, batchDir: String, physSchema: StructType,
+    stats: Seq[StatsSpec], buckets: Int, keyOrdinal: Int, keyType: DataType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  /** Each open parquet writer buffers up to a row group; 16 bounds a
+    * pathological distribution at well under executor memory. */
+  private val MaxOpenWriters = 16
+
+  private val open = new java.util.HashMap[Int, GraftParquetWriter]()
+  private val done = scala.collection.mutable.ArrayBuffer.empty[GraftCommitMessage]
+  private var fileSeq = 0
+
+  // rows arrive either exactly as the write schema or with one
+  // operation-marker int prefixed (same contract as GraftParquetWriter)
+  private var fieldOffset = -1
+  private var trim: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
+
+  @transient private lazy val hasher =
+    org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(
+        keyOrdinal, keyType, nullable = true)), 42)
+
+  override def write(row0: InternalRow): Unit = {
+    if (fieldOffset < 0) {
+      fieldOffset = row0.numFields - physSchema.length
+      require(fieldOffset == 0 || fieldOffset == 1,
+        s"bucketed writer expected ${physSchema.length} (or +1 marker) fields, " +
+          s"got ${row0.numFields}")
+      if (fieldOffset == 1)
+        trim = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          physSchema.fields.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i + 1, f.dataType, nullable = true) }.toIndexedSeq)
+    }
+    val row = if (fieldOffset == 0) row0 else trim(row0)
+    val h = hasher.eval(row).asInstanceOf[Int]
+    val b = ((h % buckets) + buckets) % buckets
+    var w = open.get(b)
+    if (w == null) {
+      if (open.size >= MaxOpenWriters) {
+        open.values.forEach(ww =>
+          done += ww.commit().asInstanceOf[GraftCommitMessage])
+        open.clear()
+      }
+      w = new GraftParquetWriter(conf, root,
+        s"$batchDir/_graft_bucket=$b/part-$partitionId-$taskId-$fileSeq.parquet",
+        physSchema, stats)
+      fileSeq += 1
+      open.put(b, w)
+    }
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.forEach(w => done += w.commit().asInstanceOf[GraftCommitMessage])
+    open.clear()
+    GraftMultiCommitMessage(done.filter(_.rows > 0).toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.forEach(w => try w.abort() catch { case _: Exception => () })
+    open.clear()
+    // files already rolled out of the open set die with the batch dir
+    // (the BatchWrite-level abort removes it)
+    val f = new Path(root).getFileSystem(conf)
+    done.foreach(m =>
+      try f.delete(new Path(root, m.relPath), false)
+      catch { case _: IOException => () })
+  }
+
+  override def close(): Unit = ()
 }
 
 /** One task's parquet writer: rows stream straight into Spark's

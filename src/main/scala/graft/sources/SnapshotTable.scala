@@ -3455,13 +3455,20 @@ object SnapshotTable {
   private val BroadcastDvRows = 4L * 1000 * 1000
 
   /** The manifest-relative path of the file a scanned row came from:
-    * data files always live exactly at `data/<batch>/<file>.parquet`
-    * under the table root, so the last three path segments of
-    * `_metadata.file_path` ARE the manifest path — no root-prefix
-    * string surgery, scheme-independent (file:// and hdfs:// alike). */
+    * every data file lives under the table's `data/` directory, but at
+    * VARYING depth — `data/<batch>/<file>` plain, `data/<bkt-batch>/
+    * _graft_bucket=<i>/<file>` bucketed — so the suffix is cut at the
+    * LAST `data` segment of `_metadata.file_path` (last, not first: a
+    * table ROOT may itself contain a directory named `data`). No
+    * root-prefix string surgery, scheme-independent (file:// and
+    * hdfs:// alike). A fixed 3-segment slice here once made deletion
+    * vectors silently miss every file of a bucketed table. */
   private def relPathCol: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, concat_ws, slice, split}
-    concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
+    import org.apache.spark.sql.functions.{array_position, col, concat_ws, lit, reverse, slice, split}
+    val parts = split(col("_metadata.file_path"), "/")
+    // 1-based distance of the last "data" segment from the path's end
+    val k = array_position(reverse(parts), lit("data")).cast("int")
+    concat_ws("/", slice(parts, -k, k))
   }
 
   /** The recorded deleted positions of `entries` (those carrying a dv

@@ -730,25 +730,44 @@ class GraftCatalogSpec extends SparkSpec {
         "JOIN gsql.main.t_decl_b b ON a.id = b.id")
       assert(j2.count() == 600L && shuffles(j2) == 0,
         "INSERT OVERWRITE must keep the declared layout")
-      // a row-level rewrite (MERGE) dissolves the layout until
-      // maintenance; the declared-default compactBucketed restores it
+      // a row-level rewrite (MERGE) writes its replacement files
+      // bucket-per-file at the DECLARED count — the layout claim (and
+      // SPJ) survives CDC with NO maintenance call anywhere
       sql("MERGE INTO gsql.main.t_decl_a t USING (SELECT 5L AS id, 'x' AS v) s " +
         "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *")
       val j3 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
         "JOIN gsql.main.t_decl_b b ON a.id = b.id")
       assert(j3.count() == 600L)
-      assert(shuffles(j3) > 0, "a merge rewrite must dissolve the claim")
-      // the maintenance surface reports the dissolution (zero jobs):
-      // declared set, live layout gone = the RE-BUCKET signal
+      assert(shuffles(j3) == 0,
+        s"a merge on a DECLARED table must keep the layout:\n" +
+          j3.queryExecution.executedPlan)
       val det = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
-      assert(det.declaredBuckets.contains(8) && det.bucketedLayout.isEmpty,
+      assert(det.declaredBuckets.contains(8) && det.bucketedLayout.contains(8),
         s"got declared=${det.declaredBuckets} layout=${det.bucketedLayout}")
-      graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_decl_a")
-      val det2 = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
-      assert(det2.bucketedLayout.contains(8))
+      // ... and the merge really landed (the rewritten row reads back)
+      assert(sql("SELECT v FROM gsql.main.t_decl_a WHERE id = 5")
+        .head().getString(0) == "x")
+      // a merge that INSERTS new keys keeps the claim too
+      sql("MERGE INTO gsql.main.t_decl_a t USING (SELECT 9999L AS id, 'n' AS v) s " +
+        "ON t.id = s.id WHEN NOT MATCHED THEN INSERT *")
       val j4 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
         "JOIN gsql.main.t_decl_b b ON a.id = b.id")
       assert(j4.count() == 600L && shuffles(j4) == 0,
+        "an inserting merge must keep the declared layout")
+      assert(sql("SELECT count(*) FROM gsql.main.t_decl_a").head().getLong(0) == 601L)
+      // the DYNAMIC-overwrite executor write is the one remaining
+      // non-bucket path: it dissolves the claim (conservative), and the
+      // declared-default compactBucketed() restores it
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      sql("INSERT OVERWRITE gsql.main.t_decl_a SELECT id, CAST(id AS STRING) FROM range(0, 600)")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      val det3 = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
+      assert(det3.declaredBuckets.contains(8) && det3.bucketedLayout.isEmpty,
+        "the executor batch write must dissolve (it writes plain paths)")
+      graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_decl_a")
+      val j5 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
+        "JOIN gsql.main.t_decl_b b ON a.id = b.id")
+      assert(j5.count() == 600L && shuffles(j5) == 0,
         "declared-default compactBucketed must restore the layout")
       // the declaration is visible table metadata
       val props = spark.sessionState.catalogManager.catalog("gsql")
@@ -811,6 +830,56 @@ class GraftCatalogSpec extends SparkSpec {
       val e2 = intercept[Exception](graft.sources.SnapshotTable.appendBucketed(
         spark, rootA, Seq((1L, "x", 2L)).toDF("id", "v", "extra")))
       assert(e2.getMessage.contains("match"))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("SPJ survives deletion-vector debt: point DELETE, join still zero-exchange") {
+    wh
+    Seq("t_spjd_a", "t_spjd_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.t_spjd_a (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='8')")
+    sql("CREATE TABLE gsql.main.t_spjd_b (id BIGINT, w STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='8')")
+    sql("INSERT INTO gsql.main.t_spjd_a SELECT id, CAST(id AS STRING) FROM range(0, 1000)")
+    sql("INSERT INTO gsql.main.t_spjd_b SELECT id, concat('w', id) FROM range(0, 1000)")
+    // dv debt on BOTH sides: a point delete writes a deletion vector,
+    // no data file moves — before, this downgraded every co-located
+    // join to a full shuffle until materializeDv
+    sql("DELETE FROM gsql.main.t_spjd_a WHERE id = 7")
+    sql("DELETE FROM gsql.main.t_spjd_b WHERE id = 500")
+    assert(graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_spjd_a").dvFiles == 1)
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.take(2).foreach(spark.conf.set(_, "true"))
+      spark.conf.set(keys(2), "-1")
+      val j = sql("SELECT a.id, b.w FROM gsql.main.t_spjd_a a " +
+        "JOIN gsql.main.t_spjd_b b ON a.id = b.id")
+      // dv-correct rows: 1000 minus the two deleted keys
+      assert(j.count() == 998L)
+      assert(sql("SELECT count(*) FROM gsql.main.t_spjd_a WHERE id = 7")
+        .head().getLong(0) == 0L)
+      val shuffles = PlanWalk.executedNodes(j.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      assert(shuffles == 0,
+        s"SPJ must survive dv debt:\n${j.queryExecution.executedPlan}")
+      // the partitions really are key-grouped bucket units, dv included
+      val parts = PlanWalk.batchScans(j).flatMap(_.inputRDD.partitions.map(
+        _.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition]
+          .inputPartitions)).flatten
+      assert(parts.nonEmpty && parts.forall(_.isInstanceOf[GraftBucketPartition]))
+      assert(parts.collect { case p: GraftBucketPartition if p.hasDv => p }.size == 2,
+        "both dv-bearing files must plan as bucket partitions")
+      // the V1 path applies the dv too: bucketed files live one level
+      // deeper than plain batches, and the rel-path derivation must
+      // still line the sidecar up with the manifest entry (a fixed
+      // 3-segment slice silently resurrected deleted rows here)
+      val v1 = graft.sources.SnapshotTable.readIndexed(spark, s"$wh/main/t_spjd_a")
+      assert(v1.count() == 999L, "V1 read must apply the deletion vector")
+      assert(v1.filter(org.apache.spark.sql.functions.col("id") === 7L).count() == 0L)
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
