@@ -166,6 +166,7 @@ object SparkEntry {
     "meta_snapshot_sql" -> ((s, d) => snapshotSqlCycle(s, d)),
     "agg_pushdown_meta" -> ((s, d) => aggPushdownMeta(s, d)),
     "join_spj_catalog" -> ((s, d) => spjCatalogJoin(s, d)),
+    "vec_cosine_topk_sql" -> ((s, d) => cosineTopKSqlCatalog(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
@@ -300,6 +301,9 @@ object SparkEntry {
     "dedup_semantic" -> Dedup.semanticDedupSql(),
     "dedup_fuzzy_verify" -> Dedup.fuzzyVerifySql(),
     "vec_cosine_topk" -> VectorOps.cosineTopKSql(),
+    // same oracle as the DataFrame path: the catalog function must be
+    // value-identical to it
+    "vec_cosine_topk_sql" -> VectorOps.cosineTopKSql(),
     "vec_range_search" -> VectorOps.rangeSearchSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
@@ -2729,6 +2733,36 @@ object SparkEntry {
     * SQL surface paid: re-shuffling both fact tables on every join.
     * Reference analog: the filename-keyed upsert join,
     * /root/reference/src/etl_processor.py:163-165. */
+  /** The retrieval surface fully NAME-ADDRESSED: a vector-store table
+    * in the catalog, ranked by the catalog's own `cosine_sim` scalar —
+    * `SELECT ... ORDER BY graft.g.cosine_sim(embedding, q) DESC LIMIT
+    * k` on a stock session, hash-equal to the DataFrame-path
+    * `vec_cosine_topk` (same sequential accumulation, same rounding).
+    * The function executes through the magic-method [[org.apache.spark
+    * .sql.catalyst.expressions.objects.Invoke]] path, so the score
+    * loop compiles into the scan's codegen stage — no per-row
+    * reflection. Reference analog: index_manager.py:110-116
+    * (similarity_search over the store), SQL-fronted. */
+  private def cosineTopKSqlCatalog(s: SparkSession, d: String): DataFrame = {
+    val wh = SqlCat.ensure(s)
+    val t = s"${SqlCat.name}.g.vs_cos_sql"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (vec_id BIGINT, label BIGINT, embedding ARRAY<FLOAT>) " +
+      "TBLPROPERTIES ('statsKey'='vec_id')")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+      .createOrReplaceTempView("graft_cos_sql_src")
+    s.sql(s"INSERT INTO $t SELECT vec_id, label, embedding FROM graft_cos_sql_src")
+    graft.Scratch.registerForCleanup(s"$wh/g/vs_cos_sql")
+    s.sql(
+      s"""WITH q AS (SELECT embedding AS qv FROM $t WHERE vec_id = 0)
+         |SELECT t.vec_id AS vec_id, t.label AS label,
+         |       round(${SqlCat.name}.g.cosine_sim(t.embedding, q.qv), 6) AS score
+         |FROM $t t, q
+         |ORDER BY score DESC, vec_id
+         |LIMIT 20""".stripMargin)
+  }
+
   private def spjCatalogJoin(s: SparkSession, d: String): DataFrame = {
     val wh = SqlCat.ensure(s)
     val ta = s"${SqlCat.name}.g.spj_orders"

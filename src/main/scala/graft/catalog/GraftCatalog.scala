@@ -252,20 +252,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   // ---- functions ----
-  // One system function, visible in every namespace: `bucket(n, key)`
-  // — what the storage-partitioned-join machinery resolves when a scan
+  // System functions, visible in every namespace: `bucket(n, key)` —
+  // what the storage-partitioned-join machinery resolves when a scan
   // reports KeyGroupedPartitioning over the bucketed layout
-  // ([[GraftBucketFunction]]).
+  // ([[GraftBucketFunction]]) — and the retrieval scalars
+  // `cosine_sim`/`l2_dist` ([[GraftVectorUnbound]]), so plain SQL can
+  // rank a vector-store table by name.
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty && !namespaceExists(namespace))
       throw new NoSuchNamespaceException(catalogName +: namespace)
-    Array(Identifier.of(namespace, "bucket"))
+    Array("bucket", "cosine_sim", "l2_dist").map(Identifier.of(namespace, _))
   }
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else if (ident.name.equalsIgnoreCase("cosine_sim"))
+      new GraftVectorUnbound("cosine_sim")
+    else if (ident.name.equalsIgnoreCase("l2_dist"))
+      new GraftVectorUnbound("l2_dist")
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---- namespaces ----

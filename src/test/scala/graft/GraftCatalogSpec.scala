@@ -834,6 +834,38 @@ class GraftCatalogSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("catalog scalars: cosine_sim and l2_dist rank arrays through plain SQL") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.t_vec")
+    sql("CREATE TABLE gsql.main.t_vec (vid BIGINT, emb ARRAY<FLOAT>) " +
+      "TBLPROPERTIES ('statsKey'='vid')")
+    sql("INSERT INTO gsql.main.t_vec VALUES " +
+      "(1, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), " +
+      "(2, array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))), " +
+      "(3, array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+    // cosine of (3,4) with itself = 1; with (1,0) = 0.6
+    val cos = sql("SELECT vid, round(gsql.main.cosine_sim(emb, " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), 6) AS s " +
+      "FROM gsql.main.t_vec ORDER BY s DESC, vid").collect()
+    assert(cos.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((3L, 1.0), (2L, 0.8), (1L, 0.6)))
+    // l2_dist of (3,4) to (0,0)-ish probes: dist((1,0),(3,4)) = sqrt(4+16)
+    val l2 = sql("SELECT round(gsql.main.l2_dist(emb, " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), 6) AS d " +
+      "FROM gsql.main.t_vec WHERE vid = 1").head().getDouble(0)
+    assert(math.abs(l2 - math.sqrt(20.0)) < 1e-6)
+    // double arrays bind too (mixed widths are typed per side)
+    val dd = sql("SELECT gsql.main.cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS s")
+      .head().getDouble(0)
+    assert(math.abs(dd - 1.0) < 1e-12)
+    // visible in the listing; unknown names refuse loudly
+    val fns = sql("SHOW FUNCTIONS IN gsql.main").collect().map(_.getString(0))
+    assert(fns.exists(_.endsWith("cosine_sim")) && fns.exists(_.endsWith("l2_dist")),
+      s"got ${fns.mkString(",")}")
+    val e = intercept[Exception](sql("SELECT gsql.main.cosine_sim(1, 2)"))
+    assert(e.getMessage.contains("array") || e.getMessage.contains("cosine_sim"))
+  }
+
   test("SPJ survives deletion-vector debt: point DELETE, join still zero-exchange") {
     wh
     Seq("t_spjd_a", "t_spjd_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
