@@ -167,6 +167,7 @@ object SparkEntry {
     "agg_pushdown_meta" -> ((s, d) => aggPushdownMeta(s, d)),
     "join_spj_catalog" -> ((s, d) => spjCatalogJoin(s, d)),
     "vec_cosine_topk_sql" -> ((s, d) => cosineTopKSqlCatalog(s, d)),
+    "meta_partitioned_dpp" -> ((s, d) => partitionedDppQuery(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
@@ -304,6 +305,14 @@ object SparkEntry {
     // same oracle as the DataFrame path: the catalog function must be
     // value-identical to it
     "vec_cosine_topk_sql" -> VectorOps.cosineTopKSql(),
+    "meta_partitioned_dpp" -> ("""
+      WITH dim AS (SELECT DISTINCT lang,
+             CASE WHEN lang = 'en' THEN 'keep' ELSE 'drop' END AS tier
+           FROM documents)
+      SELECT d.lang AS lang, count(*) AS n_docs, sum(d.n_chars) AS sum_chars,
+             TRUE AS static_pruned, TRUE AS dpp_pruned
+      FROM documents d JOIN dim ON d.lang = dim.lang
+      WHERE dim.tier = 'keep' GROUP BY d.lang"""),
     "vec_range_search" -> VectorOps.rangeSearchSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
@@ -2733,6 +2742,56 @@ object SparkEntry {
     * SQL surface paid: re-shuffling both fact tables on every join.
     * Reference analog: the filename-keyed upsert join,
     * /root/reference/src/etl_processor.py:163-165. */
+  /** Hive-style `PARTITIONED BY` through the catalog, proven on the
+    * executed plan: documents land under `_graft_p_lang=<value>`
+    * directories (the partition column STAYS in the files — the
+    * directory is a pruning fact, not the storage of record), a
+    * literal predicate statically keeps only its value's files, and a
+    * dim-filtered join narrows the scan at RUNTIME (Spark's dynamic
+    * partition pruning planting an IN-subquery runtime filter on the
+    * DSv2 scan — the dim rides through parquet so the optimizer can't
+    * constant-fold the tier predicate into a static filter). At 100 TB
+    * partition pruning is the difference between scanning a language's
+    * slice and scanning the corpus. Reference analog: the
+    * per-embedding-model metadata files of
+    * /root/reference/src/etl_processor.py:123-124 — a partitioned
+    * doc_metadata store, SQL-fronted. */
+  private def partitionedDppQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = SqlCat.ensure(s)
+    val t = s"${SqlCat.name}.g.docs_part"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_part_src")
+    s.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_part_src")
+    val dimDir = s"$wh/g/docs_part_dim"
+    s.table("graft_part_src").select(col("lang")).distinct()
+      .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
+      .write.mode("overwrite").parquet(dimDir)
+    s.read.parquet(dimDir).createOrReplaceTempView("graft_part_dim")
+    def keptOf(df: DataFrame): Int = {
+      df.collect() // executes THIS plan: runtime filters narrow ITS scan
+      graft.PlanWalk.batchScans(df).map(_.scan)
+        .collect { case g: graft.catalog.GraftScan => g.keptFileCount }.max
+    }
+    val total = graft.sources.SnapshotTable.filesDf(s, s"$wh/g/docs_part").count().toInt
+    // static: a literal partition predicate prunes at planning time
+    // (LIMIT 1 keeps the probe's driver collect at one row)
+    val staticPruned =
+      keptOf(s.sql(s"SELECT doc_id FROM $t WHERE lang = 'en' LIMIT 1")) < total
+    // dynamic: the surviving lang is only knowable from the dim at runtime
+    val j = s.sql(s"SELECT t.lang AS lang, count(*) AS n_docs, " +
+      s"sum(t.n_chars) AS sum_chars FROM $t t " +
+      "JOIN graft_part_dim d ON t.lang = d.lang " +
+      "WHERE d.tier = 'keep' GROUP BY t.lang")
+    val dppPruned = keptOf(j) < total
+    graft.Scratch.registerForCleanup(s"$wh/g/docs_part")
+    graft.Scratch.registerForCleanup(dimDir)
+    j.withColumn("static_pruned", lit(staticPruned))
+      .withColumn("dpp_pruned", lit(dppPruned))
+  }
+
   /** The retrieval surface fully NAME-ADDRESSED: a vector-store table
     * in the catalog, ranked by the catalog's own `cosine_sim` scalar —
     * `SELECT ... ORDER BY graft.g.cosine_sim(embedding, q) DESC LIMIT

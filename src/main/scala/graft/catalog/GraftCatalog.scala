@@ -144,9 +144,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables take no PARTITIONED BY: layout lives in the manifest " +
-        "(set TBLPROPERTIES ('statsKey'='<col>') and use table maintenance to cluster)")
+    // `PARTITIONED BY (c, ...)` — identity transforms become the
+    // table's declared Hive-style partition columns (directory-valued
+    // layout + per-file pruning); functional transforms (bucket(...),
+    // days(...)) refuse: bucketing is declared via TBLPROPERTIES
+    // ('buckets'), and hidden-partitioning transforms are not
+    // supported.
+    val partitionCols: Seq[String] = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1) {
+        val ref = t.references.head
+        require(ref.fieldNames.length == 1,
+          s"PARTITIONED BY nested field '${ref.describe}' is not supported " +
+            "(top-level columns only)")
+        ref.fieldNames.head
+      } else throw new UnsupportedOperationException(
+        s"PARTITIONED BY transform '${t.describe}' is not supported: " +
+          "identity columns only (declare bucketing via TBLPROPERTIES ('buckets'='N'))")
+    }
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(p.getParent)
@@ -167,7 +181,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     SnapshotTable.create(spark, p.toString,
       spark.createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](), schema),
-      statsKey, statsKey2, buckets = buckets)
+      statsKey, statsKey2, buckets = buckets, partitionCols = partitionCols)
     new GraftTable(spark, p.toString, fullName(ident), None)
   }
 

@@ -286,44 +286,78 @@ private[graft] final class GraftScan(spark: SparkSession,
 
   // ---- runtime group filtering ----
 
-  override def filterAttributes(): Array[NamedReference] =
-    if (withFileCol) Array(Expressions.column(GraftFileColumn.Name))
-    else Array.empty
+  override def filterAttributes(): Array[NamedReference] = {
+    // partition columns arm DYNAMIC PARTITION PRUNING: Spark's
+    // PartitionPruning rule plants a runtime IN-subquery on a join
+    // whose key is a reported filter attribute, and hands the built
+    // values back through [[filter]] — file counts then narrow to the
+    // partitions the dim side actually kept
+    val parts = snap.partitionColsLogical.map(Expressions.column)
+    if (withFileCol) Array(Expressions.column(GraftFileColumn.Name)) ++ parts
+    else parts.toArray
+  }
 
   /** Narrow the kept set to the files the runtime subquery proved can
-    * hold matching rows — `IN (_graft_file, v1..vk)` / `= v` shapes,
-    * conjunctive. Unrecognized predicates narrow nothing (keeping a
-    * file is always correct); the recorded scanned set follows the
-    * narrowing so a row-level WRITE replaces exactly what was read. */
+    * hold matching rows — `IN (col, v1..vk)` / `= v` shapes over
+    * `_graft_file` (row-level group filtering) or a declared PARTITION
+    * column (DPP), conjunctive. Unrecognized predicates narrow nothing
+    * (keeping a file is always correct); the recorded scanned set
+    * follows the narrowing so a row-level WRITE replaces exactly what
+    * was read. */
   override def filter(predicates: Array[Predicate]): Unit = {
-    def fileRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
-        case n: NamedReference =>
-          n.fieldNames().mkString(".").equalsIgnoreCase(GraftFileColumn.Name)
-        case _ => false
-      }
-    def strVal(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-          Option(l.value).map(String.valueOf)
+        case n: NamedReference => Some(n.fieldNames().mkString("."))
         case _ => None
       }
-    val allowSets = predicates.toSeq.flatMap { p =>
+    def litVal(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] => Option(l.value)
+        case _ => None
+      }
+    // logical partition column -> (normalized physical name, type)
+    val partByLogical: Map[String, (String, org.apache.spark.sql.types.DataType)] = {
+      val types = snap.partitionTypes
+      snap.partitionColsLogical.flatMap { lg =>
+        val phys = SnapshotTable.normName(snap.physName(lg))
+        types.get(phys).map(dt => SnapshotTable.normName(lg) -> (phys, dt))
+      }.toMap
+    }
+    // each recognized predicate contributes one conjunctive constraint
+    val constraintsIn: Seq[(String, Set[Any])] = predicates.toSeq.flatMap { p =>
       val ch = p.children()
-      p.name() match {
-        case "IN" if ch.nonEmpty && fileRef(ch.head) =>
-          val vs = ch.tail.flatMap(strVal)
-          if (vs.length == ch.length - 1) Some(vs.toSet) else None
-        case "=" if ch.length == 2 && fileRef(ch.head) => strVal(ch(1)).map(Set(_))
-        case "=" if ch.length == 2 && fileRef(ch(1)) => strVal(ch.head).map(Set(_))
+      val (ref, vals) = p.name() match {
+        case "IN" if ch.nonEmpty => (refName(ch.head), ch.tail.toSeq.map(litVal))
+        case "=" if ch.length == 2 && refName(ch.head).isDefined =>
+          (refName(ch.head), Seq(litVal(ch(1))))
+        case "=" if ch.length == 2 => (refName(ch(1)), Seq(litVal(ch.head)))
+        case _ => (None, Seq.empty)
+      }
+      ref match {
+        case Some(r) if vals.nonEmpty && vals.forall(_.isDefined) =>
+          Some(r -> vals.flatten.toSet)
         case _ => None
       }
     }
-    if (allowSets.nonEmpty) {
-      val allow = allowSets.reduce(_ intersect _)
-      kept = kept.filter(f => allow.contains(f.relPath))
-      onPlan(snap.version, kept.map(_.relPath).toSet)
+    var narrowed = false
+    constraintsIn.foreach { case (ref, values) =>
+      if (ref.equalsIgnoreCase(GraftFileColumn.Name)) {
+        val allow = values.map(String.valueOf)
+        kept = kept.filter(f => allow.contains(f.relPath))
+        narrowed = true
+      } else partByLogical.get(SnapshotTable.normName(ref)).foreach {
+        case (phys, dt) =>
+          kept = kept.filter { f =>
+            SnapshotTable.partValuesOf(f.relPath).get(phys) match {
+              case None => true // unparseable layout: conservative keep
+              case Some(raw) =>
+                SnapshotTable.partCatalystValue(raw, dt).forall(values.contains)
+            }
+          }
+          narrowed = true
+      }
     }
+    if (narrowed) onPlan(snap.version, kept.map(_.relPath).toSet)
   }
 
   override def toBatch: Batch = this

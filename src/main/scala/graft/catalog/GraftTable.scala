@@ -43,6 +43,13 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
 
   override def schema(): StructType = snap.schema
 
+  /** Declared Hive-style partition columns as identity transforms —
+    * what `SHOW CREATE TABLE` / DESCRIBE report. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    snap.partitionColsLogical.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("location", root)
@@ -50,6 +57,8 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
     snap.statsKey.foreach(m.put("statsKey", _))
     snap.statsKey2.foreach(m.put("statsKey2", _))
     snap.declaredBuckets.foreach(b => m.put("buckets", b.toString))
+    if (snap.partitionCols.nonEmpty)
+      m.put("partitionCols", snap.partitionColsLogical.mkString(","))
     pinnedVersion.foreach(v => m.put("versionAsOf", v.toString))
     m
   }

@@ -311,7 +311,19 @@ object SnapshotTable {
         * format bump. Distinct from the OPPORTUNISTIC layout a bare
         * [[compactBucketed]] creates (which any plain append
         * dissolves). */
-      buckets: Option[Int] = None)
+      buckets: Option[Int] = None,
+      /** DECLARED Hive-style partition columns (CREATE-time,
+        * `PARTITIONED BY (c, ...)`): appends/overwrites write one
+        * directory level per column (`_graft_p_<col>=<value>`), and
+        * every read path prunes files whose path values contradict
+        * the predicate. PER-FILE and conservative: a file whose path
+        * doesn't parse (e.g. a row-level rewrite's output) is always
+        * kept — the column also lives IN the file, so correctness
+        * never depends on the layout. Names are spelled PHYSICALLY
+        * (create-time names; renames ride the column map, so the
+        * physical name — and the directories — never move). Optional
+        * header field, same no-format-bump contract as `buckets`. */
+      partitionCols: Seq[String] = Seq.empty)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -423,6 +435,10 @@ object SnapshotTable {
     val statsKey2 = """"statsKey2":"([^"]+)"""".r.findFirstMatchIn(header).map(_.group(1))
     val txn = """"txnBatchId":(-?\d+)""".r.findFirstMatchIn(header).map(_.group(1).toLong)
     val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt)
+    // partition-column names are path-safe by construction ([A-Za-z0-9_]),
+    // so a comma-joined header field parses unambiguously
+    val partitionCols = """"partitionCols":"([^"]+)"""".r.findFirstMatchIn(header)
+      .map(_.group(1).split(',').toSeq).getOrElse(Seq.empty)
     val base = """"base":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt)
     val depth = """"depth":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt).getOrElse(0)
     val lines = allLines.drop(1).filter(_.nonEmpty)
@@ -466,7 +482,7 @@ object SnapshotTable {
         resolveDelta(manifestFull(spark, root, b).entries, listed, removed)
     }
     val m = Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth,
-      constraints, colmap, retired, buckets)
+      constraints, colmap, retired, buckets, partitionCols)
     if (manifestCacheWeight.get > ManifestCacheEntryBudget) clearManifestMemo()
     if (manifestCache.put(p.toString, (st.getModificationTime, st.getLen, m)) == null)
       manifestCacheWeight.addAndGet((m.entries.size + 1).toLong)
@@ -872,8 +888,20 @@ object SnapshotTable {
     val prepared = withBucket
       .repartitionByRange(buckets * saltN, col("_graft_bucket"), col("_graft_salt"))
       .sortWithinPartitions(col("_graft_bucket"), col("_graft_salt"), col(physKey))
-    // stats specs over the data columns (bucket/salt are trimmed before
-    // parquet sees the row): same types the manifest can prune on
+      .select(physSchema.fieldNames.map(col).toIndexedSeq :+
+        org.apache.spark.sql.functions.concat(lit("_graft_bucket="),
+          col("_graft_bucket").cast("string")).as("_graft_dir") :+
+        col("_graft_salt").as("_graft_roll"): _*)
+    writeRolled(spark, root, batch, prepared, physSchema,
+      statsSpecsFor(physSchema, Some(physKey), physKey2))
+  }
+
+  /** Stats specs over the physical data columns: which write-schema
+    * ordinal feeds which manifest stats slot (same types the manifest
+    * can prune on). */
+  private def statsSpecsFor(physSchema: org.apache.spark.sql.types.StructType,
+      physKey: Option[String], physKey2: Option[String])
+      : Seq[graft.catalog.StatsSpec] = {
     def spec(k: Option[String], secondary: Boolean): Option[graft.catalog.StatsSpec] =
       k.flatMap { kk =>
         physSchema.fields.zipWithIndex.collectFirst {
@@ -886,8 +914,24 @@ object SnapshotTable {
             graft.catalog.StatsSpec(i, isString = true, secondary)
         }
       }
-    val stats = Seq(spec(Some(physKey), secondary = false),
-      spec(physKey2, secondary = true)).flatten
+    Seq(spec(physKey, secondary = false), spec(physKey2, secondary = true)).flatten
+  }
+
+  /** Executor-side ROLLED parquet write — the shared core of the
+    * bucketed and Hive-partitioned writers. `prepared` carries the
+    * physical data columns plus TWO trailing routing columns:
+    * `_graft_dir` (string — the subdirectory under `batch` this row's
+    * file lives in) and `_graft_roll` (int — splits same-dir rows into
+    * several files; salt). The caller arranged partitioning and
+    * intra-task order so equal (dir, roll) rows are contiguous; each
+    * task streams rows through [[graft.catalog.GraftParquetWriter]],
+    * opening a new file whenever the routing pair changes, measuring
+    * rows + stats-key min/max IN the write loop — per-file facts
+    * return as the job result, so manifest entries cost zero
+    * post-write footer reads. */
+  private def writeRolled(spark: SparkSession, root: String, batch: String,
+      prepared: DataFrame, physSchema: org.apache.spark.sql.types.StructType,
+      stats: Seq[graft.catalog.StatsSpec]): Seq[FileEntry] = {
     val nCols = physSchema.length
     val shipConf = new graft.catalog.SerializableHadoopConf(
       graft.catalog.GraftParquetWriter.confWithSessionKeys(
@@ -898,28 +942,28 @@ object SnapshotTable {
          it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
           import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
           val out = scala.collection.mutable.ArrayBuffer.empty[graft.catalog.GraftCommitMessage]
-          // trim the bucket/salt columns: files hold only table columns
+          // trim the routing columns: files hold only table columns
           val trim = UnsafeProjection.create(physSchema.fields.zipWithIndex.map {
             case (fld, i) => BoundReference(i, fld.dataType, nullable = true)
           }.toIndexedSeq)
           var cur: graft.catalog.GraftParquetWriter = null
-          var curB = -1
-          var curS = -1
+          var curDir: String = null
+          var curRoll = -1
           var fileIdx = 0
           try {
             it.foreach { row =>
-              val b = row.getInt(nCols)
-              val s = row.getInt(nCols + 1)
-              if (b != curB || s != curS || cur == null) {
+              val dir = row.getUTF8String(nCols).toString
+              val roll = row.getInt(nCols + 1)
+              if (cur == null || roll != curRoll || dir != curDir) {
                 if (cur != null)
                   out += cur.commit().asInstanceOf[graft.catalog.GraftCommitMessage]
-                curB = b; curS = s
+                curDir = dir; curRoll = roll
                 // attempt id in the name: a retried/speculative task can
                 // never collide with another attempt's file — losers'
                 // files are unreferenced (only the winning attempt's
                 // facts return) and die in the next vacuum
                 cur = new graft.catalog.GraftParquetWriter(shipConf.value, root,
-                  s"$batch/_graft_bucket=$b/part-${ctx.partitionId}-${ctx.taskAttemptId}-$fileIdx.parquet",
+                  s"$batch/$dir/part-${ctx.partitionId}-${ctx.taskAttemptId}-$fileIdx.parquet",
                   physSchema, stats)
                 fileIdx += 1
               }
@@ -937,6 +981,137 @@ object SnapshotTable {
     facts.toSeq.flatten.sortBy(_.relPath).map(m =>
       FileEntry(m.relPath, m.minL, m.maxL, Some(m.rows), Some(m.bytes),
         m.minB, m.maxB, m.min2L, m.max2L, m.min2B, m.max2B))
+  }
+
+  /** Write `df0` under Hive-style partition directories — one
+    * `_graft_p_<col>=<url-encoded value>` path level per DECLARED
+    * partition column, nested in declaration order. The partition
+    * columns STAY in the data files (the directory is a pruning fact,
+    * not the storage of record), so every reader — including one that
+    * ignores the layout entirely — sees full rows; pruning is pure
+    * upside and its absence is never wrong. Rows sort by the dir
+    * fragment within each INPUT partition (no shuffle — Spark's own
+    * dynamic-partition write does the same), then roll into one file
+    * per (task, partition value), stats measured in the write loop.
+    * NULL partition values refuse loudly: the directory IS the value,
+    * and a null token would collide with a legal string. */
+  private def writePartitionedFiles(spark: SparkSession, root: String,
+      df0: DataFrame, partCols: Seq[String], statsKey: Option[String],
+      statsKey2: Option[String], colmap: Map[String, String]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, url_encode, when, raise_error}
+    val df = toPhysical(df0, colmap)
+    val physSchema = df.schema
+    require(!df.columns.exists(c => c.equalsIgnoreCase("_graft_dir") ||
+        c.equalsIgnoreCase("_graft_roll")),
+      "partitioned writes reserve the column names _graft_dir/_graft_roll")
+    val physKey = statsKey.map(physFor(colmap, _))
+    val physKey2 = statsKey2.map(physFor(colmap, _))
+    val batch = s"data/pt-${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}"
+    val segs = partCols.map { c =>
+      val v = col(c).cast("string")
+      concat(lit(s"${PartDirPrefix}$c="), url_encode(
+        when(v.isNull, raise_error(lit(s"partitioned write into $root: NULL in " +
+          s"partition column '$c' (the directory is the value; default nulls " +
+          "before writing)")).cast("string")).otherwise(v)))
+    }
+    val sortCols = col("_graft_dir") +: physKey.map(col).toSeq
+    val prepared = df
+      .withColumn("_graft_dir", concat_ws("/", segs: _*))
+      .withColumn("_graft_roll", lit(0))
+      .sortWithinPartitions(sortCols: _*)
+      .select(physSchema.fieldNames.map(col).toIndexedSeq :+
+        col("_graft_dir") :+ col("_graft_roll"): _*)
+    writeRolled(spark, root, batch, prepared, physSchema,
+      statsSpecsFor(physSchema, physKey, physKey2))
+  }
+
+  /** The partition-directory key prefix: a reserved spelling keeps user
+    * column names from colliding with layout facts in paths. */
+  private[sources] val PartDirPrefix = "_graft_p_"
+
+  private val PartDirRe = """_graft_p_([A-Za-z0-9_]+)=(.*)""".r
+
+  /** The partition values a file's PATH spells, as normalized physical
+    * name → raw (decoded) string — empty for a file not written by the
+    * partitioned writer (always-kept by pruning). */
+  private[graft] def partValuesOf(path: String): Map[String, String] =
+    path.split('/').iterator.collect {
+      case PartDirRe(n, v) => norm(n) -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+
+  /** [[norm]] for the catalog package (partition-name matching). */
+  private[graft] def normName(s: String): String = norm(s)
+
+  /** A path-spelled partition value as the CATALYST-internal value of
+    * `dt` (what a runtime filter's literals compare as) — None when the
+    * raw string doesn't parse (conservative keep at the caller). */
+  private[graft] def partCatalystValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] =
+    try dt match {
+      case org.apache.spark.sql.types.IntegerType => Some(raw.toInt)
+      case org.apache.spark.sql.types.LongType => Some(raw.toLong)
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      case org.apache.spark.sql.types.DateType =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(
+          java.sql.Date.valueOf(raw)))
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Partition-column types for pruning, keyed by normalized PHYSICAL
+    * name (paths spell physical names; renames ride the column map). */
+  private def partTypesOf(m: Manifest,
+      sch: org.apache.spark.sql.types.StructType)
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    m.partitionCols.flatMap { pc =>
+      // reverse-translate: which logical field maps to this physical name
+      sch.fields.find(f => norm(physFor(m.colmap, f.name)) == norm(pc))
+        .map(f => norm(pc) -> f.dataType)
+    }.toMap
+
+  /** Does `e` survive `filters` given the partition values its path
+    * spells? Evaluates every conjunct whose references are ALL
+    * partition columns by substituting the file's (typed) values;
+    * false/null → pruned. Conservative everywhere else: unparseable
+    * paths, non-partition references, unparseable values, and
+    * evaluation errors all KEEP the file — the columns live in the
+    * file, so a kept file only costs a scan, never a wrong row. */
+  private[sources] def partitionKeeps(e: FileEntry,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      partTypes: Map[String, org.apache.spark.sql.types.DataType]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types._
+    if (partTypes.isEmpty || filters.isEmpty) return true
+    val vals = partValuesOf(e.path)
+    if (vals.isEmpty) return true
+    def typed(raw: String, dt: DataType): Option[Any] =
+      try dt match {
+        case IntegerType => Some(raw.toInt)
+        case LongType => Some(raw.toLong)
+        case StringType => Some(raw)
+        case DateType => Some(java.sql.Date.valueOf(raw))
+        case _ => None
+      } catch { case _: Exception => None }
+    filters.forall { f =>
+      val refs = f.references.toSeq.map(a => norm(a.name))
+      if (refs.isEmpty || !refs.forall(r => partTypes.contains(r) && vals.contains(r)))
+        true
+      else {
+        try {
+          var ok = true
+          val bound = f.transform {
+            case a: AttributeReference =>
+              val r = norm(a.name)
+              typed(vals(r), partTypes(r)) match {
+                case Some(v) if a.dataType == partTypes(r) =>
+                  Literal.create(v, partTypes(r))
+                case _ => ok = false; a
+              }
+          }
+          !ok || java.lang.Boolean.TRUE.equals(bound.eval(null))
+        } catch { case _: Exception => true }
+      }
+    }
   }
 
   /** BUCKETED whole-table re-layout (op "compact" — row-preserving,
@@ -1205,7 +1380,8 @@ object SnapshotTable {
       constraintsOverride: Option[Seq[(String, String)]] = None,
       colmapOverride: Option[Map[String, String]] = None,
       retiredOverride: Option[Set[String]] = None,
-      bucketsDeclared: Option[Int] = None): Int = {
+      bucketsDeclared: Option[Int] = None,
+      partitionColsDeclared: Option[Seq[String]] = None): Int = {
     val v = expected + 1
     // header (format revision + version + operation + stats identity),
     // then the version's SCHEMA (S-prefixed json line): every version
@@ -1242,6 +1418,9 @@ object SnapshotTable {
     // a CREATE-time bucket declaration is version state, carried
     // forward verbatim forever (only create sets it)
     val effBuckets = bucketsDeclared.orElse(parent.flatMap(_.buckets))
+    // ... and so is a CREATE-time partition-column declaration
+    val effPartCols = partitionColsDeclared
+      .orElse(parent.map(_.partitionCols)).getOrElse(Seq.empty)
     val delta: Option[(Int, Seq[String])] =
       parent.flatMap { pm =>
         if (pm.depth >= MaxChainDepth) None
@@ -1258,6 +1437,8 @@ object SnapshotTable {
       kf("statsKey", statsKey) + kf("statsKey2", statsKey2) +
       txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") +
       effBuckets.map(b => s""","buckets":$b""").getOrElse("") +
+      (if (effPartCols.nonEmpty)
+        s""","partitionCols":"${effPartCols.mkString(",")}"""" else "") +
       delta.map { case (d, _) => s""","base":$expected,"depth":$d""" }.getOrElse("") + "}"
     val entryLines = delta.map(_._2).getOrElse(files.map(_.render))
     val body = ((header +: s"S${schema.json}" +:
@@ -1499,7 +1680,8 @@ object SnapshotTable {
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsKey: Option[String] = None, statsKey2: Option[String] = None,
       txnBatchId: Option[Long] = None, bloomKey: Boolean = false,
-      buckets: Option[Int] = None): Int = {
+      buckets: Option[Int] = None,
+      partitionCols: Seq[String] = Seq.empty): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
     buckets.foreach { n =>
       require(n > 0 && n <= 65536, s"buckets must be in [1, 65536], got $n")
@@ -1511,15 +1693,44 @@ object SnapshotTable {
         "a bucket declaration needs a statsKey of type int/bigint/string " +
           "(the bucket key IS the stats key)")
     }
+    if (partitionCols.nonEmpty) {
+      require(buckets.isEmpty,
+        "PARTITIONED BY and a bucket declaration are mutually exclusive " +
+          "(one physical layout per table; bucket within partitions is not supported)")
+      partitionCols.foreach { pc =>
+        require(pc.matches("[A-Za-z0-9_]+"),
+          s"partition column '$pc' must be [A-Za-z0-9_]+ (it becomes a directory name)")
+        val t = df.schema.fields.find(f => norm(f.name) == norm(pc)).map(_.dataType)
+        require(t.isDefined, s"partition column '$pc' names no column of the schema")
+        require(t.exists(dt => dt == org.apache.spark.sql.types.IntegerType ||
+            dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.StringType ||
+            dt == org.apache.spark.sql.types.DateType),
+          s"partition column '$pc' is ${t.map(_.simpleString).getOrElse("?")} — " +
+            "int/bigint/string/date only (the value must round-trip a path)")
+      }
+      require(partitionCols.map(norm).distinct.size == partitionCols.size,
+        s"duplicate partition columns: ${partitionCols.mkString(", ")}")
+    }
     invalidateManifestMemo(root) // a same-path recreate must never see the dead table
     commit(spark, root,
       buckets match {
         case Some(n) => writeBucketedFiles(spark, root, df, n, statsKey.get,
           statsKey2, Map.empty)
+        case None if partitionCols.nonEmpty =>
+          // canonicalize declared names to the schema's case (paths and
+          // header spell exactly the create-time physical names)
+          writePartitionedFiles(spark, root, df,
+            partitionCols.map(pc => df.schema.fields
+              .find(f => norm(f.name) == norm(pc)).get.name),
+            statsKey, statsKey2, Map.empty)
         case None => writeDataFiles(spark, root, df, statsKey, statsKey2, bloomKey)
       },
       widened(df.schema), expected = 0, op = "create", statsKey, statsKey2,
-      txnBatchId, bucketsDeclared = buckets)
+      txnBatchId, bucketsDeclared = buckets,
+      partitionColsDeclared = if (partitionCols.isEmpty) None
+        else Some(partitionCols.map(pc => df.schema.fields
+          .find(f => norm(f.name) == norm(pc)).get.name)))
   }
 
   /** Append rows: new files + all files of the snapshot appended onto.
@@ -1587,6 +1798,13 @@ object SnapshotTable {
           writeBucketedFiles(spark, root,
             constrained(alignTo(df, evolved), m.constraints), n, key,
             effKey2, effCm)
+        case None if m.partitionCols.nonEmpty =>
+          // declared Hive-style partitioning: the batch lands under
+          // partition directories so the layout's pruning facts follow
+          // ingest (no shuffle — see writePartitionedFiles)
+          writePartitionedFiles(spark, root,
+            constrained(alignTo(df, evolved), m.constraints),
+            m.partitionCols, effKey, effKey2, effCm)
         case None => writeDataFiles(spark, root,
           constrained(alignTo(df, evolved), m.constraints), effKey, effKey2,
           bloomKey, effCm)
@@ -2636,6 +2854,10 @@ object SnapshotTable {
       require(!sameKey(m.statsKey, name) && !sameKey(m.statsKey2, name),
         s"'$name' is a recorded stats key of $root — re-key the table " +
           "(compact/append with a different statsKey) before dropping it")
+      require(!m.partitionCols.exists(pc =>
+          segs.length == 1 && norm(physFor(m.colmap, segs.head)) == norm(pc)),
+        s"'$name' is a declared PARTITION column of $root — the layout " +
+          "(directories and every future write) is keyed on it")
       val newSch = mapStructAt(sch, parent) { st =>
         require(st.fields.length > 1,
           s"cannot drop '$name' — the last field of its struct; drop the " +
@@ -3383,7 +3605,8 @@ object SnapshotTable {
       primary.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)),
       // bucket pruning is keyed on the recorded stats key: valid only
       // when that IS the key this read was asked to prune on
-      if (primary.isDefined) bucketedFor(m, schema) else None)
+      if (primary.isDefined) bucketedFor(m, schema) else None,
+      partTypesOf(m, schema))
     toLogical(applyDvIndexed(spark, root,
       org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
         physSchemaOf(m.colmap, schema)),
@@ -3427,7 +3650,7 @@ object SnapshotTable {
     val sch = schemaOf(spark, root, m)
     val index = new ManifestFileIndex(spark, root, m.entries,
       m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)),
-      bucketedFor(m, sch))
+      bucketedFor(m, sch), partTypesOf(m, sch))
     toLogical(applyDvIndexed(spark, root,
       org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
         physSchemaOf(m.colmap, sch)),
@@ -3620,7 +3843,7 @@ object SnapshotTable {
       val index = new ManifestFileIndex(spark, root, m.entries,
         m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)),
         // a point DELETE on a bucketed table scans one bucket
-        bucketedFor(m, sch))
+        bucketedFor(m, sch), partTypesOf(m, sch))
       val raw = toLogical(org.apache.spark.sql.graftbridge.Bridge
         .parquetRelation(spark, index, physSchemaOf(m.colmap, sch))
         .withColumn("__rel", relPathCol)
@@ -4022,12 +4245,32 @@ object SnapshotTable {
           }
         case _ => kept0
       }
+      // HIVE-STYLE PARTITION PRUNING: per-file, conservative — a path
+      // that spells partition values drops when a partition-only
+      // conjunct contradicts them; everything else keeps
+      val partTypes = partTypesOf(m, schema)
+      val keptP =
+        if (partTypes.isEmpty) kept
+        else kept.filter(e => partitionKeeps(e, dataFilters, partTypes))
       lazy val f = fs(spark, root)
-      kept.map { e =>
+      keptP.map { e =>
         val len = e.bytes.getOrElse(f.getFileStatus(new Path(root, e.path)).getLen)
         SqlDataFile(e.path, len, e.rows, e.dv.isDefined)
       }
     }
+
+    /** Declared partition columns (physical names; empty = none). */
+    def partitionCols: Seq[String] = m.partitionCols
+
+    /** Logical spelling of the declared partition columns (what the
+      * catalog reports and runtime filters resolve against). */
+    def partitionColsLogical: Seq[String] =
+      m.partitionCols.flatMap(pc => schema.fields.find(f =>
+        norm(physFor(m.colmap, f.name)) == norm(pc)).map(_.name))
+
+    /** Partition-column types keyed by normalized physical name. */
+    def partitionTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      partTypesOf(m, schema)
 
     /** Deleted positions of the dv-carrying files among `relPaths`, as
       * path → sorted ordinals — what the DSv2 readers filter with.
@@ -4122,12 +4365,15 @@ object SnapshotTable {
       requireNoRetired(m, tableSch, df.schema)
       val evolved = evolveSchema(tableSch, df.schema, allowWiden = false)
       val effCm = evolveColmap(m.colmap, evolved)
-      // a declared bucket count re-buckets the replacement snapshot —
-      // INSERT OVERWRITE keeps the storage-partitioned layout
+      // a declared layout re-establishes on the replacement snapshot —
+      // INSERT OVERWRITE keeps bucketing / partition directories
       val files = m.buckets match {
         case Some(n) => writeBucketedFiles(spark, root,
           constrained(alignTo(df, evolved), m.constraints), n,
           m.statsKey.get, m.statsKey2, effCm)
+        case None if m.partitionCols.nonEmpty => writePartitionedFiles(spark, root,
+          constrained(alignTo(df, evolved), m.constraints),
+          m.partitionCols, m.statsKey, m.statsKey2, effCm)
         case None => writeDataFiles(spark, root,
           constrained(alignTo(df, evolved), m.constraints),
           m.statsKey, m.statsKey2, bloomKey = false, effCm)
@@ -4412,7 +4658,10 @@ private[sources] final class ManifestFileIndex(
       * point sets on the key prune by bucket arithmetic — the typed
       * murmur3 the writer used — where hash-scattered stats ranges
       * keep every file. */
-    bucketed: Option[(Int, Map[String, Int], org.apache.spark.sql.types.DataType)] = None)
+    bucketed: Option[(Int, Map[String, Int], org.apache.spark.sql.types.DataType)] = None,
+    /** Declared partition-column types (normalized physical name →
+      * type): per-file Hive-style partition pruning, conservative. */
+    partTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.FileIndex {
 
   import org.apache.hadoop.fs.FileStatus
@@ -4476,7 +4725,13 @@ private[sources] final class ManifestFileIndex(
         }
       case _ => kept0
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+    // Hive-style partition pruning (per-file, conservative — the same
+    // decision the DSv2 keptFiles makes)
+    val keptP =
+      if (partTypes.isEmpty) kept
+      else kept.filter { case (_, e) =>
+        SnapshotTable.partitionKeeps(e, dataFilters, partTypes) }
+    Seq(PartitionDirectory(InternalRow.empty, keptP.map(_._1).toArray))
   }
 
   override def inputFiles: Array[String] = fileStatuses.map(_._1.getPath.toString).toArray

@@ -834,6 +834,97 @@ class GraftCatalogSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("PARTITIONED BY: directory layout, static pruning, DPP, and refusals") {
+    wh
+    import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+    sql("DROP TABLE IF EXISTS gsql.main.t_part")
+    sql("CREATE TABLE gsql.main.t_part (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
+    // declaration is visible metadata
+    val tbl = spark.sessionState.catalogManager.catalog("gsql")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("main"), "t_part"))
+    assert(tbl.partitioning().map(_.describe).toSeq == Seq("lang"),
+      tbl.partitioning().map(_.describe).mkString(","))
+    Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("t_part_src")
+    sql("INSERT INTO gsql.main.t_part SELECT doc_id, lang, n_chars FROM t_part_src")
+    val langs = spark.table("t_part_src").select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(langs.length > 1, "fixture needs several languages")
+    // the layout is directory-valued; files still CARRY the column
+    val files = graft.sources.SnapshotTable.filesDf(spark, s"$wh/main/t_part")
+      .select("path").collect().map(_.getString(0))
+    assert(files.forall(_.contains("_graft_p_lang=")), files.take(3).mkString(","))
+    def keptOf(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      PlanWalk.batchScans(q).map(_.scan).collect { case g: GraftScan => g }
+        .map(_.keptFileCount).max
+    }
+    val total = files.length
+    // STATIC pruning: a literal partition predicate keeps only that
+    // value's files — and the rows are right
+    val en = sql("SELECT count(*) FROM gsql.main.t_part WHERE lang = 'en'")
+    val enExpected = spark.table("t_part_src").filter(col("lang") === "en").count()
+    assert(en.head().getLong(0) == enExpected)
+    val enFiles = files.count(_.contains("_graft_p_lang=en"))
+    val probe = sql("SELECT doc_id FROM gsql.main.t_part WHERE lang = 'en'")
+    assert(keptOf(probe) == enFiles && enFiles < total,
+      s"static prune kept ${keptOf(probe)} of $total (en holds $enFiles)")
+    // non-partition predicates don't prune on the layout (stats still may)
+    assert(sql("SELECT count(*) FROM gsql.main.t_part WHERE n_chars >= 0")
+      .head().getLong(0) == spark.table("t_part_src").count())
+    // DYNAMIC partition pruning: the surviving langs are only knowable
+    // at runtime (a dim attribute filter) — the dim goes through
+    // parquet so the optimizer can't constant-fold the tier predicate
+    // into a static lang filter
+    spark.table("t_part_src").select(col("lang")).distinct()
+      .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
+      .write.mode("overwrite").parquet(s"$wh/main_scratch_dim")
+    graft.Scratch.registerForCleanup(s"$wh/main_scratch_dim")
+    spark.read.parquet(s"$wh/main_scratch_dim").createOrReplaceTempView("t_part_dim")
+    val dpp = sql("SELECT t.lang, count(*) AS n FROM gsql.main.t_part t " +
+      "JOIN t_part_dim d ON t.lang = d.lang WHERE d.tier = 'keep' GROUP BY t.lang")
+    assert(dpp.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("en", enExpected)))
+    assert(keptOf(dpp) == enFiles,
+      s"DPP kept ${keptOf(dpp)} files; only en's $enFiles may survive")
+    // V1 path prunes through the same per-file decision
+    val v1 = graft.sources.SnapshotTable.readIndexed(spark, s"$wh/main/t_part")
+      .filter(col("lang") === "en")
+    assert(v1.collect().length == enExpected) // executes THIS plan (metrics live here)
+    org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+    val v1Files = v1.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).getOrElse(-1L)
+    assert(v1Files == enFiles, s"V1 scanned $v1Files of $total files")
+    // a row-level rewrite (MERGE) is layout-agnostic: its files carry
+    // no partition dirs, pruning keeps them conservatively, rows stay
+    // right under partition predicates
+    sql("MERGE INTO gsql.main.t_part t USING " +
+      "(SELECT doc_id, lang, n_chars + 1 AS n_chars FROM t_part_src LIMIT 1) s " +
+      "ON t.doc_id = s.doc_id AND t.lang = s.lang " +
+      "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars")
+    assert(sql("SELECT count(*) FROM gsql.main.t_part WHERE lang = 'en'")
+      .head().getLong(0) == enExpected)
+    // refusals: NULL partition value, functional transform, buckets combo,
+    // dropping the partition column
+    val eNull = intercept[Exception](
+      sql("INSERT INTO gsql.main.t_part VALUES (999999, NULL, 1)"))
+    assert(eNull.getMessage != null)
+    val eTr = intercept[Exception](sql(
+      "CREATE TABLE gsql.main.t_part_bad (id BIGINT, v STRING) PARTITIONED BY (bucket(8, id))"))
+    assert(eTr.getMessage.contains("identity") || eTr.getMessage.contains("transform"))
+    val eCombo = intercept[Exception](sql(
+      "CREATE TABLE gsql.main.t_part_bad2 (id BIGINT, lang STRING) PARTITIONED BY (lang) " +
+        "TBLPROPERTIES ('statsKey'='id', 'buckets'='4')"))
+    assert(eCombo.getMessage.contains("mutually exclusive"))
+    val eDrop = intercept[Exception](
+      sql("ALTER TABLE gsql.main.t_part DROP COLUMN lang"))
+    assert(eDrop.getMessage.contains("PARTITION"))
+  }
+
   test("catalog scalars: cosine_sim and l2_dist rank arrays through plain SQL") {
     wh
     sql("DROP TABLE IF EXISTS gsql.main.t_vec")
