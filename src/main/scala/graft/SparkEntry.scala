@@ -2866,9 +2866,11 @@ object SparkEntry {
       // co-located join must STILL plan zero exchanges, with no
       // maintenance call anywhere (the replacing write re-buckets, the
       // scan serves dv files under their bucket ids)
+      // one matched key → runtime group filtering rewrites ONE bucket
+      // file (the gate proves the layout survives, not a full rewrite)
       s.sql(s"""MERGE INTO $ta t
         |USING (SELECT o_orderkey, o_custkey, o_totalprice
-        |       FROM graft_spj_orders_src WHERE o_orderkey % 32 = 0) src
+        |       FROM graft_spj_orders_src ORDER BY o_orderkey LIMIT 1) src
         |ON t.o_orderkey = src.o_orderkey
         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
       s.sql(s"DELETE FROM $tb WHERE c_custkey = 1")
