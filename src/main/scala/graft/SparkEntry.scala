@@ -168,6 +168,7 @@ object SparkEntry {
     "join_spj_catalog" -> ((s, d) => spjCatalogJoin(s, d)),
     "vec_cosine_topk_sql" -> ((s, d) => cosineTopKSqlCatalog(s, d)),
     "meta_partitioned_dpp" -> ((s, d) => partitionedDppQuery(s, d)),
+    "sink_partition_overwrite" -> ((s, d) => partitionOverwriteQuery(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
@@ -313,6 +314,13 @@ object SparkEntry {
              TRUE AS static_pruned, TRUE AS dpp_pruned
       FROM documents d JOIN dim ON d.lang = dim.lang
       WHERE dim.tier = 'keep' GROUP BY d.lang"""),
+    "sink_partition_overwrite" -> ("""
+      SELECT lang, count(*) AS n_docs,
+             sum(CASE WHEN lang = 'en' THEN n_chars + 1000000
+                      WHEN lang = 'de' THEN n_chars + 5000000
+                      ELSE n_chars END) AS sum_chars,
+             TRUE AS untouched_carried
+      FROM documents GROUP BY lang"""),
     "vec_range_search" -> VectorOps.rangeSearchSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
@@ -2790,6 +2798,50 @@ object SparkEntry {
     graft.Scratch.registerForCleanup(dimDir)
     j.withColumn("static_pruned", lit(staticPruned))
       .withColumn("dpp_pruned", lit(dppPruned))
+  }
+
+  /** The daily re-ingest shape on a PARTITIONED BY table: a STATIC
+    * partition-scoped overwrite (`INSERT OVERWRITE … PARTITION
+    * (lang='en')`) replaces exactly one language's slice, then a
+    * DYNAMIC overwrite (`partitionOverwriteMode=dynamic`) replaces
+    * exactly the partitions present in its batch — Hive semantics,
+    * atomically versioned, with every untouched partition's files
+    * CARRIED VERBATIM (the `untouched_carried` boolean compares
+    * manifest paths across both rewrites). At 100 TB this is the op a
+    * recurring corpus refresh runs nightly: re-land one slice without
+    * rewriting — or even reading — the other 99. Reference analog: the
+    * per-model re-conversion loop of etl_processor.py re-landing one
+    * embedding model's metadata. */
+  private def partitionOverwriteQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = SqlCat.ensure(s)
+    val t = s"${SqlCat.name}.g.docs_pow"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_pow_src")
+    s.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_pow_src")
+    val root = s"$wh/g/docs_pow"
+    def paths(except: String): Set[String] =
+      graft.sources.SnapshotTable.filesDf(s, root).collect().map(_.getString(0))
+        .filterNot(_.contains(s"_graft_p_lang=$except")).toSet
+    val beforeEn = paths(except = "en")
+    s.sql(s"INSERT OVERWRITE $t PARTITION (lang = 'en') " +
+      "SELECT doc_id, n_chars + 1000000 FROM graft_pow_src WHERE lang = 'en'")
+    val carried1 = paths(except = "en") == beforeEn
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = s.conf.getOption(modeKey)
+    val carried2 = try {
+      s.conf.set(modeKey, "dynamic")
+      val beforeDe = paths(except = "de")
+      s.sql(s"INSERT OVERWRITE $t SELECT doc_id, lang, n_chars + 5000000 " +
+        "FROM graft_pow_src WHERE lang = 'de'")
+      paths(except = "de") == beforeDe
+    } finally prevMode.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
+    graft.Scratch.registerForCleanup(root)
+    s.sql(s"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t " +
+      "GROUP BY lang")
+      .withColumn("untouched_carried", lit(carried1 && carried2))
   }
 
   /** The retrieval surface fully NAME-ADDRESSED: a vector-store table

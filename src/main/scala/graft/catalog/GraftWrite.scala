@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 import graft.sources.SnapshotTable
@@ -28,21 +28,48 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
     with SupportsDynamicOverwrite {
 
   private var overwriteAll = false
+  private var dynamicPartitions = false
+  private var overwriteScope: Array[Filter] = Array.empty
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
-  /** The table has no partition columns, so "overwrite the partitions
-    * present in the data" (a session running
-    * `partitionOverwriteMode=dynamic`) degenerates to the one
-    * partition there is: the whole table. */
-  override def overwriteDynamicPartitions(): WriteBuilder = { overwriteAll = true; this }
+  /** "Overwrite the partitions present in the data"
+    * (`partitionOverwriteMode=dynamic`): on a PARTITIONED BY table the
+    * commit replaces exactly the partition VALUES the batch wrote and
+    * carries everything else ([[SnapshotTable.sqlOverwriteDynamic]] —
+    * Hive's dynamic overwrite); an unpartitioned table degenerates to
+    * the one partition there is: the whole table. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicPartitions = true
+    this
+  }
 
+  /** Whole-table (`AlwaysTrue`), or PARTITION-scoped on a PARTITIONED
+    * BY table: `INSERT OVERWRITE t PARTITION (lang='en')` arrives as
+    * exact-scope filters over partition columns (EqualTo / IN / AND of
+    * those only — the scope must translate EXACTLY, a widened scope
+    * would silently replace partitions the statement never named). */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]),
-      "graft tables support INSERT OVERWRITE of the whole table only " +
-        "(partition-scoped overwrite has no partition directories to scope to); " +
-        "use MERGE INTO or DELETE + INSERT for a predicate-scoped rewrite")
-    overwriteAll = true
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) {
+      overwriteAll = true
+      return this
+    }
+    val snap = SnapshotTable.sqlSnapshot(spark, root)
+    val partCols = snap.partitionColsLogical.map(SnapshotTable.normName).toSet
+    def scoped(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => v != null && partCols.contains(SnapshotTable.normName(a))
+      case EqualNullSafe(a, v) => v != null && partCols.contains(SnapshotTable.normName(a))
+      case In(a, vs) => vs.nonEmpty && vs.forall(_ != null) &&
+        partCols.contains(SnapshotTable.normName(a))
+      case And(l, r) => scoped(l) && scoped(r)
+      case _ => false
+    }
+    require(partCols.nonEmpty && filters.forall(scoped),
+      "INSERT OVERWRITE of a graft table is whole-table or PARTITION-scoped " +
+        "(equality/IN over declared partition columns); " +
+        s"got ${filters.mkString(", ")} — use MERGE INTO or DELETE + INSERT " +
+        "for a general predicate-scoped rewrite")
+    overwriteScope = filters
     this
   }
 
@@ -50,21 +77,37 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          if (overwriteAll || overwrite) SnapshotTable.sqlOverwrite(spark, root, data)
+          if (overwriteScope.nonEmpty) {
+            val snap = SnapshotTable.sqlSnapshot(spark, root)
+            def fieldType(n: String) =
+              snap.schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+            // exact by construction: overwrite() admitted only
+            // EqualTo/IN/AND over partition columns, all of which
+            // toCatalystBound translates completely
+            val preds = overwriteScope.flatMap(
+              FilterBridge.toCatalystBound(_, fieldType, snap.physName)).toSeq
+            require(preds.length == overwriteScope.length,
+              s"internal: overwrite scope lost a conjunct in translation")
+            SnapshotTable.sqlOverwriteWhere(spark, root, data, preds)
+          }
+          else if (overwriteAll || overwrite) SnapshotTable.sqlOverwrite(spark, root, data)
           else SnapshotTable.append(spark, root, data)
           ()
         }
       }
     // dynamic overwrite has no V1 exec in Spark: it plans through
     // OverwritePartitionsDynamicExec, which drives a real BatchWrite —
-    // executor parquet writers + a whole-snapshot "rewrite" commit
+    // executor parquet writers (layout-aware) + either a dynamic
+    // partition-replace or a whole-snapshot "rewrite" commit
     override def toBatch: BatchWrite = {
       val snap = SnapshotTable.sqlSnapshot(spark, root)
       new GraftFileBatchWrite(spark, snap, snap.schema, { files =>
         SnapshotTable.sqlValidateWritten(spark, snap.root, files.map(_.relPath))
-        SnapshotTable.sqlOverwriteFiles(spark, snap.root, files)
+        if (dynamicPartitions && snap.partitionCols.nonEmpty)
+          SnapshotTable.sqlOverwriteDynamic(spark, snap.root, files)
+        else SnapshotTable.sqlOverwriteFiles(spark, snap.root, files)
         ()
-      })
+      }, GraftSplitSpec.forSnap(snap, snap.schema))
     }
 
     /** `writeStream.toTable(name)` — each epoch is one atomic commit
@@ -84,7 +127,11 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         private val snap = SnapshotTable.sqlSnapshot(spark, root)
         private val batch = new GraftFileBatchWrite(spark, snap, snap.schema,
-          _ => throw new IllegalStateException("streaming commits go through commit(epoch, ...)"))
+          _ => throw new IllegalStateException("streaming commits go through commit(epoch, ...)"),
+          // epoch appends honor declared layouts: bucket-per-file keeps
+          // SPJ live through streaming ingest, partition dirs keep the
+          // epochs prunable
+          GraftSplitSpec.forSnap(snap, snap.schema))
 
         override def createStreamingWriterFactory(
             info: PhysicalWriteInfo)
@@ -94,9 +141,8 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
 
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit = {
-          val files = messages.collect {
-            case m: GraftCommitMessage if m.rows > 0 => m
-          }.sortBy(_.relPath).toIndexedSeq
+          val files = GraftCommitMessage.flatten(messages)
+            .filter(_.rows > 0).sortBy(_.relPath).toIndexedSeq
           // replay (crash between table commit and checkpoint commit):
           // recognized by the cursor, dropped; this attempt's files are
           // unreferenced and die in the next vacuum
@@ -131,11 +177,13 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
 
         override def abort(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit =
-          messages.collect { case m: GraftCommitMessage if m.relPath != null =>
-            val p = new Path(root, m.relPath)
-            try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(p, false)
-            catch { case _: Exception => () }
+          GraftCommitMessage.flatten(messages).foreach { m =>
+            if (m.relPath != null) {
+              val p = new Path(root, m.relPath)
+              try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(p, false)
+              catch { case _: Exception => () }
+            }
           }
       }
   }
@@ -193,56 +241,63 @@ private[catalog] final class GraftReplaceWrite(spark: SparkSession,
     writeSchema: StructType) extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-  /** DECLARED-bucket tables keep their storage-partitioned layout
-    * THROUGH row-level rewrites: the replacement files are written
-    * bucket-per-file at the declared count (same path shape as
-    * [[SnapshotTable.compactBucketed]]), so a steady-state MERGE/CDC
-    * workload never pays the one remaining O(table) maintenance op a
-    * dissolved layout used to demand. Armed only when the declared
-    * count, a hashable stats key in the write schema, and a clean
-    * `_graft_bucket` name all line up — otherwise the plain write
-    * runs and dissolution stays the conservative safety net. */
-  private val bucketSpec: Option[(Int, String, Int, DataType)] =
-    for {
-      n <- snap.declaredBuckets
-      key <- snap.statsKey
-      (f, i) <- writeSchema.fields.zipWithIndex
-        .find(_._1.name.equalsIgnoreCase(key))
-      if (f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == StringType) &&
-        !writeSchema.fields.exists(_.name.equalsIgnoreCase("_graft_bucket"))
-    } yield (n, f.name, i, f.dataType)
+  /** DECLARED layouts survive row-level rewrites: on a bucket-declared
+    * table the replacement files are written bucket-per-file at the
+    * declared count (same path shape as [[SnapshotTable
+    * .compactBucketed]]), so a steady-state MERGE/CDC workload never
+    * pays the one remaining O(table) maintenance op a dissolved layout
+    * used to demand; on a PARTITIONED BY table they land under
+    * partition directories, so pruning facts follow the rewrite. Armed
+    * only when the declaration and the write schema line up — the
+    * plain write stays the conservative fallback. */
+  private val split: Option[GraftSplitSpec] =
+    GraftSplitSpec.forSnap(snap, writeSchema)
 
-  // cluster the replacement rows by the bucket key into exactly
-  // `buckets` partitions: Spark's hash partitioning IS the bucket
-  // function (pmod(murmur3(key, seed 42), n)), so each writer task
-  // receives one bucket and opens one file. The writer still derives
-  // each row's bucket itself — the distribution only bounds file
-  // count, never correctness.
+  // cluster the replacement rows so each writer task holds few groups:
+  // for buckets, clustered-by-key into exactly `n` partitions IS the
+  // bucket function (pmod(murmur3(key, seed 42), n)) — one bucket per
+  // task; for partitions, clustered by the partition columns — one
+  // value set per task. The writer still derives each row's directory
+  // itself: the distribution only bounds file count, never correctness.
   override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution =
-    bucketSpec match {
-      case Some((_, keyName, _, _)) =>
-        org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .column(keyName)))
-      case None =>
-        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    import org.apache.spark.sql.connector.expressions.Expressions
+    split match {
+      case Some(_: GraftBucketSplit) =>
+        Distributions.clustered(Array(Expressions.column(
+          writeSchema.fields.find(f =>
+            snap.statsKey.exists(f.name.equalsIgnoreCase)).get.name)))
+      case Some(_: GraftPartitionSplit) =>
+        Distributions.clustered(
+          snap.partitionColsLogical.map(Expressions.column).toArray)
+      case None => Distributions.unspecified()
     }
+  }
 
-  override def requiredNumPartitions(): Int =
-    bucketSpec.map(_._1).getOrElse(0)
+  override def requiredNumPartitions(): Int = split match {
+    case Some(b: GraftBucketSplit) => b.buckets
+    case _ => 0
+  }
 
-  // sort by key within each bucket file: row-group stats stay selective
+  // sort within tasks: by key for bucket files (row-group stats stay
+  // selective), by partition columns for partitioned files (groups
+  // stay contiguous, so the writer rolls instead of interleaving)
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    bucketSpec match {
-      case Some((_, keyName, _, _)) =>
-        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-          org.apache.spark.sql.connector.expressions.Expressions.column(keyName),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    split match {
+      case Some(_: GraftBucketSplit) =>
+        Array(Expressions.sort(Expressions.column(
+          writeSchema.fields.find(f =>
+            snap.statsKey.exists(f.name.equalsIgnoreCase)).get.name),
+          SortDirection.ASCENDING))
+      case Some(_: GraftPartitionSplit) =>
+        snap.partitionColsLogical.map(c => Expressions.sort(
+          Expressions.column(c), SortDirection.ASCENDING)).toArray
       case None => Array.empty
     }
+  }
 
   override def toBatch: BatchWrite =
     new GraftFileBatchWrite(spark, snap, writeSchema, { files =>
@@ -252,7 +307,7 @@ private[catalog] final class GraftReplaceWrite(spark: SparkSession,
       SnapshotTable.sqlValidateWritten(spark, snap.root, files.map(_.relPath))
       SnapshotTable.sqlReplaceFiles(spark, snap.root, snap.version, scanned(), files)
       ()
-    }, bucketSpec.map { case (n, _, i, dt) => (n, i, dt) })
+    }, split)
 }
 
 /** The shared file-producing half of every DSv2 batch write: executor
@@ -263,16 +318,13 @@ private[catalog] final class GraftReplaceWrite(spark: SparkSession,
 private[catalog] final class GraftFileBatchWrite(spark: SparkSession,
     snap: SnapshotTable.SqlSnapshot, writeSchema: StructType,
     commitFiles: Seq[SnapshotTable.SqlWrittenFile] => Unit,
-    bucketed: Option[(Int, Int, DataType)] = None) extends BatchWrite {
+    split: Option[GraftSplitSpec] = None) extends BatchWrite {
 
-  // a bucketed replace write spells its bucket count in the batch path
-  // ([[SnapshotTable]]'s BucketPathRe), so the layout claim survives
-  // the rewrite with no manifest format change
-  private val batchDir = bucketed match {
-    case Some((n, _, _)) =>
-      s"data/bkt$n-${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}"
-    case None => s"data/sql-${java.util.UUID.randomUUID().toString.take(8)}"
-  }
+  // a layout-aware write spells its layout in the batch path (bucket
+  // count for SPJ's BucketPathRe, partition dirs for pruning), so the
+  // claim/facts survive the write with no manifest format change
+  private val batchDir = split.map(_.batchDirName).getOrElse(
+    s"data/sql-${java.util.UUID.randomUUID().toString.take(8)}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // files spell physical names (at every struct level); the batch
@@ -293,7 +345,7 @@ private[catalog] final class GraftFileBatchWrite(spark: SparkSession,
       snap.root, batchDir, physWrite,
       Seq(spec(snap.statsKey, secondary = false),
         spec(snap.statsKey2, secondary = true)).flatten,
-      bucketed)
+      split)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -328,47 +380,146 @@ private[graft] final class SerializableHadoopConf(@transient var value: Configur
   }
 }
 
+/** HOW a layout-aware executor write routes each row to a
+  * subdirectory of its batch: by bucket hash (declared-bucket tables —
+  * the layout claim survives the write) or by partition value
+  * (PARTITIONED BY tables — the pruning facts follow the rows).
+  * Shipped to writer tasks inside the factory; `dirOf` runs on the
+  * TRIMMED row (physical write-schema ordinals). */
+private[graft] sealed trait GraftSplitSpec extends Serializable {
+  def dirOf(row: InternalRow): String
+  /** The batch directory prefix this layout spells in paths. */
+  def batchDirName: String
+}
+
+private[catalog] object GraftSplitSpec {
+  /** The layout split a DSv2 executor write over `writeSchema` should
+    * honor for this table: buckets when declared (the SPJ layout
+    * survives the write), else partition directories when declared
+    * (the pruning facts follow the rows), else None (plain write). */
+  def forSnap(snap: SnapshotTable.SqlSnapshot,
+      writeSchema: StructType): Option[GraftSplitSpec] = {
+    val bucket: Option[GraftSplitSpec] = for {
+      n <- snap.declaredBuckets
+      key <- snap.statsKey
+      (f, i) <- writeSchema.fields.zipWithIndex
+        .find(_._1.name.equalsIgnoreCase(key))
+      if (f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == StringType) &&
+        !writeSchema.fields.exists(_.name.equalsIgnoreCase("_graft_bucket"))
+    } yield GraftBucketSplit(n, i, f.dataType)
+    def partition: Option[GraftSplitSpec] = {
+      val cols = snap.partitionCols.flatMap { phys =>
+        writeSchema.fields.zipWithIndex.collectFirst {
+          case (f, i) if SnapshotTable.normName(snap.physName(f.name)) ==
+            SnapshotTable.normName(phys) => (phys, i, f.dataType)
+        }
+      }
+      if (cols.nonEmpty && cols.size == snap.partitionCols.size &&
+          cols.forall(c => c._3 == IntegerType || c._3 == LongType ||
+            c._3 == StringType || c._3 == org.apache.spark.sql.types.DateType))
+        Some(GraftPartitionSplit(cols))
+      else None
+    }
+    bucket.orElse(partition)
+  }
+}
+
+/** `pmod(murmur3_hash(key), n)` — the writer's exact typed hash
+  * ([[GraftBucketFunction]]'s twin). */
+private[graft] final case class GraftBucketSplit(buckets: Int,
+    keyOrdinal: Int, keyType: DataType) extends GraftSplitSpec {
+  @transient private lazy val hasher =
+    org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(
+        keyOrdinal, keyType, nullable = true)), 42)
+  override def dirOf(row: InternalRow): String = {
+    val h = hasher.eval(row).asInstanceOf[Int]
+    s"_graft_bucket=${((h % buckets) + buckets) % buckets}"
+  }
+  override def batchDirName: String =
+    s"data/bkt$buckets-${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}"
+}
+
+/** One `_graft_p_<col>=<url-encoded value>` level per declared
+  * partition column — byte-identical to the V1 partitioned writer's
+  * Spark-side `url_encode(cast(col as string))` fragments (URLEncoder
+  * IS Spark's url_encode). NULL partition values refuse loudly: the
+  * directory is the value. */
+private[graft] final case class GraftPartitionSplit(
+    cols: Seq[(String, Int, DataType)]) extends GraftSplitSpec {
+  override def dirOf(row: InternalRow): String =
+    cols.map { case (name, i, dt) =>
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"partitioned write: NULL in partition column '$name' " +
+            "(the directory is the value; default nulls before writing)")
+      val raw = dt match {
+        case IntegerType => row.getInt(i).toString
+        case LongType => row.getLong(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case org.apache.spark.sql.types.DateType =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaDate(row.getInt(i)).toString
+        case other => throw new IllegalStateException(
+          s"unsupported partition type ${other.simpleString}")
+      }
+      s"_graft_p_$name=" + java.net.URLEncoder.encode(raw, "UTF-8")
+    }.mkString("/")
+  override def batchDirName: String =
+    s"data/pt-${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}"
+}
+
 private[catalog] final case class GraftWriterFactory(conf: SerializableHadoopConf,
     root: String, batchDir: String, physSchema: StructType, stats: Seq[StatsSpec],
-    bucketed: Option[(Int, Int, DataType)] = None)
+    split: Option[GraftSplitSpec] = None)
   extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    bucketed match {
-      case Some((n, keyOrdinal, keyType)) =>
-        new GraftBucketedDataWriter(conf.value, root, batchDir, physSchema,
-          stats, n, keyOrdinal, keyType, partitionId, taskId)
+    split match {
+      case Some(sp) =>
+        new GraftSplitDataWriter(conf.value, root, batchDir, physSchema,
+          stats, sp, partitionId, taskId, nameSuffix = "")
       case None =>
         new GraftParquetWriter(conf.value, root,
           s"$batchDir/part-$partitionId-$taskId.parquet", physSchema, stats)
     }
   // streaming twin: the task id is globally unique per attempt, so the
-  // same naming scheme keeps every epoch's files distinct
+  // same naming scheme keeps every epoch's files distinct. Epoch
+  // appends are layout-aware too: a declared-bucket table keeps SPJ
+  // through streaming ingest, a partitioned table's epochs land under
+  // pruned directories.
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftParquetWriter(conf.value, root,
-      s"$batchDir/part-$partitionId-$taskId-e$epochId.parquet", physSchema, stats)
+    split match {
+      case Some(sp) =>
+        new GraftSplitDataWriter(conf.value, root, batchDir, physSchema,
+          stats, sp, partitionId, taskId, nameSuffix = s"-e$epochId")
+      case None =>
+        new GraftParquetWriter(conf.value, root,
+          s"$batchDir/part-$partitionId-$taskId-e$epochId.parquet", physSchema, stats)
+    }
 }
 
-/** A row-level write task on a DECLARED-bucket table: routes each row
-  * to its bucket's file (`pmod(murmur3_hash(key), n)` — the writer's
-  * exact typed hash, [[GraftBucketFunction]]'s twin) under the
-  * bucketed path shape, measuring stats in the write loop like the
-  * plain writer. The write's required distribution clusters rows by
-  * the key into `n` partitions, so a task normally holds ONE bucket;
-  * if the engine hands it more anyway, open writers are capped — the
-  * overflow closes them all and reappearing buckets start new files
-  * (multiple files per bucket id are a legal layout). */
-private[catalog] final class GraftBucketedDataWriter(conf: Configuration,
+/** A layout-aware write task: routes each row to its
+  * [[GraftSplitSpec]] subdirectory, measuring stats in the write loop
+  * like the plain writer. Row-level writes on bucketed tables arrive
+  * clustered (one bucket per task — the write's required
+  * distribution), partitioned writes clustered by partition value; if
+  * the engine hands a task more groups anyway, open writers are
+  * capped — the overflow closes them all and reappearing groups start
+  * new files (multiple files per directory are a legal layout). */
+private[catalog] final class GraftSplitDataWriter(conf: Configuration,
     root: String, batchDir: String, physSchema: StructType,
-    stats: Seq[StatsSpec], buckets: Int, keyOrdinal: Int, keyType: DataType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    stats: Seq[StatsSpec], split: GraftSplitSpec,
+    partitionId: Int, taskId: Long, nameSuffix: String)
+  extends DataWriter[InternalRow] {
 
   /** Each open parquet writer buffers up to a row group; 16 bounds a
     * pathological distribution at well under executor memory. */
   private val MaxOpenWriters = 16
 
-  private val open = new java.util.HashMap[Int, GraftParquetWriter]()
+  private val open = new java.util.HashMap[String, GraftParquetWriter]()
   private val done = scala.collection.mutable.ArrayBuffer.empty[GraftCommitMessage]
   private var fileSeq = 0
 
@@ -377,16 +528,11 @@ private[catalog] final class GraftBucketedDataWriter(conf: Configuration,
   private var fieldOffset = -1
   private var trim: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
 
-  @transient private lazy val hasher =
-    org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-      Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(
-        keyOrdinal, keyType, nullable = true)), 42)
-
   override def write(row0: InternalRow): Unit = {
     if (fieldOffset < 0) {
       fieldOffset = row0.numFields - physSchema.length
       require(fieldOffset == 0 || fieldOffset == 1,
-        s"bucketed writer expected ${physSchema.length} (or +1 marker) fields, " +
+        s"split writer expected ${physSchema.length} (or +1 marker) fields, " +
           s"got ${row0.numFields}")
       if (fieldOffset == 1)
         trim = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
@@ -395,9 +541,8 @@ private[catalog] final class GraftBucketedDataWriter(conf: Configuration,
               i + 1, f.dataType, nullable = true) }.toIndexedSeq)
     }
     val row = if (fieldOffset == 0) row0 else trim(row0)
-    val h = hasher.eval(row).asInstanceOf[Int]
-    val b = ((h % buckets) + buckets) % buckets
-    var w = open.get(b)
+    val dir = split.dirOf(row)
+    var w = open.get(dir)
     if (w == null) {
       if (open.size >= MaxOpenWriters) {
         open.values.forEach(ww =>
@@ -405,10 +550,10 @@ private[catalog] final class GraftBucketedDataWriter(conf: Configuration,
         open.clear()
       }
       w = new GraftParquetWriter(conf, root,
-        s"$batchDir/_graft_bucket=$b/part-$partitionId-$taskId-$fileSeq.parquet",
+        s"$batchDir/$dir/part-$partitionId-$taskId$nameSuffix-$fileSeq.parquet",
         physSchema, stats)
       fileSeq += 1
-      open.put(b, w)
+      open.put(dir, w)
     }
     w.write(row)
   }

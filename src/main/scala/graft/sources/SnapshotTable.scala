@@ -4410,6 +4410,140 @@ object SnapshotTable {
         colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
     }
 
+  /** Does `e`'s path-spelled partition tuple satisfy ALL of `preds`
+    * (catalyst conjuncts over PHYSICAL partition-column names)?
+    * Some(true/false) when decidable, None when the path spells no
+    * complete tuple or a value/eval doesn't parse — the EXACT-scope
+    * twin of [[partitionKeeps]] (which keeps on None; overwrite
+    * scoping must refuse instead: an undecidable file may hold rows
+    * on both sides of the scope). */
+  private[sources] def partitionMatches(e: FileEntry,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      partTypes: Map[String, org.apache.spark.sql.types.DataType]): Option[Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    val vals = partValuesOf(e.path)
+    if (partTypes.isEmpty || !partTypes.keySet.subsetOf(vals.keySet)) return None
+    def typed(r: String): Option[Any] =
+      partCatalystValue(vals(r), partTypes(r)).map {
+        // Literal.create below takes EXTERNAL values; partCatalystValue
+        // returns catalyst-internal (UTF8String/days) for the scan's
+        // runtime-filter compare — unwrap the two that differ
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case days: Integer if partTypes(r) == org.apache.spark.sql.types.DateType =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(days)
+        case v => v
+      }
+    try {
+      var ok = true
+      val results = preds.map { p =>
+        val refs = p.references.toSeq.map(a => norm(a.name))
+        if (!refs.forall(partTypes.contains)) { ok = false; false }
+        else {
+          val bound = p.transform {
+            case a: AttributeReference =>
+              typed(norm(a.name)) match {
+                case Some(v) => Literal.create(v, partTypes(norm(a.name)))
+                case None => ok = false; a
+              }
+          }
+          if (!ok) false
+          else java.lang.Boolean.TRUE.equals(bound.eval(null))
+        }
+      }
+      if (ok) Some(results.forall(identity)) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** PARTITION-scoped INSERT OVERWRITE (`INSERT OVERWRITE t PARTITION
+    * (lang='en') SELECT …`): replace exactly the files whose partition
+    * tuple satisfies the scope, carry everything else — one atomic op
+    * "rewrite" commit. Refuses loudly on any live file that spells no
+    * partition tuple (it may hold rows on both sides of the scope;
+    * recovery: [[compactPartitioned]] or a whole-table overwrite), and
+    * on any written row landing OUTSIDE the scope (the statement named
+    * partitions it isn't replacing). */
+  private[graft] def sqlOverwriteWhere(spark: SparkSession, root: String,
+      df: DataFrame,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int =
+    retrying(spark, root, op = "rewrite") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      require(m.partitionCols.nonEmpty,
+        s"$root declares no partition columns; scoped overwrite needs PARTITIONED BY")
+      val sch = schemaOf(spark, root, m)
+      val partTypes = partTypesOf(m, sch)
+      val carried = m.entries.filter { e =>
+        !partitionMatches(e, preds, partTypes).getOrElse(throw
+          new IllegalArgumentException(
+            s"partition-scoped overwrite of $root: file ${e.path} spells no " +
+              "partition tuple (written by a layout-agnostic op), so its rows " +
+              "cannot be scoped; run compactPartitioned first, or overwrite " +
+              "the whole table"))
+      }
+      val fresh = writePartitionedFiles(spark, root,
+        constrained(alignTo(df, sch), m.constraints),
+        m.partitionCols, m.statsKey, m.statsKey2, m.colmap)
+      fresh.foreach { e =>
+        require(partitionMatches(e, preds, partTypes).contains(true),
+          s"INSERT OVERWRITE PARTITION scope violation on $root: written file " +
+            s"${e.path} holds rows outside the overwritten partitions")
+      }
+      Pending(carried ++ fresh, sch, m.statsKey, m.statsKey2,
+        colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
+    }
+
+  /** DYNAMIC partition overwrite (Hive semantics, `INSERT OVERWRITE`
+    * under `partitionOverwriteMode=dynamic`): the executor tasks wrote
+    * the batch under partition directories; the commit replaces
+    * exactly the partition VALUES present among the written files and
+    * carries every other partition — op "rewrite". Refuses loudly on a
+    * live file that spells no partition tuple (same contract as
+    * [[sqlOverwriteWhere]]). */
+  private[graft] def sqlOverwriteDynamic(spark: SparkSession, root: String,
+      written: Seq[SqlWrittenFile]): Int =
+    retrying(spark, root, op = "rewrite") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      require(m.partitionCols.nonEmpty,
+        s"$root declares no partition columns; use sqlOverwriteFiles")
+      val n = m.partitionCols.size
+      val replaced: Set[Map[String, String]] =
+        written.map(w => partValuesOf(w.relPath)).toSet
+      require(replaced.forall(_.size == n),
+        s"internal: dynamic overwrite of $root wrote a non-partition path")
+      val carried = m.entries.filter { e =>
+        val vals = partValuesOf(e.path)
+        require(vals.size == n,
+          s"dynamic partition overwrite of $root: file ${e.path} spells no " +
+            "partition tuple (written by a layout-agnostic op), so its rows " +
+            "cannot be scoped; run compactPartitioned first, or overwrite " +
+            "the whole table")
+        !replaced.contains(vals)
+      }
+      val fresh = written.map { w =>
+        FileEntry(w.relPath, w.minL, w.maxL, Some(w.rows), Some(w.bytes),
+          w.minB, w.maxB, w.min2L, w.max2L, w.min2B, w.max2B)
+      }
+      Pending(carried ++ fresh, schemaOf(spark, root, m), m.statsKey, m.statsKey2,
+        colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
+    }
+
+  /** Whole-table re-layout into partition directories (op "compact" —
+    * row-preserving, dv debt materializes like any full compact): the
+    * maintenance op that restores a PARTITIONED BY table's fully
+    * partition-shaped layout after layout-agnostic rewrites
+    * (compactSmall, materializeDv) left plain-path files — the
+    * precondition partition-SCOPED overwrites refuse without. */
+  def compactPartitioned(spark: SparkSession, root: String): Int =
+    retrying(spark, root, op = "compact") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      require(m.partitionCols.nonEmpty,
+        s"$root declares no partition columns (PARTITIONED BY at create)")
+      val schema = schemaOf(spark, root, m)
+      val current = readEntries(spark, root, schema, m.entries, m.colmap)
+      Pending(writePartitionedFiles(spark, root, current, m.partitionCols,
+        m.statsKey, m.statsKey2, m.colmap), schema, m.statsKey, m.statsKey2,
+        colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
+    }
+
   /** [[sqlOverwrite]]'s file-level twin for the DSv2 BATCH write path
     * (dynamic overwrite: the rows were already written by executor
     * tasks, so the commit just publishes the file list as the whole

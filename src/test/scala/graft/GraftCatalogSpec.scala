@@ -449,6 +449,59 @@ class GraftCatalogSpec extends SparkSpec {
       s"streamed appends must carry usable stats; kept ${gs.map(_.keptFileCount)}")
   }
 
+  test("streaming epochs honor declared layouts: SPJ and partition dirs survive ingest") {
+    wh
+    Seq("sl_src", "sl_bkt", "sl_part", "sl_dim").foreach(t =>
+      sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.sl_src (id BIGINT, lang STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.sl_bkt (id BIGINT, lang STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='4')")
+    sql("CREATE TABLE gsql.main.sl_dim (id BIGINT, w STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='4')")
+    sql("CREATE TABLE gsql.main.sl_part (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.sl_dim SELECT id, concat('w', id) FROM range(0, 200)")
+    sql("INSERT INTO gsql.main.sl_src SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END FROM range(0, 200)")
+    def drainTo(out: String): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sl-$out").toString
+      spark.readStream.table("gsql.main.sl_src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"gsql.main.$out").awaitTermination()
+    }
+    drainTo("sl_bkt")
+    drainTo("sl_part")
+    // streamed epochs kept the BUCKET layout: SPJ against the dim
+    assert(graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/sl_bkt")
+      .bucketedLayout.contains(4), "epoch appends must write bucket-per-file")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "-1")
+      val j = sql("SELECT a.id, b.w FROM gsql.main.sl_bkt a " +
+        "JOIN gsql.main.sl_dim b ON a.id = b.id")
+      assert(j.count() == 200L)
+      val shuffles = PlanWalk.executedNodes(j.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      assert(shuffles == 0,
+        s"SPJ must survive streaming ingest:\n${j.queryExecution.executedPlan}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // streamed epochs landed under partition dirs: static pruning works
+    val files = graft.sources.SnapshotTable.filesDf(spark, s"$wh/main/sl_part")
+      .collect().map(_.getString(0))
+    assert(files.forall(_.contains("_graft_p_lang=")), files.take(3).mkString(","))
+    val probe = sql("SELECT id FROM gsql.main.sl_part WHERE lang = 'en'")
+    assert(probe.collect().length == 100)
+    val kept = PlanWalk.batchScans(probe).map(_.scan)
+      .collect { case g: GraftScan => g.keptFileCount }.max
+    assert(kept == files.count(_.contains("_graft_p_lang=en")) && kept < files.length,
+      s"streamed partitions must prune: kept $kept of ${files.length}")
+  }
+
   test("streaming source: AvailableNow pacing and data-changing refusal") {
     wh
     Seq("p_src", "p_out").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
@@ -755,19 +808,28 @@ class GraftCatalogSpec extends SparkSpec {
       assert(j4.count() == 600L && shuffles(j4) == 0,
         "an inserting merge must keep the declared layout")
       assert(sql("SELECT count(*) FROM gsql.main.t_decl_a").head().getLong(0) == 601L)
-      // the DYNAMIC-overwrite executor write is the one remaining
-      // non-bucket path: it dissolves the claim (conservative), and the
-      // declared-default compactBucketed() restores it
+      // the DYNAMIC-overwrite executor write honors the declaration too
+      // (split writer): the claim survives even that path
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       sql("INSERT OVERWRITE gsql.main.t_decl_a SELECT id, CAST(id AS STRING) FROM range(0, 600)")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-      val det3 = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
-      assert(det3.declaredBuckets.contains(8) && det3.bucketedLayout.isEmpty,
-        "the executor batch write must dissolve (it writes plain paths)")
-      graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_decl_a")
       val j5 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
         "JOIN gsql.main.t_decl_b b ON a.id = b.id")
       assert(j5.count() == 600L && shuffles(j5) == 0,
+        "dynamic overwrite must keep the declared layout")
+      // LAYOUT-AGNOSTIC maintenance (dv materialization writes plain
+      // paths) is the remaining dissolution path; the declared-default
+      // compactBucketed() restores
+      sql("DELETE FROM gsql.main.t_decl_a WHERE id = 5")
+      graft.sources.SnapshotTable.materializeDv(spark, s"$wh/main/t_decl_a",
+        maxDvFraction = 0.0)
+      val det3 = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
+      assert(det3.declaredBuckets.contains(8) && det3.bucketedLayout.isEmpty,
+        s"materializeDv writes plain paths; got layout=${det3.bucketedLayout}")
+      graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_decl_a")
+      val j6 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
+        "JOIN gsql.main.t_decl_b b ON a.id = b.id")
+      assert(j6.count() == 599L && shuffles(j6) == 0,
         "declared-default compactBucketed must restore the layout")
       // the declaration is visible table metadata
       val props = spark.sessionState.catalogManager.catalog("gsql")
@@ -923,6 +985,82 @@ class GraftCatalogSpec extends SparkSpec {
     val eDrop = intercept[Exception](
       sql("ALTER TABLE gsql.main.t_part DROP COLUMN lang"))
     assert(eDrop.getMessage.contains("PARTITION"))
+  }
+
+  test("partition overwrite: PARTITION-scoped static, dynamic, refusals") {
+    wh
+    import org.apache.spark.sql.functions.col
+    sql("DROP TABLE IF EXISTS gsql.main.t_pow")
+    sql("CREATE TABLE gsql.main.t_pow (id BIGINT, lang STRING, v STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_pow SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END, " +
+      "concat('v', id) FROM range(0, 300)")
+    def rows(lang: String): Long =
+      sql(s"SELECT count(*) FROM gsql.main.t_pow WHERE lang = '$lang'").head().getLong(0)
+    def pathsOf(lang: String): Set[String] =
+      graft.sources.SnapshotTable.filesDf(spark, s"$wh/main/t_pow")
+        .collect().map(_.getString(0)).filter(_.contains(s"_graft_p_lang=$lang")).toSet
+    assert(rows("en") == 100 && rows("de") == 100 && rows("fr") == 100)
+    val dePathsBefore = pathsOf("de")
+    // STATIC partition-scoped overwrite: only en's files move
+    sql("INSERT OVERWRITE gsql.main.t_pow PARTITION (lang = 'en') " +
+      "SELECT id, concat('EN', id) FROM range(0, 10)")
+    assert(rows("en") == 10 && rows("de") == 100 && rows("fr") == 100)
+    assert(sql("SELECT v FROM gsql.main.t_pow WHERE lang = 'en' AND id = 3")
+      .head().getString(0) == "EN3")
+    assert(pathsOf("de") == dePathsBefore,
+      "untouched partitions must carry their files verbatim")
+    // DYNAMIC overwrite: only the partitions PRESENT in the batch move
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.range(0, 7)
+        .select(col("id"), org.apache.spark.sql.functions.lit("de").as("lang"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("DE"), col("id")).as("v"))
+        .createOrReplaceTempView("t_pow_de_src")
+      sql("INSERT OVERWRITE gsql.main.t_pow SELECT id, lang, v FROM t_pow_de_src")
+      assert(rows("de") == 7 && rows("en") == 10 && rows("fr") == 100,
+        "dynamic overwrite must replace only the batch's partitions")
+    } finally prevMode.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    // (PARTITION (lang) with no value under static mode is Spark's
+    // whole-table overwrite by definition — not probed here)
+    // scope-violation defense: SQL can't produce out-of-scope rows (the
+    // engine injects the PARTITION literal), so probe the commit
+    // directly — rows outside the named partition must publish NOTHING
+    val ePred = intercept[Exception] {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+      graft.sources.SnapshotTable.sqlOverwriteWhere(spark, s"$wh/main/t_pow",
+        spark.sql("SELECT id, 'de' AS lang, concat('y', id) AS v FROM range(0, 5)"),
+        Seq(EqualTo(AttributeReference("lang",
+          org.apache.spark.sql.types.StringType)(), Literal("en"))))
+    }
+    assert(ePred.getMessage.contains("scope violation"), ePred.getMessage)
+    assert(rows("de") == 7, "a scope violation must publish nothing")
+    // refusal + recovery: a layout-agnostic file blocks scoping until
+    // compactPartitioned restores the shape
+    sql("MERGE INTO gsql.main.t_pow t USING (SELECT 3L AS id, 'fr' AS lang, 'M' AS v) s " +
+      "ON t.id = s.id AND t.lang = s.lang WHEN MATCHED THEN UPDATE SET v = s.v")
+    // row-level writes are partition-aware now, so the merge output
+    // still spells partition dirs and scoping KEEPS working:
+    sql("INSERT OVERWRITE gsql.main.t_pow PARTITION (lang = 'fr') " +
+      "SELECT id, concat('FR', id) FROM range(0, 4)")
+    assert(rows("fr") == 4 && rows("de") == 7 && rows("en") == 10)
+    // a genuinely layout-agnostic rewrite (compactSmall merges across
+    // partitions) dissolves the shape; scoped overwrite then refuses
+    // loudly and compactPartitioned restores it
+    graft.sources.SnapshotTable.compactSmall(spark, s"$wh/main/t_pow",
+      smallBytes = Long.MaxValue)
+    val eShape = intercept[Exception](
+      sql("INSERT OVERWRITE gsql.main.t_pow PARTITION (lang = 'en') " +
+        "SELECT id, concat('zz', id) FROM range(0, 2)"))
+    assert(eShape.getMessage.contains("compactPartitioned"), eShape.getMessage)
+    graft.sources.SnapshotTable.compactPartitioned(spark, s"$wh/main/t_pow")
+    sql("INSERT OVERWRITE gsql.main.t_pow PARTITION (lang = 'en') " +
+      "SELECT id, concat('zz', id) FROM range(0, 2)")
+    assert(rows("en") == 2 && rows("de") == 7 && rows("fr") == 4)
   }
 
   test("catalog scalars: cosine_sim and l2_dist rank arrays through plain SQL") {
