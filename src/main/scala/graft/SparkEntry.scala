@@ -311,7 +311,8 @@ object SparkEntry {
              CASE WHEN lang = 'en' THEN 'keep' ELSE 'drop' END AS tier
            FROM documents)
       SELECT d.lang AS lang, count(*) AS n_docs, sum(d.n_chars) AS sum_chars,
-             TRUE AS static_pruned, TRUE AS dpp_pruned
+             TRUE AS static_pruned, TRUE AS dpp_pruned,
+             TRUE AS spj_zero_exchange
       FROM documents d JOIN dim ON d.lang = dim.lang
       WHERE dim.tier = 'keep' GROUP BY d.lang"""),
     "sink_partition_overwrite" -> ("""
@@ -2794,10 +2795,36 @@ object SparkEntry {
       "JOIN graft_part_dim d ON t.lang = d.lang " +
       "WHERE d.tier = 'keep' GROUP BY t.lang")
     val dppPruned = keptOf(j) < total
+    // identity-partition SPJ: a co-partitioned graft dim joins on the
+    // partition column with ZERO shuffle exchanges (broadcast off — a
+    // shuffle is the only alternative), the PARTITIONED BY twin of
+    // join_spj_catalog's bucketed proof
+    val td = s"${SqlCat.name}.g.docs_part_gdim"
+    s.sql(s"DROP TABLE IF EXISTS $td")
+    s.sql(s"CREATE TABLE $td (lang STRING, tier STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='tier')")
+    s.sql(s"INSERT INTO $td SELECT lang, CASE WHEN lang = 'en' THEN 'keep' " +
+      "ELSE 'drop' END AS tier FROM (SELECT DISTINCT lang FROM graft_part_src)")
+    val spjKeys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prevSpj = spjKeys.map(k => k -> s.conf.getOption(k))
+    val spjZeroExchange = try {
+      spjKeys.take(2).foreach(s.conf.set(_, "true"))
+      s.conf.set(spjKeys(2), "-1")
+      val sj = s.sql(s"SELECT t.lang, count(*) AS n FROM $t t " +
+        s"JOIN $td d ON t.lang = d.lang GROUP BY t.lang")
+      sj.count()
+      graft.PlanWalk.executedNodes(sj.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0
+    } finally prevSpj.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     graft.Scratch.registerForCleanup(s"$wh/g/docs_part")
+    graft.Scratch.registerForCleanup(s"$wh/g/docs_part_gdim")
     graft.Scratch.registerForCleanup(dimDir)
     j.withColumn("static_pruned", lit(staticPruned))
       .withColumn("dpp_pruned", lit(dppPruned))
+      .withColumn("spj_zero_exchange", lit(spjZeroExchange))
   }
 
   /** The daily re-ingest shape on a PARTITIONED BY table: a STATIC

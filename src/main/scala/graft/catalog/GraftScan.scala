@@ -243,15 +243,56 @@ private[graft] final class GraftScan(spark: SparkSession,
       }
     }
 
+  /** The kept files with their IDENTITY partition tuples, iff this
+    * scan can plan key-grouped over a PARTITIONED BY layout: every
+    * kept file spells a complete typed partition tuple in its path and
+    * every partition column survives in the read schema. Any
+    * layout-agnostic file (a maintenance rewrite's output) refuses —
+    * conservative, never a wrong co-location claim. The SPJ twin of
+    * the bucketed report: two tables partitioned on same-typed columns
+    * join on them with ZERO shuffle exchanges, and a GROUP BY the
+    * partition columns plans no exchange. dv debt rides through
+    * exactly like the bucketed case (a dv hides rows, it never moves
+    * one across partitions). */
+  private def identityPartitionedFiles
+      : Option[(Seq[String], Seq[(Array[Any], SnapshotTable.SqlDataFile)])] = {
+    if (withFileCol || snap.partitionCols.isEmpty) return None
+    val logical = snap.partitionColsLogical
+    if (logical.size != snap.partitionCols.size) return None
+    // the reported references must resolve against the relation output
+    val readNames = logical.map(l => FilterBridge.fieldOf(required, l).map(_.name))
+    if (readNames.exists(_.isEmpty)) return None
+    val types = snap.partitionTypes
+    val rows = Seq.newBuilder[(Array[Any], SnapshotTable.SqlDataFile)]
+    kept.foreach { f =>
+      val vals = SnapshotTable.partValuesOf(f.relPath)
+      val key = snap.partitionCols.map { phys =>
+        val n = SnapshotTable.normName(phys)
+        vals.get(n).flatMap(raw =>
+          types.get(n).flatMap(SnapshotTable.partCatalystValue(raw, _)))
+      }
+      if (key.exists(_.isEmpty)) return None
+      rows += ((key.map(_.get).toArray[Any], f))
+    }
+    Some((readNames.map(_.get), rows.result()))
+  }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketedFiles match {
       case Some((n, key, files)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(Expressions.bucket(n, key)), files.size)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          kept.size)
+      case None => identityPartitionedFiles match {
+        case Some((names, rows)) =>
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            names.map(Expressions.identity(_)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray,
+            rows.size)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+            kept.size)
+      }
     }
 
   /** Exposed for the pruning specs: how many files this scan plans NOW
@@ -419,7 +460,15 @@ private[graft] final class GraftScan(spark: SparkSession,
         return bucketed.zipWithIndex.map { case ((b, f), i) =>
           GraftBucketPartition(wholeFile(f, i), b, f.relPath, f.hasDv): InputPartition
         }.toArray
-      case None => ()
+      case None => identityPartitionedFiles match {
+        case Some((_, rows)) =>
+          // identity-partitioned twin: one whole-file partition per
+          // file declaring its partition TUPLE; same dv discipline
+          return rows.zipWithIndex.map { case ((key, f), i) =>
+            GraftValuePartition(wholeFile(f, i), key, f.relPath, f.hasDv): InputPartition
+          }.toArray
+        case None => ()
+      }
     }
     if (withFileCol) {
       // file-tagged mode: one whole-file row partition per file — the
@@ -499,6 +548,16 @@ private[graft] final case class GraftBucketPartition(inner: FilePartition,
     new GenericInternalRow(Array[Any](bucketId))
 }
 
+/** One file of an IDENTITY-partitioned snapshot as a key-grouped scan
+  * unit: its partition TUPLE (catalyst values, path-derived) is the
+  * partition key the SPJ machinery groups and aligns on. */
+private[graft] final case class GraftValuePartition(inner: FilePartition,
+    keyVals: Array[Any], relPath: String, hasDv: Boolean)
+  extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
+}
+
 /** A whole-file partition in file-tagged mode ([[GraftFileColumn]]
   * requested): rows get the file's path appended, and the dv position
   * filter applies when the file carries one. */
@@ -519,6 +578,8 @@ private[catalog] final case class GraftReaderFactory(
       case _: GraftDvPartition | _: GraftTaggedPartition => false
       case GraftBucketPartition(inner, _, _, _) =>
         plain.exists(_.supportColumnarReads(inner))
+      case GraftValuePartition(inner, _, _, _) =>
+        plain.exists(_.supportColumnarReads(inner))
       case other => plain.exists(_.supportColumnarReads(other))
     })
 
@@ -538,13 +599,17 @@ private[catalog] final case class GraftReaderFactory(
       case GraftBucketPartition(inner, _, rel, hasDv) =>
         if (hasDv) new DvFilteringReader(dv.get.createReader(inner), deleted(rel), dataTypes)
         else plain.get.createReader(inner)
+      case GraftValuePartition(inner, _, rel, hasDv) =>
+        if (hasDv) new DvFilteringReader(dv.get.createReader(inner), deleted(rel), dataTypes)
+        else plain.get.createReader(inner)
       case other => plain.get.createReader(other)
     }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    partition match { // only reachable for plain/dv-free bucketed parts
+    partition match { // only reachable for plain/dv-free keyed parts
       case GraftBucketPartition(inner, _, _, _) => plain.get.createColumnarReader(inner)
+      case GraftValuePartition(inner, _, _, _) => plain.get.createColumnarReader(inner)
       case other => plain.get.createColumnarReader(other)
     }
 }

@@ -987,6 +987,68 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eDrop.getMessage.contains("PARTITION"))
   }
 
+  test("SPJ over identity partitions: co-partitioned join and GROUP BY, zero exchanges") {
+    wh
+    Seq("t_ispj_a", "t_ispj_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.t_ispj_a (id BIGINT, lang STRING, v STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.t_ispj_b (lang STRING, w STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='w')")
+    sql("INSERT INTO gsql.main.t_ispj_a SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END, " +
+      "concat('v', id) FROM range(0, 300)")
+    sql("INSERT INTO gsql.main.t_ispj_b VALUES ('en', 'english'), ('de', 'german'), ('fr', 'french')")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.take(2).foreach(spark.conf.set(_, "true"))
+      spark.conf.set(keys(2), "-1")
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count()
+        PlanWalk.executedNodes(df.queryExecution.executedPlan).count(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      }
+      val j = sql("SELECT a.id, b.w FROM gsql.main.t_ispj_a a " +
+        "JOIN gsql.main.t_ispj_b b ON a.lang = b.lang")
+      assert(j.count() == 300L)
+      assert(shuffles(j) == 0,
+        s"co-partitioned identity SPJ must plan zero exchanges:\n" +
+          j.queryExecution.executedPlan)
+      val parts = PlanWalk.batchScans(j).flatMap(_.inputRDD.partitions.map(
+        _.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition]
+          .inputPartitions)).flatten
+      assert(parts.nonEmpty && parts.forall(
+        _.isInstanceOf[graft.catalog.GraftValuePartition]),
+        s"got ${parts.map(_.getClass.getSimpleName).distinct}")
+      // GROUP BY the partition column rides the same report
+      val g = sql("SELECT lang, count(*) AS n FROM gsql.main.t_ispj_a GROUP BY lang")
+      assert(g.count() == 3L && shuffles(g) == 0,
+        s"partitioned GROUP BY must not shuffle:\n${g.queryExecution.executedPlan}")
+      // dv debt rides through (a dv never moves a row across partitions)
+      sql("DELETE FROM gsql.main.t_ispj_a WHERE id = 3")
+      val j2 = sql("SELECT a.id, b.w FROM gsql.main.t_ispj_a a " +
+        "JOIN gsql.main.t_ispj_b b ON a.lang = b.lang")
+      assert(j2.count() == 299L && shuffles(j2) == 0,
+        "identity SPJ must survive dv debt")
+      // a layout-agnostic rewrite dissolves the claim (conservative);
+      // the join still answers, shuffled
+      graft.sources.SnapshotTable.compactSmall(spark, s"$wh/main/t_ispj_a",
+        smallBytes = Long.MaxValue)
+      val j3 = sql("SELECT a.id, b.w FROM gsql.main.t_ispj_a a " +
+        "JOIN gsql.main.t_ispj_b b ON a.lang = b.lang")
+      assert(j3.count() == 299L && shuffles(j3) > 0,
+        "a plain-path rewrite must dissolve the identity claim")
+      graft.sources.SnapshotTable.compactPartitioned(spark, s"$wh/main/t_ispj_a")
+      val j4 = sql("SELECT a.id, b.w FROM gsql.main.t_ispj_a a " +
+        "JOIN gsql.main.t_ispj_b b ON a.lang = b.lang")
+      assert(j4.count() == 299L && shuffles(j4) == 0,
+        "compactPartitioned must restore the identity claim")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("partition overwrite: PARTITION-scoped static, dynamic, refusals") {
     wh
     import org.apache.spark.sql.functions.col
