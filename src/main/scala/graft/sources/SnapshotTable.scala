@@ -2020,6 +2020,31 @@ object SnapshotTable {
 
   private object NothingToCompact extends Exception
 
+  /** The layout-honoring rewrite the SCHEDULED maintenance ops
+    * ([[compactSmall]], [[materializeDv]] — hence [[maintain]]) use on
+    * declared tables: a bucket declaration re-buckets the rewritten
+    * subset (the SPJ claim survives maintenance — previously the one
+    * remaining dissolution path on a steady-state table), declared
+    * partition columns re-land it under partition directories (the
+    * pruning facts survive), and an undeclared table keeps the plain
+    * clustered layout the caller built. The EXPLICIT re-layout tools
+    * ([[compact]], [[compactRange]], z-order) stay layout-agnostic by
+    * design — they ARE the "change the layout" ops, and
+    * [[compactBucketed]]/[[compactPartitioned]] restore. */
+  private def rewriteWithDeclaredLayout(spark: SparkSession, root: String,
+      m: Manifest, df: DataFrame, effKey: Option[String],
+      effKey2: Option[String], plain: => DataFrame): Seq[FileEntry] =
+    m.buckets match {
+      case Some(n) => writeBucketedFiles(spark, root, df, n,
+        effKey.getOrElse(throw new IllegalStateException(
+          s"bucket-declared table $root lost its stats key")), effKey2, m.colmap)
+      case None if m.partitionCols.nonEmpty =>
+        writePartitionedFiles(spark, root, df, m.partitionCols, effKey, effKey2,
+          m.colmap)
+      case None => writeDataFiles(spark, root, plain, effKey, effKey2,
+        colmap = m.colmap)
+    }
+
   /** INCREMENTAL compaction: rewrite ONLY the files smaller than
     * `smallBytes` (the small-file debt a streaming ingest accretes),
     * bin-packed into ~`smallBytes`-sized outputs; every larger file
@@ -2060,9 +2085,10 @@ object SnapshotTable {
       val current = readEntries(spark, root, schema, small, m.colmap)
       val outFiles = math.max(1, math.ceil(
         small.flatMap(_.bytes).sum.toDouble / smallBytes).toInt)
-      Pending(fixCarried(large) ++ writeDataFiles(spark, root,
-        clusterLayout(current, outFiles, effKey, effKey2, cluster, zorder = false),
-        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
+      Pending(fixCarried(large) ++ rewriteWithDeclaredLayout(spark, root, m,
+        current, effKey, effKey2,
+        plain = clusterLayout(current, outFiles, effKey, effKey2, cluster,
+          zorder = false)), schema, effKey, effKey2)
     }) catch { case NothingToCompact => None }
 
   /** Targeted DV MATERIALIZATION: rewrite ONLY the files whose
@@ -2106,10 +2132,11 @@ object SnapshotTable {
       val current = readEntries(spark, root, schema, debt, m.colmap)
       // one output per rewritten input: materialization changes a
       // file's LIVE content, not the table's file granularity
-      Pending(fixCarried(carry) ++ writeDataFiles(spark, root,
-        clusterLayout(current, debt.size, effKey, effKey2, cluster && effKey.isDefined,
-          zorder = false),
-        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
+      Pending(fixCarried(carry) ++ rewriteWithDeclaredLayout(spark, root, m,
+        current, effKey, effKey2,
+        plain = clusterLayout(current, debt.size, effKey, effKey2,
+          cluster && effKey.isDefined, zorder = false)),
+        schema, effKey, effKey2)
     }) catch { case NothingToCompact => None }
   }
 

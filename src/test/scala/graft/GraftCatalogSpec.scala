@@ -817,19 +817,31 @@ class GraftCatalogSpec extends SparkSpec {
         "JOIN gsql.main.t_decl_b b ON a.id = b.id")
       assert(j5.count() == 600L && shuffles(j5) == 0,
         "dynamic overwrite must keep the declared layout")
-      // LAYOUT-AGNOSTIC maintenance (dv materialization writes plain
-      // paths) is the remaining dissolution path; the declared-default
-      // compactBucketed() restores
+      // SCHEDULED maintenance honors the declaration too: dv
+      // materialization re-buckets the rewritten file, so the claim
+      // (and SPJ) survives the maintain loop
       sql("DELETE FROM gsql.main.t_decl_a WHERE id = 5")
       graft.sources.SnapshotTable.materializeDv(spark, s"$wh/main/t_decl_a",
         maxDvFraction = 0.0)
       val det3 = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
-      assert(det3.declaredBuckets.contains(8) && det3.bucketedLayout.isEmpty,
-        s"materializeDv writes plain paths; got layout=${det3.bucketedLayout}")
-      graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_decl_a")
+      assert(det3.declaredBuckets.contains(8) && det3.bucketedLayout.contains(8) &&
+        det3.dvFiles == 0,
+        s"materializeDv must re-bucket; got layout=${det3.bucketedLayout} dv=${det3.dvFiles}")
       val j6 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
         "JOIN gsql.main.t_decl_b b ON a.id = b.id")
       assert(j6.count() == 599L && shuffles(j6) == 0,
+        "SPJ must survive dv materialization on a declared table")
+      // the EXPLICIT re-layout (compact) stays layout-agnostic by
+      // design — it dissolves; the declared-default compactBucketed()
+      // restores
+      graft.sources.SnapshotTable.compact(spark, s"$wh/main/t_decl_a")
+      val det4 = graft.sources.SnapshotTable.describeDetail(spark, s"$wh/main/t_decl_a")
+      assert(det4.declaredBuckets.contains(8) && det4.bucketedLayout.isEmpty,
+        s"compact is the explicit re-layout; got layout=${det4.bucketedLayout}")
+      graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_decl_a")
+      val j7 = sql("SELECT a.id, b.w FROM gsql.main.t_decl_a a " +
+        "JOIN gsql.main.t_decl_b b ON a.id = b.id")
+      assert(j7.count() == 599L && shuffles(j7) == 0,
         "declared-default compactBucketed must restore the layout")
       // the declaration is visible table metadata
       val props = spark.sessionState.catalogManager.catalog("gsql")
@@ -1032,10 +1044,17 @@ class GraftCatalogSpec extends SparkSpec {
         "JOIN gsql.main.t_ispj_b b ON a.lang = b.lang")
       assert(j2.count() == 299L && shuffles(j2) == 0,
         "identity SPJ must survive dv debt")
-      // a layout-agnostic rewrite dissolves the claim (conservative);
-      // the join still answers, shuffled
+      // scheduled maintenance honors the declaration: compactSmall
+      // re-lands the packed rows under partition dirs — the claim holds
       graft.sources.SnapshotTable.compactSmall(spark, s"$wh/main/t_ispj_a",
         smallBytes = Long.MaxValue)
+      val jm = sql("SELECT a.id, b.w FROM gsql.main.t_ispj_a a " +
+        "JOIN gsql.main.t_ispj_b b ON a.lang = b.lang")
+      assert(jm.count() == 299L && shuffles(jm) == 0,
+        "compactSmall must keep the partition layout on a declared table")
+      // the EXPLICIT re-layout dissolves (conservative); the join still
+      // answers, shuffled
+      graft.sources.SnapshotTable.compact(spark, s"$wh/main/t_ispj_a")
       val j3 = sql("SELECT a.id, b.w FROM gsql.main.t_ispj_a a " +
         "JOIN gsql.main.t_ispj_b b ON a.lang = b.lang")
       assert(j3.count() == 299L && shuffles(j3) > 0,
@@ -1110,11 +1129,10 @@ class GraftCatalogSpec extends SparkSpec {
     sql("INSERT OVERWRITE gsql.main.t_pow PARTITION (lang = 'fr') " +
       "SELECT id, concat('FR', id) FROM range(0, 4)")
     assert(rows("fr") == 4 && rows("de") == 7 && rows("en") == 10)
-    // a genuinely layout-agnostic rewrite (compactSmall merges across
-    // partitions) dissolves the shape; scoped overwrite then refuses
-    // loudly and compactPartitioned restores it
-    graft.sources.SnapshotTable.compactSmall(spark, s"$wh/main/t_pow",
-      smallBytes = Long.MaxValue)
+    // a genuinely layout-agnostic rewrite (the explicit full compact)
+    // dissolves the shape; scoped overwrite then refuses loudly and
+    // compactPartitioned restores it
+    graft.sources.SnapshotTable.compact(spark, s"$wh/main/t_pow")
     val eShape = intercept[Exception](
       sql("INSERT OVERWRITE gsql.main.t_pow PARTITION (lang = 'en') " +
         "SELECT id, concat('zz', id) FROM range(0, 2)"))
