@@ -169,6 +169,7 @@ object SparkEntry {
     "vec_cosine_topk_sql" -> ((s, d) => cosineTopKSqlCatalog(s, d)),
     "meta_partitioned_dpp" -> ((s, d) => partitionedDppQuery(s, d)),
     "sink_partition_overwrite" -> ((s, d) => partitionOverwriteQuery(s, d)),
+    "meta_partitions_table" -> ((s, d) => partitionsTableQuery(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
@@ -322,6 +323,9 @@ object SparkEntry {
                       ELSE n_chars END) AS sum_chars,
              TRUE AS untouched_carried
       FROM documents GROUP BY lang"""),
+    "meta_partitions_table" -> ("SELECT lang, count(*) - " +
+      "(CASE WHEN lang = (SELECT lang FROM documents WHERE doc_id = 0) " +
+      "THEN 1 ELSE 0 END) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
     "vec_range_search" -> VectorOps.rangeSearchSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
@@ -2869,6 +2873,27 @@ object SparkEntry {
     s.sql(s"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t " +
       "GROUP BY lang")
       .withColumn("untouched_carried", lit(carried1 && carried2))
+  }
+
+  /** SHOW PARTITIONS as a queryable relation: `<table>.partitions`
+    * (Iceberg's partitions metadata table) — one row per live
+    * partition tuple with dv-exact row counts, answered from the
+    * MANIFEST as a LocalScan (zero data files opened; at 100 TB the
+    * difference between a catalog question and a table scan). The
+    * partition column comes back TYPED; a point DELETE's dv debt
+    * must subtract exactly. */
+  private def partitionsTableQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = SqlCat.ensure(s)
+    val t = s"${SqlCat.name}.g.docs_pmeta"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .createOrReplaceTempView("graft_pmeta_src")
+    s.sql(s"INSERT INTO $t SELECT doc_id, lang FROM graft_pmeta_src")
+    s.sql(s"DELETE FROM $t WHERE doc_id = 0") // dv debt: counts must stay exact
+    graft.Scratch.registerForCleanup(s"$wh/g/docs_pmeta")
+    s.sql(s"SELECT lang, n_rows AS n_docs FROM $t.partitions ORDER BY lang")
   }
 
   /** The retrieval surface fully NAME-ADDRESSED: a vector-store table

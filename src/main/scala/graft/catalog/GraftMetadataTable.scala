@@ -17,6 +17,7 @@ import graft.sources.SnapshotTable
   * {{{
   * SELECT * FROM graft.ns.tbl.files     -- per-file manifest facts
   * SELECT * FROM graft.ns.tbl.history   -- one row per live version
+  * SELECT * FROM graft.ns.tbl.partitions -- SHOW PARTITIONS with stats
   * }}}
   *
   * The underlying facts are [[SnapshotTable.filesDf]] (path, rows,
@@ -38,6 +39,8 @@ private[catalog] final class GraftMetadataTable(spark: SparkSession,
   override def schema(): StructType = kind match {
     case "files" =>
       SnapshotTable.filesDf(spark, root, pinnedVersion).schema
+    case "partitions" =>
+      SnapshotTable.partitionsDf(spark, root, pinnedVersion).schema
     case "history" => GraftMetadataTable.HistorySchema
   }
 
@@ -52,6 +55,9 @@ private[catalog] final class GraftMetadataTable(spark: SparkSession,
           case "files" =>
             GraftMetadataTable.collectRows(
               SnapshotTable.filesDf(spark, root, pinnedVersion))
+          case "partitions" =>
+            GraftMetadataTable.collectRows(
+              SnapshotTable.partitionsDf(spark, root, pinnedVersion))
           case "history" =>
             import org.apache.spark.sql.Row
             GraftMetadataTable.collectRows(spark.createDataFrame(
@@ -68,7 +74,7 @@ private[catalog] final class GraftMetadataTable(spark: SparkSession,
 
 private[catalog] object GraftMetadataTable {
   /** The metadata relations addressable as `<table>.<name>`. */
-  val Kinds: Set[String] = Set("files", "history")
+  val Kinds: Set[String] = Set("files", "history", "partitions")
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),

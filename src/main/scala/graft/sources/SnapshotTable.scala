@@ -1042,6 +1042,69 @@ object SnapshotTable {
   /** [[norm]] for the catalog package (partition-name matching). */
   private[graft] def normName(s: String): String = norm(s)
 
+  /** Partition-level summary of a PARTITIONED BY table (the SHOW
+    * PARTITIONS answer, Iceberg's `partitions` metadata relation): one
+    * row per distinct partition tuple among the live files — typed
+    * value columns (logical names), file/row/byte/dv counts — plus, if
+    * any layout-agnostic file exists, one all-NULL row accounting for
+    * it honestly (its rows belong to unknown partitions until a
+    * [[compactPartitioned]]). Driver-side manifest facts, zero data
+    * I/O, bounded by the file count. */
+  def partitionsDf(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val m = manifestFull(spark, root, version.getOrElse(vs.last))
+    require(m.partitionCols.nonEmpty,
+      s"$root declares no partition columns (PARTITIONED BY at create)")
+    val sch = schemaOf(spark, root, m)
+    val types = partTypesOf(m, sch)
+    // logical spelling for the output columns; physical for path lookup
+    val cols: Seq[(String, String, DataType)] = m.partitionCols.map { pc =>
+      val f = sch.fields.find(f => norm(physFor(m.colmap, f.name)) == norm(pc)).get
+      (f.name, norm(pc), f.dataType)
+    }
+    def external(raw: String, dt: DataType): Any = dt match {
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case StringType => raw
+      case DateType => java.sql.Date.valueOf(raw)
+      case _ => null
+    }
+    val grouped = m.entries.groupBy(e => {
+      val vals = partValuesOf(e.path)
+      if (types.keySet.subsetOf(vals.keySet)) Some(cols.map(c => vals(c._2))) else None
+    })
+    val rows = grouped.toSeq.sortBy(_._1.map(_.mkString("/")).getOrElse("￿"))
+      .map { case (key, es) =>
+        val vals: Seq[Any] = key match {
+          case Some(raws) => cols.zip(raws).map { case ((_, _, dt), r) =>
+            try external(r, dt) catch { case _: Exception => null }
+          }
+          case None => cols.map(_ => null)
+        }
+        val rowsKnown = es.forall(e => e.rows.isDefined &&
+          (e.dv.isEmpty || e.dvRows.isDefined))
+        Row.fromSeq(vals ++ Seq(
+          es.size,
+          if (rowsKnown) Long.box(es.flatMap(_.rows).sum - es.flatMap(_.dvRows).sum)
+          else null,
+          Long.box(es.flatMap(_.bytes).sum),
+          es.count(_.dv.isDefined)))
+      }
+    val schema = StructType(
+      cols.map(c => StructField(c._1, c._3, nullable = true)) ++ Seq(
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("n_rows", LongType, nullable = true),
+        StructField("bytes", LongType, nullable = false),
+        StructField("dv_files", IntegerType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** A path-spelled partition value as the CATALYST-internal value of
     * `dt` (what a runtime filter's literals compare as) — None when the
     * raw string doesn't parse (conservative keep at the caller). */

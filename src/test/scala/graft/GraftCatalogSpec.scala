@@ -999,6 +999,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eDrop.getMessage.contains("PARTITION"))
   }
 
+  test("partitions metadata table: typed SHOW PARTITIONS with stats, by name") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.t_pmeta")
+    sql("CREATE TABLE gsql.main.t_pmeta (id BIGINT, lang STRING, v STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_pmeta SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, concat('v', id) FROM range(0, 100)")
+    sql("DELETE FROM gsql.main.t_pmeta WHERE id = 2") // dv in en
+    val rows = sql("SELECT lang, n_files, n_rows, dv_files " +
+      "FROM gsql.main.t_pmeta.partitions ORDER BY lang").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("de", "en"))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(50L, 49L),
+      "n_rows must be dv-exact per partition")
+    assert(rows.map(_.getInt(3)).sum == 1, "the dv file attributes to en")
+    // the scan is a LocalScan (no data files opened) and aggregates run
+    assert(sql("SELECT sum(n_rows) FROM gsql.main.t_pmeta.partitions")
+      .head().getLong(0) == 99L)
+    // a layout-agnostic file accounts as the all-NULL row, honestly
+    graft.sources.SnapshotTable.compact(spark, s"$wh/main/t_pmeta")
+    val post = sql("SELECT lang, n_files FROM gsql.main.t_pmeta.partitions").collect()
+    assert(post.length == 1 && post.head.isNullAt(0),
+      s"plain-path files group under NULL: ${post.mkString(",")}")
+    // an unpartitioned table refuses the relation loudly
+    val e = intercept[Exception](
+      sql("SELECT * FROM gsql.main.t_basic.partitions").collect())
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
   test("SPJ over identity partitions: co-partitioned join and GROUP BY, zero exchanges") {
     wh
     Seq("t_ispj_a", "t_ispj_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
