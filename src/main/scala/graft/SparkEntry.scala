@@ -325,7 +325,9 @@ object SparkEntry {
       FROM documents GROUP BY lang"""),
     "meta_partitions_table" -> ("SELECT lang, count(*) - " +
       "(CASE WHEN lang = (SELECT lang FROM documents WHERE doc_id = 0) " +
-      "THEN 1 ELSE 0 END) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
+      "THEN 1 ELSE 0 END) AS n_docs FROM documents " +
+      "WHERE lang <> (SELECT lang FROM documents WHERE doc_id = 3) " +
+      "GROUP BY lang ORDER BY lang"),
     "vec_range_search" -> VectorOps.rangeSearchSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
@@ -2892,6 +2894,11 @@ object SparkEntry {
       .createOrReplaceTempView("graft_pmeta_src")
     s.sql(s"INSERT INTO $t SELECT doc_id, lang FROM graft_pmeta_src")
     s.sql(s"DELETE FROM $t WHERE doc_id = 0") // dv debt: counts must stay exact
+    // DROP PARTITION: a pure-metadata bulk delete — one manifest write
+    // removes a whole language's files; the listing must drop its row
+    val dropLang = s.sql("SELECT lang FROM graft_pmeta_src WHERE doc_id = 3")
+      .head().getString(0)
+    s.sql(s"ALTER TABLE $t DROP PARTITION (lang = '$dropLang')")
     graft.Scratch.registerForCleanup(s"$wh/g/docs_pmeta")
     s.sql(s"SELECT lang, n_rows AS n_docs FROM $t.partitions ORDER BY lang")
   }

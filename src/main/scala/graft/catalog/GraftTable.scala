@@ -32,7 +32,8 @@ import graft.sources.SnapshotTable
 private[catalog] final class GraftTable(spark: SparkSession, val root: String,
     ident: String, pinnedVersion: Option[Int])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsPartitionManagement {
 
   /** Resolved fresh per Table instance (the catalog loads a new Table
     * per statement, so DDL between statements is always visible). */
@@ -131,6 +132,89 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
     require(pinnedVersion.isEmpty,
       s"table $ident is pinned to version ${pinnedVersion.get} (time travel) " +
         "and cannot be written; address the table without VERSION AS OF")
+
+  // ---- SupportsPartitionManagement: SHOW PARTITIONS / DROP PARTITION ----
+  // Partitions on a graft table are FACTS of written files, not catalog
+  // objects: they come into existence by writing rows and leave by
+  // dropping files — so ADD/metadata mutations refuse, listing reads
+  // the manifest (zero data I/O), and DROP PARTITION is a pure-metadata
+  // file removal ([[SnapshotTable.dropPartition]]).
+
+  override def partitionSchema(): StructType = {
+    val logical = snap.partitionColsLogical
+    org.apache.spark.sql.types.StructType(logical.flatMap(l =>
+      snap.schema.fields.find(_.name == l)))
+  }
+
+  /** The raw (path-spelled) value of `ident`'s field `i` — the exact
+    * string the partitioned writer derives from `cast(col as string)`,
+    * so tuple matching is byte-exact with the layout. */
+  private def rawValue(identRow: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int, dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.IntegerType => identRow.getInt(i).toString
+    case org.apache.spark.sql.types.LongType => identRow.getLong(i).toString
+    case org.apache.spark.sql.types.StringType => identRow.getUTF8String(i).toString
+    case org.apache.spark.sql.types.DateType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaDate(identRow.getInt(i)).toString
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition type ${other.simpleString}")
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      identRow: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    require(names.length == identRow.numFields,
+      s"${names.length} names but ${identRow.numFields} values")
+    val pSchema = partitionSchema()
+    val phys = snap.partitionCols.map(SnapshotTable.normName)
+    // the (possibly partial) filter: field name -> required raw value
+    val want: Map[String, String] = names.zipWithIndex.map { case (nm, i) =>
+      val fi = pSchema.fieldIndex(nm)
+      SnapshotTable.normName(snap.physName(pSchema(fi).name)) ->
+        rawValue(identRow, i, pSchema(fi).dataType)
+    }.toMap
+    val tuples = snap.keptFiles(Seq.empty).iterator
+      .map(f => SnapshotTable.partValuesOf(f.relPath))
+      .filter(v => v.size == phys.size)
+      .map(v => phys.map(v))
+      .toSeq.distinct
+      .filter(raws => want.forall { case (p, r) => raws(phys.indexOf(p)) == r })
+    tuples.sortBy(_.mkString("/")).map { raws =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        raws.zip(pSchema.fields).map { case (raw, f) =>
+          SnapshotTable.partCatalystValue(raw, f.dataType).orNull
+        }.toArray[Any]): org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
+  }
+
+  override def dropPartition(
+      identRow: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    requireWritable()
+    val pSchema = partitionSchema()
+    val values = snap.partitionCols.zipWithIndex.map { case (phys, i) =>
+      SnapshotTable.normName(phys) -> rawValue(identRow, i, pSchema(i).dataType)
+    }.toMap
+    SnapshotTable.dropPartition(spark, root, values)
+  }
+
+  override def createPartition(
+      identRow: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions materialize by WRITING rows (INSERT/MERGE); " +
+        "ADD PARTITION has nothing to create")
+
+  override def replacePartitionMetadata(
+      identRow: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no mutable metadata")
+
+  override def loadPartitionMetadata(
+      identRow: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
 }
 
 /** Group-based copy-on-write row-level operation: the scan is a

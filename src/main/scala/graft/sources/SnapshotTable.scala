@@ -4616,6 +4616,40 @@ object SnapshotTable {
         colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
     }
 
+  /** `ALTER TABLE … DROP PARTITION`: remove the named partition
+    * tuple's FILES from the manifest — PURE METADATA, zero data I/O
+    * (the cheapest possible bulk delete: at 100 TB, dropping a day or
+    * a language is one manifest write). Commits op "delete"
+    * (data-changing — CDC and the streaming source see the removed
+    * rows honestly). Returns false — committing nothing — when no
+    * file carries the tuple; refuses loudly on a layout-agnostic file
+    * (its rows can't be scoped; compactPartitioned first). `values`
+    * are normalized-physical-name → raw path-spelled value. */
+  private[graft] def dropPartition(spark: SparkSession, root: String,
+      values: Map[String, String]): Boolean =
+    try {
+      retrying(spark, root, op = "delete") { (latest: Int) =>
+        val m = manifestFull(spark, root, latest)
+        require(m.partitionCols.nonEmpty,
+          s"$root declares no partition columns (PARTITIONED BY at create)")
+        val n = m.partitionCols.size
+        require(values.size == n,
+          s"DROP PARTITION needs all $n partition column(s), got ${values.size}")
+        val (hit, carried) = m.entries.partition { e =>
+          val vals = partValuesOf(e.path)
+          require(vals.size == n,
+            s"DROP PARTITION on $root: file ${e.path} spells no partition " +
+              "tuple (written by a layout-agnostic op); run compactPartitioned " +
+              "first")
+          vals == values
+        }
+        if (hit.isEmpty) throw NothingToDelete
+        Pending(carried, schemaOf(spark, root, m), m.statsKey, m.statsKey2,
+          colmap = if (m.colmap.isEmpty) None else Some(m.colmap))
+      }
+      true
+    } catch { case NothingToDelete => false }
+
   /** Whole-table re-layout into partition directories (op "compact" —
     * row-preserving, dv debt materializes like any full compact): the
     * maintenance op that restores a PARTITIONED BY table's fully

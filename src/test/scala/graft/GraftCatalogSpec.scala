@@ -999,6 +999,76 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eDrop.getMessage.contains("PARTITION"))
   }
 
+  test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION through plain SQL") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.t_showp")
+    sql("CREATE TABLE gsql.main.t_showp (id BIGINT, lang STRING, v STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_showp SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END, " +
+      "concat('v', id) FROM range(0, 90)")
+    assert(sql("SHOW PARTITIONS gsql.main.t_showp").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("lang=de", "lang=en", "lang=fr"))
+    // partial spec filters the listing
+    assert(sql("SHOW PARTITIONS gsql.main.t_showp PARTITION (lang='en')")
+      .collect().map(_.getString(0)).toSeq == Seq("lang=en"))
+    // DROP PARTITION: pure metadata — no data file moves, rows gone
+    val before = dataFiles("t_showp")
+    sql("ALTER TABLE gsql.main.t_showp DROP PARTITION (lang='de')")
+    assert(dataFiles("t_showp") == before,
+      "dropping a partition is a manifest edit, not a rewrite")
+    assert(sql("SELECT count(*) FROM gsql.main.t_showp").head().getLong(0) == 60L)
+    assert(sql("SHOW PARTITIONS gsql.main.t_showp").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("lang=en", "lang=fr"))
+    // time travel still sees the dropped slice
+    val vs = graft.sources.SnapshotTable.versions(spark, s"$wh/main/t_showp")
+    assert(sql(s"SELECT count(*) FROM gsql.main.t_showp VERSION AS OF ${vs.init.last}")
+      .head().getLong(0) == 90L)
+    // refusals: ADD PARTITION (nothing to create), absent tuple (IF EXISTS passes)
+    val eAdd = intercept[Exception](
+      sql("ALTER TABLE gsql.main.t_showp ADD PARTITION (lang='xx')"))
+    assert(eAdd.getMessage.contains("WRITING rows") || eAdd.getMessage.contains("ADD PARTITION"))
+    sql("ALTER TABLE gsql.main.t_showp DROP IF EXISTS PARTITION (lang='zz')")
+    assert(sql("SELECT count(*) FROM gsql.main.t_showp").head().getLong(0) == 60L)
+  }
+
+  test("concurrent scoped overwrites of DIFFERENT partitions both land") {
+    wh
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    sql("DROP TABLE IF EXISTS gsql.main.t_powc")
+    sql("CREATE TABLE gsql.main.t_powc (id BIGINT, lang STRING, v STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_powc SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, concat('v', id) FROM range(0, 200)")
+    val root = s"$wh/main/t_powc"
+    // two writers replacing DIFFERENT partitions race on the manifest:
+    // the optimistic retry recomputes carried entries per attempt, so
+    // both effects must land — neither lost, neither doubled
+    def scoped(lang: String, n: Int): Unit = {
+      graft.sources.SnapshotTable.sqlOverwriteWhere(spark, root,
+        spark.sql(s"SELECT id, '$lang' AS lang, concat('$lang', id) AS v " +
+          s"FROM range(0, $n)"),
+        Seq(EqualTo(AttributeReference("lang",
+          org.apache.spark.sql.types.StringType)(), Literal(lang))))
+      ()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(("en", 5), ("de", 9)).map { case (l, n) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = scoped(l, n)
+        })
+      }
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val counts = sql("SELECT lang, count(*) AS n FROM gsql.main.t_powc GROUP BY lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 5L, "de" -> 9L),
+      s"both scoped overwrites must land: $counts")
+    assert(sql("SELECT v FROM gsql.main.t_powc WHERE lang = 'de' AND id = 3")
+      .head().getString(0) == "de3")
+  }
+
   test("partitions metadata table: typed SHOW PARTITIONS with stats, by name") {
     wh
     sql("DROP TABLE IF EXISTS gsql.main.t_pmeta")
