@@ -332,10 +332,26 @@ private[graft] final class GraftScan(spark: SparkSession,
     // PartitionPruning rule plants a runtime IN-subquery on a join
     // whose key is a reported filter attribute, and hands the built
     // values back through [[filter]] — file counts then narrow to the
-    // partitions the dim side actually kept
-    val parts = snap.partitionColsLogical.map(Expressions.column)
-    if (withFileCol) Array(Expressions.column(GraftFileColumn.Name)) ++ parts
-    else parts.toArray
+    // partitions the dim side actually kept. The STATS KEYS arm the
+    // same machinery for clustered/bucketed/bloom-indexed tables: a
+    // dim-filtered join on the key skips FILES at runtime through the
+    // manifest's full pruning stack (ranges, blooms, bucket
+    // arithmetic) — values the planner could never know statically.
+    //
+    // Two hard constraints: a FILE-TAGGED scan reports ONLY the group
+    // identity (row-level operations narrow by `_graft_file`, and the
+    // replace-set accounting rides that narrowing), and every reported
+    // attribute must survive in the READ SCHEMA — the engine resolves
+    // them against the scan output, and a projected-away column throws
+    // at analysis (found by `SELECT lang FROM partitioned` under DPP).
+    if (withFileCol) Array(Expressions.column(GraftFileColumn.Name))
+    else {
+      def inRead(n: String): Option[String] =
+        FilterBridge.fieldOf(required, n).map(_.name)
+      (snap.partitionColsLogical.flatMap(inRead) ++
+        Seq(snap.statsKey, snap.statsKey2).flatten.flatMap(inRead))
+        .distinct.map(Expressions.column).toArray
+    }
   }
 
   /** Narrow the kept set to the files the runtime subquery proved can
@@ -380,14 +396,22 @@ private[graft] final class GraftScan(spark: SparkSession,
         case _ => None
       }
     }
+    // stats keys (logical name -> physical attr + type): a runtime
+    // IN-set on a clustered key re-prunes through the ONE shared
+    // manifest decision — ranges, blooms, bucket arithmetic
+    val statsKeyRefs: Map[String, (String, org.apache.spark.sql.types.DataType)] =
+      Seq(snap.statsKey, snap.statsKey2).flatten.flatMap { k =>
+        FilterBridge.fieldOf(snap.schema, k).map(f =>
+          SnapshotTable.normName(f.name) -> (snap.physName(f.name), f.dataType))
+      }.toMap
     var narrowed = false
     constraintsIn.foreach { case (ref, values) =>
       if (ref.equalsIgnoreCase(GraftFileColumn.Name)) {
         val allow = values.map(String.valueOf)
         kept = kept.filter(f => allow.contains(f.relPath))
         narrowed = true
-      } else partByLogical.get(SnapshotTable.normName(ref)).foreach {
-        case (phys, dt) =>
+      } else partByLogical.get(SnapshotTable.normName(ref)) match {
+        case Some((phys, dt)) =>
           kept = kept.filter { f =>
             SnapshotTable.partValuesOf(f.relPath).get(phys) match {
               case None => true // unparseable layout: conservative keep
@@ -396,6 +420,23 @@ private[graft] final class GraftScan(spark: SparkSession,
             }
           }
           narrowed = true
+        case None => statsKeyRefs.get(SnapshotTable.normName(ref)).foreach {
+          case (phys, dt) =>
+            // values are catalyst-internal (the predicate's literals) —
+            // exactly what In/Literal carry
+            val in = org.apache.spark.sql.catalyst.expressions.In(
+              org.apache.spark.sql.catalyst.expressions.AttributeReference(
+                phys, dt)(),
+              values.toSeq.map(v =>
+                org.apache.spark.sql.catalyst.expressions.Literal(v, dt)))
+            val allowed =
+              try Some(snap.keptFiles(Seq(in)).map(_.relPath).toSet)
+              catch { case _: Exception => None } // undecidable: keep all
+            allowed.foreach { a =>
+              kept = kept.filter(f => a.contains(f.relPath))
+              narrowed = true
+            }
+        }
       }
     }
     if (narrowed) onPlan(snap.version, kept.map(_.relPath).toSet)

@@ -999,6 +999,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eDrop.getMessage.contains("PARTITION"))
   }
 
+  test("runtime key filtering: a dim-filtered join skips FILES on the stats key") {
+    wh
+    import org.apache.spark.sql.functions.{col, lit, when}
+    sql("DROP TABLE IF EXISTS gsql.main.t_rtk")
+    sql("CREATE TABLE gsql.main.t_rtk (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='8')")
+    sql("INSERT INTO gsql.main.t_rtk SELECT id, CAST(id AS STRING) FROM range(0, 4000)")
+    // opaque dim: the surviving ids are unknowable statically
+    spark.range(0, 4000).select(col("id"),
+      when(col("id").isin(7L, 1234L, 2999L), lit("y")).otherwise(lit("n")).as("keep"))
+      .write.mode("overwrite").parquet(s"$wh/main_scratch_rtk")
+    graft.Scratch.registerForCleanup(s"$wh/main_scratch_rtk")
+    spark.read.parquet(s"$wh/main_scratch_rtk").createOrReplaceTempView("t_rtk_dim")
+    val total = graft.sources.SnapshotTable
+      .filesDf(spark, s"$wh/main/t_rtk").count().toInt
+    assert(total >= 8)
+    val j = sql("SELECT t.id, t.v FROM gsql.main.t_rtk t " +
+      "JOIN t_rtk_dim d ON t.id = d.id WHERE d.keep = 'y'")
+    assert(j.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 1234L, 2999L))
+    val kept = PlanWalk.batchScans(j).map(_.scan)
+      .collect { case g: GraftScan => g.keptFileCount }
+    assert(kept.nonEmpty && kept.min <= 3,
+      s"3 runtime ids map to <=3 buckets; scan kept ${kept.mkString(",")} of $total")
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION through plain SQL") {
     wh
     sql("DROP TABLE IF EXISTS gsql.main.t_showp")
