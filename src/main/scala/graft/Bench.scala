@@ -239,6 +239,9 @@ object Bench {
       .replaceAll("part-\\d{5}-[0-9a-f-]{36}", "part-N-UUID")
       .replaceAll("/tmp/graft-SCRATCH\\S*", "/tmp/graft-SCRATCH/...")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=N]")
+      // per-invocation unique probe-table names (SparkEntry.uniqName):
+      // the `_uN` suffix is a collision guard, not a plan fact
+      .replaceAll("_u\\d+", "_uN")
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N")
       .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(NPART)")
       .replaceAll("(hash|range)partitioning\\((.*?), \\d+\\)", "$1partitioning($2, NPART)")

@@ -550,15 +550,14 @@ object SparkEntry {
     // every GD epoch is one job whose gradient exchange carries ≤ dim
     // rows — at the session's width (and under AQE's per-stage
     // re-planning) the 12 epochs are mostly scheduling tax; scope both
-    // down and restore (the incr_view gate's discipline). Decisions
-    // are partition-count-robust: margins are 3–8× the gate threshold
+    // down on a THROWAWAY session (pinned, never toggled on the shared
+    // one — the probe-session discipline). Decisions are
+    // partition-count-robust: margins are 3–8× the gate threshold
     // and float-sum order only perturbs the last bits.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-    val docs = Tables.documents(s, d).transform(graft.Parallelism.ensure(s))
+    val iso = probeSession(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false")
+    val docs = Tables.documents(iso, d).transform(graft.Parallelism.ensure(iso))
     val marked = docs.select(col("doc_id"),
       (col("doc_id") % 2 === 0).cast("long").as("y"),
       concat(col("text"),
@@ -582,7 +581,7 @@ object SparkEntry {
     // the 0.05 gate), pinned by QualityClassifierSpec and the oracle
     // booleans. Each epoch is one corpus job, so at 100 TB the epoch
     // count IS the training bill.
-    val model = QualityClassifier.train(s,
+    val model = QualityClassifier.train(iso,
       feats.filter(col("doc_id") % 8 < 2), epochs = 12, lr = 8.0,
       lrDecay = 0.9)
     QualityClassifier.score(feats, model)
@@ -590,10 +589,6 @@ object SparkEntry {
         (col("pred") === (col("y") === 1.0)).as("correct"),
         (abs(col("p") - 0.5) >= 0.05).as("margin_ok"))
       .orderBy(col("doc_id"))
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
   }
 
   private def qualityClassifierSql: String = """
@@ -2002,7 +1997,7 @@ object SparkEntry {
     * version; maintained state equals a full recompute (exceptAll both
     * ways, RECOMPUTED not asserted); the emptied group's tombstone was
     * physically purged. */
-  private def snapshotIncrViewCycle(s: SparkSession, d: String): DataFrame = {
+  private def snapshotIncrViewCycle(s0: SparkSession, d: String): DataFrame = {
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = {
       val t1 = System.nanoTime()
@@ -2015,12 +2010,10 @@ object SparkEntry {
     // lifecycle shuffles here move |groups|-sized frames (~100 rows);
     // at the session's width every tiny exchange schedules a full
     // task wave, and this gate is ~10 ops deep — scope the width down
-    // and restore (same save/restore discipline as the SPJ gate)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // on a THROWAWAY session (pinned, never toggled on the shared one)
+    val s = probeSession(s0,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
     // fixture sized to measure the ENGINE, not the staging (r11/r12
     // verdicts): a seventh of the orders (gcd(7, 100) = 1 keeps every
     // grp residue populated), a HANDFUL of files per commit, and TWO
@@ -2098,10 +2091,6 @@ object SparkEntry {
         (g, c, sm, consumedOk, cursorOk, ivmOk, purgedOk) }
       .toDF("grp", "view_cnt", "view_sum", "consumed_ok", "cursor_ok",
         "ivm_ok", "purged_ok")
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
   }
 
   /** Misra–Gries heavy hitters ([[graft.relational.HeavyHitters]])
@@ -2701,6 +2690,38 @@ object SparkEntry {
     }
   }
 
+  /** Per-invocation unique suffix for probe-gate catalog objects. Two
+    * runners in one JVM (the shape Verify's cache/scratch scoping
+    * already defends against) share [[SqlCat]]'s warehouse, so two
+    * concurrent invocations of the SAME gate on fixed table names
+    * interleave their DROP/CREATE/INSERT/list windows — double-landed
+    * rows and corrupted before/after file listings that red a board
+    * without any wrong plan. A `_uN` suffix makes every invocation's
+    * tables private; Bench's `canonText` collapses the token so plan
+    * fingerprints stay run-stable. */
+  private val probeSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def uniqName(base: String): String =
+    s"${base}_u${probeSeq.incrementAndGet()}"
+
+  /** A THROWAWAY session for physical-invariant probes: fresh
+    * SessionState (own SQLConf, own temp views, own session catalog)
+    * sharing the caller's SparkContext. Gates that must pin optimizer
+    * confs (broadcast thresholds, SPJ keys, overwrite mode, AQE)
+    * run on one of these instead of toggling the SHARED session —
+    * session conf is shared mutable SessionState, the one surface a
+    * save/restore `finally` cannot defend when two runners interleave
+    * on one session. Execution confs that matter are copied from the
+    * caller; probe pins go on top; nothing is restored because nothing
+    * shared was touched. */
+  private def probeSession(s: SparkSession, pins: (String, String)*): SparkSession = {
+    val iso = s.newSession()
+    Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong")
+      .foreach(k => s.conf.getOption(k).foreach(iso.conf.set(k, _)))
+    pins.foreach { case (k, v) => iso.conf.set(k, v) }
+    iso
+  }
+
   /** The snapshot table driven PURELY through `spark.sql` on a stock
     * session — the DSv2 catalog surface ([[graft.catalog.GraftCatalog]])
     * end to end: CREATE TABLE → INSERT → metadata-only DELETE (dv) →
@@ -2772,61 +2793,87 @@ object SparkEntry {
     * /root/reference/src/etl_processor.py:123-124 — a partitioned
     * doc_metadata store, SQL-fronted. */
   private def partitionedDppQuery(s: SparkSession, d: String): DataFrame = {
-    val wh = SqlCat.ensure(s)
-    val t = s"${SqlCat.name}.g.docs_part"
-    s.sql(s"DROP TABLE IF EXISTS $t")
-    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+    // throwaway session, confs PINNED — never toggled on the shared
+    // session (r14 board lesson: these physical booleans must be
+    // deterministic whatever another runner does to the base session).
+    // DPP planting is made a CONSTANT decision, not a stats heuristic:
+    // useStats off + a generous fallback ratio keeps pruningHasBenefit
+    // true whatever the file layout, exchange reuse pinned on so the
+    // broadcast-riding filter always survives physical planning, and
+    // reuseBroadcastOnly off so even a non-broadcast plan still plants.
+    val iso = probeSession(s,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.exchange.reuse" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val wh = SqlCat.ensure(iso)
+    val base = uniqName("docs_part")
+    val t = s"${SqlCat.name}.g.$base"
+    iso.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
       "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
-    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    Tables.documents(iso, d).select(col("doc_id"), col("lang"), col("n_chars"))
       .createOrReplaceTempView("graft_part_src")
-    s.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_part_src")
-    val dimDir = s"$wh/g/docs_part_dim"
-    s.table("graft_part_src").select(col("lang")).distinct()
+    iso.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_part_src")
+    val dimDir = s"$wh/g/${base}_dim"
+    iso.table("graft_part_src").select(col("lang")).distinct()
       .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
       .write.mode("overwrite").parquet(dimDir)
-    s.read.parquet(dimDir).createOrReplaceTempView("graft_part_dim")
+    iso.read.parquet(dimDir).createOrReplaceTempView("graft_part_dim")
     def keptOf(df: DataFrame): Int = {
       df.collect() // executes THIS plan: runtime filters narrow ITS scan
       graft.PlanWalk.batchScans(df).map(_.scan)
         .collect { case g: graft.catalog.GraftScan => g.keptFileCount }.max
     }
-    val total = graft.sources.SnapshotTable.filesDf(s, s"$wh/g/docs_part").count().toInt
+    // a red row must NAME its failing probe: the boolean lands in the
+    // hash either way, this stderr line is what a post-mortem reads
+    def diag(name: String, ok: Boolean, detail: => String): Boolean = {
+      if (!ok) Console.err.println(s"[meta_partitioned_dpp] $name FALSE: $detail")
+      ok
+    }
+    val total = graft.sources.SnapshotTable.filesDf(iso, s"$wh/g/$base").count().toInt
     // static: a literal partition predicate prunes at planning time
     // (LIMIT 1 keeps the probe's driver collect at one row)
-    val staticPruned =
-      keptOf(s.sql(s"SELECT doc_id FROM $t WHERE lang = 'en' LIMIT 1")) < total
+    val staticKept =
+      keptOf(iso.sql(s"SELECT doc_id FROM $t WHERE lang = 'en' LIMIT 1"))
+    val staticPruned = diag("static_pruned", staticKept < total,
+      s"kept=$staticKept total=$total")
     // dynamic: the surviving lang is only knowable from the dim at runtime
-    val j = s.sql(s"SELECT t.lang AS lang, count(*) AS n_docs, " +
+    val j = iso.sql(s"SELECT t.lang AS lang, count(*) AS n_docs, " +
       s"sum(t.n_chars) AS sum_chars FROM $t t " +
       "JOIN graft_part_dim d ON t.lang = d.lang " +
       "WHERE d.tier = 'keep' GROUP BY t.lang")
-    val dppPruned = keptOf(j) < total
+    // guard rail: the executed plan must CARRY the planted runtime
+    // filter on the fact scan — narrowing without a planted filter
+    // would be a probe accident, not a pruning fact
+    val keptJ = keptOf(j)
+    val planted = graft.PlanWalk.batchScans(j).exists(_.runtimeFilters.nonEmpty)
+    val dppPruned = diag("dpp_pruned", planted && keptJ < total,
+      s"planted=$planted kept=$keptJ total=$total")
     // identity-partition SPJ: a co-partitioned graft dim joins on the
     // partition column with ZERO shuffle exchanges (broadcast off — a
     // shuffle is the only alternative), the PARTITIONED BY twin of
     // join_spj_catalog's bucketed proof
-    val td = s"${SqlCat.name}.g.docs_part_gdim"
-    s.sql(s"DROP TABLE IF EXISTS $td")
-    s.sql(s"CREATE TABLE $td (lang STRING, tier STRING) " +
+    val td = s"${SqlCat.name}.g.${base}_gdim"
+    iso.sql(s"CREATE TABLE $td (lang STRING, tier STRING) " +
       "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='tier')")
-    s.sql(s"INSERT INTO $td SELECT lang, CASE WHEN lang = 'en' THEN 'keep' " +
+    iso.sql(s"INSERT INTO $td SELECT lang, CASE WHEN lang = 'en' THEN 'keep' " +
       "ELSE 'drop' END AS tier FROM (SELECT DISTINCT lang FROM graft_part_src)")
-    val spjKeys = Seq("spark.sql.sources.v2.bucketing.enabled",
-      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val prevSpj = spjKeys.map(k => k -> s.conf.getOption(k))
-    val spjZeroExchange = try {
-      spjKeys.take(2).foreach(s.conf.set(_, "true"))
-      s.conf.set(spjKeys(2), "-1")
-      val sj = s.sql(s"SELECT t.lang, count(*) AS n FROM $t t " +
-        s"JOIN $td d ON t.lang = d.lang GROUP BY t.lang")
-      sj.count()
+    // broadcast off for the SPJ leg only — iso is private, so a
+    // sequential conf change on it races nothing
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sj = iso.sql(s"SELECT t.lang, count(*) AS n FROM $t t " +
+      s"JOIN $td d ON t.lang = d.lang GROUP BY t.lang")
+    sj.collect() // execute THIS QueryExecution, then read ITS final plan
+    val spjZeroExchange = diag("spj_zero_exchange",
       graft.PlanWalk.executedNodes(sj.queryExecution.executedPlan).count(
-        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0
-    } finally prevSpj.foreach { case (k, v) =>
-      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
-    graft.Scratch.registerForCleanup(s"$wh/g/docs_part")
-    graft.Scratch.registerForCleanup(s"$wh/g/docs_part_gdim")
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0,
+      sj.queryExecution.executedPlan.toString.linesIterator.take(12).mkString(" | "))
+    graft.Scratch.registerForCleanup(s"$wh/g/$base")
+    graft.Scratch.registerForCleanup(s"$wh/g/${base}_gdim")
     graft.Scratch.registerForCleanup(dimDir)
     j.withColumn("static_pruned", lit(staticPruned))
       .withColumn("dpp_pruned", lit(dppPruned))
@@ -2846,33 +2893,45 @@ object SparkEntry {
     * per-model re-conversion loop of etl_processor.py re-landing one
     * embedding model's metadata. */
   private def partitionOverwriteQuery(s: SparkSession, d: String): DataFrame = {
-    val wh = SqlCat.ensure(s)
-    val t = s"${SqlCat.name}.g.docs_pow"
-    s.sql(s"DROP TABLE IF EXISTS $t")
-    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+    // throwaway session + per-invocation table name: the overwrite
+    // mode is PINNED on a private SessionState (never toggled on the
+    // shared session) and no concurrent runner can interleave its own
+    // DROP/INSERT/list window into this gate's before/after file
+    // listings (the r14 board's failure signature).
+    val iso = probeSession(s,
+      "spark.sql.sources.partitionOverwriteMode" -> "static")
+    val wh = SqlCat.ensure(iso)
+    val base = uniqName("docs_pow")
+    val t = s"${SqlCat.name}.g.$base"
+    iso.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
       "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
-    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    Tables.documents(iso, d).select(col("doc_id"), col("lang"), col("n_chars"))
       .createOrReplaceTempView("graft_pow_src")
-    s.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_pow_src")
-    val root = s"$wh/g/docs_pow"
+    iso.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_pow_src")
+    val root = s"$wh/g/$base"
     def paths(except: String): Set[String] =
-      graft.sources.SnapshotTable.filesDf(s, root).collect().map(_.getString(0))
+      graft.sources.SnapshotTable.filesDf(iso, root).collect().map(_.getString(0))
         .filterNot(_.contains(s"_graft_p_lang=$except")).toSet
+    def diag(name: String, ok: Boolean, detail: => String): Boolean = {
+      if (!ok) Console.err.println(s"[sink_partition_overwrite] $name FALSE: $detail")
+      ok
+    }
     val beforeEn = paths(except = "en")
-    s.sql(s"INSERT OVERWRITE $t PARTITION (lang = 'en') " +
+    iso.sql(s"INSERT OVERWRITE $t PARTITION (lang = 'en') " +
       "SELECT doc_id, n_chars + 1000000 FROM graft_pow_src WHERE lang = 'en'")
-    val carried1 = paths(except = "en") == beforeEn
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = s.conf.getOption(modeKey)
-    val carried2 = try {
-      s.conf.set(modeKey, "dynamic")
-      val beforeDe = paths(except = "de")
-      s.sql(s"INSERT OVERWRITE $t SELECT doc_id, lang, n_chars + 5000000 " +
-        "FROM graft_pow_src WHERE lang = 'de'")
-      paths(except = "de") == beforeDe
-    } finally prevMode.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
+    val afterEn = paths(except = "en")
+    val carried1 = diag("static_carry", afterEn == beforeEn,
+      s"gained=${(afterEn -- beforeEn).take(3)} lost=${(beforeEn -- afterEn).take(3)}")
+    // dynamic leg: iso is private, sequential conf change races nothing
+    iso.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val beforeDe = paths(except = "de")
+    iso.sql(s"INSERT OVERWRITE $t SELECT doc_id, lang, n_chars + 5000000 " +
+      "FROM graft_pow_src WHERE lang = 'de'")
+    val afterDe = paths(except = "de")
+    val carried2 = diag("dynamic_carry", afterDe == beforeDe,
+      s"gained=${(afterDe -- beforeDe).take(3)} lost=${(beforeDe -- afterDe).take(3)}")
     graft.Scratch.registerForCleanup(root)
-    s.sql(s"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t " +
+    iso.sql(s"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t " +
       "GROUP BY lang")
       .withColumn("untouched_carried", lit(carried1 && carried2))
   }
@@ -2934,65 +2993,63 @@ object SparkEntry {
   }
 
   private def spjCatalogJoin(s: SparkSession, d: String): DataFrame = {
-    val wh = SqlCat.ensure(s)
-    val ta = s"${SqlCat.name}.g.spj_orders"
-    val tb = s"${SqlCat.name}.g.spj_cust"
-    val rootA = s"$wh/g/spj_orders"
-    val rootB = s"$wh/g/spj_cust"
-    s.sql(s"DROP TABLE IF EXISTS $ta")
-    s.sql(s"DROP TABLE IF EXISTS $tb")
+    // SPJ keys + broadcast-off PINNED on a throwaway session (broadcast
+    // off: a shuffle is the only alternative), tables per-invocation —
+    // same isolation discipline as the partition gates
+    val iso = probeSession(s,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val wh = SqlCat.ensure(iso)
+    val baseA = uniqName("spj_orders")
+    val baseB = uniqName("spj_cust")
+    val ta = s"${SqlCat.name}.g.$baseA"
+    val tb = s"${SqlCat.name}.g.$baseB"
+    val rootA = s"$wh/g/$baseA"
+    val rootB = s"$wh/g/$baseB"
     // bucketing DECLARED at create: every INSERT writes bucket-per-file
     // on the stats key — the layout is established purely through SQL,
     // no maintenance call anywhere in this gate
-    s.sql(s"CREATE TABLE $ta (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
+    iso.sql(s"CREATE TABLE $ta (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
       "TBLPROPERTIES ('statsKey'='o_custkey', 'buckets'='8')")
-    s.sql(s"CREATE TABLE $tb (c_custkey BIGINT, c_name STRING) " +
+    iso.sql(s"CREATE TABLE $tb (c_custkey BIGINT, c_name STRING) " +
       "TBLPROPERTIES ('statsKey'='c_custkey', 'buckets'='8')")
-    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Tables.orders(iso, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .createOrReplaceTempView("graft_spj_orders_src")
-    Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    Tables.customer(iso, d).select(col("c_custkey"), col("c_name"))
       .createOrReplaceTempView("graft_spj_cust_src")
-    s.sql(s"INSERT INTO $ta SELECT o_orderkey, o_custkey, o_totalprice FROM graft_spj_orders_src")
-    s.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src")
-    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
-      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val prev = keys.map(k => k -> s.conf.getOption(k))
-    try {
-      s.conf.set(keys(0), "true")
-      s.conf.set(keys(1), "true")
-      s.conf.set(keys(2), "-1") // broadcast off: a shuffle is the only alternative
-      def zeroExchangeOf(df: DataFrame): Boolean = {
-        df.count() // materialize AQE stages so the executed plan is final
-        graft.PlanWalk.executedNodes(df.queryExecution.executedPlan)
-          .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0
-      }
-      val joinSql = s"SELECT b.c_custkey AS c_custkey, b.c_name AS c_name, " +
-        s"a.o_totalprice AS o_totalprice FROM $ta a JOIN $tb b " +
-        "ON a.o_custkey = b.c_custkey"
-      val zeroExchange = zeroExchangeOf(s.sql(joinSql))
-      // steady-state CDC: a MERGE rewrites files on the declared table
-      // (value-neutral so the oracle stays a plain join), a point
-      // DELETE leaves deletion-vector debt on the other side — and the
-      // co-located join must STILL plan zero exchanges, with no
-      // maintenance call anywhere (the replacing write re-buckets, the
-      // scan serves dv files under their bucket ids)
-      // one matched key → runtime group filtering rewrites ONE bucket
-      // file (the gate proves the layout survives, not a full rewrite)
-      s.sql(s"""MERGE INTO $ta t
-        |USING (SELECT o_orderkey, o_custkey, o_totalprice
-        |       FROM graft_spj_orders_src ORDER BY o_orderkey LIMIT 1) src
-        |ON t.o_orderkey = src.o_orderkey
-        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-      s.sql(s"DELETE FROM $tb WHERE c_custkey = 1")
-      val j2 = s.sql(joinSql)
-      val zeroExchangePostCdc = zeroExchangeOf(j2)
-      graft.Scratch.registerForCleanup(rootA)
-      graft.Scratch.registerForCleanup(rootB)
-      j2.withColumn("zero_exchange", lit(zeroExchange))
-        .withColumn("zero_exchange_post_cdc", lit(zeroExchangePostCdc))
-    } finally prev.foreach { case (k, v) =>
-      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    iso.sql(s"INSERT INTO $ta SELECT o_orderkey, o_custkey, o_totalprice FROM graft_spj_orders_src")
+    iso.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src")
+    def zeroExchangeOf(df: DataFrame): Boolean = {
+      df.collect() // execute THIS QueryExecution — a derived count()
+                   // would leave df's own AQE plan un-finalized
+      graft.PlanWalk.executedNodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0
+    }
+    val joinSql = s"SELECT b.c_custkey AS c_custkey, b.c_name AS c_name, " +
+      s"a.o_totalprice AS o_totalprice FROM $ta a JOIN $tb b " +
+      "ON a.o_custkey = b.c_custkey"
+    val zeroExchange = zeroExchangeOf(iso.sql(joinSql))
+    // steady-state CDC: a MERGE rewrites files on the declared table
+    // (value-neutral so the oracle stays a plain join), a point
+    // DELETE leaves deletion-vector debt on the other side — and the
+    // co-located join must STILL plan zero exchanges, with no
+    // maintenance call anywhere (the replacing write re-buckets, the
+    // scan serves dv files under their bucket ids)
+    // one matched key → runtime group filtering rewrites ONE bucket
+    // file (the gate proves the layout survives, not a full rewrite)
+    iso.sql(s"""MERGE INTO $ta t
+      |USING (SELECT o_orderkey, o_custkey, o_totalprice
+      |       FROM graft_spj_orders_src ORDER BY o_orderkey LIMIT 1) src
+      |ON t.o_orderkey = src.o_orderkey
+      |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    iso.sql(s"DELETE FROM $tb WHERE c_custkey = 1")
+    val j2 = iso.sql(joinSql)
+    val zeroExchangePostCdc = zeroExchangeOf(j2)
+    graft.Scratch.registerForCleanup(rootA)
+    graft.Scratch.registerForCleanup(rootB)
+    j2.withColumn("zero_exchange", lit(zeroExchange))
+      .withColumn("zero_exchange_post_cdc", lit(zeroExchangePostCdc))
   }
 
   private def snapshotSqlCycle(s: SparkSession, d: String): DataFrame = {
@@ -3320,40 +3377,40 @@ object SparkEntry {
     * exchanges — and the hash gates the joined numbers against DuckDB
     * running the same join shuffle-free in its own world. */
   private def bucketedColocatedJoin(s: SparkSession, d: String): DataFrame = {
+    // broadcast-off PINNED on a throwaway session (so the join would
+    // otherwise shuffle both sides); saveAsTable entries land in the
+    // EXTERNAL catalog (SharedState — shared across sessions), so the
+    // names are per-invocation unique like the DSv2 probe tables
+    val iso = probeSession(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketjoin").toString
-    s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
-    s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
-    Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+    val liTbl = uniqName("graft_li_bucketed")
+    val ordTbl = uniqName("graft_ord_bucketed")
+    Tables.lineitem(iso, d).select("l_orderkey", "l_quantity", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$tmp/li").mode("overwrite").saveAsTable("graft_li_bucketed")
-    Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .option("path", s"$tmp/li").mode("overwrite").saveAsTable(liTbl)
+    Tables.orders(iso, d).select("o_orderkey", "o_totalprice")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$tmp/ord").mode("overwrite").saveAsTable("graft_ord_bucketed")
-    def joined = s.table("graft_li_bucketed")
-      .join(s.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .option("path", s"$tmp/ord").mode("overwrite").saveAsTable(ordTbl)
+    def joined = iso.table(liTbl)
+      .join(iso.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_items"),
         graft.Exact.exactSum(col("l_extendedprice")).as("revenue"),
         max(col("o_totalprice")).as("total_price"))
-    // the physical proof: broadcast off (so the join would otherwise
-    // shuffle both sides), executed plan — zero exchanges end to end.
+    // the physical proof: executed plan — zero exchanges end to end.
     // collect() on q ITSELF: count() plans a separate derived
     // QueryExecution, leaving q's own AQE plan un-executed (the same
     // gotcha the DPP gate documents)
-    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val colocated = try {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val q = joined
-      q.collect()
-      countShuffles(q) == 0
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val q = joined
+    q.collect()
+    val colocated = countShuffles(q) == 0
     val out = joined.withColumn("colocated", lit(colocated))
       .orderBy(col("l_orderkey"))
-    val localized = graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
+    val localized = graft.Scratch.localizeAndDelete(iso, out, Seq(tmp))
     // the catalog entries point at the deleted tmp paths — drop them
-    // so the session's catalog never holds dangling tables
-    s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
-    s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    // so the external catalog never holds dangling tables
+    iso.sql(s"DROP TABLE IF EXISTS $liTbl")
+    iso.sql(s"DROP TABLE IF EXISTS $ordTbl")
     localized
   }
 
@@ -3430,7 +3487,11 @@ object SparkEntry {
     FROM documents WHERE lang = 'en'
     GROUP BY source ORDER BY source"""
 
-  private def partitionedExportCycle(s: SparkSession, d: String): DataFrame = {
+  private def partitionedExportCycle(s0: SparkSession, d: String): DataFrame = {
+    // overwrite mode pinned static on a throwaway session, flipped to
+    // dynamic only on that private session (probe-session discipline)
+    val s = probeSession(s0,
+      "spark.sql.sources.partitionOverwriteMode" -> "static")
     val root = java.nio.file.Files.createTempDirectory("graft-export").toString
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
@@ -3450,15 +3511,10 @@ object SparkEntry {
     // sources' files must survive untouched (same paths)
     val beforeOthers = scannedFiles(s.read.parquet(root)
       .filter(col("source") =!= "src1"))
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try docs.filter(col("source") === "src1")
+    docs.filter(col("source") === "src1")
       .withColumn("n_chars", col("n_chars") + 1000000L)
       .write.mode("overwrite").partitionBy("source", "lang").parquet(root)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
     val afterOthers = scannedFiles(s.read.parquet(root)
       .filter(col("source") =!= "src1"))
     val overwriteOk = afterOthers == beforeOthers
