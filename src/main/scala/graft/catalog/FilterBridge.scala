@@ -62,9 +62,16 @@ private[catalog] object FilterBridge {
     * translate (equality, comparisons, IN of literals, AND); inside an
     * AND a lone translatable side stands alone — `A AND unknown`
     * implies `A`, so pruning with `A` is still conservative. OR/NOT
-    * impose no file bound and translate to None. */
+    * impose no file bound and translate to None.
+    *
+    * `strict = true` flips the AND rule: both sides must translate or
+    * the whole conjunct is None. Pruning callers want the lenient
+    * widening (more files kept — safe); a caller that REPLACES
+    * everything the predicate names (the partition-scoped overwrite)
+    * must use strict, where a silently dropped conjunct would widen
+    * the replacement beyond the named scope. */
   def toCatalystBound(f: Filter, fieldType: String => Option[DataType],
-      phys: String => String): Option[Expression] = {
+      phys: String => String, strict: Boolean = false): Option[Expression] = {
     def attr(n: String): Option[AttributeReference] =
       fieldType(n).map(t => AttributeReference(phys(n), t)())
     def l(v: Any): Option[Expression] =
@@ -86,10 +93,11 @@ private[catalog] object FilterBridge {
         for { x <- attr(a); ys <- traverse(vs.toSeq.map(l)) }
           yield expressions.In(x, ys)
       case And(lf, rf) =>
-        (toCatalystBound(lf, fieldType, phys), toCatalystBound(rf, fieldType, phys)) match {
+        (toCatalystBound(lf, fieldType, phys, strict),
+            toCatalystBound(rf, fieldType, phys, strict)) match {
           case (Some(a), Some(b)) => Some(expressions.And(a, b))
-          case (one @ Some(_), None) => one
-          case (None, one @ Some(_)) => one
+          case (one @ Some(_), None) if !strict => one
+          case (None, one @ Some(_)) if !strict => one
           case _ => None
         }
       case _ => None

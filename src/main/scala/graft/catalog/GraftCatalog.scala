@@ -150,6 +150,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // days(...)) refuse: bucketing is declared via TBLPROPERTIES
     // ('buckets'), and hidden-partitioning transforms are not
     // supported.
+    //
+    // DOCUMENTED DIVERGENCE from Hive/Iceberg: NULL partition values
+    // are REFUSED at write time (every path: append, MERGE
+    // replacement, streaming epoch) rather than landed in a default
+    // `__HIVE_DEFAULT_PARTITION__`-style directory. The directory IS
+    // the value here — pruning, SHOW/DROP PARTITION, and SPJ identity
+    // reporting all parse it back — so an untyped null token would
+    // poison every one of those surfaces. Writers must COALESCE nulls
+    // to a sentinel value before insert; the write error says so.
     val partitionCols: Seq[String] = partitions.toSeq.map { t =>
       if (t.name == "identity" && t.references.length == 1) {
         val ref = t.references.head

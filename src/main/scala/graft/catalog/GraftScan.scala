@@ -416,7 +416,18 @@ private[graft] final class GraftScan(spark: SparkSession,
             SnapshotTable.partValuesOf(f.relPath).get(phys) match {
               case None => true // unparseable layout: conservative keep
               case Some(raw) =>
-                SnapshotTable.partCatalystValue(raw, dt).forall(values.contains)
+                SnapshotTable.partCatalystValue(raw, dt) match {
+                  // drop a file only when the comparison is PROVABLY
+                  // type-exact: the parsed catalyst value's class must
+                  // match a predicate literal's boxing — any drift
+                  // (mirroring the stats-key branch's try/keep-all)
+                  // keeps the file rather than silently dropping live
+                  // rows on a representation mismatch
+                  case Some(v) if values.exists(x =>
+                      x != null && x.getClass == v.getClass) =>
+                    values.contains(v)
+                  case _ => true
+                }
             }
           }
           narrowed = true

@@ -81,11 +81,14 @@ private[catalog] final class GraftWriteBuilder(spark: SparkSession, root: String
             val snap = SnapshotTable.sqlSnapshot(spark, root)
             def fieldType(n: String) =
               snap.schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
-            // exact by construction: overwrite() admitted only
-            // EqualTo/IN/AND over partition columns, all of which
-            // toCatalystBound translates completely
+            // STRICT translation: a replacement's scope must never
+            // widen — a conjunct lost inside a nested And (e.g. a
+            // future partition type whose Literal conversion fails)
+            // must fail the whole filter, not silently broaden the
+            // overwrite to more partitions than the statement named
             val preds = overwriteScope.flatMap(
-              FilterBridge.toCatalystBound(_, fieldType, snap.physName)).toSeq
+              FilterBridge.toCatalystBound(_, fieldType, snap.physName,
+                strict = true)).toSeq
             require(preds.length == overwriteScope.length,
               s"internal: overwrite scope lost a conjunct in translation")
             SnapshotTable.sqlOverwriteWhere(spark, root, data, preds)

@@ -1087,18 +1087,22 @@ object SnapshotTable {
         }
         val rowsKnown = es.forall(e => e.rows.isDefined &&
           (e.dv.isEmpty || e.dvRows.isDefined))
+        // same known-ness rule as n_rows: a legacy entry without byte
+        // facts nulls the partition's bytes rather than silently
+        // under-reporting a partial sum
+        val bytesKnown = es.forall(_.bytes.isDefined)
         Row.fromSeq(vals ++ Seq(
           es.size,
           if (rowsKnown) Long.box(es.flatMap(_.rows).sum - es.flatMap(_.dvRows).sum)
           else null,
-          Long.box(es.flatMap(_.bytes).sum),
+          if (bytesKnown) Long.box(es.flatMap(_.bytes).sum) else null,
           es.count(_.dv.isDefined)))
       }
     val schema = StructType(
       cols.map(c => StructField(c._1, c._3, nullable = true)) ++ Seq(
         StructField("n_files", IntegerType, nullable = false),
         StructField("n_rows", LongType, nullable = true),
-        StructField("bytes", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = true),
         StructField("dv_files", IntegerType, nullable = false)))
     spark.createDataFrame(
       new java.util.ArrayList[Row](
