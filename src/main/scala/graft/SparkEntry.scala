@@ -170,6 +170,7 @@ object SparkEntry {
     "meta_partitioned_dpp" -> ((s, d) => partitionedDppQuery(s, d)),
     "sink_partition_overwrite" -> ((s, d) => partitionOverwriteQuery(s, d)),
     "meta_partitions_table" -> ((s, d) => partitionsTableQuery(s, d)),
+    "meta_zorder_declared" -> ((s, d) => zorderDeclaredQuery(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
@@ -323,6 +324,11 @@ object SparkEntry {
                       ELSE n_chars END) AS sum_chars,
              TRUE AS untouched_carried
       FROM documents GROUP BY lang"""),
+    "meta_zorder_declared" -> ("""
+      SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+             TRUE AS zorder_restored, TRUE AS probe_key1_pruned,
+             TRUE AS probe_key2_pruned
+      FROM documents"""),
     "meta_partitions_table" -> ("SELECT lang, count(*) - " +
       "(CASE WHEN lang = (SELECT lang FROM documents WHERE doc_id = 0) " +
       "THEN 1 ELSE 0 END) AS n_docs FROM documents " +
@@ -2960,6 +2966,66 @@ object SparkEntry {
     s.sql(s"ALTER TABLE $t DROP PARTITION (lang = '$dropLang')")
     graft.Scratch.registerForCleanup(s"$wh/g/docs_pmeta")
     s.sql(s"SELECT lang, n_rows AS n_docs FROM $t.partitions ORDER BY lang")
+  }
+
+  /** Z-ORDER AS A DECLARED LAYOUT, gated end to end: the table is
+    * created with `TBLPROPERTIES ('zorder'='true')` over its two
+    * recorded stats keys, rows land as PLAIN appends (the
+    * OPTIMIZE-ZORDER model — a per-write interleave would re-read the
+    * table), ONE scheduled `maintain(relayout = true)` cycle restores
+    * the interleaved layout from the manifest declaration, and point
+    * probes on EITHER key then prune files through the manifest's
+    * two-key range stats — the property a primary-first hierarchical
+    * layout cannot give the secondary key. At 100 TB this is the
+    * maintenance contract that keeps two-dimensional probe workloads
+    * (doc id × chunk idx, tenant × time) prunable without the operator
+    * remembering which re-layout tool matches which table. */
+  private def zorderDeclaredQuery(s: SparkSession, d: String): DataFrame = {
+    val iso = probeSession(s)
+    val wh = SqlCat.ensure(iso)
+    val base = uniqName("docs_zo")
+    val t = s"${SqlCat.name}.g.$base"
+    val root = s"$wh/g/$base"
+    iso.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT) TBLPROPERTIES " +
+      "('statsKey'='doc_id', 'statsKey2'='n_chars', 'zorder'='true')")
+    Tables.documents(iso, d).select(col("doc_id"), col("n_chars"))
+      .createOrReplaceTempView("graft_zo_src")
+    // plain appends: the declared interleave is deliberately NOT paid
+    // per write — the layout dissolves until maintenance restores it
+    iso.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ doc_id, n_chars " +
+      "FROM graft_zo_src")
+    val snap = graft.sources.SnapshotTable
+    val dissolved = !snap.describeDetail(iso, root).zorderedLayout
+    snap.maintain(iso, root, smallBytes = 1L, relayout = true)
+    val detail = snap.describeDetail(iso, root)
+    val total = detail.nFiles
+    def keptOf(q: String): Int = {
+      val df = iso.sql(q)
+      df.collect()
+      graft.PlanWalk.batchScans(df).map(_.scan)
+        .collect { case g: graft.catalog.GraftScan => g.keptFileCount }.max
+    }
+    def diag(name: String, ok: Boolean, detail: => String): Boolean = {
+      if (!ok) Console.err.println(s"[meta_zorder_declared] $name FALSE: $detail")
+      ok
+    }
+    val restored = diag("zorder_restored",
+      dissolved && detail.declaredZorder && detail.zorderedLayout && total > 1,
+      s"dissolved=$dissolved declared=${detail.declaredZorder} " +
+        s"laid=${detail.zorderedLayout} files=$total")
+    // a point probe on EITHER key must skip files via the restored
+    // interleave's per-file ranges (probe values exist by construction)
+    val probeChars = iso.sql(
+      "SELECT n_chars FROM graft_zo_src WHERE doc_id = 0").head().getLong(0)
+    val keptA = keptOf(s"SELECT count(*) FROM $t WHERE doc_id = 0")
+    val keptB = keptOf(s"SELECT count(*) FROM $t WHERE n_chars = $probeChars")
+    val prunedA = diag("probe_key1_pruned", keptA < total, s"kept=$keptA total=$total")
+    val prunedB = diag("probe_key2_pruned", keptB < total, s"kept=$keptB total=$total")
+    graft.Scratch.registerForCleanup(root)
+    iso.sql(s"SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t")
+      .withColumn("zorder_restored", lit(restored))
+      .withColumn("probe_key1_pruned", lit(prunedA))
+      .withColumn("probe_key2_pruned", lit(prunedB))
   }
 
   /** The retrieval surface fully NAME-ADDRESSED: a vector-store table

@@ -188,9 +188,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"TBLPROPERTIES buckets must be an integer, got '$b'")
       }
     }
+    // TBLPROPERTIES('zorder'='true') declares z-order CLUSTERING on
+    // the (statsKey, statsKey2) pair: maintenance rewrites restore the
+    // interleaved layout; appends stay plain (the OPTIMIZE ZORDER
+    // model — a per-write interleave would re-read the table)
+    val zorder = Option(properties.get("zorder")).exists { z =>
+      require(z == "true" || z == "false",
+        s"TBLPROPERTIES zorder must be true or false, got '$z'")
+      z == "true"
+    }
     SnapshotTable.create(spark, p.toString,
       spark.createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](), schema),
-      statsKey, statsKey2, buckets = buckets, partitionCols = partitionCols)
+      statsKey, statsKey2, buckets = buckets, partitionCols = partitionCols,
+      zorder = zorder)
     new GraftTable(spark, p.toString, fullName(ident), None)
   }
 

@@ -323,7 +323,17 @@ object SnapshotTable {
         * (create-time names; renames ride the column map, so the
         * physical name — and the directories — never move). Optional
         * header field, same no-format-bump contract as `buckets`. */
-      partitionCols: Seq[String] = Seq.empty)
+      partitionCols: Seq[String] = Seq.empty,
+      /** DECLARED z-order clustering (CREATE-time, `zorder` property):
+        * the key SET is the recorded statsKey + statsKey2 (both
+        * required, both integral). Unlike buckets/partitionCols the
+        * declaration does NOT reshape every write — appends append and
+        * the layout dissolves gradually (the Delta/Iceberg OPTIMIZE
+        * ZORDER model) — it ROUTES MAINTENANCE: scheduled rewrites
+        * restore the interleaved layout without the operator
+        * remembering which keys to pass. Optional header field, same
+        * no-format-bump contract as `buckets`. */
+      zorder: Boolean = false)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -439,6 +449,7 @@ object SnapshotTable {
     // so a comma-joined header field parses unambiguously
     val partitionCols = """"partitionCols":"([^"]+)"""".r.findFirstMatchIn(header)
       .map(_.group(1).split(',').toSeq).getOrElse(Seq.empty)
+    val zorder = """"zorder":true""".r.findFirstIn(header).isDefined
     val base = """"base":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt)
     val depth = """"depth":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt).getOrElse(0)
     val lines = allLines.drop(1).filter(_.nonEmpty)
@@ -482,7 +493,7 @@ object SnapshotTable {
         resolveDelta(manifestFull(spark, root, b).entries, listed, removed)
     }
     val m = Manifest(op, schema, entries, statsKey, statsKey2, txn, base, depth,
-      constraints, colmap, retired, buckets, partitionCols)
+      constraints, colmap, retired, buckets, partitionCols, zorder)
     if (manifestCacheWeight.get > ManifestCacheEntryBudget) clearManifestMemo()
     if (manifestCache.put(p.toString, (st.getModificationTime, st.getLen, m)) == null)
       manifestCacheWeight.addAndGet((m.entries.size + 1).toLong)
@@ -743,7 +754,8 @@ object SnapshotTable {
       statsKey: Option[String] = None,
       statsKey2: Option[String] = None,
       bloomKey: Boolean = false,
-      colmap: Map[String, String] = Map.empty): Seq[FileEntry] = {
+      colmap: Map[String, String] = Map.empty,
+      batchPrefix: String = "batch"): Seq[FileEntry] = {
     // column mapping (format 9): batches arrive LOGICAL, files store
     // PHYSICAL — one projection here keeps every caller logical-only.
     // Stats keys translate the same way: the footer reader and the
@@ -751,7 +763,7 @@ object SnapshotTable {
     val df = toPhysical(df0, colmap)
     val physKey = statsKey.map(physFor(colmap, _))
     val physKey2 = statsKey2.map(physFor(colmap, _))
-    val batch = s"data/batch-${java.util.UUID.randomUUID().toString.take(8)}"
+    val batch = s"data/$batchPrefix-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
     val f = fs(spark, root)
     // sizes ride the listing the write already pays for — recorded in
@@ -1448,7 +1460,8 @@ object SnapshotTable {
       colmapOverride: Option[Map[String, String]] = None,
       retiredOverride: Option[Set[String]] = None,
       bucketsDeclared: Option[Int] = None,
-      partitionColsDeclared: Option[Seq[String]] = None): Int = {
+      partitionColsDeclared: Option[Seq[String]] = None,
+      zorderDeclared: Option[Boolean] = None): Int = {
     val v = expected + 1
     // header (format revision + version + operation + stats identity),
     // then the version's SCHEMA (S-prefixed json line): every version
@@ -1488,6 +1501,8 @@ object SnapshotTable {
     // ... and so is a CREATE-time partition-column declaration
     val effPartCols = partitionColsDeclared
       .orElse(parent.map(_.partitionCols)).getOrElse(Seq.empty)
+    // ... and the CREATE-time z-order clustering declaration
+    val effZorder = zorderDeclared.getOrElse(parent.exists(_.zorder))
     val delta: Option[(Int, Seq[String])] =
       parent.flatMap { pm =>
         if (pm.depth >= MaxChainDepth) None
@@ -1506,6 +1521,7 @@ object SnapshotTable {
       effBuckets.map(b => s""","buckets":$b""").getOrElse("") +
       (if (effPartCols.nonEmpty)
         s""","partitionCols":"${effPartCols.mkString(",")}"""" else "") +
+      (if (effZorder) s""","zorder":true""" else "") +
       delta.map { case (d, _) => s""","base":$expected,"depth":$d""" }.getOrElse("") + "}"
     val entryLines = delta.map(_._2).getOrElse(files.map(_.render))
     val body = ((header +: s"S${schema.json}" +:
@@ -1748,8 +1764,26 @@ object SnapshotTable {
       statsKey: Option[String] = None, statsKey2: Option[String] = None,
       txnBatchId: Option[Long] = None, bloomKey: Boolean = false,
       buckets: Option[Int] = None,
-      partitionCols: Seq[String] = Seq.empty): Int = {
+      partitionCols: Seq[String] = Seq.empty,
+      zorder: Boolean = false): Int = {
     require(versions(spark, root).isEmpty, s"table already exists at $root")
+    if (zorder) {
+      require(buckets.isEmpty && partitionCols.isEmpty,
+        "a z-order declaration is exclusive with buckets / PARTITIONED BY " +
+          "(one declared physical layout per table)")
+      // both z keys must exist and be integral at DECLARATION time —
+      // failing the first maintenance cycle instead would leave a
+      // table whose declared layout can never be produced
+      Seq("statsKey" -> statsKey, "statsKey2" -> statsKey2).foreach {
+        case (what, k) =>
+          val t = k.flatMap(n =>
+            df.schema.fields.find(f => norm(f.name) == norm(n)).map(_.dataType))
+          require(t.exists(dt => dt == org.apache.spark.sql.types.IntegerType ||
+              dt == org.apache.spark.sql.types.LongType),
+            s"a z-order declaration needs an integral (int/bigint) $what; " +
+              s"got ${k.getOrElse("<none>")}${t.map(d => s" : ${d.simpleString}").getOrElse("")}")
+      }
+    }
     buckets.foreach { n =>
       require(n > 0 && n <= 65536, s"buckets must be in [1, 65536], got $n")
       val kt = statsKey.flatMap(k =>
@@ -1791,13 +1825,24 @@ object SnapshotTable {
             partitionCols.map(pc => df.schema.fields
               .find(f => norm(f.name) == norm(pc)).get.name),
             statsKey, statsKey2, Map.empty)
+        case None if zorder =>
+          // the created table is BORN in its declared layout (like
+          // buckets/partitions): interleave on the two keys, sized to
+          // the input's own parallelism; the zo- batch prefix is the
+          // dissolution marker maintenance reads
+          writeDataFiles(spark, root,
+            clusterLayout(df,
+              math.max(8, df.rdd.getNumPartitions), statsKey, statsKey2,
+              cluster = true, zorder = true),
+            statsKey, statsKey2, bloomKey, batchPrefix = "zo")
         case None => writeDataFiles(spark, root, df, statsKey, statsKey2, bloomKey)
       },
       widened(df.schema), expected = 0, op = "create", statsKey, statsKey2,
       txnBatchId, bucketsDeclared = buckets,
       partitionColsDeclared = if (partitionCols.isEmpty) None
         else Some(partitionCols.map(pc => df.schema.fields
-          .find(f => norm(f.name) == norm(pc)).get.name)))
+          .find(f => norm(f.name) == norm(pc)).get.name)),
+      zorderDeclared = if (zorder) Some(true) else None)
   }
 
   /** Append rows: new files + all files of the snapshot appended onto.
@@ -2082,7 +2127,9 @@ object SnapshotTable {
       val current = readEntries(spark, root, schema, m.entries, m.colmap)
       Pending(writeDataFiles(spark, root,
         clusterLayout(current, targetFiles, effKey, effKey2, cluster, zorder),
-        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
+        effKey, effKey2, colmap = m.colmap,
+        batchPrefix = if (zorder) "zo" else "batch"),
+        schema, effKey, effKey2)
     }
 
   private object NothingToCompact extends Exception
@@ -2100,7 +2147,8 @@ object SnapshotTable {
     * [[compactBucketed]]/[[compactPartitioned]] restore. */
   private def rewriteWithDeclaredLayout(spark: SparkSession, root: String,
       m: Manifest, df: DataFrame, effKey: Option[String],
-      effKey2: Option[String], plain: => DataFrame): Seq[FileEntry] =
+      effKey2: Option[String], plain: => DataFrame,
+      targetFiles: Int = 8): Seq[FileEntry] =
     m.buckets match {
       case Some(n) => writeBucketedFiles(spark, root, df, n,
         effKey.getOrElse(throw new IllegalStateException(
@@ -2108,6 +2156,13 @@ object SnapshotTable {
       case None if m.partitionCols.nonEmpty =>
         writePartitionedFiles(spark, root, df, m.partitionCols, effKey, effKey2,
           m.colmap)
+      case None if m.zorder =>
+        // declared z-order: the rewritten subset comes back interleaved
+        // on the recorded key pair (zo- batch = the layout marker)
+        writeDataFiles(spark, root,
+          clusterLayout(df, targetFiles, effKey, effKey2,
+            cluster = true, zorder = true),
+          effKey, effKey2, colmap = m.colmap, batchPrefix = "zo")
       case None => writeDataFiles(spark, root, plain, effKey, effKey2,
         colmap = m.colmap)
     }
@@ -2155,7 +2210,7 @@ object SnapshotTable {
       Pending(fixCarried(large) ++ rewriteWithDeclaredLayout(spark, root, m,
         current, effKey, effKey2,
         plain = clusterLayout(current, outFiles, effKey, effKey2, cluster,
-          zorder = false)), schema, effKey, effKey2)
+          zorder = false), targetFiles = outFiles), schema, effKey, effKey2)
     }) catch { case NothingToCompact => None }
 
   /** Targeted DV MATERIALIZATION: rewrite ONLY the files whose
@@ -2202,7 +2257,8 @@ object SnapshotTable {
       Pending(fixCarried(carry) ++ rewriteWithDeclaredLayout(spark, root, m,
         current, effKey, effKey2,
         plain = clusterLayout(current, debt.size, effKey, effKey2,
-          cluster && effKey.isDefined, zorder = false)),
+          cluster && effKey.isDefined, zorder = false),
+        targetFiles = debt.size),
         schema, effKey, effKey2)
     }) catch { case NothingToCompact => None }
   }
@@ -2273,13 +2329,74 @@ object SnapshotTable {
   def maintain(spark: SparkSession, root: String, smallBytes: Long,
       maxDvFraction: Double = 0.25, keepVersions: Int = 3,
       statsKey: Option[String] = None, cluster: Boolean = true,
-      minAgeMs: Long = 60L * 60 * 1000): Seq[Int] = {
-    val materialized = materializeDv(spark, root, maxDvFraction)
-    val packed = compactSmall(spark, root, smallBytes, statsKey = statsKey,
-      cluster = cluster)
+      minAgeMs: Long = 60L * 60 * 1000,
+      relayout: Boolean = false): Seq[Int] = {
+    // relayout = true: if the head's file set has drifted off the
+    // table's DECLARED layout (an explicit compact/compactRange/
+    // z-order one-shot or a dynamic overwrite dissolved it), one full
+    // rewrite re-establishes the declaration — the scheduled cycle
+    // restores ANY declared layout without the operator remembering
+    // which tool matches which layout. The rewrite subsumes the two
+    // incremental legs (it materializes every dv and packs every
+    // small file), so they're skipped when it fires; when the layout
+    // is intact (or nothing is declared) this is a no-op and the
+    // incremental cycle runs as always.
+    val relaid = if (relayout) restoreDeclaredLayout(spark, root) else None
+    val materialized =
+      if (relaid.isDefined) None else materializeDv(spark, root, maxDvFraction)
+    val packed =
+      if (relaid.isDefined) None
+      else compactSmall(spark, root, smallBytes, statsKey = statsKey,
+        cluster = cluster)
     expireVersions(spark, root, keepLast = keepVersions)
     vacuum(spark, root, minAgeMs = minAgeMs)
-    Seq(materialized, packed).flatten
+    Seq(relaid, materialized, packed).flatten
+  }
+
+  /** Is a file's batch directory a z-laid rewrite's output? The zo-
+    * prefix is stamped by every z-interleaved write (declared create,
+    * declared maintenance rewrite, explicit zorder compact), so "all
+    * live files zo-laid" is the same cheap path fact bucket ids and
+    * partition dirs provide for the other declared layouts. */
+  private def zorderLaid(e: FileEntry): Boolean = e.path.startsWith("data/zo-")
+
+  /** Has the head snapshot PHYSICALLY drifted off its declared layout?
+    * Driver-side path facts only (bucket ids, partition dirs, zo-
+    * batch marker) — zero data I/O, the cheap check a scheduled
+    * `maintain(relayout = true)` runs every cycle. False when nothing
+    * is declared. */
+  private def layoutDissolved(spark: SparkSession, root: String,
+      version: Int, m: Manifest): Boolean =
+    if (m.entries.isEmpty) false
+    else if (m.buckets.isDefined)
+      new SqlSnapshot(spark, root, version, m).bucketLayout.isEmpty
+    else if (m.partitionCols.nonEmpty) {
+      val need = m.partitionCols.map(norm).toSet
+      m.entries.exists(e => !need.subsetOf(partValuesOf(e.path).keySet))
+    }
+    else if (m.zorder) !m.entries.forall(zorderLaid)
+    else false
+
+  /** Restore the table's DECLARED layout with one full rewrite when it
+    * has dissolved; no-op (None) when the head already honors its
+    * declaration or declares nothing. The explicit re-layout tools
+    * (compact, compactRange, one-shot z-order, dynamic overwrite) stay
+    * layout-agnostic by design — they ARE the "change the layout"
+    * ops; this is the scheduled inverse. */
+  def restoreDeclaredLayout(spark: SparkSession, root: String): Option[Int] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val m = manifestFull(spark, root, vs.last)
+    if (!layoutDissolved(spark, root, vs.last, m)) None
+    else if (m.buckets.isDefined)
+      Some(compactBucketed(spark, root, m.buckets.get))
+    else if (m.partitionCols.nonEmpty) Some(compactPartitioned(spark, root))
+    else if (m.zorder)
+      // one z-range file per current file: restoring the interleave
+      // must not change the table's file granularity
+      Some(compact(spark, root, targetFiles = math.max(1, m.entries.size),
+        zorder = true))
+    else None
   }
 
   /** Bits per dimension of the z-value after normalization. 15 gives a
@@ -2378,7 +2495,9 @@ object SnapshotTable {
       val kept = readEntries(spark, root, schema, m.entries, m.colmap).filter(keep)
       Pending(writeDataFiles(spark, root,
         clusterLayout(kept, targetFiles, effKey, effKey2, cluster, zorder),
-        effKey, effKey2, colmap = m.colmap), schema, effKey, effKey2)
+        effKey, effKey2, colmap = m.colmap,
+        batchPrefix = if (zorder) "zo" else "batch"),
+        schema, effKey, effKey2)
     }
 
   /** Drop all snapshots except the last `keepLast` (their manifests are
@@ -2512,7 +2631,15 @@ object SnapshotTable {
         * declared table: declaredBuckets set but bucketedLayout
         * None means a row-level rewrite dissolved the claim and
         * `compactBucketed()` would restore zero-shuffle joins). */
-      bucketedLayout: Option[Int] = None)
+      bucketedLayout: Option[Int] = None,
+      /** CREATE-time z-order clustering declaration (keys =
+        * statsKey + statsKey2). */
+      declaredZorder: Boolean = false,
+      /** Is the LIVE file set physically z-interleaved (every file from
+        * a z-laid rewrite)? declaredZorder && !zorderedLayout is the
+        * scheduler's RESTORE signal — `maintain(relayout = true)`
+        * re-establishes whatever layout the table declares. */
+      zorderedLayout: Boolean = false)
 
   def describeDetail(spark: SparkSession, root: String,
       smallBytes: Long = 0L): TableDetail = {
@@ -2549,7 +2676,9 @@ object SnapshotTable {
       mappedColumns = m.colmap.size,
       declaredBuckets = m.buckets,
       bucketedLayout =
-        new SqlSnapshot(spark, root, vs.last, m).bucketLayout.map(_._1))
+        new SqlSnapshot(spark, root, vs.last, m).bucketLayout.map(_._1),
+      declaredZorder = m.zorder,
+      zorderedLayout = m.entries.nonEmpty && m.entries.forall(zorderLaid))
   }
 
   /** Garbage-collect files referenced by NO live manifest — leftovers

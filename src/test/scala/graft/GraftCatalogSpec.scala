@@ -1535,4 +1535,105 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dvParts.size == 1 && plainParts.nonEmpty,
       s"dv=${dvParts.size} plain=${plainParts.size}")
   }
+
+  test("maintain(relayout=true) restores a dissolved bucket layout — SPJ zero-exchange again") {
+    wh
+    val snap = graft.sources.SnapshotTable
+    sql("DROP TABLE IF EXISTS gsql.main.rl_a")
+    sql("DROP TABLE IF EXISTS gsql.main.rl_b")
+    sql("CREATE TABLE gsql.main.rl_a (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='4')")
+    sql("CREATE TABLE gsql.main.rl_b (id BIGINT, w STRING) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='4')")
+    sql("INSERT INTO gsql.main.rl_a SELECT id, id * 2 FROM range(0, 400)")
+    sql("INSERT INTO gsql.main.rl_b SELECT id, concat('w', id) FROM range(0, 400)")
+    val rootA = s"$wh/main/rl_a"
+    // an EXPLICIT layout-agnostic compact dissolves the declared layout
+    snap.compact(spark, rootA, targetFiles = 3)
+    assert(snap.describeDetail(spark, rootA).bucketedLayout.isEmpty,
+      "compact() is layout-agnostic by design")
+    // ONE scheduled call restores it — no operator-chosen tool
+    val committed = snap.maintain(spark, rootA, smallBytes = 1L, relayout = true)
+    assert(committed.nonEmpty, "relayout must commit a restoring rewrite")
+    assert(snap.describeDetail(spark, rootA).bucketedLayout.contains(4))
+    // ...and the co-located join plans ZERO shuffle exchanges again
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "-1")
+      val j = sql("SELECT a.id, a.v, b.w FROM gsql.main.rl_a a " +
+        "JOIN gsql.main.rl_b b ON a.id = b.id")
+      assert(j.count() == 400L)
+      val shuffles = PlanWalk.executedNodes(j.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      assert(shuffles == 0,
+        s"relayout must restore SPJ:\n${j.queryExecution.executedPlan}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // idempotent: the layout is intact, a second relayout cycle
+    // commits NOTHING (scheduled calls converge)
+    assert(snap.maintain(spark, rootA, smallBytes = 1L, relayout = true).isEmpty)
+  }
+
+  test("maintain(relayout=true) restores a dissolved PARTITIONED BY layout") {
+    wh
+    val snap = graft.sources.SnapshotTable
+    sql("DROP TABLE IF EXISTS gsql.main.rl_p")
+    sql("CREATE TABLE gsql.main.rl_p (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.rl_p SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END FROM range(0, 200)")
+    val root = s"$wh/main/rl_p"
+    snap.compact(spark, root, targetFiles = 2) // dissolves the directories
+    assert(!liveFiles("rl_p").forall(_.contains("_graft_p_lang=")))
+    assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).nonEmpty)
+    assert(liveFiles("rl_p").forall(_.contains("_graft_p_lang=")))
+    // static pruning works again through the restored directories
+    val probe = sql("SELECT id FROM gsql.main.rl_p WHERE lang = 'en'")
+    assert(probe.collect().length == 100)
+    val total = liveFiles("rl_p").size
+    val kept = PlanWalk.batchScans(probe).map(_.scan)
+      .collect { case g: GraftScan => g.keptFileCount }.max
+    assert(kept < total, s"kept=$kept total=$total")
+    assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).isEmpty)
+  }
+
+  test("declared z-order: maintenance restores the interleave, both keys prune") {
+    wh
+    val snap = graft.sources.SnapshotTable
+    sql("DROP TABLE IF EXISTS gsql.main.rl_z")
+    sql("CREATE TABLE gsql.main.rl_z (a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='a', 'statsKey2'='b', 'zorder'='true')")
+    // a 64×64 grid, landed as PLAIN appends (appends never pay the
+    // interleave — the OPTIMIZE ZORDER model), 16 files
+    sql("INSERT INTO gsql.main.rl_z SELECT /*+ REPARTITION(16) */ " +
+      "id % 64 AS a, id DIV 64 AS b FROM range(0, 4096)")
+    val root = s"$wh/main/rl_z"
+    val d0 = snap.describeDetail(spark, root)
+    assert(d0.declaredZorder && !d0.zorderedLayout,
+      "plain appends leave the declared z layout dissolved")
+    // one scheduled cycle restores the declared interleave
+    assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).nonEmpty)
+    val d1 = snap.describeDetail(spark, root)
+    assert(d1.zorderedLayout, "relayout must re-interleave")
+    def keptOf(q: String): Int = {
+      val df = sql(q)
+      df.collect()
+      PlanWalk.batchScans(df).map(_.scan)
+        .collect { case g: GraftScan => g.keptFileCount }.max
+    }
+    val total = d1.nFiles
+    assert(total >= 8, s"grid should land as many files, got $total")
+    // point probes on EITHER key prune to at most half the files — the
+    // property a hierarchical (primary-first) layout cannot give the
+    // secondary key at all
+    val keptA = keptOf("SELECT count(*) FROM gsql.main.rl_z WHERE a = 10")
+    val keptB = keptOf("SELECT count(*) FROM gsql.main.rl_z WHERE b = 50")
+    assert(keptA <= total / 2, s"primary probe kept $keptA of $total")
+    assert(keptB <= total / 2, s"secondary probe kept $keptB of $total")
+    // converged: nothing left to do
+    assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).isEmpty)
+  }
 }
