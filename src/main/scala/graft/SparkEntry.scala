@@ -171,6 +171,7 @@ object SparkEntry {
     "sink_partition_overwrite" -> ((s, d) => partitionOverwriteQuery(s, d)),
     "meta_partitions_table" -> ((s, d) => partitionsTableQuery(s, d)),
     "meta_zorder_declared" -> ((s, d) => zorderDeclaredQuery(s, d)),
+    "meta_partition_evolution" -> ((s, d) => partitionEvolutionQuery(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
@@ -329,6 +330,11 @@ object SparkEntry {
              TRUE AS zorder_restored, TRUE AS probe_key1_pruned,
              TRUE AS probe_key2_pruned
       FROM documents"""),
+    "meta_partition_evolution" -> ("""
+      SELECT lang, source, count(*) AS n_docs,
+             TRUE AS evolved_metadata_only, TRUE AS lang_prunes_both_eras,
+             TRUE AS source_prunes_new_era
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""),
     "meta_partitions_table" -> ("SELECT lang, count(*) - " +
       "(CASE WHEN lang = (SELECT lang FROM documents WHERE doc_id = 0) " +
       "THEN 1 ELSE 0 END) AS n_docs FROM documents " +
@@ -3026,6 +3032,67 @@ object SparkEntry {
       .withColumn("zorder_restored", lit(restored))
       .withColumn("probe_key1_pruned", lit(prunedA))
       .withColumn("probe_key2_pruned", lit(prunedB))
+  }
+
+  /** PARTITION-SPEC EVOLUTION, gated end to end (Iceberg's ADD
+    * PARTITION FIELD, fronted as `ALTER TABLE … SET TBLPROPERTIES
+    * ('partitionCols'=…)`): era 1 lands under `lang=` directories, ONE
+    * metadata commit adds `source` to the spec (zero data I/O — the
+    * file set is compared before/after), era 2 lands under two-level
+    * directories, and the probes pin the per-era pruning rule — a lang
+    * predicate skips files of BOTH eras (both spell lang), a source
+    * predicate skips era-2 files while conservatively keeping era 1.
+    * At 100 TB this is the reference's per-embedding-model
+    * re-partition (etl_processor.py:123-124) as one manifest write
+    * instead of a table rewrite. */
+  private def partitionEvolutionQuery(s: SparkSession, d: String): DataFrame = {
+    val iso = probeSession(s)
+    val wh = SqlCat.ensure(iso)
+    val base = uniqName("docs_pevo")
+    val t = s"${SqlCat.name}.g.$base"
+    val root = s"$wh/g/$base"
+    iso.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
+    Tables.documents(iso, d).select(col("doc_id"), col("lang"), col("source"))
+      .createOrReplaceTempView("graft_pevo_src")
+    iso.sql(s"INSERT INTO $t SELECT doc_id, lang, source FROM graft_pevo_src " +
+      "WHERE doc_id % 2 = 0") // era 1: lang directories
+    def files(): Set[String] =
+      graft.sources.SnapshotTable.filesDf(iso, root).collect()
+        .map(_.getString(0)).toSet
+    val era1 = files()
+    iso.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('partitionCols'='lang,source')")
+    val metadataOnly = files() == era1
+    iso.sql(s"INSERT INTO $t SELECT doc_id, lang, source FROM graft_pevo_src " +
+      "WHERE doc_id % 2 = 1") // era 2: lang/source directories
+    val total = files().size
+    def keptOf(q: String): Int = {
+      val df = iso.sql(q)
+      df.collect()
+      graft.PlanWalk.batchScans(df).map(_.scan)
+        .collect { case g: graft.catalog.GraftScan => g.keptFileCount }.max
+    }
+    def diag(name: String, ok: Boolean, detail: => String): Boolean = {
+      if (!ok) Console.err.println(s"[meta_partition_evolution] $name FALSE: $detail")
+      ok
+    }
+    val probeSource = iso.sql(
+      "SELECT source FROM graft_pevo_src WHERE doc_id = 0").head().getString(0)
+    val keptLang = keptOf(s"SELECT doc_id FROM $t WHERE lang = 'en'")
+    val keptSrc = keptOf(s"SELECT doc_id FROM $t WHERE source = '$probeSource'")
+    val evoOk = diag("evolved_metadata_only", metadataOnly,
+      s"file set changed across ALTER")
+    val langOk = diag("lang_prunes_both_eras", keptLang < total,
+      s"kept=$keptLang total=$total")
+    val srcOk = diag("source_prunes_new_era",
+      keptSrc < total && keptSrc >= era1.size,
+      s"kept=$keptSrc era1=${era1.size} total=$total")
+    graft.Scratch.registerForCleanup(root)
+    iso.sql(s"SELECT lang, source, count(*) AS n_docs FROM $t " +
+      "GROUP BY lang, source ORDER BY lang, source")
+      .withColumn("evolved_metadata_only", lit(evoOk))
+      .withColumn("lang_prunes_both_eras", lit(langOk))
+      .withColumn("source_prunes_new_era", lit(srcOk))
   }
 
   /** The retrieval surface fully NAME-ADDRESSED: a vector-store table

@@ -218,6 +218,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case _: TableChange.RenameColumn | _: TableChange.DeleteColumn |
            _: TableChange.AddColumn | _: TableChange.UpdateColumnType => ()
+      // PARTITION-SPEC EVOLUTION through the stock parser: Spark SQL
+      // has no ADD/DROP PARTITION FIELD statement, so the catalog
+      // fronts Iceberg's evolution as
+      //   ALTER TABLE t SET TBLPROPERTIES ('partitionCols'='a,b')
+      // (metadata-only; '' un-partitions; see
+      // SnapshotTable.setPartitionSpec for the per-era pruning rule)
+      case c: TableChange.SetProperty if c.property == "partitionCols" => ()
       case c: TableChange.SetProperty =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE SET TBLPROPERTIES ('${c.property}') is not supported; " +
@@ -242,6 +249,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // widen DDL (lossless int->bigint / float->double only; the
         // DDL itself refuses lossy casts loudly)
         SnapshotTable.widenColumn(spark, root, pathOf(c.fieldNames), c.newDataType)
+        ()
+      case c: TableChange.SetProperty if c.property == "partitionCols" =>
+        SnapshotTable.setPartitionSpec(spark, root,
+          c.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         ()
       case _ => () // unreachable: validated above
     }

@@ -1137,8 +1137,10 @@ object SnapshotTable {
       case _ => None
     } catch { case _: Exception => None }
 
-  /** Partition-column types for pruning, keyed by normalized PHYSICAL
-    * name (paths spell physical names; renames ride the column map). */
+  /** Partition-column types of the CURRENT declared spec, keyed by
+    * normalized PHYSICAL name (paths spell physical names; renames
+    * ride the column map). Spec-scoped semantics: the partitions
+    * metadata table's grouping tuple and the overwrite-scope match. */
   private def partTypesOf(m: Manifest,
       sch: org.apache.spark.sql.types.StructType)
       : Map[String, org.apache.spark.sql.types.DataType] =
@@ -1147,6 +1149,25 @@ object SnapshotTable {
       sch.fields.find(f => norm(physFor(m.colmap, f.name)) == norm(pc))
         .map(f => norm(pc) -> f.dataType)
     }.toMap
+
+  /** Partition-column types for PRUNING: every path-safe schema
+    * column, not just the current spec. A partition directory is a
+    * PER-FILE fact — the writer spelled the file's true value — so a
+    * file prunes on whatever its own path says forever, whatever the
+    * spec says NOW. This is what makes partition-spec EVOLUTION
+    * ([[setPartitionSpec]]) free on the read side: old-era files keep
+    * their old spec's full pruning power after an ADD/DROP PARTITION
+    * FIELD, and files spelling nothing are simply kept
+    * ([[partitionKeeps]]'s conservative rule). */
+  private def prunePartTypesOf(m: Manifest,
+      sch: org.apache.spark.sql.types.StructType)
+      : Map[String, org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    sch.fields.iterator.filter(f => f.dataType == IntegerType ||
+        f.dataType == LongType || f.dataType == StringType ||
+        f.dataType == DateType)
+      .map(f => norm(physFor(m.colmap, f.name)) -> f.dataType).toMap
+  }
 
   /** Does `e` survive `filters` given the partition values its path
     * spells? Evaluates every conjunct whose references are ALL
@@ -2399,6 +2420,56 @@ object SnapshotTable {
     else None
   }
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's `ALTER TABLE … ADD/DROP
+    * PARTITION FIELD`; the catalog fronts it as `ALTER TABLE … SET
+    * TBLPROPERTIES ('partitionCols'='a,b')`): change the table's
+    * DECLARED partition columns without rewriting a byte — one
+    * metadata commit (op "altpart") whose entries carry verbatim.
+    * The spec is per-version manifest state, so time travel reads
+    * each era under its own spec. Pruning stays PER-FILE and
+    * conservative: a file prunes on exactly the partition values its
+    * OWN path spells ([[partitionKeeps]] — since evolution, keyed by
+    * every path-safe schema column, not just the current spec), so
+    * old-era files keep their old spec's full pruning power, new
+    * writes land under — and prune by — the new spec, and a file
+    * spelling neither is simply scanned. At 100 TB this is the
+    * re-partition the reference performs per embedding model
+    * (/root/reference/src/etl_processor.py:123-124) done as ONE
+    * manifest write instead of a table rewrite;
+    * `maintain(relayout = true)` converges the files to the current
+    * spec when (and only when) the operator wants to pay for it.
+    * An empty `cols` un-partitions the table. `cols` are LOGICAL
+    * names; the header records the physical spelling like create. */
+  def setPartitionSpec(spark: SparkSession, root: String,
+      cols: Seq[String]): Int =
+    retrying(spark, root, op = "altpart") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val schema = schemaOf(spark, root, m)
+      require(m.buckets.isEmpty,
+        "PARTITIONED BY and a bucket declaration are mutually exclusive " +
+          "(one physical layout per table)")
+      val phys = cols.map { pc =>
+        val f = schema.fields.find(f => norm(f.name) == norm(pc)).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column '$pc' names no column of the schema"))
+        require(f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.StringType ||
+            f.dataType == org.apache.spark.sql.types.DateType,
+          s"partition column '$pc' is ${f.dataType.simpleString} — " +
+            "int/bigint/string/date only (the value must round-trip a path)")
+        val p = physFor(m.colmap, f.name)
+        require(p.matches("[A-Za-z0-9_]+"),
+          s"partition column '$pc' (physical '$p') must be [A-Za-z0-9_]+ " +
+            "(it becomes a directory name)")
+        p
+      }
+      require(phys.map(norm).distinct.size == phys.size,
+        s"duplicate partition columns: ${cols.mkString(", ")}")
+      Pending(m.entries, schema, m.statsKey, m.statsKey2,
+        partitionCols = Some(phys))
+    }
+
   /** Bits per dimension of the z-value after normalization. 15 gives a
     * 30-bit curve (2^15 cells per axis — orders of magnitude finer than
     * any file count) while keeping every shift/interleave exact in a
@@ -2782,7 +2853,8 @@ object SnapshotTable {
       txnBatchId: Option[Long] = None,
       constraints: Option[Seq[(String, String)]] = None,
       colmap: Option[Map[String, String]] = None,
-      retired: Option[Set[String]] = None)
+      retired: Option[Set[String]] = None,
+      partitionCols: Option[Seq[String]] = None)
 
   /** Optimistic-concurrency loop: build the file list + schema against
     * the latest version, try to commit latest+1; on a lost race,
@@ -2797,7 +2869,7 @@ object SnapshotTable {
       val p = build(latest)
       try return commit(spark, root, p.files, p.schema, latest, op,
         p.statsKey, p.statsKey2, p.txnBatchId, p.constraints, p.colmap,
-        p.retired)
+        p.retired, partitionColsDeclared = p.partitionCols)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1
@@ -3829,7 +3901,7 @@ object SnapshotTable {
       // bucket pruning is keyed on the recorded stats key: valid only
       // when that IS the key this read was asked to prune on
       if (primary.isDefined) bucketedFor(m, schema) else None,
-      partTypesOf(m, schema))
+      prunePartTypesOf(m, schema))
     toLogical(applyDvIndexed(spark, root,
       org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
         physSchemaOf(m.colmap, schema)),
@@ -3873,7 +3945,7 @@ object SnapshotTable {
     val sch = schemaOf(spark, root, m)
     val index = new ManifestFileIndex(spark, root, m.entries,
       m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)),
-      bucketedFor(m, sch), partTypesOf(m, sch))
+      bucketedFor(m, sch), prunePartTypesOf(m, sch))
     toLogical(applyDvIndexed(spark, root,
       org.apache.spark.sql.graftbridge.Bridge.parquetRelation(spark, index,
         physSchemaOf(m.colmap, sch)),
@@ -4066,7 +4138,7 @@ object SnapshotTable {
       val index = new ManifestFileIndex(spark, root, m.entries,
         m.statsKey.map(physFor(m.colmap, _)), m.statsKey2.map(physFor(m.colmap, _)),
         // a point DELETE on a bucketed table scans one bucket
-        bucketedFor(m, sch), partTypesOf(m, sch))
+        bucketedFor(m, sch), prunePartTypesOf(m, sch))
       val raw = toLogical(org.apache.spark.sql.graftbridge.Bridge
         .parquetRelation(spark, index, physSchemaOf(m.colmap, sch))
         .withColumn("__rel", relPathCol)
@@ -4471,7 +4543,7 @@ object SnapshotTable {
       // HIVE-STYLE PARTITION PRUNING: per-file, conservative — a path
       // that spells partition values drops when a partition-only
       // conjunct contradicts them; everything else keeps
-      val partTypes = partTypesOf(m, schema)
+      val partTypes = prunePartTypesOf(m, schema)
       val keptP =
         if (partTypes.isEmpty) kept
         else kept.filter(e => partitionKeeps(e, dataFilters, partTypes))

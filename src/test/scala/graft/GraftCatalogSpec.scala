@@ -1600,6 +1600,58 @@ class GraftCatalogSpec extends SparkSpec {
     assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).isEmpty)
   }
 
+  test("partition-spec evolution: metadata-only ALTER, every era prunes by its own path") {
+    wh
+    val snap = graft.sources.SnapshotTable
+    sql("DROP TABLE IF EXISTS gsql.main.pe")
+    sql("CREATE TABLE gsql.main.pe (id BIGINT, lang STRING, src STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    // era 1: lang directories only
+    sql("INSERT INTO gsql.main.pe SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, concat('s', id % 3) " +
+      "FROM range(0, 120)")
+    val era1 = liveFiles("pe")
+    assert(era1.forall(f => f.contains("_graft_p_lang=") && !f.contains("_graft_p_src=")))
+    // EVOLVE: add src to the spec — one metadata commit, zero data I/O
+    sql("ALTER TABLE gsql.main.pe SET TBLPROPERTIES ('partitionCols'='lang,src')")
+    assert(liveFiles("pe") == era1, "spec evolution must move no file")
+    // era 2: two-level directories
+    sql("INSERT INTO gsql.main.pe SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, concat('s', id % 3) " +
+      "FROM range(120, 240)")
+    val all = liveFiles("pe")
+    val era2 = all -- era1
+    assert(era2.nonEmpty && era2.forall(f =>
+      f.contains("_graft_p_lang=") && f.contains("_graft_p_src=")))
+    def keptOf(q: String): Int = {
+      val df = sql(q)
+      df.collect()
+      PlanWalk.batchScans(df).map(_.scan)
+        .collect { case g: GraftScan => g.keptFileCount }.max
+    }
+    // a lang probe prunes BOTH eras (both spell lang)
+    assert(sql("SELECT count(*) FROM gsql.main.pe WHERE lang = 'en'")
+      .head().getLong(0) == 120L)
+    val keptLang = keptOf("SELECT id FROM gsql.main.pe WHERE lang = 'en'")
+    assert(keptLang < all.size, s"kept=$keptLang of ${all.size}")
+    // a src probe prunes era 2 and conservatively keeps era 1
+    val keptSrc = keptOf("SELECT id FROM gsql.main.pe WHERE src = 's0'")
+    assert(keptSrc < all.size && keptSrc >= era1.size,
+      s"kept=$keptSrc era1=${era1.size} total=${all.size}")
+    // DROP FIELD: spec shrinks to src — old files STILL prune on lang
+    // (pruning is a per-file path fact, not a current-spec fact)
+    sql("ALTER TABLE gsql.main.pe SET TBLPROPERTIES ('partitionCols'='src')")
+    val keptLang2 = keptOf("SELECT id FROM gsql.main.pe WHERE lang = 'de'")
+    assert(keptLang2 < all.size, s"kept=$keptLang2 of ${all.size}")
+    // values stay exact across both evolutions
+    assert(sql("SELECT count(*) FROM gsql.main.pe").head().getLong(0) == 240L)
+    // relayout converges the files to the CURRENT spec when asked
+    assert(snap.maintain(spark, s"$wh/main/pe", smallBytes = 1L,
+      relayout = true).nonEmpty)
+    assert(liveFiles("pe").forall(f =>
+      f.contains("_graft_p_src=") && !f.contains("_graft_p_lang=")))
+  }
+
   test("declared z-order: maintenance restores the interleave, both keys prune") {
     wh
     val snap = graft.sources.SnapshotTable
