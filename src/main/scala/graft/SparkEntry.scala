@@ -1541,7 +1541,7 @@ object SparkEntry {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       .filter(col("doc_id") % 3 =!= 1)
     snap.create(s, root, docs.filter(col("doc_id") % 8 === 0).repartition(1),
-      statsKey = Some("doc_id"), bloomKey = true)
+      statsKey = Some("doc_id"), statsKey2 = Some("n_chars"), bloomKey = true)
     (1 to 7).foreach(j => snap.append(s, root,
       docs.filter(col("doc_id") % 8 === j).repartition(1), bloomKey = true))
     val allFiles = snap.read(s, root).inputFiles.length
@@ -1555,16 +1555,35 @@ object SparkEntry {
     val presentKeys = Array(0L, 2L, 3L, 5L, 6L, 8L)
     val present = snap.readKeys(s, root, "doc_id", presentKeys)
     val probePruned = present.inputFiles.length < allFiles
+    // SECONDARY-KEY bloom (format 11): a point probe on an absent
+    // in-range n_chars value reaches the indexed path's pushed
+    // equality, whose point set probes bloom2 — files skip where the
+    // secondary RANGE (interleaved appends → table-wide) cannot. The
+    // absent value is computed against the actual value set, so it is
+    // in-range-absent at every scale factor.
+    val charVals = docs.select(col("n_chars")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val absent2 = (charVals.min to charVals.max).find(!charVals.contains(_))
+    val bloom2Pruned = absent2.forall { v =>
+      val probe = snap.readIndexed(s, root).filter(col("n_chars") === v)
+      val empty = probe.count() == 0
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(s)
+      // ≤ 1 scanned file: same false-positive allowance as the primary
+      empty && graft.PlanWalk.fileScans(probe)
+        .map(_.metrics("numFiles").value).sum <= 1
+    }
     graft.Scratch.registerForCleanup(root)
     present.filter(col("doc_id").isin(presentKeys: _*))
       .select(col("doc_id"), col("n_chars"))
       .withColumn("bloom_pruned", lit(bloomPruned))
       .withColumn("probe_pruned", lit(probePruned))
+      .withColumn("bloom2_pruned", lit(bloom2Pruned))
       .orderBy(col("doc_id"))
   }
 
   private def snapshotBloomReadCycleSql: String = """
-    SELECT doc_id, n_chars, TRUE AS bloom_pruned, TRUE AS probe_pruned
+    SELECT doc_id, n_chars, TRUE AS bloom_pruned, TRUE AS probe_pruned,
+           TRUE AS bloom2_pruned
     FROM documents
     WHERE doc_id % 3 <> 1 AND doc_id IN (0, 2, 3, 5, 6, 8)
     ORDER BY doc_id"""

@@ -126,19 +126,28 @@ object SnapshotTable {
     * rename/drop/add of `metadata.filename` is the same zero-copy
     * metadata commit as a top-level one. Written only when a nested
     * path actually exists ([[writeFormat]]) — top-level-only tables
-    * stay at 9, mapping-free tables at 8. */
-  private val ManifestFormat = 10
+    * stay at 9, mapping-free tables at 8;
+    * 11 = SECONDARY-KEY blooms: entry lines may carry a 15th field
+    * (base64 bloom over statsKey2). Written only when some entry
+    * actually does — a pre-11 reader's arity dispatch would mis-parse
+    * a 15-field line as a bare path. */
+  private val ManifestFormat = 11
 
   /** Reader-requirement discipline (Delta/Iceberg style): write the
     * LOWEST format that expresses the manifest — 8 for mapping-free
     * tables (older readers stay compatible), 9 once a top-level map
-    * or tombstone exists, 10 only when any NESTED path (a key or
-    * tombstone carrying the path separator) appears. */
-  private def writeFormat(cm: Map[String, String], rt: Set[String]): Int =
-    if (cm.isEmpty && rt.isEmpty) 8
-    else if (cm.keysIterator.exists(_.indexOf(PathSep.toInt) >= 0) ||
-             rt.exists(_.indexOf(PathSep.toInt) >= 0)) ManifestFormat
-    else 9
+    * or tombstone exists, 10 when any NESTED path (a key or
+    * tombstone carrying the path separator) appears, 11 only when an
+    * entry carries a secondary-key bloom. */
+  private def writeFormat(cm: Map[String, String], rt: Set[String],
+      files: Seq[FileEntry] = Seq.empty): Int = {
+    val base =
+      if (cm.isEmpty && rt.isEmpty) 8
+      else if (cm.keysIterator.exists(_.indexOf(PathSep.toInt) >= 0) ||
+               rt.exists(_.indexOf(PathSep.toInt) >= 0)) 10
+      else 9
+    if (files.exists(_.bloom2.isDefined)) ManifestFormat else base
+  }
 
   /** Longest delta chain a reader may have to walk: a commit whose
     * parent already sits at this depth writes a full checkpoint
@@ -166,12 +175,15 @@ object SnapshotTable {
       min2: Option[Long] = None, max2: Option[Long] = None,
       min2Str: Option[Array[Byte]] = None, max2Str: Option[Array[Byte]] = None,
       dv: Option[String] = None, dvRows: Option[Long] = None,
-      bloom: Option[Array[Byte]] = None) {
+      bloom: Option[Array[Byte]] = None,
+      bloom2: Option[Array[Byte]] = None) {
     def render: String = {
       def s(o: Option[Long]): String = o.map(_.toString).getOrElse("")
       def b64(o: Option[Array[Byte]]): String =
         o.map(java.util.Base64.getEncoder.withoutPadding.encodeToString).getOrElse("")
-      if (bloom.isDefined)
+      if (bloom2.isDefined) // format 11: secondary-key bloom rides field 15
+        s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}\t${dv.getOrElse("")}\t${s(dvRows)}\t${b64(bloom)}\t${b64(bloom2)}"
+      else if (bloom.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}\t${dv.getOrElse("")}\t${s(dvRows)}\t${b64(bloom)}"
       else if (dv.isDefined)
         s"$path\t${s(minKey)}\t${s(maxKey)}\t${s(rows)}\t${s(bytes)}\t${b64(minStr)}\t${b64(maxStr)}\t${s(min2)}\t${s(max2)}\t${b64(min2Str)}\t${b64(max2Str)}\t${dv.get}\t${s(dvRows)}"
@@ -207,7 +219,8 @@ object SnapshotTable {
     def withoutKeyStats: FileEntry =
       copy(minKey = None, maxKey = None, minStr = None, maxStr = None, bloom = None)
     def withoutKey2Stats: FileEntry =
-      copy(min2 = None, max2 = None, min2Str = None, max2Str = None)
+      copy(min2 = None, max2 = None, min2Str = None, max2Str = None,
+        bloom2 = None)
   }
 
   /** Unsigned lexicographic byte order — the order parquet records
@@ -267,6 +280,10 @@ object SnapshotTable {
     // limit -1: string-stats lines may end in an empty field, which
     // the default split would silently drop (changing the arity)
     line.split("\t", -1) match {
+      case Array(p, mn, mx, r, b, lo, hi, m2, x2, lo2, hi2, dv, dvr, bl, bl2) =>
+        FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2),
+          optB(lo2), optB(hi2), if (dv.isEmpty) None else Some(dv), opt(dvr), optB(bl),
+          optB(bl2))
       case Array(p, mn, mx, r, b, lo, hi, m2, x2, lo2, hi2, dv, dvr, bl) =>
         FileEntry(p, opt(mn), opt(mx), opt(r), opt(b), optB(lo), optB(hi), opt(m2), opt(x2),
           optB(lo2), optB(hi2), if (dv.isEmpty) None else Some(dv), opt(dvr), optB(bl))
@@ -827,7 +844,7 @@ object SnapshotTable {
           try f.delete(new Path(root, batch), true) catch { case _: Exception => () }
         else empty.foreach(e =>
           try f.delete(new Path(root, e.path), false) catch { case _: Exception => () })
-        if (bloomKey) attachBlooms(spark, root, live, keyKind) else live
+        if (bloomKey) attachBlooms(spark, root, live, keyKind, key2Kind) else live
       } finally pool.shutdown()
     }
   }
@@ -1331,53 +1348,71 @@ object SnapshotTable {
         schema, m.statsKey, m.statsKey2)
     }
 
-  /** Per-file bloom filters over the primary stats key (format 7,
-    * opt-in): ONE extra job reading ONLY the key column of the
-    * just-written small files (column-pruned scan of data still hot in
-    * the page cache), hashing each key once (`xxhash64`, the codegen'd
-    * built-in) and folding the K derived positions into a per-file
-    * position set. The driver collect is bounded by construction:
-    * ≤ K · [[BloomMaxRows]] positions per file, files per batch only.
-    * Files above the row cap, statless files, and non-prunable key
-    * types are skipped — absent blooms never skip, so degradation is
-    * always toward the scan, never toward lost rows. */
+  /** Per-file bloom filters over the stats keys (primary: format 7;
+    * secondary: format 11 — both opt-in via `bloomKey`): ONE extra job
+    * reading ONLY the key column(s) of the just-written small files
+    * (column-pruned scan of data still hot in the page cache), hashing
+    * each key once (`xxhash64`, the codegen'd built-in) and folding
+    * the K derived positions into per-file position sets. The driver
+    * collect is bounded by construction: ≤ K · [[BloomMaxRows]]
+    * positions per file per key, files per batch only. Files above
+    * the row cap, statless files, and non-prunable key types are
+    * skipped — absent blooms never skip, so degradation is always
+    * toward the scan, never toward lost rows. The secondary bloom is
+    * what lets a 2D point probe on the reference's chunk identity
+    * `(filename, chunk_idx)` prune fresh unclustered files when
+    * neither key's RANGE is selective yet. */
   private def attachBlooms(spark: SparkSession, root: String,
-      entries: Seq[FileEntry], keyKind: Option[(String, Boolean)]): Seq[FileEntry] =
-    keyKind match {
-      case None => entries
-      case Some((key, isString)) =>
-        val targets = entries.filter(e => e.rows.exists(r => r > 0 && r <= BloomMaxRows))
-        if (targets.isEmpty) entries
-        else {
-          import org.apache.spark.sql.functions._
-          val mByPath = targets.map(e => e.path -> bloomBitsFor(e.rows.get))
-          val mDf = broadcast(
-            spark.createDataFrame(mByPath).toDF("__f", "__m"))
-          val hashed = spark.read
-            .parquet(targets.map(e => s"$root/${e.path}"): _*)
-            .select(relPathCol.as("__f"),
-              (if (isString) xxhash64(col(key))
-               else xxhash64(col(key).cast("long"))).as("__h"))
-            .join(mDf, "__f")
-          val h1 = shiftrightunsigned(col("__h"), 32)
-          val h2 = col("__h").bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))
-          val sets = hashed
-            .select(col("__f"), col("__m"), explode(array(
-              (0 until BloomK).map(i =>
-                pmod(h1 + lit(i.toLong) * h2, col("__m").cast("long"))): _*)).as("__p"))
-            .groupBy("__f")
-            .agg(first(col("__m")).as("m"), collect_set(col("__p")).as("ps"))
-            .collect()
-          val blooms = sets.map { r =>
-            val bits = new Array[Byte](r.getInt(1) / 8)
-            r.getSeq[Long](2).foreach { p =>
+      entries: Seq[FileEntry], keyKind: Option[(String, Boolean)],
+      key2Kind: Option[(String, Boolean)] = None): Seq[FileEntry] =
+    if (keyKind.isEmpty && key2Kind.isEmpty) entries
+    else {
+      val targets = entries.filter(e => e.rows.exists(r => r > 0 && r <= BloomMaxRows))
+      if (targets.isEmpty) entries
+      else {
+        import org.apache.spark.sql.functions._
+        val mByPath = targets.map(e => e.path -> bloomBitsFor(e.rows.get))
+        val mDf = broadcast(
+          spark.createDataFrame(mByPath).toDF("__f", "__m"))
+        def hashOf(k: String, isString: Boolean) =
+          if (isString) xxhash64(col(k)) else xxhash64(col(k).cast("long"))
+        def positions(h: Column): Column = {
+          val h1 = shiftrightunsigned(h, 32)
+          val h2 = h.bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))
+          array((0 until BloomK).map(i =>
+            pmod(h1 + lit(i.toLong) * h2, col("__m").cast("long"))): _*)
+        }
+        val empty = typedLit(Seq.empty[Long])
+        val sets = spark.read
+          .parquet(targets.map(e => s"$root/${e.path}"): _*)
+          .select(relPathCol.as("__f") +:
+            keyKind.map { case (k, isS) => hashOf(k, isS).as("__h1") }.toSeq ++:
+            key2Kind.map { case (k, isS) => hashOf(k, isS).as("__h2") }.toSeq: _*)
+          .join(mDf, "__f")
+          .select(col("__f"), col("__m"),
+            keyKind.map(_ => positions(col("__h1"))).getOrElse(empty).as("__p1"),
+            key2Kind.map(_ => positions(col("__h2"))).getOrElse(empty).as("__p2"))
+          .groupBy("__f")
+          .agg(first(col("__m")).as("m"),
+            array_distinct(flatten(collect_list(col("__p1")))).as("ps1"),
+            array_distinct(flatten(collect_list(col("__p2")))).as("ps2"))
+          .collect()
+        def bitsOf(m: Int, ps: Seq[Long]): Option[Array[Byte]] =
+          if (ps.isEmpty) None
+          else {
+            val bits = new Array[Byte](m / 8)
+            ps.foreach { p =>
               bits(p.toInt >> 3) = (bits(p.toInt >> 3) | (1 << (p.toInt & 7))).toByte
             }
-            r.getString(0) -> bits
-          }.toMap
-          entries.map(e => blooms.get(e.path)
-            .map(b => e.copy(bloom = Some(b))).getOrElse(e))
-        }
+            Some(bits)
+          }
+        val blooms = sets.map { r =>
+          r.getString(0) -> (bitsOf(r.getInt(1), r.getSeq[Long](2)),
+            bitsOf(r.getInt(1), r.getSeq[Long](3)))
+        }.toMap
+        entries.map(e => blooms.get(e.path)
+          .map { case (b1, b2) => e.copy(bloom = b1, bloom2 = b2) }.getOrElse(e))
+      }
     }
 
   /** Per-column accumulator for one footer pass: long range, binary
@@ -1535,7 +1570,7 @@ object SnapshotTable {
     // exists only for column mapping (M/X lines), so a commit carrying
     // neither stays at format 8 — a mapping-free table never locks out
     // a format-8 reader just because this writer is newer.
-    val fmtOut = writeFormat(effColmap, effRetired)
+    val fmtOut = writeFormat(effColmap, effRetired, files)
     val header = s"""{"version":$v,"format":$fmtOut,"op":"$op"""" +
       kf("statsKey", statsKey) + kf("statsKey2", statsKey2) +
       txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") +
@@ -2635,7 +2670,7 @@ object SnapshotTable {
       value.map(k => s""","$name":"$k"""").getOrElse("")
     // same reader-requirement discipline as commit(): format 9 only
     // when the checkpointed state actually carries column mapping
-    val fmtOut = writeFormat(m.colmap, m.retired)
+    val fmtOut = writeFormat(m.colmap, m.retired, m.entries)
     val header = s"""{"version":$v,"format":$fmtOut,"op":"${m.op}"""" +
       kf("statsKey", m.statsKey) + kf("statsKey2", m.statsKey2) +
       m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
@@ -4500,13 +4535,18 @@ object SnapshotTable {
       val pbHashes: Option[Array[(Long, Long)]] = pb.flatMap(b =>
         b.longPoints.map(_.map(bloomHashLong))
           .orElse(b.strPoints.map(_.map(bloomHashBytes))))
+      // secondary-key point sets probe the format-11 bloom the same way
+      val sbHashes: Option[Array[(Long, Long)]] = sb.flatMap(b =>
+        b.longPoints.map(_.map(bloomHashLong))
+          .orElse(b.strPoints.map(_.map(bloomHashBytes))))
       val kept0 =
         if (pb.exists(ManifestPruning.contradictory) ||
             sb.exists(ManifestPruning.contradictory)) Seq.empty
         else m.entries.filter { e =>
           pb.forall(ManifestPruning.keepPrimary(e, _)) &&
             pbHashes.forall(ManifestPruning.bloomKeeps(e, _)) &&
-            sb.forall(ManifestPruning.keepSecondary(e, _))
+            sb.forall(ManifestPruning.keepSecondary(e, _)) &&
+            sbHashes.forall(ManifestPruning.bloomKeeps2(e, _))
         }
       // BUCKET PRUNING: a bucketed file's key RANGE is hash-scattered
       // (nearly table-wide), so stats can't skip it — but a point set
@@ -5020,7 +5060,15 @@ private[sources] object ManifestPruning {
     * This is what prunes a point probe against fresh UNCLUSTERED files
     * whose [min,max] range spans ~everything. */
   def bloomKeeps(e: FileEntry, hashes: Array[(Long, Long)]): Boolean =
-    e.bloom match {
+    bloomProbe(e.bloom, hashes)
+
+  /** [[bloomKeeps]] over the SECONDARY key's bloom (format 11). */
+  def bloomKeeps2(e: FileEntry, hashes: Array[(Long, Long)]): Boolean =
+    bloomProbe(e.bloom2, hashes)
+
+  private def bloomProbe(bloom: Option[Array[Byte]],
+      hashes: Array[(Long, Long)]): Boolean =
+    bloom match {
       case None => true
       case Some(b) =>
         val m = b.length.toLong * 8 // power of two by construction
@@ -5157,13 +5205,18 @@ private[sources] final class ManifestFileIndex(
     val pbHashes: Option[Array[(Long, Long)]] = pb.flatMap(b =>
       b.longPoints.map(_.map(SnapshotTable.bloomHashLong))
         .orElse(b.strPoints.map(_.map(SnapshotTable.bloomHashBytes))))
+    // secondary-key point sets probe the format-11 bloom the same way
+    val sbHashes: Option[Array[(Long, Long)]] = sb.flatMap(b =>
+      b.longPoints.map(_.map(SnapshotTable.bloomHashLong))
+        .orElse(b.strPoints.map(_.map(SnapshotTable.bloomHashBytes))))
     val kept0 =
       if (pb.exists(ManifestPruning.contradictory) ||
           sb.exists(ManifestPruning.contradictory)) Seq.empty
       else fileStatuses.filter { case (_, e) =>
         pb.forall(ManifestPruning.keepPrimary(e, _)) &&
           pbHashes.forall(ManifestPruning.bloomKeeps(e, _)) &&
-          sb.forall(ManifestPruning.keepSecondary(e, _))
+          sb.forall(ManifestPruning.keepSecondary(e, _)) &&
+          sbHashes.forall(ManifestPruning.bloomKeeps2(e, _))
       }
     // bucket pruning (the DSv2 scan's keptFiles discipline): each
     // point literal maps to one bucket id; other buckets' files drop

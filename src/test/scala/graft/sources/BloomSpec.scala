@@ -191,6 +191,72 @@ class BloomSpec extends SparkSpec {
     assert(hit.collect().map(_.getLong(0)).toSeq == Seq(k))
   }
 
+  test("secondary-key blooms (format 11): a 2D identity's BOTH keys prune, no false negatives") {
+    val root = tmp()
+    // the reference's chunk identity shape: filename (string) ×
+    // chunk_idx (long), BOTH hash-scattered so neither key's RANGE is
+    // selective — blooms are the only skip either key has
+    val rows = (0 until 400).map(i => (f"${scramble(i)}%016x", scramble(i * 7 + 1)))
+    val batches = rows.grouped(200).toSeq
+    SnapshotTable.create(spark, root, batches.head.toDF("fp", "idx").coalesce(1),
+      statsKey = Some("fp"), statsKey2 = Some("idx"), bloomKey = true)
+    batches.tail.foreach(b => SnapshotTable.append(spark, root,
+      b.toDF("fp", "idx").coalesce(1), bloomKey = true))
+    val entries = entriesOf(root)
+    assert(entries.size == 2 &&
+      entries.forall(e => e.bloom.isDefined && e.bloom2.isDefined),
+      s"both keys' blooms must attach: $entries")
+    // the 15-field manifest line round-trips byte-exactly
+    val line = entries.head.render
+    assert(line.split("\t", -1).length == 15, line)
+    val rt = SnapshotTable.parseEntry(line)
+    assert(rt.bloom.exists(_.sameElements(entries.head.bloom.get)))
+    assert(rt.bloom2.exists(_.sameElements(entries.head.bloom2.get)))
+    // NO FALSE NEGATIVES on either key: every held value keeps its file
+    for (e <- entries) {
+      val held = spark.read.parquet(s"$root/${e.path}")
+        .select("fp", "idx").collect()
+      for (r <- held) {
+        assert(ManifestPruning.bloomKeeps(e,
+          Array(SnapshotTable.bloomHashBytes(r.getString(0).getBytes("UTF-8")))),
+          s"FALSE NEGATIVE (primary): ${r.getString(0)} in ${e.path}")
+        assert(ManifestPruning.bloomKeeps2(e,
+          Array(SnapshotTable.bloomHashLong(r.getLong(1)))),
+          s"FALSE NEGATIVE (secondary): ${r.getLong(1)} in ${e.path}")
+      }
+    }
+    // the probe PRUNES on the secondary alone: an absent in-range idx
+    // passes every file's range stats but bloom-prunes to zero files,
+    // via the Catalyst-indexed path's pushed equality
+    val absent = 424242L
+    assert(!rows.exists(_._2 == absent))
+    val probe = SnapshotTable.readIndexed(spark, root)
+      .filter(col("idx") === absent)
+    assert(probe.count() == 0)
+    org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val dataScans = scans(probe.queryExecution.executedPlan)
+    assert(dataScans.nonEmpty)
+    assert(dataScans.map(_.metrics("numFiles").value).sum == 0,
+      "an absent secondary key must bloom-prune every fresh file")
+    // a present secondary key still finds its row (kept by its bloom)
+    val (pfp, pidx) = rows(7)
+    val hit = SnapshotTable.readIndexed(spark, root).filter(col("idx") === pidx)
+    assert(hit.collect().map(_.getString(0)).toSeq == Seq(pfp))
+    // a key-2 change strips the secondary bloom with the key-2 ranges
+    val e2 = SnapshotTable.FileEntry("p", Some(1L), Some(2L), Some(10L), Some(64L),
+      bloom = Some(Array[Byte](1, 2)), bloom2 = Some(Array[Byte](3, 4)))
+    assert(e2.withoutKey2Stats.bloom2.isEmpty && e2.withoutKey2Stats.bloom.isDefined,
+      "bloom2 must not survive a statsKey2 change; bloom must")
+  }
+
   test("degradation is toward the scan: oversized files carry no bloom; key change strips it") {
     val root = tmp()
     // one file above BloomMaxRows: no bloom attached, always kept
