@@ -4158,6 +4158,72 @@ object SnapshotTable {
       val m = manifestFull(spark, root, latest)
       val sch = schemaOf(spark, root, m)
       if (m.entries.isEmpty) throw NothingToDelete // nothing lives here
+      // ---- WHOLE-PARTITION fast path (the TTL-eviction shape) ----
+      // When every column `pred` references is partition-path-spelled
+      // by every live file, the files classify by their OWN tuples:
+      // fully-matching files DROP from the manifest (a pure-metadata
+      // "delete" commit — zero data I/O, zero dv debt; expiring a day
+      // of a date-partitioned corpus is one manifest write), the rest
+      // carry verbatim. Any unclassifiable file (layout-agnostic path,
+      // unresolvable/mixed-column predicate, eval error) falls through
+      // to the row-level dv scan below — conservative, never both.
+      wholePartitionDelete(spark, m, sch, pred) match {
+        case Some(kept) =>
+          if (kept.size == m.entries.size) throw NothingToDelete
+          Pending(kept, sch, m.statsKey, m.statsKey2)
+        case None => rowLevelDelete(spark, root, m, sch, pred)
+      }
+    })
+    catch { case NothingToDelete => None }
+  }
+
+  /** The classified file list for a whole-partition DELETE: Some(kept
+    * entries) when EVERY live file's own path tuple decides `pred`
+    * (true → dropped, false → kept); None when any file — or the
+    * predicate — is undecidable by partition values alone. */
+  private def wholePartitionDelete(spark: SparkSession, m: Manifest,
+      sch: org.apache.spark.sql.types.StructType,
+      pred: org.apache.spark.sql.Column): Option[Seq[FileEntry]] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    // resolve the Column against the table's LOGICAL schema (a Column
+    // is a ColumnNode tree, not catalyst — the analyzer is the one
+    // sound resolver), then rewrite references to PHYSICAL names
+    // (paths spell physical names); any shape that doesn't resolve
+    // cleanly declines the fast path
+    val resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      try {
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+        empty.filter(pred).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.transform {
+              case a: AttributeReference =>
+                sch.fields.find(f => norm(f.name) == norm(a.name))
+                  .map(f => AttributeReference(
+                    physFor(m.colmap, f.name), f.dataType)())
+                  .getOrElse(a)
+            }
+        }.filter(_.references.nonEmpty)
+      } catch { case _: Exception => None }
+    resolved.flatMap { pe =>
+      val refs = pe.references.toSeq.map(a => norm(a.name))
+      val types = prunePartTypesOf(m, sch).filter { case (k, _) => refs.contains(k) }
+      if (!refs.forall(types.contains)) None
+      else {
+        val classes = m.entries.map(e => partitionMatches(e, Seq(pe), types))
+        if (classes.contains(None)) None
+        else Some(m.entries.zip(classes).collect { case (e, Some(false)) => e })
+      }
+    }
+  }
+
+  /** The row-level (deletion-vector) DELETE — [[deleteWhere]]'s body
+    * when the whole-partition fast path declines. */
+  private def rowLevelDelete(spark: SparkSession, root: String, m: Manifest,
+      sch: org.apache.spark.sql.types.StructType,
+      pred: org.apache.spark.sql.Column): Pending = {
+    import org.apache.spark.sql.functions.col
+    {
       // scan positions ride the predicate scan; already-deleted rows
       // are excluded so re-deleting is detectably a no-op. The scan
       // goes through the manifest-backed FileIndex, so conjuncts of
@@ -4224,8 +4290,7 @@ object SnapshotTable {
         }
         Pending(files, sch, m.statsKey, m.statsKey2)
       } finally newDel.unpersist()
-    })
-    catch { case NothingToDelete => None }
+    }
   }
 
   /** Merge-on-read MERGE: the same delete-then-add-by-key contract as

@@ -554,6 +554,69 @@ class StreamingSpec extends SparkSpec {
       s"eviction must commit as a dv delete, not a whole-table rewrite: $ops")
   }
 
+  test("partition TTL on a streamed corpus: whole-day eviction is op delete, zero data I/O") {
+    import spark.implicits._
+    val snap = sources.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pttl").toString
+    val srcRoot = s"$tmp/src"
+    val root = s"$tmp/tbl"
+    // upstream: three days of corpus, committed as three versions so
+    // the drain sees real micro-batches
+    snap.create(spark, srcRoot,
+      Seq((0L, "d1"), (1L, "d1")).toDF("id", "day").coalesce(1),
+      statsKey = Some("id"))
+    // one source file per day-batch → one data file per day downstream,
+    // so the mixed-predicate leg below deletes a PROPER subset of a file
+    snap.append(spark, srcRoot,
+      Seq((2L, "d2"), (3L, "d2")).toDF("id", "day").coalesce(1))
+    snap.append(spark, srcRoot, Seq((4L, "d3")).toDF("id", "day").coalesce(1))
+    // target: a DAY-PARTITIONED table fed by the stream (appends honor
+    // the declared layout — every epoch lands under its day directory)
+    snap.create(spark, root,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        Seq((0L, "")).toDF("id", "day").schema),
+      statsKey = Some("id"), partitionCols = Seq("day"))
+    val q = spark.readStream.format("graft-table").option("path", srcRoot).load()
+      .writeStream.queryName("graft_pttl")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        snap.append(spark, root, b); ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(snap.read(spark, root).count() == 5)
+    def diskFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    }
+    val before = diskFiles()
+    // TTL eviction: expire day d1 — the whole-partition fast path must
+    // take it as ONE pure-metadata "delete" commit
+    assert(snap.deleteWhere(spark, root, col("day") === "d1").isDefined)
+    assert(diskFiles() == before,
+      "whole-partition eviction must write no data files and no dv sidecars")
+    val det = snap.describeDetail(spark, root)
+    assert(det.dvFiles == 0, "eviction must leave zero dv debt")
+    assert(snap.history(spark, root).last.op == "delete")
+    assert(snap.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L, 4L))
+    assert(snap.partitionsDf(spark, root).select("day").as[String]
+      .collect().sorted.toSeq == Seq("d2", "d3"),
+      "the expired day must vanish from the partitions listing")
+    // idempotent: re-expiring the same day commits nothing
+    assert(snap.deleteWhere(spark, root, col("day") === "d1").isEmpty)
+    // a MIXED predicate (partition + data column) declines the fast
+    // path and runs the row-level dv delete — correct either way
+    assert(snap.deleteWhere(spark, root,
+      col("day") === "d2" && col("id") === 2L).isDefined)
+    assert(snap.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L))
+    assert(snap.describeDetail(spark, root).dvFiles == 1,
+      "the mixed predicate must have taken the dv path")
+  }
+
   test("dedup probe prunes: a micro-batch key probe reads fewer index files than a full scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sprobe")
