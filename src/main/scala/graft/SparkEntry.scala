@@ -2776,9 +2776,9 @@ object SparkEntry {
     * metadata fold instead of a full-table scan. */
   private def aggPushdownMeta(s: SparkSession, d: String): DataFrame = {
     val wh = SqlCat.ensure(s)
-    val t = s"${SqlCat.name}.g.docs_aggpush"
-    val root = s"$wh/g/docs_aggpush"
-    s.sql(s"DROP TABLE IF EXISTS $t")
+    val base = uniqName("docs_aggpush") // two-runner collision guard
+    val t = s"${SqlCat.name}.g.$base"
+    val root = s"$wh/g/$base"
     s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
       "TBLPROPERTIES ('statsKey'='doc_id', 'statsKey2'='lang')")
     Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
@@ -2976,8 +2976,8 @@ object SparkEntry {
     * must subtract exactly. */
   private def partitionsTableQuery(s: SparkSession, d: String): DataFrame = {
     val wh = SqlCat.ensure(s)
-    val t = s"${SqlCat.name}.g.docs_pmeta"
-    s.sql(s"DROP TABLE IF EXISTS $t")
+    val base = uniqName("docs_pmeta") // two-runner collision guard
+    val t = s"${SqlCat.name}.g.$base"
     s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
     Tables.documents(s, d).select(col("doc_id"), col("lang"))
@@ -2989,7 +2989,7 @@ object SparkEntry {
     val dropLang = s.sql("SELECT lang FROM graft_pmeta_src WHERE doc_id = 3")
       .head().getString(0)
     s.sql(s"ALTER TABLE $t DROP PARTITION (lang = '$dropLang')")
-    graft.Scratch.registerForCleanup(s"$wh/g/docs_pmeta")
+    graft.Scratch.registerForCleanup(s"$wh/g/$base")
     s.sql(s"SELECT lang, n_rows AS n_docs FROM $t.partitions ORDER BY lang")
   }
 
@@ -3126,15 +3126,15 @@ object SparkEntry {
     * (similarity_search over the store), SQL-fronted. */
   private def cosineTopKSqlCatalog(s: SparkSession, d: String): DataFrame = {
     val wh = SqlCat.ensure(s)
-    val t = s"${SqlCat.name}.g.vs_cos_sql"
-    s.sql(s"DROP TABLE IF EXISTS $t")
+    val base = uniqName("vs_cos_sql") // two-runner collision guard
+    val t = s"${SqlCat.name}.g.$base"
     s.sql(s"CREATE TABLE $t (vec_id BIGINT, label BIGINT, embedding ARRAY<FLOAT>) " +
       "TBLPROPERTIES ('statsKey'='vec_id')")
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
       .createOrReplaceTempView("graft_cos_sql_src")
     s.sql(s"INSERT INTO $t SELECT vec_id, label, embedding FROM graft_cos_sql_src")
-    graft.Scratch.registerForCleanup(s"$wh/g/vs_cos_sql")
+    graft.Scratch.registerForCleanup(s"$wh/g/$base")
     s.sql(
       s"""WITH q AS (SELECT embedding AS qv FROM $t WHERE vec_id = 0)
          |SELECT t.vec_id AS vec_id, t.label AS label,
@@ -3206,10 +3206,10 @@ object SparkEntry {
 
   private def snapshotSqlCycle(s: SparkSession, d: String): DataFrame = {
     val wh = SqlCat.ensure(s)
-    val t = s"${SqlCat.name}.g.docs_sql"
+    val base = uniqName("docs_sql") // two-runner collision guard
+    val t = s"${SqlCat.name}.g.$base"
     val snap = graft.sources.SnapshotTable
-    val root = s"$wh/g/docs_sql"
-    s.sql(s"DROP TABLE IF EXISTS $t")
+    val root = s"$wh/g/$base"
     s.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT) " +
       "TBLPROPERTIES ('statsKey'='doc_id')")                          // v1
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
