@@ -2906,6 +2906,9 @@ object SparkEntry {
     graft.Scratch.registerForCleanup(s"$wh/g/$base")
     graft.Scratch.registerForCleanup(s"$wh/g/${base}_gdim")
     graft.Scratch.registerForCleanup(dimDir)
+    // proofs done: the returned frame re-executes on write — un-pin
+    // broadcast so the dim join plans freely again (iso is private)
+    iso.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     j.withColumn("static_pruned", lit(staticPruned))
       .withColumn("dpp_pruned", lit(dppPruned))
       .withColumn("spj_zero_exchange", lit(spjZeroExchange))
@@ -3200,6 +3203,10 @@ object SparkEntry {
     val zeroExchangePostCdc = zeroExchangeOf(j2)
     graft.Scratch.registerForCleanup(rootA)
     graft.Scratch.registerForCleanup(rootB)
+    // proofs done: the RETURNED frame re-executes when the runner
+    // writes it — un-pin broadcast so that run plans freely (iso is
+    // private; the pin existed only for the zero-exchange premise)
+    iso.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     j2.withColumn("zero_exchange", lit(zeroExchange))
       .withColumn("zero_exchange_post_cdc", lit(zeroExchangePostCdc))
   }
@@ -3556,6 +3563,10 @@ object SparkEntry {
     val q = joined
     q.collect()
     val colocated = countShuffles(q) == 0
+    // proof done: let the RESULT run re-plan freely (iso is private, so
+    // un-pinning races nothing — the broadcast-off pin was only the
+    // zero-exchange proof's "shuffle is the only alternative" premise)
+    iso.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     val out = joined.withColumn("colocated", lit(colocated))
       .orderBy(col("l_orderkey"))
     val localized = graft.Scratch.localizeAndDelete(iso, out, Seq(tmp))

@@ -218,13 +218,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case _: TableChange.RenameColumn | _: TableChange.DeleteColumn |
            _: TableChange.AddColumn | _: TableChange.UpdateColumnType => ()
-      // PARTITION-SPEC EVOLUTION through the stock parser: Spark SQL
-      // has no ADD/DROP PARTITION FIELD statement, so the catalog
-      // fronts Iceberg's evolution as
-      //   ALTER TABLE t SET TBLPROPERTIES ('partitionCols'='a,b')
-      // (metadata-only; '' un-partitions; see
-      // SnapshotTable.setPartitionSpec for the per-era pruning rule)
-      case c: TableChange.SetProperty if c.property == "partitionCols" => ()
+      // LAYOUT EVOLUTION through the stock parser: Spark SQL has no
+      // ADD/DROP PARTITION FIELD statement, so the catalog fronts
+      // Iceberg-style spec evolution as SET TBLPROPERTIES —
+      //   'partitionCols'='a,b' (''=un-partition; per-era pruning:
+      //   SnapshotTable.setPartitionSpec), 'buckets'='N' (''=un-declare),
+      //   'zorder'='true'|'false' — all metadata-only commits;
+      //   maintain(relayout=true) converges the files when wanted
+      case c: TableChange.SetProperty
+          if c.property == "partitionCols" || c.property == "buckets" ||
+             c.property == "zorder" => ()
       case c: TableChange.SetProperty =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE SET TBLPROPERTIES ('${c.property}') is not supported; " +
@@ -253,6 +256,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.SetProperty if c.property == "partitionCols" =>
         SnapshotTable.setPartitionSpec(spark, root,
           c.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        ()
+      case c: TableChange.SetProperty if c.property == "buckets" =>
+        val n = c.value.trim
+        SnapshotTable.setBuckets(spark, root,
+          if (n.isEmpty) None
+          else Some(try n.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"TBLPROPERTIES buckets must be an integer or '', got '$n'")
+          }))
+        ()
+      case c: TableChange.SetProperty if c.property == "zorder" =>
+        require(c.value == "true" || c.value == "false",
+          s"TBLPROPERTIES zorder must be true or false, got '${c.value}'")
+        SnapshotTable.setZorder(spark, root, c.value == "true")
         ()
       case _ => () // unreachable: validated above
     }

@@ -1515,7 +1515,7 @@ object SnapshotTable {
       constraintsOverride: Option[Seq[(String, String)]] = None,
       colmapOverride: Option[Map[String, String]] = None,
       retiredOverride: Option[Set[String]] = None,
-      bucketsDeclared: Option[Int] = None,
+      bucketsDeclared: Option[Option[Int]] = None,
       partitionColsDeclared: Option[Seq[String]] = None,
       zorderDeclared: Option[Boolean] = None): Int = {
     val v = expected + 1
@@ -1551,9 +1551,11 @@ object SnapshotTable {
       colmapOverride.orElse(parent.map(_.colmap)).getOrElse(Map.empty[String, String])
     val effRetired =
       retiredOverride.orElse(parent.map(_.retired)).getOrElse(Set.empty[String])
-    // a CREATE-time bucket declaration is version state, carried
-    // forward verbatim forever (only create sets it)
-    val effBuckets = bucketsDeclared.orElse(parent.flatMap(_.buckets))
+    // a bucket declaration is version state, carried forward verbatim
+    // unless this commit is the one changing it (create / setBuckets
+    // pass a tri-state override: Some(Some(n)) declares, Some(None)
+    // un-declares, None carries)
+    val effBuckets = bucketsDeclared.getOrElse(parent.flatMap(_.buckets))
     // ... and so is a CREATE-time partition-column declaration
     val effPartCols = partitionColsDeclared
       .orElse(parent.map(_.partitionCols)).getOrElse(Seq.empty)
@@ -1894,7 +1896,7 @@ object SnapshotTable {
         case None => writeDataFiles(spark, root, df, statsKey, statsKey2, bloomKey)
       },
       widened(df.schema), expected = 0, op = "create", statsKey, statsKey2,
-      txnBatchId, bucketsDeclared = buckets,
+      txnBatchId, bucketsDeclared = Some(buckets),
       partitionColsDeclared = if (partitionCols.isEmpty) None
         else Some(partitionCols.map(pc => df.schema.fields
           .find(f => norm(f.name) == norm(pc)).get.name)),
@@ -2425,7 +2427,10 @@ object SnapshotTable {
       version: Int, m: Manifest): Boolean =
     if (m.entries.isEmpty) false
     else if (m.buckets.isDefined)
-      new SqlSnapshot(spark, root, version, m).bucketLayout.isEmpty
+      // dissolved ALSO when the live layout's consistent count differs
+      // from the declaration (a bucket-count evolution mid-table)
+      !new SqlSnapshot(spark, root, version, m).bucketLayout
+        .exists(_._1 == m.buckets.get)
     else if (m.partitionCols.nonEmpty) {
       val need = m.partitionCols.map(norm).toSet
       m.entries.exists(e => !need.subsetOf(partValuesOf(e.path).keySet))
@@ -2503,6 +2508,65 @@ object SnapshotTable {
         s"duplicate partition columns: ${cols.mkString(", ")}")
       Pending(m.entries, schema, m.statsKey, m.statsKey2,
         partitionCols = Some(phys))
+    }
+
+  /** BUCKET-COUNT EVOLUTION (catalog-fronted as `ALTER TABLE … SET
+    * TBLPROPERTIES ('buckets'='N')`; `''` un-declares): change the
+    * declared bucket count in ONE metadata commit (op "altlayout",
+    * entries carried verbatim). Files keep the layout they were
+    * written under; new writes bucket at the new count, so a
+    * mixed-count era CONSERVATIVELY refuses the SPJ claim and bucket
+    * pruning (the per-file layout rule already enforces one consistent
+    * count) until `maintain(relayout = true)` — or any full
+    * re-bucket — converges the table. Same safety story as partition
+    * evolution: the declaration steers writes; correctness never
+    * rests on it. */
+  def setBuckets(spark: SparkSession, root: String, n: Option[Int]): Int =
+    retrying(spark, root, op = "altlayout") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val schema = schemaOf(spark, root, m)
+      n.foreach { b =>
+        require(b > 0 && b <= 65536, s"buckets must be in [1, 65536], got $b")
+        require(m.partitionCols.isEmpty && !m.zorder,
+          "a bucket declaration is exclusive with PARTITIONED BY / zorder " +
+            "(one declared physical layout per table)")
+        val kt = m.statsKey.flatMap(k =>
+          schema.fields.find(f => norm(f.name) == norm(k)).map(_.dataType))
+        require(kt.exists(t => t == org.apache.spark.sql.types.IntegerType ||
+            t == org.apache.spark.sql.types.LongType ||
+            t == org.apache.spark.sql.types.StringType),
+          "a bucket declaration needs a statsKey of type int/bigint/string " +
+            "(the bucket key IS the stats key)")
+      }
+      Pending(m.entries, schema, m.statsKey, m.statsKey2, buckets = Some(n))
+    }
+
+  /** Z-ORDER DECLARATION EVOLUTION (catalog-fronted as `ALTER TABLE …
+    * SET TBLPROPERTIES ('zorder'='true'|'false')`): toggle the
+    * declared z-order clustering in one metadata commit — the same
+    * create-time validation (both stats keys, both integral,
+    * exclusive with buckets / PARTITIONED BY); maintenance restores
+    * the interleave on the next `maintain(relayout = true)` cycle. */
+  def setZorder(spark: SparkSession, root: String, on: Boolean): Int =
+    retrying(spark, root, op = "altlayout") { (latest: Int) =>
+      val m = manifestFull(spark, root, latest)
+      val schema = schemaOf(spark, root, m)
+      if (on) {
+        require(m.buckets.isEmpty && m.partitionCols.isEmpty,
+          "a z-order declaration is exclusive with buckets / PARTITIONED BY " +
+            "(one declared physical layout per table)")
+        Seq("statsKey" -> m.statsKey, "statsKey2" -> m.statsKey2).foreach {
+          case (what, k) =>
+            val t = k.flatMap(nm =>
+              schema.fields.find(f => norm(f.name) == norm(nm)).map(_.dataType))
+            require(t.exists(dt => dt == org.apache.spark.sql.types.IntegerType ||
+                dt == org.apache.spark.sql.types.LongType),
+              s"a z-order declaration needs an integral (int/bigint) $what; " +
+                s"got ${k.getOrElse("<none>")}")
+        }
+      }
+      Pending(m.entries, schema, m.statsKey, m.statsKey2,
+        zorderFlag = Some(on))
     }
 
   /** Bits per dimension of the z-value after normalization. 15 gives a
@@ -2889,7 +2953,9 @@ object SnapshotTable {
       constraints: Option[Seq[(String, String)]] = None,
       colmap: Option[Map[String, String]] = None,
       retired: Option[Set[String]] = None,
-      partitionCols: Option[Seq[String]] = None)
+      partitionCols: Option[Seq[String]] = None,
+      buckets: Option[Option[Int]] = None,
+      zorderFlag: Option[Boolean] = None)
 
   /** Optimistic-concurrency loop: build the file list + schema against
     * the latest version, try to commit latest+1; on a lost race,
@@ -2904,7 +2970,9 @@ object SnapshotTable {
       val p = build(latest)
       try return commit(spark, root, p.files, p.schema, latest, op,
         p.statsKey, p.statsKey2, p.txnBatchId, p.constraints, p.colmap,
-        p.retired, partitionColsDeclared = p.partitionCols)
+        p.retired, bucketsDeclared = p.buckets,
+        partitionColsDeclared = p.partitionCols,
+        zorderDeclared = p.zorderFlag)
       catch {
         case _: java.io.IOException if attempt < MaxRetries =>
           attempt += 1

@@ -1652,6 +1652,58 @@ class GraftCatalogSpec extends SparkSpec {
       f.contains("_graft_p_src=") && !f.contains("_graft_p_lang=")))
   }
 
+  test("bucket-count and z-order evolution: metadata-only ALTER, relayout converges") {
+    wh
+    val snap = graft.sources.SnapshotTable
+    sql("DROP TABLE IF EXISTS gsql.main.be")
+    // born UNDECLARED: plain files
+    sql("CREATE TABLE gsql.main.be (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.be SELECT id, id * 3 FROM range(0, 200)")
+    val root = s"$wh/main/be"
+    val beforeAlter = liveFiles("be")
+    // DECLARE buckets post-hoc: one metadata commit, zero data I/O
+    sql("ALTER TABLE gsql.main.be SET TBLPROPERTIES ('buckets'='4')")
+    assert(liveFiles("be") == beforeAlter, "declaration must move no file")
+    val d0 = snap.describeDetail(spark, root)
+    assert(d0.declaredBuckets.contains(4) && d0.bucketedLayout.isEmpty,
+      "declared but old-era files keep the claim conservatively OFF")
+    // new writes bucket at the declared count; the era mix still
+    // refuses the claim until maintenance converges
+    sql("INSERT INTO gsql.main.be SELECT id, id * 3 FROM range(200, 400)")
+    assert(snap.describeDetail(spark, root).bucketedLayout.isEmpty)
+    assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).nonEmpty)
+    assert(snap.describeDetail(spark, root).bucketedLayout.contains(4))
+    assert(sql("SELECT count(*) FROM gsql.main.be").head().getLong(0) == 400L)
+    // CHANGE the count: same cycle at the new width
+    sql("ALTER TABLE gsql.main.be SET TBLPROPERTIES ('buckets'='8')")
+    assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).nonEmpty)
+    assert(snap.describeDetail(spark, root).bucketedLayout.contains(8))
+    // UN-DECLARE: relayout becomes a no-op (nothing declared)
+    sql("ALTER TABLE gsql.main.be SET TBLPROPERTIES ('buckets'='')")
+    assert(snap.describeDetail(spark, root).declaredBuckets.isEmpty)
+    assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).isEmpty)
+    // z-order toggles the same way (buckets now un-declared)
+    sql("DROP TABLE IF EXISTS gsql.main.ze")
+    sql("CREATE TABLE gsql.main.ze (a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='a', 'statsKey2'='b')")
+    sql("INSERT INTO gsql.main.ze SELECT /*+ REPARTITION(8) */ id % 32, id DIV 32 " +
+      "FROM range(0, 1024)")
+    val zroot = s"$wh/main/ze"
+    sql("ALTER TABLE gsql.main.ze SET TBLPROPERTIES ('zorder'='true')")
+    val zd = snap.describeDetail(spark, zroot)
+    assert(zd.declaredZorder && !zd.zorderedLayout)
+    assert(snap.maintain(spark, zroot, smallBytes = 1L, relayout = true).nonEmpty)
+    assert(snap.describeDetail(spark, zroot).zorderedLayout)
+    sql("ALTER TABLE gsql.main.ze SET TBLPROPERTIES ('zorder'='false')")
+    assert(!snap.describeDetail(spark, zroot).declaredZorder)
+    // refusals: bucket declaration on a z-declared table and vice versa
+    sql("ALTER TABLE gsql.main.ze SET TBLPROPERTIES ('zorder'='true')")
+    intercept[Exception] {
+      sql("ALTER TABLE gsql.main.ze SET TBLPROPERTIES ('buckets'='4')")
+    }
+  }
+
   test("declared z-order: maintenance restores the interleave, both keys prune") {
     wh
     val snap = graft.sources.SnapshotTable
