@@ -42,6 +42,7 @@ private[catalog] final class GraftMetadataTable(spark: SparkSession,
     case "partitions" =>
       SnapshotTable.partitionsDf(spark, root, pinnedVersion).schema
     case "history" => GraftMetadataTable.HistorySchema
+    case "detail" => GraftMetadataTable.DetailSchema
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -66,6 +67,23 @@ private[catalog] final class GraftMetadataTable(spark: SparkSession,
                   Row(h.version, h.op, h.nFiles, h.nColumns, h.withStats,
                     h.nRows))).asJava),
               GraftMetadataTable.HistorySchema))
+          case "detail" =>
+            import org.apache.spark.sql.Row
+            val t = SnapshotTable.describeDetail(spark, root)
+            GraftMetadataTable.collectRows(spark.createDataFrame(
+              java.util.Collections.singletonList(Row(
+                t.version, t.liveVersions, t.nFiles, t.totalBytes,
+                if (t.nRows < 0) null else java.lang.Long.valueOf(t.nRows),
+                t.statsKey.orNull, t.statsKey2.orNull,
+                t.dvFiles,
+                if (t.dvRows < 0) null else java.lang.Long.valueOf(t.dvRows),
+                t.chainDepth, t.nConstraints, t.mappedColumns,
+                t.declaredBuckets.map(Integer.valueOf).orNull,
+                t.bucketedLayout.map(Integer.valueOf).orNull,
+                t.declaredZorder, t.zorderedLayout,
+                if (t.partitionCols.isEmpty) null
+                else t.partitionCols.mkString(","))),
+              GraftMetadataTable.DetailSchema))
         }
         override def description(): String = s"GraftMetadata($kind, $root)"
       }
@@ -74,7 +92,7 @@ private[catalog] final class GraftMetadataTable(spark: SparkSession,
 
 private[catalog] object GraftMetadataTable {
   /** The metadata relations addressable as `<table>.<name>`. */
-  val Kinds: Set[String] = Set("files", "history", "partitions")
+  val Kinds: Set[String] = Set("files", "history", "partitions", "detail")
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
@@ -83,6 +101,29 @@ private[catalog] object GraftMetadataTable {
     StructField("n_columns", IntegerType, nullable = false),
     StructField("with_stats", IntegerType, nullable = false),
     StructField("n_rows", LongType, nullable = false)))
+
+  /** DESCRIBE DETAIL as a one-row relation (`<table>.detail`): the
+    * head version's size/debt/layout facts — everything a maintenance
+    * scheduler reads, SQL-addressable, zero data I/O. Unknown counts
+    * come back NULL (not a sentinel). */
+  val DetailSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("live_versions", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("stats_key", StringType, nullable = true),
+    StructField("stats_key2", StringType, nullable = true),
+    StructField("dv_files", IntegerType, nullable = false),
+    StructField("dv_rows", LongType, nullable = true),
+    StructField("chain_depth", IntegerType, nullable = false),
+    StructField("n_constraints", IntegerType, nullable = false),
+    StructField("mapped_columns", IntegerType, nullable = false),
+    StructField("declared_buckets", IntegerType, nullable = true),
+    StructField("bucketed_layout", IntegerType, nullable = true),
+    StructField("declared_zorder", BooleanType, nullable = false),
+    StructField("zordered_layout", BooleanType, nullable = false),
+    StructField("partition_cols", StringType, nullable = true)))
 
   /** Driver-rows for a LocalScan — bounded by the manifest's file or
     * version count by construction. */

@@ -2809,7 +2809,9 @@ object SnapshotTable {
         * a z-laid rewrite)? declaredZorder && !zorderedLayout is the
         * scheduler's RESTORE signal — `maintain(relayout = true)`
         * re-establishes whatever layout the table declares. */
-      zorderedLayout: Boolean = false)
+      zorderedLayout: Boolean = false,
+      /** Declared Hive-style partition columns (LOGICAL spelling). */
+      partitionCols: Seq[String] = Seq.empty)
 
   def describeDetail(spark: SparkSession, root: String,
       smallBytes: Long = 0L): TableDetail = {
@@ -2848,7 +2850,9 @@ object SnapshotTable {
       bucketedLayout =
         new SqlSnapshot(spark, root, vs.last, m).bucketLayout.map(_._1),
       declaredZorder = m.zorder,
-      zorderedLayout = m.entries.nonEmpty && m.entries.forall(zorderLaid))
+      zorderedLayout = m.entries.nonEmpty && m.entries.forall(zorderLaid),
+      partitionCols =
+        new SqlSnapshot(spark, root, vs.last, m).partitionColsLogical)
   }
 
   /** Garbage-collect files referenced by NO live manifest — leftovers

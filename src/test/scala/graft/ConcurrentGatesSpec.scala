@@ -31,11 +31,15 @@ class ConcurrentGatesSpec extends SparkSpec {
 
   test("conf-sensitive gates keep their physical booleans under concurrent runners") {
     // the two r14-red gates race themselves AND the other conf-mutating
-    // gates — same shared session, interleaving unconstrained
+    // gates — same shared session, interleaving unconstrained; the
+    // shared-warehouse catalog gates (uniqName-swept) ride along so a
+    // regression to fixed table names would corrupt a listing here
     val gates = Seq(
       "meta_partitioned_dpp", "sink_partition_overwrite",
       "join_spj_catalog", "join_bucketed_colocated",
-      "meta_partitioned_dpp", "sink_partition_overwrite")
+      "meta_partitioned_dpp", "sink_partition_overwrite",
+      "meta_partitions_table", "agg_pushdown_meta",
+      "meta_zorder_declared", "meta_partition_evolution")
     val pool = Executors.newFixedThreadPool(gates.size)
     try {
       val futs = gates.zipWithIndex.map { case (g, i) =>

@@ -1652,6 +1652,39 @@ class GraftCatalogSpec extends SparkSpec {
       f.contains("_graft_p_src=") && !f.contains("_graft_p_lang=")))
   }
 
+  test("detail metadata relation: one-row DESCRIBE DETAIL with layout facts, zero data I/O") {
+    wh
+    sql("DROP TABLE IF EXISTS gsql.main.dt")
+    sql("CREATE TABLE gsql.main.dt (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.dt SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END FROM range(0, 100)")
+    sql("DELETE FROM gsql.main.dt WHERE id = 7") // dv debt visible in detail
+    val d = sql("SELECT * FROM gsql.main.dt.detail")
+    val r = d.head()
+    assert(d.count() == 1)
+    assert(r.getAs[Long]("n_rows") == 99L)
+    assert(r.getAs[Int]("dv_files") == 1 && r.getAs[Long]("dv_rows") == 1L)
+    assert(r.getAs[String]("stats_key") == "id")
+    assert(r.getAs[String]("partition_cols") == "lang")
+    assert(r.isNullAt(r.fieldIndex("declared_buckets")))
+    assert(!r.getAs[Boolean]("declared_zorder"))
+    // the relation is a LocalScan — the maintenance question opens no
+    // data file
+    assert(PlanWalk.executedNodes(d.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]))
+    assert(PlanWalk.batchScans(d).isEmpty && PlanWalk.fileScans(d).isEmpty)
+    // layout facts follow evolution: declare z on a fresh unpartitioned
+    // table and read it back through SQL
+    sql("DROP TABLE IF EXISTS gsql.main.dtz")
+    sql("CREATE TABLE gsql.main.dtz (a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='a', 'statsKey2'='b', 'zorder'='true')")
+    sql("INSERT INTO gsql.main.dtz SELECT id, id * 2 FROM range(0, 10)")
+    val rz = sql("SELECT declared_zorder, zordered_layout, partition_cols " +
+      "FROM gsql.main.dtz.detail").head()
+    assert(rz.getBoolean(0) && !rz.getBoolean(1) && rz.isNullAt(2))
+  }
+
   test("bucket-count and z-order evolution: metadata-only ALTER, relayout converges") {
     wh
     val snap = graft.sources.SnapshotTable
