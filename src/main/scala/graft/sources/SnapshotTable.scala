@@ -2485,8 +2485,8 @@ object SnapshotTable {
     retrying(spark, root, op = "altpart") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val schema = schemaOf(spark, root, m)
-      require(m.buckets.isEmpty,
-        "PARTITIONED BY and a bucket declaration are mutually exclusive " +
+      require(cols.isEmpty || (m.buckets.isEmpty && !m.zorder),
+        "PARTITIONED BY is exclusive with a bucket / z-order declaration " +
           "(one physical layout per table)")
       val phys = cols.map { pc =>
         val f = schema.fields.find(f => norm(f.name) == norm(pc)).getOrElse(
