@@ -58,6 +58,7 @@ private[catalog] final class GraftTable(spark: SparkSession, val root: String,
     snap.statsKey.foreach(m.put("statsKey", _))
     snap.statsKey2.foreach(m.put("statsKey2", _))
     snap.declaredBuckets.foreach(b => m.put("buckets", b.toString))
+    if (snap.declaredZorder) m.put("zorder", "true")
     if (snap.partitionCols.nonEmpty)
       m.put("partitionCols", snap.partitionColsLogical.mkString(","))
     pinnedVersion.foreach(v => m.put("versionAsOf", v.toString))

@@ -4576,6 +4576,7 @@ object SnapshotTable {
     def statsKey: Option[String] = m.statsKey
     def statsKey2: Option[String] = m.statsKey2
     def declaredBuckets: Option[Int] = m.buckets
+    def declaredZorder: Boolean = m.zorder
     def constraints: Seq[(String, String)] = m.constraints
     def sizeInBytes: Long = m.entries.flatMap(_.bytes).sum
     def rowCount: Option[Long] = {
