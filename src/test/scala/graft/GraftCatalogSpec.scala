@@ -1645,6 +1645,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(keptLang2 < all.size, s"kept=$keptLang2 of ${all.size}")
     // values stay exact across both evolutions
     assert(sql("SELECT count(*) FROM gsql.main.pe").head().getLong(0) == 240L)
+    // time travel reads each ERA under its own spec: the pre-evolution
+    // version still answers (its manifest pins its own spec + files)
+    val vEra1 = graft.sources.SnapshotTable.versions(spark, s"$wh/main/pe")
+      .find(v => graft.sources.SnapshotTable
+        .history(spark, s"$wh/main/pe").find(_.version == v).exists(_.op == "altpart"))
+      .map(_ - 1).get
+    assert(sql(s"SELECT count(*) FROM gsql.main.pe VERSION AS OF $vEra1")
+      .head().getLong(0) == 120L)
+    // the evolved spec is visible to SHOW TBLPROPERTIES
+    val props = sql("SHOW TBLPROPERTIES gsql.main.pe").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("partitionCols").contains("src"), props.toString)
     // relayout converges the files to the CURRENT spec when asked
     assert(snap.maintain(spark, s"$wh/main/pe", smallBytes = 1L,
       relayout = true).nonEmpty)

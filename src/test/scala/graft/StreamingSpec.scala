@@ -617,6 +617,34 @@ class StreamingSpec extends SparkSpec {
       "the mixed predicate must have taken the dv path")
   }
 
+  test("whole-partition delete stays CDC-honest and dv-correct") {
+    import spark.implicits._
+    val snap = sources.SnapshotTable
+    val root = s"${java.nio.file.Files.createTempDirectory("graft-pttlcdc")}/t"
+    snap.create(spark, root,
+      Seq((0L, "d1"), (1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day")
+        .coalesce(1),
+      statsKey = Some("id"), partitionCols = Seq("day"))
+    // a ROW-LEVEL dv delete inside the doomed partition first: the
+    // whole-partition drop must count only LIVE rows afterwards
+    assert(snap.deleteWhere(spark, root, col("id") === 1L).isDefined)
+    assert(snap.describeDetail(spark, root).dvFiles == 1)
+    val vBefore = snap.versions(spark, root).last
+    // the fast path drops the dv-BEARING file too (its path proves the
+    // partition; the dv only hides rows)
+    assert(snap.deleteWhere(spark, root, col("day") === "d1").isDefined)
+    assert(snap.history(spark, root).last.op == "delete")
+    assert(snap.describeDetail(spark, root).dvFiles == 0)
+    assert(snap.read(spark, root).select("id").as[Long].collect().toSeq == Seq(3L))
+    // CDC window over the partition drop: exactly the partition's LIVE
+    // rows (0, 2 — NOT the already-deleted 1) come back as deletes
+    val ch = snap.readChanges(spark, root, vBefore)
+      .select(col("_change_type"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(ch == Seq(("delete", 0L), ("delete", 2L)),
+      s"partition-drop CDC must emit the live rows only, got $ch")
+  }
+
   test("dedup probe prunes: a micro-batch key probe reads fewer index files than a full scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sprobe")
