@@ -37,6 +37,14 @@ object Parallelism {
     if (estimated < math.max(1L, target / 2)) df.repartition(target) else df
   }
 
+  /** Metadata-only parallelism estimate for WRITE paths: the scan-split
+    * estimate when the plan reads files, else the session's default
+    * parallelism — never `df.rdd.getNumPartitions`, which would pay a
+    * throwaway plan→RDD conversion inside the write. */
+  def estimate(spark: SparkSession, df: DataFrame): Long =
+    scanPartitions(spark, df)
+      .getOrElse(spark.sparkContext.defaultParallelism.toLong)
+
   /** Split count the file scans under `df` get, replicating
     * FilePartition's packing math (maxSplitBytes = min(maxPartitionBytes,
     * max(openCost, totalBytes/defaultParallelism)); splits then pack

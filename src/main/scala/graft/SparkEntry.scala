@@ -171,6 +171,7 @@ object SparkEntry {
     "sink_partition_overwrite" -> ((s, d) => partitionOverwriteQuery(s, d)),
     "meta_partitions_table" -> ((s, d) => partitionsTableQuery(s, d)),
     "meta_zorder_declared" -> ((s, d) => zorderDeclaredQuery(s, d)),
+    "meta_zorder_string" -> ((s, d) => zorderStringQuery(s, d)),
     "meta_partition_evolution" -> ((s, d) => partitionEvolutionQuery(s, d)),
     "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
@@ -329,6 +330,11 @@ object SparkEntry {
       SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
              TRUE AS zorder_restored, TRUE AS probe_key1_pruned,
              TRUE AS probe_key2_pruned
+      FROM documents"""),
+    "meta_zorder_string" -> ("""
+      SELECT count(*) AS n_docs, sum(doc_id) AS sum_ids,
+             TRUE AS zorder_restored, TRUE AS probe_string_pruned,
+             TRUE AS probe_int_pruned
       FROM documents"""),
     "meta_partition_evolution" -> ("""
       SELECT lang, source, count(*) AS n_docs,
@@ -2753,6 +2759,36 @@ object SparkEntry {
     iso
   }
 
+  /** Bounded re-probe for physical-invariant gates. A probe gate's
+    * booleans (files pruned, exchanges absent, paths carried) are
+    * environment-sensitive in ways its ROWS are not; a false boolean
+    * used to land in the result hash as an opaque mismatch with the
+    * evidence lost to stderr. This wrapper changes the failure mode:
+    * `attempt` builds the WHOLE probe from scratch (throwaway session,
+    * fresh `uniqName` tables) and returns the gate frame plus the list
+    * of failed invariants. One failure triggers exactly one rebuild —
+    * a genuine property violation fails both probes, a scheduling
+    * flake doesn't — and a second failure THROWS with the accumulated
+    * diag text, so the correctness artifact records the failing
+    * invariant BY NAME in its `err` field instead of a silent false
+    * lit. No gate ever returns a false boolean. */
+  private def reprobed(gate: String)(
+      attempt: () => (DataFrame, Seq[String])): DataFrame = {
+    val (df1, bad1) = attempt()
+    if (bad1.isEmpty) df1
+    else {
+      Console.err.println(s"[$gate] probe failed (${bad1.mkString("; ")}) — " +
+        "rebuilding the throwaway session and tables for one bounded re-probe")
+      val (df2, bad2) = attempt()
+      if (bad2.isEmpty) df2
+      else throw new IllegalStateException(
+        s"$gate: physical invariant failed on BOTH probes (independent " +
+          s"sessions and tables — a property violation, not a scheduling " +
+          s"flake). first=[${bad1.mkString("; ")}] " +
+          s"second=[${bad2.mkString("; ")}]")
+    }
+  }
+
   /** The snapshot table driven PURELY through `spark.sql` on a stock
     * session — the DSv2 catalog surface ([[graft.catalog.GraftCatalog]])
     * end to end: CREATE TABLE → INSERT → metadata-only DELETE (dv) →
@@ -2823,7 +2859,9 @@ object SparkEntry {
     * per-embedding-model metadata files of
     * /root/reference/src/etl_processor.py:123-124 — a partitioned
     * doc_metadata store, SQL-fronted. */
-  private def partitionedDppQuery(s: SparkSession, d: String): DataFrame = {
+  private def partitionedDppQuery(s: SparkSession, d: String): DataFrame =
+      reprobed("meta_partitioned_dpp") { () =>
+    val failed = Seq.newBuilder[String]
     // throwaway session, confs PINNED — never toggled on the shared
     // session (r14 board lesson: these physical booleans must be
     // deterministic whatever another runner does to the base session).
@@ -2859,10 +2897,13 @@ object SparkEntry {
       graft.PlanWalk.batchScans(df).map(_.scan)
         .collect { case g: graft.catalog.GraftScan => g.keptFileCount }.max
     }
-    // a red row must NAME its failing probe: the boolean lands in the
-    // hash either way, this stderr line is what a post-mortem reads
+    // a failed probe must NAME its invariant: the diag text rides the
+    // reprobed() throw into the correctness artifact's err field
     def diag(name: String, ok: Boolean, detail: => String): Boolean = {
-      if (!ok) Console.err.println(s"[meta_partitioned_dpp] $name FALSE: $detail")
+      if (!ok) {
+        failed += s"$name: $detail"
+        Console.err.println(s"[meta_partitioned_dpp] $name FALSE: $detail")
+      }
       ok
     }
     val total = graft.sources.SnapshotTable.filesDf(iso, s"$wh/g/$base").count().toInt
@@ -2909,9 +2950,10 @@ object SparkEntry {
     // proofs done: the returned frame re-executes on write — un-pin
     // broadcast so the dim join plans freely again (iso is private)
     iso.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    j.withColumn("static_pruned", lit(staticPruned))
+    (j.withColumn("static_pruned", lit(staticPruned))
       .withColumn("dpp_pruned", lit(dppPruned))
-      .withColumn("spj_zero_exchange", lit(spjZeroExchange))
+      .withColumn("spj_zero_exchange", lit(spjZeroExchange)),
+      failed.result())
   }
 
   /** The daily re-ingest shape on a PARTITIONED BY table: a STATIC
@@ -2926,7 +2968,9 @@ object SparkEntry {
     * rewriting — or even reading — the other 99. Reference analog: the
     * per-model re-conversion loop of etl_processor.py re-landing one
     * embedding model's metadata. */
-  private def partitionOverwriteQuery(s: SparkSession, d: String): DataFrame = {
+  private def partitionOverwriteQuery(s: SparkSession, d: String): DataFrame =
+      reprobed("sink_partition_overwrite") { () =>
+    val failed = Seq.newBuilder[String]
     // throwaway session + per-invocation table name: the overwrite
     // mode is PINNED on a private SessionState (never toggled on the
     // shared session) and no concurrent runner can interleave its own
@@ -2947,7 +2991,10 @@ object SparkEntry {
       graft.sources.SnapshotTable.filesDf(iso, root).collect().map(_.getString(0))
         .filterNot(_.contains(s"_graft_p_lang=$except")).toSet
     def diag(name: String, ok: Boolean, detail: => String): Boolean = {
-      if (!ok) Console.err.println(s"[sink_partition_overwrite] $name FALSE: $detail")
+      if (!ok) {
+        failed += s"$name: $detail"
+        Console.err.println(s"[sink_partition_overwrite] $name FALSE: $detail")
+      }
       ok
     }
     val beforeEn = paths(except = "en")
@@ -2965,9 +3012,10 @@ object SparkEntry {
     val carried2 = diag("dynamic_carry", afterDe == beforeDe,
       s"gained=${(afterDe -- beforeDe).take(3)} lost=${(beforeDe -- afterDe).take(3)}")
     graft.Scratch.registerForCleanup(root)
-    iso.sql(s"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t " +
+    (iso.sql(s"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t " +
       "GROUP BY lang")
-      .withColumn("untouched_carried", lit(carried1 && carried2))
+      .withColumn("untouched_carried", lit(carried1 && carried2)),
+      failed.result())
   }
 
   /** SHOW PARTITIONS as a queryable relation: `<table>.partitions`
@@ -3008,7 +3056,9 @@ object SparkEntry {
     * maintenance contract that keeps two-dimensional probe workloads
     * (doc id × chunk idx, tenant × time) prunable without the operator
     * remembering which re-layout tool matches which table. */
-  private def zorderDeclaredQuery(s: SparkSession, d: String): DataFrame = {
+  private def zorderDeclaredQuery(s: SparkSession, d: String): DataFrame =
+      reprobed("meta_zorder_declared") { () =>
+    val failed = Seq.newBuilder[String]
     val iso = probeSession(s)
     val wh = SqlCat.ensure(iso)
     val base = uniqName("docs_zo")
@@ -3034,7 +3084,10 @@ object SparkEntry {
         .collect { case g: graft.catalog.GraftScan => g.keptFileCount }.max
     }
     def diag(name: String, ok: Boolean, detail: => String): Boolean = {
-      if (!ok) Console.err.println(s"[meta_zorder_declared] $name FALSE: $detail")
+      if (!ok) {
+        failed += s"$name: $detail"
+        Console.err.println(s"[meta_zorder_declared] $name FALSE: $detail")
+      }
       ok
     }
     val restored = diag("zorder_restored",
@@ -3050,10 +3103,77 @@ object SparkEntry {
     val prunedA = diag("probe_key1_pruned", keptA < total, s"kept=$keptA total=$total")
     val prunedB = diag("probe_key2_pruned", keptB < total, s"kept=$keptB total=$total")
     graft.Scratch.registerForCleanup(root)
-    iso.sql(s"SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t")
+    (iso.sql(s"SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t")
       .withColumn("zorder_restored", lit(restored))
       .withColumn("probe_key1_pruned", lit(prunedA))
-      .withColumn("probe_key2_pruned", lit(prunedB))
+      .withColumn("probe_key2_pruned", lit(prunedB)),
+      failed.result())
+  }
+
+  /** Z-ORDER DECLARED ON A STRING PRIMARY — the exact key shape the
+    * reference's 2D chunk identity motivates the layout with:
+    * `(filename: STRING, chunk_idx: INT)`
+    * (/root/reference/src/managers/chunking_manager.py:82-87), here
+    * `(source STRING, doc_id BIGINT)`. The string key interleaves on
+    * its zero-padded unsigned byte prefix (order-compatible with the
+    * manifest's binary min/max comparison), so after ONE
+    * `maintain(relayout = true)` cycle point probes on EITHER the
+    * string or the integral key prune files through the manifest's
+    * two-key stats. Same gate discipline as `meta_zorder_declared`:
+    * plain appends dissolve the declared layout, maintenance restores
+    * it, and every boolean rides the bounded re-probe. */
+  private def zorderStringQuery(s: SparkSession, d: String): DataFrame =
+      reprobed("meta_zorder_string") { () =>
+    val failed = Seq.newBuilder[String]
+    val iso = probeSession(s)
+    val wh = SqlCat.ensure(iso)
+    val base = uniqName("docs_zs")
+    val t = s"${SqlCat.name}.g.$base"
+    val root = s"$wh/g/$base"
+    iso.sql(s"CREATE TABLE $t (source STRING, doc_id BIGINT) TBLPROPERTIES " +
+      "('statsKey'='source', 'statsKey2'='doc_id', 'zorder'='true')")
+    Tables.documents(iso, d).select(col("source"), col("doc_id"))
+      .createOrReplaceTempView("graft_zs_src")
+    // plain appends: the declared interleave is deliberately NOT paid
+    // per write — the layout dissolves until maintenance restores it
+    iso.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ source, doc_id " +
+      "FROM graft_zs_src")
+    val snap = graft.sources.SnapshotTable
+    val dissolved = !snap.describeDetail(iso, root).zorderedLayout
+    snap.maintain(iso, root, smallBytes = 1L, relayout = true)
+    val detail = snap.describeDetail(iso, root)
+    val total = detail.nFiles
+    def keptOf(q: String): Int = {
+      val df = iso.sql(q)
+      df.collect()
+      graft.PlanWalk.batchScans(df).map(_.scan)
+        .collect { case g: graft.catalog.GraftScan => g.keptFileCount }.max
+    }
+    def diag(name: String, ok: Boolean, detail: => String): Boolean = {
+      if (!ok) {
+        failed += s"$name: $detail"
+        Console.err.println(s"[meta_zorder_string] $name FALSE: $detail")
+      }
+      ok
+    }
+    val restored = diag("zorder_restored",
+      dissolved && detail.declaredZorder && detail.zorderedLayout && total > 1,
+      s"dissolved=$dissolved declared=${detail.declaredZorder} " +
+        s"laid=${detail.zorderedLayout} files=$total")
+    val probeSrc = iso.sql(
+      "SELECT source FROM graft_zs_src WHERE doc_id = 0").head().getString(0)
+    val keptA = keptOf(s"SELECT count(*) FROM $t WHERE source = '$probeSrc'")
+    val keptB = keptOf(s"SELECT count(*) FROM $t WHERE doc_id = 0")
+    val prunedA = diag("probe_string_pruned", keptA < total,
+      s"kept=$keptA total=$total")
+    val prunedB = diag("probe_int_pruned", keptB < total,
+      s"kept=$keptB total=$total")
+    graft.Scratch.registerForCleanup(root)
+    (iso.sql(s"SELECT count(*) AS n_docs, sum(doc_id) AS sum_ids FROM $t")
+      .withColumn("zorder_restored", lit(restored))
+      .withColumn("probe_string_pruned", lit(prunedA))
+      .withColumn("probe_int_pruned", lit(prunedB)),
+      failed.result())
   }
 
   /** PARTITION-SPEC EVOLUTION, gated end to end (Iceberg's ADD
@@ -3067,7 +3187,9 @@ object SparkEntry {
     * At 100 TB this is the reference's per-embedding-model
     * re-partition (etl_processor.py:123-124) as one manifest write
     * instead of a table rewrite. */
-  private def partitionEvolutionQuery(s: SparkSession, d: String): DataFrame = {
+  private def partitionEvolutionQuery(s: SparkSession, d: String): DataFrame =
+      reprobed("meta_partition_evolution") { () =>
+    val failed = Seq.newBuilder[String]
     val iso = probeSession(s)
     val wh = SqlCat.ensure(iso)
     val base = uniqName("docs_pevo")
@@ -3095,7 +3217,10 @@ object SparkEntry {
         .collect { case g: graft.catalog.GraftScan => g.keptFileCount }.max
     }
     def diag(name: String, ok: Boolean, detail: => String): Boolean = {
-      if (!ok) Console.err.println(s"[meta_partition_evolution] $name FALSE: $detail")
+      if (!ok) {
+        failed += s"$name: $detail"
+        Console.err.println(s"[meta_partition_evolution] $name FALSE: $detail")
+      }
       ok
     }
     val probeSource = iso.sql(
@@ -3110,11 +3235,12 @@ object SparkEntry {
       keptSrc < total && keptSrc >= era1.size,
       s"kept=$keptSrc era1=${era1.size} total=$total")
     graft.Scratch.registerForCleanup(root)
-    iso.sql(s"SELECT lang, source, count(*) AS n_docs FROM $t " +
+    (iso.sql(s"SELECT lang, source, count(*) AS n_docs FROM $t " +
       "GROUP BY lang, source ORDER BY lang, source")
       .withColumn("evolved_metadata_only", lit(evoOk))
       .withColumn("lang_prunes_both_eras", lit(langOk))
-      .withColumn("source_prunes_new_era", lit(srcOk))
+      .withColumn("source_prunes_new_era", lit(srcOk)),
+      failed.result())
   }
 
   /** The retrieval surface fully NAME-ADDRESSED: a vector-store table

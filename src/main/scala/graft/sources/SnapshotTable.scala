@@ -140,7 +140,7 @@ object SnapshotTable {
     * tombstone carrying the path separator) appears, 11 only when an
     * entry carries a secondary-key bloom. */
   private def writeFormat(cm: Map[String, String], rt: Set[String],
-      files: Seq[FileEntry] = Seq.empty): Int = {
+      files: Seq[FileEntry]): Int = {
     val base =
       if (cm.isEmpty && rt.isEmpty) 8
       else if (cm.keysIterator.exists(_.indexOf(PathSep.toInt) >= 0) ||
@@ -343,7 +343,8 @@ object SnapshotTable {
       partitionCols: Seq[String] = Seq.empty,
       /** DECLARED z-order clustering (CREATE-time, `zorder` property):
         * the key SET is the recorded statsKey + statsKey2 (both
-        * required, both integral). Unlike buckets/partitionCols the
+        * required, each int/bigint/string — strings interleave on
+        * their unsigned byte prefix). Unlike buckets/partitionCols the
         * declaration does NOT reshape every write — appends append and
         * the layout dissolves gradually (the Delta/Iceberg OPTIMIZE
         * ZORDER model) — it ROUTES MAINTENANCE: scheduled rewrites
@@ -1829,16 +1830,20 @@ object SnapshotTable {
       require(buckets.isEmpty && partitionCols.isEmpty,
         "a z-order declaration is exclusive with buckets / PARTITIONED BY " +
           "(one declared physical layout per table)")
-      // both z keys must exist and be integral at DECLARATION time —
-      // failing the first maintenance cycle instead would leave a
-      // table whose declared layout can never be produced
+      // both z keys must exist and be interleavable at DECLARATION
+      // time — failing the first maintenance cycle instead would leave
+      // a table whose declared layout can never be produced. Strings
+      // qualify: they interleave on their unsigned byte prefix and
+      // prune through the manifest's binary min/max (the reference's
+      // chunk identity is (filename STRING, chunk_idx INT)).
       Seq("statsKey" -> statsKey, "statsKey2" -> statsKey2).foreach {
         case (what, k) =>
           val t = k.flatMap(n =>
             df.schema.fields.find(f => norm(f.name) == norm(n)).map(_.dataType))
           require(t.exists(dt => dt == org.apache.spark.sql.types.IntegerType ||
-              dt == org.apache.spark.sql.types.LongType),
-            s"a z-order declaration needs an integral (int/bigint) $what; " +
+              dt == org.apache.spark.sql.types.LongType ||
+              dt == org.apache.spark.sql.types.StringType),
+            s"a z-order declaration needs an int/bigint/string $what; " +
               s"got ${k.getOrElse("<none>")}${t.map(d => s" : ${d.simpleString}").getOrElse("")}")
       }
     }
@@ -1886,11 +1891,13 @@ object SnapshotTable {
         case None if zorder =>
           // the created table is BORN in its declared layout (like
           // buckets/partitions): interleave on the two keys, sized to
-          // the input's own parallelism; the zo- batch prefix is the
-          // dissolution marker maintenance reads
+          // the input's own parallelism — estimated from scan metadata
+          // (never a plan→RDD pass on the write path); the zo- batch
+          // prefix is the dissolution marker maintenance reads
           writeDataFiles(spark, root,
             clusterLayout(df,
-              math.max(8, df.rdd.getNumPartitions), statsKey, statsKey2,
+              math.max(8L, graft.Parallelism.estimate(spark, df)).toInt,
+              statsKey, statsKey2,
               cluster = true, zorder = true),
             statsKey, statsKey2, bloomKey, batchPrefix = "zo")
         case None => writeDataFiles(spark, root, df, statsKey, statsKey2, bloomKey)
@@ -2453,9 +2460,14 @@ object SnapshotTable {
       Some(compactBucketed(spark, root, m.buckets.get))
     else if (m.partitionCols.nonEmpty) Some(compactPartitioned(spark, root))
     else if (m.zorder)
-      // one z-range file per current file: restoring the interleave
-      // must not change the table's file granularity
-      Some(compact(spark, root, targetFiles = math.max(1, m.entries.size),
+      // one z-range file per current file — restoring the interleave
+      // keeps the table's file granularity — FLOORED at 4: a z-layout
+      // in fewer files cannot carry both keys' leading bits into
+      // distinct file ranges (2 files split only the leading
+      // dimension; 1 file prunes nothing), and two-key pruning is the
+      // only reason the layout is declared. At scale entries.size is
+      // far above the floor and this is exactly size-preserving.
+      Some(compact(spark, root, targetFiles = math.max(4, m.entries.size),
         zorder = true))
     else None
   }
@@ -2560,8 +2572,9 @@ object SnapshotTable {
             val t = k.flatMap(nm =>
               schema.fields.find(f => norm(f.name) == norm(nm)).map(_.dataType))
             require(t.exists(dt => dt == org.apache.spark.sql.types.IntegerType ||
-                dt == org.apache.spark.sql.types.LongType),
-              s"a z-order declaration needs an integral (int/bigint) $what; " +
+                dt == org.apache.spark.sql.types.LongType ||
+                dt == org.apache.spark.sql.types.StringType),
+              s"a z-order declaration needs an int/bigint/string $what; " +
                 s"got ${k.getOrElse("<none>")}")
         }
       }
@@ -2598,32 +2611,52 @@ object SnapshotTable {
       cluster: Boolean, zorder: Boolean): DataFrame =
     (key, key2) match {
       case (Some(k), Some(k2)) if zorder =>
-        import org.apache.spark.sql.functions.{lit, max, min, shiftleft, shiftright}
-        import org.apache.spark.sql.types.{IntegerType, LongType}
-        // int/long only — the same types the stats machinery records
-        // min2/max2 for; a layout no read path can prune is a lie
+        import org.apache.spark.sql.functions.{conv, encode, hex,
+          lit, max, min, rpad, shiftleft, shiftright, substring}
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        // int/long/string only — exactly the types the stats machinery
+        // records per-file ranges for (long min/max for integrals,
+        // binary min/max for strings — fmt 3/5); a layout no read path
+        // can prune is a lie. A STRING key interleaves on its unsigned
+        // 7-byte UTF-8 prefix, ZERO-PADDED to fixed width so the
+        // prefix-long order matches lexicographic byte order even
+        // across different string lengths ('src2' must sort after
+        // 'src19', exactly as the manifest's binary min/max compare) —
+        // the z-rectangles then line up with the ranges the string
+        // pruning predicates consult, and 56 prefix bits dwarf the
+        // ZorderBits normalization anyway. The reference's own 2D
+        // chunk identity is (filename: STRING, chunk_idx: INT) —
+        // chunking_manager.py:82-87.
         def dtOf(name: String) = df.select(col(name)).schema.head.dataType
-        Seq(k -> dtOf(k), k2 -> dtOf(k2)).foreach { case (name, dt) =>
-          require(dt == IntegerType || dt == LongType,
-            s"zorder=true needs integral (int/long) stats keys; '$name' is $dt — " +
-              "use cluster=true (hierarchical) for other key types")
-        }
-        val bounds = df.agg(
-          min(col(k).cast("long")), max(col(k).cast("long")),
-          min(col(k2).cast("long")), max(col(k2).cast("long"))).head()
+        def zlong(name: String, dt: org.apache.spark.sql.types.DataType): Column =
+          dt match {
+            case IntegerType | LongType => col(name).cast("long")
+            case StringType =>
+              // 7 bytes = 56 bits keeps the value non-negative in a
+              // signed long; '' maps to 0, NULL stays NULL (same null
+              // behavior as the integral path)
+              conv(rpad(hex(substring(encode(col(name), "UTF-8"), 1, 7)),
+                14, "0"), 16, 10).cast("long")
+            case other => throw new IllegalArgumentException(
+              s"zorder=true needs int/bigint/string stats keys; '$name' is " +
+                s"$other — use cluster=true (hierarchical) for other key types")
+          }
+        val kc = zlong(k, dtOf(k))
+        val k2c = zlong(k2, dtOf(k2))
+        val bounds = df.agg(min(kc), max(kc), min(k2c), max(k2c)).head()
         if (bounds.isNullAt(0) || bounds.isNullAt(2)) df.repartition(targetFiles)
         else {
           // effective width of a span (bits to represent max - min);
           // span 0 (constant column) → width 0 → the dim contributes
           // nothing, correctly
           def aligned(c: Column, lo: Long, hi: Long): Column = {
-            val base = c.cast("long") - lit(lo)
+            val base = c - lit(lo)
             val sh = ZorderBits - (64 - java.lang.Long.numberOfLeadingZeros(hi - lo))
             if (sh >= 0) shiftleft(base, sh) else shiftright(base, -sh)
           }
           val z = graft.relational.Relational.zorderValue(
-            aligned(col(k), bounds.getLong(0), bounds.getLong(1)),
-            aligned(col(k2), bounds.getLong(2), bounds.getLong(3)), ZorderBits)
+            aligned(kc, bounds.getLong(0), bounds.getLong(1)),
+            aligned(k2c, bounds.getLong(2), bounds.getLong(3)), ZorderBits)
           df.withColumn("__graft_z", z)
             .repartitionByRange(targetFiles, col("__graft_z"))
             .sortWithinPartitions("__graft_z")
@@ -2735,9 +2768,19 @@ object SnapshotTable {
     // same reader-requirement discipline as commit(): format 9 only
     // when the checkpointed state actually carries column mapping
     val fmtOut = writeFormat(m.colmap, m.retired, m.entries)
+    // layout declarations are version state exactly like the stats
+    // identity: a checkpoint that drops them would erase the declared
+    // layout for every later commit that resolves through it (the
+    // expiry-under-declared-layout hazard — maintain() checkpoints the
+    // head via protectRetained, and the NEXT commit carries forward
+    // whatever the checkpoint header says)
     val header = s"""{"version":$v,"format":$fmtOut,"op":"${m.op}"""" +
       kf("statsKey", m.statsKey) + kf("statsKey2", m.statsKey2) +
-      m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") + "}"
+      m.txnBatchId.map(t => s""","txnBatchId":$t""").getOrElse("") +
+      m.buckets.map(b => s""","buckets":$b""").getOrElse("") +
+      (if (m.partitionCols.nonEmpty)
+        s""","partitionCols":"${m.partitionCols.mkString(",")}"""" else "") +
+      (if (m.zorder) s""","zorder":true""" else "") + "}"
     val schemaLine = m.schema.map(s => s"S${s.json}").toSeq
     val body = ((header +: schemaLine) ++ constraintLines(m.constraints) ++
       colmapLines(m.colmap) ++ retiredLines(m.retired) ++

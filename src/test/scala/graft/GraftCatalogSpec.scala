@@ -1785,4 +1785,126 @@ class GraftCatalogSpec extends SparkSpec {
     // converged: nothing left to do
     assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).isEmpty)
   }
+
+  test("declared layouts survive expireVersions-published checkpoints") {
+    wh
+    val snap = graft.sources.SnapshotTable
+    // z-order: expiry publishes a shadow checkpoint for the retained
+    // head; the checkpoint header must carry the declaration exactly
+    // as commit() wrote it — the next commit resolves THROUGH the
+    // checkpoint and would otherwise silently un-declare the layout
+    sql("DROP TABLE IF EXISTS gsql.main.ck_z")
+    sql("CREATE TABLE gsql.main.ck_z (a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='a', 'statsKey2'='b', 'zorder'='true')")
+    sql("INSERT INTO gsql.main.ck_z SELECT id % 32, id DIV 32 FROM range(0, 256)")
+    sql("INSERT INTO gsql.main.ck_z SELECT id % 32, id DIV 32 FROM range(256, 512)")
+    val zroot = s"$wh/main/ck_z"
+    assert(snap.expireVersions(spark, zroot, keepLast = 1).nonEmpty)
+    assert(snap.describeDetail(spark, zroot).declaredZorder,
+      "the retention checkpoint must carry the z-order declaration")
+    sql("INSERT INTO gsql.main.ck_z SELECT id % 32, id DIV 32 FROM range(512, 768)")
+    assert(snap.describeDetail(spark, zroot).declaredZorder,
+      "a commit resolving through the checkpoint must carry the declaration")
+    assert(snap.maintain(spark, zroot, smallBytes = 1L, relayout = true).nonEmpty)
+    assert(snap.describeDetail(spark, zroot).zorderedLayout)
+    // PARTITIONED BY: same hazard — post-expiry inserts must keep
+    // landing under partition directories and partitionsDf must work
+    sql("DROP TABLE IF EXISTS gsql.main.ck_p")
+    sql("CREATE TABLE gsql.main.ck_p (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.ck_p SELECT id, CASE WHEN id % 2 = 0 THEN 'en' " +
+      "ELSE 'de' END FROM range(0, 100)")
+    sql("INSERT INTO gsql.main.ck_p SELECT id, CASE WHEN id % 2 = 0 THEN 'en' " +
+      "ELSE 'de' END FROM range(100, 200)")
+    val proot = s"$wh/main/ck_p"
+    assert(snap.expireVersions(spark, proot, keepLast = 1).nonEmpty)
+    assert(snap.describeDetail(spark, proot).partitionCols == Seq("lang"),
+      "the retention checkpoint must carry the partition declaration")
+    sql("INSERT INTO gsql.main.ck_p SELECT id, 'fr' FROM range(200, 210)")
+    assert(liveFiles("ck_p").filter(_.contains("_graft_p_lang=fr")).nonEmpty,
+      "post-expiry inserts must still land under partition directories")
+    assert(sql("SELECT count(*) FROM gsql.main.ck_p.partitions").head()
+      .getLong(0) == 3L)
+    // buckets: the declaration must survive the same cycle
+    sql("DROP TABLE IF EXISTS gsql.main.ck_b")
+    sql("CREATE TABLE gsql.main.ck_b (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='id', 'buckets'='4')")
+    sql("INSERT INTO gsql.main.ck_b SELECT id, id * 2 FROM range(0, 100)")
+    sql("INSERT INTO gsql.main.ck_b SELECT id, id * 2 FROM range(100, 200)")
+    val broot = s"$wh/main/ck_b"
+    assert(snap.expireVersions(spark, broot, keepLast = 1).nonEmpty)
+    assert(snap.describeDetail(spark, broot).declaredBuckets.contains(4),
+      "the retention checkpoint must carry the bucket declaration")
+    sql("INSERT INTO gsql.main.ck_b SELECT id, id * 2 FROM range(200, 300)")
+    assert(snap.describeDetail(spark, broot).declaredBuckets.contains(4))
+  }
+
+  test("zorder restore: booleans independent of input parallelism (1/4/32)") {
+    wh
+    val snap = graft.sources.SnapshotTable
+    for (parts <- Seq(1, 4, 32)) {
+      val name = s"zp_$parts"
+      sql(s"DROP TABLE IF EXISTS gsql.main.$name")
+      sql(s"CREATE TABLE gsql.main.$name (a BIGINT, b BIGINT) " +
+        "TBLPROPERTIES ('statsKey'='a', 'statsKey2'='b', 'zorder'='true')")
+      // the append's own parallelism must be irrelevant to the restored
+      // layout's pruning booleans: land the rows in exactly `parts`
+      // files (1 = the degenerate single-file append the restore floor
+      // exists for)
+      sql(s"INSERT INTO gsql.main.$name SELECT /*+ REPARTITION($parts) */ " +
+        "id % 64 AS a, id DIV 64 AS b FROM range(0, 2048)")
+      val root = s"$wh/main/$name"
+      assert(!snap.describeDetail(spark, root).zorderedLayout)
+      assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).nonEmpty)
+      val d = snap.describeDetail(spark, root)
+      assert(d.zorderedLayout, s"parts=$parts: relayout must re-interleave")
+      assert(d.nFiles > 1,
+        s"parts=$parts: the restore must emit >1 file (got ${d.nFiles}) — " +
+          "a one-file z-layout prunes nothing")
+      def keptOf(q: String): Int = {
+        val df = sql(q)
+        df.collect()
+        PlanWalk.batchScans(df).map(_.scan)
+          .collect { case g: GraftScan => g.keptFileCount }.max
+      }
+      val keptA = keptOf(s"SELECT count(*) FROM gsql.main.$name WHERE a = 0")
+      val keptB = keptOf(s"SELECT count(*) FROM gsql.main.$name WHERE b = 0")
+      assert(keptA < d.nFiles, s"parts=$parts: primary kept $keptA of ${d.nFiles}")
+      assert(keptB < d.nFiles, s"parts=$parts: secondary kept $keptB of ${d.nFiles}")
+    }
+  }
+
+  test("string z-order: declared on a string primary, restored, both keys prune") {
+    wh
+    val snap = graft.sources.SnapshotTable
+    sql("DROP TABLE IF EXISTS gsql.main.zs")
+    sql("CREATE TABLE gsql.main.zs (fname STRING, idx BIGINT) " +
+      "TBLPROPERTIES ('statsKey'='fname', 'statsKey2'='idx', 'zorder'='true')")
+    // VARIABLE-LENGTH keys on purpose ('k0'…'k19' mix 2 and 3 chars):
+    // the interleave's zero-padded byte prefix must order exactly like
+    // the manifest's lexicographic binary min/max, or 'k2' would sort
+    // before 'k19' in one order and after it in the other and the
+    // z-rectangles would not line up with the pruning ranges
+    sql("INSERT INTO gsql.main.zs SELECT /*+ REPARTITION(8) */ " +
+      "concat('k', CAST(id % 20 AS STRING)) AS fname, id DIV 20 AS idx " +
+      "FROM range(0, 2000)")
+    val root = s"$wh/main/zs"
+    assert(!snap.describeDetail(spark, root).zorderedLayout)
+    assert(snap.maintain(spark, root, smallBytes = 1L, relayout = true).nonEmpty)
+    val d = snap.describeDetail(spark, root)
+    assert(d.zorderedLayout && d.nFiles > 1)
+    def keptOf(q: String): Int = {
+      val df = sql(q)
+      df.collect()
+      PlanWalk.batchScans(df).map(_.scan)
+        .collect { case g: GraftScan => g.keptFileCount }.max
+    }
+    val keptS = keptOf("SELECT count(*) FROM gsql.main.zs WHERE fname = 'k7'")
+    val keptI = keptOf("SELECT count(*) FROM gsql.main.zs WHERE idx = 0")
+    assert(keptS < d.nFiles, s"string probe kept $keptS of ${d.nFiles}")
+    assert(keptI < d.nFiles, s"int probe kept $keptI of ${d.nFiles}")
+    // values round-trip exactly through the interleaved rewrite
+    assert(sql("SELECT count(*), sum(idx) FROM gsql.main.zs").head()
+      .getLong(0) == 2000L)
+  }
 }
