@@ -286,12 +286,19 @@ object Bench {
     // timed runs, so two invocations can be diffed line-by-line to find
     // what leaks into fingerprints. Dev-only; the driver never sets it.
     val fpDump = sys.env.get("SPARK_GRAFT_FP_DUMP")
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c: dev-only subset filter for
+    // iterating on one gate's cost without paying the full board.
+    // The driver never sets it; absent means run everything.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // this runner's own cache + scratch scopes: drains between queries
     // can't touch frames or scratch roots a concurrent runner in the
     // same JVM has registered
     val scope = new CacheScope
     val results = CacheScope.withScope(scope) { Scratch.scopedCleanup {
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val r =
           try {
             fpDump match {

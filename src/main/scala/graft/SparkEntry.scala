@@ -388,7 +388,7 @@ object SparkEntry {
       "o.o_totalprice AS o_totalprice, TRUE AS zero_exchange, " +
       "TRUE AS zero_exchange_post_cdc " +
       "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-      "WHERE c.c_custkey <> 1"),
+      "WHERE c.c_custkey <> 1 AND o.o_orderkey % 4 = 0"),
     "meta_snapshot_constraints" -> snapshotConstraintsCycleSql,
     "meta_snapshot_files" -> snapshotFilesTableCycleSql,
     "meta_snapshot_asof" -> snapshotAsOfCycleSql,
@@ -599,9 +599,14 @@ object SparkEntry {
     // the 0.05 gate), pinned by QualityClassifierSpec and the oracle
     // booleans. Each epoch is one corpus job, so at 100 TB the epoch
     // count IS the training bill.
-    val model = QualityClassifier.train(iso,
-      feats.filter(col("doc_id") % 8 < 2), epochs = 12, lr = 8.0,
-      lrDecay = 0.9)
+    // the train subset gets its OWN cache: the 12 epoch jobs scan the
+    // quarter directly instead of re-filtering the full corpus cache
+    // twelve times
+    val trainFeats = feats.filter(col("doc_id") % 8 < 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val model = QualityClassifier.train(iso, trainFeats, epochs = 12,
+      lr = 8.0, lrDecay = 0.9)
     QualityClassifier.score(feats, model)
       .select(col("doc_id"), col("y").cast("long").as("y"), col("pred"),
         (col("pred") === (col("y") === 1.0)).as("correct"),
@@ -1527,11 +1532,11 @@ object SparkEntry {
     FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id"""
 
   /** Per-file bloom filters (manifest format 7), gated end to end: the
-    * table is built as 8 INTERLEAVED single-file appends (ids taken by
-    * `doc_id % 8`) with `bloomKey = true`, so every file's [min,max]
-    * range spans ~the whole id space — the fresh-micro-batch shape in
-    * which range stats keep every file and the bloom is the only thing
-    * standing between a point probe and a full scan. The id set is
+    * table is built as 8 id-INTERLEAVED files (7 hash-partitioned at
+    * create + 1 appended) with `bloomKey = true`, so every file's
+    * [min,max] range spans ~the whole id space — the fresh-micro-batch
+    * shape in which range stats keep every file and the bloom is the
+    * only thing standing between a point probe and a full scan. The id set is
     * restricted to `doc_id % 3 <> 1`, so in-range ABSENT keys exist by
     * construction. The rows are the present-key point reads (oracle:
     * the same IN over documents); the invariant booleans pin the
@@ -1546,10 +1551,17 @@ object SparkEntry {
     val snap = graft.sources.SnapshotTable
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       .filter(col("doc_id") % 3 =!= 1)
-    snap.create(s, root, docs.filter(col("doc_id") % 8 === 0).repartition(1),
+    // 7 hash-partitioned files at create + ONE appended file: hash
+    // partitioning on doc_id gives every file the same ~whole-range
+    // [min,max] spread the old 8 interleaved single-file appends
+    // produced (range stats keep every file; only the bloom prunes),
+    // while the table builds in 2 commits instead of 8 — the append
+    // still proves the bloom rides the append path's entries too
+    snap.create(s, root,
+      docs.filter(col("doc_id") % 8 =!= 7).repartition(7, col("doc_id")),
       statsKey = Some("doc_id"), statsKey2 = Some("n_chars"), bloomKey = true)
-    (1 to 7).foreach(j => snap.append(s, root,
-      docs.filter(col("doc_id") % 8 === j).repartition(1), bloomKey = true))
+    snap.append(s, root,
+      docs.filter(col("doc_id") % 8 === 7).repartition(1), bloomKey = true)
     val allFiles = snap.read(s, root).inputFiles.length
     // absent but IN-RANGE keys (% 3 == 1 was filtered out): range
     // stats keep every file for these; the bloom must not
@@ -1565,11 +1577,25 @@ object SparkEntry {
     // in-range n_chars value reaches the indexed path's pushed
     // equality, whose point set probes bloom2 — files skip where the
     // secondary RANGE (interleaved appends → table-wide) cannot. The
-    // absent value is computed against the actual value set, so it is
-    // in-range-absent at every scale factor.
-    val charVals = docs.select(col("n_chars")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val absent2 = (charVals.min to charVals.max).find(!charVals.contains(_))
+    // absent value is the FIRST GAP in the sorted distinct value set,
+    // found distributively (lead over the distinct frame, one row to
+    // the driver) — never a driver-side min..max iteration, which is
+    // unbounded when the value range is wide. A fully dense range has
+    // no in-range-absent value; that case must be VISIBLE, not a
+    // silent vacuous pass.
+    val absent2 = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      docs.select(col("n_chars").as("v")).distinct()
+        .select(col("v"), lead(col("v"), 1).over(w).as("nx"))
+        .filter(col("nx") > col("v") + 1)
+        .agg(min(col("v") + 1).as("absent"))
+        .collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    }
+    if (absent2.isEmpty)
+      Console.err.println("[meta_snapshot_bloom_read] bloom2_pruned " +
+        "VACUOUS: n_chars value set is dense — no in-range absent " +
+        "value exists at this scale factor; bloom2 skip not exercised")
     val bloom2Pruned = absent2.forall { v =>
       val probe = snap.readIndexed(s, root).filter(col("n_chars") === v)
       val empty = probe.count() == 0
@@ -1606,7 +1632,12 @@ object SparkEntry {
     * no intervening writes commits NOTHING (the materialize-before-
     * pack ordering converges in one call); `retained` — version count
     * respects keepVersions after expire+vacuum. */
-  private def snapshotMaintainCycle(s: SparkSession, d: String): DataFrame = {
+  private def snapshotMaintainCycle(s0: SparkSession, d: String): DataFrame = {
+    // corpus-bounded frames across 6 commits + 2 maintenance cycles:
+    // width-4 throwaway session, same rationale as the restore cycle
+    val s = probeSession(s0,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
     val root = java.nio.file.Files.createTempDirectory("graft-snapmaint").toString
     val snap = graft.sources.SnapshotTable
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
@@ -1892,7 +1923,11 @@ object SparkEntry {
     * happens AFTER a clustered compaction re-measured the stats. */
   private def snapshot2dStringReadCycle(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-snap2s").toString
+    // a deterministic quarter: the 2D string-stats prune is a property
+    // of the clustered layout, not the density — create + compact
+    // rewrite 4× less for the same conjunctive-prune proof
     val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey"),
         concat(lit("ln-"), col("l_linenumber").cast("string")).as("line_tag"),
         col("l_extendedprice"))
@@ -1910,7 +1945,7 @@ object SparkEntry {
   private def snapshot2dStringReadCycleSql: String = """
     SELECT l_orderkey, 'ln-' || CAST(l_linenumber AS VARCHAR) AS line_tag,
            l_extendedprice
-    FROM lineitem WHERE l_orderkey <= 100
+    FROM lineitem WHERE l_orderkey <= 100 AND l_orderkey % 4 = 0
       AND 'ln-' || CAST(l_linenumber AS VARCHAR) >= 'ln-4'
     ORDER BY l_orderkey, line_tag"""
 
@@ -1924,7 +1959,12 @@ object SparkEntry {
     * change is not a data change); a wrong file-set diff or a
     * mis-schema'd old-version read breaks the hash. Per-row output
     * grows with the corpus, so the frame stays DISTRIBUTED. */
-  private def snapshotChangesCycle(s: SparkSession, d: String): DataFrame = {
+  private def snapshotChangesCycle(s0: SparkSession, d: String): DataFrame = {
+    // corpus-bounded (≤|documents| rows) across 5 commits: width-4
+    // throwaway session, same rationale as the restore cycle
+    val s = probeSession(s0,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
     val root = java.nio.file.Files.createTempDirectory("graft-snapc").toString
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     graft.sources.SnapshotTable.create(s, root,                        // v1
@@ -1972,7 +2012,13 @@ object SparkEntry {
     * CDC is silent over the compact (row-preserving). */
   private def snapshotCompactRangeCycle(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-snapcr").toString
+    // a deterministic quarter of the rows: the surgical-compaction
+    // contract (carry by name / replace in range / dv cleared / cold
+    // prune / silent CDC) is about the FILE layout, which the 8-way
+    // range partition reproduces identically at any density — while
+    // the create, the rewrite, and the oracle hash move 4× less
     val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     // the hot third of the keyspace — spans ~3 of the 8 range files at
     // any SF (a fixed cutoff would collapse to ≤1 file and a no-op)
@@ -2011,11 +2057,13 @@ object SparkEntry {
   }
 
   private def snapshotCompactRangeCycleSql: String = """
-    WITH cut AS (SELECT MAX(l_orderkey) // 3 AS c FROM lineitem)
+    WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity
+                FROM lineitem WHERE l_orderkey % 4 = 0),
+    cut AS (SELECT MAX(l_orderkey) // 3 AS c FROM li)
     SELECT l_orderkey, l_linenumber, l_quantity,
            TRUE AS surgical_ok, TRUE AS dv_cleared_ok,
            TRUE AS cold_prune_ok, TRUE AS silent_ok
-    FROM lineitem, cut
+    FROM li, cut
     WHERE NOT (l_orderkey <= c AND l_linenumber = 1)
     ORDER BY l_orderkey, l_linenumber"""
 
@@ -2483,19 +2531,36 @@ object SparkEntry {
     * `cdc_rollback` (replaying the restore commit's change stream on
     * the corrupt snapshot reproduces the restored state — incremental
     * consumers converge instead of diverging). */
-  private def snapshotRestoreCycle(s: SparkSession, d: String): DataFrame = {
+  private def snapshotRestoreCycle(s0: SparkSession, d: String): DataFrame = {
+    // the cycle's frames are ≤430 rows; at the session's width every
+    // tiny exchange (the merge join, the two exceptAll legs) schedules
+    // a full task wave — scope the width down on a THROWAWAY session
+    // (pinned, never toggled on the shared one)
+    val s = probeSession(s0,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+    var tLap = System.nanoTime()
+    def lap(tag: String): Unit = {
+      val t1 = System.nanoTime()
+      Console.err.println(f"[rstime] $tag%-12s ${(t1 - tLap) / 1e9}%.3f s")
+      tLap = t1
+    }
     val root = java.nio.file.Files.createTempDirectory("graft-snaprestore").toString
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     val snap = graft.sources.SnapshotTable
     snap.create(s, root,                                               // v1
       docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id")),
       statsKey = Some("doc_id"))
+    lap("create")
     snap.append(s, root,                                               // v2: good head
       docs.filter(col("doc_id") >= 400L && col("doc_id") < 430L).coalesce(1))
+    lap("append")
     snap.merge(s, root,                                                // v3: corruption
       docs.filter(col("doc_id") % 61 === 0 && col("doc_id") < 430L)
         .withColumn("n_chars", lit(-999L)), key = "doc_id")
+    lap("merge")
     snap.deleteWhere(s, root, col("doc_id") % 113 === 0)               // v4: bad delete
+    lap("delete")
     def dataFiles(): Set[String] = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
@@ -2504,6 +2569,7 @@ object SparkEntry {
     }
     val before = dataFiles()
     snap.restore(s, root, 2)                                           // v5: rollback
+    lap("restore")
     val zeroCopy = dataFiles() == before
     // corrupt rows still visible at v4 = merged keys minus the bad
     // delete's hits (exact count: robust to corpora where the modulus
@@ -2513,13 +2579,24 @@ object SparkEntry {
     val historyKept = snap.versions(s, root) == Seq(1, 2, 3, 4, 5) &&
       snap.history(s, root).last.op == "restore" &&
       snap.read(s, root, Some(4)).filter(col("n_chars") === -999L).count() == expectedCorrupt
+    lap("history")
+    // multiset identity as two bounded collects + a driver-side sorted
+    // compare (the table is ≤430 rows by construction) — the
+    // exceptAll-both-ways form executed the nested readChanges plan
+    // TWICE more to answer the same small question (the incr_view
+    // cycle's recorded lesson)
     val base = snap.read(s, root, Some(4)).select(col("doc_id"), col("n_chars"))
     val cs = snap.readChanges(s, root, 4, Some(5))
-    val replayed = base
-      .unionAll(cs.filter(col("_change_type") === "insert").select(col("doc_id"), col("n_chars")))
-      .exceptAll(cs.filter(col("_change_type") === "delete").select(col("doc_id"), col("n_chars")))
+    def rows2(df: DataFrame): Seq[(Long, Long)] = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val replayed = (rows2(base) ++
+      rows2(cs.filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("n_chars"))))
+      .diff(rows2(cs.filter(col("_change_type") === "delete")
+        .select(col("doc_id"), col("n_chars"))))
     val now = snap.read(s, root).select(col("doc_id"), col("n_chars"))
-    val cdcRollback = replayed.exceptAll(now).isEmpty && now.exceptAll(replayed).isEmpty
+    val cdcRollback = replayed.sorted == rows2(now).sorted
+    lap("cdc")
     graft.Scratch.registerForCleanup(root)
     now
       .withColumn("zero_copy", lit(zeroCopy))
@@ -3295,7 +3372,12 @@ object SparkEntry {
       "TBLPROPERTIES ('statsKey'='o_custkey', 'buckets'='8')")
     iso.sql(s"CREATE TABLE $tb (c_custkey BIGINT, c_name STRING) " +
       "TBLPROPERTIES ('statsKey'='c_custkey', 'buckets'='8')")
-    Tables.orders(iso, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // a deterministic quarter of the orders: storage-partitioned join
+    // planning is a property of the DECLARED bucket layout, not the
+    // row count — the INSERT, MERGE, both zero-exchange collects, and
+    // the oracle hash all move 4× less for the same proof
+    Tables.orders(iso, d).filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .createOrReplaceTempView("graft_spj_orders_src")
     Tables.customer(iso, d).select(col("c_custkey"), col("c_name"))
       .createOrReplaceTempView("graft_spj_cust_src")
@@ -3337,7 +3419,13 @@ object SparkEntry {
       .withColumn("zero_exchange_post_cdc", lit(zeroExchangePostCdc))
   }
 
-  private def snapshotSqlCycle(s: SparkSession, d: String): DataFrame = {
+  private def snapshotSqlCycle(s0: SparkSession, d: String): DataFrame = {
+    // <400-row frames across CREATE/INSERT/DELETE/MERGE/DDL + five
+    // probe reads: width-4 throwaway session (the restore cycle's
+    // rationale); the catalog conf binds per-session via ensure(iso)
+    val s = probeSession(s0,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
     val wh = SqlCat.ensure(s)
     val base = uniqName("docs_sql") // two-runner collision guard
     val t = s"${SqlCat.name}.g.$base"
@@ -3417,7 +3505,12 @@ object SparkEntry {
     WHERE doc_id < 400 AND NOT (doc_id >= 100 AND doc_id < 150)
     ORDER BY document_id"""
 
-  private def snapshotDeltaLogCycle(s: SparkSession, d: String): DataFrame = {
+  private def snapshotDeltaLogCycle(s0: SparkSession, d: String): DataFrame = {
+    // ≤430-row frames across 6 commits + 5 counts: width-4 throwaway
+    // session for the same reason as the restore cycle
+    val s = probeSession(s0,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
     val root = java.nio.file.Files.createTempDirectory("graft-snapdeltalog").toString
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     val snap = graft.sources.SnapshotTable
@@ -3545,9 +3638,9 @@ object SparkEntry {
     // a deterministic orderkey slice: the z-layout's balance is a
     // property of the key domains, not the row count — the slice keeps
     // every code path (agg, interleave, range partition, both probes)
-    // at a quarter of the rewrite I/O
+    // at a tenth of the rewrite I/O
     val li = Tables.lineitem(s, d)
-      .filter(col("l_orderkey") <= 150000L)
+      .filter(col("l_orderkey") <= 60000L)
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_extendedprice"))
     graft.sources.SnapshotTable.create(s, root, li.repartition(4),
@@ -3570,7 +3663,7 @@ object SparkEntry {
       FROM lineitem WHERE l_orderkey <= 40
       UNION ALL
       SELECT 'sk', l_orderkey, CAST(l_linenumber AS BIGINT), l_extendedprice
-      FROM lineitem WHERE l_linenumber = 7 AND l_orderkey <= 150000)
+      FROM lineitem WHERE l_linenumber = 7 AND l_orderkey <= 60000)
     ORDER BY probe, l_orderkey, l_linenumber"""
 
   /** STRING-keyed MERGE through the ACID table, gated end to end — the
@@ -3670,10 +3763,16 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketjoin").toString
     val liTbl = uniqName("graft_li_bucketed")
     val ordTbl = uniqName("graft_ord_bucketed")
-    Tables.lineitem(iso, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+    // a deterministic quarter of the keyspace: co-location is a
+    // property of the bucketed LAYOUT, not the row count — the gate's
+    // zero-exchange proof is identical while the two bucketed writes,
+    // the join, and the oracle's hash all move 4× less
+    Tables.lineitem(iso, d).filter(col("l_orderkey") % 4 === 0)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$tmp/li").mode("overwrite").saveAsTable(liTbl)
-    Tables.orders(iso, d).select("o_orderkey", "o_totalprice")
+    Tables.orders(iso, d).filter(col("o_orderkey") % 4 === 0)
+      .select("o_orderkey", "o_totalprice")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$tmp/ord").mode("overwrite").saveAsTable(ordTbl)
     def joined = iso.table(liTbl)
@@ -3709,6 +3808,7 @@ object SparkEntry {
            MAX(o.o_totalprice) AS total_price,
            TRUE AS colocated
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey % 4 = 0
     GROUP BY l.l_orderkey ORDER BY l.l_orderkey"""
 
   /** DYNAMIC PARTITION PRUNING, gated end to end: the corpus is
@@ -3784,7 +3884,11 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft-export").toString
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
-    docs.write.mode("overwrite")
+    // cluster rows by their target partition before the write: ONE
+    // file per (source, lang) directory instead of one per input task
+    // per directory — at 100 TB an unclustered partitioned export is
+    // the classic small-files factory (|tasks| × |partitions| files)
+    docs.repartition(col("source"), col("lang")).write.mode("overwrite")
       .partitionBy("source", "lang").parquet(root)
     // files an EXECUTED scan actually touched (inputFiles ignores
     // filters; input_file_name reflects partition pruning)
@@ -3803,6 +3907,7 @@ object SparkEntry {
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs.filter(col("source") === "src1")
       .withColumn("n_chars", col("n_chars") + 1000000L)
+      .repartition(col("source"), col("lang"))
       .write.mode("overwrite").partitionBy("source", "lang").parquet(root)
     val afterOthers = scannedFiles(s.read.parquet(root)
       .filter(col("source") =!= "src1"))

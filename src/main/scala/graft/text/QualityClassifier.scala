@@ -14,24 +14,24 @@ import org.apache.spark.sql.functions._
   *      the model is `dim + 1` doubles no matter the corpus.
   *   2. Logistic regression by full-batch gradient descent, executed
   *      as the classic distributed-GD loop: weights broadcast OUT as a
-  *      real Spark BROADCAST (executors score map-side through one
-  *      deterministic scalar fn — never a dim-sized plan literal, so
-  *      plan serialization and codegen stay O(1) as dim grows to a
-  *      realistic 65k+), gradients aggregate BACK through one
-  *      bucket-keyed sum per epoch. The driver only ever holds the
-  *      `dim`-bounded gradient — the same bounded-model contract as
-  *      k-means centroids and the IDF table.
-  *   3. A −1 sentinel bucket rides the same explode as the features,
-  *      so the bias gradient shares the epoch's single aggregation
-  *      (no second pass — at 100 TB an extra corpus scan per epoch
-  *      doubles the training bill).
+  *      real Spark BROADCAST (executors score map-side — never a
+  *      dim-sized plan literal, so plan serialization stays O(1) as
+  *      dim grows to a realistic 65k+), gradients aggregate BACK as
+  *      one dense `dim + 1` partial per partition, summed on the
+  *      driver. The driver only ever holds O(dim × partitions) — the
+  *      same bounded-model contract as k-means centroids and the IDF
+  *      table, and the per-epoch exchange is model-sized, never the
+  *      |corpus|·|features| exploded shuffle it replaced.
+  *   3. The bias gradient rides slot `dim` of the same partial array,
+  *      so it shares the epoch's single pass (no second corpus scan —
+  *      at 100 TB an extra scan per epoch doubles the training bill).
   *
   * The caller materializes the featurized frame ONCE ([[featurize]] is
-  * a map-side projection; persist it) and every epoch is one job over
-  * it: no shuffle of text, no per-row UDF, gradient exchange bounded
-  * by `dim`. Training is deterministic up to float-sum order (the
-  * per-bucket gradient sum); consumers pin DECISIONS (predictions,
-  * margins), not raw weights — the repo-wide sketch discipline. */
+  * a map-side projection; persist it) and every epoch is one
+  * shuffle-free job over it. Training is deterministic up to float-sum
+  * order (partition-order partial sums); consumers pin DECISIONS
+  * (predictions, margins), not raw weights — the repo-wide sketch
+  * discipline. */
 object QualityClassifier {
 
   val DefaultDim = 4096
@@ -82,40 +82,66 @@ object QualityClassifier {
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
   /** Full-batch GD over a featurized frame `(feat: array<int>,
-    * y: double ∈ {0,1})`. One distributed job per epoch; the collect
-    * is ≤ `dim + 1` rows by construction.
+    * y: double ∈ {0,1})`. One distributed SHUFFLE-FREE job per epoch:
+    * each partition folds its rows into a dense `dim + 1` gradient
+    * array (slot `dim` is the bias — same single-pass accounting as
+    * the old −1 sentinel) and emits exactly that array; the driver
+    * sums the ≤ `numPartitions` partials in partition order. The
+    * exchange per epoch is O(dim × partitions) — model-sized, never
+    * corpus-sized. The previous form exploded |corpus|·|features|
+    * (doc, bucket) rows into a hash aggregation per epoch; at 100 TB
+    * that shuffle IS the training bill, and it buys nothing — the
+    * gradient is a dense fixed-width vector, the textbook
+    * parameter-server exchange (same contract as k-means centroids
+    * and the IDF table). A NULL feature array contributes nothing,
+    * exactly as it fell out of the exploded form.
     *
     * `lrDecay` < 1 geometrically shrinks the step per epoch (epoch e
     * runs at `lr * lrDecay^(e-1)`) — the classic schedule that lets a
     * LARGE initial step cover most of the distance while damping the
     * period-2 weight oscillation a large FIXED step falls into on
     * separable data (measured here: fixed lr 16 converged or flipped
-    * every decision depending on epoch parity). Fewer epochs at a
-    * decayed large step reach the fixed-small-step margins at a
-    * fraction of the jobs — and each epoch is one corpus job, so at
-    * 100 TB the epoch count IS the training bill. */
+    * every decision depending on epoch parity; short 5–6-epoch
+    * schedules were gridded again at r16 and flip decisions at one
+    * scale factor or another — the 12-epoch decayed schedule is the
+    * one that holds 0 wrong / 0 weak at all three). */
   def train(spark: SparkSession, feats: DataFrame, dim: Int = DefaultDim,
       epochs: Int = 8, lr: Double = 0.5, lrDecay: Double = 1.0): Model = {
     import spark.implicits._
     require(lrDecay > 0 && lrDecay <= 1.0, s"lrDecay in (0, 1], got $lrDecay")
     val n = feats.count().toDouble
     require(n > 0, "cannot train on an empty corpus")
+    val rows = feats.select(col("feat"), col("y")).as[(Seq[Int], Double)]
     var m = Model(dim, new Array[Double](dim), 0.0)
     var lrE = lr
     for (_ <- 1 to epochs) {
       val bw = spark.sparkContext.broadcast(m.w)
+      val bias = m.bias
       try {
-        val resid = (sigmoid(dotWith(bw, col("feat"), m.bias)) - col("y")).as("r")
-        // sentinel −1 carries the bias gradient through the SAME
-        // aggregation as the feature gradients: one job per epoch
-        val g = feats.select(resid,
-            explode(concat(array(lit(-1)), col("feat"))).as("j"))
-          .groupBy(col("j")).agg(sum(col("r")).as("g"))
-          .as[(Int, Double)].collect()
+        // one gradient array per non-empty partition; summed on the
+        // driver in partition order (deterministic for a pinned input)
+        val partials = rows.mapPartitions { it =>
+          val w = bw.value
+          val g = new Array[Double](dim + 1)
+          var any = false
+          it.foreach { case (feat, y) =>
+            if (feat != null) {
+              var s = 0.0
+              feat.foreach(i => s += w(i))
+              val r = 1.0 / (1.0 + math.exp(-(s + bias))) - y
+              g(dim) += r
+              feat.foreach(j => g(j) += r)
+              any = true
+            }
+          }
+          if (any) Iterator.single(g) else Iterator.empty
+        }.collect()
         val w = m.w.clone()
         var b = m.bias
-        g.foreach { case (j, gj) =>
-          if (j < 0) b -= lrE * gj / n else w(j) -= lrE * gj / n
+        partials.foreach { g =>
+          var j = 0
+          while (j < dim) { w(j) -= lrE * g(j) / n; j += 1 }
+          b -= lrE * g(dim) / n
         }
         m = Model(dim, w, b)
       } finally bw.destroy() // the epoch's job has collected — no leak

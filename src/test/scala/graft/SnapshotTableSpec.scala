@@ -919,18 +919,32 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.compact(spark, oneKey, targetFiles = 2, zorder = true)
     }
     assert(e1.getMessage.contains("statsKey2"))
+    // a DOUBLE secondary has no manifest range representation (fmt 3/5
+    // record long/binary only) — a z-layout no read path can prune is
+    // a lie, so the request must throw, not degrade to round-robin
+    val dblKey2 = tmp()
+    SnapshotTable.create(spark, dblKey2,
+      (0L until 20L).map(i => (i, i / 2.0)).toDF("id", "w"),
+      statsKey = Some("id"), statsKey2 = Some("w"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.retainWhere(spark, dblKey2, col("id") < 10L,
+        targetFiles = 2, zorder = true)
+    }
+    assert(e2.getMessage.contains("int/bigint/string"))
+    // the table is untouched by either refused rewrite
+    assert(SnapshotTable.read(spark, oneKey).count() == 20)
+    assert(SnapshotTable.read(spark, dblKey2).count() == 20)
+    // a STRING secondary is a legal z key since r16 (byte-prefix
+    // interleave — the reference's own chunk identity is
+    // (filename STRING, chunk_idx INT)): the same rewrite that used
+    // to refuse now produces the layout and keeps exactly the rows
     val strKey2 = tmp()
     SnapshotTable.create(spark, strKey2,
       (0L until 20L).map(i => (i, s"f$i", i)).toDF("id", "fname", "n"),
       statsKey = Some("id"), statsKey2 = Some("fname"))
-    val e2 = intercept[IllegalArgumentException] {
-      SnapshotTable.retainWhere(spark, strKey2, col("id") < 10L,
-        targetFiles = 2, zorder = true)
-    }
-    assert(e2.getMessage.contains("integral"))
-    // the table is untouched by either refused rewrite
-    assert(SnapshotTable.read(spark, oneKey).count() == 20)
-    assert(SnapshotTable.read(spark, strKey2).count() == 20)
+    SnapshotTable.retainWhere(spark, strKey2, col("id") < 10L,
+      targetFiles = 2, zorder = true)
+    assert(SnapshotTable.read(spark, strKey2).count() == 10)
   }
 
   test("compactSmall: only the small-file debt is rewritten; big files carry by name") {
