@@ -1521,6 +1521,10 @@ object SparkEntry {
     val noRewrite = dataNow == before
     val dvMarked = det.dvFiles > 0 && det.dvRows > 0
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_delete",
+      ("no_rewrite", noRewrite, () => s"gained=${dataNow.diff(before).take(3)} " +
+        s"lost=${before.diff(dataNow).take(3)}"),
+      ("dv_marked", dvMarked, () => s"dvFiles=${det.dvFiles} dvRows=${det.dvRows}"))
     now.select(col("doc_id"), col("n_chars"))
       .withColumn("no_rewrite", lit(noRewrite))
       .withColumn("dv_marked", lit(dvMarked))
@@ -1605,6 +1609,13 @@ object SparkEntry {
         .map(_.metrics("numFiles").value).sum <= 1
     }
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_bloom_read",
+      ("bloom_pruned", bloomPruned,
+        () => s"absentScanFiles=${absentScan.inputFiles.length} " +
+          s"absentRows=${absentScan.count()} total=$allFiles"),
+      ("probe_pruned", probePruned,
+        () => s"presentFiles=${present.inputFiles.length} total=$allFiles"),
+      ("bloom2_pruned", bloom2Pruned, () => s"absent2=$absent2"))
     present.filter(col("doc_id").isin(presentKeys: _*))
       .select(col("doc_id"), col("n_chars"))
       .withColumn("bloom_pruned", lit(bloomPruned))
@@ -1655,6 +1666,12 @@ object SparkEntry {
       keepVersions = 3, minAgeMs = 0L).isEmpty
     val retained = snap.describeDetail(s, root).liveVersions <= 3
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_maintain",
+      ("debt_cleared", debtCleared, () => s"committed=$committed " +
+        s"dvFiles=${det.dvFiles} dvRows=${det.dvRows}"),
+      ("fixpoint", fixpoint, () => "second maintain() committed a version"),
+      ("retained", retained,
+        () => s"liveVersions=${snap.describeDetail(s, root).liveVersions}"))
     snap.read(s, root)
       .select(col("doc_id"), col("n_chars"))
       .withColumn("debt_cleared", lit(debtCleared))
@@ -1705,6 +1722,11 @@ object SparkEntry {
     val updated = docs.filter(col("doc_id") % 10 === 0).count()
     val cdcSince = snap.readChangesSince(s, root, t - 1).count() == 2 * updated
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_asof",
+      ("resolved", resolved, () => s"asOf(t-10s)=${snap.versionAsOf(s, root, t - 10000)} " +
+        s"asOf(t-1)=${snap.versionAsOf(s, root, t - 1)} asOf(t)=${snap.versionAsOf(s, root, t)}"),
+      ("cdc_since", cdcSince, () =>
+        s"changes=${snap.readChangesSince(s, root, t - 1).count()} expected=${2 * updated}"))
     snap.readAsOf(s, root, t - 1)
       .select(col("doc_id"), col("n_chars"))
       .withColumn("resolved", lit(resolved))
@@ -1741,6 +1763,10 @@ object SparkEntry {
     val carried = before.subsetOf(dataNow)
     val dvMarked = det.dvRows > 0
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_merge_on_read",
+      ("no_rewrite", carried,
+        () => s"lost=${before.diff(dataNow).take(3)} of ${before.size}"),
+      ("dv_marked", dvMarked, () => s"dvRows=${det.dvRows}"))
     now.select(col("doc_id"), col("n_chars"), col("src"))
       .withColumn("no_rewrite", lit(carried))
       .withColumn("dv_marked", lit(dvMarked))
@@ -2048,6 +2074,14 @@ object SparkEntry {
     val silentOk = v.forall(ver =>
       graft.sources.SnapshotTable.readChanges(s, root, ver - 1, v).isEmpty)
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_compact_range",
+      ("surgical_ok", surgicalOk, () => s"v=$v carried=${carried.size} " +
+        s"rewritten=${rewritten.size}"),
+      ("dv_cleared_ok", dvClearedOk,
+        () => s"dvFiles=${det.dvFiles} dvRows=${det.dvRows}"),
+      ("cold_prune_ok", coldPruneOk, () => s"coldScan=${coldScan.size} " +
+        s"offCarried=${coldScan.diff(carried).take(3)}"),
+      ("silent_ok", silentOk, () => s"cdc over compact v=$v non-empty"))
     graft.sources.SnapshotTable.read(s, root)
       .withColumn("surgical_ok", lit(surgicalOk))
       .withColumn("dv_cleared_ok", lit(dvClearedOk))
@@ -2170,6 +2204,13 @@ object SparkEntry {
     // booleans — a driver-local frame, so the scratch dir needs no
     // localize pass, just deferred cleanup like every sibling gate
     graft.Scratch.registerForCleanup(tmp)
+    pinInvariants("meta_snapshot_incr_view",
+      ("consumed_ok", consumedOk, () => s"c1=$c1 c2=$c2 c3=$c3 expected 2/1/0"),
+      ("cursor_ok", cursorOk,
+        () => s"cursor=${graft.sources.SnapshotTable.lastTxnBatchId(s, vw)}"),
+      ("ivm_ok", ivmOk, () => s"view=${viewRows.size} rows vs recompute " +
+        s"diff=${viewRows.toSet.diff(rows3(recompute).toSet).take(3)}"),
+      ("purged_ok", purgedOk, () => "tombstoned group 42 still readable"))
     import s.implicits._
     viewRows.sorted
       .map { case (g, c, sm) =>
@@ -2209,6 +2250,11 @@ object SparkEntry {
     val coverOk = heavy
       .join(broadcast(cand), Seq("val"), "left_anti").isEmpty
     val candOk = sk.items.size <= k - 1 && sk.n == n
+    pinInvariants("agg_heavy_hitters",
+      ("bound_ok", boundOk, () => "some candidate estimate outside [true - n/k, true]"),
+      ("cover_ok", coverOk, () => "a >n/k value missing from the candidate list"),
+      ("cand_ok", candOk, () => s"candidates=${sk.items.size} (cap ${k - 1}) " +
+        s"sketchN=${sk.n} trueN=$n"))
     heavy
       .withColumn("bound_ok", lit(boundOk))
       .withColumn("cover_ok", lit(coverOk))
@@ -2430,6 +2476,12 @@ object SparkEntry {
       col("stats_key").isNull || col("stats_key") =!= "doc_id" ||
         col("stats_key2").isNotNull).count() == 0
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_files",
+      ("files_ok", filesOk, () => s"files=${files.count()} expected=$expectedFiles"),
+      ("stats_cover", statsCover, () => "a file row carries a null min/max key"),
+      ("bytes_pos", bytesPos, () => "a file row carries null/non-positive bytes"),
+      ("key_identity", keyIdentity,
+        () => "stats_key not 'doc_id' or phantom stats_key2 present"))
     files.agg(
         sum(col("rows")).as("recorded_rows"),
         (sum(col("rows")) - coalesce(sum(col("dv_rows")), lit(0L))).as("live_rows"),
@@ -2491,6 +2543,11 @@ object SparkEntry {
     snap.append(s, root, Seq((9999L, -5L)).toDF("doc_id", "n_chars")) // now legal
     val persisted = snap.constraints(s, root) == Seq("id_present" -> "doc_id IS NOT NULL")
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_constraints",
+      ("rejected", rejected, () => "a poisoned append/merge landed or mutated state"),
+      ("fact_checked", factChecked,
+        () => s"constraints=${snap.constraints(s, root).map(_._1)}"),
+      ("persisted", persisted, () => s"constraints=${snap.constraints(s, root)}"))
     snap.read(s, root)
       .withColumn("rejected", lit(rejected))
       .withColumn("fact_checked", lit(factChecked))
@@ -2598,6 +2655,13 @@ object SparkEntry {
     val cdcRollback = replayed.sorted == rows2(now).sorted
     lap("cdc")
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_restore",
+      ("zero_copy", zeroCopy, () => s"gained=${dataFiles().diff(before).take(3)} " +
+        s"lost=${before.diff(dataFiles()).take(3)}"),
+      ("history_kept", historyKept, () => s"versions=${snap.versions(s, root)} " +
+        s"lastOp=${snap.history(s, root).last.op}"),
+      ("cdc_rollback", cdcRollback,
+        () => s"replayed=${replayed.size} now=${rows2(now).size}"))
     now
       .withColumn("zero_copy", lit(zeroCopy))
       .withColumn("history_kept", lit(historyKept))
@@ -2676,6 +2740,10 @@ object SparkEntry {
         .select(col("doc_id").as("document_id"),
           (col("n_chars") + 1000000L).as("n_chars")), key = "document_id")
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_column_map",
+      ("zero_copy", zeroCopy, () => "a rename/drop DDL moved data bytes"),
+      ("pruned", pruned, () => "renamed-key point probe planned >1 file"),
+      ("names_travel", namesTravel, () => "a version showed another era's names"))
     snap.read(s, root)
       .withColumn("zero_copy", lit(zeroCopy))
       .withColumn("pruned", lit(pruned))
@@ -2772,6 +2840,10 @@ object SparkEntry {
       nestedNames(Some(2), "meta") == Seq("language", "n_chars") &&
       nestedNames(None, "info") == Seq("language", "n_chars", "mark")
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_nested_map",
+      ("zero_copy", zeroCopy, () => "a nested rename/add DDL moved data bytes"),
+      ("pruned", pruned, () => "stats-key probe planned >1 file under nested map"),
+      ("names_travel", namesTravel, () => "a version showed another era's nested names"))
     snap.read(s, root)
       .select(col("doc_id"), col("info.language").as("language"),
         col("info.n_chars").as("n_chars"), col("info.mark").as("mark"))
@@ -2866,6 +2938,22 @@ object SparkEntry {
     }
   }
 
+  /** The no-rebuild sibling of [[reprobed]] for gates whose probe
+    * evidence is a pure function of tables the gate itself just built
+    * (file listings, manifest lines, version counts, recomputed
+    * aggregates): every invariant boolean the oracle hardcodes TRUE is
+    * checked HERE, and a false one THROWS with each failing invariant
+    * named and its evidence inlined — so a driver red lands in the
+    * correctness artifact's `err` field as a named, actionable failure
+    * instead of an opaque hash mismatch whose diagnosis lives only in
+    * uncommitted stderr. No gate returns a silent false boolean. */
+  private def pinInvariants(gate: String,
+      checks: (String, Boolean, () => String)*): Unit = {
+    val bad = checks.collect { case (n, false, det) => s"$n: ${det()}" }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"$gate: invariant(s) failed — ${bad.mkString("; ")}")
+  }
+
   /** The snapshot table driven PURELY through `spark.sql` on a stock
     * session — the DSv2 catalog surface ([[graft.catalog.GraftCatalog]])
     * end to end: CREATE TABLE → INSERT → metadata-only DELETE (dv) →
@@ -2904,6 +2992,10 @@ object SparkEntry {
       q.queryExecution.executedPlan.collectLeaves().forall(
         _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("agg_pushdown_meta",
+      ("meta_answered", metaAnswered, () => "plan leaves: " +
+        q.queryExecution.executedPlan.collectLeaves()
+          .map(_.getClass.getSimpleName).mkString(",")))
     q.withColumn("meta_answered", lit(metaAnswered))
   }
 
@@ -3415,6 +3507,11 @@ object SparkEntry {
     // writes it — un-pin broadcast so that run plans freely (iso is
     // private; the pin existed only for the zero-exchange premise)
     iso.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    pinInvariants("join_spj_catalog",
+      ("zero_exchange", zeroExchange, () => "pre-CDC SPJ planned a shuffle"),
+      ("zero_exchange_post_cdc", zeroExchangePostCdc, () =>
+        j2.queryExecution.executedPlan.toString.linesIterator.take(8)
+          .mkString(" | ")))
     j2.withColumn("zero_exchange", lit(zeroExchange))
       .withColumn("zero_exchange_post_cdc", lit(zeroExchangePostCdc))
   }
@@ -3488,6 +3585,12 @@ object SparkEntry {
         gs.nonEmpty && gs.map(_.keptFileCount).max == 1
       }
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_sql",
+      ("dv_zero_copy", dvZeroCopy, () => "SQL DELETE moved data files"),
+      ("ddl_zero_copy", ddlZeroCopy, () => "RENAME COLUMN moved data files"),
+      ("time_travel", ttOk, () => s"vInsert=$vInsert cInsert=$cInsert " +
+        s"vDelete=$vDelete cDelete=$cDelete"),
+      ("pruned", pruned, () => "renamed-key point probe kept >1 file"))
     s.sql(s"SELECT document_id, n_chars FROM $t")
       .withColumn("dv_zero_copy", lit(dvZeroCopy))
       .withColumn("ddl_zero_copy", lit(ddlZeroCopy))
@@ -3545,6 +3648,13 @@ object SparkEntry {
       java.nio.file.Paths.get(root, "_snapshots", "v0000005.ckpt.json")) &&
       snap.read(s, root, Some(5)).count() == c430
     graft.Scratch.registerForCleanup(root)
+    pinInvariants("meta_snapshot_delta_log",
+      ("delta_log", deltaLog, () => (2 to 6).map(v =>
+        s"v$v:${raw(v).size}L base=${raw(v).get(0).contains("\"base\"")}").mkString(" ")),
+      ("resolves", resolves, () => s"c400=$c400 c430=$c430 " +
+        s"v1=${snap.read(s, root, Some(1)).count()} " +
+        s"v4=${snap.read(s, root, Some(4)).count()}"),
+      ("ckpt_used", ckptUsed, () => "shadow checkpoint missing or v5 misresolved"))
     snap.read(s, root)
       .withColumn("delta_log", lit(deltaLog))
       .withColumn("resolves", lit(resolves))
@@ -3792,6 +3902,10 @@ object SparkEntry {
     // un-pinning races nothing — the broadcast-off pin was only the
     // zero-exchange proof's "shuffle is the only alternative" premise)
     iso.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    pinInvariants("join_bucketed_colocated",
+      ("colocated", colocated, () =>
+        q.queryExecution.executedPlan.toString.linesIterator.take(8)
+          .mkString(" | ")))
     val out = joined.withColumn("colocated", lit(colocated))
       .orderBy(col("l_orderkey"))
     val localized = graft.Scratch.localizeAndDelete(iso, out, Seq(tmp))
@@ -3864,6 +3978,12 @@ object SparkEntry {
         f.metrics("numFiles").value == enFiles &&
         f.metrics.get("staticFilesNum").exists(f.metrics("numFiles").value < _.value)
     }
+    pinInvariants("join_dpp_partitioned",
+      ("dpp_pruned", dppPruned, () => factScan.map(f =>
+        s"numFiles=${f.metrics("numFiles").value} enFiles=$enFiles " +
+          s"static=${f.metrics.get("staticFilesNum").map(_.value)} " +
+          s"dyn=${f.partitionFilters.exists(_.toString.contains("dynamicpruning"))}")
+        .getOrElse("no fact scan found")))
     val out = query.withColumn("dpp_pruned", lit(dppPruned))
       .orderBy(col("source"))
     graft.Scratch.localizeAndDelete(s, out, Seq(tmp))
@@ -3912,6 +4032,13 @@ object SparkEntry {
     val afterOthers = scannedFiles(s.read.parquet(root)
       .filter(col("source") =!= "src1"))
     val overwriteOk = afterOthers == beforeOthers
+    pinInvariants("sink_partitioned_export",
+      ("layout_ok", layoutOk, () =>
+        s"offLayout=${files.filterNot(f => f.contains("/source=src1/") &&
+          f.contains("/lang=en/")).take(3)} of ${files.size}"),
+      ("overwrite_ok", overwriteOk,
+        () => s"gained=${afterOthers.diff(beforeOthers).take(3)} " +
+          s"lost=${beforeOthers.diff(afterOthers).take(3)}"))
     val out = s.read.parquet(root)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
