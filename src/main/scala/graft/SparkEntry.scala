@@ -2134,15 +2134,16 @@ object SparkEntry {
       "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.adaptive.enabled" -> "false")
     // fixture sized to measure the ENGINE, not the staging (r11/r12
-    // verdicts): a seventh of the orders (gcd(7, 100) = 1 keeps every
-    // grp residue populated), a HANDFUL of files per commit, and TWO
-    // refreshes — one over the append, one over the mixed
-    // merge+delete+delete window (content diff + dv-only fast path in
-    // one window) — plus the no-op replay. The full refresh ladder and
-    // every mechanic live in IncrementalViewSpec; the gate measures
-    // the lifecycle end to end and pins the invariants.
+    // verdicts): a 23rd of the orders (gcd(23, 100) = 1 keeps every
+    // grp residue populated, and grp 42 stays non-empty down to the
+    // smallest SF via keys ≡ 0 mod 2300), a HANDFUL of files per
+    // commit, and TWO refreshes — one over the append, one over the
+    // mixed merge+delete+delete window (content diff + dv-only fast
+    // path in one window) — plus the no-op replay. The full refresh
+    // ladder and every mechanic live in IncrementalViewSpec; the gate
+    // measures the lifecycle end to end and pins the invariants.
     val base = Tables.orders(s, d)
-      .filter(col("o_orderkey") % 7 === 0)
+      .filter(col("o_orderkey") % 23 === 0)
       .select(
         col("o_orderkey"),
         (col("o_orderkey") % 100).as("grp"),
@@ -2375,7 +2376,7 @@ object SparkEntry {
     WITH base AS (
       SELECT o_orderkey, o_orderkey % 100 AS grp,
              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders WHERE o_orderkey % 7 = 0),
+      FROM orders WHERE o_orderkey % 23 = 0),
     upd AS (
       SELECT o_orderkey, grp,
              CASE WHEN o_orderkey % 10 = 0 AND o_orderkey < 4000
