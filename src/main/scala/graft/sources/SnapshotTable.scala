@@ -4392,10 +4392,20 @@ object SnapshotTable {
         val all = oldPos.map(_.unionAll(newDel)).getOrElse(newDel)
         val dvDir = s"deletes/batch-${java.util.UUID.randomUUID().toString.take(8)}"
         all.write.parquet(s"$root/$dvDir")
-        // effective counts from the sidecar just written (tiny read)
-        val effCounts = spark.read.parquet(s"$root/$dvDir")
-          .groupBy(DvPathCol).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // effective counts by ARITHMETIC, not by re-reading the sidecar
+        // just written: old ∪ new is disjoint (the scan anti-joined
+        // already-deleted rows out) and every touched entry's old count
+        // is already manifest-resident (dvRows), so eff = old + new —
+        // two fewer Spark actions on every predicate delete. A legacy
+        // entry carrying a dv reference without its count falls back to
+        // the sidecar re-read (correct, one extra tiny read).
+        val effCounts: Map[String, Long] =
+          if (touched.forall(e => e.dv.isEmpty || e.dvRows.isDefined))
+            touched.map(e =>
+              e.path -> (newCounts(e.path) + e.dvRows.getOrElse(0L))).toMap
+          else spark.read.parquet(s"$root/$dvDir")
+            .groupBy(DvPathCol).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
         val files = m.entries.flatMap { e =>
           effCounts.get(e.path) match {
             case None => Seq(e) // untouched: keeps its old dv reference
