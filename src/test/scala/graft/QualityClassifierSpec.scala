@@ -84,12 +84,36 @@ class QualityClassifierSpec extends SparkSpec {
     assert(scored(2).isNullAt(0), "null text must score as NULL, not crash")
   }
 
-  test("bias sentinel learns the class prior on featureless rows") {
-    // no features at all: only the bias can move, via the -1 sentinel
+  test("bias slot learns the class prior on featureless rows") {
+    // no features at all: only the bias can move, via the gradient
+    // partial's dedicated slot `dim`
     val feats = Seq.fill(8)((Seq.empty[Int], 1.0)).toDF("feat", "y")
     val m = QualityClassifier.train(spark, feats, epochs = 20, lr = 1.0)
     assert(m.bias > 0.5, s"bias did not learn the all-positive prior: ${m.bias}")
     assert(m.w.forall(_ == 0.0))
+  }
+
+  test("decisions are partition-layout robust (1 vs 8 partitions)") {
+    // the dense-gradient fold sums partials in partition order, so raw
+    // weights may differ in the last float bits across layouts — but
+    // DECISIONS (the pinned contract) must not. Train the same corpus
+    // as one partition and as eight, compare every pred.
+    val docs = (0L until 64L).map { i =>
+      val marker = if (i % 2 == 0) "qualmark qualmark" else "junkmark junkmark"
+      (i, if (i % 2 == 0) 1.0 else 0.0, s"common words doc $i $marker")
+    }.toDF("doc_id", "y", "t")
+    val feats = docs.select(col("doc_id"), col("y"),
+      QualityClassifier.featurize(col("t"), 256).as("feat"))
+    def decisions(parts: Int): Seq[(Long, Boolean)] = {
+      val f = feats.repartition(parts).persist()
+      try {
+        val m = QualityClassifier.train(spark, f, dim = 256, epochs = 6, lr = 2.0)
+        QualityClassifier.score(feats.coalesce(1), m)
+          .orderBy("doc_id").select(col("doc_id"), col("pred"))
+          .as[(Long, Boolean)].collect().toSeq
+      } finally { f.unpersist(); () }
+    }
+    assert(decisions(1) == decisions(8))
   }
 
   test("gate query on the real corpus: every decision correct with margin") {
