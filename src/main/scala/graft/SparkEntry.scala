@@ -4022,16 +4022,26 @@ object SparkEntry {
     val layoutOk = files.nonEmpty &&
       files.forall(f => f.contains("/source=src1/") && f.contains("/lang=en/"))
     // dynamic overwrite: re-export src1 with bumped n_chars; other
-    // sources' files must survive untouched (same paths)
-    val beforeOthers = scannedFiles(s.read.parquet(root)
-      .filter(col("source") =!= "src1"))
+    // sources' files must survive untouched (same paths). The carry
+    // check is a FILESYSTEM fact, so it walks the directory tree
+    // directly — stronger than a scan-touched set (it sees every
+    // parquet, not just files a filtered read happened to touch) and
+    // two Spark actions cheaper; only layout_ok above keeps the
+    // executed-scan form, because pruning is the thing IT proves.
+    def otherFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("/source=src1/"))
+        .toSet
+    }
+    val beforeOthers = otherFiles()
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs.filter(col("source") === "src1")
       .withColumn("n_chars", col("n_chars") + 1000000L)
       .repartition(col("source"), col("lang"))
       .write.mode("overwrite").partitionBy("source", "lang").parquet(root)
-    val afterOthers = scannedFiles(s.read.parquet(root)
-      .filter(col("source") =!= "src1"))
+    val afterOthers = otherFiles()
     val overwriteOk = afterOthers == beforeOthers
     pinInvariants("sink_partitioned_export",
       ("layout_ok", layoutOk, () =>
