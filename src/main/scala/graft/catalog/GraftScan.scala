@@ -207,7 +207,8 @@ private[graft] final class GraftScan(spark: SparkSession,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   @volatile private var kept: Seq[SnapshotTable.SqlDataFile] = initialKept
 
@@ -294,6 +295,44 @@ private[graft] final class GraftScan(spark: SparkSession,
             kept.size)
       }
     }
+
+  /** Per-partition ordering ([[org.apache.spark.sql.connector.read.SupportsReportOrdering]]):
+    * every bucket file and every identity-partition file in this
+    * format is KEY-SORTED at write time — `writeRolled` sorts by
+    * (bucket, salt, key) / (dir, key), and the DSv2 row-level writer
+    * enforces the same via `requiredOrdering` — so when the scan plans
+    * key-grouped AND each group holds exactly ONE kept file, the rows
+    * a task drains are sorted by the stats key. Reporting that lets
+    * EnsureRequirements drop BOTH sides' SortExec under a co-located
+    * sort-merge join: the storage-partitioned join becomes shuffle-free
+    * AND sort-free — at 100 TB the sort of two fact tables is the
+    * join's remaining dominant cost once the exchange is gone.
+    *
+    * The one-file-per-group condition is load-bearing: under SPJ the
+    * exec CONCATENATES same-key partitions into one task, and a
+    * concatenation of two sorted files is not sorted — a wrong claim
+    * here is silent wrong join output, so multi-file groups (salted
+    * buckets, un-compacted appends, multi-generation partitions)
+    * refuse. Deletion vectors ride through: the dv reader drops
+    * ordinals, which preserves order. Runtime group filtering only
+    * REMOVES files, so a plan-time claim stays valid at execution. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    def claim(keyName: String) = Array(
+      Expressions.sort(Expressions.column(keyName), SortDirection.ASCENDING))
+    bucketedFiles match {
+      case Some((_, key, files)) if files.map(_._1).distinct.size == files.size =>
+        claim(key)
+      case Some(_) => Array.empty
+      case None => identityPartitionedFiles match {
+        case Some((_, rows)) if rows.map(_._1.toSeq).distinct.size == rows.size =>
+          snap.statsKey.flatMap(k => FilterBridge.fieldOf(required, k).map(_.name))
+            .map(claim).getOrElse(Array.empty)
+        case _ => Array.empty
+      }
+    }
+  }
 
   /** Exposed for the pruning specs: how many files this scan plans NOW
     * (manifest pruning, then any runtime group filter). */

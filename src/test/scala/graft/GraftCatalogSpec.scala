@@ -692,6 +692,62 @@ class GraftCatalogSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("SPJ is SORT-FREE with one file per bucket; multi-file buckets refuse the claim") {
+    wh
+    Seq("t_ord_a", "t_ord_b").foreach(t => sql(s"DROP TABLE IF EXISTS gsql.main.$t"))
+    sql("CREATE TABLE gsql.main.t_ord_a (id BIGINT, v STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("CREATE TABLE gsql.main.t_ord_b (id BIGINT, w STRING) TBLPROPERTIES ('statsKey'='id')")
+    sql("INSERT INTO gsql.main.t_ord_a SELECT id, CAST(id AS STRING) FROM range(0, 1200)")
+    sql("INSERT INTO gsql.main.t_ord_b SELECT id, concat('w', id) FROM range(500, 1500)")
+    graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_ord_a", 8)
+    graft.sources.SnapshotTable.compactBucketed(spark, s"$wh/main/t_ord_b", 8)
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    def sorts(df: org.apache.spark.sql.DataFrame): Int =
+      PlanWalk.executedNodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      PlanWalk.executedNodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // every bucket file is written key-sorted and compactBucketed
+      // left ONE file per bucket, so the reported per-partition
+      // ordering lets the sort-merge join drop BOTH sides' sorts —
+      // shuffle-free AND sort-free, with the values proving the claim
+      // was honest (a wrong ordering claim silently corrupts SMJ)
+      val j = sql("SELECT a.id AS id, a.v, b.w FROM gsql.main.t_ord_a a " +
+        "JOIN gsql.main.t_ord_b b ON a.id = b.id")
+      val rows = j.collect()
+      assert(rows.length == 700, s"got ${rows.length}")
+      assert(rows.map(_.getLong(0)).toSet == (500L until 1200L).toSet)
+      assert(rows.forall(r => r.getString(2) == s"w${r.getLong(0)}"))
+      assert(shuffles(j) == 0, s"expected zero exchanges:\n${j.queryExecution.executedPlan}")
+      assert(sorts(j) == 0,
+        s"one-file-per-bucket SPJ must drop both sorts:\n${j.queryExecution.executedPlan}")
+      // a second generation in ANY bucket refuses the ordering claim
+      // (concatenated sorted files are not sorted): the join keeps the
+      // co-located zero-exchange plan but sorts again — and the rows
+      // must still be exactly right
+      graft.sources.SnapshotTable.appendBucketed(spark, s"$wh/main/t_ord_a",
+        spark.range(5000, 5010).selectExpr("id", "CAST(id AS STRING) AS v"))
+      val j2 = sql("SELECT a.id AS id, b.w FROM gsql.main.t_ord_a a " +
+        "JOIN gsql.main.t_ord_b b ON a.id = b.id")
+      assert(j2.count() == 700)
+      assert(shuffles(j2) == 0,
+        s"multi-file buckets still join co-located:\n${j2.queryExecution.executedPlan}")
+      assert(sorts(j2) > 0,
+        s"multi-file buckets must refuse the ordering claim (sorts return):\n" +
+          s"${j2.queryExecution.executedPlan}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("bucket pruning: a point probe on a bucketed table keeps ONE bucket") {
     wh
     sql("DROP TABLE IF EXISTS gsql.main.t_bprune")
