@@ -54,32 +54,36 @@ object QualityClassifier {
       g => pmod(xxhash64(g), lit(dim.toLong)).cast("int"))
   }
 
-  /** w·x + b against an already-broadcast weight vector, consumed by
-    * a deterministic scalar fn — the plan carries a handle, not `dim`
-    * doubles (a `typedLit` embeds the whole vector into every epoch's
-    * serialized plan and its codegen; at dim 65536 that is ~0.5 MB of
-    * literal per plan for zero benefit). The fold runs in array order,
-    * exactly like the `aggregate` form it replaces, so decisions are
-    * bit-identical; a NULL feature array yields NULL, also exactly
-    * like `aggregate` (null text must surface as an unscored row,
-    * never a task-killing NPE). Broadcast lifecycle is the CALLER's:
-    * [[train]] destroys each epoch's broadcast once its job has
-    * collected; [[score]]'s lives as long as its lazy frame may run. */
-  private def dotWith(bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
-      feat: Column, bias: Double): Column = {
-    val dotFn = udf { idxs: Seq[Int] =>
+  /** σ(w·x + b) against an already-broadcast model, consumed by a
+    * deterministic scalar fn — the plan carries a broadcast HANDLE and
+    * nothing else: no dim-sized `typedLit` (at dim 65536 that is
+    * ~0.5 MB of literal per serialized plan for zero benefit) and no
+    * bias literal either — a trained FLOAT in the plan text makes the
+    * plan's identity (and the bench's canonical fingerprint) a hash of
+    * model weights, so any last-bit training wobble masquerades as a
+    * re-plan. The whole score is computed inside the fn: sum in array
+    * order, bias added after the sum — the same float-op order as the
+    * previous plan-side `(lit(bias) + Σ)` form, so decisions are
+    * unchanged. A NULL feature array yields NULL (null text must
+    * surface as an unscored row, never a task-killing NPE). Broadcast
+    * lifecycle is the CALLER's: [[score]]'s broadcast lives as long as
+    * its lazy frame may run. */
+  private def probOf(bw: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      feat: Column): Column = {
+    val pFn = udf { idxs: Seq[Int] =>
       if (idxs == null) None
       else {
+        // slot `w.length - 1` is the bias (same layout as the
+        // gradient partials)
         val w = bw.value
         var s = 0.0
         idxs.foreach(i => s += w(i))
-        Some(s)
+        s += w(w.length - 1)
+        Some(1.0 / (1.0 + math.exp(-s)))
       }
     }
-    dotFn(feat) + lit(bias)
+    pFn(feat)
   }
-
-  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
   /** Full-batch GD over a featurized frame `(feat: array<int>,
     * y: double ∈ {0,1})`. One distributed SHUFFLE-FREE job per epoch:
@@ -158,8 +162,8 @@ object QualityClassifier {
     * unreachable — never destroyed eagerly, which would break a
     * not-yet-executed plan). */
   def score(feats: DataFrame, m: Model): DataFrame = {
-    val bw = feats.sparkSession.sparkContext.broadcast(m.w)
-    val p = sigmoid(dotWith(bw, col("feat"), m.bias))
-    feats.withColumn("p", p).withColumn("pred", col("p") >= 0.5)
+    val bw = feats.sparkSession.sparkContext.broadcast(m.w :+ m.bias)
+    feats.withColumn("p", probOf(bw, col("feat")))
+      .withColumn("pred", col("p") >= 0.5)
   }
 }
