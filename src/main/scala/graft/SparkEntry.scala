@@ -314,25 +314,26 @@ object SparkEntry {
       WITH dim AS (SELECT DISTINCT lang,
              CASE WHEN lang = 'en' THEN 'keep' ELSE 'drop' END AS tier
            FROM documents)
-      SELECT d.lang AS lang, count(*) AS n_docs, sum(d.n_chars) AS sum_chars,
+      SELECT d.lang AS lang, count(*) AS n_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
              TRUE AS static_pruned, TRUE AS dpp_pruned,
              TRUE AS spj_zero_exchange
       FROM documents d JOIN dim ON d.lang = dim.lang
       WHERE dim.tier = 'keep' GROUP BY d.lang"""),
     "sink_partition_overwrite" -> ("""
       SELECT lang, count(*) AS n_docs,
-             sum(CASE WHEN lang = 'en' THEN n_chars + 1000000
-                      WHEN lang = 'de' THEN n_chars + 5000000
-                      ELSE n_chars END) AS sum_chars,
+             CAST(SUM(CASE WHEN lang = 'en' THEN n_chars + 1000000
+                           WHEN lang = 'de' THEN n_chars + 5000000
+                           ELSE n_chars END) AS BIGINT) AS sum_chars,
              TRUE AS untouched_carried
       FROM documents GROUP BY lang"""),
     "meta_zorder_declared" -> ("""
-      SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      SELECT count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              TRUE AS zorder_restored, TRUE AS probe_key1_pruned,
              TRUE AS probe_key2_pruned
       FROM documents"""),
     "meta_zorder_string" -> ("""
-      SELECT count(*) AS n_docs, sum(doc_id) AS sum_ids,
+      SELECT count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
              TRUE AS zorder_restored, TRUE AS probe_string_pruned,
              TRUE AS probe_int_pruned
       FROM documents"""),
@@ -2120,7 +2121,8 @@ object SparkEntry {
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = {
       val t1 = System.nanoTime()
-      Console.err.println(f"[ivtime] $tag%-12s ${(t1 - t0) / 1e9}%.3f s")
+      if (sys.env.contains("SPARK_GRAFT_GATE_TIMING"))
+        Console.err.println(f"[ivtime] $tag%-12s ${(t1 - t0) / 1e9}%.3f s")
       t0 = t1
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-snapiv").toString
@@ -2135,8 +2137,10 @@ object SparkEntry {
       "spark.sql.adaptive.enabled" -> "false")
     // fixture sized to measure the ENGINE, not the staging (r11/r12
     // verdicts): a 23rd of the orders (gcd(23, 100) = 1 keeps every
-    // grp residue populated, and grp 42 stays non-empty down to the
-    // smallest SF via keys ≡ 0 mod 2300), a HANDFUL of files per
+    // grp residue populated; grp 42 holds keys ≡ 1242 (mod 2300), and
+    // TPC-H's sparse orderkeys put the smallest such key at 12742 —
+    // the guard before the group-drop delete below names the failure
+    // if a tiny SF ever empties it), a HANDFUL of files per
     // commit, and TWO refreshes — one over the append, one over the
     // mixed merge+delete+delete window (content diff + dv-only fast
     // path in one window) — plus the no-op replay. The full refresh
@@ -2175,7 +2179,13 @@ object SparkEntry {
     lap("refresh1")
     // the delete is a GROUP DROP — inherently table-wide dv, the
     // hardest delete shape (the bounded-predicate shape lives in
-    // IncrementalViewSpec / SnapshotDvSpec)
+    // IncrementalViewSpec / SnapshotDvSpec); guard first so an empty
+    // grp 42 at some future tiny SF fails with a named cause instead
+    // of deleteWhere's generic NothingToDelete
+    require(!graft.sources.SnapshotTable.read(s, tbl)
+      .filter(col("grp") === 42L).isEmpty,
+      "incr-view fixture: grp 42 empty at this SF (needs o_orderkey ≡ " +
+        "1242 mod 2300; smallest TPC-H key is 12742)")
     graft.sources.SnapshotTable.deleteWhere(s, tbl, col("grp") === 42L) // v4
     lap("delete")
     val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw) // (3, 4]: dv fast path
@@ -2600,7 +2610,8 @@ object SparkEntry {
     var tLap = System.nanoTime()
     def lap(tag: String): Unit = {
       val t1 = System.nanoTime()
-      Console.err.println(f"[rstime] $tag%-12s ${(t1 - tLap) / 1e9}%.3f s")
+      if (sys.env.contains("SPARK_GRAFT_GATE_TIMING"))
+        Console.err.println(f"[rstime] $tag%-12s ${(t1 - tLap) / 1e9}%.3f s")
       tLap = t1
     }
     val root = java.nio.file.Files.createTempDirectory("graft-snaprestore").toString

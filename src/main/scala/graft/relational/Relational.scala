@@ -883,9 +883,10 @@ object Relational {
 
   def importantStockSql: String = s"""
     WITH $partsuppSqlCte,
-    pp AS (SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS value_cents
+    pp AS (SELECT ps_partkey,
+                  CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
            FROM partsupp GROUP BY ps_partkey),
-    tot AS (SELECT SUM(value_cents) AS total_cents FROM pp)
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM pp)
     SELECT ps_partkey, value_cents / 100.0 AS value
     FROM pp, tot
     WHERE value_cents * 10000 > total_cents

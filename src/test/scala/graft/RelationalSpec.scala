@@ -24,6 +24,20 @@ class RelationalSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("oracle SUMs are cast: DuckDB sum(BIGINT) is HUGEINT, driver hash is dtype-sensitive") {
+    // The r14-r16 red-board root cause: a bare sum(...) in oracle SQL
+    // hashes as int128 on the driver where Spark writes int64. Coarse
+    // lint: any oracle using SUM must cast somewhere (CAST or sqlSum);
+    // tools/check.py's dtype-strict compare is the exact gate.
+    val bare = SparkEntry.oracleSql.collect {
+      case (name, sql)
+          if "(?i)\\bsum\\s*\\(".r.findFirstIn(sql).isDefined &&
+            "(?i)\\bcast\\s*\\(".r.findFirstIn(sql).isEmpty =>
+        name
+    }
+    assert(bare.isEmpty, s"oracles with SUM but no CAST anywhere: $bare")
+  }
+
   test("dimension joins broadcast (q5 plan contains broadcast exchanges)") {
     val df = relational.Relational.regionRevenue(spark, sf)
     df.count() // materialize so AQE finalizes the plan

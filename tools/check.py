@@ -57,8 +57,15 @@ def main():
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}"); n_fail += 1; continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); n_fail += 1; continue
+        # dtype-strict: the driver's hash is dtype-sensitive (DuckDB
+        # sum(BIGINT) is HUGEINT, not BIGINT) — local green must predict
+        # driver green, so int64 vs float64/object must FAIL here.
+        sd, dd = [str(t) for t in s.dtypes], [str(t) for t in d.dtypes]
+        if sd != dd:
+            diff = {c: (a, b) for c, a, b in zip(s.columns, sd, dd) if a != b}
+            print(f"FAIL {name}: dtypes {diff}"); n_fail += 1; continue
         try:
-            pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(s, d, check_dtype=True, check_exact=True)
             print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
         except AssertionError as e:
             msg = str(e).splitlines()
