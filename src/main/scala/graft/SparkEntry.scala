@@ -134,35 +134,40 @@ object SparkEntry {
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
     // load-then-search lifecycle: hybrid RRF served from SnapshotTable
     // versions — create v1, MERGE v2, search both (time travel)
+    // rankings are deterministic (rounded, rank-fused) and thus
+    // width-independent; the tiny lifecycle runs narrow like the other
+    // table cycles (A/B: identical rows, fewer task waves)
     "retrieval_snapshot_timetravel" ->
-      ((s, d) => graft.vector.SnapshotRetrieval.searchTimeTravel(s, d, queryTerms)),
+      ((s, d) => graft.vector.SnapshotRetrieval.searchTimeTravel(
+        narrowProbe(s), d, queryTerms)),
     // full lifecycle: create → merge → compact → expire → vacuum, then
     // search the surviving versions (maintenance must preserve ranking)
     "retrieval_snapshot_maintenance" ->
-      ((s, d) => graft.vector.SnapshotRetrieval.searchAfterMaintenance(s, d, queryTerms)),
+      ((s, d) => graft.vector.SnapshotRetrieval.searchAfterMaintenance(
+        narrowProbe(s), d, queryTerms)),
     // --- upsert / incremental (§2.3 J1/J2, §2.2 P7) ---
     "meta_config_merge" -> ((s, d) => configMergeQuery(s, d)),
-    "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(s, d)),
-    "meta_snapshot_schema_evo" -> ((s, d) => snapshotSchemaEvoCycle(s, d)),
-    "meta_snapshot_history" -> ((s, d) => snapshotHistoryCycle(s, d)),
-    "meta_snapshot_indexed_read" -> ((s, d) => snapshotIndexedReadCycle(s, d)),
-    "meta_snapshot_point_read" -> ((s, d) => snapshotPointReadCycle(s, d)),
-    "meta_snapshot_2d_read" -> ((s, d) => snapshot2dReadCycle(s, d)),
-    "meta_snapshot_2d_string_read" -> ((s, d) => snapshot2dStringReadCycle(s, d)),
+    "meta_snapshot_merge" -> ((s, d) => snapshotMergeCycle(narrowProbe(s), d)),
+    "meta_snapshot_schema_evo" -> ((s, d) => snapshotSchemaEvoCycle(narrowProbe(s), d)),
+    "meta_snapshot_history" -> ((s, d) => snapshotHistoryCycle(narrowProbe(s), d)),
+    "meta_snapshot_indexed_read" -> ((s, d) => snapshotIndexedReadCycle(narrowProbe(s), d)),
+    "meta_snapshot_point_read" -> ((s, d) => snapshotPointReadCycle(narrowProbe(s), d)),
+    "meta_snapshot_2d_read" -> ((s, d) => snapshot2dReadCycle(narrowProbe(s), d)),
+    "meta_snapshot_2d_string_read" -> ((s, d) => snapshot2dStringReadCycle(narrowProbe(s), d)),
     "meta_snapshot_changes" -> ((s, d) => snapshotChangesCycle(s, d)),
     "meta_snapshot_stream_read" -> ((s, d) => snapshotStreamReadCycle(s, d)),
-    "meta_snapshot_compact_incr" -> ((s, d) => snapshotCompactIncrCycle(s, d)),
-    "meta_snapshot_compact_range" -> ((s, d) => snapshotCompactRangeCycle(s, d)),
-    "meta_snapshot_mirror" -> ((s, d) => snapshotMirrorCycle(s, d)),
-    "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(s, d)),
-    "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(s, d)),
-    "meta_snapshot_delete" -> ((s, d) => snapshotDeleteCycle(s, d)),
-    "meta_snapshot_bloom_read" -> ((s, d) => snapshotBloomReadCycle(s, d)),
+    "meta_snapshot_compact_incr" -> ((s, d) => snapshotCompactIncrCycle(narrowProbe(s), d)),
+    "meta_snapshot_compact_range" -> ((s, d) => snapshotCompactRangeCycle(narrowProbe(s), d)),
+    "meta_snapshot_mirror" -> ((s, d) => snapshotMirrorCycle(narrowProbe(s), d)),
+    "meta_snapshot_zorder_read" -> ((s, d) => snapshotZorderReadCycle(narrowProbe(s), d)),
+    "meta_snapshot_string_merge" -> ((s, d) => snapshotStringMergeCycle(narrowProbe(s), d)),
+    "meta_snapshot_delete" -> ((s, d) => snapshotDeleteCycle(narrowProbe(s), d)),
+    "meta_snapshot_bloom_read" -> ((s, d) => snapshotBloomReadCycle(narrowProbe(s), d)),
     "meta_snapshot_maintain" -> ((s, d) => snapshotMaintainCycle(s, d)),
     "meta_snapshot_delta_log" -> ((s, d) => snapshotDeltaLogCycle(s, d)),
     "meta_snapshot_restore" -> ((s, d) => snapshotRestoreCycle(s, d)),
-    "meta_snapshot_column_map" -> ((s, d) => snapshotColumnMapCycle(s, d)),
-    "meta_snapshot_nested_map" -> ((s, d) => snapshotNestedMapCycle(s, d)),
+    "meta_snapshot_column_map" -> ((s, d) => snapshotColumnMapCycle(narrowProbe(s), d)),
+    "meta_snapshot_nested_map" -> ((s, d) => snapshotNestedMapCycle(narrowProbe(s), d)),
     "meta_snapshot_sql" -> ((s, d) => snapshotSqlCycle(s, d)),
     "agg_pushdown_meta" -> ((s, d) => aggPushdownMeta(s, d)),
     "join_spj_catalog" -> ((s, d) => spjCatalogJoin(s, d)),
@@ -173,10 +178,10 @@ object SparkEntry {
     "meta_zorder_declared" -> ((s, d) => zorderDeclaredQuery(s, d)),
     "meta_zorder_string" -> ((s, d) => zorderStringQuery(s, d)),
     "meta_partition_evolution" -> ((s, d) => partitionEvolutionQuery(s, d)),
-    "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(s, d)),
-    "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(s, d)),
-    "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(s, d)),
-    "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(s, d)),
+    "meta_snapshot_constraints" -> ((s, d) => snapshotConstraintsCycle(narrowProbe(s), d)),
+    "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(narrowProbe(s), d)),
+    "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(narrowProbe(s), d)),
+    "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(narrowProbe(s), d)),
     "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "sink_partitioned_export" -> ((s, d) => partitionedExportCycle(s, d)),
@@ -2179,14 +2184,13 @@ object SparkEntry {
     lap("refresh1")
     // the delete is a GROUP DROP — inherently table-wide dv, the
     // hardest delete shape (the bounded-predicate shape lives in
-    // IncrementalViewSpec / SnapshotDvSpec); guard first so an empty
-    // grp 42 at some future tiny SF fails with a named cause instead
-    // of deleteWhere's generic NothingToDelete
-    require(!graft.sources.SnapshotTable.read(s, tbl)
-      .filter(col("grp") === 42L).isEmpty,
+    // IncrementalViewSpec / SnapshotDvSpec); deleteWhere returns None
+    // on a no-op, so an empty grp 42 at some future tiny SF fails here
+    // with a named cause — no extra probe action
+    require(graft.sources.SnapshotTable
+      .deleteWhere(s, tbl, col("grp") === 42L).nonEmpty,              // v4
       "incr-view fixture: grp 42 empty at this SF (needs o_orderkey ≡ " +
         "1242 mod 2300; smallest TPC-H key is 12742)")
-    graft.sources.SnapshotTable.deleteWhere(s, tbl, col("grp") === 42L) // v4
     lap("delete")
     val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw) // (3, 4]: dv fast path
     lap("refresh2")
@@ -2203,13 +2207,17 @@ object SparkEntry {
     def rows3(df: DataFrame): Seq[(Long, Long, Long)] =
       df.select(col("grp"), col("view_cnt"), col("view_sum")).collect()
         .toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val viewRows = rows3(graft.meta.IncrementalView.read(s, vw))
+    // ONE raw-table collect answers both questions: live rows are
+    // view_cnt > 0 (IncrementalView.read's own filter) and the purge
+    // proof is "no grp-42 row at all" — the previous separate
+    // filter+isEmpty probe was one more action for the same fact
+    val rawView = rows3(graft.sources.SnapshotTable.read(s, vw))
+    val viewRows = rawView.filter(_._2 > 0L)
     val recompute = graft.sources.SnapshotTable.read(s, tbl)
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("view_cnt"), sum(col("cents")).as("view_sum"))
     val ivmOk = viewRows.toSet == rows3(recompute).toSet
-    val purgedOk = graft.sources.SnapshotTable.read(s, vw)
-      .filter(col("grp") === 42L).isEmpty
+    val purgedOk = !rawView.exists(_._1 == 42L)
     lap("ivmOk")
     // the result is the collected view (≤ |groups| rows) + the pinned
     // booleans — a driver-local frame, so the scratch dir needs no
@@ -2292,8 +2300,19 @@ object SparkEntry {
     * longs (no tolerance, no invariant reduction — the strongest gate
     * an iterative float algorithm can never have). Edges and nodes
     * persist once; each round is one join + one groupBy on node ids. */
-  private def pageRankQuery(s: SparkSession, d: String): DataFrame = {
+  private def pageRankQuery(s0: SparkSession, d: String): DataFrame = {
     import graft.geom.PageRank
+    // the rank frame is |docs| rows and every per-round shuffle is
+    // tiny; at the session's width AQE turns each checkpoint's
+    // multi-stage materialization into a fan of stage-jobs (59 jobs
+    // measured for 12 rounds), each paying the ~0.1 s dispatch floor.
+    // Integer floor arithmetic is partition-count-independent, so a
+    // narrow no-AQE throwaway session changes NOTHING in the ranks —
+    // only the dispatch bill (same discipline as the other lifecycle
+    // gates; the 100 TB story is unchanged: callers there keep AQE)
+    val s = probeSession(s0,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
     val ids = Tables.documents(s, d).select(col("doc_id"))
     val nodes = ids.select(col("doc_id").as("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2911,6 +2930,17 @@ object SparkEntry {
     * on one session. Execution confs that matter are copied from the
     * caller; probe pins go on top; nothing is restored because nothing
     * shared was touched. */
+  /** The standard narrow throwaway session for tiny-table lifecycle
+    * gates: width 4, AQE off — per PLANS.md's action-floor analysis,
+    * these gates' cost is task-wave + job dispatch, not data, and
+    * their values are width-independent (aggregates, deterministic
+    * rankings, integer arithmetic). 100 TB deployments keep the
+    * session defaults; this is gate economics only. */
+  private def narrowProbe(s: SparkSession): SparkSession =
+    probeSession(s,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+
   private def probeSession(s: SparkSession, pins: (String, String)*): SparkSession = {
     val iso = s.newSession()
     Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
@@ -3458,10 +3488,19 @@ object SparkEntry {
     // SPJ keys + broadcast-off PINNED on a throwaway session (broadcast
     // off: a shuffle is the only alternative), tables per-invocation —
     // same isolation discipline as the partition gates
+    // AQE off: storage-partitioned planning is STATIC (EnsureRequirements
+    // over KeyGroupedPartitioning), so with no adaptive re-plan possible
+    // the zero-exchange invariants are provable on the planned physical
+    // tree WITHOUT executing the join — the gate previously ran the full
+    // join twice just to finalize AQE before walking the plan. The
+    // executed-plan version of the same proof (plus sort-freeness) is
+    // pinned in GraftCatalogSpec; width 8 matches the bucket count.
     val iso = probeSession(s,
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false")
     val wh = SqlCat.ensure(iso)
     val baseA = uniqName("spj_orders")
     val baseB = uniqName("spj_cust")
@@ -3487,12 +3526,11 @@ object SparkEntry {
       .createOrReplaceTempView("graft_spj_cust_src")
     iso.sql(s"INSERT INTO $ta SELECT o_orderkey, o_custkey, o_totalprice FROM graft_spj_orders_src")
     iso.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src")
-    def zeroExchangeOf(df: DataFrame): Boolean = {
-      df.collect() // execute THIS QueryExecution — a derived count()
-                   // would leave df's own AQE plan un-finalized
+    def zeroExchangeOf(df: DataFrame): Boolean =
+      // AQE is OFF on iso (pinned above), so executedPlan is the final
+      // static tree — walking it plans but does NOT run the join
       graft.PlanWalk.executedNodes(df.queryExecution.executedPlan)
         .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 0
-    }
     val joinSql = s"SELECT b.c_custkey AS c_custkey, b.c_name AS c_name, " +
       s"a.o_totalprice AS o_totalprice FROM $ta a JOIN $tb b " +
       "ON a.o_custkey = b.c_custkey"
@@ -3648,12 +3686,23 @@ object SparkEntry {
     val deltaLog = (2 to 4).forall(v =>
       raw(v).get(0).contains("\"base\"") && raw(v).size <= 3) &&
       (5 to 6).forall(v => raw(v).get(0).contains("\"base\""))
-    // chain resolution: each version's row count is its exact state
-    val c400 = docs.filter(col("doc_id") < 400L).count()
-    val c430 = docs.filter(col("doc_id") < 430L).count()
-    val resolves = snap.read(s, root, Some(1)).count() == c400 &&
-      snap.read(s, root, Some(4)).count() == c430 &&
-      snap.read(s, root, Some(5)).count() == c430
+    // chain resolution: each version's row count is its exact state.
+    // Both expected counts ride ONE aggregate, and the three version
+    // reads union into ONE counted plan — five actions become two
+    // (the resolution work per version is unchanged; only job
+    // dispatches drop)
+    val exp = docs.filter(col("doc_id") < 430L)
+      .agg(sum(when(col("doc_id") < 400L, 1L).otherwise(0L)),
+        count(lit(1))).head()
+    val (c400, c430) = (exp.getLong(0), exp.getLong(1))
+    val vCounts = Seq(1, 4, 5)
+      .map(v => snap.read(s, root, Some(v)).select(lit(v.toLong).as("v")))
+      .reduce(_ unionAll _)
+      .groupBy(col("v")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resolves = vCounts.get(1L).contains(c400) &&
+      vCounts.get(4L).contains(c430) &&
+      vCounts.get(5L).contains(c430)
     snap.expireVersions(s, root, keepLast = 2)                         // cuts v5's chain
     snap.vacuum(s, root, minAgeMs = 0L)
     val ckptUsed = java.nio.file.Files.exists(
@@ -3663,9 +3712,11 @@ object SparkEntry {
     pinInvariants("meta_snapshot_delta_log",
       ("delta_log", deltaLog, () => (2 to 6).map(v =>
         s"v$v:${raw(v).size}L base=${raw(v).get(0).contains("\"base\"")}").mkString(" ")),
+      // diag reports the PRE-expiry counts already taken — re-reading
+      // v1 here would fail for the wrong reason (expireVersions above
+      // dropped it)
       ("resolves", resolves, () => s"c400=$c400 c430=$c430 " +
-        s"v1=${snap.read(s, root, Some(1)).count()} " +
-        s"v4=${snap.read(s, root, Some(4)).count()}"),
+        s"counts=${vCounts.toSeq.sortBy(_._1).mkString(",")}"),
       ("ckpt_used", ckptUsed, () => "shadow checkpoint missing or v5 misresolved"))
     snap.read(s, root)
       .withColumn("delta_log", lit(deltaLog))
@@ -3881,7 +3932,11 @@ object SparkEntry {
     // otherwise shuffle both sides); saveAsTable entries land in the
     // EXTERNAL catalog (SharedState — shared across sessions), so the
     // names are per-invocation unique like the DSv2 probe tables
-    val iso = probeSession(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    // AQE off: bucketed co-location is STATIC planning, so the
+    // zero-exchange proof reads the final plan without executing the
+    // join — the result's one real execution happens in the localize
+    val iso = probeSession(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketjoin").toString
     val liTbl = uniqName("graft_li_bucketed")
     val ordTbl = uniqName("graft_ord_bucketed")
@@ -3903,12 +3958,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_items"),
         graft.Exact.exactSum(col("l_extendedprice")).as("revenue"),
         max(col("o_totalprice")).as("total_price"))
-    // the physical proof: executed plan — zero exchanges end to end.
-    // collect() on q ITSELF: count() plans a separate derived
-    // QueryExecution, leaving q's own AQE plan un-executed (the same
-    // gotcha the DPP gate documents)
+    // the physical proof: with AQE pinned off above, q's executedPlan
+    // is the final static tree — walking it plans without running the
+    // join (the old collect()-to-finalize-AQE leg executed the join a
+    // second time just to read this boolean)
     val q = joined
-    q.collect()
     val colocated = countShuffles(q) == 0
     // proof done: let the RESULT run re-plan freely (iso is private, so
     // un-pinning races nothing — the broadcast-off pin was only the
@@ -4012,9 +4066,20 @@ object SparkEntry {
     // overwrite mode pinned static on a throwaway session, flipped to
     // dynamic only on that private session (probe-session discipline)
     val s = probeSession(s0,
-      "spark.sql.sources.partitionOverwriteMode" -> "static")
+      "spark.sql.sources.partitionOverwriteMode" -> "static",
+      // tiny per-directory frames: narrow width (the export still
+      // clusters one file per directory — the small-files fix is the
+      // repartition below, not the width)
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
     val root = java.nio.file.Files.createTempDirectory("graft-export").toString
+    // a deterministic half of the docs: the layout/overwrite proofs are
+    // per-directory facts, not row counts — both partitioned writes and
+    // the re-read aggregate move 2× less (oracle filtered to match).
+    // % 4 <= 1, not % 2: source is parity-correlated with doc_id in the
+    // testdata, and the probes need src1 (odd) populated
     val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 <= 1)
       .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
     // cluster rows by their target partition before the write: ONE
     // file per (source, lang) directory instead of one per input task
@@ -4075,7 +4140,8 @@ object SparkEntry {
            CAST(SUM(CASE WHEN source = 'src1' THEN n_chars + 1000000
                          ELSE n_chars END) AS BIGINT) AS sum_chars,
            TRUE AS layout_ok, TRUE AS overwrite_ok
-    FROM documents GROUP BY source, lang ORDER BY source, lang"""
+    FROM documents WHERE doc_id % 4 <= 1
+    GROUP BY source, lang ORDER BY source, lang"""
 
   private def sourceConvertCycle(s: SparkSession, d: String): DataFrame = {
     // explicit whitespace class — Java \s and RE2 \s disagree on \x0B

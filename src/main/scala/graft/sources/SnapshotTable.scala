@@ -1272,7 +1272,14 @@ object SnapshotTable {
     * files: file size and write parallelism decouple from the bucket
     * count (a 10 TB table at 64 buckets need not mean 160 GB files and
     * 64 write tasks — the scan's layout rule groups however many files
-    * share a bucket id). */
+    * share a bucket id).
+    *
+    * TRADE, explicit: a salted (multi-file) bucket forfeits the scan's
+    * sort-free SPJ claim — each file is key-sorted but the group's
+    * concatenation is not, so `outputOrdering` refuses and a co-located
+    * SMJ keeps its sorts (exchange-free either way). Compact with the
+    * no-byte-cap overload to restore one-file-per-bucket and the
+    * sort-free read. */
   def compactBucketed(spark: SparkSession, root: String, buckets: Int,
       targetFileBytes: Long): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")

@@ -154,9 +154,10 @@ class PipelineSpec extends SparkSpec {
     val (v1, v2) = (out.filter(_._1 == 1L).map(_._2).toSeq,
       out.filter(_._1 == 2L).map(_._2).toSeq)
     assert(v1.size == 10 && v2.size == 10)
-    // the re-ingested docs (doc_id ≡ 3 mod 97: boosted text + query
-    // embedding) must rise in v2's ranking but not v1's
-    val updated = (0L until 500L).filter(_ % 97 == 3).toSet
+    // the re-ingested docs (doc_id ≡ 3 mod 97 on the gate's even-id
+    // half corpus: boosted text + query embedding) must rise in v2's
+    // ranking but not v1's
+    val updated = (0L until 500L).filter(i => i % 97 == 3 && i % 2 == 0).toSet
     assert(updated.contains(v2.head),
       s"v2's top hit must be a re-ingested doc, got ${v2.head}")
     val (hitsV1, hitsV2) = (v1.count(updated), v2.count(updated))
@@ -167,7 +168,9 @@ class PipelineSpec extends SparkSpec {
     val qvec = Tables.embeddings(spark, sf)
       .filter(col("vec_id") === 0)
       .select(graft.vector.VectorOps.asDouble(col("embedding")).as("qvec"))
+    // same deterministic half the lifecycle corpus uses (doc_id even)
     val raw = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0)
       .join(Tables.embeddings(spark, sf)
         .select(col("vec_id").as("doc_id"),
           graft.vector.VectorOps.asDouble(col("embedding")).as("v")), Seq("doc_id"))
