@@ -93,7 +93,7 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, d) => piiScrubQuery(s, d)),
     "text_term_commonness" -> ((s, d) => termCommonnessQuery(s, d)),
     "text_mojibake" -> ((s, d) => mojibakeQuery(s, d)),
-    "text_lm_perplexity" -> ((s, d) => lmPerplexityQuery(s, d)),
+    "text_lm_perplexity" -> ((s, d) => lmPerplexityQuery(narrowProbe(s), d)),
     "text_quality_classifier" -> ((s, d) => qualityClassifierQuery(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(s, d)),
     "sample_quality_filter" -> ((s, d) => qualityFilterQuery(s, d)),
@@ -113,7 +113,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_jaccard_verify" -> ((s, d) => Dedup.jaccardOnCandidates(s, d)),
-    "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(narrowProbe(s), d)),
     "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(s, d)),
     "dedup_span_find" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_span_strip" -> ((s, d) => Dedup.spanStripSummary(s, d)),

@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-JVM harness, no speculative execution: direct task
+      // commit (committer v2) halves each tiny table-commit's rename
+      // bill. Cluster deployments choose their own committer (cloud
+      // object stores use a manifest committer anyway) — this is the
+      // harness session's deployment recipe, set once at the root so
+      // every probe session inherits it via the shared context.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
