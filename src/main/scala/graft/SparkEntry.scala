@@ -1587,18 +1587,21 @@ object SparkEntry {
     // in-range n_chars value reaches the indexed path's pushed
     // equality, whose point set probes bloom2 — files skip where the
     // secondary RANGE (interleaved appends → table-wide) cannot. The
-    // absent value is the FIRST GAP in the sorted distinct value set,
-    // found distributively (lead over the distinct frame, one row to
-    // the driver) — never a driver-side min..max iteration, which is
-    // unbounded when the value range is wide. A fully dense range has
-    // no in-range-absent value; that case must be VISIBLE, not a
-    // silent vacuous pass.
+    // absent value is the FIRST GAP in the sorted distinct value set:
+    // min(v+1) that is not itself a value and sits below max(v) —
+    // found by an anti self-join on v+1, every stage distributed (the
+    // earlier Window.orderBy form computed the same thing but
+    // collapsed the distinct set onto one task; never a driver-side
+    // min..max iteration either, which is unbounded when the range is
+    // wide). A fully dense range has no in-range-absent value; that
+    // case must be VISIBLE, not a silent vacuous pass.
     val absent2 = {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      docs.select(col("n_chars").as("v")).distinct()
-        .select(col("v"), lead(col("v"), 1).over(w).as("nx"))
-        .filter(col("nx") > col("v") + 1)
-        .agg(min(col("v") + 1).as("absent"))
+      val vals = docs.select(col("n_chars").as("v")).distinct()
+      vals.select((col("v") + 1).as("c"))
+        .join(vals, col("c") === col("v"), "left_anti")
+        .crossJoin(broadcast(vals.agg(max(col("v")).as("mx"))))
+        .filter(col("c") <= col("mx"))
+        .agg(min(col("c")).as("absent"))
         .collect().headOption
         .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     }
