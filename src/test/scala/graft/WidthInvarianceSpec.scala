@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The narrow-probe contract, pinned: gates the bench runs on a
+  * narrow throwaway session (width 4, AQE off — SparkEntry.narrowProbe)
+  * must produce VALUE-identical rows to the same operator on a wide
+  * adaptive session. Round 17 moved ~25 gates to narrow probes for
+  * action-floor economics; every move was A/B'd by hand first, and
+  * this spec keeps the property under regression for the narrowed
+  * gates whose operator is publicly callable (so the wide side is a
+  * REAL wide run, not the gate's own internal narrowing). A failure
+  * means width- or AQE-sensitive values (float partition-order sums,
+  * un-rounded rankings, RNG) crept into a narrowed gate.
+  */
+class WidthInvarianceSpec extends SparkSpec {
+
+  // must match SparkEntry.queryTerms (the gate's wired terms)
+  private val terms = Seq("spark", "window", "merge", "stream")
+
+  private def wide(): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "13") // deliberately odd
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("dedup_decontaminate: narrow gate equals wide operator") {
+    assert(rows(SparkEntry.queries("dedup_decontaminate")(spark.newSession(), sf))
+      == rows(graft.vector.Dedup.decontaminate(wide(), sf)))
+  }
+
+  test("retrieval_snapshot_timetravel: narrow gate equals wide operator") {
+    assert(rows(SparkEntry.queries("retrieval_snapshot_timetravel")(spark.newSession(), sf))
+      == rows(graft.vector.SnapshotRetrieval.searchTimeTravel(wide(), sf, terms)))
+  }
+
+  test("graph_pagerank ranks are width- and AQE-independent") {
+    import org.apache.spark.sql.functions.col
+    def ranks(s: SparkSession): Seq[String] = {
+      val ids = Tables.documents(s, sf).select(col("doc_id"))
+      val nodes = ids.select(col("doc_id").as("node"))
+      val edges = graft.geom.PageRank.modularEdges(ids, "doc_id")
+      rows(graft.geom.PageRank.run(nodes, edges, iters = 12))
+    }
+    val narrow = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    }
+    assert(ranks(narrow) == ranks(wide()))
+  }
+}
