@@ -39,6 +39,8 @@ object ActionCount {
         jobs.incrementAndGet(); ()
       }
     })
+    def flush(): Unit =
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
     val scope = new CacheScope
     val rows = CacheScope.withScope(scope) { Scratch.scopedCleanup {
       SparkEntry.queries.toSeq
@@ -47,16 +49,29 @@ object ActionCount {
           // one warm-up materialization (codegen) so the counted run
           // reflects steady state like Bench's timed runs do
           try { fn(spark, sfDir).count(); () }
-          catch { case _: Throwable => () }
+          catch { case scala.util.control.NonFatal(e) =>
+            Console.err.println(s"[actioncount] $name warm-up failed: $e")
+          }
           finally { scope.drain(); Scratch.drainCleanup(); () }
-          jobs.set(0)
+          // JobStart events deliver asynchronously — drain the bus on
+          // both sides of the counted window or the warm-up's stragglers
+          // inflate it (and the run's tail jobs go missing)
+          flush(); jobs.set(0)
           val t0 = System.nanoTime()
-          val n =
-            try { fn(spark, sfDir).count(); jobs.get() }
-            catch { case _: Throwable => -1 }
+          val (n, sec) =
+            try {
+              fn(spark, sfDir).count()
+              // timing excludes the drains below, like Bench's runs
+              val dt = (System.nanoTime() - t0) / 1e9
+              flush()
+              (jobs.get(), dt)
+            }
+            catch { case scala.util.control.NonFatal(e) =>
+              Console.err.println(s"[actioncount] $name failed: $e")
+              (-1, (System.nanoTime() - t0) / 1e9)
+            }
             finally { scope.drain(); Scratch.drainCleanup(); () }
-          // the drain's own jobs (if any) are not the gate's cost
-          (name, n, (System.nanoTime() - t0) / 1e9)
+          (name, n, sec)
         }
     } }
     rows.sortBy(-_._2).foreach { case (name, n, sec) =>

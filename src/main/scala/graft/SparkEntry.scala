@@ -24,7 +24,10 @@ object SparkEntry {
 
   /** Search terms shared by the lexical-retrieval queries (present in
     * the synthetic documents' vocabulary). */
-  private val queryTerms = Seq("spark", "window", "merge", "stream")
+  // private[graft]: WidthInvarianceSpec replays the retrieval gate's
+  // wide-session twin with the SAME terms — a hardcoded copy would
+  // drift silently when a term changes
+  private[graft] val queryTerms = Seq("spark", "window", "merge", "stream")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The full snowflake join + exact aggregation. */
@@ -2145,10 +2148,11 @@ object SparkEntry {
       "spark.sql.adaptive.enabled" -> "false")
     // fixture sized to measure the ENGINE, not the staging (r11/r12
     // verdicts): a 23rd of the orders (gcd(23, 100) = 1 keeps every
-    // grp residue populated; grp 42 holds keys ≡ 1242 (mod 2300), and
-    // TPC-H's sparse orderkeys put the smallest such key at 12742 —
-    // the guard before the group-drop delete below names the failure
-    // if a tiny SF ever empties it), a HANDFUL of files per
+    // grp residue populated; grp 42 holds keys ≡ 1242 (mod 2300) —
+    // this testdata's orderkeys are DENSE from 0, so key 1242 exists
+    // at every driver SF (genuine dbgen output is sparser; the guard
+    // before the group-drop delete below names the failure if a
+    // future corpus ever empties the group), a HANDFUL of files per
     // commit, and TWO refreshes — one over the append, one over the
     // mixed merge+delete+delete window (content diff + dv-only fast
     // path in one window) — plus the no-op replay. The full refresh
@@ -2192,8 +2196,8 @@ object SparkEntry {
     // with a named cause — no extra probe action
     require(graft.sources.SnapshotTable
       .deleteWhere(s, tbl, col("grp") === 42L).nonEmpty,              // v4
-      "incr-view fixture: grp 42 empty at this SF (needs o_orderkey ≡ " +
-        "1242 mod 2300; smallest TPC-H key is 12742)")
+      "incr-view fixture: grp 42 empty at this SF (needs an o_orderkey " +
+        "≡ 1242 mod 2300 in the corpus — dense testdata keys have 1242)")
     lap("delete")
     val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw) // (3, 4]: dv fast path
     lap("refresh2")
@@ -2937,8 +2941,13 @@ object SparkEntry {
     * gates: width 4, AQE off — per PLANS.md's action-floor analysis,
     * these gates' cost is task-wave + job dispatch, not data, and
     * their values are width-independent (aggregates, deterministic
-    * rankings, integer arithmetic). 100 TB deployments keep the
-    * session defaults; this is gate economics only. */
+    * rankings, integer arithmetic; WidthInvarianceSpec pins the
+    * contract). Two corpus gates (perplexity, decontamination) also
+    * run narrow — bench-confirmed wins AT GATE SCALE; a deployment
+    * driving these operators over real corpora keeps the session
+    * defaults, where their shuffles deserve the width. 100 TB
+    * deployments keep the session defaults; this is gate economics
+    * only. */
   private def narrowProbe(s: SparkSession): SparkSession =
     probeSession(s,
       "spark.sql.shuffle.partitions" -> "4",

@@ -15,8 +15,8 @@ import org.apache.spark.sql.SparkSession
   */
 class WidthInvarianceSpec extends SparkSpec {
 
-  // must match SparkEntry.queryTerms (the gate's wired terms)
-  private val terms = Seq("spark", "window", "merge", "stream")
+  // the gate's wired terms, referenced so a change can't drift
+  private val terms = SparkEntry.queryTerms
 
   private def wide(): SparkSession = {
     val s = spark.newSession()
