@@ -316,8 +316,13 @@ object Bench {
                   planCanon(fn(spark, sfDir)).getBytes("UTF-8"))
                 R(0.0, 0.0, 0.0, planFingerprint(fn(spark, sfDir)))
               case None =>
-                val plan = planFingerprint(fn(spark, sfDir))
-                fn(spark, sfDir).count() // warm-up: codegen + internal caches
+                // fingerprint the warm-up's OWN frame (pre-execution,
+                // same as the old separate construction) — lifecycle
+                // gates do their work at construction, so a separate
+                // fingerprint pass paid a whole extra cycle per gate
+                val warm = fn(spark, sfDir)
+                val plan = planFingerprint(warm)
+                warm.count() // warm-up: codegen + internal caches
                 val runs = Seq.fill(TimedRuns)(time(fn(spark, sfDir).count())).sorted
                 val m3 = runs(TimedRuns / 2)
                 prior.get(name) match {
@@ -379,8 +384,11 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":${toJson(medians)},"spread":$spreads,"plan_fingerprints":$plans,"remeasured":$remeasured,"fp_changed":$fpChanged,"sf":"$sfDir","mode":"median_of_${TimedRuns}_after_warmup"}"""
-    // diagnostic runs must not clobber the real artifact
-    if (fpDump.isEmpty)
+    // diagnostic runs must not clobber the real artifact — neither
+    // fp-dump mode nor a BENCH_ONLY subset (the file is also the
+    // variance guard's prior; a 3-query run overwriting it would feed
+    // the next full run a truncated baseline)
+    if (fpDump.isEmpty && only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes("UTF-8"))
       catch { case _: Throwable => () }
