@@ -5,17 +5,29 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only census of the ACTION COUNT behind each gate (not part of
-  * the driver contract). PLANS.md's action-floor analysis says every
-  * Spark action on this box pays ~0.1 s of dispatch floor regardless
-  * of data size, so a lifecycle gate's bench cost is essentially
-  * `#jobs × 0.1 s` — this main makes that number an artifact instead
-  * of a guess, so cuts target the gates with the most dispatches.
+/** Census of the ACTION COUNT behind each gate — the round's perf
+  * artifact of record since r18. PLANS.md's action-floor analysis says
+  * every Spark action on this box pays ~0.1 s of dispatch floor
+  * regardless of data size, so a lifecycle gate's bench cost is
+  * essentially `#jobs × 0.1 s`; and five identical-plan full-board
+  * runs spanned 95.7–137.2 s in r17 under host neighbor load —
+  * wall-clock alone can no longer falsify the perf bar on this box,
+  * while JOB COUNTS are load-independent. The round-close protocol
+  * runs this main over the full board at the driver config and
+  * commits the JSON as `ACTIONS_rN.json`; `tools/scoreboard.py` diffs
+  * consecutive rounds and a job-count regression is treated like a
+  * plan-fingerprint change (explain it or revert it).
   *
   * Usage:
   *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ActionCount g1,g2,..."
   * (no args = the full board). Prints one line per gate:
-  * `name  jobs=<n>  sec=<t>` sorted by job count, plus a total.
+  * `name  jobs=<n>  sec=<t>` sorted by job count, plus a total line
+  * that covers succeeded gates only (failures are counted and named
+  * separately — a failed gate's partial seconds would otherwise ride
+  * a job total it isn't part of). With SPARK_GRAFT_ACTIONS_OUT=<path>
+  * the same census is also written as one JSON object:
+  * `{"sf":…,"cpus":…,"gates":{name:{"jobs":n,"sec":s}},"failed":[…],
+  *   "total_jobs":N,"total_sec":S}`.
   */
 object ActionCount {
   def main(args: Array[String]): Unit = {
@@ -36,7 +48,12 @@ object ActionCount {
     val jobs = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        // dev flag: name each dispatched job's stages so a gate's
+        // census is attributable line-by-line
+        if (sys.env.contains("SPARK_GRAFT_JOB_TRACE"))
+          Console.err.println(s"[job] ${js.jobId} " + js.stageInfos
+            .map(si => s"${si.name}:${si.numTasks}t").mkString(" | "))
       }
     })
     def flush(): Unit =
@@ -77,8 +94,29 @@ object ActionCount {
     rows.sortBy(-_._2).foreach { case (name, n, sec) =>
       println(f"$name%-34s jobs=$n%4d  sec=$sec%7.2f")
     }
-    println(f"TOTAL jobs=${rows.map(_._2).filter(_ > 0).sum}%d " +
-      f"sec=${rows.map(_._3).sum}%.1f over ${rows.size}%d gates")
+    // totals cover the SAME gate set: succeeded gates (jobs >= 0 —
+    // a gate that legitimately ran zero jobs counts), with failures
+    // named rather than silently blended into either sum
+    val ok = rows.filter(_._2 >= 0)
+    val failed = rows.collect { case (name, n, _) if n < 0 => name }
+    println(f"TOTAL jobs=${ok.map(_._2).sum}%d sec=${ok.map(_._3).sum}%.1f " +
+      f"over ${ok.size}%d gates" +
+      (if (failed.isEmpty) "" else s"; ${failed.size} FAILED: ${failed.mkString(",")}"))
+    sys.env.get("SPARK_GRAFT_ACTIONS_OUT").foreach { out =>
+      def fmt(v: Double): String = BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val gates = rows.sortBy(_._1)
+        .map { case (name, n, sec) =>
+          "\"" + name + "\":{\"jobs\":" + n + ",\"sec\":" + fmt(sec) + "}" }
+        .mkString("{", ",", "}")
+      val json = s"""{"sf":"$sfDir","cpus":$cpus,"gates":$gates,""" +
+        s""""failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""total_jobs":${ok.map(_._2).sum},"total_sec":${fmt(ok.map(_._3).sum)},""" +
+        s""""n_gates":${ok.size}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        json.getBytes("UTF-8"))
+      ()
+    }
     spark.stop()
   }
 }

@@ -65,6 +65,16 @@ object Bench {
   /** Extra timed runs for the variance guard's re-measurement. */
   private val GuardRuns = 5
 
+  /** Symmetric fixture guard (r17 advice): subset (BENCH_ONLY) runs
+    * never write BENCH_FULL.json, but a hand-edited or out-of-band
+    * truncated file could still land there — and a full run diffing
+    * against a subset-sized prior would treat most of the board as
+    * "new" silently. A prior covering less than half the board is
+    * structurally truncated, not a round baseline: REFUSE it (loudly,
+    * and run guard-less) rather than consuming it. */
+  private[graft] def priorIsTruncated(priorSize: Int, boardSize: Int): Boolean =
+    priorSize > 0 && priorSize * 2 < boardSize
+
   /** The variance guard's baseline: the PREVIOUS committed
     * BENCH_FULL.json's per-query [lo, hi] spreads and plan
     * fingerprints. A query whose fresh median lands OUTSIDE its prior
@@ -287,7 +297,16 @@ object Bench {
     }
     final case class R(median: Double, lo: Double, hi: Double, plan: String,
       firstMedian: Option[Double] = None)
-    val prior = priorSpreads()
+    val prior0 = priorSpreads()
+    val prior =
+      if (priorIsTruncated(prior0.size, SparkEntry.queries.size)) {
+        Console.err.println(s"[bench] BENCH_FULL.json covers ${prior0.size} " +
+          s"of ${SparkEntry.queries.size} queries — a truncated prior, not a " +
+          "round baseline. REFUSING it: this run reports first-measure " +
+          "medians with no variance guard; restore the committed file " +
+          "(git checkout HEAD -- BENCH_FULL.json) for guarded numbers.")
+        Map.empty[String, (Double, Double, String)]
+      } else prior0
     // SPARK_GRAFT_FP_DUMP=<dir>: diagnostic mode — write each query's
     // full canonicalized-plan text to <dir>/<name>.txt and skip the
     // timed runs, so two invocations can be diffed line-by-line to find

@@ -3585,6 +3585,29 @@ object SparkEntry {
     val s = probeSession(s0,
       "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.adaptive.enabled" -> "false")
+    // dev-only per-statement census (jobs + sec), same env gate as the
+    // rstime/ivtime laps — the r18 cut of this gate targets dispatch
+    // counts, so the evidence prints per step, not per gate
+    var lapT0 = System.nanoTime()
+    val lapJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lapOn = sys.env.contains("SPARK_GRAFT_GATE_TIMING")
+    if (lapOn) s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          lapJobs.incrementAndGet()
+          if (sys.env.get("SPARK_GRAFT_GATE_TIMING").contains("2"))
+            Console.err.println(s"[sqljob] ${js.jobId} " +
+              js.stageInfos.map(si => s"${si.name}:${si.numTasks}t")
+                .mkString(" | "))
+        }
+      })
+    def lap(tag: String): Unit = if (lapOn) {
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(s)
+      Console.err.println(f"[sqltime] $tag%-14s jobs=${lapJobs.get}%3d " +
+        f"${(System.nanoTime() - lapT0) / 1e9}%.3f s")
+      lapJobs.set(0); lapT0 = System.nanoTime()
+    }
     val wh = SqlCat.ensure(s)
     val base = uniqName("docs_sql") // two-runner collision guard
     val t = s"${SqlCat.name}.g.$base"
@@ -3592,12 +3615,20 @@ object SparkEntry {
     val root = s"$wh/g/$base"
     s.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT) " +
       "TBLPROPERTIES ('statsKey'='doc_id')")                          // v1
+    lap("create")
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     docs.filter(col("doc_id") < 400L).repartitionByRange(4, col("doc_id"))
       .createOrReplaceTempView("graft_sql_src")
+    // the MERGE below re-reads the source; a flat view spares it the
+    // range-partitioner's sample pass (the 4-file range layout matters
+    // only for the INSERT that lays the table out)
+    docs.filter(col("doc_id") < 400L)
+      .createOrReplaceTempView("graft_sql_src_flat")
     s.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM graft_sql_src") // v2
+    lap("insert")
     val vInsert = snap.versions(s, root).last
     val cInsert = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+    lap("count_insert")
     def dataFiles(): Set[String] = {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(root, "data")
@@ -3610,42 +3641,58 @@ object SparkEntry {
     // commit; no data file may move
     val beforeDelete = dataFiles()
     s.sql(s"DELETE FROM $t WHERE doc_id >= 100 AND doc_id < 150")      // v3 (if any row)
+    lap("delete")
     val dvZeroCopy = dataFiles() == beforeDelete
     val vDelete = snap.versions(s, root).last
     val cDelete = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+    lap("count_delete")
     // MERGE INTO: updates touch existing keys, inserts extend the table
     s.sql(
       s"""MERGE INTO $t tgt
-         |USING (SELECT doc_id, n_chars + 1000000 AS n_chars FROM graft_sql_src
+         |USING (SELECT doc_id, n_chars + 1000000 AS n_chars FROM graft_sql_src_flat
          |       WHERE doc_id % 97 = 0
          |         AND NOT (doc_id >= 100 AND doc_id < 150)) src
          |ON tgt.doc_id = src.doc_id
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)               // v4
+    lap("merge")
     // zero-copy DDL through SQL
     val beforeRename = dataFiles()
     s.sql(s"ALTER TABLE $t RENAME COLUMN doc_id TO document_id")       // v5
     val ddlZeroCopy = dataFiles() == beforeRename
-    // time travel reads each version's own state (and, pre-rename,
-    // its own column names)
-    val ttOk =
-      s.sql(s"SELECT count(*) FROM $t VERSION AS OF $vInsert").head().getLong(0) == cInsert &&
-      s.sql(s"SELECT count(*) FROM $t VERSION AS OF $vDelete").head().getLong(0) == cDelete &&
-      s.sql(s"SELECT count(*) FROM $t VERSION AS OF $vInsert WHERE doc_id >= 100 AND doc_id < 150")
-        .head().getLong(0) == cInsert - cDelete
+    lap("rename")
+    // time travel reads each version's own state (and, pre-rename, its
+    // own column names). The three version reads union into ONE
+    // collected plan (the delta-log gate's dispatch trick — three
+    // actions become one; the per-version resolution work is
+    // unchanged), and the pruning probe's min rides the vInsert leg
+    // for free: the table at vInsert IS the doc_id < 400 slice, so its
+    // min equals the source min the probe used to re-aggregate.
+    val tt = s.sql(
+      s"""SELECT 'vi' AS k, count(*) AS c, min(doc_id) AS mn
+         |  FROM $t VERSION AS OF $vInsert
+         |UNION ALL SELECT 'vd', count(*), NULL FROM $t VERSION AS OF $vDelete
+         |UNION ALL SELECT 'vw', count(*), NULL FROM $t VERSION AS OF $vInsert
+         |  WHERE doc_id >= 100 AND doc_id < 150""".stripMargin)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ttOk = tt("vi").getLong(1) == cInsert &&
+      tt("vd").getLong(1) == cDelete &&
+      tt("vw").getLong(1) == cInsert - cDelete
+    lap("time_travel")
     // executed-plan pruning proof on the RENAMED key through the DSv2
     // scan; degenerate layouts (≤1 file, empty slice) pass trivially
-    val minRow = docs.filter(col("doc_id") < 400L).agg(min(col("doc_id"))).head()
+    val minRow = tt("vi")
     val pruned =
-      if (minRow.isNullAt(0) || beforeRename.size <= 1) true
+      if (minRow.isNullAt(2) || beforeRename.size <= 1) true
       else {
         val probe = s.sql(
-          s"SELECT * FROM $t WHERE document_id = ${minRow.getLong(0)}")
+          s"SELECT * FROM $t WHERE document_id = ${minRow.getLong(2)}")
         probe.collect()
         val gs = graft.PlanWalk.batchScans(probe).map(_.scan)
           .collect { case g: graft.catalog.GraftScan => g }
         gs.nonEmpty && gs.map(_.keptFileCount).max == 1
       }
+    lap("pruned_probe")
     graft.Scratch.registerForCleanup(root)
     pinInvariants("meta_snapshot_sql",
       ("dv_zero_copy", dvZeroCopy, () => "SQL DELETE moved data files"),

@@ -21,10 +21,21 @@ object Verify {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); the driver never
     // sets it, so the contract surface is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    dump(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump body, callable from a running session (the dtype-sweep
+    * spec drives it through `sbt test` so the dtype-strict oracle
+    * compare guards the whole board in CI, not just at round close).
+    * Returns the names that FAILED to produce output. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]] = None): Seq[String] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // this runner's own cache + scratch scopes: drains between queries
     // can't touch frames or scratch roots a concurrent runner in the
     // same JVM has registered
@@ -37,6 +48,7 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            failed += name
           }
           // release operator-internal persisted frames and scratch
           // roots between queries — a long runner must not accumulate
@@ -60,6 +72,6 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    failed.toSeq
   }
 }

@@ -881,12 +881,21 @@ object Relational {
       .orderBy(col("value").desc, col("ps_partkey"))
   }
 
+  /** Oracle note (r17 advice): the intermediate sums stay BARE —
+    * DuckDB HUGEINT — on purpose. Neither `value_cents` nor
+    * `total_cents` is projected (only `value_cents / 100.0`, DOUBLE
+    * in both engines), so their width never reaches the dtype-strict
+    * compare; and the threshold multiply `value_cents * 10000`
+    * evaluates in HUGEINT, which cannot overflow at any SF — the r17
+    * `CAST(... AS BIGINT)` form put the multiply in int64, where an
+    * extreme scale factor would error. Pinned in RelationalSpec's
+    * per-occurrence lint allowlist. */
   def importantStockSql: String = s"""
     WITH $partsuppSqlCte,
     pp AS (SELECT ps_partkey,
-                  CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+                  SUM(ps_cost_cents * ps_availqty) AS value_cents
            FROM partsupp GROUP BY ps_partkey),
-    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM pp)
+    tot AS (SELECT SUM(value_cents) AS total_cents FROM pp)
     SELECT ps_partkey, value_cents / 100.0 AS value
     FROM pp, tot
     WHERE value_cents * 10000 > total_cents

@@ -4580,6 +4580,16 @@ object SnapshotTable {
     * [[compact]]/[[maintain]] rewrite the debt away. Loud, never wrong. */
   private[graft] val SqlDvCollectCap = 8L * 1000 * 1000
 
+  /** Backing LRU for [[SqlSnapshot.dvPositionMap]]'s memo — see its
+    * doc for the immutability argument. Access-ordered, bounded; all
+    * access synchronized on the map itself. */
+  private val dvMapMemo =
+    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Array[Long]]]): Boolean =
+        size() > 32
+    }
+
   /** One resolved snapshot version for the DSv2 planner: schema (its
     * own recorded one — time travel reads old shapes), column map,
     * stats identity, and manifest-pruned file listing. Driver-side
@@ -4807,23 +4817,41 @@ object SnapshotTable {
 
     /** Deleted positions of the dv-carrying files among `relPaths`, as
       * path → sorted ordinals — what the DSv2 readers filter with.
-      * Bounded by [[SqlDvCollectCap]], loudly. */
+      * Bounded by [[SqlDvCollectCap]], loudly.
+      *
+      * MEMOIZED per (root, pointing-set): a dv commit always writes a
+      * NEW `deletes/batch-*` dir (never rewrites one in place), so the
+      * positions behind a given (file → sidecar dir) pointing set are
+      * immutable — and one logical operation scans the same dv-carrying
+      * version repeatedly (a MERGE's condition pass, runtime group
+      * filter, and rewrite read each rebuild the scan). Without the
+      * memo each of those pays its own sidecar collect job; with it the
+      * first scan pays and the rest are a driver map hit. Entries are
+      * driver-bounded by [[SqlDvCollectCap]] before they get here and
+      * the memo is a small LRU, so this is O(model)-sized state. */
     def dvPositionMap(relPaths: Seq[String]): Map[String, Array[Long]] = {
       val want = relPaths.toSet
       val withDv = m.entries.filter(e => e.dv.isDefined && want(e.path))
       if (withDv.isEmpty) Map.empty
       else {
-        val known = withDv.flatMap(_.dvRows)
-        require(known.size < withDv.size || known.sum <= SqlDvCollectCap,
-          s"table $root carries ${known.sum} recorded deleted rows across the " +
-            s"scanned files — beyond the SQL scan's driver bound ($SqlDvCollectCap). " +
-            "Run SnapshotTable.maintain/compact to materialize the deletes first.")
-        val rows = dvPositions(spark, root, withDv).get.collect()
-        require(rows.length <= SqlDvCollectCap,
-          s"deletion-vector sidecars of $root hold ${rows.length} positions — beyond " +
-            s"the SQL scan's driver bound ($SqlDvCollectCap); compact the table first.")
-        rows.groupBy(_.getString(0)).map { case (p, rs) =>
-          val a = rs.map(_.getLong(1)); java.util.Arrays.sort(a); p -> a
+        val memoKey = root + " " + withDv.iterator
+          .map(e => s"${e.path}${e.dv.get}").toSeq.sorted.mkString("")
+        val hit = dvMapMemo.synchronized(Option(dvMapMemo.get(memoKey)))
+        hit.getOrElse {
+          val known = withDv.flatMap(_.dvRows)
+          require(known.size < withDv.size || known.sum <= SqlDvCollectCap,
+            s"table $root carries ${known.sum} recorded deleted rows across the " +
+              s"scanned files — beyond the SQL scan's driver bound ($SqlDvCollectCap). " +
+              "Run SnapshotTable.maintain/compact to materialize the deletes first.")
+          val rows = dvPositions(spark, root, withDv).get.collect()
+          require(rows.length <= SqlDvCollectCap,
+            s"deletion-vector sidecars of $root hold ${rows.length} positions — beyond " +
+              s"the SQL scan's driver bound ($SqlDvCollectCap); compact the table first.")
+          val built = rows.groupBy(_.getString(0)).map { case (p, rs) =>
+            val a = rs.map(_.getLong(1)); java.util.Arrays.sort(a); p -> a
+          }
+          dvMapMemo.synchronized { dvMapMemo.put(memoKey, built); () }
+          built
         }
       }
     }

@@ -97,4 +97,17 @@ class BenchCanonSpec extends AnyFunSuite {
     val notHex = "Project graft.text.Thing@xyz"
     assert(Bench.canonText(notHex) == notHex)
   }
+
+  test("a subset-truncated prior is refused, a round-sized or absent one is not") {
+    // the symmetric half of the BENCH_ONLY fixture guard (r17 advice):
+    // subset runs don't write BENCH_FULL.json, and a full run must not
+    // silently consume a subset-sized one from out-of-band edits
+    val board = SparkEntry.queries.size
+    assert(Bench.priorIsTruncated(3, board), "3-query prior must refuse")
+    assert(Bench.priorIsTruncated(board / 2 - 1, board))
+    assert(!Bench.priorIsTruncated(board, board), "full prior is a baseline")
+    assert(!Bench.priorIsTruncated(board - 5, board),
+      "a few gates added since last round must not refuse the prior")
+    assert(!Bench.priorIsTruncated(0, board), "no prior = guard-less, not refusal")
+  }
 }

@@ -34,8 +34,19 @@ class WidthInvarianceSpec extends SparkSpec {
   }
 
   test("retrieval_snapshot_timetravel: narrow gate equals wide operator") {
-    assert(rows(SparkEntry.queries("retrieval_snapshot_timetravel")(spark.newSession(), sf))
-      == rows(graft.vector.SnapshotRetrieval.searchTimeTravel(wide(), sf, terms)))
+    // each side must BUILD its master, not hit the other's fixture
+    // memo — this pin is about build-width invariance, not search-only
+    graft.vector.SnapshotRetrieval.clearFixtureMemoForTests()
+    val narrow = rows(SparkEntry.queries("retrieval_snapshot_timetravel")(spark.newSession(), sf))
+    graft.vector.SnapshotRetrieval.clearFixtureMemoForTests()
+    assert(narrow == rows(graft.vector.SnapshotRetrieval.searchTimeTravel(wide(), sf, terms)))
+  }
+
+  test("retrieval_snapshot_maintenance: narrow gate equals wide operator") {
+    graft.vector.SnapshotRetrieval.clearFixtureMemoForTests()
+    val narrow = rows(SparkEntry.queries("retrieval_snapshot_maintenance")(spark.newSession(), sf))
+    graft.vector.SnapshotRetrieval.clearFixtureMemoForTests()
+    assert(narrow == rows(graft.vector.SnapshotRetrieval.searchAfterMaintenance(wide(), sf, terms)))
   }
 
   test("graph_pagerank ranks are width- and AQE-independent") {
