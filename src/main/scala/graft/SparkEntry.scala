@@ -2949,7 +2949,12 @@ object SparkEntry {
     * deployments keep the session defaults; this is gate economics
     * only. */
   private def narrowProbe(s: SparkSession): SparkSession =
-    probeSession(s,
+    // dev A/B hook (graft.AbGate): -Dgraft.wideProbe=true turns every
+    // narrow probe into a plain throwaway session at the caller's
+    // width, so one JVM can interleave narrow/wide arms of the same
+    // gate and difference out box-load drift. Never set by the driver.
+    if (java.lang.Boolean.getBoolean("graft.wideProbe")) probeSession(s)
+    else probeSession(s,
       "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.adaptive.enabled" -> "false")
 

@@ -1963,4 +1963,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*), sum(idx) FROM gsql.main.zs").head()
       .getLong(0) == 2000L)
   }
+
+  test("dv-position memo: repeated reads reuse positions, a new delete invalidates") {
+    // the r18 memo (SnapshotTable.dvPositionMap) keys on the pointing
+    // set (file -> sidecar dir). The failure this pins: a STALE HIT —
+    // a second delete repoints files to a NEW sidecar dir; if the
+    // memo served the old positions, the first read after the second
+    // delete would resurrect the newly-deleted rows (silent data
+    // loss in reverse). Values, not mechanism: every read must be
+    // exact before AND after each commit, twice in a row (the second
+    // read of each state is the memo-hit path).
+    val t = freshTable("t_dvmemo")
+    sql(s"INSERT INTO $t SELECT id, concat('r', id) FROM range(400)")
+    val root = s"$wh/main/t_dvmemo"
+    import org.apache.spark.sql.functions.col
+    // deleteWhere is ALWAYS a dv commit (SQL DELETE only dv-routes
+    // filter-translatable predicates); the % shapes guarantee both
+    // commits touch the same files, so #2 REPOINTS them
+    graft.sources.SnapshotTable.deleteWhere(spark, root, col("id") % 10 === 0)
+    def surviving(): Seq[Long] =
+      sql(s"SELECT id FROM $t ORDER BY id").collect().map(_.getLong(0)).toSeq
+    val after1 = (0L until 400L).filterNot(_ % 10 == 0)
+    assert(surviving() == after1, "first read after delete #1")
+    assert(surviving() == after1, "memo-hit read of the same state")
+    graft.sources.SnapshotTable.deleteWhere(spark, root, col("id") % 7 === 3)
+    val after2 = after1.filterNot(_ % 7 == 3)
+    assert(surviving() == after2,
+      "a stale memo hit would resurrect the second delete's rows")
+    assert(surviving() == after2, "memo-hit read of the post-#2 state")
+    // time travel back to the #1 state must still see #1's positions
+    val v = graft.sources.SnapshotTable.versions(spark, s"$wh/main/t_dvmemo")
+    val atV3 = sql(s"SELECT id FROM $t VERSION AS OF ${v(v.length - 2)} ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(atV3 == after1, "time travel reads its own version's dv set")
+  }
 }

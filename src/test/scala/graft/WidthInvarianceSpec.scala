@@ -49,6 +49,29 @@ class WidthInvarianceSpec extends SparkSpec {
     assert(narrow == rows(graft.vector.SnapshotRetrieval.searchAfterMaintenance(wide(), sf, terms)))
   }
 
+  /** Replay a gate twice through its OWN wiring — once narrow (the
+    * bench shape), once with `-Dgraft.wideProbe=true` flipping every
+    * narrowProbe to the caller's width — and demand identical rows.
+    * This pins narrowed gates whose cycle is not publicly callable
+    * (r17 advice: only 3 of ~27 narrowed gates had replays). */
+  private def gateWideReplay(gate: String): Unit = {
+    val narrow = rows(SparkEntry.queries(gate)(spark.newSession(), sf))
+    System.setProperty("graft.wideProbe", "true")
+    try {
+      val w = wide()
+      assert(narrow == rows(SparkEntry.queries(gate)(w, sf)),
+        s"$gate: narrow-probe rows differ from wide replay")
+    } finally { System.clearProperty("graft.wideProbe"); () }
+  }
+
+  test("meta_snapshot_merge: narrow gate equals its own wide replay") {
+    gateWideReplay("meta_snapshot_merge")
+  }
+
+  test("meta_snapshot_zorder_read: narrow gate equals its own wide replay") {
+    gateWideReplay("meta_snapshot_zorder_read")
+  }
+
   test("graph_pagerank ranks are width- and AQE-independent") {
     import org.apache.spark.sql.functions.col
     def ranks(s: SparkSession): Seq[String] = {
