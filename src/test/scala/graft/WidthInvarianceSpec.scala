@@ -72,6 +72,28 @@ class WidthInvarianceSpec extends SparkSpec {
     gateWideReplay("meta_snapshot_zorder_read")
   }
 
+  test("every remaining narrowed gate equals its own wide replay") {
+    // the full r17-advice closure: all narrowProbe'd gates, not just
+    // representatives. Failures accumulate so ONE run reports every
+    // width-sensitive gate, not the first.
+    val gates = Seq(
+      "text_lm_perplexity",
+      "meta_snapshot_schema_evo", "meta_snapshot_history",
+      "meta_snapshot_indexed_read", "meta_snapshot_point_read",
+      "meta_snapshot_2d_read", "meta_snapshot_2d_string_read",
+      "meta_snapshot_compact_incr", "meta_snapshot_compact_range",
+      "meta_snapshot_mirror", "meta_snapshot_string_merge",
+      "meta_snapshot_delete", "meta_snapshot_bloom_read",
+      "meta_snapshot_column_map", "meta_snapshot_nested_map",
+      "meta_snapshot_constraints", "meta_snapshot_files",
+      "meta_snapshot_asof", "meta_snapshot_merge_on_read")
+    val bad = gates.flatMap { g =>
+      try { gateWideReplay(g); None }
+      catch { case e: Throwable => Some(s"$g: ${e.getMessage.take(200)}") }
+    }
+    assert(bad.isEmpty, s"width-sensitive gates:\n${bad.mkString("\n")}")
+  }
+
   test("graph_pagerank ranks are width- and AQE-independent") {
     import org.apache.spark.sql.functions.col
     def ranks(s: SparkSession): Seq[String] = {
