@@ -47,8 +47,17 @@ object Bm25 {
 
   /** Same operator over an ARBITRARY (doc_id, text, ...) corpus frame —
     * how retrieval is served from a [[graft.sources.SnapshotTable]]
-    * version instead of the raw parquet table. */
-  def bm25Over(docs: DataFrame, queryTerms: Seq[String], k: Int = 15): DataFrame = {
+    * version instead of the raw parquet table.
+    *
+    * `knownStats` = (n_docs, total_dl) when the caller already holds
+    * the corpus stats (an immutable snapshot version's stats are a
+    * constant — retrieval memoizes them next to its table fixture):
+    * the scalars ride the score expression as LITERALS and the
+    * per-query stats aggregate + broadcast disappear from the plan.
+    * Values are identical by construction — the literals are the same
+    * exact integer aggregates the inline path computes. */
+  def bm25Over(docs: DataFrame, queryTerms: Seq[String], k: Int = 15,
+      knownStats: Option[(Long, Long)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     // one tf struct PER DISTINCT term: a duplicated query term would
@@ -66,19 +75,23 @@ object Bm25 {
         explode(array(tfStructs: _*)).as("tc"))
       .select(col("doc_id"), col("dl"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .filter(col("tf") > 0)
-    val corpus = docs
-      .select(col("doc_id"), TextFunctions.tokenCount(lower(col("text"))).as("dl"))
-    val stats = corpus.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_dl"))
     // df = rows per term in tf (tf is one row per (doc, term)), computed
     // as a window count over the SAME frame — the groupBy+self-join form
     // evaluated the whole tokenize→explode→aggregate subtree twice. The
     // window's term partition holds only query-term postings (bounded by
     // the query), so the extra exchange is tiny.
-    val scored = tf
+    val withDf = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-      .crossJoin(broadcast(stats))
+    val scored = knownStats.fold {
+      val corpus = docs
+        .select(col("doc_id"), TextFunctions.tokenCount(lower(col("text"))).as("dl"))
+      val stats = corpus.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      withDf.crossJoin(broadcast(stats))
+    } { case (nDocs, totalDl) =>
+      withDf.withColumn("n_docs", lit(nDocs)).withColumn("total_dl", lit(totalDl))
+    }
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))

@@ -86,13 +86,27 @@ object SnapshotRetrieval {
   private def rankAndLocalize(spark: SparkSession, root: String, versions: Seq[Int],
       qv: Array[Double], queryTerms: Seq[String], k: Int, poolSize: Int): DataFrame = {
     val perVersion = versions.map { v =>
-      hybridOver(SnapshotTable.read(spark, root, Some(v)), qv, queryTerms, k, poolSize)
+      // an immutable version's BM25 corpus stats are constants — one
+      // collect per JVM, then literals in every search (the inline
+      // path re-aggregated + broadcast them per query)
+      val stats = statsMemo.computeIfAbsent(s"$root@$v", { _ =>
+        val r = SnapshotTable.read(spark, root, Some(v))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.text.TextFunctions.tokenCount(lower(col("text")))).as("total_dl"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      })
+      hybridOver(SnapshotTable.read(spark, root, Some(v)), qv, queryTerms, k,
+        poolSize, Some(stats))
         .select(lit(v.toLong).as("version"), col("doc_id"), col("rrf"))
     }
     val ranked = perVersion.reduce(_ unionByName _)
       .orderBy(col("version"), col("rrf").desc, col("doc_id"))
     graft.Scratch.localizeAndDelete(spark, ranked, Seq.empty)
   }
+
+  private val statsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   /** The collected query vector, memoized with the same lifetime as
     * the table fixtures (it is a pure function of (dir, vecId) — one
@@ -216,17 +230,22 @@ object SnapshotRetrieval {
 
   /** [[hybridOver]] with the query vector as a driver array: the
     * cosine side is a literal-argument map projection — no broadcast
-    * frame, no subquery dispatch. Same doubles, same ranking. */
+    * frame, no subquery dispatch. Same doubles, same ranking.
+    * `knownStats` forwards to [[Bm25.bm25Over]] (same contract). */
   def hybridOver(corpus: DataFrame, qv: Array[Double], queryTerms: Seq[String],
-      k: Int, poolSize: Int): DataFrame =
+      k: Int, poolSize: Int,
+      knownStats: Option[(Long, Long)] = None): DataFrame =
     fuse(corpus, queryTerms, k, poolSize,
       corpus.select(col("doc_id"),
-        round(VectorOps.cosine(col("v"), typedLit(qv.toSeq)), 6).as("score")))
+        round(VectorOps.cosine(col("v"), typedLit(qv.toSeq)), 6).as("score")),
+      knownStats)
 
   private def fuse(corpus: DataFrame, queryTerms: Seq[String], k: Int,
-      poolSize: Int, scored: DataFrame): DataFrame = {
+      poolSize: Int, scored: DataFrame,
+      knownStats: Option[(Long, Long)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sparse = Bm25.bm25Over(corpus.select(col("doc_id"), col("text")), queryTerms, poolSize)
+    val sparse = Bm25.bm25Over(corpus.select(col("doc_id"), col("text")), queryTerms,
+      poolSize, knownStats)
       .withColumn("rank_sparse", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("rank_sparse"))
