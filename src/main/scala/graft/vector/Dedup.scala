@@ -645,23 +645,48 @@ object Dedup {
     val (assigned, pairs) = semanticSpine(spark, emb, k, iters, threshold)
     val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
     val kept = assigned.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
-    val nVec = assigned.agg(count(lit(1)).as("n_vectors"))
-    val partAgg = assigned.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
-      .agg(count(lit(1)).as("n_nonempty"), sum(col("sz")).as("sz_sum"))
-    val keptAgg = kept.agg(count(lit(1)).as("n_kept"))
-    val dropAgg = dropped.agg(count(lit(1)).as("n_dropped"))
-    val violAgg = pairs
-      .join(kept.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_viol"))
-    val scoreAgg = pairs.agg(min(col("score")).as("min_score"))
-    nVec.crossJoin(broadcast(partAgg)).crossJoin(broadcast(keptAgg))
-      .crossJoin(broadcast(dropAgg)).crossJoin(broadcast(violAgg))
-      .crossJoin(broadcast(scoreAgg))
-      .select(col("n_vectors"), col("n_dropped"),
-        (col("sz_sum") === col("n_vectors") && col("n_nonempty") <= k &&
-          col("n_kept") + col("n_dropped") === col("n_vectors")).as("part_ok"),
-        (col("n_viol") === 0L).as("greedy_ok"),
-        coalesce(col("min_score") >= threshold, lit(true)).as("scores_ok"))
+    // the five contract aggregates UNION into one collected plan —
+    // the crossJoin(broadcast(oneRow)) form dispatched a broadcast
+    // subquery per aggregate (r18 census: this gate was the board's
+    // top job count). All frames below ride the spine's two persisted
+    // frames, so the union evaluates each branch once. sz_sum IS
+    // n_vectors (both count the assigned frame); the partition checks
+    // with content are n_nonempty <= k and kept + dropped = total.
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val tagged = Seq(
+      assigned.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("a"), sum(col("sz")).as("b"))
+        .select(lit("part").as("t"), col("a"), col("b"), nullD.as("s")),
+      kept.agg(count(lit(1)).as("a"))
+        .select(lit("kept").as("t"), col("a"), nullL.as("b"), nullD.as("s")),
+      dropped.agg(count(lit(1)).as("a"))
+        .select(lit("drop").as("t"), col("a"), nullL.as("b"), nullD.as("s")),
+      pairs.join(kept.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_semi")
+        .agg(count(lit(1)).as("a"))
+        .select(lit("viol").as("t"), col("a"), nullL.as("b"), nullD.as("s")),
+      pairs.agg(min(col("score")).as("s"))
+        .select(lit("score").as("t"), nullL.as("a"), nullL.as("b"), col("s"))
+    ).reduce(_ unionAll _).collect().map(r => r.getString(0) -> r).toMap
+    val nNonempty = tagged("part").getLong(1)
+    val nVectors = tagged("part").getLong(2)
+    val nKept = tagged("kept").getLong(1)
+    val nDropped = tagged("drop").getLong(1)
+    val nViol = tagged("viol").getLong(1)
+    val minScore = if (tagged("score").isNullAt(3)) None
+      else Some(tagged("score").getDouble(3))
+    val partOk = nNonempty <= k && nKept + nDropped == nVectors
+    val greedyOk = nViol == 0L
+    val scoresOk = minScore.forall(_ >= threshold)
+    // throw-on-false discipline: a violated contract names itself in
+    // the correctness artifact's err field instead of hash-mismatching
+    if (!partOk || !greedyOk || !scoresOk) throw new IllegalStateException(
+      s"dedup_semantic invariants failed: part_ok=$partOk ($nNonempty clusters, " +
+        s"$nKept+$nDropped of $nVectors), greedy_ok=$greedyOk ($nViol kept-kept " +
+        s"pairs), scores_ok=$scoresOk (min=$minScore, threshold=$threshold)")
+    import spark.implicits._
+    Seq((nVectors, nDropped, partOk, greedyOk, scoresOk))
+      .toDF("n_vectors", "n_dropped", "part_ok", "greedy_ok", "scores_ok")
   }
 
   def semanticDedupSql(threshold: Double = 0.85): String = s"""
