@@ -33,6 +33,30 @@ object KMeans {
   private def centroidArr(centroids: DataFrame): DataFrame =
     centroids.agg(sort_array(collect_list(struct(col("list_id"), col("cv")))).as("centroid_arr"))
 
+  /** Element-wise vector-sum aggregator: the Lloyd update's partials
+    * are (count, Σv) per cluster — O(k·(dim+1)) doubles through ONE
+    * shuffle with map-side combine. The previous posexplode form
+    * inflated the map stream dim× into (cluster, dim) rows and paid
+    * TWO shuffles per round (the per-dim mean, then the collect_list
+    * reassembly) — at 100 TB × dim=1024 that is the difference
+    * between a model-sized exchange and a corpus×dim one. */
+  private object VecSum extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.empty[Double]
+    override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
+      if (b.isEmpty) a.toArray
+      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+    override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Train centroids: deterministic seed (first k by vec_id) + `iters`
     * Lloyd rounds. Returns (list_id, cv).
     *
@@ -42,9 +66,16 @@ object KMeans {
     * assign+aggregate plan per iteration and re-executes all previous
     * rounds on every action (measured 3× slower at 3 iters). Collecting
     * model parameters is not a driver-side data path: it is exactly
-    * what a parameter broadcast is. */
+    * what a parameter broadcast is.
+    *
+    * Determinism note: per-dim means round to 9 dp exactly as the old
+    * per-dim `avg` did; the [[VecSum]] partials may add in a different
+    * order than avg's, but the 9-dp rounding absorbs 1-ulp association
+    * differences (the same argument the round-to-9dp contract has
+    * always rested on). */
   def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
+    val vecSum = udaf(VecSum)
     var centroids: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("list_id"), col("v").as("cv"))
       .as[(Long, Seq[Double])].collect().toSeq
@@ -55,13 +86,10 @@ object KMeans {
         .withColumn("list_id", nearestCentroid(col("v")))
         .select(col("list_id"), col("v"))
       val means = assigned
-        .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("list_id"), col("dim"))
-        .agg(round(avg(col("x")), 9).as("m"))
         .groupBy(col("list_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("cv"))
+        .agg(count(lit(1)).as("n"), vecSum(col("v")).as("s"))
+        .select(col("list_id"),
+          transform(col("s"), x => round(x / col("n"), 9)).as("cv"))
         .as[(Long, Seq[Double])].collect().toMap
       // empty clusters keep their previous centroid
       centroids = centroids.map { case (id, old) => (id, means.getOrElse(id, old)) }
