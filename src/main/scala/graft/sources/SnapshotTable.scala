@@ -4580,6 +4580,12 @@ object SnapshotTable {
     * [[compact]]/[[maintain]] rewrite the debt away. Loud, never wrong. */
   private[graft] val SqlDvCollectCap = 8L * 1000 * 1000
 
+  /** Per-entry retention cap for [[dvMapMemo]]: entries above this
+    * many positions are served but not retained, so the 32-entry LRU
+    * is bounded at ~100 MB of longs worst case instead of 32 × the
+    * collect cap (~2 GB). */
+  private val DvMemoMaxPositions = 400 * 1000
+
   /** Backing LRU for [[SqlSnapshot.dvPositionMap]]'s memo — see its
     * doc for the immutability argument. Access-ordered, bounded; all
     * access synchronized on the map itself. */
@@ -4850,7 +4856,13 @@ object SnapshotTable {
           val built = rows.groupBy(_.getString(0)).map { case (p, rs) =>
             val a = rs.map(_.getLong(1)); java.util.Arrays.sort(a); p -> a
           }
-          dvMapMemo.synchronized { dvMapMemo.put(memoKey, built); () }
+          // retention bound: the LRU holds up to 32 entries, so only
+          // maps small enough that 32 of them stay O(100 MB) are
+          // retained — a huge-dv table re-collects per scan exactly as
+          // before the memo (the transient collect is already bounded
+          // by SqlDvCollectCap and loud)
+          if (rows.length <= DvMemoMaxPositions)
+            dvMapMemo.synchronized { dvMapMemo.put(memoKey, built); () }
           built
         }
       }
