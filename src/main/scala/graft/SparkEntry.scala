@@ -3596,8 +3596,9 @@ object SparkEntry {
     var lapT0 = System.nanoTime()
     val lapJobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val lapOn = sys.env.contains("SPARK_GRAFT_GATE_TIMING")
-    if (lapOn) s.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
+    val lapListener: Option[org.apache.spark.scheduler.SparkListener] =
+      if (!lapOn) None
+      else Some(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           lapJobs.incrementAndGet()
@@ -3607,6 +3608,7 @@ object SparkEntry {
                 .mkString(" | "))
         }
       })
+    lapListener.foreach(s.sparkContext.addSparkListener)
     def lap(tag: String): Unit = if (lapOn) {
       org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(s)
       Console.err.println(f"[sqltime] $tag%-14s jobs=${lapJobs.get}%3d " +
@@ -3698,6 +3700,9 @@ object SparkEntry {
         gs.nonEmpty && gs.map(_.keptFileCount).max == 1
       }
     lap("pruned_probe")
+    // the dev listener is context-wide — remove it or a multi-run
+    // bench with the env set accumulates one per invocation
+    lapListener.foreach(s.sparkContext.removeSparkListener)
     graft.Scratch.registerForCleanup(root)
     pinInvariants("meta_snapshot_sql",
       ("dv_zero_copy", dvZeroCopy, () => "SQL DELETE moved data files"),

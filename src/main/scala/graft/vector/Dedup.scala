@@ -668,11 +668,15 @@ object Dedup {
       pairs.agg(min(col("score")).as("s"))
         .select(lit("score").as("t"), nullL.as("a"), nullL.as("b"), col("s"))
     ).reduce(_ unionAll _).collect().map(r => r.getString(0) -> r).toMap
-    val nNonempty = tagged("part").getLong(1)
-    val nVectors = tagged("part").getLong(2)
-    val nKept = tagged("kept").getLong(1)
-    val nDropped = tagged("drop").getLong(1)
-    val nViol = tagged("viol").getLong(1)
+    // sum over zero groups is NULL — an empty embeddings input must
+    // surface as the named invariant failure below, not an NPE here
+    def longAt(tag: String, i: Int): Long =
+      if (tagged(tag).isNullAt(i)) 0L else tagged(tag).getLong(i)
+    val nNonempty = longAt("part", 1)
+    val nVectors = longAt("part", 2)
+    val nKept = longAt("kept", 1)
+    val nDropped = longAt("drop", 1)
+    val nViol = longAt("viol", 1)
     val minScore = if (tagged("score").isNullAt(3)) None
       else Some(tagged("score").getDouble(3))
     val partOk = nNonempty <= k && nKept + nDropped == nVectors

@@ -5,15 +5,17 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Scratch-directory lifecycle: queries that build a write-lifecycle
-  * corpus under /tmp either localize a BOUNDED result and delete the
-  * root immediately (top-k retrieval queries), or return a distributed
-  * per-doc frame and register the root for the runner's drain (the
-  * CacheScope contract, for paths). Before this lifecycle existed,
-  * benching leaked a corpus-sized tree per invocation. */
+  * corpus under /tmp either serve from a JVM-kept master FIXTURE
+  * (retrieval gates since r18: at most one `graft-retfix-` dir per
+  * gate per process, swept by a shutdown hook), or return a
+  * distributed per-doc frame and register the root for the runner's
+  * drain (the CacheScope contract, for paths). Before this lifecycle
+  * existed, benching leaked a corpus-sized tree per invocation. */
 class ScratchSpec extends SparkSpec {
 
   private val prefixes =
-    Seq("graft-retrieval-", "graft-retmaint-", "graft-snapq", "graft-schevo", "graft-srcq")
+    Seq("graft-retrieval-", "graft-retmaint-", "graft-retfix-",
+      "graft-snapq", "graft-schevo", "graft-srcq")
 
   private def scratchDirs(): Set[String] = {
     val s = Files.list(Paths.get("/tmp"))
@@ -24,13 +26,23 @@ class ScratchSpec extends SparkSpec {
     finally s.close()
   }
 
-  test("bounded-result lifecycle queries leave no scratch directories behind") {
+  test("retrieval gates keep BOUNDED fixtures: repeat runs add no dirs") {
+    // r18 semantics: each gate memoizes ONE master table per JVM
+    // (key: dir + terms + vec id) — the per-invocation
+    // graft-retrieval-/graft-retmaint- scratch trees no longer exist,
+    // and a re-run must reuse the master, not rebuild it. A regression
+    // that rebuilt per call (e.g. key churn) grows /tmp per invocation
+    // and fails the diff below.
     for (q <- Seq("retrieval_snapshot_timetravel", "retrieval_snapshot_maintenance")) {
-      val before = scratchDirs()
-      val n = SparkEntry.queries(q)(spark, sf).count()
-      assert(n > 0, s"$q must still produce rows")
-      val leaked = scratchDirs() diff before
-      assert(leaked.isEmpty, s"$q leaked scratch dirs: $leaked")
+      val n1 = SparkEntry.queries(q)(spark, sf).count() // may build the master
+      val after1 = scratchDirs()
+      val n2 = SparkEntry.queries(q)(spark, sf).count()
+      assert(n1 == n2 && n1 > 0, s"$q must produce stable rows")
+      val grown = scratchDirs() diff after1
+      assert(grown.isEmpty, s"$q rebuilt its fixture on a repeat run: $grown")
+      assert(!after1.exists(d => d.startsWith("graft-retrieval-") ||
+        d.startsWith("graft-retmaint-")),
+        s"$q must not recreate the per-invocation scratch trees")
     }
   }
 

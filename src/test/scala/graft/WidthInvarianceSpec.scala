@@ -72,11 +72,10 @@ class WidthInvarianceSpec extends SparkSpec {
     gateWideReplay("meta_snapshot_zorder_read")
   }
 
-  test("every remaining narrowed gate equals its own wide replay") {
-    // the full r17-advice closure: all narrowProbe'd gates, not just
-    // representatives. Failures accumulate so ONE run reports every
-    // width-sensitive gate, not the first.
-    val gates = Seq(
+  /** Gates replayed by the loop test below. Kept in ONE place so the
+    * coverage lint can compare it against the actual narrowProbe
+    * wirings in SparkEntry's source. */
+  private val loopReplayed = Seq(
       "text_lm_perplexity",
       "meta_snapshot_schema_evo", "meta_snapshot_history",
       "meta_snapshot_indexed_read", "meta_snapshot_point_read",
@@ -87,11 +86,45 @@ class WidthInvarianceSpec extends SparkSpec {
       "meta_snapshot_column_map", "meta_snapshot_nested_map",
       "meta_snapshot_constraints", "meta_snapshot_files",
       "meta_snapshot_asof", "meta_snapshot_merge_on_read")
-    val bad = gates.flatMap { g =>
+
+  test("every remaining narrowed gate equals its own wide replay") {
+    // the full r17-advice closure: all narrowProbe'd gates, not just
+    // representatives. Failures accumulate so ONE run reports every
+    // width-sensitive gate, not the first.
+    val bad = loopReplayed.flatMap { g =>
       try { gateWideReplay(g); None }
       catch { case e: Throwable => Some(s"$g: ${e.getMessage.take(200)}") }
     }
     assert(bad.isEmpty, s"width-sensitive gates:\n${bad.mkString("\n")}")
+  }
+
+  test("replay coverage tracks the narrowProbe wirings (self-maintaining)") {
+    // lint: parse SparkEntry's queries map for `"gate" -> ... narrowProbe(`
+    // wirings and demand each one is replayed by SOME test in this
+    // suite. The next gate someone narrows fails here until it gets a
+    // replay — the closure cannot silently erode (r18 review finding).
+    val srcPath = java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")
+    assume(java.nio.file.Files.exists(srcPath), "source tree not present")
+    val src = new String(java.nio.file.Files.readAllBytes(srcPath), "UTF-8")
+    val mapRegion = src.substring(0, src.indexOf("def oracleSql"))
+    val entry = "\"([a-z0-9_]+)\"\\s*->".r
+    var current: String = null
+    val narrowed = scala.collection.mutable.LinkedHashSet[String]()
+    mapRegion.linesIterator.foreach { line =>
+      entry.findFirstMatchIn(line).foreach(m => current = m.group(1))
+      if (line.contains("narrowProbe(") && current != null) narrowed += current
+    }
+    assert(narrowed.nonEmpty, "lint lost the wirings — regex or layout drift")
+    val covered = loopReplayed.toSet ++ Set(
+      "dedup_decontaminate", "retrieval_snapshot_timetravel",
+      "retrieval_snapshot_maintenance", "meta_snapshot_merge",
+      "meta_snapshot_zorder_read", "text_lm_perplexity")
+    val uncovered = narrowed.toSet -- covered
+    val stale = covered -- narrowed.toSet
+    assert(uncovered.isEmpty,
+      s"narrowed gates with NO wide replay in this suite: $uncovered")
+    assert(stale.isEmpty,
+      s"replays for gates that are no longer narrowed (update the lists): $stale")
   }
 
   test("graph_pagerank ranks are width- and AQE-independent") {
