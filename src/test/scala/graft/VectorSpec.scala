@@ -82,6 +82,23 @@ class VectorSpec extends SparkSpec {
     assert(top.head._2 > top(1)._2)
   }
 
+  test("bm25 literal-stats path is bit-identical to the inline-stats path") {
+    // the retrieval gates pass memoized (n_docs, total_dl) as literals
+    // (r18); the contract is exact score identity with the inline
+    // aggregate+broadcast form when the literals ARE those aggregates
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val terms = SparkEntry.queryTerms
+    val stats = docs.agg(
+      count(lit(1)),
+      sum(graft.text.TextFunctions.tokenCount(lower(col("text"))))).head()
+    val known = (stats.getLong(0), stats.getLong(1))
+    val inline = Bm25.bm25Over(docs, terms, 25)
+      .collect().map(_.toString).toSeq
+    val literal = Bm25.bm25Over(docs, terms, 25, Some(known))
+      .collect().map(_.toString).toSeq
+    assert(inline == literal)
+  }
+
   test("jaccard of identical token sets is 1.0 on candidate pairs") {
     val tmp = java.nio.file.Files.createTempDirectory("jac").toString
     Seq(
