@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// WidthInvarianceSpec replays gates under a JVM-global
+// -Dgraft.wideProbe toggle; suites must not run concurrently in the
+// forked JVM or another suite's narrowProbe calls would silently read
+// the flag mid-replay. False is sbt's default for forked tests — pinned
+// here so the suite-sequential execution the toggle relies on is a
+// declared contract, not an accident.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -27,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   * a job total it isn't part of). With SPARK_GRAFT_ACTIONS_OUT=<path>
   * the same census is also written as one JSON object:
   * `{"sf":…,"cpus":…,"gates":{name:{"jobs":n,"sec":s}},"failed":[…],
-  *   "total_jobs":N,"total_sec":S}`.
+  *   "total_jobs":N,"total_sec":S}`. Gates that amortize a one-time
+  * fixture build across invocations (fixture-memo policy, PLANS.md)
+  * additionally carry `"build_jobs"`/`"build_sec"` — recorded via
+  * [[FixtureCensus]] when the warm-up pass built the fixture — so the
+  * cached cost stays on the board.
   */
 object ActionCount {
   def main(args: Array[String]): Unit = {
@@ -91,8 +95,16 @@ object ActionCount {
           (name, n, sec)
         }
     } }
+    // gates that amortize a one-time fixture build across invocations
+    // (fixture-memo policy, PLANS.md r19) record the build here — the
+    // census reports it NEXT TO the steady-state count instead of
+    // letting cached work vanish from the board
+    val fixtures = FixtureCensus.snapshot
     rows.sortBy(-_._2).foreach { case (name, n, sec) =>
-      println(f"$name%-34s jobs=$n%4d  sec=$sec%7.2f")
+      val fx = fixtures.get(name)
+        .map { case (bj, bs) => f"  build_jobs=$bj%3d build_sec=$bs%6.2f" }
+        .getOrElse("")
+      println(f"$name%-34s jobs=$n%4d  sec=$sec%7.2f$fx")
     }
     // totals cover the SAME gate set: succeeded gates (jobs >= 0 —
     // a gate that legitimately ran zero jobs counts), with failures
@@ -107,7 +119,11 @@ object ActionCount {
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
       val gates = rows.sortBy(_._1)
         .map { case (name, n, sec) =>
-          "\"" + name + "\":{\"jobs\":" + n + ",\"sec\":" + fmt(sec) + "}" }
+          val fx = fixtures.get(name)
+            .map { case (bj, bs) =>
+              ",\"build_jobs\":" + bj + ",\"build_sec\":" + fmt(bs) }
+            .getOrElse("")
+          "\"" + name + "\":{\"jobs\":" + n + ",\"sec\":" + fmt(sec) + fx + "}" }
         .mkString("{", ",", "}")
       val json = s"""{"sf":"$sfDir","cpus":$cpus,"gates":$gates,""" +
         s""""failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

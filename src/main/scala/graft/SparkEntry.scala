@@ -3609,12 +3609,16 @@ object SparkEntry {
         }
       })
     lapListener.foreach(s.sparkContext.addSparkListener)
+    // the dev listener is context-wide — remove it in a finally or a
+    // multi-run bench with the env set accumulates one per invocation
+    // every time any statement below throws
     def lap(tag: String): Unit = if (lapOn) {
       org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(s)
       Console.err.println(f"[sqltime] $tag%-14s jobs=${lapJobs.get}%3d " +
         f"${(System.nanoTime() - lapT0) / 1e9}%.3f s")
       lapJobs.set(0); lapT0 = System.nanoTime()
     }
+    try {
     val wh = SqlCat.ensure(s)
     val base = uniqName("docs_sql") // two-runner collision guard
     val t = s"${SqlCat.name}.g.$base"
@@ -3700,9 +3704,6 @@ object SparkEntry {
         gs.nonEmpty && gs.map(_.keptFileCount).max == 1
       }
     lap("pruned_probe")
-    // the dev listener is context-wide — remove it or a multi-run
-    // bench with the env set accumulates one per invocation
-    lapListener.foreach(s.sparkContext.removeSparkListener)
     graft.Scratch.registerForCleanup(root)
     pinInvariants("meta_snapshot_sql",
       ("dv_zero_copy", dvZeroCopy, () => "SQL DELETE moved data files"),
@@ -3716,6 +3717,7 @@ object SparkEntry {
       .withColumn("time_travel", lit(ttOk))
       .withColumn("pruned", lit(pruned))
       .orderBy(col("document_id"))
+    } finally lapListener.foreach(s.sparkContext.removeSparkListener)
   }
 
   private def snapshotSqlCycleSql: String = """

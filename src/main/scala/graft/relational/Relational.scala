@@ -868,15 +868,21 @@ object Relational {
 
   /** Q11-style: important stock — parts whose inventory value exceeds
     * 1/10000 of the total. Value stays in integer cents until the
-    * final projection; the threshold compare is integer-exact
-    * (value * 10000 > total). The total is a broadcast scalar. */
+    * final projection; the threshold compare is integer-exact AND
+    * overflow-free: `value > total div 10000` is equivalent to
+    * `value * 10000 > total` for non-negative longs (floor division:
+    * total = 10000·q + r, 0 ≤ r < 10000 ⟹ both sides reduce to
+    * value ≥ q + 1), but never widens past int64 — the multiply form
+    * wrapped silently in Spark's non-ANSI LongType at extreme SF while
+    * DuckDB evaluated it in HUGEINT (r18 advice). The total is a
+    * broadcast scalar. */
   def importantStock(spark: SparkSession, dir: String): DataFrame = {
     val ps = partsupp(spark, dir)
     val perPart = ps.groupBy(col("ps_partkey"))
       .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
     val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("value_cents") * 10000 > col("total_cents"))
+      .filter(col("value_cents") > expr("total_cents div 10000"))
       .select(col("ps_partkey"), (col("value_cents") / lit(100.0)).as("value"))
       .orderBy(col("value").desc, col("ps_partkey"))
   }
@@ -885,11 +891,12 @@ object Relational {
     * DuckDB HUGEINT — on purpose. Neither `value_cents` nor
     * `total_cents` is projected (only `value_cents / 100.0`, DOUBLE
     * in both engines), so their width never reaches the dtype-strict
-    * compare; and the threshold multiply `value_cents * 10000`
-    * evaluates in HUGEINT, which cannot overflow at any SF — the r17
-    * `CAST(... AS BIGINT)` form put the multiply in int64, where an
-    * extreme scale factor would error. Pinned in RelationalSpec's
-    * per-occurrence lint allowlist. */
+    * compare; and the threshold is the floor-division form (`//` is
+    * DuckDB integer division, matching Spark's `div`) so BOTH engines
+    * stay overflow-free at any SF — the earlier multiply form wrapped
+    * silently on the Spark side's int64 while DuckDB widened to
+    * HUGEINT (r18 advice: asymmetric divergence, not symmetric error).
+    * Pinned in RelationalSpec's per-occurrence lint allowlist. */
   def importantStockSql: String = s"""
     WITH $partsuppSqlCte,
     pp AS (SELECT ps_partkey,
@@ -898,6 +905,6 @@ object Relational {
     tot AS (SELECT SUM(value_cents) AS total_cents FROM pp)
     SELECT ps_partkey, value_cents / 100.0 AS value
     FROM pp, tot
-    WHERE value_cents * 10000 > total_cents
+    WHERE value_cents > total_cents // 10000
     ORDER BY value DESC, ps_partkey"""
 }

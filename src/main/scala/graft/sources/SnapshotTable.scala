@@ -4586,6 +4586,20 @@ object SnapshotTable {
     * collect cap (~2 GB). */
   private val DvMemoMaxPositions = 400 * 1000
 
+  /** The memo key for one (table root, file → dv-sidecar pointing set).
+    * Every boundary is delimited with a distinct control char — root
+    * from entries (NUL), path from dv dir (SOH), entry from entry
+    * (STX) — so no two distinct pointing sets can serialize to one
+    * key. A collision here would serve another table state's deleted
+    * positions (silent wrong rows), so the format must not rest on
+    * real path shapes never embedding each other; DvMemoKeySpec pins
+    * the classic boundary-ambiguity shapes apart. */
+  private[graft] def dvMemoKeyOf(root: String,
+      pointed: Seq[(String, String)]): String =
+    root + "\u0000" +
+      pointed.iterator.map { case (p, d) => p + "\u0001" + d }
+        .toSeq.sorted.mkString("\u0002")
+
   /** Backing LRU for [[SqlSnapshot.dvPositionMap]]'s memo — see its
     * doc for the immutability argument. Access-ordered, bounded; all
     * access synchronized on the map itself. */
@@ -4840,8 +4854,7 @@ object SnapshotTable {
       val withDv = m.entries.filter(e => e.dv.isDefined && want(e.path))
       if (withDv.isEmpty) Map.empty
       else {
-        val memoKey = root + " " + withDv.iterator
-          .map(e => s"${e.path}${e.dv.get}").toSeq.sorted.mkString("")
+        val memoKey = dvMemoKeyOf(root, withDv.map(e => (e.path, e.dv.get)))
         val hit = dvMapMemo.synchronized(Option(dvMapMemo.get(memoKey)))
         hit.getOrElse {
           val known = withDv.flatMap(_.dvRows)

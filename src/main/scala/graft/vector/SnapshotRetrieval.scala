@@ -133,12 +133,16 @@ object SnapshotRetrieval {
   private val fixtureMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def fixture(key: String)(build: String => Unit): String =
+  private def fixture(spark: SparkSession, gate: String, key: String)(
+      build: String => Unit): String =
     fixtureMemo.computeIfAbsent(key, { _ =>
       val root = java.nio.file.Files
         .createTempDirectory("graft-retfix-").toString
       sys.addShutdownHook { graft.Scratch.deleteRecursively(root) }
-      build(root)
+      // fixture-memo policy condition (d): the one-time build cost is
+      // recorded by gate name so ActionCount's census reports it as
+      // build_jobs — cached work stays visible in ACTIONS_rN.json
+      graft.FixtureCensus.counted(spark, gate) { build(root) }
       root
     })
 
@@ -152,7 +156,8 @@ object SnapshotRetrieval {
   def searchTimeTravel(spark: SparkSession, dir: String,
       queryTerms: Seq[String], queryVecId: Long = 0, k: Int = 10,
       poolSize: Int = 50): DataFrame = {
-    val root = fixture(s"tt|$dir|${queryTerms.mkString(" ")}|$queryVecId") { r =>
+    val root = fixture(spark, "retrieval_snapshot_timetravel",
+        s"tt|$dir|${queryTerms.mkString(" ")}|$queryVecId") { r =>
       val corpus = corpusOf(spark, dir)
       val qvec = queryVec(spark, dir, queryVecId)
       SnapshotTable.create(spark, r, corpus, statsKey = Some("doc_id"))
@@ -182,7 +187,8 @@ object SnapshotRetrieval {
   def searchAfterMaintenance(spark: SparkSession, dir: String,
       queryTerms: Seq[String], queryVecId: Long = 0, k: Int = 10,
       poolSize: Int = 50): DataFrame = {
-    val root = fixture(s"mt|$dir|${queryTerms.mkString(" ")}|$queryVecId") { r =>
+    val root = fixture(spark, "retrieval_snapshot_maintenance",
+        s"mt|$dir|${queryTerms.mkString(" ")}|$queryVecId") { r =>
       val corpus = corpusOf(spark, dir)
       val qvec = queryVec(spark, dir, queryVecId)
       SnapshotTable.create(spark, r, corpus, statsKey = Some("doc_id"))
