@@ -68,6 +68,22 @@ class WidthInvarianceSpec extends SparkSpec {
     gateWideReplay("meta_snapshot_merge")
   }
 
+  test("meta_snapshot_restore: narrow gate equals wide replay, fixture rebuilt") {
+    // fixture-memo policy condition (c): each arm must BUILD the
+    // 4-commit master itself — a replay over the other arm's cached
+    // master would pin search-width only, not build-width
+    SparkEntry.clearRestoreFixtureForTests()
+    val narrow = rows(SparkEntry.queries("meta_snapshot_restore")(spark.newSession(), sf))
+    SparkEntry.clearRestoreFixtureForTests()
+    System.setProperty("graft.wideProbe", "true")
+    try assert(narrow ==
+      rows(SparkEntry.queries("meta_snapshot_restore")(wide(), sf)))
+    finally {
+      System.clearProperty("graft.wideProbe")
+      SparkEntry.clearRestoreFixtureForTests() // wide master must not serve later gates
+    }
+  }
+
   test("meta_snapshot_zorder_read: narrow gate equals its own wide replay") {
     gateWideReplay("meta_snapshot_zorder_read")
   }
@@ -118,7 +134,8 @@ class WidthInvarianceSpec extends SparkSpec {
     val covered = loopReplayed.toSet ++ Set(
       "dedup_decontaminate", "retrieval_snapshot_timetravel",
       "retrieval_snapshot_maintenance", "meta_snapshot_merge",
-      "meta_snapshot_zorder_read", "text_lm_perplexity")
+      "meta_snapshot_zorder_read", "text_lm_perplexity",
+      "meta_snapshot_restore")
     val uncovered = narrowed.toSet -- covered
     val stale = covered -- narrowed.toSet
     assert(uncovered.isEmpty,
