@@ -117,10 +117,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_jaccard_verify" -> ((s, d) => Dedup.jaccardOnCandidates(s, d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(narrowProbe(s), d)),
-    "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(s, d)),
+    "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(narrowProbe(s), d)),
     "dedup_span_find" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_span_strip" -> ((s, d) => Dedup.spanStripSummary(s, d)),
-    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(narrowProbe(s), d)),
     "dedup_fuzzy_verify" -> ((s, d) => Dedup.fuzzyVerify(s, d)),
     // --- vector retrieval (§2.11) ---
     "vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
@@ -185,7 +185,7 @@ object SparkEntry {
     "meta_snapshot_files" -> ((s, d) => snapshotFilesTableCycle(narrowProbe(s), d)),
     "meta_snapshot_asof" -> ((s, d) => snapshotAsOfCycle(narrowProbe(s), d)),
     "meta_snapshot_merge_on_read" -> ((s, d) => snapshotMergeOnReadCycle(narrowProbe(s), d)),
-    "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(s, d)),
+    "meta_snapshot_incr_view" -> ((s, d) => snapshotIncrViewCycle(narrowProbe(s), d)),
     "meta_source_convert" -> ((s, d) => sourceConvertCycle(s, d)),
     "sink_partitioned_export" -> ((s, d) => partitionedExportCycle(s, d)),
     "join_bucketed_colocated" -> ((s, d) => bucketedColocatedJoin(s, d)),
@@ -2128,7 +2128,12 @@ object SparkEntry {
     * version; maintained state equals a full recompute (exceptAll both
     * ways, RECOMPUTED not asserted); the emptied group's tombstone was
     * physically purged. */
-  private def snapshotIncrViewCycle(s0: SparkSession, d: String): DataFrame = {
+  private val incrViewFixtureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def clearIncrViewFixtureForTests(): Unit =
+    incrViewFixtureMemo.clear()
+
+  private def snapshotIncrViewCycle(s: SparkSession, d: String): DataFrame = {
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = {
       val t1 = System.nanoTime()
@@ -2136,16 +2141,9 @@ object SparkEntry {
         Console.err.println(f"[ivtime] $tag%-12s ${(t1 - t0) / 1e9}%.3f s")
       t0 = t1
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft-snapiv").toString
-    val tbl = s"$tmp/tbl"
-    val vw = s"$tmp/view"
-    // lifecycle shuffles here move |groups|-sized frames (~100 rows);
-    // at the session's width every tiny exchange schedules a full
-    // task wave, and this gate is ~10 ops deep — scope the width down
-    // on a THROWAWAY session (pinned, never toggled on the shared one)
-    val s = probeSession(s0,
-      "spark.sql.shuffle.partitions" -> "4",
-      "spark.sql.adaptive.enabled" -> "false")
+    // lifecycle shuffles here move |groups|-sized frames (~100 rows)
+    // and this gate is ~10 ops deep — the wiring passes a narrowProbe
+    // session (width 4, AQE off; wide-replayable via -Dgraft.wideProbe)
     // fixture sized to measure the ENGINE, not the staging (r11/r12
     // verdicts): a 23rd of the orders (gcd(23, 100) = 1 keeps every
     // grp residue populated; grp 42 holds keys ≡ 1242 (mod 2300) —
@@ -2158,32 +2156,54 @@ object SparkEntry {
     // path in one window) — plus the no-op replay. The full refresh
     // ladder and every mechanic live in IncrementalViewSpec; the gate
     // measures the lifecycle end to end and pins the invariants.
+    //
+    // Master-fixture memo (fixture-memo policy, PLANS.md r19): the
+    // PRE-REFRESH state — table commits v1..v3 plus the view created
+    // at v1 — is a pure function of the sf dir and the view has not
+    // consumed anything yet; the refresh ladder, the group-drop
+    // delete, the replay, and the purge (the features under test) all
+    // MUTATE state, so they run per invocation on a driver-side file
+    // copy of the master. Oracle re-derives from raw orders;
+    // WidthInvarianceSpec clears this memo on both replay arms.
     val base = Tables.orders(s, d)
       .filter(col("o_orderkey") % 23 === 0)
       .select(
         col("o_orderkey"),
         (col("o_orderkey") % 100).as("grp"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
-    graft.sources.SnapshotTable.create(s, tbl,                         // v1
-      base.filter(col("o_orderkey") % 4 =!= 0)
-        .repartitionByRange(2, col("o_orderkey")),
-      statsKey = Some("o_orderkey"))
-    lap("create")
-    graft.meta.IncrementalView.create(s, tbl, vw, "grp", "cents")
-    lap("viewcreate")
-    graft.sources.SnapshotTable.append(s, tbl,                         // v2
-      base.filter(col("o_orderkey") % 4 === 0).coalesce(1))
-    lap("append")
-    // the merge is RANGE-BOUNDED (a fixed key prefix): the update's
-    // whereabouts prune to the files that hold it, so the rewrite and
-    // its CDC diff measure the delta machinery, not a table-wide
-    // rewrite — the delta-accounting invariants are untouched
-    graft.sources.SnapshotTable.merge(s, tbl,                          // v3
-      base.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 4000L)
-        .withColumn("cents", col("cents") + 777L)
-        .coalesce(1),
-      key = "o_orderkey")
-    lap("merge")
+    val master = incrViewFixtureMemo.computeIfAbsent(d, { _ =>
+      graft.FixtureCensus.counted(s, "meta_snapshot_incr_view") {
+        val m = java.nio.file.Files
+          .createTempDirectory("graft-snapiv-master").toString
+        sys.addShutdownHook { graft.Scratch.deleteRecursively(m) }
+        graft.sources.SnapshotTable.create(s, s"$m/tbl",               // v1
+          base.filter(col("o_orderkey") % 4 =!= 0)
+            .repartitionByRange(2, col("o_orderkey")),
+          statsKey = Some("o_orderkey"))
+        lap("create")
+        graft.meta.IncrementalView.create(s, s"$m/tbl", s"$m/view", "grp", "cents")
+        lap("viewcreate")
+        graft.sources.SnapshotTable.append(s, s"$m/tbl",               // v2
+          base.filter(col("o_orderkey") % 4 === 0).coalesce(1))
+        lap("append")
+        // the merge is RANGE-BOUNDED (a fixed key prefix): the
+        // update's whereabouts prune to the files that hold it, so the
+        // rewrite and its CDC diff measure the delta machinery, not a
+        // table-wide rewrite
+        graft.sources.SnapshotTable.merge(s, s"$m/tbl",                // v3
+          base.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 4000L)
+            .withColumn("cents", col("cents") + 777L)
+            .coalesce(1),
+          key = "o_orderkey")
+        lap("merge")
+        m
+      }
+    })
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snapiv").toString
+    copyTree(master, tmp)
+    val tbl = s"$tmp/tbl"
+    val vw = s"$tmp/view"
+    lap("copy")
     // refresh 1's window mixes file-level inserts (the append) with a
     // content diff (the merge); refresh 2's window is PURE dv deletes —
     // the position-delta fast path in readChanges

@@ -54,14 +54,27 @@ object IncrementalView {
   private def specPath(viewRoot: String) =
     java.nio.file.Paths.get(viewRoot, "_view.json")
 
-  /** Immutable view definition, written once at [[create]]. */
+  /** Immutable view definition, written once at [[create]].
+    * `tableRoot` is stored RELATIVE to the view root's parent when the
+    * two live under one parent directory (the common layout: table and
+    * its views side by side), absolute otherwise — so a table+view
+    * pair that relocates TOGETHER (directory move, backup restore,
+    * test fixture copy) stays consistent, while a view pointed at an
+    * unrelated table still refuses a wrong-root refresh. */
   final case class ViewSpec(groupCol: String, sumCol: String, tableRoot: String)
 
   private def writeSpec(viewRoot: String, spec: ViewSpec): Unit = {
+    val vp = java.nio.file.Paths.get(viewRoot).toAbsolutePath.normalize
+    val tp = java.nio.file.Paths.get(spec.tableRoot).toAbsolutePath.normalize
+    val stored =
+      if (vp.getParent != null && tp.getParent == vp.getParent)
+        s"rel:${tp.getFileName}"
+      else tp.toString
     val json = s"""{"groupCol":"${spec.groupCol}","sumCol":"${spec.sumCol}",""" +
-      s""""tableRoot":"${spec.tableRoot}"}"""
+      s""""tableRoot":"$stored"}"""
     java.nio.file.Files.write(specPath(viewRoot),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   def readSpec(viewRoot: String): ViewSpec = {
@@ -69,7 +82,13 @@ object IncrementalView {
       java.nio.charset.StandardCharsets.UTF_8)
     def field(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).get.group(1)
-    ViewSpec(field("groupCol"), field("sumCol"), field("tableRoot"))
+    val raw = field("tableRoot")
+    val resolved =
+      if (raw.startsWith("rel:"))
+        java.nio.file.Paths.get(viewRoot).toAbsolutePath.normalize
+          .getParent.resolve(raw.stripPrefix("rel:")).toString
+      else raw
+    ViewSpec(field("groupCol"), field("sumCol"), resolved)
   }
 
   /** Full compute at the base table's CURRENT version; the view is
@@ -100,7 +119,9 @@ object IncrementalView {
     * live in. */
   def refresh(spark: SparkSession, tableRoot: String, viewRoot: String): Int = {
     val spec = readSpec(viewRoot)
-    require(spec.tableRoot == tableRoot,
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(norm(spec.tableRoot) == norm(tableRoot),
       s"view at $viewRoot tracks ${spec.tableRoot}, not $tableRoot")
     val cursor = SnapshotTable.lastTxnBatchId(spark, viewRoot).getOrElse(
       throw new IllegalStateException(

@@ -88,11 +88,26 @@ class WidthInvarianceSpec extends SparkSpec {
     gateWideReplay("meta_snapshot_zorder_read")
   }
 
+  test("meta_snapshot_incr_view: narrow gate equals wide replay, fixture rebuilt") {
+    // fixture-memo policy condition (c): each arm builds its own
+    // pre-refresh master (table v1..v3 + view) — see the restore test
+    SparkEntry.clearIncrViewFixtureForTests()
+    val narrow = rows(SparkEntry.queries("meta_snapshot_incr_view")(spark.newSession(), sf))
+    SparkEntry.clearIncrViewFixtureForTests()
+    System.setProperty("graft.wideProbe", "true")
+    try assert(narrow ==
+      rows(SparkEntry.queries("meta_snapshot_incr_view")(wide(), sf)))
+    finally {
+      System.clearProperty("graft.wideProbe")
+      SparkEntry.clearIncrViewFixtureForTests()
+    }
+  }
+
   /** Gates replayed by the loop test below. Kept in ONE place so the
     * coverage lint can compare it against the actual narrowProbe
     * wirings in SparkEntry's source. */
   private val loopReplayed = Seq(
-      "text_lm_perplexity",
+      "text_lm_perplexity", "dedup_semantic", "dedup_cluster_reps",
       "meta_snapshot_schema_evo", "meta_snapshot_history",
       "meta_snapshot_indexed_read", "meta_snapshot_point_read",
       "meta_snapshot_2d_read", "meta_snapshot_2d_string_read",
@@ -135,7 +150,7 @@ class WidthInvarianceSpec extends SparkSpec {
       "dedup_decontaminate", "retrieval_snapshot_timetravel",
       "retrieval_snapshot_maintenance", "meta_snapshot_merge",
       "meta_snapshot_zorder_read", "text_lm_perplexity",
-      "meta_snapshot_restore")
+      "meta_snapshot_restore", "meta_snapshot_incr_view")
     val uncovered = narrowed.toSet -- covered
     val stale = covered -- narrowed.toSet
     assert(uncovered.isEmpty,
