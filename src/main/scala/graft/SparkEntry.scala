@@ -29,6 +29,16 @@ object SparkEntry {
   // drift silently when a term changes
   private[graft] val queryTerms = Seq("spark", "window", "merge", "stream")
 
+  /** Batch for the multi-query BM25 gate — overlapping vocabularies on
+    * purpose, so the shared-DF amortization path (one DF count per
+    * UNION term, fanned to every query containing it) is exercised,
+    * not just the degenerate disjoint case. */
+  private[graft] val queryBatch: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "window"),
+    1L -> Seq("merge", "stream"),
+    2L -> Seq("spark", "stream", "partition"),
+    3L -> Seq("window", "shuffle", "merge"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The full snowflake join + exact aggregation. */
   def entry(spark: SparkSession): DataFrame =
@@ -134,6 +144,7 @@ object SparkEntry {
     "vec_ivfpq_topk" -> ((s, d) => VectorOps.ivfPqTopK(s, d)),
     "vec_dup_pairs" -> ((s, d) => VectorOps.embeddingDupPairs(s, d, threshold = 0.5)),
     "bm25_topk" -> ((s, d) => Bm25.bm25TopK(s, d, queryTerms)),
+    "bm25_multi_topk" -> ((s, d) => Bm25.bm25MultiTopK(s, d, queryBatch)),
     "hybrid_rrf_topk" -> ((s, d) => Bm25.hybridRrf(s, d, queryTerms)),
     // load-then-search lifecycle: hybrid RRF served from SnapshotTable
     // versions — create v1, MERGE v2, search both (time travel)
@@ -363,6 +374,7 @@ object SparkEntry {
     "vec_ivfpq_topk" -> VectorOps.ivfPqTopKSql(),
     "vec_dup_pairs" -> VectorOps.embeddingDupPairsSql(threshold = 0.5),
     "bm25_topk" -> Bm25.bm25TopKSql(queryTerms),
+    "bm25_multi_topk" -> Bm25.bm25MultiTopKSql(queryBatch),
     "hybrid_rrf_topk" -> Bm25.hybridRrfSql(queryTerms),
     "retrieval_snapshot_timetravel" ->
       graft.vector.SnapshotRetrieval.searchTimeTravelSql(queryTerms),
