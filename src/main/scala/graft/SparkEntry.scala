@@ -137,6 +137,7 @@ object SparkEntry {
     "vec_range_search" -> ((s, d) => VectorOps.rangeSearch(s, d)),
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
+    "vec_ann_probe_topk" -> ((s, d) => annProbeTopKQuery(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(s, d)),
     "vec_embed_knn" -> ((s, d) => graft.vector.HashingEmbedder.embedKnnChecked(s, d)),
@@ -369,6 +370,7 @@ object SparkEntry {
     "vec_range_search" -> VectorOps.rangeSearchSql(),
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
+    "vec_ann_probe_topk" -> annProbeTopKSql,
     "vec_ivf_topk" -> VectorOps.ivfTopKSql(),
     "vec_pq_topk" -> VectorOps.pqTopKSql(),
     "vec_ivfpq_topk" -> VectorOps.ivfPqTopKSql(),
@@ -2339,6 +2341,98 @@ object SparkEntry {
     * longs (no tolerance, no invariant reduction — the strongest gate
     * an iterative float algorithm can never have). Edges and nodes
     * persist once; each round is one join + one groupBy on node ids. */
+  /** Master-fixture memo for the ANN auto-probe gate: the LSH-declared
+    * parquet index (bucket column + schema-metadata declaration) plus
+    * the collected query vector — both pure functions of the sf dir.
+    * Ingest once, search many: the deployment story of every ANN
+    * index, and the fixture-memo policy's canonical case. */
+  private val annProbeFixtureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Double])]()
+  private[graft] def clearAnnProbeFixtureForTests(): Unit =
+    annProbeFixtureMemo.clear()
+
+  /** The SURVEY §7.4 top-k-score rewrite, gated end to end: an opt-in
+    * optimizer rule ([[graft.plans.AnnProbeRewrite]]) turns
+    * `ORDER BY cosine(v, literal q) DESC LIMIT k` over the declared
+    * index into a probe-bucket scan (query bucket + Hamming-1
+    * neighbors), with the injected IN filter reaching the parquet
+    * scan's PushedFilters. The ranking hashes against a blind DuckDB
+    * oracle that recomputes the identical probe set from the same
+    * seeded hyperplanes; `rewritten`/`pushed` pin the plan facts. */
+  private def annProbeTopKQuery(s0: SparkSession, d: String): DataFrame = {
+    val bits = 8; val dim = 64; val seed = 42L; val k = 10
+    // AQE off so the executed plan (and its scan's PushedFilters) is
+    // final at planning time — plan-only invariants, no extra actions
+    val s = probeSession(s0,
+      graft.plans.AnnProbe.AutoProbeKey -> "true",
+      "spark.sql.adaptive.enabled" -> "false")
+    graft.plans.AnnProbe.enable(s)
+    val (root, qv) = annProbeFixtureMemo.computeIfAbsent(d, { _ =>
+      graft.FixtureCensus.counted(s, "vec_ann_probe_topk") {
+        val m = java.nio.file.Files
+          .createTempDirectory("graft-annprobe-master").toString
+        sys.addShutdownHook { graft.Scratch.deleteRecursively(m) }
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), graft.vector.VectorOps.asDouble(col("embedding")).as("v"))
+        graft.plans.AnnProbe.withLshBucket(emb, "v", bits, dim, seed)
+          .write.mode("overwrite").parquet(m)
+        val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(graft.vector.VectorOps.asDouble(col("embedding")))
+          .head().getSeq[Double](0).toArray
+        (m, q)
+      }
+    })
+    val qc = array(qv.map(lit): _*)
+    val df = s.read.parquet(root)
+      .select(col("vec_id"),
+        round(graft.vector.VectorOps.cosine(col("v"), qc), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+    val rewritten = df.queryExecution.optimizedPlan.exists {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(
+        org.apache.spark.sql.catalyst.expressions.In(
+          a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _), _) =>
+        a.name == "bucket"
+      case _ => false
+    }
+    val pushed = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.exists(_.contains("In(bucket"))
+    pinInvariants("vec_ann_probe_topk",
+      ("rewritten", rewritten,
+        () => s"no probe filter in:\n${df.queryExecution.optimizedPlan.toString.take(400)}"),
+      ("pushed", pushed,
+        () => s"scan PushedFilters lack In(bucket): ${df.queryExecution.executedPlan
+          .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metadata.getOrElse("PushedFilters", "?") }.mkString(" | ")}"))
+    df.withColumn("rewritten", lit(rewritten))
+      .withColumn("pushed", lit(pushed))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  private def annProbeTopKSql: String = {
+    val bits = 8; val dim = 64; val seed = 42L; val k = 10
+    val probesSql = (Seq("SELECT b FROM qb") ++ (0 until bits)
+      .map(i => s"SELECT xor(b, CAST(${1L << i} AS BIGINT)) FROM qb"))
+      .mkString(" UNION ")
+    s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    qb AS (SELECT ${graft.vector.VectorOps.rhpLshBucketSql("qv", bits, dim, seed)} AS b FROM q),
+    probes(p) AS ($probesSql),
+    bucketed AS (
+      SELECT vec_id, v, ${graft.vector.VectorOps.rhpLshBucketSql("v", bits, dim, seed)} AS bucket
+      FROM emb)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.v, q.qv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score,
+           TRUE AS rewritten, TRUE AS pushed
+    FROM bucketed e, q
+    WHERE e.bucket IN (SELECT p FROM probes)
+    ORDER BY score DESC, vec_id LIMIT $k"""
+  }
+
   private def pageRankQuery(s0: SparkSession, d: String): DataFrame = {
     import graft.geom.PageRank
     // the rank frame is |docs| rows and every per-round shuffle is

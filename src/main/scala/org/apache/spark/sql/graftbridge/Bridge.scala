@@ -95,4 +95,17 @@ object Bridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Idempotently add an optimizer rule on a live session — lands in
+    * the optimizer's final "User Provided Optimizers" batch, i.e. the
+    * rewritten plan is what physical planning (and V1 filter pushdown,
+    * which reads Filters above the relation at PLANNING time) sees. */
+  def addOptimizerRule(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
 }

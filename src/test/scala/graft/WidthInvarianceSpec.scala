@@ -159,6 +159,17 @@ class WidthInvarianceSpec extends SparkSpec {
       s"replays for gates that are no longer narrowed (update the lists): $stale")
   }
 
+  test("vec_ann_probe_topk: narrow and wide arms each build their own index") {
+    // fixture-memo policy condition (c) for the ANN index fixture: the
+    // parquet write's width changes file COUNT, never the declared
+    // buckets or the probe ranking
+    SparkEntry.clearAnnProbeFixtureForTests()
+    val narrow = rows(SparkEntry.queries("vec_ann_probe_topk")(spark.newSession(), sf))
+    SparkEntry.clearAnnProbeFixtureForTests()
+    try assert(narrow == rows(SparkEntry.queries("vec_ann_probe_topk")(wide(), sf)))
+    finally SparkEntry.clearAnnProbeFixtureForTests()
+  }
+
   test("graph_pagerank ranks are width- and AQE-independent") {
     import org.apache.spark.sql.functions.col
     def ranks(s: SparkSession): Seq[String] = {
