@@ -125,13 +125,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
-    "dedup_jaccard_verify" -> ((s, d) => Dedup.jaccardOnCandidates(s, d)),
+    "dedup_jaccard_verify" -> ((s, d) => Dedup.jaccardOnCandidates(narrowProbe(s), d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(narrowProbe(s), d)),
     "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(narrowProbe(s), d)),
     "dedup_span_find" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_span_strip" -> ((s, d) => Dedup.spanStripSummary(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(narrowProbe(s), d)),
-    "dedup_fuzzy_verify" -> ((s, d) => Dedup.fuzzyVerify(s, d)),
+    "dedup_fuzzy_verify" -> ((s, d) => Dedup.fuzzyVerify(narrowProbe(s), d)),
     // --- vector retrieval (§2.11) ---
     "vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "vec_range_search" -> ((s, d) => VectorOps.rangeSearch(s, d)),
@@ -139,7 +139,7 @@ object SparkEntry {
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
     "vec_ann_probe_topk" -> ((s, d) => annProbeTopKQuery(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
-    "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(s, d)),
+    "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(narrowProbe(s), d)),
     "vec_embed_knn" -> ((s, d) => graft.vector.HashingEmbedder.embedKnnChecked(s, d)),
     "vec_pq_topk" -> ((s, d) => VectorOps.pqTopK(s, d)),
     "vec_ivfpq_topk" -> ((s, d) => VectorOps.ivfPqTopK(s, d)),
