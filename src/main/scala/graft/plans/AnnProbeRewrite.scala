@@ -109,12 +109,42 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
     resolved.collectFirst {
       case graft.functions.DotProduct(v: AttributeReference, LiteralVec(q)) => (v, q)
       case graft.functions.DotProduct(LiteralVec(q), v: AttributeReference) => (v, q)
+      case V2Cosine(v, q) => (v, q)
     }
   }
 
   private object LiteralVec {
     def unapply(e: Expression): Option[Array[Double]] = e match {
       case Literal(a: ArrayData, ArrayType(DoubleType, _)) => Some(a.toDoubleArray())
+      case _ => None
+    }
+  }
+
+  /** The SQL catalog scalar `cosine_sim(v, literal)` — a stock session
+    * ranking the store by name resolves to the V2 function's
+    * ApplyFunctionExpression (interpreted) or magic-method Invoke
+    * (codegen), not the DotProduct tree. Matched by function NAME via
+    * the public connector interface. */
+  private object V2Cosine {
+    private def isCosine(o: Any): Boolean = o match {
+      case f: org.apache.spark.sql.connector.catalog.functions.ScalarFunction[_] =>
+        f.name == "cosine_sim"
+      case _ => false
+    }
+    private def fromArgs(args: Seq[Expression])
+        : Option[(AttributeReference, Array[Double])] = args match {
+      case Seq(v: AttributeReference, LiteralVec(q)) => Some((v, q))
+      case Seq(LiteralVec(q), v: AttributeReference) => Some((v, q))
+      case _ => None
+    }
+    def unapply(e: Expression): Option[(AttributeReference, Array[Double])] = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.ApplyFunctionExpression
+          if isCosine(a.function) => fromArgs(a.children)
+      case inv: org.apache.spark.sql.catalyst.expressions.objects.Invoke =>
+        inv.targetObject match {
+          case Literal(obj, _) if isCosine(obj) => fromArgs(inv.arguments)
+          case _ => None
+        }
       case _ => None
     }
   }

@@ -111,6 +111,41 @@ class AnnProbeSpec extends SparkSpec {
     assert(expected != null)
   }
 
+  test("SQL catalog scalar path: gsql.g.cosine_sim(...) DESC LIMIT k rewrites too") {
+    // a STOCK session ranking the store by NAME (the reference's
+    // retrieval surface) resolves cosine_sim to the V2 function's
+    // ApplyFunctionExpression/Invoke, not the DotProduct tree — the
+    // rule must match that shape as well
+    val root = freshIndexed()
+    val q = qvec()
+    val s = probeSession()
+    s.conf.set("spark.sql.catalog.gsql_ann",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsql_ann.warehouse", tmp())
+    s.read.parquet(root).createOrReplaceTempView("ann_idx")
+    val arr = q.mkString("ARRAY(", ", ", ")")
+    val df = s.sql(
+      s"""SELECT vec_id, ROUND(gsql_ann.g.cosine_sim(v, $arr), 6) AS score
+         |FROM ann_idx ORDER BY score DESC, vec_id LIMIT $K""".stripMargin)
+    val probes = AnnProbe.probeBuckets(q, Bits, Dim, Seed, 1)
+    val manual = {
+      val qc = array(q.map(lit): _*)
+      spark.read.parquet(root)
+        .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
+        .select(col("vec_id"), round(VectorOps.cosine(col("v"), qc), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(K).collect().toSeq.map(_.toString)
+    }
+    assert(df.collect().toSeq.map(_.toString) == manual,
+      "SQL-path rewritten ranking != probe-filtered brute force")
+    assert(df.queryExecution.optimizedPlan.exists {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(
+        org.apache.spark.sql.catalyst.expressions.In(_, _), _) => true
+      case _ => false
+    }, s"no probe filter:\n${df.queryExecution.optimizedPlan.toString.take(600)}")
+    Scratch.deleteRecursively(root)
+  }
+
   test("refusal edges: conf off, no declaration, ascending sort") {
     val root = freshIndexed()
     val q = qvec()
