@@ -138,6 +138,7 @@ object SparkEntry {
     "vec_l2_topk" -> ((s, d) => VectorOps.l2TopK(s, d)),
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
     "vec_ann_probe_topk" -> ((s, d) => annProbeTopKQuery(s, d)),
+    "vec_ann_probe_multi_topk" -> ((s, d) => annProbeMultiTopKQuery(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(narrowProbe(s), d)),
     "vec_embed_knn" -> ((s, d) => graft.vector.HashingEmbedder.embedKnnChecked(s, d)),
@@ -371,6 +372,7 @@ object SparkEntry {
     "vec_l2_topk" -> VectorOps.l2TopKSql(),
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
     "vec_ann_probe_topk" -> annProbeTopKSql,
+    "vec_ann_probe_multi_topk" -> annProbeMultiTopKSql,
     "vec_ivf_topk" -> VectorOps.ivfTopKSql(),
     "vec_pq_topk" -> VectorOps.pqTopKSql(),
     "vec_ivfpq_topk" -> VectorOps.ivfPqTopKSql(),
@@ -2351,6 +2353,27 @@ object SparkEntry {
   private[graft] def clearAnnProbeFixtureForTests(): Unit =
     annProbeFixtureMemo.clear()
 
+  /** The shared LSH-declared index (+ query vector 0) for both ANN
+    * probe gates — built once per JVM; the build is recorded against
+    * the single-query gate's name (one census line per fixture). */
+  private def annProbeFixture(s: SparkSession, d: String, bits: Int,
+      dim: Int, seed: Long): (String, Array[Double]) =
+    annProbeFixtureMemo.computeIfAbsent(d, { _ =>
+      graft.FixtureCensus.counted(s, "vec_ann_probe_topk") {
+        val m = java.nio.file.Files
+          .createTempDirectory("graft-annprobe-master").toString
+        sys.addShutdownHook { graft.Scratch.deleteRecursively(m) }
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), graft.vector.VectorOps.asDouble(col("embedding")).as("v"))
+        graft.plans.AnnProbe.withLshBucket(emb, "v", bits, dim, seed)
+          .write.mode("overwrite").parquet(m)
+        val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(graft.vector.VectorOps.asDouble(col("embedding")))
+          .head().getSeq[Double](0).toArray
+        (m, q)
+      }
+    })
+
   /** The SURVEY §7.4 top-k-score rewrite, gated end to end: an opt-in
     * optimizer rule ([[graft.plans.AnnProbeRewrite]]) turns
     * `ORDER BY cosine(v, literal q) DESC LIMIT k` over the declared
@@ -2367,21 +2390,7 @@ object SparkEntry {
       graft.plans.AnnProbe.AutoProbeKey -> "true",
       "spark.sql.adaptive.enabled" -> "false")
     graft.plans.AnnProbe.enable(s)
-    val (root, qv) = annProbeFixtureMemo.computeIfAbsent(d, { _ =>
-      graft.FixtureCensus.counted(s, "vec_ann_probe_topk") {
-        val m = java.nio.file.Files
-          .createTempDirectory("graft-annprobe-master").toString
-        sys.addShutdownHook { graft.Scratch.deleteRecursively(m) }
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), graft.vector.VectorOps.asDouble(col("embedding")).as("v"))
-        graft.plans.AnnProbe.withLshBucket(emb, "v", bits, dim, seed)
-          .write.mode("overwrite").parquet(m)
-        val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-          .select(graft.vector.VectorOps.asDouble(col("embedding")))
-          .head().getSeq[Double](0).toArray
-        (m, q)
-      }
-    })
+    val (root, qv) = annProbeFixture(s, d, bits, dim, seed)
     val qc = array(qv.map(lit): _*)
     val df = s.read.parquet(root)
       .select(col("vec_id"),
@@ -2409,6 +2418,72 @@ object SparkEntry {
     df.withColumn("rewritten", lit(rewritten))
       .withColumn("pushed", lit(pushed))
       .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Batch ids for the multi-query dense sweep — the dense twin of
+    * [[queryBatch]]: screen the index against MANY query vectors in
+    * one scan (embedding-space decontamination / near-dup screening). */
+  private[graft] val queryVecBatch: Seq[Long] = Seq(0L, 1L, 2L, 3L)
+
+  /** Multi-query ANN over the declared index: ONE index scan serves
+    * the whole batch. The probe map — (query_id, bucket, qv) rows,
+    * |queries|×(bits+1) of them, each carrying its query vector — is a
+    * broadcast literal frame; the bucket equi-join fans out candidate
+    * (query, vec) pairs (≈ |queries|·|corpus|/2^bits — every vector
+    * has exactly ONE bucket, so no candidate dedup is needed); scoring
+    * is the codegen'd column-column cosine; and the per-query top-k is
+    * the custom TopKPerKey operator, exchange bounded by queries×k.
+    * The single-query REWRITE serves ad-hoc SQL; this operator is the
+    * planned batch form a screening pipeline runs. */
+  private def annProbeMultiTopKQuery(s0: SparkSession, d: String): DataFrame = {
+    val bits = 8; val dim = 64; val seed = 42L; val k = 5
+    val s = probeSession(s0, "spark.sql.adaptive.enabled" -> "false")
+    import s.implicits._
+    val (root, _) = annProbeFixture(s, d, bits, dim, seed)
+    val qvs = Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(queryVecBatch.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id"), graft.vector.VectorOps.asDouble(col("embedding")).as("v"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qvs.flatMap { case (qid, qv) =>
+      graft.plans.AnnProbe.probeBuckets(qv, bits, dim, seed, 1)
+        .map(b => (qid, b, qv.toSeq))
+    }
+    val probeDf = probeRows.toDF("query_id", "bucket", "qv")
+    val scored = s.read.parquet(root)
+      .join(broadcast(probeDf), Seq("bucket"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.vector.VectorOps.cosine(col("v"), col("qv")), 6).as("score"))
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq(col("query_id")), Seq(col("score").desc, col("vec_id")), k)
+      .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+  }
+
+  private def annProbeMultiTopKSql: String = {
+    val bits = 8; val dim = 64; val seed = 42L; val k = 5
+    val legs = queryVecBatch.map { qid =>
+      val probes = (Seq(s"SELECT b FROM qb_$qid") ++ (0 until bits)
+        .map(i => s"SELECT xor(b, CAST(${1L << i} AS BIGINT)) FROM qb_$qid"))
+        .mkString(" UNION ")
+      (s"""q_$qid AS (SELECT v AS qv FROM emb WHERE vec_id = $qid),
+         |qb_$qid AS (SELECT ${graft.vector.VectorOps.rhpLshBucketSql("qv", bits, dim, seed)} AS b FROM q_$qid),
+         |probes_$qid(p) AS ($probes)""".stripMargin,
+       s"""SELECT * FROM (
+          |  SELECT CAST($qid AS BIGINT) AS query_id, e.vec_id,
+          |         ROUND(list_dot_product(e.v, q.qv) /
+          |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+          |  FROM bucketed e, q_$qid q
+          |  WHERE e.bucket IN (SELECT p FROM probes_$qid)
+          |  ORDER BY score DESC, vec_id LIMIT $k)""".stripMargin)
+    }
+    s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v, ${graft.vector.VectorOps.rhpLshBucketSql("v", bits, dim, seed)} AS bucket
+      FROM emb),
+    ${legs.map(_._1).mkString(",\n")}
+    ${legs.map(_._2).mkString("\nUNION ALL\n")}
+    ORDER BY query_id, score DESC, vec_id"""
   }
 
   private def annProbeTopKSql: String = {
