@@ -139,6 +139,7 @@ object SparkEntry {
     "vec_ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopK(s, d)),
     "vec_ann_probe_topk" -> ((s, d) => annProbeTopKQuery(s, d)),
     "vec_ann_probe_multi_topk" -> ((s, d) => annProbeMultiTopKQuery(s, d)),
+    "vec_ann_snapshot_topk" -> ((s, d) => annSnapshotTopKQuery(s, d)),
     "vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "vec_ivf_kmeans_topk" -> ((s, d) => graft.vector.KMeans.ivfSearchChecked(narrowProbe(s), d)),
     "vec_embed_knn" -> ((s, d) => graft.vector.HashingEmbedder.embedKnnChecked(s, d)),
@@ -373,6 +374,7 @@ object SparkEntry {
     "vec_ann_lsh_topk" -> VectorOps.annLshTopKSql(),
     "vec_ann_probe_topk" -> annProbeTopKSql,
     "vec_ann_probe_multi_topk" -> annProbeMultiTopKSql,
+    "vec_ann_snapshot_topk" -> annSnapshotTopKSql,
     "vec_ivf_topk" -> VectorOps.ivfTopKSql(),
     "vec_pq_topk" -> VectorOps.pqTopKSql(),
     "vec_ivfpq_topk" -> VectorOps.ivfPqTopKSql(),
@@ -2484,6 +2486,90 @@ object SparkEntry {
     ${legs.map(_._1).mkString(",\n")}
     ${legs.map(_._2).mkString("\nUNION ALL\n")}
     ORDER BY query_id, score DESC, vec_id"""
+  }
+
+  private val annSnapshotFixtureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Double])]
+
+  private[graft] def clearAnnSnapshotFixtureForTests(): Unit =
+    annSnapshotFixtureMemo.clear()
+
+  /** The ANN index as a DECLARED LAYOUT of the ACID snapshot table:
+    * the LSH-bucketed embeddings land in a snapshot table clustered by
+    * bucket (`repartitionByRange` + `statsKey = "bucket"`, so every
+    * file's manifest entry records its bucket range), and the index
+    * then goes through real maintenance — a merge-on-read DELETE of
+    * every 17th vector (deletion-vector sidecar, no file rewrite).
+    * A vector store that cannot take deletes is a cache; this fixture
+    * is the "index that lives" the reference's collection lifecycle
+    * implies. Pure function of the sf dir (policy: build under the
+    * census, oracle re-derives from raw tables, width replay rebuilds). */
+  private def annSnapshotFixture(s: SparkSession, d: String, bits: Int,
+      dim: Int, seed: Long): (String, Array[Double]) =
+    annSnapshotFixtureMemo.computeIfAbsent(d, { _ =>
+      graft.FixtureCensus.counted(s, "vec_ann_snapshot_topk") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-annsnap-master").toString
+        sys.addShutdownHook { graft.Scratch.deleteRecursively(root) }
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), graft.vector.VectorOps.asDouble(col("embedding")).as("v"))
+        val bucketed = graft.plans.AnnProbe.withLshBucket(emb, "v", bits, dim, seed)
+          .repartitionByRange(16, col("bucket"))
+          .sortWithinPartitions(col("bucket"))
+        graft.sources.SnapshotTable.create(s, root, bucketed,
+          statsKey = Some("bucket"))
+        graft.sources.SnapshotTable.deleteWhere(s, root,
+          pmod(col("vec_id"), lit(17)) === 0)
+        val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(graft.vector.VectorOps.asDouble(col("embedding")))
+          .head().getSeq[Double](0).toArray
+        (root, q)
+      }
+    })
+
+  /** Probe search over the LIVE snapshot-table index: the probe-key
+    * set drives [[graft.sources.SnapshotTable.readKeys]], so file
+    * skipping happens at the MANIFEST (driver-side stats ranges — at
+    * 100 TB the probe reads the handful of files whose bucket range
+    * intersects the 9 probe buckets, not the table), kept files
+    * row-filter on the same IN, and the dv anti-join hides the deleted
+    * vectors — search-after-delete correctness rides the table's own
+    * read path, not a rebuilt index. The blind oracle recomputes the
+    * final state (deletes applied), the buckets, and the probe set
+    * from the raw parquet. */
+  private def annSnapshotTopKQuery(s: SparkSession, d: String): DataFrame = {
+    val bits = 8; val dim = 64; val seed = 42L; val k = 10
+    val (root, qv) = annSnapshotFixture(s, d, bits, dim, seed)
+    val probes = graft.plans.AnnProbe.probeBuckets(qv, bits, dim, seed, 1)
+    val qc = array(qv.map(lit): _*)
+    graft.sources.SnapshotTable.readKeys(s, root, "bucket", probes)
+      .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id"),
+        round(graft.vector.VectorOps.cosine(col("v"), qc), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def annSnapshotTopKSql: String = {
+    val bits = 8; val dim = 64; val seed = 42L; val k = 10
+    val probesSql = (Seq("SELECT b FROM qb") ++ (0 until bits)
+      .map(i => s"SELECT xor(b, CAST(${1L << i} AS BIGINT)) FROM qb"))
+      .mkString(" UNION ")
+    s"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    live AS (SELECT * FROM emb WHERE vec_id % 17 <> 0),
+    bucketed AS (
+      SELECT vec_id, v, ${graft.vector.VectorOps.rhpLshBucketSql("v", bits, dim, seed)} AS bucket
+      FROM live),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    qb AS (SELECT ${graft.vector.VectorOps.rhpLshBucketSql("qv", bits, dim, seed)} AS b FROM q),
+    probes(p) AS ($probesSql)
+    SELECT vec_id,
+           ROUND(list_dot_product(e.v, q.qv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+    FROM bucketed e, q
+    WHERE e.bucket IN (SELECT p FROM probes)
+    ORDER BY score DESC, vec_id LIMIT $k"""
   }
 
   private def annProbeTopKSql: String = {

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Descending, Expression, In, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.col
@@ -33,7 +33,13 @@ import graft.vector.VectorOps
   *   2. find a node below the sort whose output carries BOTH `v` and a
   *      bucket attribute declared on `v` (for a parquet table that is
   *      the relation itself — column pruning only stacks Projects
-  *      above it);
+  *      above it). A UNION directly under the sort — the shape a
+  *      snapshot table's read takes once some files carry deletion
+  *      vectors (plain leg ∪ dv-anti-join leg) — resolves per leg by
+  *      output ordinal, and rewrites only if EVERY leg has a declared
+  *      index (each leg gets its own probe filter; one undeclared leg
+  *      refuses the whole rewrite — a partially-probed union would
+  *      let unfiltered legs compete with filtered ones);
   *   3. compute the query's bucket plus all Hamming-≤r neighbors
   *      driver-side (r = `spark.graft.ann.hammingRadius`, default 1 —
   *      standard multi-probe LSH) from the same seeded hyperplanes,
@@ -69,14 +75,12 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
           srt <- findGlobalSort(body)
           orders = srt.order
           if orders.nonEmpty && orders.head.direction == Descending
-          (v, qvec) <- scoreTarget(orders.head.child, srt.child)
-          (bucketAttr, node, bits, dim, seed) <- declarationFor(v, srt.child)
-          if !alreadyProbed(srt.child, bucketAttr)
-          if qvec.length == dim
+          targets <- targetsFor(orders.head.child, srt.child, radius)
+          if targets.nonEmpty
         } yield {
-          val probes = AnnProbe.probeBuckets(qvec, bits, dim, seed, radius)
           val newBody = body.transformUp {
-            case n if n eq node =>
+            case n if targets.exists(_._1 eq n) =>
+              val (_, bucketAttr, probes) = targets.find(_._1 eq n).get
               Filter(In(bucketAttr, probes.map(Literal(_)).toSeq), n)
           }
           gl.copy(child = ll.copy(child = newBody))
@@ -84,6 +88,69 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
         rewritten.getOrElse(gl)
     }
   }
+
+  /** Every (node, bucket attribute, probe set) the rewrite must
+    * filter. Single-relation plans yield one target. A UNION directly
+    * under the sort — the shape a snapshot table's read takes once
+    * some files carry deletion vectors (plain leg ∪ dv-anti-join leg)
+    * — is approximable only if EVERY leg resolves to a declared index:
+    * each leg then gets its own probe filter (probes computed from its
+    * OWN declaration), and one undeclared leg refuses the whole
+    * rewrite — filtering a strict subset of legs would drop the
+    * unfiltered legs' high scorers from an unprobed competition, i.e.
+    * change semantics beyond the declared approximation. */
+  private def targetsFor(orderExpr: Expression, child: LogicalPlan, radius: Int)
+      : Option[Seq[(LogicalPlan, Attribute, Array[Long])]] = child match {
+    case u: Union =>
+      val headOut = u.children.head.output
+      orderExpr match {
+        // Union.output reuses the FIRST child's attributes, so the
+        // sort key resolves per leg by OUTPUT ORDINAL (union alignment
+        // is positional, not nominal)
+        case a: AttributeReference =>
+          val ord = headOut.indexWhere(_.exprId == a.exprId)
+          if (ord < 0) None
+          else sequence(u.children.map { c =>
+            for {
+              (v, qvec) <- scoreTarget(c.output(ord), c)
+              (bucketAttr, node, bits, dim, seed) <- declarationFor(v, c)
+              if !alreadyProbed(c, bucketAttr)
+              if qvec.length == dim
+            } yield (node, bucketAttr,
+              AnnProbe.probeBuckets(qvec, bits, dim, seed, radius))
+          })
+        case e =>
+          // sort on an expression over the union output: the scored
+          // vector attribute itself maps per leg by ordinal
+          scoreTarget(e, u).flatMap { case (v, qvec) =>
+            val ord = headOut.indexWhere(_.exprId == v.exprId)
+            if (ord < 0) None
+            else sequence(u.children.map { c =>
+              c.output(ord) match {
+                case legV: AttributeReference =>
+                  for {
+                    (bucketAttr, node, bits, dim, seed) <- declarationFor(legV, c)
+                    if !alreadyProbed(c, bucketAttr)
+                    if qvec.length == dim
+                  } yield (node, bucketAttr,
+                    AnnProbe.probeBuckets(qvec, bits, dim, seed, radius))
+                case _ => None
+              }
+            })
+          }
+      }
+    case _ =>
+      (for {
+        (v, qvec) <- scoreTarget(orderExpr, child)
+        (bucketAttr, node, bits, dim, seed) <- declarationFor(v, child)
+        if !alreadyProbed(child, bucketAttr)
+        if qvec.length == dim
+      } yield Seq((node, bucketAttr,
+        AnnProbe.probeBuckets(qvec, bits, dim, seed, radius))))
+  }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   private def findGlobalSort(p: LogicalPlan): Option[Sort] = p match {
     case s: Sort if s.global => Some(s)

@@ -171,6 +171,18 @@ class WidthInvarianceSpec extends SparkSpec {
     finally SparkEntry.clearAnnProbeFixtureForTests()
   }
 
+  test("vec_ann_snapshot_topk: narrow and wide arms each build their own table") {
+    // fixture-memo policy condition (c) for the snapshot-table index:
+    // the create's range-partition width and the dv delete's shuffle
+    // width change file layout, never the declared buckets, the dv'd
+    // row set, or the probe ranking
+    SparkEntry.clearAnnSnapshotFixtureForTests()
+    val narrow = rows(SparkEntry.queries("vec_ann_snapshot_topk")(spark.newSession(), sf))
+    SparkEntry.clearAnnSnapshotFixtureForTests()
+    try assert(narrow == rows(SparkEntry.queries("vec_ann_snapshot_topk")(wide(), sf)))
+    finally SparkEntry.clearAnnSnapshotFixtureForTests()
+  }
+
   test("graph_pagerank ranks are width- and AQE-independent") {
     import org.apache.spark.sql.functions.col
     def ranks(s: SparkSession): Seq[String] = {
