@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_jaccard_verify" -> ((s, d) => Dedup.jaccardOnCandidates(narrowProbe(s), d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(narrowProbe(s), d)),
     "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(narrowProbe(s), d)),
+    "sample_leakage_split" -> ((s, d) => Dedup.leakageSafeSplit(narrowProbe(s), d)),
     "dedup_span_find" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_span_strip" -> ((s, d) => Dedup.spanStripSummary(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(narrowProbe(s), d)),
@@ -324,6 +325,7 @@ object SparkEntry {
     "dedup_jaccard_verify" -> Dedup.jaccardOnCandidatesSql(),
     "dedup_decontaminate" -> Dedup.decontaminateSql(),
     "dedup_cluster_reps" -> Dedup.clusterRepsSql(),
+    "sample_leakage_split" -> Dedup.leakageSafeSplitSql(),
     "dedup_span_find" -> Dedup.duplicateSpansSql(),
     "dedup_span_strip" -> Dedup.spanStripSummarySql(),
     "dedup_semantic" -> Dedup.semanticDedupSql(),

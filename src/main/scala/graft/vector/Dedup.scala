@@ -194,6 +194,73 @@ object Dedup {
     FROM comps c JOIN sizes s USING (rep_id)
     ORDER BY c.doc_id"""
 
+  /** Leakage-safe train/val/test split: assign every document to a
+    * split by the HASH OF ITS NEAR-DUP CLUSTER representative, not its
+    * own id — near-duplicate pairs land in the SAME split by
+    * construction, so a model can never be evaluated on a near-copy of
+    * a training document (the split-contamination failure mode a
+    * doc-id-hash split silently has). Unclustered docs are their own
+    * representative. Bins: md5("seed|rep_id") first byte → 0‥255,
+    * <205 train (~80%), <230 val (~10%), else test (~10%).
+    *
+    * Scale shape: the cluster labels come from [[clusterReps]] (banded
+    * candidates → verified edges → label propagation); only CLUSTERED
+    * docs carry a label row, so the left join's right side is
+    * dup-cluster-sized (broadcastable at web scale — near-dup clusters
+    * are a small fraction of a deduped corpus); the split assignment
+    * itself is a map-side hash with no RNG state, reproducible across
+    * reruns and engines. The DuckDB oracle recomputes components by
+    * recursive-CTE closure and the same md5 binning. */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, seed: String = "split42"): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val reps = clusterReps(spark, dir, threshold)
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"))
+    val bin = conv(substring(
+      md5(concat(lit(seed + "|"), col("rep_id").cast("string"))), 1, 2), 16, 10)
+      .cast("long")
+    docs.join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("bin", bin)
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+        when(col("bin") < 205, "train")
+          .when(col("bin") < 230, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def leakageSafeSplitSql(threshold: Double = 0.5, seed: String = "split42"): String = s"""
+    WITH RECURSIVE jacc AS (
+      SELECT id_a, id_b FROM (${jaccardOnCandidatesSql(threshold).replace("ORDER BY id_a, id_b", "")}) j),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM jacc
+            UNION SELECT id_b, id_a FROM jacc),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comps AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep_id
+      FROM reach GROUP BY src),
+    sizes AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comps GROUP BY rep_id),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.rep_id, d.doc_id) AS rep_id,
+             CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size
+      FROM documents d
+      LEFT JOIN comps c ON d.doc_id = c.doc_id
+      LEFT JOIN sizes s ON s.rep_id = COALESCE(c.rep_id, d.doc_id)),
+    binned AS (
+      SELECT doc_id, rep_id, cluster_size,
+             CAST('0x' || substr(md5('$seed|' || CAST(rep_id AS VARCHAR)), 1, 2) AS BIGINT) AS bin
+      FROM assigned)
+    SELECT doc_id, rep_id, cluster_size,
+           CASE WHEN bin < 205 THEN 'train'
+                WHEN bin < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM binned ORDER BY doc_id"""
+
   /** Benchmark decontamination: flag training documents that share any
     * word n-gram with a held-out evaluation split (here the deterministic
     * 1-in-`benchMod` slice of doc ids — in production the benchmark

@@ -273,6 +273,34 @@ class VectorSpec extends SparkSpec {
       s"rotated copy must fail the edit-distance verify: $rows")
   }
 
+  test("leakage-safe split: no verified near-dup pair straddles splits; all docs assigned") {
+    val split = Dedup.leakageSafeSplit(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(split.count() == nDocs, "every document must receive a split")
+    // the leakage property: both ends of every verified near-dup edge
+    // land in the same split (the whole point over a doc-id-hash split)
+    val edges = Dedup.jaccardOnCandidates(spark, sf)
+      .select(col("id_a"), col("id_b"))
+    val straddling = edges
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0L, s"$straddling near-dup pairs straddle splits")
+    // same representative => same split, and the hash binning yields a
+    // train-majority assignment (loose band: the binning is md5-driven)
+    val multiSplitReps = split.groupBy(col("rep_id"))
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(multiSplitReps == 0L, "one cluster mapped to multiple splits")
+    val train = split.filter(col("split") === "train").count().toDouble / nDocs
+    assert(train > 0.6 && train < 0.95, s"train fraction $train outside sanity band")
+  }
+
+  test("leakage-safe split is deterministic across reruns") {
+    val a = Dedup.leakageSafeSplit(spark, sf).collect().toSeq.map(_.toString)
+    val b = Dedup.leakageSafeSplit(spark.newSession(), sf).collect().toSeq.map(_.toString)
+    assert(a == b)
+  }
+
   test("upsert is idempotent and last-writer-wins (J2 semantics)") {
     val existing = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
     val updates = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")

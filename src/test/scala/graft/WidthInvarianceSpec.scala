@@ -108,6 +108,7 @@ class WidthInvarianceSpec extends SparkSpec {
     * wirings in SparkEntry's source. */
   private val loopReplayed = Seq(
       "text_lm_perplexity", "dedup_semantic", "dedup_cluster_reps",
+      "sample_leakage_split",
       "dedup_jaccard_verify", "dedup_fuzzy_verify", "vec_ivf_kmeans_topk",
       "meta_snapshot_schema_evo", "meta_snapshot_history",
       "meta_snapshot_indexed_read", "meta_snapshot_point_read",
