@@ -129,6 +129,9 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(narrowProbe(s), d)),
     "dedup_cluster_reps" -> ((s, d) => Dedup.clusterReps(narrowProbe(s), d)),
     "sample_leakage_split" -> ((s, d) => Dedup.leakageSafeSplit(narrowProbe(s), d)),
+    "dedup_incr_probe" -> ((s, d) => {
+      val p = narrowProbe(s); Dedup.incrementalProbe(p, d, dedupIncrFixture(p, d))
+    }),
     "dedup_span_find" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "dedup_span_strip" -> ((s, d) => Dedup.spanStripSummary(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(narrowProbe(s), d)),
@@ -326,6 +329,7 @@ object SparkEntry {
     "dedup_decontaminate" -> Dedup.decontaminateSql(),
     "dedup_cluster_reps" -> Dedup.clusterRepsSql(),
     "sample_leakage_split" -> Dedup.leakageSafeSplitSql(),
+    "dedup_incr_probe" -> Dedup.incrementalProbeSql(),
     "dedup_span_find" -> Dedup.duplicateSpansSql(),
     "dedup_span_strip" -> Dedup.spanStripSummarySql(),
     "dedup_semantic" -> Dedup.semanticDedupSql(),
@@ -2489,6 +2493,35 @@ object SparkEntry {
     ${legs.map(_._2).mkString("\nUNION ALL\n")}
     ORDER BY query_id, score DESC, vec_id"""
   }
+
+  private val dedupIncrFixtureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def clearDedupIncrFixtureForTests(): Unit =
+    dedupIncrFixtureMemo.clear()
+
+  /** The incremental-dedup band index: [[graft.vector.Dedup.indexBands]]
+    * of the EXISTING corpus slice (doc_id % 5 ≠ 0), clustered by the
+    * band hash in a snapshot table — the structure a daily-crawl
+    * screening pipeline maintains so each new batch verifies against
+    * the corpus WITHOUT re-banding it. Pure function of the sf dir
+    * (fixture-memo policy: census-counted build, oracle re-derives the
+    * index inline from raw documents, width replay rebuilds). */
+  private def dedupIncrFixture(s: SparkSession, d: String): String =
+    dedupIncrFixtureMemo.computeIfAbsent(d, { _ =>
+      graft.FixtureCensus.counted(s, "dedup_incr_probe") {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-dedupincr-master").toString
+        sys.addShutdownHook { graft.Scratch.deleteRecursively(root) }
+        val old = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+          .transform(graft.Parallelism.ensure(s))
+        val bands = Dedup.indexBands(old.select(col("doc_id"), col("text")))
+          .repartitionByRange(8, col("bh"))
+          .sortWithinPartitions(col("bh"))
+        graft.sources.SnapshotTable.create(s, root, bands, statsKey = Some("bh"))
+        root
+      }
+    })
 
   private val annSnapshotFixtureMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Double])]

@@ -85,11 +85,18 @@ object Dedup {
   /** (doc_id, band, band_key) rows: one md5 per shingle, signatures
     * from digest slices, bands via one explode. */
   private def bandedDocs(spark: SparkSession, dir: String,
-      numHashes: Int, bandSize: Int): DataFrame = {
+      numHashes: Int, bandSize: Int): DataFrame =
+    bandedOf(graft.Tables.documents(spark, dir)
+      .transform(graft.Parallelism.ensure(spark)), numHashes, bandSize)
+
+  /** [[bandedDocs]] over an arbitrary (doc_id, text) frame — the form
+    * an INCREMENTAL batch uses (band a day's crawl without touching
+    * the corpus table). */
+  private[graft] def bandedOf(docs: DataFrame,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     val numBands = numHashes / bandSize
     val sigs = (0 until numHashes).map(i => minhashSig(col("hs"), i).as(s"h$i"))
-    val withSigs = graft.Tables.documents(spark, dir)
-      .transform(graft.Parallelism.ensure(spark))
+    val withSigs = docs
       .select(col("doc_id"),
         shingles(TextFunctions.tokens(lower(col("text")))).as("sh"))
       .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("hs"))
@@ -260,6 +267,122 @@ object Dedup {
                 WHEN bin < 230 THEN 'val'
                 ELSE 'test' END AS split
     FROM binned ORDER BY doc_id"""
+
+  /** The band rows an incremental index stores, keyed for pruning:
+    * (doc_id, band, band_key, bh) with `bh` = portable md5-derived
+    * int64 of the (band, band_key) pair — the manifest stats key the
+    * snapshot table clusters on, so a batch probe prunes index FILES
+    * by its band hashes. */
+  private[graft] def indexBands(docs: DataFrame,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame =
+    bandedOf(docs, numHashes, bandSize)
+      .withColumn("bh",
+        TextFunctions.md5Long(concat_ws("|", col("band"), col("band_key"))))
+
+  /** Incremental near-dup screening: verify a NEW batch of documents
+    * against a STORED band index of the existing corpus — the daily
+    * -crawl production shape, where re-banding the whole corpus per
+    * batch (what [[minhashCandidatePairs]] does) is the cost you
+    * amortize away. The index is a snapshot table of
+    * [[indexBands]] rows clustered by the band hash `bh`; the probe
+    *   1. bands ONLY the batch (the corpus is never re-tokenized —
+    *      its banding cost was paid once at index build),
+    *   2. reads the index through
+    *      [[graft.sources.SnapshotTable.readKeys]] on the batch's
+    *      band hashes (manifest file skipping: a small batch touches
+    *      the few index files its hashes land in),
+    *   3. equi-joins bucket keys, capping on the INDEX-side bucket
+    *      size (same degenerate-band discipline as the batch pipeline;
+    *      counts from the kept frame are EXACT because `bh` is a
+    *      function of the bucket, so pruning keeps whole buckets),
+    *   4. verifies candidates with full shingle-set Jaccard — the
+    *      batch side tokenizes batch docs, the corpus side tokenizes
+    *      ONLY candidate-matched docs (semi-join pushdown).
+    * One row per verified (batch doc, corpus doc) pair:
+    * (doc_id, dup_of, jaccard). The blind oracle re-derives the same
+    * pairs from the raw corpus with the index recomputed inline. */
+  def incrementalProbe(spark: SparkSession, dir: String, indexRoot: String,
+      batchMod: Int = 5, threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    import graft.sources.SnapshotTable
+    val batch = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % batchMod === 0)
+      .transform(graft.Parallelism.ensure(spark))
+    val newBands = indexBands(batch.select(col("doc_id"), col("text")))
+      .cache()
+      .transform(graft.CacheScope.register)
+    // the batch's band-hash set: |batch|×numBands longs on the driver —
+    // batch-sized, the same probe-key shape the streaming point-probe
+    // path already bounds (readKeys range-prunes above its bloom cap)
+    val keys = newBands.select(col("bh")).distinct()
+      .collect().map(_.getLong(0))
+    val kept = SnapshotTable.readKeys(spark, indexRoot, "bh", keys)
+    val bsize = kept.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+    val cand = kept
+      .select(col("doc_id").as("dup_of"), col("band"), col("band_key"))
+      .join(bsize.filter(col("c") <= maxBucket), Seq("band", "band_key"))
+      .join(newBands.select(col("doc_id"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("doc_id"), col("dup_of")).distinct()
+      .cache()
+      .transform(graft.CacheScope.register)
+    val newSh = batch
+      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
+    val oldSh = graft.Tables.documents(spark, dir)
+      .join(cand.select(col("dup_of").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .transform(graft.Parallelism.ensure(spark))
+      .select(col("doc_id"),
+        array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
+    cand
+      .join(newSh.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+      .join(oldSh.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), Seq("dup_of"))
+      .select(col("doc_id"), col("dup_of"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          .divide(size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_id"), col("dup_of"))
+  }
+
+  def incrementalProbeSql(batchMod: Int = 5, threshold: Double = 0.5,
+      numHashes: Int = 8, bandSize: Int = 2, maxBucket: Int = 64): String = {
+    val numBands = numHashes / bandSize
+    val sigExprs = (0 until numHashes).map(i =>
+      s"list_min(list_transform(hs, h -> substr(h, ${i * 4 + 1}, 4))) AS h$i").mkString(", ")
+    val bandSelects = (0 until numBands).map { b =>
+      val key = (0 until bandSize).map(j => s"h${b * bandSize + j}").mkString(" || '|' || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, $key AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    shl AS (
+      SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS sh
+      FROM toks),
+    hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shl),
+    sigs AS (SELECT doc_id, $sigExprs FROM hashed),
+    bands AS ($bandSelects),
+    oldb AS (SELECT * FROM bands WHERE doc_id % $batchMod <> 0),
+    newb AS (SELECT * FROM bands WHERE doc_id % $batchMod = 0),
+    bsize AS (SELECT band, band_key, COUNT(*) AS c FROM oldb GROUP BY band, band_key),
+    cand AS (
+      SELECT DISTINCT n.doc_id, o.doc_id AS dup_of
+      FROM newb n
+      JOIN oldb o ON n.band = o.band AND n.band_key = o.band_key
+      JOIN bsize s ON s.band = o.band AND s.band_key = o.band_key
+      WHERE s.c <= $maxBucket),
+    shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl)
+    SELECT c.doc_id, c.dup_of,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM cand c JOIN shd a ON c.doc_id = a.doc_id JOIN shd b ON c.dup_of = b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold
+    ORDER BY c.doc_id, c.dup_of"""
+  }
 
   /** Benchmark decontamination: flag training documents that share any
     * word n-gram with a held-out evaluation split (here the deterministic

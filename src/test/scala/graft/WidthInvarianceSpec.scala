@@ -152,7 +152,8 @@ class WidthInvarianceSpec extends SparkSpec {
       "dedup_decontaminate", "retrieval_snapshot_timetravel",
       "retrieval_snapshot_maintenance", "meta_snapshot_merge",
       "meta_snapshot_zorder_read", "text_lm_perplexity",
-      "meta_snapshot_restore", "meta_snapshot_incr_view")
+      "meta_snapshot_restore", "meta_snapshot_incr_view",
+      "dedup_incr_probe")
     val uncovered = narrowed.toSet -- covered
     val stale = covered -- narrowed.toSet
     assert(uncovered.isEmpty,
@@ -170,6 +171,20 @@ class WidthInvarianceSpec extends SparkSpec {
     SparkEntry.clearAnnProbeFixtureForTests()
     try assert(narrow == rows(SparkEntry.queries("vec_ann_probe_topk")(wide(), sf)))
     finally SparkEntry.clearAnnProbeFixtureForTests()
+  }
+
+  test("dedup_incr_probe: narrow and wide arms each build their own band index") {
+    // fixture-memo policy condition (c): the index table's file layout
+    // depends on the build width; the probed pairs must not
+    SparkEntry.clearDedupIncrFixtureForTests()
+    val narrow = rows(SparkEntry.queries("dedup_incr_probe")(spark.newSession(), sf))
+    SparkEntry.clearDedupIncrFixtureForTests()
+    System.setProperty("graft.wideProbe", "true")
+    try assert(narrow == rows(SparkEntry.queries("dedup_incr_probe")(wide(), sf)))
+    finally {
+      System.clearProperty("graft.wideProbe")
+      SparkEntry.clearDedupIncrFixtureForTests()
+    }
   }
 
   test("vec_ann_snapshot_topk: narrow and wide arms each build their own table") {
