@@ -2366,7 +2366,7 @@ object SparkEntry {
     * the single-query gate's name (one census line per fixture). */
   private def annProbeFixture(s: SparkSession, d: String, bits: Int,
       dim: Int, seed: Long): (String, Array[Double]) =
-    annProbeFixtureMemo.computeIfAbsent(d, { _ =>
+    annProbeFixtureMemo.computeIfAbsent(s"$d|$bits|$dim|$seed", { _ =>
       graft.FixtureCensus.counted(s, "vec_ann_probe_topk") {
         val m = java.nio.file.Files
           .createTempDirectory("graft-annprobe-master").toString
@@ -2470,9 +2470,7 @@ object SparkEntry {
   private def annProbeMultiTopKSql: String = {
     val bits = 8; val dim = 64; val seed = 42L; val k = 5
     val legs = queryVecBatch.map { qid =>
-      val probes = (Seq(s"SELECT b FROM qb_$qid") ++ (0 until bits)
-        .map(i => s"SELECT xor(b, CAST(${1L << i} AS BIGINT)) FROM qb_$qid"))
-        .mkString(" UNION ")
+      val probes = probesSqlFor(bits, s"qb_$qid")
       (s"""q_$qid AS (SELECT v AS qv FROM emb WHERE vec_id = $qid),
          |qb_$qid AS (SELECT ${graft.vector.VectorOps.rhpLshBucketSql("qv", bits, dim, seed)} AS b FROM q_$qid),
          |probes_$qid(p) AS ($probes)""".stripMargin,
@@ -2501,19 +2499,22 @@ object SparkEntry {
     dedupIncrFixtureMemo.clear()
 
   /** The incremental-dedup band index: [[graft.vector.Dedup.indexBands]]
-    * of the EXISTING corpus slice (doc_id % 5 ≠ 0), clustered by the
+    * of the EXISTING corpus slice (doc_id % batchMod ≠ 0 — the same
+    * modulus [[graft.vector.Dedup.incrementalProbe]] splits the batch
+    * on, so index and batch partition the corpus), clustered by the
     * band hash in a snapshot table — the structure a daily-crawl
     * screening pipeline maintains so each new batch verifies against
     * the corpus WITHOUT re-banding it. Pure function of the sf dir
     * (fixture-memo policy: census-counted build, oracle re-derives the
     * index inline from raw documents, width replay rebuilds). */
-  private def dedupIncrFixture(s: SparkSession, d: String): String =
-    dedupIncrFixtureMemo.computeIfAbsent(d, { _ =>
+  private def dedupIncrFixture(s: SparkSession, d: String,
+      batchMod: Int = 5): String =
+    dedupIncrFixtureMemo.computeIfAbsent(s"$d|$batchMod", { _ =>
       graft.FixtureCensus.counted(s, "dedup_incr_probe") {
         val root = java.nio.file.Files
           .createTempDirectory("graft-dedupincr-master").toString
         sys.addShutdownHook { graft.Scratch.deleteRecursively(root) }
-        val old = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        val old = Tables.documents(s, d).filter(col("doc_id") % batchMod =!= 0)
           .transform(graft.Parallelism.ensure(s))
         val bands = Dedup.indexBands(old.select(col("doc_id"), col("text")))
           .repartitionByRange(8, col("bh"))
@@ -2541,7 +2542,7 @@ object SparkEntry {
     * census, oracle re-derives from raw tables, width replay rebuilds). */
   private def annSnapshotFixture(s: SparkSession, d: String, bits: Int,
       dim: Int, seed: Long): (String, Array[Double]) =
-    annSnapshotFixtureMemo.computeIfAbsent(d, { _ =>
+    annSnapshotFixtureMemo.computeIfAbsent(s"$d|$bits|$dim|$seed", { _ =>
       graft.FixtureCensus.counted(s, "vec_ann_snapshot_topk") {
         val root = java.nio.file.Files
           .createTempDirectory("graft-annsnap-master").toString
@@ -2585,11 +2586,18 @@ object SparkEntry {
       .limit(k)
   }
 
+  /** Radius-1 probe-set SQL (query bucket + every 1-bit flip) — ONE
+    * generator for every ANN oracle, mirroring
+    * [[graft.plans.AnnProbe.probeBuckets]] at radius 1 so the probe
+    * arithmetic cannot drift between gates. */
+  private def probesSqlFor(bits: Int, qbCte: String): String =
+    (Seq(s"SELECT b FROM $qbCte") ++ (0 until bits)
+      .map(i => s"SELECT xor(b, CAST(${1L << i} AS BIGINT)) FROM $qbCte"))
+      .mkString(" UNION ")
+
   private def annSnapshotTopKSql: String = {
     val bits = 8; val dim = 64; val seed = 42L; val k = 10
-    val probesSql = (Seq("SELECT b FROM qb") ++ (0 until bits)
-      .map(i => s"SELECT xor(b, CAST(${1L << i} AS BIGINT)) FROM qb"))
-      .mkString(" UNION ")
+    val probesSql = probesSqlFor(bits, "qb")
     s"""
     WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     live AS (SELECT * FROM emb WHERE vec_id % 17 <> 0),
@@ -2609,9 +2617,7 @@ object SparkEntry {
 
   private def annProbeTopKSql: String = {
     val bits = 8; val dim = 64; val seed = 42L; val k = 10
-    val probesSql = (Seq("SELECT b FROM qb") ++ (0 until bits)
-      .map(i => s"SELECT xor(b, CAST(${1L << i} AS BIGINT)) FROM qb"))
-      .mkString(" UNION ")
+    val probesSql = probesSqlFor(bits, "qb")
     s"""
     WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),

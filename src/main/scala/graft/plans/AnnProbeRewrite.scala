@@ -111,7 +111,11 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
           val ord = headOut.indexWhere(_.exprId == a.exprId)
           if (ord < 0) None
           else sequence(u.children.map { c =>
-            for {
+            // a NESTED union inside a leg would re-open the
+            // first-sub-leg hole — refuse the leg (and so the whole
+            // rewrite) instead
+            if (c.exists(_.isInstanceOf[Union])) None
+            else for {
               (v, qvec) <- scoreTarget(c.output(ord), c)
               (bucketAttr, node, bits, dim, seed) <- declarationFor(v, c)
               if !alreadyProbed(c, bucketAttr)
@@ -127,6 +131,7 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
             if (ord < 0) None
             else sequence(u.children.map { c =>
               c.output(ord) match {
+                case _ if c.exists(_.isInstanceOf[Union]) => None // nested
                 case legV: AttributeReference =>
                   for {
                     (bucketAttr, node, bits, dim, seed) <- declarationFor(legV, c)
@@ -139,6 +144,13 @@ object AnnProbeRewrite extends Rule[LogicalPlan] {
             })
           }
       }
+    // a Union anywhere DEEPER in the subtree (under a distinct's
+    // Aggregate, a Repartition, ...) would let the single-target path
+    // below resolve into leg 1 only — the partially-probed-union wrong
+    // -results mode — so any union shape other than the handled
+    // direct-child case REFUSES (the rule never degrades a plan it
+    // does not fully understand)
+    case _ if child.exists(_.isInstanceOf[Union]) => None
     case _ =>
       (for {
         (v, qvec) <- scoreTarget(orderExpr, child)

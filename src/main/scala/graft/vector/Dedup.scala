@@ -127,8 +127,12 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)),
         b => struct(a.as("id_a"), b.as("id_b")))))
 
-  def minhashCandidatePairsSql(numHashes: Int = 8, bandSize: Int = 2,
-      maxBucket: Int = 64): String = {
+  /** WITH-body fragment shared by every banding oracle
+    * ([[minhashCandidatePairsSql]], [[incrementalProbeSql]]):
+    * toks → sh (3-gram shingles) → hashed → sigs → bands. ONE
+    * definition so the tokenization/signature-slicing rules cannot
+    * drift between the batch and incremental gates' oracles. */
+  private def bandingCtes(numHashes: Int, bandSize: Int): String = {
     val numBands = numHashes / bandSize
     val sigExprs = (0 until numHashes).map(i =>
       s"list_min(list_transform(hs, h -> substr(h, ${i * 4 + 1}, 4))) AS h$i").mkString(", ")
@@ -136,8 +140,7 @@ object Dedup {
       val key = (0 until bandSize).map(j => s"h${b * bandSize + j}").mkString(" || '|' || ")
       s"SELECT doc_id, CAST($b AS BIGINT) AS band, $key AS band_key FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""
-    WITH toks AS (
+    s"""toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
     sh AS (
       SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -146,7 +149,13 @@ object Dedup {
       FROM toks),
     hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh),
     sigs AS (SELECT doc_id, $sigExprs FROM hashed),
-    bands AS ($bandSelects),
+    bands AS ($bandSelects)"""
+  }
+
+  def minhashCandidatePairsSql(numHashes: Int = 8, bandSize: Int = 2,
+      maxBucket: Int = 64): String = {
+    s"""
+    WITH ${bandingCtes(numHashes, bandSize)},
     bsize AS (SELECT band, band_key, COUNT(*) AS c FROM bands GROUP BY band, band_key)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
     FROM bands a
@@ -184,8 +193,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  def clusterRepsSql(threshold: Double = 0.5): String = s"""
-    WITH RECURSIVE jacc AS (
+  /** WITH-body fragment: recursive-CTE connected components over the
+    * verified near-dup edges — jacc/sym/reach/comps/sizes. ONE
+    * definition shared by [[clusterRepsSql]] and
+    * [[leakageSafeSplitSql]] so the component/representative rule
+    * cannot drift between the cluster and split oracles. */
+  private def componentCtes(threshold: Double): String = s"""jacc AS (
       SELECT id_a, id_b FROM (${jaccardOnCandidatesSql(threshold).replace("ORDER BY id_a, id_b", "")}) j),
     sym AS (SELECT id_a AS src, id_b AS dst FROM jacc
             UNION SELECT id_b, id_a FROM jacc),
@@ -196,7 +209,10 @@ object Dedup {
     comps AS (
       SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep_id
       FROM reach GROUP BY src),
-    sizes AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comps GROUP BY rep_id)
+    sizes AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comps GROUP BY rep_id)"""
+
+  def clusterRepsSql(threshold: Double = 0.5): String = s"""
+    WITH RECURSIVE ${componentCtes(threshold)}
     SELECT c.doc_id, c.rep_id, s.cluster_size, c.doc_id = c.rep_id AS keep
     FROM comps c JOIN sizes s USING (rep_id)
     ORDER BY c.doc_id"""
@@ -239,18 +255,7 @@ object Dedup {
   }
 
   def leakageSafeSplitSql(threshold: Double = 0.5, seed: String = "split42"): String = s"""
-    WITH RECURSIVE jacc AS (
-      SELECT id_a, id_b FROM (${jaccardOnCandidatesSql(threshold).replace("ORDER BY id_a, id_b", "")}) j),
-    sym AS (SELECT id_a AS src, id_b AS dst FROM jacc
-            UNION SELECT id_b, id_a FROM jacc),
-    reach(src, dst) AS (
-      SELECT src, dst FROM sym
-      UNION
-      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-    comps AS (
-      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep_id
-      FROM reach GROUP BY src),
-    sizes AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comps GROUP BY rep_id),
+    WITH RECURSIVE ${componentCtes(threshold)},
     assigned AS (
       SELECT d.doc_id,
              COALESCE(c.rep_id, d.doc_id) AS rep_id,
@@ -326,12 +331,13 @@ object Dedup {
       .select(col("doc_id"), col("dup_of")).distinct()
       .cache()
       .transform(graft.CacheScope.register)
+    // left_semi has set semantics — no distinct needed on the build side
     val newSh = batch
-      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(cand.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
     val oldSh = graft.Tables.documents(spark, dir)
-      .join(cand.select(col("dup_of").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(cand.select(col("dup_of").as("doc_id")), Seq("doc_id"), "left_semi")
       .transform(graft.Parallelism.ensure(spark))
       .select(col("doc_id"),
         array_distinct(shingles(TextFunctions.tokens(lower(col("text"))))).as("sh"))
@@ -347,24 +353,8 @@ object Dedup {
 
   def incrementalProbeSql(batchMod: Int = 5, threshold: Double = 0.5,
       numHashes: Int = 8, bandSize: Int = 2, maxBucket: Int = 64): String = {
-    val numBands = numHashes / bandSize
-    val sigExprs = (0 until numHashes).map(i =>
-      s"list_min(list_transform(hs, h -> substr(h, ${i * 4 + 1}, 4))) AS h$i").mkString(", ")
-    val bandSelects = (0 until numBands).map { b =>
-      val key = (0 until bandSize).map(j => s"h${b * bandSize + j}").mkString(" || '|' || ")
-      s"SELECT doc_id, CAST($b AS BIGINT) AS band, $key AS band_key FROM sigs"
-    }.mkString(" UNION ALL ")
     s"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
-    shl AS (
-      SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-             ELSE list_transform(generate_series(1, len(t) - 2),
-                                 i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS sh
-      FROM toks),
-    hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shl),
-    sigs AS (SELECT doc_id, $sigExprs FROM hashed),
-    bands AS ($bandSelects),
+    WITH ${bandingCtes(numHashes, bandSize)},
     oldb AS (SELECT * FROM bands WHERE doc_id % $batchMod <> 0),
     newb AS (SELECT * FROM bands WHERE doc_id % $batchMod = 0),
     bsize AS (SELECT band, band_key, COUNT(*) AS c FROM oldb GROUP BY band, band_key),
@@ -374,7 +364,7 @@ object Dedup {
       JOIN oldb o ON n.band = o.band AND n.band_key = o.band_key
       JOIN bsize s ON s.band = o.band AND s.band_key = o.band_key
       WHERE s.c <= $maxBucket),
-    shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl)
+    shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)
     SELECT c.doc_id, c.dup_of,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard

@@ -138,6 +138,25 @@ class AnnSnapshotSpec extends SparkSpec {
     Scratch.deleteRecursively(root)
   }
 
+  test("union refusal: a node between the sort and the union also refuses (no leg-1-only filter)") {
+    // distinct() puts an Aggregate between the Sort and the Union —
+    // the single-target fallback must refuse rather than descend into
+    // leg 1 only (the partially-probed-union wrong-results mode)
+    val root = freshTable()
+    val q = qvec()
+    val s = spark.newSession()
+    AnnProbe.enable(s)
+    val declared = SnapshotTable.read(s, root).select(col("vec_id"), col("v"), col("bucket"))
+    val qc = array(q.map(lit): _*)
+    val df = declared.unionAll(declared)
+      .select(col("vec_id"), round(VectorOps.cosine(col("v"), qc), 6).as("score"))
+      .distinct()
+      .orderBy(col("score").desc, col("vec_id")).limit(K)
+    assert(!hasProbeFilter(df),
+      s"rewrite fired through an intermediate node over a union:\n${df.queryExecution.optimizedPlan.toString.take(600)}")
+    Scratch.deleteRecursively(root)
+  }
+
   test("declaration survives a dv-purging compact; rewrite still fires, rows unchanged") {
     val root = freshTable()
     val q = qvec()
