@@ -2644,7 +2644,13 @@ object SparkEntry {
     // Integer floor arithmetic is partition-count-independent, so a
     // narrow no-AQE throwaway session changes NOTHING in the ranks —
     // only the dispatch bill (same discipline as the other lifecycle
-    // gates; the 100 TB story is unchanged: callers there keep AQE)
+    // gates; the 100 TB story is unchanged: callers there keep AQE).
+    // Measured and REJECTED (r19): pinning broadcasts off to fold the
+    // per-round BroadcastExchange jobs (~16 of 22) into the checkpoint
+    // jobs — job count fell to 7 but the median ROSE 1.33→2.43 s,
+    // because the SMJ rewrite serializes 3–4 shuffle STAGES per round
+    // where the broadcast futures overlap the main job. Fewer jobs is
+    // not the objective function; wall clock is.
     val s = probeSession(s0,
       "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.adaptive.enabled" -> "false")
