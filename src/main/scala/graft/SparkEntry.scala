@@ -2400,7 +2400,9 @@ object SparkEntry {
     graft.plans.AnnProbe.enable(s)
     val (root, qv) = annProbeFixture(s, d, bits, dim, seed)
     val qc = array(qv.map(lit): _*)
-    val df = s.read.parquet(root)
+    // the fixture root is memo-stable per JVM, so the footer-schema
+    // memo hits after the first invocation (inference = one job/read)
+    val df = s.read.schema(Tables.cachedSchema(s, root)).parquet(root)
       .select(col("vec_id"),
         round(graft.vector.VectorOps.cosine(col("v"), qc), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
@@ -2458,7 +2460,7 @@ object SparkEntry {
         .map(b => (qid, b, qv.toSeq))
     }
     val probeDf = probeRows.toDF("query_id", "bucket", "qv")
-    val scored = s.read.parquet(root)
+    val scored = s.read.schema(Tables.cachedSchema(s, root)).parquet(root)
       .join(broadcast(probeDf), Seq("bucket"))
       .select(col("query_id"), col("vec_id"),
         round(graft.vector.VectorOps.cosine(col("v"), col("qv")), 6).as("score"))
@@ -3497,10 +3499,12 @@ object SparkEntry {
       .createOrReplaceTempView("graft_part_src")
     iso.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_part_src")
     val dimDir = s"$wh/g/${base}_dim"
-    iso.table("graft_part_src").select(col("lang")).distinct()
+    val dimDf = iso.table("graft_part_src").select(col("lang")).distinct()
       .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
-      .write.mode("overwrite").parquet(dimDir)
-    iso.read.parquet(dimDir).createOrReplaceTempView("graft_part_dim")
+    dimDf.write.mode("overwrite").parquet(dimDir)
+    // writer-schema read-back: skips the per-read schema-inference job
+    iso.read.schema(dimDf.schema).parquet(dimDir)
+      .createOrReplaceTempView("graft_part_dim")
     def keptOf(df: DataFrame): Int = {
       df.collect() // executes THIS plan: runtime filters narrow ITS scan
       graft.PlanWalk.batchScans(df).map(_.scan)
@@ -4461,11 +4465,17 @@ object SparkEntry {
     docs.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/fact")
     // dim: one row per lang, with the tier attribute the query filters
     // on (only 'en' is tier 'keep' — but the QUERY doesn't know that)
-    docs.select(col("lang")).distinct()
+    val dim = docs.select(col("lang")).distinct()
       .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
-      .write.mode("overwrite").parquet(s"$tmp/dim")
-    def query = s.read.parquet(s"$tmp/fact")
-      .join(broadcast(s.read.parquet(s"$tmp/dim").filter(col("tier") === "keep")), "lang")
+    dim.write.mode("overwrite").parquet(s"$tmp/dim")
+    // read back with the WRITER's schema (data cols then partition col,
+    // the order partitioned read-back produces): schema inference costs
+    // a one-task job per read.parquet on Spark 4, and `query` below is
+    // constructed twice (executed probe + result frame) — four
+    // inference jobs of this gate's census for zero information
+    def query = s.read.schema(docs.schema).parquet(s"$tmp/fact")
+      .join(broadcast(s.read.schema(dim.schema).parquet(s"$tmp/dim")
+        .filter(col("tier") === "keep")), "lang")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
@@ -4544,8 +4554,11 @@ object SparkEntry {
     def scannedFiles(df: DataFrame): Set[String] =
       df.select(input_file_name()).distinct().collect()
         .map(_.getString(0)).toSet
-    // selective read: partition filters prune to one directory pair
-    val files = scannedFiles(s.read.parquet(root)
+    // selective read: partition filters prune to one directory pair.
+    // Both read-backs carry the writer's schema (data cols then the
+    // two partition cols — docs' own column order): skips the
+    // one-task schema-inference job each read.parquet pays on Spark 4
+    val files = scannedFiles(s.read.schema(docs.schema).parquet(root)
       .filter(col("source") === "src1" && col("lang") === "en"))
     val layoutOk = files.nonEmpty &&
       files.forall(f => f.contains("/source=src1/") && f.contains("/lang=en/"))
@@ -4578,7 +4591,7 @@ object SparkEntry {
       ("overwrite_ok", overwriteOk,
         () => s"gained=${afterOthers.diff(beforeOthers).take(3)} " +
           s"lost=${beforeOthers.diff(afterOthers).take(3)}"))
-    val out = s.read.parquet(root)
+    val out = s.read.schema(docs.schema).parquet(root)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .withColumn("layout_ok", lit(layoutOk))

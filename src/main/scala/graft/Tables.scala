@@ -26,11 +26,20 @@ object Tables {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** The memoized footer schema of `path` (inferring it once on miss).
+    * For gate-stable paths only — memoized-fixture roots, the SF-dir
+    * tables — NOT per-invocation temp dirs, which would grow the memo
+    * without ever hitting. Callers that read under a session conf that
+    * changes inference (events' nanosAsLong) must set it before the
+    * first call for that path, exactly as they already must for a
+    * plain read. */
+  private[graft] def cachedSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaMemo.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    spark.read.schema(cachedSchema(spark, path)).parquet(path)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")

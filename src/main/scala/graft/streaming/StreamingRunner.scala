@@ -23,7 +23,10 @@ object StreamingRunner {
     * uses, so stream/batch parity never depends on the encoding. */
   private def eventsSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema
+    // memoized footer read (graft.Tables) — schema inference dispatches
+    // a one-task Spark job per call on Spark 4, a fixed per-invocation
+    // tax every streaming gate paid on top of its micro-batches
+    graft.Tables.cachedSchema(spark, s"$dir/events.parquet")
   }
 
   final case class UserEvent(user_id: Long, value: Double)
