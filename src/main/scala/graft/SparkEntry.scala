@@ -4400,14 +4400,31 @@ object SparkEntry {
     // property of the bucketed LAYOUT, not the row count — the gate's
     // zero-exchange proof is identical while the two bucketed writes,
     // the join, and the oracle's hash all move 4× less
-    Tables.lineitem(iso, d).filter(col("l_orderkey") % 4 === 0)
-      .select("l_orderkey", "l_quantity", "l_extendedprice")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$tmp/li").mode("overwrite").saveAsTable(liTbl)
-    Tables.orders(iso, d).filter(col("o_orderkey") % 4 === 0)
-      .select("o_orderkey", "o_totalprice")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$tmp/ord").mode("overwrite").saveAsTable(ordTbl)
+    // the two bucketed writes are INDEPENDENT jobs (different inputs,
+    // different tables): submit them from two threads so the second
+    // write's tasks back-fill the first one's tail (guide §2.6) —
+    // actions are only sequential when the driver calls them
+    // sequentially. Neither write touches the thread-scoped
+    // cache/scratch registries, so inheriting executor threads is safe.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wLi = Future {
+        Tables.lineitem(iso, d).filter(col("l_orderkey") % 4 === 0)
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/li").mode("overwrite").saveAsTable(liTbl)
+      }
+      val wOrd = Future {
+        Tables.orders(iso, d).filter(col("o_orderkey") % 4 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$tmp/ord").mode("overwrite").saveAsTable(ordTbl)
+      }
+      Await.result(wLi, Duration.Inf)
+      Await.result(wOrd, Duration.Inf)
+    }
     def joined = iso.table(liTbl)
       .join(iso.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"))
@@ -4462,12 +4479,23 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
-    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/fact")
-    // dim: one row per lang, with the tier attribute the query filters
-    // on (only 'en' is tier 'keep' — but the QUERY doesn't know that)
     val dim = docs.select(col("lang")).distinct()
       .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
-    dim.write.mode("overwrite").parquet(s"$tmp/dim")
+    // fact and dim exports are independent jobs — overlap them
+    // (guide §2.6; same discipline as the bucketed-join fixture)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wFact = Future {
+        docs.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/fact")
+      }
+      val wDim = Future {
+        dim.write.mode("overwrite").parquet(s"$tmp/dim")
+      }
+      Await.result(wFact, Duration.Inf)
+      Await.result(wDim, Duration.Inf)
+    }
     // read back with the WRITER's schema (data cols then partition col,
     // the order partitioned read-back produces): schema inference costs
     // a one-task job per read.parquet on Spark 4, and `query` below is

@@ -119,15 +119,28 @@ object TpchDeep {
     * plain equi-join (AQE broadcasts it at small SF; at TPC-H scale
     * part grows with SF so the shuffle join is the right default). */
   def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val boltParts = Tables.part(spark, dir).filter(col("p_name").contains("bolt"))
+    // guide §3.2 (reduce the big side before shuffling it): the min-cost
+    // aggregate only matters for 'bolt' parts, so semi-filter partsupp
+    // by the SAME selective part set the fact join broadcasts — the
+    // filter commutes with the per-partkey MIN (it is on the group key
+    // alone), so the surviving rows are value-identical. minCost is now
+    // bounded by the filtered part dimension, which makes its explicit
+    // broadcast safe at ANY scale: lineitem is never shuffled by
+    // partkey (before, the plan leaned on AQE's size estimate of the
+    // unfiltered per-part aggregate — corpus-sized at real TPC-H SF,
+    // where this join would have become lineitem's second fact
+    // exchange). One fact shuffle remains: lineitem⋈orders.
     val minCost = Relational.partsupp(spark, dir)
+      .join(broadcast(boltParts.select(col("p_partkey").as("ps_partkey"))),
+        Seq("ps_partkey"), "left_semi")
       .groupBy(col("ps_partkey")).agg(min(col("ps_cost_cents")).as("min_cents"))
     val suppNation = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").contains("bolt"))),
-        col("l_partkey") === col("p_partkey"))
-      .join(minCost, col("l_partkey") === col("ps_partkey"))
+      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(minCost), col("l_partkey") === col("ps_partkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))

@@ -20,15 +20,26 @@ import graft.Tables
 object KMeans {
 
   /** Squared-L2 nearest-centroid id from a broadcast centroid array
-    * column (array of struct(list_id, cv)). */
-  private def nearestCentroid(v: Column): Column = {
-    val scored = array_sort(transform(
+    * column (array of struct(list_id, cv)). A min-by FOLD over the k
+    * centroids — O(k) per row with no materialized sorted array, where
+    * the previous array_sort form paid O(k log k) plus a k-struct
+    * allocation per row on the assignment path every Lloyd round and
+    * every final assignment walks. Selection is value-identical:
+    * centroid_arr is sorted by list_id, distances compare ROUNDED
+    * (9 dp) exactly as before, and strict `<` keeps the FIRST minimum
+    * — equal distances resolve to the smaller list_id, reproducing
+    * array_sort's (dist2, list_id) ascending tie-break. */
+  private def nearestCentroid(v: Column): Column =
+    aggregate(
       col("centroid_arr"),
-      c => struct(
-        round(VectorOps.l2Squared(v, c.getField("cv")), 9).as("dist2"),
-        c.getField("list_id").as("list_id"))))
-    element_at(scored, 1).getField("list_id")
-  }
+      struct(lit(Double.PositiveInfinity).as("dist2"),
+        lit(Long.MaxValue).as("list_id")),
+      (acc, c) => {
+        val d = round(VectorOps.l2Squared(v, c.getField("cv")), 9)
+        when(d < acc.getField("dist2"),
+          struct(d.as("dist2"), c.getField("list_id").as("list_id")))
+          .otherwise(acc)
+      }).getField("list_id")
 
   private def centroidArr(centroids: DataFrame): DataFrame =
     centroids.agg(sort_array(collect_list(struct(col("list_id"), col("cv")))).as("centroid_arr"))
