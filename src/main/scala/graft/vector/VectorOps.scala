@@ -296,31 +296,23 @@ object VectorOps {
         e => e.getField("cv")).as("cvs"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("cvs")))),
         e => e.getField("cvs")).as("cb"))
-    // nearest codeword id: a min-by FOLD over the ks (distance, id)
-    // pairs — O(ks) per subspace per row, where the array_sort form
-    // this replaces paid O(ks log ks) and materialized the sorted
-    // array just to take element 1. Strict `<` keeps the FIRST
-    // minimum, reproducing array_sort's (d, i)-ascending tie-break
-    // (equal distances resolve to the smaller codeword id).
-    def codeAt(v: Column, s: Column): Column =
-      aggregate(
-        zip_with(element_at(col("cb"), s + 1), sequence(lit(0), lit(ks - 1)),
-          (cv, i) => struct(l2n(sub(v, s), cv).as("d"), i.as("i"))),
-        struct(lit(Long.MaxValue).as("d"), lit(0).as("i")),
-        (acc, e) => when(e.getField("d") < acc.getField("d"), e).otherwise(acc))
-        .getField("i")
+    // per-row encode + ADC decode are the corpus-side hot path: native
+    // codegen expressions ([[graft.functions.PqOps]]) replace the
+    // interpreted HOF fold (min-by over ks (distance, id) pairs per
+    // subspace — ~2k lambda evaluations and ~130 array allocations per
+    // row at m=8/ks=16/dsub=8). Selection and arithmetic are
+    // bit-identical (same sequential double fold, same round-to-nano
+    // quantization, same first-strict-minimum tie-break); PqEncodeSpec
+    // pins HOF-vs-native equality row-for-row on the real corpus. The
+    // query's OWN table (qTab, one row) stays in HOF form.
     val encoded = emb.crossJoin(broadcast(cbNested))
       .select(col("vec_id"),
-        transform(sequence(lit(0), lit(m - 1)), s => codeAt(col("v"), s)).as("codes"))
+        graft.functions.PqOps.encode(col("v"), col("cb")).as("codes"))
     val qTab = emb.filter(col("vec_id") === queryId)
       .crossJoin(broadcast(cbNested))
       .select(zip_with(col("cb"), sequence(lit(0), lit(m - 1)),
         (cvs, s) => transform(cvs, cv => l2n(sub(col("v"), s), cv))).as("tab"))
-    val dist = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => struct(s.as("s"), c.as("i"))),
-      lit(0L),
-      (acc, sc) => acc + element_at(
-        element_at(col("tab"), sc.getField("s") + 1), sc.getField("i") + 1))
+    val dist = graft.functions.PqOps.adc(col("codes"), col("tab"))
     (encoded, qTab, dist)
   }
 
