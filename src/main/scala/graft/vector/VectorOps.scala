@@ -111,6 +111,27 @@ object VectorOps {
       .mkString("(", " + ", ")::BIGINT")
   }
 
+  /** Corpus-side nearest-centroid id over a broadcast
+    * `centroid_arr` column (array of struct(list_id, cv), sorted by
+    * list_id): a min-by FOLD — O(nlist) per row, no materialized
+    * sorted array. Selection is value-identical to the array_sort
+    * form it replaces everywhere the caller only needs the ARGMIN:
+    * distances compare ROUNDED (9 dp) exactly as before, and strict
+    * `<` keeps the FIRST minimum, so ties resolve to the smaller
+    * list_id — array_sort's (dist2, list_id) ascending tie-break.
+    * (Same rewrite as KMeans.nearestCentroid, r19.) */
+  private[vector] def nearestListId(vcol: Column, centroidArr: Column): Column =
+    aggregate(
+      centroidArr,
+      struct(lit(Double.PositiveInfinity).as("dist2"),
+        lit(Long.MaxValue).as("list_id")),
+      (acc, c) => {
+        val d = round(l2Squared(vcol, c.getField("cv")), 9)
+        when(d < acc.getField("dist2"),
+          struct(d.as("dist2"), c.getField("list_id").as("list_id")))
+          .otherwise(acc)
+      }).getField("list_id")
+
   /** Query row: the embedding of a fixed vec_id, crossed (broadcast,
     * 1 row) against the whole table. */
   private def queryVec(spark: SparkSession, dir: String, id: Long): DataFrame =
@@ -227,7 +248,8 @@ object VectorOps {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centroids = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("list_id"), col("v").as("cv"))
-    // nearest-centroid assignment via min over (dist, list_id) structs
+    // nearest-centroid PROBE list (query row only): sort of the scored
+    // centroid structs, top-n list ids
     def nearestLists(vcol: Column, n: Int): Column = {
       val scored = array_sort(aggListExpr(vcol))
       slice(transform(scored, s => s.getField("list_id")), 1, n)
@@ -241,8 +263,11 @@ object VectorOps {
           c.getField("list_id").as("list_id")))
     val centroidArr = centroids
       .agg(sort_array(collect_list(struct(col("list_id"), col("cv")))).as("centroid_arr"))
+    // corpus-side assignment is argmin only — the min-by fold (O(nlist),
+    // no per-row sorted array) with the identical selection rule; the
+    // full sort stays on the 1-row query probe above
     val assigned = emb.crossJoin(broadcast(centroidArr))
-      .withColumn("list_id", element_at(nearestLists(col("v"), 1), 1))
+      .withColumn("list_id", nearestListId(col("v"), col("centroid_arr")))
       .select(col("vec_id"), col("v"), col("list_id"))
     val q = emb.filter(col("vec_id") === queryId)
       .crossJoin(broadcast(centroidArr))
@@ -396,7 +421,7 @@ object VectorOps {
       slice(transform(scored, s => s.getField("list_id")), 1, n)
     }
     val assigned = emb.crossJoin(broadcast(centroidArr))
-      .select(col("vec_id"), element_at(listsFor(col("v"), 1), 1).as("list_id"))
+      .select(col("vec_id"), nearestListId(col("v"), col("centroid_arr")).as("list_id"))
     val probed = emb.filter(col("vec_id") === queryId)
       .crossJoin(broadcast(centroidArr))
       .select(explode(listsFor(col("v"), nprobe)).as("list_id"))
