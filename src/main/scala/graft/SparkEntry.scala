@@ -3497,11 +3497,23 @@ object SparkEntry {
       "PARTITIONED BY (lang) TBLPROPERTIES ('statsKey'='doc_id')")
     Tables.documents(iso, d).select(col("doc_id"), col("lang"), col("n_chars"))
       .createOrReplaceTempView("graft_part_src")
-    iso.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_part_src")
     val dimDir = s"$wh/g/${base}_dim"
     val dimDf = iso.table("graft_part_src").select(col("lang")).distinct()
       .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
-    dimDf.write.mode("overwrite").parquet(dimDir)
+    // the partitioned INSERT and the dim export are independent jobs —
+    // overlap them (guide §2.6; same discipline as the DPP/bucketed
+    // parquet fixtures)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wFact = Future {
+        iso.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_part_src"); ()
+      }
+      val wDim = Future { dimDf.write.mode("overwrite").parquet(dimDir) }
+      Await.result(wFact, Duration.Inf)
+      Await.result(wDim, Duration.Inf)
+    }
     // writer-schema read-back: skips the per-read schema-inference job
     iso.read.schema(dimDf.schema).parquet(dimDir)
       .createOrReplaceTempView("graft_part_dim")
@@ -3926,8 +3938,21 @@ object SparkEntry {
       .createOrReplaceTempView("graft_spj_orders_src")
     Tables.customer(iso, d).select(col("c_custkey"), col("c_name"))
       .createOrReplaceTempView("graft_spj_cust_src")
-    iso.sql(s"INSERT INTO $ta SELECT o_orderkey, o_custkey, o_totalprice FROM graft_spj_orders_src")
-    iso.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src")
+    // the two bucketed INSERTs land in different tables — independent
+    // jobs, overlapped (guide §2.6)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wA = Future {
+        iso.sql(s"INSERT INTO $ta SELECT o_orderkey, o_custkey, o_totalprice FROM graft_spj_orders_src"); ()
+      }
+      val wB = Future {
+        iso.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src"); ()
+      }
+      Await.result(wA, Duration.Inf)
+      Await.result(wB, Duration.Inf)
+    }
     def zeroExchangeOf(df: DataFrame): Boolean =
       // AQE is OFF on iso (pinned above), so executedPlan is the final
       // static tree — walking it plans but does NOT run the join
