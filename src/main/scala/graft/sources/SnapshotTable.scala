@@ -2047,17 +2047,32 @@ object SnapshotTable {
     // every table format.
     val cmAtStart = evolveColmap(
       mAtStart.map(_.colmap).getOrElse(Map.empty), updates.schema)
-    val updateFiles = writeDataFiles(spark, root, updates, Some(key), key2AtStart,
-      colmap = cmAtStart)
-    // the update batch's distinct keys, for file pruning — gated on the
-    // key TYPE (a lossy cast would yield nulls and wrongly prune
-    // everything): integral keys prune on the long range, STRING keys
-    // on the binary range (unsigned byte order — the order both
-    // parquet's stats and Spark's string comparisons use); any other
-    // type disables skipping, never correctness. limit(cap+1) inside:
-    // the driver never holds more than cap+1 keys, and one extra row
-    // is how "too many to prune with" is detected.
-    val (updateKeys, updateStrKeys) = pruneKeySets(updates, key, maxPruneKeys)
+    // the update-batch write and the prune-key collect both consume
+    // `updates` and nothing of each other — two independent jobs,
+    // submitted from two threads so one back-fills the other's tail
+    // (guide §2.6). Every copy-on-write merge pays both before its
+    // commit loop, so the overlap is on the hot path of every
+    // merge-carrying gate.
+    //
+    // Prune-key semantics unchanged: gated on the key TYPE (a lossy
+    // cast would yield nulls and wrongly prune everything) — integral
+    // keys prune on the long range, STRING keys on the binary range
+    // (unsigned byte order — the order both parquet's stats and
+    // Spark's string comparisons use); any other type disables
+    // skipping, never correctness. limit(cap+1) inside: the driver
+    // never holds more than cap+1 keys, and one extra row is how "too
+    // many to prune with" is detected.
+    val (updateFiles, (updateKeys, updateStrKeys)) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wf = Future {
+        writeDataFiles(spark, root, updates, Some(key), key2AtStart,
+          colmap = cmAtStart)
+      }
+      val pk = Future { pruneKeySets(updates, key, maxPruneKeys) }
+      (Await.result(wf, Duration.Inf), Await.result(pk, Duration.Inf))
+    }
     retrying(spark, root, op = "merge") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
@@ -4448,9 +4463,19 @@ object SnapshotTable {
     // same write-ahead column-map capture as copy-on-write merge
     val cmAtStart = evolveColmap(
       mAtStart.map(_.colmap).getOrElse(Map.empty), updates.schema)
-    val updateFiles = writeDataFiles(spark, root, updates, Some(key), key2AtStart,
-      colmap = cmAtStart)
-    val (updateKeys, updateStrKeys) = pruneKeySets(updates, key, maxPruneKeys)
+    // same independent-job overlap as copy-on-write merge: the batch
+    // write and the prune-key collect share only `updates`
+    val (updateFiles, (updateKeys, updateStrKeys)) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val wf = Future {
+        writeDataFiles(spark, root, updates, Some(key), key2AtStart,
+          colmap = cmAtStart)
+      }
+      val pk = Future { pruneKeySets(updates, key, maxPruneKeys) }
+      (Await.result(wf, Duration.Inf), Await.result(pk, Duration.Inf))
+    }
     retrying(spark, root, op = "merge") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
