@@ -2826,8 +2826,13 @@ object SparkEntry {
     // yields fewer than 4 files when <4 ranges are non-empty — robust
     // to sparse/edge corpora, like the restore gate's hardening)
     val createFiles = snap.filesDf(s, root).count()
-    val c1 = docs.filter(col("doc_id") >= 400L && col("doc_id") < 415L).count()
-    val c2 = docs.filter(col("doc_id") >= 415L && col("doc_id") < 430L).count()
+    // both append-slice counts in ONE aggregate over one scan (two
+    // count jobs folded; no broadcast legs, so the fold is a pure win —
+    // cf. the rejected heavy-hitters fold, OPTIMIZATION_r19.md)
+    val cRow = docs.filter(col("doc_id") >= 400L && col("doc_id") < 430L)
+      .agg(count(when(col("doc_id") < 415L, 1)).as("c1"),
+        count(when(col("doc_id") >= 415L, 1)).as("c2")).head()
+    val (c1, c2) = (cRow.getLong(0), cRow.getLong(1))
     snap.append(s, root,
       docs.filter(col("doc_id") >= 400L && col("doc_id") < 415L).coalesce(1))
     snap.append(s, root,
@@ -2839,15 +2844,21 @@ object SparkEntry {
     val files = snap.filesDf(s, root)
     val expectedFiles = createFiles +
       (if (c1 > 0) 1L else 0L) + (if (c2 > 0) 1L else 0L)
-    val filesOk = files.count() == expectedFiles
-    val statsCover = files.filter(col("min_key").isNull || col("max_key").isNull).count() == 0
-    val bytesPos = files.filter(col("bytes").isNull || col("bytes") <= 0L).count() == 0
-    // the stats IDENTITY rides every row (r11 verdict task: "keyed on
-    // what?" was the one question filesDf couldn't answer): recorded
-    // key on every file, no phantom secondary
-    val keyIdentity = files.filter(
-      col("stats_key").isNull || col("stats_key") =!= "doc_id" ||
-        col("stats_key2").isNotNull).count() == 0
+    // all four file-table probes in ONE aggregate over the metadata
+    // frame (four count jobs folded into one; same frame, no joins)
+    val p = files.agg(
+      count(lit(1)).as("nfiles"),
+      count(when(col("min_key").isNull || col("max_key").isNull, 1)).as("null_stats"),
+      count(when(col("bytes").isNull || col("bytes") <= 0L, 1)).as("bad_bytes"),
+      // the stats IDENTITY rides every row (r11 verdict task: "keyed on
+      // what?" was the one question filesDf couldn't answer): recorded
+      // key on every file, no phantom secondary
+      count(when(col("stats_key").isNull || col("stats_key") =!= "doc_id" ||
+        col("stats_key2").isNotNull, 1)).as("bad_key")).head()
+    val filesOk = p.getLong(0) == expectedFiles
+    val statsCover = p.getLong(1) == 0L
+    val bytesPos = p.getLong(2) == 0L
+    val keyIdentity = p.getLong(3) == 0L
     graft.Scratch.registerForCleanup(root)
     pinInvariants("meta_snapshot_files",
       ("files_ok", filesOk, () => s"files=${files.count()} expected=$expectedFiles"),
