@@ -3514,17 +3514,9 @@ object SparkEntry {
     // the partitioned INSERT and the dim export are independent jobs —
     // overlap them (guide §2.6; same discipline as the DPP/bucketed
     // parquet fixtures)
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val wFact = Future {
-        iso.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_part_src"); ()
-      }
-      val wDim = Future { dimDf.write.mode("overwrite").parquet(dimDir) }
-      Await.result(wFact, Duration.Inf)
-      Await.result(wDim, Duration.Inf)
-    }
+    graft.Concurrency.overlap(
+      { iso.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM graft_part_src"); () },
+      dimDf.write.mode("overwrite").parquet(dimDir))
     // writer-schema read-back: skips the per-read schema-inference job
     iso.read.schema(dimDf.schema).parquet(dimDir)
       .createOrReplaceTempView("graft_part_dim")
@@ -3951,19 +3943,9 @@ object SparkEntry {
       .createOrReplaceTempView("graft_spj_cust_src")
     // the two bucketed INSERTs land in different tables — independent
     // jobs, overlapped (guide §2.6)
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val wA = Future {
-        iso.sql(s"INSERT INTO $ta SELECT o_orderkey, o_custkey, o_totalprice FROM graft_spj_orders_src"); ()
-      }
-      val wB = Future {
-        iso.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src"); ()
-      }
-      Await.result(wA, Duration.Inf)
-      Await.result(wB, Duration.Inf)
-    }
+    graft.Concurrency.overlap(
+      { iso.sql(s"INSERT INTO $ta SELECT o_orderkey, o_custkey, o_totalprice FROM graft_spj_orders_src"); () },
+      { iso.sql(s"INSERT INTO $tb SELECT c_custkey, c_name FROM graft_spj_cust_src"); () })
     def zeroExchangeOf(df: DataFrame): Boolean =
       // AQE is OFF on iso (pinned above), so executedPlan is the final
       // static tree — walking it plans but does NOT run the join
@@ -4442,25 +4424,15 @@ object SparkEntry {
     // actions are only sequential when the driver calls them
     // sequentially. Neither write touches the thread-scoped
     // cache/scratch registries, so inheriting executor threads is safe.
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val wLi = Future {
-        Tables.lineitem(iso, d).filter(col("l_orderkey") % 4 === 0)
-          .select("l_orderkey", "l_quantity", "l_extendedprice")
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$tmp/li").mode("overwrite").saveAsTable(liTbl)
-      }
-      val wOrd = Future {
-        Tables.orders(iso, d).filter(col("o_orderkey") % 4 === 0)
-          .select("o_orderkey", "o_totalprice")
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$tmp/ord").mode("overwrite").saveAsTable(ordTbl)
-      }
-      Await.result(wLi, Duration.Inf)
-      Await.result(wOrd, Duration.Inf)
-    }
+    graft.Concurrency.overlap(
+      Tables.lineitem(iso, d).filter(col("l_orderkey") % 4 === 0)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").mode("overwrite").saveAsTable(liTbl),
+      Tables.orders(iso, d).filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/ord").mode("overwrite").saveAsTable(ordTbl))
     def joined = iso.table(liTbl)
       .join(iso.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"))
@@ -4519,19 +4491,9 @@ object SparkEntry {
       .withColumn("tier", when(col("lang") === "en", lit("keep")).otherwise(lit("drop")))
     // fact and dim exports are independent jobs — overlap them
     // (guide §2.6; same discipline as the bucketed-join fixture)
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val wFact = Future {
-        docs.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/fact")
-      }
-      val wDim = Future {
-        dim.write.mode("overwrite").parquet(s"$tmp/dim")
-      }
-      Await.result(wFact, Duration.Inf)
-      Await.result(wDim, Duration.Inf)
-    }
+    graft.Concurrency.overlap(
+      docs.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/fact"),
+      dim.write.mode("overwrite").parquet(s"$tmp/dim"))
     // read back with the WRITER's schema (data cols then partition col,
     // the order partitioned read-back produces): schema inference costs
     // a one-task job per read.parquet on Spark 4, and `query` below is

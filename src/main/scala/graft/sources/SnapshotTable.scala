@@ -2062,17 +2062,11 @@ object SnapshotTable {
     // skipping, never correctness. limit(cap+1) inside: the driver
     // never holds more than cap+1 keys, and one extra row is how "too
     // many to prune with" is detected.
-    val (updateFiles, (updateKeys, updateStrKeys)) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val wf = Future {
+    val (updateFiles, (updateKeys, updateStrKeys)) =
+      graft.Concurrency.overlap(
         writeDataFiles(spark, root, updates, Some(key), key2AtStart,
-          colmap = cmAtStart)
-      }
-      val pk = Future { pruneKeySets(updates, key, maxPruneKeys) }
-      (Await.result(wf, Duration.Inf), Await.result(pk, Duration.Inf))
-    }
+          colmap = cmAtStart),
+        pruneKeySets(updates, key, maxPruneKeys))
     retrying(spark, root, op = "merge") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
@@ -4465,17 +4459,11 @@ object SnapshotTable {
       mAtStart.map(_.colmap).getOrElse(Map.empty), updates.schema)
     // same independent-job overlap as copy-on-write merge: the batch
     // write and the prune-key collect share only `updates`
-    val (updateFiles, (updateKeys, updateStrKeys)) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val wf = Future {
+    val (updateFiles, (updateKeys, updateStrKeys)) =
+      graft.Concurrency.overlap(
         writeDataFiles(spark, root, updates, Some(key), key2AtStart,
-          colmap = cmAtStart)
-      }
-      val pk = Future { pruneKeySets(updates, key, maxPruneKeys) }
-      (Await.result(wf, Duration.Inf), Await.result(pk, Duration.Inf))
-    }
+          colmap = cmAtStart),
+        pruneKeySets(updates, key, maxPruneKeys))
     retrying(spark, root, op = "merge") { (latest: Int) =>
       val m = manifestFull(spark, root, latest)
       val tableSchema = schemaOf(spark, root, m)
