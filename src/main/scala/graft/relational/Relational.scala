@@ -20,6 +20,42 @@ import graft.Tables
   */
 object Relational {
 
+  /** Ceiling for [[broadcastIfSmall]]: 128 MB of summed LEAF-SCAN
+    * bytes. Comfortably inside the guide's "a few hundred MB is
+    * usually fine" even after row-format framing expansion, and far
+    * under the 8 GB broadcast hard cap. */
+  private val BroadcastGuardBytes: BigInt = BigInt(128L << 20)
+
+  /** Size-GUARDED broadcast hint for dimension sides that grow with the
+    * scale factor (customer/supplier/part and frames derived from
+    * them). The r19 pattern hinted these unconditionally: correct at
+    * bench SFs, but at 100 TB `p_name LIKE '%bolt%'` still selects a
+    * fixed FRACTION of a part table that grows with SF — an explicit
+    * hint there FORCES the broadcast attempt (driver OOM) instead of
+    * letting the planner/AQE fall back to a shuffle join from real
+    * runtime sizes.
+    *
+    * The measure is the SUM OF THE SIDE'S LEAF SCAN BYTES, not the
+    * plan-level estimate: without CBO the composite estimators are
+    * unusable in both directions (Join multiplies its children's byte
+    * counts — a customer⋈nation dimension "costs" their product;
+    * Filter never shrinks below the scan), while the raw bytes under
+    * the side are exactly the quantity that grows with the corpus —
+    * which is the question this guard asks. The snowflake sides hinted
+    * here join a base dimension to key-unique lookups (≤ one nation
+    * row per customer), so leaf-sum also bounds the true built size up
+    * to framing. At sf0.1 every side sums to well under a megabyte →
+    * the guard accepts and the plan is byte-identical to the bare
+    * hint; at 100 TB customer/part/supplier leaves are TB-scale → the
+    * hint is withheld. Fixed-size sides (nation/region, one-row scalar
+    * aggregates) keep their bare hints — scale-free by construction.
+    * Driver-side stats only; no job. */
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (leafBytes <= BroadcastGuardBytes) broadcast(df) else df
+  }
+
   /** Q1-style pricing summary: scan-heavy, group-by-low-cardinality.
     * Partial aggregation makes the shuffle O(#groups), not O(rows). */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -60,7 +96,7 @@ object Relational {
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       .select(col("l_orderkey"),
@@ -89,7 +125,7 @@ object Relational {
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -147,7 +183,7 @@ object Relational {
   /** Broadcast-dimension enrichment: part-brand revenue. */
   def brandRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcastIfSmall(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         exactSum(col("l_extendedprice"), 2).as("revenue"),
@@ -203,7 +239,7 @@ object Relational {
   /** Distinct aggregation per segment. */
   def segmentCustomers(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         countDistinct(col("o_custkey")).as("n_customers"),
@@ -507,7 +543,7 @@ object Relational {
       .filter(col("total_qty") > 150)
     Tables.orders(spark, dir)
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("o_orderdate_us"),
         col("o_totalprice"), col("total_qty"))
@@ -537,8 +573,8 @@ object Relational {
         col("s_nationkey") === col("s_nk"))
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust.select(col("c_custkey"), col("cust_nation"))), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp.select(col("s_suppkey"), col("supp_nation"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcastIfSmall(cust.select(col("c_custkey"), col("cust_nation"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(supp.select(col("s_suppkey"), col("supp_nation"))), col("l_suppkey") === col("s_suppkey"))
       .filter(col("cust_nation") =!= col("supp_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("ship_year"))
@@ -568,7 +604,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("lost_revenue"),
         count(lit(1)).as("n_items"))
@@ -787,7 +823,7 @@ object Relational {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
     val net = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       .cast(org.apache.spark.sql.types.DecimalType(18, 4))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(broadcastIfSmall(p), col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type").startsWith("PROMO"), net).otherwise(lit(0.0).cast(
           org.apache.spark.sql.types.DecimalType(18, 4)))).cast("double") * 100.0 /

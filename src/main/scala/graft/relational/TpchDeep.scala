@@ -81,11 +81,11 @@ object TpchDeep {
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")),
+      .join(Relational.broadcastIfSmall(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(asiaCustomers), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Relational.broadcastIfSmall(asiaCustomers), col("o_custkey") === col("c_custkey"))
+      .join(Relational.broadcastIfSmall(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_7", volCc).otherwise(lit(0L))).as("nation_cc"),
@@ -125,23 +125,28 @@ object TpchDeep {
     // by the SAME selective part set the fact join broadcasts — the
     // filter commutes with the per-partkey MIN (it is on the group key
     // alone), so the surviving rows are value-identical. minCost is now
-    // bounded by the filtered part dimension, which makes its explicit
-    // broadcast safe at ANY scale: lineitem is never shuffled by
-    // partkey (before, the plan leaned on AQE's size estimate of the
-    // unfiltered per-part aggregate — corpus-sized at real TPC-H SF,
-    // where this join would have become lineitem's second fact
-    // exchange). One fact shuffle remains: lineitem⋈orders.
+    // bounded by the filtered part dimension; the semi-filter is the
+    // unconditional scale win (lineitem is never shuffled by partkey —
+    // before, the plan leaned on AQE's size estimate of the unfiltered
+    // per-part aggregate, corpus-sized at real TPC-H SF, where this
+    // join would have become lineitem's second fact exchange). The
+    // broadcast HINTS on the bolt/minCost sides are size-GUARDED
+    // (broadcastIfSmall): 'bolt' still selects a fixed fraction of a
+    // part table that grows with SF, so past the guard's ceiling the
+    // hint is withheld and the planner/AQE picks the strategy from
+    // real sizes instead of being forced into a driver-OOM attempt.
+    // One fact shuffle remains: lineitem⋈orders.
     val minCost = Relational.partsupp(spark, dir)
-      .join(broadcast(boltParts.select(col("p_partkey").as("ps_partkey"))),
+      .join(Relational.broadcastIfSmall(boltParts.select(col("p_partkey").as("ps_partkey"))),
         Seq("ps_partkey"), "left_semi")
       .groupBy(col("ps_partkey")).agg(min(col("ps_cost_cents")).as("min_cents"))
     val suppNation = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(minCost), col("l_partkey") === col("ps_partkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Relational.broadcastIfSmall(boltParts), col("l_partkey") === col("p_partkey"))
+      .join(Relational.broadcastIfSmall(minCost), col("l_partkey") === col("ps_partkey"))
+      .join(Relational.broadcastIfSmall(suppNation), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(volCc - col("min_cents") * col("l_quantity").cast("long") * 100).as("profit_cc"))
@@ -220,7 +225,7 @@ object TpchDeep {
     val maxRev = rev.agg(max(col("rev_cc")).as("max_cc"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("rev_cc") === col("max_cc"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Relational.broadcastIfSmall(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), (col("rev_cc") / lit(10000.0)).as("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
@@ -245,11 +250,11 @@ object TpchDeep {
     val complaints = Tables.supplier(spark, dir)
       .filter(col("s_suppkey") % 97 === 0).select(col("s_suppkey"))
     Relational.partsupp(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Relational.broadcastIfSmall(Tables.part(spark, dir)
           .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
             col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))),
         col("ps_partkey") === col("p_partkey"))
-      .join(broadcast(complaints), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Relational.broadcastIfSmall(complaints), col("ps_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -271,7 +276,7 @@ object TpchDeep {
     * qty < sum/n/5  ⇔  5·qty·n < sum (quantities are integral). */
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Relational.broadcastIfSmall(Tables.part(spark, dir)
           .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
@@ -301,7 +306,7 @@ object TpchDeep {
     * join, the whole OR-of-ANDs evaluates inside the scan's filter. */
   def discountedRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Relational.broadcastIfSmall(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
           col("l_quantity").between(1, 11)) ||
@@ -330,13 +335,13 @@ object TpchDeep {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("qty_shipped"))
     Relational.partsupp(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").startsWith("red"))),
+      .join(Relational.broadcastIfSmall(Tables.part(spark, dir).filter(col("p_name").startsWith("red"))),
         col("ps_partkey") === col("p_partkey"))
       .join(shipped,
         col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
       .filter(col("ps_availqty") * 2 > col("qty_shipped"))
       .select(col("ps_suppkey")).distinct()
-      .join(broadcast(Tables.supplier(spark, dir)), col("ps_suppkey") === col("s_suppkey"))
+      .join(Relational.broadcastIfSmall(Tables.supplier(spark, dir)), col("ps_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"))
       .orderBy(col("s_suppkey"))
   }
@@ -387,7 +392,7 @@ object TpchDeep {
       .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(broadcast(Tables.supplier(spark, dir)), col("late_supp") === col("s_suppkey"))
+      .join(Relational.broadcastIfSmall(Tables.supplier(spark, dir)), col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
