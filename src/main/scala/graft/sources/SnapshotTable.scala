@@ -2206,8 +2206,21 @@ object SnapshotTable {
       // full compaction is also the dv MATERIALIZATION op — the new
       // version's files carry no deletion vectors at all
       val current = readEntries(spark, root, schema, m.entries, m.colmap)
+      // full-table rewrite: the z-normalization domains come from the
+      // manifest's attained per-file bounds when exact for the live
+      // rows (every entry bounded, zero dv debt, and the resolved keys
+      // ARE the recorded ones — a caller-overridden key has no
+      // manifest bounds to use) — skipping the whole-table bounds
+      // aggregate, a full extra pass over data the rewrite is about to
+      // read anyway (guide §1.2); identical layout by
+      // [[zBoundsFromStats]]'s exactness argument
       Pending(writeDataFiles(spark, root,
-        clusterLayout(current, targetFiles, effKey, effKey2, cluster, zorder),
+        clusterLayout(current, targetFiles, effKey, effKey2, cluster, zorder,
+          statsBounds =
+            if (zorder && effKey.map(norm) == m.statsKey.map(norm) &&
+                effKey2.map(norm) == m.statsKey2.map(norm))
+              zBoundsFromStats(m)
+            else None),
         effKey, effKey2, colmap = m.colmap,
         batchPrefix = if (zorder) "zo" else "batch"),
         schema, effKey, effKey2)
@@ -2604,6 +2617,56 @@ object SnapshotTable {
     * signed long. */
   private val ZorderBits = 15
 
+  /** The first 7 bytes of a string's UTF-8 encoding as a non-negative
+    * big-endian long — the DRIVER-side twin of [[clusterLayout]]'s
+    * string-key z-mapping expression (`conv(rpad(hex(substring(encode(
+    * name, 'UTF-8'), 1, 7)), 14, '0'), 16, 10)`): zero-padded to 7
+    * bytes, so the mapping is monotone in unsigned byte order and
+    * min/max commute with it — prefix7(min s) = min prefix7(s). */
+  private def prefix7(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  /** The z-normalization domains `(min1, max1, min2, max2)` — already
+    * mapped through the string prefix-long where a key is a string —
+    * derived from the MANIFEST's attained per-file bounds, for
+    * full-table rewrites only. Exactness conditions (else None, and the
+    * caller falls back to the bounds aggregate): every live entry
+    * carries both keys' bounds, and zero dv debt — with deletion
+    * vectors the file-level bounds may be wider than the live rows the
+    * rewrite reads, which would shift the normalization and hence the
+    * layout. Write-time stats are attained minima/maxima over the
+    * file's actual rows (strings untruncated), and min/max of a
+    * monotone mapping commute with the mapping, so on the accepted
+    * path these domains equal the aggregate's bit for bit. */
+  private def zBoundsFromStats(m: Manifest): Option[(Long, Long, Long, Long)] =
+    if (m.entries.isEmpty || m.entries.exists(_.dv.isDefined)) None
+    else {
+      def longs(lo: FileEntry => Option[Long],
+          hi: FileEntry => Option[Long]): Option[(Long, Long)] = {
+        val bs = m.entries.map(e => lo(e).zip(hi(e)))
+        if (bs.exists(_.isEmpty)) None
+        else Some((bs.flatten.map(_._1).min, bs.flatten.map(_._2).max))
+      }
+      def strs(lo: FileEntry => Option[Array[Byte]],
+          hi: FileEntry => Option[Array[Byte]]): Option[(Long, Long)] = {
+        val bs = m.entries.map(e => lo(e).zip(hi(e)))
+        if (bs.exists(_.isEmpty)) None
+        else Some((bs.flatten.map(p => prefix7(p._1)).min,
+          bs.flatten.map(p => prefix7(p._2)).max))
+      }
+      for {
+        (a, b) <- longs(_.minKey, _.maxKey).orElse(strs(_.minStr, _.maxStr))
+        (c, d) <- longs(_.min2, _.max2).orElse(strs(_.min2Str, _.max2Str))
+      } yield (a, b, c, d)
+    }
+
   /** The rewrite layout [[compact]] and [[retainWhere]] share: plain
     * round-robin, range-clustered (hierarchical on two keys), or
     * z-ordered (interleaved two-key rectangles).
@@ -2624,7 +2687,8 @@ object SnapshotTable {
     * over data the rewrite is about to read in full anyway. */
   private def clusterLayout(df: DataFrame, targetFiles: Int,
       key: Option[String], key2: Option[String],
-      cluster: Boolean, zorder: Boolean): DataFrame =
+      cluster: Boolean, zorder: Boolean,
+      statsBounds: Option[(Long, Long, Long, Long)] = None): DataFrame =
     (key, key2) match {
       case (Some(k), Some(k2)) if zorder =>
         import org.apache.spark.sql.functions.{conv, encode, hex,
@@ -2659,24 +2723,33 @@ object SnapshotTable {
           }
         val kc = zlong(k, dtOf(k))
         val k2c = zlong(k2, dtOf(k2))
-        val bounds = df.agg(min(kc), max(kc), min(k2c), max(k2c)).head()
-        if (bounds.isNullAt(0) || bounds.isNullAt(2)) df.repartition(targetFiles)
-        else {
-          // effective width of a span (bits to represent max - min);
-          // span 0 (constant column) → width 0 → the dim contributes
-          // nothing, correctly
-          def aligned(c: Column, lo: Long, hi: Long): Column = {
-            val base = c - lit(lo)
-            val sh = ZorderBits - (64 - java.lang.Long.numberOfLeadingZeros(hi - lo))
-            if (sh >= 0) shiftleft(base, sh) else shiftright(base, -sh)
+        // normalization domains: the caller's manifest-derived bounds
+        // when exact ([[zBoundsFromStats]] — no job), else one
+        // driver-side agg over data the rewrite reads in full anyway
+        val domains: Option[(Long, Long, Long, Long)] =
+          statsBounds.orElse {
+            val bounds = df.agg(min(kc), max(kc), min(k2c), max(k2c)).head()
+            if (bounds.isNullAt(0) || bounds.isNullAt(2)) None
+            else Some((bounds.getLong(0), bounds.getLong(1),
+              bounds.getLong(2), bounds.getLong(3)))
           }
-          val z = graft.relational.Relational.zorderValue(
-            aligned(kc, bounds.getLong(0), bounds.getLong(1)),
-            aligned(k2c, bounds.getLong(2), bounds.getLong(3)), ZorderBits)
-          df.withColumn("__graft_z", z)
-            .repartitionByRange(targetFiles, col("__graft_z"))
-            .sortWithinPartitions("__graft_z")
-            .drop("__graft_z")
+        domains match {
+          case None => df.repartition(targetFiles)
+          case Some((lo1, hi1, lo2, hi2)) =>
+            // effective width of a span (bits to represent max - min);
+            // span 0 (constant column) → width 0 → the dim contributes
+            // nothing, correctly
+            def aligned(c: Column, lo: Long, hi: Long): Column = {
+              val base = c - lit(lo)
+              val sh = ZorderBits - (64 - java.lang.Long.numberOfLeadingZeros(hi - lo))
+              if (sh >= 0) shiftleft(base, sh) else shiftright(base, -sh)
+            }
+            val z = graft.relational.Relational.zorderValue(
+              aligned(kc, lo1, hi1), aligned(k2c, lo2, hi2), ZorderBits)
+            df.withColumn("__graft_z", z)
+              .repartitionByRange(targetFiles, col("__graft_z"))
+              .sortWithinPartitions("__graft_z")
+              .drop("__graft_z")
         }
       case (Some(k), Some(k2)) if cluster =>
         df.repartitionByRange(targetFiles, col(k), col(k2))
