@@ -776,15 +776,28 @@ object Dedup {
   private def semanticSpine(spark: SparkSession, emb: DataFrame, k: Int,
       iters: Int, threshold: Double): (DataFrame, DataFrame) = {
     val centroids = KMeans.fit(spark, emb, k, iters)
+    // the vector NORM is precomputed once per vector into the persisted
+    // frame: the pairwise stage's cosine(va, vb) used to evaluate THREE
+    // dot products per candidate pair (dot(va,vb), dot(va,va),
+    // dot(vb,vb) — the norms recomputed for every partner); carrying
+    // sqrt(dot(v,v)) costs one dot per VECTOR and one extra double per
+    // joined row, and the pair stage drops to one dot product — ~3× less
+    // work in the O(Σ sᵢ²) term that dominates this operator (guide
+    // §1.2: don't recompute what you can carry). Bit-identical scores:
+    // nrm IS sqrt(dot(v,v)) — the same double the inline form produced —
+    // and the division/multiplication tree is unchanged.
     val assigned = KMeans.assign(emb, centroids)
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
-    val a = assigned.select(col("list_id"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("list_id"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val a = assigned.select(col("list_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
     val pairs = a.join(b, Seq("list_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("list_id"), col("id_a"), col("id_b"),
-        round(VectorOps.cosine(col("va"), col("vb")), 6).as("score"))
+        round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
       .filter(col("score") >= threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
