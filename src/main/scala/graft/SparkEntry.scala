@@ -2246,11 +2246,6 @@ object SparkEntry {
     val c2 = graft.meta.IncrementalView.refresh(s, tbl, vw) // (3, 4]: dv fast path
     lap("refresh2")
     val c3 = graft.meta.IncrementalView.refresh(s, tbl, vw) // replay: no-op
-    graft.meta.IncrementalView.purgeTombstones(s, vw)
-    lap("purge")
-    val consumedOk = c1 == 2 && c2 == 1 && c3 == 0
-    val cursorOk =
-      graft.sources.SnapshotTable.lastTxnBatchId(s, vw).contains(4L)
     // invariant check as two bounded collects + a driver-side set
     // compare (the view is |groups| rows by construction) — the
     // exceptAll form paid two extra full plans and shuffles to answer
@@ -2258,16 +2253,27 @@ object SparkEntry {
     def rows3(df: DataFrame): Seq[(Long, Long, Long)] =
       df.select(col("grp"), col("view_cnt"), col("view_sum")).collect()
         .toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val recompute = graft.sources.SnapshotTable.read(s, tbl)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("view_cnt"), sum(col("cents")).as("view_sum"))
+    // the tombstone purge mutates only the VIEW; the recompute reads
+    // only the TABLE's (final) state — independent jobs, overlapped
+    // (guide §2.6). The raw-view read must stay AFTER the purge (it is
+    // the purge proof), so only the recompute rides along.
+    val (_, recomputeRows) = graft.Concurrency.overlap(
+      graft.meta.IncrementalView.purgeTombstones(s, vw),
+      rows3(recompute))
+    lap("purge")
+    val consumedOk = c1 == 2 && c2 == 1 && c3 == 0
+    val cursorOk =
+      graft.sources.SnapshotTable.lastTxnBatchId(s, vw).contains(4L)
     // ONE raw-table collect answers both questions: live rows are
     // view_cnt > 0 (IncrementalView.read's own filter) and the purge
     // proof is "no grp-42 row at all" — the previous separate
     // filter+isEmpty probe was one more action for the same fact
     val rawView = rows3(graft.sources.SnapshotTable.read(s, vw))
     val viewRows = rawView.filter(_._2 > 0L)
-    val recompute = graft.sources.SnapshotTable.read(s, tbl)
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("view_cnt"), sum(col("cents")).as("view_sum"))
-    val ivmOk = viewRows.toSet == rows3(recompute).toSet
+    val ivmOk = viewRows.toSet == recomputeRows.toSet
     val purgedOk = !rawView.exists(_._1 == 42L)
     lap("ivmOk")
     // the result is the collected view (≤ |groups| rows) + the pinned
@@ -2279,7 +2285,7 @@ object SparkEntry {
       ("cursor_ok", cursorOk,
         () => s"cursor=${graft.sources.SnapshotTable.lastTxnBatchId(s, vw)}"),
       ("ivm_ok", ivmOk, () => s"view=${viewRows.size} rows vs recompute " +
-        s"diff=${viewRows.toSet.diff(rows3(recompute).toSet).take(3)}"),
+        s"diff=${viewRows.toSet.diff(recomputeRows.toSet).take(3)}"),
       ("purged_ok", purgedOk, () => "tombstoned group 42 still readable"))
     import s.implicits._
     viewRows.sorted
@@ -3687,7 +3693,16 @@ object SparkEntry {
   private def zorderDeclaredQuery(s: SparkSession, d: String): DataFrame =
       reprobed("meta_zorder_declared") { () =>
     val failed = Seq.newBuilder[String]
-    val iso = probeSession(s)
+    // AQE off for this probe session: every exchange in the gate
+    // carries an EXPLICIT partition count (the INSERT's REPARTITION(8)
+    // hint, the maintenance rewrite's repartitionByRange(targetFiles))
+    // which AQE may not coalesce, and the probes are count(*) folds
+    // over an 8-file table — so AQE contributes only its per-stage
+    // job dispatches here (~6 of this gate's jobs), no plan
+    // improvement at any scale. The 100 TB story is unchanged: real
+    // deployments keep AQE on their sessions; the declared-layout
+    // machinery itself never reads this flag.
+    val iso = probeSession(s, "spark.sql.adaptive.enabled" -> "false")
     val wh = SqlCat.ensure(iso)
     val base = uniqName("docs_zo")
     val t = s"${SqlCat.name}.g.$base"
@@ -3753,7 +3768,9 @@ object SparkEntry {
   private def zorderStringQuery(s: SparkSession, d: String): DataFrame =
       reprobed("meta_zorder_string") { () =>
     val failed = Seq.newBuilder[String]
-    val iso = probeSession(s)
+    // AQE off: same rationale as meta_zorder_declared — all exchanges
+    // carry explicit partition counts, probes are tiny count(*) folds
+    val iso = probeSession(s, "spark.sql.adaptive.enabled" -> "false")
     val wh = SqlCat.ensure(iso)
     val base = uniqName("docs_zs")
     val t = s"${SqlCat.name}.g.$base"
@@ -4152,7 +4169,28 @@ object SparkEntry {
     snap.merge(s, root,                                                // v5: narrow update
       docs.filter(col("doc_id") % 397 === 0 && col("doc_id") < 400L)
         .withColumn("n_chars", lit(-1L)), key = "doc_id")
-    snap.deleteWhere(s, root, col("doc_id") % 101 === 0)               // v6: dv delete
+    // the v6 dv-delete commit and the probe reads are independent: the
+    // expected-count aggregate reads only the SOURCE parquet, and the
+    // version-count union reads only v1/v4/v5 — immutable once
+    // committed, untouched by v6's dv sidecars. Overlap them (guide
+    // §2.6); the raw-manifest checks below need v6, so they stay after.
+    val (_, (exp, vCountRows)) = graft.Concurrency.overlap(
+      snap.deleteWhere(s, root, col("doc_id") % 101 === 0),            // v6: dv delete
+      {
+        // chain resolution: each version's row count is its exact
+        // state. Both expected counts ride ONE aggregate, and the
+        // three version reads union into ONE counted plan — five
+        // actions become two (the resolution work per version is
+        // unchanged; only job dispatches drop)
+        val e = docs.filter(col("doc_id") < 430L)
+          .agg(sum(when(col("doc_id") < 400L, 1L).otherwise(0L)),
+            count(lit(1))).head()
+        val vc = Seq(1, 4, 5)
+          .map(v => snap.read(s, root, Some(v)).select(lit(v.toLong).as("v")))
+          .reduce(_ unionAll _)
+          .groupBy(col("v")).count().collect()
+        (e, vc)
+      })
     def raw(v: Int): java.util.List[String] = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(root, "_snapshots", f"v$v%07d.json"))
     // physical: the appends are deltas of ONE entry line (header +
@@ -4160,19 +4198,8 @@ object SparkEntry {
     val deltaLog = (2 to 4).forall(v =>
       raw(v).get(0).contains("\"base\"") && raw(v).size <= 3) &&
       (5 to 6).forall(v => raw(v).get(0).contains("\"base\""))
-    // chain resolution: each version's row count is its exact state.
-    // Both expected counts ride ONE aggregate, and the three version
-    // reads union into ONE counted plan — five actions become two
-    // (the resolution work per version is unchanged; only job
-    // dispatches drop)
-    val exp = docs.filter(col("doc_id") < 430L)
-      .agg(sum(when(col("doc_id") < 400L, 1L).otherwise(0L)),
-        count(lit(1))).head()
     val (c400, c430) = (exp.getLong(0), exp.getLong(1))
-    val vCounts = Seq(1, 4, 5)
-      .map(v => snap.read(s, root, Some(v)).select(lit(v.toLong).as("v")))
-      .reduce(_ unionAll _)
-      .groupBy(col("v")).count().collect()
+    val vCounts = vCountRows
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val resolves = vCounts.get(1L).contains(c400) &&
       vCounts.get(4L).contains(c430) &&

@@ -196,8 +196,15 @@ object SemanticChunker {
           val vecs = ss.map(s => graft.vector.HashingEmbedder.embedTokens(
             s.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq, m))
           val dists = Array.tabulate(math.max(ss.length - 1, 0)) { i =>
-            // unit (or zero) vectors: cosine distance = 1 − dot
-            1.0 - vecs(i).zip(vecs(i + 1)).map { case (a, b) => a.toDouble * b }.sum
+            // unit (or zero) vectors: cosine distance = 1 − dot. Tight
+            // primitive loop — the zip/map/sum form boxed every element
+            // and allocated a tuple array per sentence pair; same
+            // left-to-right IEEE summation order, bit-identical value.
+            val a = vecs(i); val b = vecs(i + 1)
+            var s = 0.0
+            var j = 0
+            while (j < a.length) { s += a(j).toDouble * b(j); j += 1 }
+            1.0 - s
           }
           val ranges = greedyWalk(ss, quantileBreaks(dists, p), minChunk)
           val lens = ranges.map { case (a, b) =>
