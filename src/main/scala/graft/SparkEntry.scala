@@ -1594,11 +1594,27 @@ object SparkEntry {
     // produced (range stats keep every file; only the bloom prunes),
     // while the table builds in 2 commits instead of 8 — the append
     // still proves the bloom rides the append path's entries too
-    snap.create(s, root,
-      docs.filter(col("doc_id") % 8 =!= 7).repartition(7, col("doc_id")),
-      statsKey = Some("doc_id"), statsKey2 = Some("n_chars"), bloomKey = true)
-    snap.append(s, root,
-      docs.filter(col("doc_id") % 8 === 7).repartition(1), bloomKey = true)
+    // the bloom2 probe value (absent2, computed a page below from the
+    // SOURCE table only) is independent of the snapshot lifecycle —
+    // its search overlaps the create+append commits (guide §2.6)
+    val (_, absent2) = graft.Concurrency.overlap(
+      {
+        snap.create(s, root,
+          docs.filter(col("doc_id") % 8 =!= 7).repartition(7, col("doc_id")),
+          statsKey = Some("doc_id"), statsKey2 = Some("n_chars"), bloomKey = true)
+        snap.append(s, root,
+          docs.filter(col("doc_id") % 8 === 7).repartition(1), bloomKey = true)
+      },
+      {
+        val vals = docs.select(col("n_chars").as("v")).distinct()
+        vals.select((col("v") + 1).as("c"))
+          .join(vals, col("c") === col("v"), "left_anti")
+          .crossJoin(broadcast(vals.agg(max(col("v")).as("mx"))))
+          .filter(col("c") <= col("mx"))
+          .agg(min(col("c")).as("absent"))
+          .collect().headOption
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      })
     val allFiles = snap.read(s, root).inputFiles.length
     // absent but IN-RANGE keys (% 3 == 1 was filtered out): range
     // stats keep every file for these; the bloom must not
@@ -1614,24 +1630,15 @@ object SparkEntry {
     // in-range n_chars value reaches the indexed path's pushed
     // equality, whose point set probes bloom2 — files skip where the
     // secondary RANGE (interleaved appends → table-wide) cannot. The
-    // absent value is the FIRST GAP in the sorted distinct value set:
-    // min(v+1) that is not itself a value and sits below max(v) —
-    // found by an anti self-join on v+1, every stage distributed (the
-    // earlier Window.orderBy form computed the same thing but
-    // collapsed the distinct set onto one task; never a driver-side
-    // min..max iteration either, which is unbounded when the range is
-    // wide). A fully dense range has no in-range-absent value; that
-    // case must be VISIBLE, not a silent vacuous pass.
-    val absent2 = {
-      val vals = docs.select(col("n_chars").as("v")).distinct()
-      vals.select((col("v") + 1).as("c"))
-        .join(vals, col("c") === col("v"), "left_anti")
-        .crossJoin(broadcast(vals.agg(max(col("v")).as("mx"))))
-        .filter(col("c") <= col("mx"))
-        .agg(min(col("c")).as("absent"))
-        .collect().headOption
-        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    }
+    // absent value (absent2, computed above overlapping the commits)
+    // is the FIRST GAP in the sorted distinct value set: min(v+1) that
+    // is not itself a value and sits below max(v) — found by an anti
+    // self-join on v+1, every stage distributed (the earlier
+    // Window.orderBy form computed the same thing but collapsed the
+    // distinct set onto one task; never a driver-side min..max
+    // iteration either, which is unbounded when the range is wide). A
+    // fully dense range has no in-range-absent value; that case must
+    // be VISIBLE, not a silent vacuous pass.
     if (absent2.isEmpty)
       Console.err.println("[meta_snapshot_bloom_read] bloom2_pruned " +
         "VACUOUS: n_chars value set is dense — no in-range absent " +
@@ -2670,8 +2677,16 @@ object SparkEntry {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
     // 12 rounds — comfortably past the old 5 now that the rank frame
-    // localCheckpoints each round (plan depth constant in iters);
-    // integer arithmetic keeps DuckDB bit-identical at any count
+    // localCheckpoints every few rounds (plan depth bounded);
+    // integer arithmetic keeps DuckDB bit-identical at any count.
+    // Measured and REJECTED (r20): checkpointEvery 12 (fold the 3 loop
+    // checkpoints into 1) benched 3.20/3.29 s vs 2.37/2.38 s at the
+    // default 4 — per-round planning of the deepening join tree costs
+    // more than the saved checkpoint jobs; checkpointEvery 2 benched
+    // 2.53/2.61 s — more eager cuts don't pay either. 4 is the local
+    // optimum; the per-round broadcast-build jobs are the remaining
+    // floor and the r19 SMJ experiment already showed removing them
+    // serializes the stages for a net loss.
     PageRank.run(nodes, edges, iters = 12)
       .select(col("node").as("doc_id"), col("r").as("rank"))
       .orderBy(col("doc_id"))
@@ -3717,7 +3732,12 @@ object SparkEntry {
       "FROM graft_zo_src")
     val snap = graft.sources.SnapshotTable
     val dissolved = !snap.describeDetail(iso, root).zorderedLayout
-    snap.maintain(iso, root, smallBytes = 1L, relayout = true)
+    // the key-2 probe value reads only the SOURCE view — it overlaps
+    // the maintenance rewrite (guide §2.6)
+    val (_, probeChars) = graft.Concurrency.overlap(
+      { snap.maintain(iso, root, smallBytes = 1L, relayout = true); () },
+      iso.sql("SELECT n_chars FROM graft_zo_src WHERE doc_id = 0")
+        .head().getLong(0))
     val detail = snap.describeDetail(iso, root)
     val total = detail.nFiles
     def keptOf(q: String): Int = {
@@ -3739,8 +3759,6 @@ object SparkEntry {
         s"laid=${detail.zorderedLayout} files=$total")
     // a point probe on EITHER key must skip files via the restored
     // interleave's per-file ranges (probe values exist by construction)
-    val probeChars = iso.sql(
-      "SELECT n_chars FROM graft_zo_src WHERE doc_id = 0").head().getLong(0)
     val keptA = keptOf(s"SELECT count(*) FROM $t WHERE doc_id = 0")
     val keptB = keptOf(s"SELECT count(*) FROM $t WHERE n_chars = $probeChars")
     val prunedA = diag("probe_key1_pruned", keptA < total, s"kept=$keptA total=$total")
@@ -3785,7 +3803,11 @@ object SparkEntry {
       "FROM graft_zs_src")
     val snap = graft.sources.SnapshotTable
     val dissolved = !snap.describeDetail(iso, root).zorderedLayout
-    snap.maintain(iso, root, smallBytes = 1L, relayout = true)
+    // probe value reads only the SOURCE view — overlaps the rewrite
+    val (_, probeSrc) = graft.Concurrency.overlap(
+      { snap.maintain(iso, root, smallBytes = 1L, relayout = true); () },
+      iso.sql("SELECT source FROM graft_zs_src WHERE doc_id = 0")
+        .head().getString(0))
     val detail = snap.describeDetail(iso, root)
     val total = detail.nFiles
     def keptOf(q: String): Int = {
@@ -3805,8 +3827,6 @@ object SparkEntry {
       dissolved && detail.declaredZorder && detail.zorderedLayout && total > 1,
       s"dissolved=$dissolved declared=${detail.declaredZorder} " +
         s"laid=${detail.zorderedLayout} files=$total")
-    val probeSrc = iso.sql(
-      "SELECT source FROM graft_zs_src WHERE doc_id = 0").head().getString(0)
     val keptA = keptOf(s"SELECT count(*) FROM $t WHERE source = '$probeSrc'")
     val keptB = keptOf(s"SELECT count(*) FROM $t WHERE doc_id = 0")
     val prunedA = diag("probe_string_pruned", keptA < total,
@@ -3852,8 +3872,13 @@ object SparkEntry {
     val era1 = files()
     iso.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('partitionCols'='lang,source')")
     val metadataOnly = files() == era1
-    iso.sql(s"INSERT INTO $t SELECT doc_id, lang, source FROM graft_pevo_src " +
-      "WHERE doc_id % 2 = 1") // era 2: lang/source directories
+    // the source-side probe value read is independent of the table —
+    // it overlaps the era-2 INSERT (guide §2.6)
+    val (_, probeSource) = graft.Concurrency.overlap(
+      { iso.sql(s"INSERT INTO $t SELECT doc_id, lang, source FROM graft_pevo_src " +
+          "WHERE doc_id % 2 = 1"); () }, // era 2: lang/source directories
+      iso.sql("SELECT source FROM graft_pevo_src WHERE doc_id = 0")
+        .head().getString(0))
     val total = files().size
     def keptOf(q: String): Int = {
       val df = iso.sql(q)
@@ -3868,8 +3893,6 @@ object SparkEntry {
       }
       ok
     }
-    val probeSource = iso.sql(
-      "SELECT source FROM graft_pevo_src WHERE doc_id = 0").head().getString(0)
     val keptLang = keptOf(s"SELECT doc_id FROM $t WHERE lang = 'en'")
     val keptSrc = keptOf(s"SELECT doc_id FROM $t WHERE source = '$probeSource'")
     val evoOk = diag("evolved_metadata_only", metadataOnly,
@@ -3979,13 +4002,18 @@ object SparkEntry {
     // maintenance call anywhere (the replacing write re-buckets, the
     // scan serves dv files under their bucket ids)
     // one matched key → runtime group filtering rewrites ONE bucket
-    // file (the gate proves the layout survives, not a full rewrite)
-    iso.sql(s"""MERGE INTO $ta t
-      |USING (SELECT o_orderkey, o_custkey, o_totalprice
-      |       FROM graft_spj_orders_src ORDER BY o_orderkey LIMIT 1) src
-      |ON t.o_orderkey = src.o_orderkey
-      |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-    iso.sql(s"DELETE FROM $tb WHERE c_custkey = 1")
+    // file (the gate proves the layout survives, not a full rewrite).
+    // The MERGE commits to table A and the DELETE to table B —
+    // independent single-writer commits on disjoint roots, overlapped
+    // (guide §2.6) like the INSERTs above; the post-CDC join reads
+    // both only after the pair completes.
+    graft.Concurrency.overlap(
+      { iso.sql(s"""MERGE INTO $ta t
+          |USING (SELECT o_orderkey, o_custkey, o_totalprice
+          |       FROM graft_spj_orders_src ORDER BY o_orderkey LIMIT 1) src
+          |ON t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin); () },
+      { iso.sql(s"DELETE FROM $tb WHERE c_custkey = 1"); () })
     val j2 = iso.sql(joinSql)
     val zeroExchangePostCdc = zeroExchangeOf(j2)
     graft.Scratch.registerForCleanup(rootA)
