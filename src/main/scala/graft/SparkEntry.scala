@@ -2417,7 +2417,11 @@ object SparkEntry {
     // memo hits after the first invocation (inference = one job/read)
     val df = s.read.schema(Tables.cachedSchema(s, root)).parquet(root)
       .select(col("vec_id"),
-        round(graft.vector.VectorOps.cosine(col("v"), qc), 6).as("score"))
+        // query norm as a driver literal (same summation order —
+        // bit-identical); the probe REWRITE still keys on the
+        // DotProduct(v, literal) kernel, which this form keeps
+        round(graft.vector.VectorOps.cosineQn(col("v"), qc,
+          lit(graft.vector.VectorOps.l2NormOf(qv))), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
     val rewritten = df.queryExecution.optimizedPlan.exists {
@@ -2470,13 +2474,13 @@ object SparkEntry {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probeRows = qvs.flatMap { case (qid, qv) =>
       graft.plans.AnnProbe.probeBuckets(qv, bits, dim, seed, 1)
-        .map(b => (qid, b, qv.toSeq))
+        .map(b => (qid, b, qv.toSeq, graft.vector.VectorOps.l2NormOf(qv)))
     }
-    val probeDf = probeRows.toDF("query_id", "bucket", "qv")
+    val probeDf = probeRows.toDF("query_id", "bucket", "qv", "qn")
     val scored = s.read.schema(Tables.cachedSchema(s, root)).parquet(root)
       .join(broadcast(probeDf), Seq("bucket"))
       .select(col("query_id"), col("vec_id"),
-        round(graft.vector.VectorOps.cosine(col("v"), col("qv")), 6).as("score"))
+        round(graft.vector.VectorOps.cosineQn(col("v"), col("qv"), col("qn")), 6).as("score"))
     graft.plans.TopKPerGroup
       .topK(scored, Seq(col("query_id")), Seq(col("score").desc, col("vec_id")), k)
       .orderBy(col("query_id"), col("score").desc, col("vec_id"))
@@ -2596,7 +2600,8 @@ object SparkEntry {
     graft.sources.SnapshotTable.readKeys(s, root, "bucket", probes)
       .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
       .select(col("vec_id"),
-        round(graft.vector.VectorOps.cosine(col("v"), qc), 6).as("score"))
+        round(graft.vector.VectorOps.cosineQn(col("v"), qc,
+          lit(graft.vector.VectorOps.l2NormOf(qv))), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

@@ -183,21 +183,22 @@ object HashingEmbedder {
       .reduce((a, b) => concat(a, b))
     val bucketed = emb.withColumn("sig", sig)
     val q = bucketed.filter(col("doc_id") === queryId)
-      .select(col("v").as("qvec"), col("sig").as("qsig"))
+      .select(col("v").as("qvec"), VectorOps.l2Norm(col("v")).as("qn"),
+        col("sig").as("qsig"))
     val cand = bucketed.join(broadcast(q), col("sig") === col("qsig"))
     // bucket too small for k results → widen to a full scan (the
     // count is an action, but emb is persisted and bucket membership
     // is a map-side predicate — one cached-block pass)
     val pool =
       if (cand.count() >= k) cand
-      else bucketed.crossJoin(broadcast(q.select(col("qvec"))))
+      else bucketed.crossJoin(broadcast(q.select(col("qvec"), col("qn"))))
     // zero-norm guard: an all-weights-cancelled embedding (the corner
     // embedTokens documents) would make cosine raise DIVIDE_BY_ZERO
     // under ANSI mode (Spark 4 default) — or, ANSI off, score NaN and
     // sort ABOVE the query itself. Degenerate vectors rank last.
     val ann = pool
       .select(col("doc_id"),
-        round(VectorOps.cosineOrElse(col("v"), col("qvec"), -2.0), 6).as("score"))
+        round(VectorOps.cosineOrElseQn(col("v"), col("qvec"), col("qn"), -2.0), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
     val w = Window.orderBy(col("score").desc, col("doc_id"))

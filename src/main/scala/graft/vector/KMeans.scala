@@ -151,10 +151,11 @@ object KMeans {
       .select(col("vec_id"), col("v"), col("list_id"))
     val q = emb.filter(col("vec_id") === queryId)
       .crossJoin(broadcast(arr))
-      .select(col("v").as("qvec"), explode(probeLists(col("v"), nprobe)).as("list_id"))
+      .select(col("v").as("qvec"), VectorOps.l2Norm(col("v")).as("qn"),
+        explode(probeLists(col("v"), nprobe)).as("list_id"))
     assigned.join(broadcast(q), Seq("list_id"))
       .select(col("vec_id"), col("list_id"),
-        round(VectorOps.cosine(col("v"), col("qvec")), 6).as("score"))
+        round(VectorOps.cosineQn(col("v"), col("qvec"), col("qn")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

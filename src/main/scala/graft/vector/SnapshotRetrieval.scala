@@ -242,8 +242,12 @@ object SnapshotRetrieval {
       k: Int, poolSize: Int,
       knownStats: Option[(Long, Long)] = None): DataFrame =
     fuse(corpus, queryTerms, k, poolSize,
+      // the query's norm is a driver-computed literal (same summation
+      // order as the per-row l2Norm — bit-identical), so the scan pays
+      // one dot per row, not a per-row recomputation of dot(q, q)
       corpus.select(col("doc_id"),
-        round(VectorOps.cosine(col("v"), typedLit(qv.toSeq)), 6).as("score")),
+        round(VectorOps.cosineQn(col("v"), typedLit(qv.toSeq),
+          lit(VectorOps.l2NormOf(qv))), 6).as("score")),
       knownStats)
 
   private def fuse(corpus: DataFrame, queryTerms: Seq[String], k: Int,

@@ -41,6 +41,28 @@ object VectorOps {
   /** Cosine similarity (R1; index_manager.py:111 Distance.COSINE). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** [[cosine]] with the QUERY side's norm precomputed (`qn` =
+    * `l2Norm(q)`, carried in the broadcast query row or as a literal):
+    * the plain form evaluates THREE dot products per corpus row, and
+    * one of them — `dot(q, q)` — is a constant the optimizer cannot
+    * fold (custom expressions are non-foldable), so every brute scan
+    * recomputed the query's norm per row. Bit-identical scores: `qn`
+    * is the same double `l2Norm(q)` produced inline, and the
+    * divide/multiply tree is unchanged. */
+  def cosineQn(v: Column, q: Column, qn: Column): Column =
+    dot(v, q) / (l2Norm(v) * qn)
+
+  /** Driver-side twin of [[l2Norm]] for literal query vectors — the
+    * same sequential left-to-right summation as [[dot]], so the
+    * resulting double is bit-identical to evaluating `l2Norm(lit(q))`
+    * per row. */
+  def l2NormOf(q: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < q.length) { s += q(i) * q(i); i += 1 }
+    math.sqrt(s)
+  }
+
   /** Cosine with a zero-norm guard: a degenerate (all-zero) vector
     * scores `fallback` instead of raising DIVIDE_BY_ZERO under ANSI
     * mode (Spark 4 default) — the If short-circuits, so the division
@@ -51,6 +73,15 @@ object VectorOps {
   def cosineOrElse(a: Column, b: Column, fallback: Double): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(fallback)).otherwise(dot(a, b) / denom)
+  }
+
+  /** [[cosineOrElse]] with the query norm precomputed ([[cosineQn]]'s
+    * rationale); `qn = 0` (zero query vector) zeroes the denominator
+    * exactly as the inline form did, so the fallback branch is
+    * unchanged. */
+  def cosineOrElseQn(a: Column, q: Column, qn: Column, fallback: Double): Column = {
+    val denom = l2Norm(a) * qn
+    when(denom === 0.0, lit(fallback)).otherwise(dot(a, q) / denom)
   }
 
   /** Squared euclidean distance (R2; Distance.EUCLID / IndexFlatL2 —
@@ -138,15 +169,23 @@ object VectorOps {
     Tables.embeddings(spark, dir).filter(col("vec_id") === id)
       .select(asDouble(col("embedding")).as("qvec"))
 
+  /** [[queryVec]] plus the query's precomputed norm — the broadcast
+    * row carries `qn` once instead of every corpus row recomputing
+    * `sqrt(dot(q, q))` (see [[cosineQn]]). */
+  private def queryVecN(spark: SparkSession, dir: String, id: Long): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === id)
+      .select(asDouble(col("embedding")).as("qvec"),
+        l2Norm(asDouble(col("embedding"))).as("qn"))
+
   /** R1: brute-force cosine top-k against a fixed query vector.
     * Single scan; TakeOrderedAndProject does distributed top-k.
     * Scores are rounded to 6 decimals for hash stability and ties
     * broken on vec_id. */
   def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0, k: Int = 20): DataFrame =
     Tables.embeddings(spark, dir)
-      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
+      .crossJoin(broadcast(queryVecN(spark, dir, queryId)))
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        round(cosine(asDouble(col("embedding")), col("qvec")), 6).as("score"))
+        round(cosineQn(asDouble(col("embedding")), col("qvec"), col("qn")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
 
@@ -171,9 +210,9 @@ object VectorOps {
   def rangeSearch(spark: SparkSession, dir: String, queryId: Long = 0,
       minScore: Double = 0.2): DataFrame =
     Tables.embeddings(spark, dir)
-      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
+      .crossJoin(broadcast(queryVecN(spark, dir, queryId)))
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        round(cosine(asDouble(col("embedding")), col("qvec")), 6).as("score"))
+        round(cosineQn(asDouble(col("embedding")), col("qvec"), col("qn")), 6).as("score"))
       .filter(col("score") >= minScore)
       .orderBy(col("vec_id"))
 
@@ -211,12 +250,13 @@ object VectorOps {
       bits: Int = 8, dim: Int = 64): DataFrame = {
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === queryId)
       .select(asDouble(col("embedding")).as("qvec"),
+        l2Norm(asDouble(col("embedding"))).as("qn"),
         rhpLshBucket(asDouble(col("embedding")), bits, dim).as("qbucket"))
     Tables.embeddings(spark, dir)
       .withColumn("bucket", rhpLshBucket(asDouble(col("embedding")), bits, dim))
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), col("bucket"),
-        round(cosine(asDouble(col("embedding")), col("qvec")), 6).as("score"))
+        round(cosineQn(asDouble(col("embedding")), col("qvec"), col("qn")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -271,10 +311,11 @@ object VectorOps {
       .select(col("vec_id"), col("v"), col("list_id"))
     val q = emb.filter(col("vec_id") === queryId)
       .crossJoin(broadcast(centroidArr))
-      .select(col("v").as("qvec"), explode(nearestLists(col("v"), nprobe)).as("list_id"))
+      .select(col("v").as("qvec"), l2Norm(col("v")).as("qn"),
+        explode(nearestLists(col("v"), nprobe)).as("list_id"))
     assigned.join(broadcast(q), Seq("list_id"))
       .select(col("vec_id"), col("list_id"),
-        round(cosine(col("v"), col("qvec")), 6).as("score"))
+        round(cosineQn(col("v"), col("qvec"), col("qn")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -490,14 +531,21 @@ object VectorOps {
     * not this operator's semantics. */
   def embeddingDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
       bits: Int = 8, dim: Int = 64): DataFrame = {
+    // each side carries its vector's norm (one dot per VECTOR) so the
+    // pair stage pays one dot per candidate pair instead of three —
+    // same precompute as the semantic-dedup spine; scores bit-identical
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        l2Norm(asDouble(col("embedding"))).as("nrm"),
         rhpLshBucket(asDouble(col("embedding")), bits, dim).as("bucket"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("score"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("score"))
       .filter(col("score") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
