@@ -2090,10 +2090,13 @@ object SparkEntry {
       .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     // the hot third of the keyspace — spans ~3 of the 8 range files at
-    // any SF (a fixed cutoff would collapse to ≤1 file and a no-op)
-    val cut = li.agg(max(col("l_orderkey"))).head().getLong(0) / 3
-    graft.sources.SnapshotTable.create(s, root,                        // v1
-      li.repartitionByRange(8, col("l_orderkey")), statsKey = Some("l_orderkey"))
+    // any SF (a fixed cutoff would collapse to ≤1 file and a no-op).
+    // The cutoff aggregate reads only the SOURCE frame, so it overlaps
+    // the create commit (guide §2.6); only the delete needs it.
+    val (_, cut) = graft.Concurrency.overlap(
+      graft.sources.SnapshotTable.create(s, root,                      // v1
+        li.repartitionByRange(8, col("l_orderkey")), statsKey = Some("l_orderkey")),
+      li.agg(max(col("l_orderkey"))).head().getLong(0) / 3)
     graft.sources.SnapshotTable.deleteWhere(s, root,                   // v2
       col("l_orderkey") <= cut && col("l_linenumber") === 1)
     // normalize URI forms (inputFiles says file:/x, input_file_name
@@ -2109,13 +2112,16 @@ object SparkEntry {
     val det = graft.sources.SnapshotTable.describeDetail(s, root)
     val surgicalOk = v.isDefined && carried.nonEmpty && rewritten.nonEmpty
     val dvClearedOk = det.dvFiles == 0 && det.dvRows == 0L
-    val coldScan = graft.sources.SnapshotTable.readIndexed(s, root)
-      .filter(col("l_orderkey") > 2L * cut)
-      .select(input_file_name()).distinct().collect()
-      .map(r => norm(r.getString(0))).toSet
+    // two read-only probes of the (now final) v3 state — independent
+    // jobs, overlapped (guide §2.6)
+    val (coldScan, silentOk) = graft.Concurrency.overlap(
+      graft.sources.SnapshotTable.readIndexed(s, root)
+        .filter(col("l_orderkey") > 2L * cut)
+        .select(input_file_name()).distinct().collect()
+        .map(r => norm(r.getString(0))).toSet,
+      v.forall(ver =>
+        graft.sources.SnapshotTable.readChanges(s, root, ver - 1, v).isEmpty))
     val coldPruneOk = coldScan.nonEmpty && coldScan.subsetOf(carried)
-    val silentOk = v.forall(ver =>
-      graft.sources.SnapshotTable.readChanges(s, root, ver - 1, v).isEmpty)
     graft.Scratch.registerForCleanup(root)
     pinInvariants("meta_snapshot_compact_range",
       ("surgical_ok", surgicalOk, () => s"v=$v carried=${carried.size} " +
@@ -3737,12 +3743,9 @@ object SparkEntry {
       "FROM graft_zo_src")
     val snap = graft.sources.SnapshotTable
     val dissolved = !snap.describeDetail(iso, root).zorderedLayout
-    // the key-2 probe value reads only the SOURCE view — it overlaps
-    // the maintenance rewrite (guide §2.6)
-    val (_, probeChars) = graft.Concurrency.overlap(
-      { snap.maintain(iso, root, smallBytes = 1L, relayout = true); () },
-      iso.sql("SELECT n_chars FROM graft_zo_src WHERE doc_id = 0")
-        .head().getLong(0))
+    snap.maintain(iso, root, smallBytes = 1L, relayout = true)
+    val probeChars = iso.sql(
+      "SELECT n_chars FROM graft_zo_src WHERE doc_id = 0").head().getLong(0)
     val detail = snap.describeDetail(iso, root)
     val total = detail.nFiles
     def keptOf(q: String): Int = {
@@ -3808,11 +3811,9 @@ object SparkEntry {
       "FROM graft_zs_src")
     val snap = graft.sources.SnapshotTable
     val dissolved = !snap.describeDetail(iso, root).zorderedLayout
-    // probe value reads only the SOURCE view — overlaps the rewrite
-    val (_, probeSrc) = graft.Concurrency.overlap(
-      { snap.maintain(iso, root, smallBytes = 1L, relayout = true); () },
-      iso.sql("SELECT source FROM graft_zs_src WHERE doc_id = 0")
-        .head().getString(0))
+    snap.maintain(iso, root, smallBytes = 1L, relayout = true)
+    val probeSrc = iso.sql(
+      "SELECT source FROM graft_zs_src WHERE doc_id = 0").head().getString(0)
     val detail = snap.describeDetail(iso, root)
     val total = detail.nFiles
     def keptOf(q: String): Int = {
@@ -3877,13 +3878,10 @@ object SparkEntry {
     val era1 = files()
     iso.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('partitionCols'='lang,source')")
     val metadataOnly = files() == era1
-    // the source-side probe value read is independent of the table —
-    // it overlaps the era-2 INSERT (guide §2.6)
-    val (_, probeSource) = graft.Concurrency.overlap(
-      { iso.sql(s"INSERT INTO $t SELECT doc_id, lang, source FROM graft_pevo_src " +
-          "WHERE doc_id % 2 = 1"); () }, // era 2: lang/source directories
-      iso.sql("SELECT source FROM graft_pevo_src WHERE doc_id = 0")
-        .head().getString(0))
+    iso.sql(s"INSERT INTO $t SELECT doc_id, lang, source FROM graft_pevo_src " +
+      "WHERE doc_id % 2 = 1") // era 2: lang/source directories
+    val probeSource = iso.sql(
+      "SELECT source FROM graft_pevo_src WHERE doc_id = 0").head().getString(0)
     val total = files().size
     def keptOf(q: String): Int = {
       val df = iso.sql(q)
