@@ -61,6 +61,12 @@ object CacheScope {
     override def initialValue(): CacheScope = default
   }
 
+  /** The calling thread's current scope — for handing to a worker
+    * thread via [[withScope]]. Pool threads are created once and
+    * reused, so the inheritable thread-local alone pins whatever scope
+    * was live at pool-thread BIRTH, not the submitter's. */
+  def currentScope: CacheScope = current.get
+
   /** Register into the calling thread's current scope. */
   def register(df: DataFrame): DataFrame = current.get.register(df)
 

@@ -21,13 +21,15 @@ package graft
   *
   * Contract (same as the inline Future blocks this replaces): the two
   * thunks must be independent jobs — neither may read frames the other
-  * writes, and neither may touch thread-scoped registries
-  * ([[CacheScope]]/[[Scratch]] scopes are bound to the runner thread;
-  * register from the caller, not inside `a`). Failure semantics: if
-  * `b` throws, `a` is still awaited (never left running unobserved
-  * against a table the caller is about to clean up), then `b`'s
-  * exception propagates; if only `a` throws, its exception propagates
-  * after `b` completes. */
+  * writes. The caller's [[CacheScope]]/[[Scratch]] scopes are carried
+  * onto the pool thread explicitly (pool threads are REUSED, so the
+  * inheritable thread-locals alone would pin whatever scope was live at
+  * pool-thread birth): anything `a` registers lands in the scope the
+  * caller's runner drains. Failure semantics: if `b` throws, `a` is
+  * still awaited (never left running unobserved against a table the
+  * caller is about to clean up) and a pool-side failure is attached as
+  * a suppressed exception, then `b`'s propagates; if only `a` throws,
+  * its exception propagates after `b` completes. */
 object Concurrency {
 
   private lazy val pool: java.util.concurrent.ExecutorService = {
@@ -39,8 +41,16 @@ object Concurrency {
     })
   }
 
+  private def unwrap(t: Throwable): Throwable = t match {
+    case e: java.util.concurrent.ExecutionException if e.getCause != null => e.getCause
+    case other => other
+  }
+
   def overlap[A, B](a: => A, b: => B): (A, B) = {
-    val fa = new java.util.concurrent.FutureTask[A](() => a)
+    val cacheScope = CacheScope.currentScope
+    val scratchReg = Scratch.currentRegistry
+    val fa = new java.util.concurrent.FutureTask[A](() =>
+      CacheScope.withScope(cacheScope) { Scratch.withRegistry(scratchReg) { a } })
     pool.execute(fa)
     val rb =
       try b
@@ -48,7 +58,12 @@ object Concurrency {
         case t: Throwable =>
           // drain the overlapped job before propagating: the caller's
           // failure path may delete the very table `a` is writing
-          try { fa.get(); () } catch { case _: Throwable => () }
+          try { fa.get(); () }
+          catch {
+            case pe: Throwable =>
+              val cause = unwrap(pe)
+              if (cause ne t) t.addSuppressed(cause)
+          }
           throw t
       }
     val ra =
@@ -56,7 +71,7 @@ object Concurrency {
       catch {
         // unwrap the executor's wrapper so callers see the original
         case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause
+          throw unwrap(e)
       }
     (ra, rb)
   }

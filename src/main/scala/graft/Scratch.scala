@@ -78,6 +78,21 @@ object Scratch {
       override def initialValue(): scala.collection.mutable.ArrayBuffer[String] = defaultRegistry
     }
 
+  /** The calling thread's cleanup registry — for handing to a worker
+    * thread via [[withRegistry]] (same pool-thread-reuse caveat as
+    * [[CacheScope.currentScope]]). */
+  private[graft] def currentRegistry: scala.collection.mutable.ArrayBuffer[String] =
+    current.get
+
+  /** Run `body` with `reg` installed as this thread's cleanup registry;
+    * restores the previous one on exit. Unlike [[scopedCleanup]] this
+    * does NOT drain — ownership stays with the registry's home thread. */
+  private[graft] def withRegistry[T](reg: scala.collection.mutable.ArrayBuffer[String])(body: => T): T = {
+    val prev = current.get
+    current.set(reg)
+    try body finally current.set(prev)
+  }
+
   /** Run `body` with a fresh cleanup scope on this thread. */
   def scopedCleanup[T](body: => T): T = {
     val prev = current.get
